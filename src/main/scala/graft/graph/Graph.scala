@@ -1,0 +1,93 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.mutable
+
+/** Execution mode for a table definition — the reference flips tables
+  * between `dlt.read_stream` (incremental) and `dlt.read` (full recompute;
+  * forced for window-function gold tables, zetadex-orderbook-snapshot
+  * -pipeline.py:571–574). */
+sealed trait Mode
+object Mode {
+  case object Full extends Mode
+  case object Incremental extends Mode
+}
+
+/** A named node in the dataflow DAG: the Spark-native re-expression of a
+  * `@dlt.table` / `@dlt.view` function (SURVEY.md §1.1). `transform`
+  * receives the resolved dependency DataFrames in `deps` order and returns
+  * an unresolved logical plan (a DataFrame) — Catalyst owns all
+  * optimization across node boundaries because composition is plan-level,
+  * not materialization-level.
+  */
+final case class TableDef(
+    name: String,
+    deps: Seq[String],
+    transform: Seq[DataFrame] => DataFrame,
+    mode: Mode = Mode.Full,
+    materialize: Boolean = false)
+
+/** DAG registry + resolver, standing in for the DLT runtime
+  * (`dlt.read`/`dlt.read_stream` edges, zetadex-transactions-helius
+  * -pipeline.py:179–181, :351).
+  *
+  * `resolve` is memoized per run so a node shared by several consumers is
+  * planned once; only nodes marked `materialize` are checkpointed (written
+  * and re-read), everything else stays one fused Catalyst plan.
+  */
+final class Registry(spark: SparkSession) {
+  private val defs = mutable.LinkedHashMap.empty[String, TableDef]
+  private val sources = mutable.LinkedHashMap.empty[String, () => DataFrame]
+
+  def register(t: TableDef): this.type = { defs(t.name) = t; this }
+  def source(name: String, load: () => DataFrame): this.type = {
+    sources(name) = load; this
+  }
+
+  def tableNames: Seq[String] = defs.keys.toSeq
+
+  /** Resolve a node to its DataFrame, resolving dependencies first.
+    * Detects cycles; memoizes within this resolver. */
+  def resolve(name: String): DataFrame = {
+    val memo = mutable.HashMap.empty[String, DataFrame]
+    val inFlight = mutable.HashSet.empty[String]
+    def go(n: String): DataFrame = memo.getOrElseUpdate(n, {
+      if (inFlight(n)) throw new IllegalStateException(s"cycle at $n")
+      inFlight += n
+      val df = sources.get(n) match {
+        case Some(load) => load()
+        case None =>
+          val t = defs.getOrElse(n,
+            throw new NoSuchElementException(s"unknown table $n"))
+          t.transform(t.deps.map(go))
+      }
+      inFlight -= n
+      df
+    })
+    go(name)
+  }
+
+  /** Topological order of all registered defs (Kahn). */
+  def topoOrder: Seq[String] = {
+    val indeg = mutable.LinkedHashMap.empty[String, Int]
+    defs.values.foreach { t =>
+      indeg.getOrElseUpdate(t.name, 0)
+      t.deps.filter(defs.contains).foreach { _ => () }
+    }
+    defs.values.foreach { t =>
+      indeg(t.name) = t.deps.count(defs.contains)
+    }
+    val out = mutable.ArrayBuffer.empty[String]
+    val q = mutable.Queue(indeg.collect { case (n, 0) => n }.toSeq: _*)
+    while (q.nonEmpty) {
+      val n = q.dequeue(); out += n
+      defs.values.filter(_.deps.contains(n)).foreach { c =>
+        indeg(c.name) -= 1
+        if (indeg(c.name) == 0) q.enqueue(c.name)
+      }
+    }
+    if (out.size != defs.size)
+      throw new IllegalStateException("cycle in table graph")
+    out.toSeq
+  }
+}

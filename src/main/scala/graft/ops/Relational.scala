@@ -1,0 +1,163 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Reusable relational operators re-expressing the reference's recurring
+  * dataflow idioms Spark-first (citations are file:line in /root/reference).
+  *
+  * Everything here is a pure `DataFrame => DataFrame` combinator so it
+  * composes into the [[graft.graph]] DAG and works identically in batch and
+  * (where Spark supports it) streaming mode.
+  */
+object Relational {
+
+  /** CDC upsert — keep the latest row per key ordered by `seq` descending,
+    * with `tieBreak` columns making the order total (deterministic under
+    * shuffled arrival). Re-expresses DLT `apply_changes(keys, sequence_by)`
+    * (zetaflex-pipeline.py:138–151, zetadex-referrals-pipeline.py:138–152).
+    *
+    * Batch form: one hash-partition shuffle on `keys`, then a per-partition
+    * sort — no global sort, scales linearly with data / executors. The
+    * streaming form lives in [[graft.streaming.StreamingOps.applyChangesStream]].
+    */
+  def applyChanges(keys: Seq[String], seq: Column, tieBreak: Seq[Column] = Nil)(
+      df: DataFrame): DataFrame = {
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy((seq.desc +: tieBreak.map(_.desc)): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Exact dedup on key columns, deterministic: keeps the row with the
+    * smallest `keep` value per key (unlike `dropDuplicates`, whose survivor
+    * is arbitrary — the reference hit this as "super RAM intensive"
+    * streaming dedup, zetadex-transactions-helius-pipeline.py:354).
+    */
+  def dedupeExact(keys: Seq[String], keep: Column)(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(keep.asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Dense time spine: one row per `step` between the min and max of `ts`
+    * (inclusive), as the reference builds hour spines via
+    * `explode(sequence(min, max, interval 1 hour))`
+    * (zetadex-transactions-helius-pipeline.py:837–840,
+    * zetadex-mm-uptime-pipeline-v3.sql:102).
+    *
+    * The min/max scan aggregates to one row (cheap at any scale); the spine
+    * itself is generated, not shuffled.
+    */
+  def timeSpine(df: DataFrame, ts: Column, step: String = "interval 1 hour",
+                alias: String = "spine_ts"): DataFrame =
+    df.agg(min(ts).as("mn"), max(ts).as("mx"))
+      .select(explode(expr(s"sequence(mn, mx, $step)")).as(alias))
+
+  /** Densify facts onto a spine × dimension grid, null-filling gaps —
+    * the spine-crossJoin-fillna idiom of
+    * zetadex-transactions-helius-pipeline.py:840–842.
+    * `dims` must be small (it is crossed with the spine); facts join back
+    * on spine+dim keys.
+    */
+  def densify(spine: DataFrame, dims: DataFrame, facts: DataFrame,
+              joinKeys: Seq[String], fill: Map[String, Any]): DataFrame = {
+    val grid = spine.crossJoin(broadcast(dims))
+    grid.join(facts, joinKeys, "left").na.fill(fill)
+  }
+
+  /** Rollup over one dimension with the grouping-null relabelled to a
+    * sentinel total bucket — the ALL_ASSETS idiom
+    * (zetadex-serving-v2.py:623–631, zetadex-serving.py:483–489).
+    */
+  def rollupWithAll(dim: String, all: String, aggs: Seq[Column])(
+      df: DataFrame): DataFrame =
+    df.rollup(col(dim))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn(dim, coalesce(col(dim), lit(all)))
+
+  /** Wide→long unpivot of metric columns into (metric, value) rows —
+    * the leaderboard reshape loop of zetadex-serving-v2.py:510–554,
+    * expressed with the codegen'd `stack` generator instead of a
+    * union-per-metric loop (one pass over the data, no N× rescans).
+    */
+  def unpivotMetrics(idCols: Seq[String], metricCols: Seq[String],
+                     metricName: String = "metric",
+                     valueName: String = "value")(df: DataFrame): DataFrame = {
+    val stackArgs = metricCols
+      .map(m => s"'$m', cast(`$m` as double)")
+      .mkString(", ")
+    df.select(
+      idCols.map(col) :+
+        expr(s"stack(${metricCols.size}, $stackArgs) as ($metricName, $valueName)"): _*)
+  }
+
+  /** Rename every column to camelCase — the serving-layer convention
+    * (zetadex-serving.py:18–22, applied at :357). */
+  def camelCaseAll(df: DataFrame): DataFrame = {
+    def toCamel(s: String): String = {
+      val parts = s.split("_").filter(_.nonEmpty)
+      if (parts.isEmpty) s
+      else (parts.head +: parts.tail.map(p => p.head.toUpper + p.tail)).mkString
+    }
+    df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, toCamel(c)))
+  }
+
+  /** Composite KV sort key `a#b#c` for key-value serving
+    * (zetadex-serving-v2.py:352–355 `concat_ws("#", unix_ts, asset)`). */
+  def kvSortKey(cols: Column*): Column = concat_ws("#", cols: _*)
+
+  /** Top-k rows per group by `order` (deterministic if `order` is a total
+    * order) — the reference's top-1-per-key idiom
+    * (zetadex-transactions-helius-pipeline.py:1941–1945). */
+  def topKPerGroup(keys: Seq[String], order: Seq[Column], k: Int)(
+      df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Fixed-point decode: on-chain u64 → double via a power-of-ten factor
+    * (PRICE_FACTOR/SIZE_FACTOR, zetadex-transactions-helius-pipeline.py:20–21,
+    * applied :487–488, :690–694). */
+  def fixedPoint(c: Column, factor: Double): Column = c.cast("double") / factor
+
+  /** Weekly reward epoch anchored at Friday 08:00 UTC:
+    * `date_trunc('week', ts - 104h) + 104h`
+    * (zetadex-transactions-helius-pipeline.py:715–718). */
+  def epochOf(ts: Column): Column =
+    date_trunc("week", ts - expr("interval 104 hours")) + expr("interval 104 hours")
+
+  /** Seconds-since-epoch as a long (floor) — canonical order key for
+    * trailing range windows (zetadex-transactions-helius-pipeline.py:845–853).
+    */
+  def unixSeconds(ts: Column): Column = unix_timestamp(ts)
+
+  /** Trailing event-time range window of `seconds` (inclusive bounds),
+    * partitioned by `keys`, ordered by floor-seconds of `ts` — the 24h/7d/30d
+    * rolling metric idiom (zetadex-transactions-helius-pipeline.py:845–853,
+    * :1487–1501, :1891–1895).
+    */
+  def trailingWindow(keys: Seq[String], ts: Column, seconds: Long)
+      : org.apache.spark.sql.expressions.WindowSpec =
+    Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(unixSeconds(ts).cast(LongType))
+      .rangeBetween(-seconds, 0)
+
+  /** Cumulative window (unbounded preceding → current row) over a total
+    * order — deposit cumsum idiom (zetadex-transactions-helius-pipeline.py:
+    * 1000–1004). */
+  def cumulativeWindow(keys: Seq[String], order: Seq[Column])
+      : org.apache.spark.sql.expressions.WindowSpec =
+    Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+}

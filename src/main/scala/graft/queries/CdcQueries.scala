@@ -1,0 +1,50 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.Relational
+import QH._
+
+/** CDC upsert / dedup operator families (SURVEY.md §2.10, A12), built on
+  * the reusable [[graft.ops.Relational]] combinators.
+  */
+object CdcQueries {
+
+  val qs: Seq[Q] = Seq(
+    // DLT apply_changes: latest row per key by sequence column
+    // (zetaflex-pipeline.py:138–151, referrals:138–152).
+    Q("q38_apply_changes",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        Relational.applyChanges(Seq("user_id", "event_type"),
+            col("ts"), Seq(col("event_id")))(ev)
+          .select("user_id", "event_type", "event_id", "ts", "value")
+          .orderBy("user_id", "event_type")
+      },
+      Some("""
+        SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+        FROM events
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+          ORDER BY ts DESC, event_id DESC) = 1
+        ORDER BY user_id, event_type""")),
+
+    // Deterministic exact dedup: min event_id per (user, type, minute)
+    // (the safe re-expression of transactions:354's dropDuplicates).
+    Q("q39_dedupe_minute",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .withColumn("minute_", date_trunc("minute", col("ts")))
+        Relational.dedupeExact(Seq("user_id", "event_type", "minute_"),
+            col("event_id"))(ev)
+          .select("event_id", "user_id", "event_type", "minute_")
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT event_id, user_id, event_type,
+          CAST(DATE_TRUNC('minute', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS minute_
+        FROM events
+        QUALIFY ROW_NUMBER() OVER (
+          PARTITION BY user_id, event_type, DATE_TRUNC('minute', CAST(ts AS TIMESTAMP))
+          ORDER BY event_id) = 1
+        ORDER BY event_id"""))
+  )
+}

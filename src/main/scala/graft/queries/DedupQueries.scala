@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import QH._
+
+/** Near-duplicate detection for training-data pipelines: exact hash dedup,
+  * exact n-gram Jaccard (ground truth), MinHash+LSH (the 100 TB scale
+  * path), and SimHash. All shingle/minhash math stays inside codegen'd
+  * higher-order functions — no UDFs, no driver-side loops.
+  */
+object DedupQueries {
+
+  /** doc_id → exploded distinct word-3-gram shingles. */
+  private[queries] def shingles(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(1, size(words) - 2), " +
+          "i -> concat_ws(' ', words[i-1], words[i], words[i+1]))")))
+        .as("shingle"))
+
+  /** Exact Jaccard over candidate pairs (a self-join on shared shingles).
+    * `cand` must have columns (doc_a, doc_b); pass None for all co-shingled
+    * pairs. */
+  private def jaccardPairs(s: SparkSession, d: String,
+                           cand: Option[DataFrame]): DataFrame = {
+    val sh = shingles(s, d).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val co = a.join(b, "shingle").filter(col("doc_a") < col("doc_b"))
+    val pairs = cand.fold(co)(c => co.join(c, Seq("doc_a", "doc_b"), "left_semi"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard", round(col("inter").cast("double")
+        / (col("na") + col("nb") - col("inter")), 6))
+      .filter(col("inter").cast("double")
+        / (col("na") + col("nb") - col("inter")) >= 0.6)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Oracle: exact 3-gram Jaccard ≥ 0.6 — shared by q27 (exact) and q28
+    * (MinHash-LSH: 64 bands × 2 rows ⇒ miss probability ≤ (1−0.6²)⁶⁴ ≈
+    * 4e-13 per true pair, so the LSH result equals the exact result). */
+  private val jaccardOracle = """
+    WITH docs AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS words FROM documents
+      WHERE LEN(STRING_SPLIT(text, ' ')) >= 3),
+    sh AS (
+      SELECT doc_id, UNNEST(LIST_DISTINCT(
+        [words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+         for i in GENERATE_SERIES(1, LEN(words) - 2)])) AS shingle
+      FROM docs),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+      ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.6
+    ORDER BY doc_a, doc_b"""
+
+  val qs: Seq[Q] = Seq(
+    // Exact dedup: first doc_id per md5(text) group.
+    Q("q26_dedup_exact",
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"),
+          md5(col("text")).as("fp"))
+        graft.ops.Relational.dedupeExact(Seq("fp"), col("doc_id"))(docs)
+          .select("doc_id", "fp")
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, MD5(text) AS fp FROM documents
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY MD5(text) ORDER BY doc_id) = 1
+        ORDER BY doc_id""")),
+
+    // Ground-truth near-dup pairs: exact word-3-gram Jaccard ≥ 0.6.
+    Q("q27_jaccard_pairs",
+      (s, d) => jaccardPairs(s, d, None),
+      Some(jaccardOracle)),
+
+    // MinHash + LSH scale path: 128 permutations (xxhash64 seeded by
+    // permutation index), 64 bands × 2 rows, candidate pairs from band
+    // buckets, exact-Jaccard verification of candidates only. At 100 TB
+    // the band self-join replaces the quadratic shingle self-join.
+    Q("q28_minhash_lsh",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .withColumn("words", split(col("text"), " "))
+          .filter(size(col("words")) >= 3)
+          .select(col("doc_id"), expr(
+            "array_distinct(transform(sequence(1, size(words) - 2), " +
+              "i -> concat_ws(' ', words[i-1], words[i], words[i+1])))")
+            .as("sh"))
+          // 128 min-hashes per doc, all inside one codegen'd projection
+          .select(col("doc_id"), expr(
+            "transform(sequence(0, 127), " +
+              "p -> array_min(transform(sh, s -> xxhash64(s, p))))")
+            .as("mh"))
+        val bands = docs.select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, 63), b -> struct(mh[2*b] as h1, mh[2*b+1] as h2))")))
+          .select(col("doc_id"), col("pos").as("band"),
+            col("col.h1"), col("col.h2"))
+        val cand = bands.as("x").join(bands.as("y"),
+            Seq("band", "h1", "h2"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .filter(col("doc_a") < col("doc_b"))
+          .distinct()
+        jaccardPairs(s, d, Some(cand))
+      },
+      Some(jaccardOracle)),
+
+    // SimHash signatures + near-pairs by Hamming distance ≤ 6 of 64 bits.
+    // xxhash64 word hashes have no DuckDB equivalent → rows-only check.
+    Q("q29_simhash",
+      (s, d) => {
+        val sig = t(s, d, "documents")
+          .withColumn("words", split(col("text"), " "))
+          .select(col("doc_id"), expr(
+            // bit j of simhash = majority vote of word-hash bit j
+            "aggregate(sequence(0, 63), 0L, (acc, j) -> acc + " +
+              "IF(aggregate(words, 0L, (a, w) -> a + " +
+              "IF(((xxhash64(w) >> j) & 1) = 1, 1L, -1L)) > 0, " +
+              "shiftleft(1L, j), 0L))").as("simhash"))
+        val a = sig.select(col("doc_id").as("doc_a"), col("simhash").as("ha"))
+        val b = sig.select(col("doc_id").as("doc_b"), col("simhash").as("hb"))
+        a.join(b, col("doc_a") < col("doc_b"))
+          .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+          .filter(col("hamming") <= 6)
+          .select("doc_a", "doc_b", "hamming")
+          .orderBy("doc_a", "doc_b")
+      },
+      None)
+  )
+}

@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import QH._
+
+/** Join operator families (SURVEY.md §2.4): dim joins, anti/semi, time
+  * offset, interval containment, spine densification, as-of. Small dims
+  * are broadcast explicitly; the as-of join uses the union+window merge
+  * (linear, no theta-join blowup at scale).
+  */
+object JoinQueries {
+
+  val qs: Seq[Q] = Seq(
+    // J2 multi-hop dim join with broadcast (orderbook:98–102).
+    Q("q19_join_3way",
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val n = t(s, d, "nation")
+        val r = t(s, d, "region")
+        c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name")
+          .agg(count(lit(1)).as("n_cust"),
+            decSum(col("c_acctbal")).as("total_bal"))
+          .orderBy("r_name")
+      },
+      Some("""
+        SELECT r_name, COUNT(*) AS n_cust,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS total_bal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name""")),
+
+    // J3 left anti join (transactions:1556–1560 MM exclusion).
+    Q("q20_anti_join",
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val o = t(s, d, "orders")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      Some("""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        ORDER BY c_custkey""")),
+
+    // Left semi join (whitelist filter, orderbook:98–102 / rewards:101–103).
+    Q("q21_semi_join",
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val o = t(s, d, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+          .select("c_custkey", "c_mktsegment")
+          .orderBy("c_custkey")
+      },
+      Some("""
+        SELECT c_custkey, c_mktsegment FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        ORDER BY c_custkey""")),
+
+    // J10 spine densification: hour spine × dims, left join facts, fill 0
+    // (transactions:837–842, mm-uptime-v3:102–113).
+    Q("q22_spine_densify",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val spine = ev
+          .agg(date_trunc("hour", min(col("ts"))).as("mn"),
+            date_trunc("hour", max(col("ts"))).as("mx"))
+          .select(explode(expr("sequence(mn, mx, interval 1 hour)")).as("h"))
+        val types = ev.select(col("event_type")).distinct()
+        val counts = ev
+          .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+        spine.crossJoin(broadcast(types))
+          .join(counts, Seq("h", "event_type"), "left")
+          .select(col("h"), col("event_type"),
+            coalesce(col("cnt"), lit(0L)).as("cnt"))
+          .orderBy("h", "event_type")
+      },
+      Some("""
+        WITH b AS (
+          SELECT CAST(DATE_TRUNC('hour', CAST(MIN(ts) AS TIMESTAMP)) AS TIMESTAMP) AS mn,
+                 CAST(DATE_TRUNC('hour', CAST(MAX(ts) AS TIMESTAMP)) AS TIMESTAMP) AS mx
+          FROM events),
+        spine AS (SELECT UNNEST(GENERATE_SERIES(mn, mx, INTERVAL 1 HOUR)) AS h FROM b),
+        types AS (SELECT DISTINCT event_type FROM events),
+        counts AS (
+          SELECT CAST(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS h,
+                 event_type, COUNT(*) AS cnt
+          FROM events GROUP BY 1, 2)
+        SELECT s.h, t.event_type, COALESCE(c.cnt, 0) AS cnt
+        FROM spine s CROSS JOIN types t
+        LEFT JOIN counts c ON c.h = s.h AND c.event_type = t.event_type
+        ORDER BY s.h, t.event_type""")),
+
+    // J5 offset equi join: current hour ↔ prior hour (transactions:1023–1044).
+    Q("q23_offset_join",
+      (s, d) => {
+        val hourly = t(s, d, "events")
+          .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+        val prev = hourly.select(col("h").as("ph"),
+          col("event_type").as("pt"), col("cnt").as("prev_cnt"))
+        hourly.join(prev,
+            col("h") === col("ph") + expr("interval 1 hour") &&
+              col("event_type") === col("pt"), "left")
+          .select(col("h"), col("event_type"), col("cnt"), col("prev_cnt"))
+          .orderBy("h", "event_type")
+      },
+      Some("""
+        WITH hourly AS (
+          SELECT CAST(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS h,
+                 event_type, COUNT(*) AS cnt
+          FROM events GROUP BY 1, 2)
+        SELECT a.h, a.event_type, a.cnt, b.cnt AS prev_cnt
+        FROM hourly a
+        LEFT JOIN hourly b
+          ON a.h = b.h + INTERVAL 1 HOUR AND a.event_type = b.event_type
+        ORDER BY a.h, a.event_type""")),
+
+    // J7 interval containment: equi key + range residual (amplitude:186–197).
+    Q("q24_interval_containment",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val l = t(s, d, "lineitem")
+        l.join(o, col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") >= col("o_orderdate") &&
+            col("l_shipdate") < col("o_orderdate") + expr("interval 60 days"))
+          .groupBy("o_orderkey")
+          .agg(count(lit(1)).as("n_shipped_60d"))
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey, COUNT(*) AS n_shipped_60d
+        FROM lineitem JOIN orders
+          ON l_orderkey = o_orderkey
+          AND l_shipdate >= o_orderdate
+          AND l_shipdate < o_orderdate + INTERVAL 60 DAY
+        GROUP BY o_orderkey ORDER BY o_orderkey""")),
+
+    // J6 as-of join: latest prior 'view' per 'purchase', same user
+    // (rewards:275–288 trades-after-referral). Spark impl is the
+    // union+window merge: one shuffle on user_id, linear at scale —
+    // no theta-join blowup.
+    Q("q25_asof_join",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .filter(col("event_type").isin("view", "purchase"))
+        // views sort before purchases at equal ts => inclusive (<=) as-of
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"),
+            when(col("event_type") === "view", 0).otherwise(1),
+            col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev.withColumn("prior_view_ts",
+            last(when(col("event_type") === "view", col("ts")), ignoreNulls = true).over(w))
+          .withColumn("prior_view_id",
+            last(when(col("event_type") === "view", col("event_id")), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("prior_view_ts"), col("prior_view_id"))
+          .orderBy("purchase_id")
+      },
+      Some("""
+        SELECT p.event_id AS purchase_id, p.user_id,
+          v.ts AS prior_view_ts, v.event_id AS prior_view_id
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN LATERAL (
+          SELECT CAST(e.ts AS TIMESTAMP) AS ts, e.event_id
+          FROM events e
+          WHERE e.user_id = p.user_id AND e.event_type = 'view'
+            AND e.ts <= p.ts
+          ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) v ON TRUE
+        ORDER BY purchase_id"""))
+  )
+}

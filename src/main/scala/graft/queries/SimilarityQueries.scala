@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import QH._
+
+/** Approximate-nearest-neighbor search over the embeddings table
+  * (`Array[Float]`, 64-dim). Brute-force cosine top-k is the correctness
+  * baseline; the LSH variant (random-hyperplane buckets from a
+  * deterministic LCG, so the oracle can reproduce them exactly) is the
+  * scale path — at 100 TB the bucket equi-join replaces the cross join.
+  * All vector math is codegen'd `zip_with`/`aggregate` — no UDFs.
+  */
+object SimilarityQueries {
+
+  /** embeddings → (vec_id, v: array<double>, nrm). */
+  private def vecs(s: org.apache.spark.sql.SparkSession, d: String) =
+    t(s, d, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x*x))"))
+
+  private val dotExpr =
+    "aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+
+  /** 8 deterministic LCG hyperplanes → 256 buckets. Same integer
+    * arithmetic is reproducible in the DuckDB oracle. */
+  private val bucketExpr = """
+    aggregate(sequence(0, 7), 0, (acc, p) -> acc + IF(
+      aggregate(zip_with(
+        transform(sequence(0, 63),
+          i -> ((1103515245L * (p*64 + i) + 12345L) % 2147483648L)
+               / 2147483648.0 - 0.5),
+        v, (x, y) -> x * y), 0D, (a, x) -> a + x) > 0,
+      shiftleft(1, p), 0))"""
+
+  val qs: Seq[Q] = Seq(
+    // Brute-force cosine top-5 for query vectors vec_id < 10.
+    Q("q30_knn_bruteforce",
+      (s, d) => {
+        val all = vecs(s, d)
+        val q = all.select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qnrm"))
+        val joined = broadcast(q).crossJoin(all)
+          .filter(col("query_id") < 10 && col("query_id") =!= col("vec_id"))
+          .withColumn("sim",
+            round(expr(dotExpr) / (col("qnrm") * col("nrm")), 6))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("sim").desc, col("vec_id"))
+        joined.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            col("sim"), col("rk"))
+          .orderBy("query_id", "rk")
+      },
+      Some("""
+        WITH n AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+            SQRT(LIST_SUM(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]), x -> x*x))) AS nrm
+          FROM embeddings),
+        pairs AS (
+          SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+            ROUND(LIST_DOT_PRODUCT(q.v, e.v) / (q.nrm * e.nrm), 6) AS sim
+          FROM n q JOIN n e ON q.vec_id < 10 AND q.vec_id != e.vec_id)
+        SELECT query_id, neighbor_id, sim,
+          CAST(rk AS INTEGER) AS rk
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) AS rk FROM pairs)
+        WHERE rk <= 5
+        ORDER BY query_id, rk""")),
+
+    // LSH-bucketed ANN: candidates share the query's hyperplane bucket.
+    Q("q31_knn_lsh",
+      (s, d) => {
+        val all = vecs(s, d).withColumn("bucket", expr(bucketExpr))
+        val q = all.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"),
+            col("nrm").as("qnrm"), col("bucket"))
+        val joined = broadcast(q).join(all, Seq("bucket"))
+          .filter(col("query_id") =!= col("vec_id"))
+          .withColumn("sim",
+            round(expr(dotExpr) / (col("qnrm") * col("nrm")), 6))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("sim").desc, col("vec_id"))
+        joined.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            col("sim"), col("rk"), col("bucket"))
+          .orderBy("query_id", "rk")
+      },
+      Some("""
+        WITH n AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+            SQRT(LIST_SUM(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]), x -> x*x))) AS nrm
+          FROM embeddings),
+        b AS (
+          SELECT vec_id, v, nrm, CAST(LIST_SUM(
+            [CASE WHEN LIST_DOT_PRODUCT(
+               [((1103515245::BIGINT * (p*64 + i) + 12345) % 2147483648)
+                  / 2147483648.0 - 0.5 for i in GENERATE_SERIES(0, 63)],
+               v) > 0 THEN (1 << p) ELSE 0 END
+             for p in GENERATE_SERIES(0, 7)]) AS INTEGER) AS bucket
+          FROM n),
+        pairs AS (
+          SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+            ROUND(LIST_DOT_PRODUCT(q.v, e.v) / (q.nrm * e.nrm), 6) AS sim,
+            q.bucket
+          FROM b q JOIN b e ON q.bucket = e.bucket AND q.vec_id != e.vec_id
+          WHERE q.vec_id < 10)
+        SELECT query_id, neighbor_id, sim, CAST(rk AS INTEGER) AS rk, bucket
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) AS rk FROM pairs)
+        WHERE rk <= 5
+        ORDER BY query_id, rk"""))
+  )
+}

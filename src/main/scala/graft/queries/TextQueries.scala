@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import QH._
+
+/** Text-analysis ops for training-data pipelines: token stats, quality
+  * scoring, language-ID heuristic, fingerprinting. All expressed as
+  * codegen'd higher-order array functions — no UDFs, fully distributed.
+  */
+object TextQueries {
+
+  private val stopEn = Seq("the", "and", "of", "a", "in", "to", "is")
+
+  private def inList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  val qs: Seq[Q] = Seq(
+    // Token counting + lexical stats per document.
+    Q("q32_text_stats",
+      (s, d) =>
+        t(s, d, "documents")
+          .withColumn("words", split(col("text"), " "))
+          .select(
+            col("doc_id"),
+            col("n_chars"),
+            size(col("words")).cast("long").as("token_cnt"),
+            (expr("aggregate(words, 0L, (acc, w) -> acc + length(w))")
+              .cast("double") / size(col("words"))).as("avg_word_len"),
+            (size(array_distinct(col("words"))).cast("double")
+              / size(col("words"))).as("type_token_ratio"))
+          .orderBy("doc_id"),
+      Some("""
+        WITH w AS (SELECT doc_id, n_chars, STRING_SPLIT(text, ' ') AS words FROM documents)
+        SELECT doc_id, n_chars,
+          CAST(LEN(words) AS BIGINT) AS token_cnt,
+          CAST(LIST_SUM(LIST_TRANSFORM(words, x -> LENGTH(x))) AS DOUBLE)
+            / LEN(words) AS avg_word_len,
+          CAST(LEN(LIST_DISTINCT(words)) AS DOUBLE) / LEN(words) AS type_token_ratio
+        FROM w ORDER BY doc_id""")),
+
+    // Corpus-level per-language aggregates.
+    Q("q33_lang_stats",
+      (s, d) =>
+        t(s, d, "documents")
+          .withColumn("tok", size(split(col("text"), " ")))
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            (sum(col("tok")).cast("double") / count(lit(1))).as("avg_tokens"),
+            countDistinct(col("source")).as("n_sources"))
+          .orderBy("lang"),
+      Some("""
+        SELECT lang, COUNT(*) AS n_docs,
+          CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens,
+          COUNT(DISTINCT source) AS n_sources
+        FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // Quality scoring: stopword ratio + length flag.
+    Q("q34_quality_score",
+      (s, d) =>
+        t(s, d, "documents")
+          .withColumn("words", split(col("text"), " "))
+          .select(
+            col("doc_id"),
+            expr(s"size(filter(words, w -> w IN ${inList(stopEn)}))")
+              .cast("long").as("stop_cnt"),
+            (expr(s"size(filter(words, w -> w IN ${inList(stopEn)}))")
+              .cast("double") / size(col("words"))).as("stop_ratio"),
+            (col("n_chars") < 150).as("is_short"))
+          .orderBy("doc_id"),
+      Some(s"""
+        WITH w AS (SELECT doc_id, n_chars, STRING_SPLIT(text, ' ') AS words FROM documents)
+        SELECT doc_id,
+          CAST(LEN(LIST_FILTER(words, x -> x IN ${inList(stopEn)})) AS BIGINT) AS stop_cnt,
+          CAST(LEN(LIST_FILTER(words, x -> x IN ${inList(stopEn)})) AS DOUBLE)
+            / LEN(words) AS stop_ratio,
+          n_chars < 150 AS is_short
+        FROM w ORDER BY doc_id""")),
+
+    // Language-ID n-gram/stopword heuristic: score per language, argmax.
+    Q("q35_langid_heuristic",
+      (s, d) => {
+        val markers = Map(
+          "en" -> Seq("the", "and", "with"),
+          "es" -> Seq("el", "la", "con"),
+          "fr" -> Seq("le", "la", "avec"),
+          "de" -> Seq("der", "und", "mit"))
+        val df0 = t(s, d, "documents")
+          .withColumn("words", split(col("text"), " "))
+        val scored = markers.toSeq.sortBy(_._1).foldLeft(df0) {
+          case (df, (lg, ws)) =>
+            df.withColumn(s"s_$lg",
+              expr(s"size(filter(words, w -> w IN ${inList(ws)}))"))
+        }
+        scored
+          .withColumn("pred_lang",
+            when(col("s_en") >= greatest(col("s_es"), col("s_fr"), col("s_de")) &&
+              col("s_en") > 0, lit("en"))
+              .when(col("s_es") >= greatest(col("s_fr"), col("s_de")) &&
+                col("s_es") > 0, lit("es"))
+              .when(col("s_fr") >= col("s_de") && col("s_fr") > 0, lit("fr"))
+              .when(col("s_de") > 0, lit("de"))
+              .otherwise(lit("unknown")))
+          .select(col("doc_id"), col("lang"), col("pred_lang"),
+            (col("pred_lang") === col("lang")).as("correct"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH w AS (SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS words FROM documents),
+        s AS (SELECT doc_id, lang,
+          LEN(LIST_FILTER(words, x -> x IN ('the', 'and', 'with'))) AS s_en,
+          LEN(LIST_FILTER(words, x -> x IN ('el', 'la', 'con'))) AS s_es,
+          LEN(LIST_FILTER(words, x -> x IN ('le', 'la', 'avec'))) AS s_fr,
+          LEN(LIST_FILTER(words, x -> x IN ('der', 'und', 'mit'))) AS s_de
+        FROM w),
+        p AS (SELECT doc_id, lang,
+          CASE
+            WHEN s_en >= GREATEST(s_es, s_fr, s_de) AND s_en > 0 THEN 'en'
+            WHEN s_es >= GREATEST(s_fr, s_de) AND s_es > 0 THEN 'es'
+            WHEN s_fr >= s_de AND s_fr > 0 THEN 'fr'
+            WHEN s_de > 0 THEN 'de'
+            ELSE 'unknown' END AS pred_lang
+        FROM s)
+        SELECT doc_id, lang, pred_lang, pred_lang = lang AS correct
+        FROM p ORDER BY doc_id""")),
+
+    // Document fingerprint: md5 of case/punct-normalized text.
+    Q("q36_fingerprint",
+      (s, d) =>
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
+              .as("fp"))
+          .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id,
+          MD5(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        FROM documents ORDER BY doc_id""")),
+
+    // BPE-ish regex token counting (letters runs / digit runs / symbols).
+    Q("q37_token_regex",
+      (s, d) =>
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
+              .cast("long").as("bpe_token_cnt"))
+          .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id,
+          CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+            AS bpe_token_cnt
+        FROM documents ORDER BY doc_id"""))
+  )
+}

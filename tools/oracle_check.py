@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate: for each query output
+written by graft.Verify, run the corresponding oracle SQL in DuckDB over
+the same parquet tables and compare (sorted columns, sorted rows, exact
+for non-floats, tiny tolerance for floats). Dev tool only — the shipped
+library has no Python dependency.
+
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+"""
+import json, math, sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
+            want = con.execute(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: exec error: {e}")
+            n_fail += 1
+            continue
+        ok, msg = compare(got, want)
+        if ok:
+            n_pass += 1
+            print(f"PASS {name} ({len(got)} rows)")
+        else:
+            n_fail += 1
+            print(f"FAIL {name}: {msg}")
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+def compare(got, want):
+    import pandas as pd
+    g = got.reindex(sorted(got.columns), axis=1)
+    w = want.reindex(sorted(want.columns), axis=1)
+    if list(g.columns) != list(w.columns):
+        return False, f"columns differ: {list(g.columns)} vs {list(w.columns)}"
+    gt = [str(t) for t in g.dtypes]
+    wt = [str(t) for t in w.dtypes]
+    if gt != wt:
+        # ns-vs-us timestamps and int32/int64 promotions show up here;
+        # report but keep comparing values
+        print(f"  [schema note] spark={gt} duck={wt}")
+    if len(g) != len(w):
+        return False, f"row count {len(g)} vs {len(w)}"
+    g = g.sort_values(by=list(g.columns), ignore_index=True)
+    w = w.sort_values(by=list(w.columns), ignore_index=True)
+    for c in g.columns:
+        gc, wc = g[c], w[c]
+        if gc.dtype.kind == "f" or wc.dtype.kind == "f":
+            a = gc.astype(float).to_numpy()
+            b = wc.astype(float).to_numpy()
+            for i, (x, y) in enumerate(zip(a, b)):
+                if math.isnan(x) and math.isnan(y):
+                    continue
+                if x != y and abs(x - y) > 1e-9 * max(1.0, abs(x), abs(y)):
+                    return False, f"col {c} row {i}: {x!r} vs {y!r}"
+                if x != y:
+                    print(f"  [ulp note] col {c} row {i}: {x!r} vs {y!r}")
+        else:
+            ge = gc.astype(str).to_numpy()
+            we = wc.astype(str).to_numpy()
+            bad = [(i, x, y) for i, (x, y) in enumerate(zip(ge, we)) if x != y]
+            if bad:
+                i, x, y = bad[0]
+                return False, f"col {c} row {i}: {x!r} vs {y!r} ({len(bad)} diffs)"
+    return True, ""
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
