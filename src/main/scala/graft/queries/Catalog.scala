@@ -20,7 +20,8 @@ object Catalog {
   lazy val all: Seq[Q] =
     RelationalQueries.qs ++ WindowQueries.qs ++ JoinQueries.qs ++
       DedupQueries.qs ++ SimilarityQueries.qs ++ TextQueries.qs ++
-      CdcQueries.qs ++ MultimodalQueries.qs
+      CdcQueries.qs ++ MultimodalQueries.qs ++ ExtendedQueries.qs ++
+      NestedQueries.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,356 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import QH._
+
+/** Second coverage wave: the SURVEY.md §2 families not exercised by the
+  * core corpus — selectExpr/JSON (P2), SQL-string + regex predicates
+  * (P4/P6), array_contains (P7), null handling (P8), bucketing chains
+  * (P9), inline literal tables (S3), spark.sql entry (S4), sorted
+  * collect_list (A8), unpivot (A14), exclusive-start / weighted /
+  * global windows (W5/W12/W13), rank-change (W9), serving reshape with
+  * KV sort key + TTL (K4/K5), weekly epoch + fixed-point decode (§2.8).
+  */
+object ExtendedQueries {
+
+  val qs: Seq[Q] = Seq(
+    // P2 selectExpr + JSON extraction from a string column.
+    Q("q42_selectexpr_json",
+      (s, d) =>
+        t(s, d, "events")
+          .selectExpr("event_id",
+            "get_json_object(props, '$.k') AS k_str",
+            "cast(get_json_object(props, '$.k') AS int) AS k")
+          .orderBy("event_id"),
+      Some("""
+        SELECT event_id,
+          JSON_EXTRACT_STRING(props, '$.k') AS k_str,
+          CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) AS k
+        FROM events ORDER BY event_id""")),
+
+    // P4 SQL-string filter + P6 rlike/like predicates
+    // (transactions:353, :465–471, :1010).
+    Q("q43_regex_filter",
+      (s, d) =>
+        t(s, d, "orders")
+          .filter("o_orderkey % 10 = 3")
+          .filter(col("o_orderpriority").rlike("^[12]-"))
+          .filter(col("o_orderstatus").like("F%"))
+          .select("o_orderkey", "o_orderpriority", "o_orderstatus")
+          .orderBy("o_orderkey"),
+      Some("""
+        SELECT o_orderkey, o_orderpriority, o_orderstatus FROM orders
+        WHERE o_orderkey % 10 = 3
+          AND REGEXP_MATCHES(o_orderpriority, '^[12]-')
+          AND o_orderstatus LIKE 'F%'
+        ORDER BY o_orderkey""")),
+
+    // P7 array_contains on an array column (transactions:667–669).
+    Q("q44_array_contains",
+      (s, d) =>
+        t(s, d, "documents")
+          .withColumn("words", split(col("text"), " "))
+          .groupBy("lang")
+          .agg(
+            sum(when(array_contains(col("words"), "the"), 1).otherwise(0))
+              .cast("long").as("has_the"),
+            count(lit(1)).as("n"))
+          .orderBy("lang"),
+      Some("""
+        SELECT lang,
+          CAST(SUM(CASE WHEN LIST_CONTAINS(STRING_SPLIT(text, ' '), 'the')
+            THEN 1 ELSE 0 END) AS BIGINT) AS has_the,
+          COUNT(*) AS n
+        FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // S3 inline literal DataFrame joined to facts (orderbook:290–419
+    // mm_market_params idiom).
+    Q("q45_inline_table",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        val weights = Seq(
+          ("AFRICA", 0.10), ("AMERICA", 0.25), ("ASIA", 0.30),
+          ("EUROPE", 0.20), ("MIDDLE EAST", 0.15))
+          .toDF("r_name", "weight")
+        val c = t(s, d, "customer")
+        val n = t(s, d, "nation")
+        val r = t(s, d, "region")
+        c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name").agg(count(lit(1)).as("n_cust"))
+          .join(broadcast(weights), Seq("r_name"), "left")
+          .select(col("r_name"), col("n_cust"), col("weight"),
+            (col("n_cust") * col("weight")).as("weighted_cust"))
+          .orderBy("r_name")
+      },
+      Some("""
+        WITH weights(r_name, weight) AS (VALUES
+          ('AFRICA', 0.10::DOUBLE), ('AMERICA', 0.25::DOUBLE),
+          ('ASIA', 0.30::DOUBLE), ('EUROPE', 0.20::DOUBLE),
+          ('MIDDLE EAST', 0.15::DOUBLE)),
+        agg AS (
+          SELECT r_name, COUNT(*) AS n_cust
+          FROM customer
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY r_name)
+        SELECT a.r_name, a.n_cust, w.weight, a.n_cust * w.weight AS weighted_cust
+        FROM agg a LEFT JOIN weights w USING (r_name)
+        ORDER BY a.r_name""")),
+
+    // S4 SQL text entry over registered views (transactions:837–839,
+    // competitor-stats:60–69).
+    Q("q46_sql_entry",
+      (s, d) => {
+        t(s, d, "lineitem").createOrReplaceTempView("lineitem_v")
+        s.sql("""
+          SELECT l_returnflag, COUNT(*) AS n,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+          FROM lineitem_v GROUP BY l_returnflag ORDER BY l_returnflag""")
+      },
+      Some("""
+        SELECT l_returnflag, COUNT(*) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // A8 collect_list, deterministically sorted (zetadex-serving-v2.py:628).
+    Q("q47_collect_sorted",
+      (s, d) =>
+        t(s, d, "customer")
+          .groupBy("c_nationkey")
+          .agg(sort_array(collect_list(col("c_custkey"))).as("cust_ids"),
+            count(lit(1)).as("n"))
+          .orderBy("c_nationkey"),
+      Some("""
+        SELECT c_nationkey, LIST(c_custkey ORDER BY c_custkey) AS cust_ids,
+          COUNT(*) AS n
+        FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
+    // A14 wide→long unpivot via the codegen'd stack generator
+    // (zetadex-serving-v2.py:510–554 union-loop, re-expressed one-pass).
+    Q("q48_unpivot_metrics",
+      (s, d) => {
+        val wide = t(s, d, "orders")
+          .groupBy("o_orderpriority")
+          .agg(
+            min(col("o_totalprice")).as("min_price"),
+            max(col("o_totalprice")).as("max_price"),
+            decAvg(col("o_totalprice")).as("avg_price"))
+        graft.ops.Relational.unpivotMetrics(
+            Seq("o_orderpriority"),
+            Seq("min_price", "max_price", "avg_price"))(wide)
+          .orderBy("o_orderpriority", "metric")
+      },
+      Some("""
+        WITH wide AS (
+          SELECT o_orderpriority,
+            MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_price
+          FROM orders GROUP BY o_orderpriority)
+        SELECT o_orderpriority, metric, value FROM (
+          SELECT o_orderpriority, 'min_price' AS metric, min_price AS value FROM wide
+          UNION ALL
+          SELECT o_orderpriority, 'max_price', max_price FROM wide
+          UNION ALL
+          SELECT o_orderpriority, 'avg_price', avg_price FROM wide)
+        ORDER BY o_orderpriority, metric""")),
+
+    // K4/K5 serving reshape: camelCase, composite KV sort key, TTL column
+    // (zetadex-serving-v2.py:352–359, :598).
+    Q("q49_serving_reshape",
+      (s, d) => {
+        val hourly = t(s, d, "events")
+          .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
+          .agg(count(lit(1)).as("event_count"),
+            decSum(col("value")).as("total_value"))
+        graft.ops.Relational.camelCaseAll(
+          hourly.select(
+            col("hour_ts"), col("event_type"), col("event_count"),
+            col("total_value"),
+            graft.ops.Relational.kvSortKey(
+              unix_timestamp(col("hour_ts")).cast("string"), col("event_type"))
+              .as("sort_key"),
+            (unix_timestamp(col("hour_ts")) + lit(14L * 86400L)).as("ttl")))
+          .orderBy("hourTs", "eventType")
+      },
+      Some("""
+        WITH hourly AS (
+          SELECT CAST(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour_ts,
+                 event_type, COUNT(*) AS event_count,
+                 CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+          FROM events GROUP BY 1, 2)
+        SELECT hour_ts AS "hourTs", event_type AS "eventType",
+          event_count AS "eventCount", total_value AS "totalValue",
+          CONCAT_WS('#', CAST(CAST(FLOOR(EPOCH(hour_ts)) AS BIGINT) AS VARCHAR),
+            event_type) AS "sortKey",
+          CAST(FLOOR(EPOCH(hour_ts)) AS BIGINT) + 14 * 86400 AS "ttl"
+        FROM hourly ORDER BY "hourTs", "eventType"""")),
+
+    // W5 exclusive-start trailing range window (transactions:1508–1523
+    // Dietz weighting: -24h+1h .. 0).
+    Q("q50_window_excl_range",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(unix_timestamp(col("ts")))
+          .rangeBetween(-86400L + 3600L, 0L)
+        t(s, d, "events")
+          .select(col("event_id"),
+            sum(col("value").cast(DEC)).over(w).cast("double").as("dietz_sum"))
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT event_id,
+          CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (PARTITION BY user_id
+            ORDER BY CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+            RANGE BETWEEN 82800 PRECEDING AND CURRENT ROW) AS DOUBLE) AS dietz_sum
+        FROM events ORDER BY event_id""")),
+
+    // W9 rank-change = rank − first(rank) over trailing window
+    // (transactions:1664–1694).
+    Q("q51_rank_change",
+      (s, d) => {
+        val hourly = t(s, d, "events")
+          .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+        val rankW = Window.partitionBy("h")
+          .orderBy(col("cnt").desc, col("event_type"))
+        val histW = Window.partitionBy("event_type")
+          .orderBy(unix_timestamp(col("h")))
+          .rangeBetween(-86400L, 0L)
+        hourly.withColumn("rk", rank().over(rankW))
+          .withColumn("rank_24h_ago", first(col("rk")).over(histW))
+          .withColumn("rank_change", col("rk") - col("rank_24h_ago"))
+          .select("h", "event_type", "cnt", "rk", "rank_24h_ago", "rank_change")
+          .orderBy("h", "event_type")
+      },
+      Some("""
+        WITH hourly AS (
+          SELECT CAST(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS h,
+                 event_type, COUNT(*) AS cnt
+          FROM events GROUP BY 1, 2),
+        ranked AS (
+          SELECT h, event_type, cnt,
+            CAST(RANK() OVER (PARTITION BY h ORDER BY cnt DESC, event_type)
+              AS INTEGER) AS rk
+          FROM hourly)
+        SELECT h, event_type, cnt, rk,
+          FIRST_VALUE(rk) OVER (PARTITION BY event_type
+            ORDER BY CAST(FLOOR(EPOCH(h)) AS BIGINT)
+            RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) AS rank_24h_ago,
+          rk - FIRST_VALUE(rk) OVER (PARTITION BY event_type
+            ORDER BY CAST(FLOOR(EPOCH(h)) AS BIGINT)
+            RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) AS rank_change
+        FROM ranked ORDER BY h, event_type""")),
+
+    // W13 global (empty-partition) window — top-100 overall
+    // (zetadex-serving-v2.py:433).
+    Q("q52_global_topk",
+      (s, d) =>
+        t(s, d, "events")
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("value").desc, col("event_id"))))
+          .filter(col("rn") <= 100)
+          .select("rn", "event_id", "value")
+          .orderBy("rn"),
+      Some("""
+        SELECT CAST(rn AS INTEGER) AS rn, event_id, value FROM (
+          SELECT event_id, value,
+            ROW_NUMBER() OVER (ORDER BY value DESC, event_id) AS rn
+          FROM events)
+        WHERE rn <= 100 ORDER BY rn""")),
+
+    // W12 size-weighted price over trailing window (mm-uptime-v2:116–139).
+    Q("q54_weighted_window",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(unix_timestamp(col("ts")))
+          .rangeBetween(-86400L, 0L)
+        t(s, d, "events")
+          .withColumn("k", expr("cast(get_json_object(props, '$.k') AS int)"))
+          .withColumn("den", sum(col("k").cast(DEC)).over(w).cast("double"))
+          .withColumn("num",
+            sum((col("value") * col("k")).cast(DEC)).over(w).cast("double"))
+          .select(col("event_id"),
+            when(col("den") > 0, col("num") / col("den")).as("wavg_24h"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH e AS (SELECT event_id, user_id, ts, value,
+          CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) AS k FROM events)
+        SELECT event_id,
+          CASE WHEN CAST(SUM(CAST(k AS DECIMAL(28,6))) OVER w AS DOUBLE) > 0
+            THEN CAST(SUM(CAST(value * k AS DECIMAL(28,6))) OVER w AS DOUBLE)
+              / CAST(SUM(CAST(k AS DECIMAL(28,6))) OVER w AS DOUBLE)
+          END AS wavg_24h
+        FROM e
+        WINDOW w AS (PARTITION BY user_id
+          ORDER BY CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+          RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id""")),
+
+    // Weekly reward epoch anchored Friday 08:00 UTC (transactions:715–718).
+    Q("q56_weekly_epoch",
+      (s, d) =>
+        t(s, d, "events")
+          .withColumn("epoch", graft.ops.Relational.epochOf(col("ts")))
+          .groupBy("epoch")
+          .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+          .orderBy("epoch"),
+      Some("""
+        SELECT CAST(DATE_TRUNC('week', CAST(ts AS TIMESTAMP) - INTERVAL 104 HOUR)
+            AS TIMESTAMP) + INTERVAL 104 HOUR AS epoch,
+          COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1 ORDER BY epoch""")),
+
+    // P9 when/otherwise bucketing chain + fixed-point decode
+    // (transactions:1909–1928 fee tiers, :20–21 PRICE_FACTOR).
+    Q("q57_fee_tiers",
+      (s, d) =>
+        t(s, d, "events")
+          .withColumn("k", expr("cast(get_json_object(props, '$.k') AS int)"))
+          .withColumn("price", graft.ops.Relational.fixedPoint(col("k") * lit(1000000L), 1e6))
+          .withColumn("tier",
+            when(col("price") >= 90, 0)
+              .when(col("price") >= 70, 1)
+              .when(col("price") >= 50, 2)
+              .when(col("price") >= 30, 3)
+              .otherwise(4))
+          .groupBy("tier")
+          .agg(count(lit(1)).as("n"), decSum(col("value")).as("total_value"))
+          .orderBy("tier"),
+      Some("""
+        WITH e AS (SELECT value,
+          CAST(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) * 1000000
+            AS DOUBLE) / 1e6 AS price FROM events)
+        SELECT CASE WHEN price >= 90 THEN 0 WHEN price >= 70 THEN 1
+          WHEN price >= 50 THEN 2 WHEN price >= 30 THEN 3 ELSE 4 END AS tier,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+        FROM e GROUP BY 1 ORDER BY tier""")),
+
+    // P8 null handling: lead-induced nulls → coalesce/fillna
+    // (transactions:842, :1045–1046; amplitude:164 null→9999-12-31).
+    Q("q58_null_handling",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        t(s, d, "events")
+          .withColumn("next_ts", lead(col("ts"), 1).over(w))
+          .withColumn("usage_end",
+            coalesce(col("next_ts"), lit("9999-12-31 00:00:00").cast("timestamp")))
+          .withColumn("next_value", lead(col("value"), 1).over(w))
+          .na.fill(Map("next_value" -> -1.0))
+          .select("event_id", "usage_end", "next_value")
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT event_id,
+          COALESCE(LEAD(CAST(ts AS TIMESTAMP), 1) OVER w,
+            TIMESTAMP '9999-12-31 00:00:00') AS usage_end,
+          COALESCE(LEAD(value, 1) OVER w, -1.0) AS next_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY event_id"""))
+  )
+}

@@ -56,6 +56,13 @@ def compare(got, want):
         print(f"  [schema note] spark={gt} duck={wt}")
     if len(g) != len(w):
         return False, f"row count {len(g)} vs {len(w)}"
+    # list-typed columns (ndarray) are unhashable/unsortable → stringify
+    import numpy as np
+    for df in (g, w):
+        for c in df.columns:
+            if df[c].dtype == object and len(df) and isinstance(
+                    df[c].iloc[0], (list, np.ndarray)):
+                df[c] = df[c].map(lambda v: str(list(v)))
     g = g.sort_values(by=list(g.columns), ignore_index=True)
     w = w.sort_values(by=list(w.columns), ignore_index=True)
     for c in g.columns:
