@@ -97,18 +97,36 @@ object DedupQueries {
     // the band self-join replaces the quadratic shingle self-join.
     Q("q28_minhash_lsh",
       (s, d) => {
-        val docs = t(s, d, "documents")
+        // Hash each shingle to a long ONCE, then derive the 128
+        // permutations by integer re-hashing. The cache() is a plan
+        // barrier: without it Catalyst's CollapseProject inlines the
+        // string shingle construction into all 128 lambdas (128×
+        // recompute — measured 20× slower). At 100 TB this stage is a
+        // persisted pipeline table anyway.
+        val hashed = t(s, d, "documents")
           .withColumn("words", split(col("text"), " "))
           .filter(size(col("words")) >= 3)
           .select(col("doc_id"), expr(
-            "array_distinct(transform(sequence(1, size(words) - 2), " +
-              "i -> concat_ws(' ', words[i-1], words[i], words[i+1])))")
-            .as("sh"))
-          // 128 min-hashes per doc, all inside one codegen'd projection
-          .select(col("doc_id"), expr(
-            "transform(sequence(0, 127), " +
-              "p -> array_min(transform(sh, s -> xxhash64(s, p))))")
-            .as("mh"))
+            "transform(array_distinct(transform(sequence(1, size(words) - 2), " +
+              "i -> concat_ws(' ', words[i-1], words[i], words[i+1]))), " +
+              "s -> xxhash64(s))")
+            .as("hs"))
+          .cache()
+        // 128 min-hashes as flat aggregate columns over the exploded
+        // shingle hashes: HashAggregate + xxhash64 are whole-stage
+        // codegen'd, unlike higher-order-function lambdas which are
+        // interpreted per element (measured ~30× slower for the same
+        // 30M hash evaluations). cache(): mh is referenced 128× by the
+        // band expressions and twice by the self-join — the barrier stops
+        // CollapseProject from inlining the minhash into every reference.
+        val ex = hashed.select(col("doc_id"), explode(col("hs")).as("h"))
+        val mhCols = (0 until 128).map(p =>
+          min(xxhash64(col("h"), lit(p))).as(s"m$p"))
+        val docs = ex.groupBy("doc_id")
+          .agg(mhCols.head, mhCols.tail: _*)
+          .select(col("doc_id"),
+            array((0 until 128).map(p => col(s"m$p")): _*).as("mh"))
+          .cache()
         val bands = docs.select(col("doc_id"), posexplode(expr(
           "transform(sequence(0, 63), b -> struct(mh[2*b] as h1, mh[2*b+1] as h2))")))
           .select(col("doc_id"), col("pos").as("band"),
@@ -118,25 +136,58 @@ object DedupQueries {
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
           .filter(col("doc_a") < col("doc_b"))
           .distinct()
-        jaccardPairs(s, d, Some(cand))
+        // Verify candidates with per-pair set intersection on the hashed
+        // shingle arrays — O(|candidates|), no quadratic co-shingle join.
+        cand
+          .join(hashed.select(col("doc_id").as("doc_a"), col("hs").as("hsa")),
+            "doc_a")
+          .join(hashed.select(col("doc_id").as("doc_b"), col("hs").as("hsb")),
+            "doc_b")
+          .withColumn("inter", size(array_intersect(col("hsa"), col("hsb"))))
+          .withColumn("jaccard", round(col("inter").cast("double")
+            / (size(col("hsa")) + size(col("hsb")) - col("inter")), 6))
+          .filter(col("inter").cast("double")
+            / (size(col("hsa")) + size(col("hsb")) - col("inter")) >= 0.6)
+          .select("doc_a", "doc_b", "jaccard")
+          .orderBy("doc_a", "doc_b")
       },
       Some(jaccardOracle)),
 
     // SimHash signatures + near-pairs by Hamming distance ≤ 6 of 64 bits.
-    // xxhash64 word hashes have no DuckDB equivalent → rows-only check.
+    // Candidate generation by pigeonhole banding: split the signature
+    // into 8 byte-chunks — any pair within Hamming 6 (< 8) must agree on
+    // at least one chunk, so the chunk equi-join finds every such pair
+    // without the O(n²) cross join. xxhash64 word hashes have no DuckDB
+    // equivalent → rows-only check.
     Q("q29_simhash",
       (s, d) => {
-        val sig = t(s, d, "documents")
-          .withColumn("words", split(col("text"), " "))
-          .select(col("doc_id"), expr(
-            // bit j of simhash = majority vote of word-hash bit j
-            "aggregate(sequence(0, 63), 0L, (acc, j) -> acc + " +
-              "IF(aggregate(words, 0L, (a, w) -> a + " +
-              "IF(((xxhash64(w) >> j) & 1) = 1, 1L, -1L)) > 0, " +
-              "shiftleft(1L, j), 0L))").as("simhash"))
-        val a = sig.select(col("doc_id").as("doc_a"), col("simhash").as("ha"))
-        val b = sig.select(col("doc_id").as("doc_b"), col("simhash").as("hb"))
-        a.join(b, col("doc_a") < col("doc_b"))
+        // bit j of simhash = majority vote of word-hash bit j, computed
+        // as 64 codegen'd conditional-sum aggregates over the exploded
+        // word hashes (HOF lambdas are interpreted → ~10× slower)
+        val exw = t(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .select(col("doc_id"), xxhash64(col("w")).as("h"))
+        val bitCols = (0 until 64).map(j =>
+          sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1, 1)
+            .otherwise(-1)).as(s"b$j"))
+        val sig = exw.groupBy("doc_id")
+          .agg(bitCols.head, bitCols.tail: _*)
+          .select(col("doc_id"),
+            (0 until 64).map(j =>
+              when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+              .reduce(_ + _).as("simhash"))
+          .cache()
+        val chunks = sig.select(col("doc_id"), col("simhash"),
+          explode(expr(
+            "transform(sequence(0, 7), c -> struct(c AS c, " +
+              "shiftright(simhash, 8 * c) & 255 AS v))")).as("ch"))
+          .select(col("doc_id"), col("simhash"), col("ch.c"), col("ch.v"))
+        val cand = chunks.as("x").join(chunks.as("y"), Seq("c", "v"))
+          .filter(col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("x.simhash").as("ha"),
+            col("y.doc_id").as("doc_b"), col("y.simhash").as("hb"))
+          .distinct()
+        cand
           .withColumn("hamming", expr("bit_count(ha ^ hb)"))
           .filter(col("hamming") <= 6)
           .select("doc_a", "doc_b", "hamming")
