@@ -1,0 +1,54 @@
+package graft.serving
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Key-value serving sink abstraction (SURVEY.md §2.2 K4): the reference
+  * bulk-writes reshaped gold tables into DynamoDB with a hash key, an
+  * optional range key, unix-seconds timestamps and a TTL column
+  * (zetadex-serving.py:25–234, zetadex-serving-v2.py:212–232).
+  *
+  * The engine keeps the sink behind a trait: the production impl would be
+  * a DynamoDB/connector writer (driver-side control plane + executor data
+  * plane); tests and local runs use [[ParquetKVSink]]. The reshape logic
+  * — key formatting, timestamp conversion, TTL — is pure DataFrame code
+  * shared by every impl, so it is exercised by the correctness gate
+  * (q49_serving_reshape).
+  */
+trait KVSink {
+
+  /** Write `df` as KV items. `hashKey` (and `rangeKey` if present) must
+    * exist as columns; implementations may batch/parallelize per
+    * partition. */
+  def write(df: DataFrame, table: String, hashKey: String,
+            rangeKey: Option[String] = None): Unit
+
+  /** Serving projection applied before any write (zetadex-serving.py:
+    * 212–221): timestamps → unix seconds, optional TTL. */
+  final def servingProjection(df: DataFrame, ttlFrom: Option[String] = None,
+                              ttl: String = "14 days"): DataFrame = {
+    val tsConverted = df.schema.fields.foldLeft(df) { (acc, f) =>
+      if (f.dataType == org.apache.spark.sql.types.TimestampType)
+        acc.withColumn(f.name, unix_timestamp(col(f.name)))
+      else acc
+    }
+    ttlFrom.fold(tsConverted) { c =>
+      tsConverted.withColumn("ttl",
+        unix_timestamp(col(c).cast("timestamp") + expr(s"interval $ttl")))
+    }
+  }
+}
+
+/** Test/local implementation: one parquet dataset per KV table, written
+  * sorted within partitions by the keys (mirrors the DynamoDB writer's
+  * partition batching; keeps output deterministic for comparison). */
+final class ParquetKVSink(baseDir: String) extends KVSink {
+  override def write(df: DataFrame, table: String, hashKey: String,
+                     rangeKey: Option[String] = None): Unit = {
+    val keys = (hashKey +: rangeKey.toSeq).map(col)
+    df.repartition(col(hashKey))
+      .sortWithinPartitions(keys: _*)
+      .write.mode("overwrite")
+      .parquet(s"$baseDir/$table")
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipelines.EventsPipeline
+import graft.serving.ParquetKVSink
+import graft.sources.JsonSource
+
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val d = TestSpark.sf0001
+
+  test("medallion DAG resolves bronze→silver→gold→serving") {
+    val reg = EventsPipeline.build(spark, d)
+    assert(reg.topoOrder.head === "cleaned_events")
+    val gold = reg.resolve("agg_events_24h_rolling")
+    assert(gold.count() > 0)
+    // densified: every (hour, type) cell exists
+    val hours = gold.select("timestamp").distinct().count()
+    val types = gold.select("event_type").distinct().count()
+    assert(gold.count() === hours * types)
+    // rolling sum never below the 1h value
+    val bad = gold.filter(col("event_count_24h") < col("event_count")).count()
+    assert(bad === 0)
+  }
+
+  test("serving_events writes through the parquet KV sink with unix timestamps") {
+    val out = Files.createTempDirectory("kvsink").toString
+    val served = EventsPipeline.serve(spark, d, new ParquetKVSink(out))
+    assert(served.columns.contains("sortKey"))
+    val back = spark.read.parquet(s"$out/serving_events")
+    assert(back.count() === served.count())
+    // timestamps converted to unix seconds (long), camelCase applied
+    assert(back.schema("timestamp").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(back.columns.toSet.contains("eventCount24h"))
+  }
+
+  test("JsonSource round-trips a fixed-schema landing zone, batch and stream") {
+    val dir = Files.createTempDirectory("jsonsrc").toString
+    Files.writeString(java.nio.file.Path.of(s"$dir/part1.json"),
+      """{"id":1,"ts":"2024-01-01T10:00:00Z","v":1.5}
+        |{"id":2,"ts":"2024-01-01T11:00:00Z","v":2.5}""".stripMargin)
+    val ddl = "id bigint, ts timestamp, v double"
+    val b = JsonSource.batch(spark, dir, ddl)
+    assert(b.count() === 2)
+    val withParts = JsonSource.withDatePartitions(b, "ts")
+    assert(withParts.select("hour_").collect().map(_.getString(0)).toSet
+      === Set("10", "11"))
+    // streaming read over the same landing zone
+    val st = JsonSource.stream(spark, dir, ddl, maxFilesPerTrigger = 1)
+    assert(st.isStreaming)
+    val q = st.writeStream.format("memory").queryName("jsonsrc_t")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM jsonsrc_t").head().getLong(0) === 2)
+    } finally q.stop()
+  }
+}
