@@ -1,0 +1,35 @@
+package graft.expressions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** Session extension registering the engine's custom Catalyst functions
+  * (`graft_cosine`, `graft_minhash`) into the SQL function registry.
+  *
+  * Loaded via `spark.sql.extensions=graft.expressions.GraftExtensions`
+  * (set by GraftSession / Verify / Bench) or
+  * `SparkSession.builder.withExtensions(new GraftExtensions)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_cosine(a, b) takes two arrays")
+        CosineSimilarity(children.head, children(1))
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
+      (children: Seq[Expression]) => children match {
+        case Seq(h) => MinHashSignature(h)
+        case Seq(h, Literal(n: Int, _)) => MinHashSignature(h, n)
+        case _ => throw new IllegalArgumentException(
+          "graft_minhash(hash[, numPerms]) — numPerms must be an int literal")
+      }))
+  }
+}

@@ -112,20 +112,16 @@ object DedupQueries {
               "s -> xxhash64(s))")
             .as("hs"))
           .cache()
-        // 128 min-hashes as flat aggregate columns over the exploded
-        // shingle hashes: HashAggregate + xxhash64 are whole-stage
-        // codegen'd, unlike higher-order-function lambdas which are
-        // interpreted per element (measured ~30× slower for the same
-        // 30M hash evaluations). cache(): mh is referenced 128× by the
-        // band expressions and twice by the self-join — the barrier stops
-        // CollapseProject from inlining the minhash into every reference.
+        // 128-slot signature via the native MinHashSignature aggregate
+        // (one primitive-buffer pass; bit-identical to per-permutation
+        // min(xxhash64(h, p)) columns but without interpreted HOF lambdas
+        // or a 128-column codegen blowup). cache(): mh is referenced 128×
+        // by the band expressions and twice by the self-join — the
+        // barrier stops CollapseProject from inlining the signature
+        // construction into every reference.
         val ex = hashed.select(col("doc_id"), explode(col("hs")).as("h"))
-        val mhCols = (0 until 128).map(p =>
-          min(xxhash64(col("h"), lit(p))).as(s"m$p"))
         val docs = ex.groupBy("doc_id")
-          .agg(mhCols.head, mhCols.tail: _*)
-          .select(col("doc_id"),
-            array((0 until 128).map(p => col(s"m$p")): _*).as("mh"))
+          .agg(expr("graft_minhash(h, 128)").as("mh"))
           .cache()
         val bands = docs.select(col("doc_id"), posexplode(expr(
           "transform(sequence(0, 63), b -> struct(mh[2*b] as h1, mh[2*b+1] as h2))")))

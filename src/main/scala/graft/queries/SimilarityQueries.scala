@@ -13,15 +13,18 @@ import QH._
   */
 object SimilarityQueries {
 
-  /** embeddings → (vec_id, v: array<double>, nrm). */
+  /** embeddings → (vec_id, v: array<double>). */
   private def vecs(s: org.apache.spark.sql.SparkSession, d: String) =
     t(s, d, "embeddings")
       .select(col("vec_id"),
         expr("transform(embedding, x -> cast(x AS double))").as("v"))
-      .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x*x))"))
 
-  private val dotExpr =
-    "aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+  /** Cosine via the native codegen'd expression
+    * [[graft.expressions.CosineSimilarity]] — same sequential
+    * accumulation as the zip_with/aggregate formulation (and the DuckDB
+    * oracle), but inside whole-stage codegen instead of interpreted
+    * lambda evaluation. */
+  private val dotExpr = "graft_cosine(qv, v)"
 
   /** 8 deterministic LCG hyperplanes → 256 buckets. Same integer
     * arithmetic is reproducible in the DuckDB oracle. */
@@ -39,12 +42,10 @@ object SimilarityQueries {
     Q("q30_knn_bruteforce",
       (s, d) => {
         val all = vecs(s, d)
-        val q = all.select(col("vec_id").as("query_id"), col("v").as("qv"),
-          col("nrm").as("qnrm"))
+        val q = all.select(col("vec_id").as("query_id"), col("v").as("qv"))
         val joined = broadcast(q).crossJoin(all)
           .filter(col("query_id") < 10 && col("query_id") =!= col("vec_id"))
-          .withColumn("sim",
-            round(expr(dotExpr) / (col("qnrm") * col("nrm")), 6))
+          .withColumn("sim", round(expr(dotExpr), 6))
         val w = Window.partitionBy("query_id")
           .orderBy(col("sim").desc, col("vec_id"))
         joined.withColumn("rk", row_number().over(w))
@@ -75,11 +76,10 @@ object SimilarityQueries {
         val all = vecs(s, d).withColumn("bucket", expr(bucketExpr))
         val q = all.filter(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"), col("v").as("qv"),
-            col("nrm").as("qnrm"), col("bucket"))
+            col("bucket"))
         val joined = broadcast(q).join(all, Seq("bucket"))
           .filter(col("query_id") =!= col("vec_id"))
-          .withColumn("sim",
-            round(expr(dotExpr) / (col("qnrm") * col("nrm")), 6))
+          .withColumn("sim", round(expr(dotExpr), 6))
         val w = Window.partitionBy("query_id")
           .orderBy(col("sim").desc, col("vec_id"))
         joined.withColumn("rk", row_number().over(w))

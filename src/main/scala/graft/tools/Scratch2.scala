@@ -5,7 +5,7 @@ object Scratch2 {
     val d = "/root/testdata/sf0.1"
     spark.read.parquet(d + "/lineitem.parquet").count()
     for (i <- 1 to 3) {
-      for (q <- Seq("q28_minhash_lsh", "q29_simhash")) {
+      for (q <- Seq("q30_knn_bruteforce", "q31_knn_lsh")) {
         val t0 = System.nanoTime()
         val n = graft.queries.Catalog.byName(q).run(spark, d).count()
         println(f"iter$i $q%-18s ${(System.nanoTime()-t0)/1e9}%6.2f s rows=$n")
