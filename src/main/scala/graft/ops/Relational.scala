@@ -151,6 +151,38 @@ object Relational {
       .orderBy(unixSeconds(ts).cast(LongType))
       .rangeBetween(-seconds, 0)
 
+  /** Binned interval-overlap join — the engine's replacement for the
+    * Databricks-only `RANGE_JOIN` hint (zetadex-mm-uptime-pipeline-v2
+    * .sql:38, :111): intervals are exploded onto fixed time bins of
+    * `binSeconds`, joined as an equi-join on (equiKeys, bin), and the
+    * residual overlap predicate `l.start < r.end AND l.end > r.start` is
+    * applied after. Each overlapping pair is emitted exactly once — only
+    * in the bin containing `greatest(l.start, r.start)` — so no distinct
+    * pass is needed.
+    *
+    * Scale: turns the quadratic theta join (BroadcastNestedLoopJoin in
+    * OSS Spark) into a shuffled hash join whose cost is
+    * O(rows × interval/binSeconds + true matches). Pick binSeconds near
+    * the typical interval length.
+    */
+  def rangeJoinBinned(left: DataFrame, right: DataFrame,
+                      lStart: Column, lEnd: Column,
+                      rStart: Column, rEnd: Column,
+                      equiKeys: Seq[String], binSeconds: Long): DataFrame = {
+    def binned(df: DataFrame, s: Column, e: Column): DataFrame =
+      df.withColumn("__bin", explode(sequence(
+        (unix_timestamp(s) / binSeconds).cast(LongType),
+        (unix_timestamp(e) / binSeconds).cast(LongType))))
+    val lb = binned(left, lStart, lEnd)
+    val rb = binned(right, rStart, rEnd)
+    lb.join(rb, equiKeys :+ "__bin")
+      .filter(lStart < rEnd && lEnd > rStart)
+      .filter(col("__bin") ===
+        (greatest(unix_timestamp(lStart), unix_timestamp(rStart)) / binSeconds)
+          .cast(LongType))
+      .drop("__bin")
+  }
+
   /** Cumulative window (unbounded preceding → current row) over a total
     * order — deposit cumsum idiom (zetadex-transactions-helius-pipeline.py:
     * 1000–1004). */

@@ -176,6 +176,45 @@ object JoinQueries {
           WHERE e.user_id = p.user_id AND e.event_type = 'view'
             AND e.ts <= p.ts
           ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) v ON TRUE
-        ORDER BY purchase_id"""))
+        ORDER BY purchase_id""")),
+
+    // J8 self interval-overlap join via bin bucketing — the Spark-native
+    // replacement for Databricks' RANGE_JOIN hint (mm-uptime-v2:35–73):
+    // 30-min view/click activity windows per user, overlap pairs counted
+    // and measured without a quadratic theta join.
+    Q("q59_interval_overlap",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        def side(tpe: String, p: String) = ev.filter(col("event_type") === tpe)
+          .select(col("user_id"), col("ts").as(s"${p}_start"),
+            (col("ts") + expr("interval 30 minutes")).as(s"${p}_end"))
+        val v = side("view", "v")
+        val c = side("click", "c")
+        graft.ops.Relational.rangeJoinBinned(v, c,
+            col("v_start"), col("v_end"), col("c_start"), col("c_end"),
+            Seq("user_id"), binSeconds = 1800L)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_overlap"),
+            sum(unix_timestamp(least(col("v_end"), col("c_end")))
+              - unix_timestamp(greatest(col("v_start"), col("c_start"))))
+              .as("overlap_secs"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH v AS (
+          SELECT user_id, CAST(ts AS TIMESTAMP) AS s,
+                 CAST(ts AS TIMESTAMP) + INTERVAL 30 MINUTE AS e
+          FROM events WHERE event_type = 'view'),
+        c AS (
+          SELECT user_id, CAST(ts AS TIMESTAMP) AS s,
+                 CAST(ts AS TIMESTAMP) + INTERVAL 30 MINUTE AS e
+          FROM events WHERE event_type = 'click')
+        SELECT v.user_id, COUNT(*) AS n_overlap,
+          CAST(SUM(CAST(FLOOR(EPOCH(LEAST(v.e, c.e))) AS BIGINT)
+            - CAST(FLOOR(EPOCH(GREATEST(v.s, c.s))) AS BIGINT)) AS BIGINT)
+            AS overlap_secs
+        FROM v JOIN c ON v.user_id = c.user_id
+          AND v.s < c.e AND v.e > c.s
+        GROUP BY v.user_id ORDER BY v.user_id"""))
   )
 }

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Relational
+
+class ExpressionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("graft_cosine equals the HOF zip_with/aggregate formulation bit-for-bit") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+      (Array(0.1, -0.2, 0.3), Array(-0.4, 0.5, -0.6)))
+      .toDF("a", "b")
+    val rows = df.select(
+      expr("graft_cosine(a, b)").as("native"),
+      (expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+        / (expr("sqrt(aggregate(a, 0D, (acc, x) -> acc + x*x))")
+          * expr("sqrt(aggregate(b, 0D, (acc, x) -> acc + x*x))"))).as("hof"))
+      .collect()
+    rows.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
+
+  test("graft_cosine returns null for mismatched lengths and zero vectors") {
+    val sp = spark
+    import sp.implicits._
+    val r1 = Seq((Array(1.0, 2.0), Array(1.0, 2.0, 3.0))).toDF("a", "b")
+      .select(expr("graft_cosine(a, b)")).head()
+    assert(r1.isNullAt(0))
+    val r2 = Seq((Array(0.0, 0.0), Array(1.0, 2.0))).toDF("a", "b")
+      .select(expr("graft_cosine(a, b)")).head()
+    assert(r2.isNullAt(0))
+  }
+
+  test("graft_minhash equals per-permutation min(xxhash64(h, p))") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(("d1", 11L), ("d1", 22L), ("d1", 33L), ("d2", 11L))
+      .toDF("doc", "h")
+    val native = df.groupBy("doc").agg(expr("graft_minhash(h, 8)").as("mh"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val perCol = df.groupBy("doc")
+      .agg(array((0 until 8).map(p => min(xxhash64(col("h"), lit(p)))): _*)
+        .as("mh"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(native === perCol)
+  }
+
+  test("rangeJoinBinned equals the naive theta join") {
+    val sp = spark
+    import sp.implicits._
+    def mk(rows: Seq[(String, String, String)], p: String) =
+      rows.toDF("k", "s", "e").select($"k",
+        to_timestamp($"s").as(s"${p}_s"), to_timestamp($"e").as(s"${p}_e"))
+    val l = mk(Seq(
+      ("u", "2024-01-01 10:00:00", "2024-01-01 11:00:00"),
+      ("u", "2024-01-01 12:00:00", "2024-01-01 12:30:00"),
+      ("w", "2024-01-01 10:00:00", "2024-01-01 11:00:00")), "l")
+    val r = mk(Seq(
+      ("u", "2024-01-01 10:30:00", "2024-01-01 10:45:00"), // inside 1st
+      ("u", "2024-01-01 10:59:00", "2024-01-01 12:10:00"), // spans 1st+2nd
+      ("u", "2024-01-01 11:00:00", "2024-01-01 11:30:00"), // touches only (exclusive)
+      ("x", "2024-01-01 10:30:00", "2024-01-01 10:45:00")), "r")
+    val binned = Relational.rangeJoinBinned(l, r,
+      $"l_s", $"l_e", $"r_s", $"r_e", Seq("k"), binSeconds = 600L)
+      .select("k", "l_s", "r_s").collect()
+      .map(x => (x.getString(0), x.getTimestamp(1), x.getTimestamp(2))).toSeq.sorted
+    val naive = l.join(r, Seq("k"))
+      .filter($"l_s" < $"r_e" && $"l_e" > $"r_s")
+      .select("k", "l_s", "r_s").collect()
+      .map(x => (x.getString(0), x.getTimestamp(1), x.getTimestamp(2))).toSeq.sorted
+    assert(binned === naive)
+    assert(naive.size === 3)
+  }
+}
