@@ -1,0 +1,35 @@
+package graft.tools
+
+/** Prints physical-plan health checks for representative queries:
+  * pushed filters, read schemas (column pruning), broadcast joins,
+  * whole-stage-codegen coverage. Run per round; findings feed the
+  * scale-readiness notes in README.md.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.core.GraftSession.local(4)
+    val d = "/root/testdata/sf0.01"
+    val interesting = Seq(
+      "q01_pricing_summary", // filter pushdown + pruning
+      "q03_top_revenue_orders", // join strategy + TopK
+      "q19_join_3way", // broadcast dims
+      "q22_spine_densify", // cross join + broadcast
+      "q30_knn_bruteforce", // broadcast + native expression
+      "q59_interval_overlap") // binned range join
+    interesting.foreach { name =>
+      val df = graft.queries.Catalog.byName(name).run(spark, d)
+      val plan = df.queryExecution.executedPlan.toString
+      def count(p: String) = p.r.findAllIn(plan).size
+      println(s"== $name")
+      println(s"   BroadcastHashJoin=${count("BroadcastHashJoin")} " +
+        s"SortMergeJoin=${count("SortMergeJoin")} " +
+        s"NestedLoop=${count("BroadcastNestedLoopJoin")} " +
+        s"Exchange=${count("Exchange ")} " +
+        s"WholeStageCodegen=${count("WholeStageCodegen")}")
+      plan.linesIterator
+        .filter(l => l.contains("PushedFilters") || l.contains("ReadSchema"))
+        .take(4).foreach(l => println("   " + l.trim.take(160)))
+    }
+    spark.stop()
+  }
+}
