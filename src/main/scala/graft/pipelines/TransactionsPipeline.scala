@@ -1,0 +1,157 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.graph.{Mode, Registry, TableDef}
+import graft.ops.Relational
+
+/** The reference's flagship pipeline re-expressed Spark-first: Solana
+  * transactions → per-instruction silver tables → hourly gold aggregates
+  * (zetadex-transactions-helius-pipeline.py, SURVEY.md §3.1).
+  *
+  * Input schema (bronze, FIXTURES.md §1 / transactions:255–278):
+  * {{{
+  * signature string,
+  * instructions array<struct<
+  *     name string, args map<string,string>,
+  *     accounts struct<named map<string,string>, remaining array<string>>,
+  *     program_id string,
+  *     events array<struct<name string, event map<string,string>>>>>,
+  * is_successful boolean, slot bigint, block_time timestamp, fee int
+  * }}}
+  *
+  * All numeric decode is fixed-point (PRICE_FACTOR=1e6, SIZE_FACTOR=1e3,
+  * transactions:20–21); maker fills come from `crank_event_queue`, taker
+  * fills from `place_order*` with the place/trade event merge
+  * (transactions:310–329) done as pure SQL instead of a Python UDF.
+  */
+object TransactionsPipeline {
+
+  val PriceFactor = 1e6
+  val SizeFactor = 1e3
+
+  /** Assemble the DAG over a provided bronze source. */
+  def build(spark: SparkSession, rawTransactions: () => DataFrame): Registry = {
+    val reg = new Registry(spark)
+    reg.source("raw_transactions", rawTransactions)
+
+    // silver root (transactions:340–358): successful txs, derived
+    // partition cols, positional instruction explosion kept lazy
+    reg.register(TableDef("cleaned_transactions", Seq("raw_transactions"), {
+      case Seq(raw) =>
+        raw.filter(col("is_successful"))
+          .withColumn("date_", to_date(col("block_time")))
+          .withColumn("hour_", date_format(col("block_time"), "HH"))
+    }, mode = Mode.Incremental))
+
+    // one row per instruction with its index (transactions:376–377)
+    reg.register(TableDef("exploded_ix", Seq("cleaned_transactions"), {
+      case Seq(ct) =>
+        ct.select(col("signature"), col("block_time"), col("date_"),
+          posexplode(col("instructions"))
+            .as(Seq("instruction_index", "instruction")))
+    }, mode = Mode.Incremental))
+
+    // deposits (transactions:362–400): named-account access + u64 decode
+    reg.register(TableDef("cleaned_ix_deposit", Seq("exploded_ix"), {
+      case Seq(ix) =>
+        ix.filter(col("instruction.name") === "deposit")
+          .select(
+            col("signature"), col("instruction_index"), col("block_time"),
+            col("instruction.accounts.named.authority").as("authority"),
+            Relational.fixedPoint(col("instruction.args.amount"), PriceFactor)
+              .as("amount"),
+            col("date_"))
+    }, mode = Mode.Incremental))
+
+    // order placement (transactions:446–501): regex family filter,
+    // price/size decode, weekly epoch
+    reg.register(TableDef("cleaned_ix_place_order", Seq("exploded_ix"), {
+      case Seq(ix) =>
+        ix.filter(col("instruction.name")
+            .rlike("^place_(perp_)?order(_v[0-9]+)?$"))
+          .select(
+            col("signature"), col("instruction_index"), col("block_time"),
+            col("instruction.accounts.named.authority").as("authority"),
+            col("instruction.args.asset").as("asset"),
+            Relational.fixedPoint(col("instruction.args.price"), PriceFactor)
+              .as("price"),
+            Relational.fixedPoint(col("instruction.args.size"), SizeFactor)
+              .as("size"),
+            col("instruction.args.side").as("side"),
+            Relational.epochOf(col("block_time")).as("epoch"),
+            col("date_"))
+    }, mode = Mode.Incremental))
+
+    // trades (transactions:637–719): maker fills = every trade event of a
+    // crank; taker fills = place_order's place event merged with its first
+    // trade event ({**place, **trade}, the §2.9 SQL rewrite)
+    reg.register(TableDef("cleaned_ix_trade", Seq("exploded_ix"), {
+      case Seq(ix) =>
+        val maker = ix
+          .filter(col("instruction.name") === "crank_event_queue")
+          .select(col("signature"), col("instruction_index"),
+            col("block_time"), col("date_"),
+            explode(expr(
+              "filter(instruction.events, x -> x.name LIKE 'trade_event%')"))
+              .as("ev"))
+          .select(col("signature"), col("instruction_index"),
+            col("block_time"), col("date_"),
+            col("ev.event").as("event"), lit(false).as("is_taker"))
+        val taker = ix
+          .filter(col("instruction.name")
+            .rlike("^(place_(perp_)?order(_v[0-9]+)?|execute_trigger_order(_v[0-9]+)?)$"))
+          .withColumn("place", expr(
+            "try_element_at(filter(instruction.events, x -> x.name = 'place_order_event'), 1).event"))
+          .withColumn("trade", expr(
+            "try_element_at(filter(instruction.events, x -> x.name LIKE 'trade_event%'), 1).event"))
+          .filter(col("trade").isNotNull) // place without fill is not a trade
+          .select(col("signature"), col("instruction_index"),
+            col("block_time"), col("date_"),
+            map_concat(
+              expr("map_filter(place, (k, v) -> NOT array_contains(map_keys(trade), k))"),
+              col("trade")).as("event"),
+            lit(true).as("is_taker"))
+        maker.unionByName(taker)
+          .select(
+            col("signature"), col("instruction_index"), col("block_time"),
+            col("event.user").as("authority"),
+            col("event.asset").as("asset"),
+            Relational.fixedPoint(col("event.price"), PriceFactor).as("price"),
+            Relational.fixedPoint(col("event.size"), SizeFactor).as("size"),
+            col("is_taker"),
+            (Relational.fixedPoint(col("event.price"), PriceFactor)
+              * Relational.fixedPoint(col("event.size"), SizeFactor))
+              .as("volume"),
+            Relational.epochOf(col("block_time")).as("epoch"),
+            col("date_"))
+    }, mode = Mode.Incremental))
+
+    // hourly gold (transactions:777–793)
+    reg.register(TableDef("agg_ix_trade_asset_1h", Seq("cleaned_ix_trade"), {
+      case Seq(tr) =>
+        tr.groupBy(date_trunc("hour", col("block_time")).as("timestamp"),
+            col("asset"))
+          .agg(count(lit(1)).as("trade_count"),
+            sum(col("volume").cast(graft.queries.QH.DEC)).cast("double")
+              .as("volume"))
+    }, mode = Mode.Incremental))
+
+    // 24h rolling (transactions:821–855): spine × assets, fill, range window
+    reg.register(TableDef("agg_ix_trade_asset_24h_rolling",
+      Seq("agg_ix_trade_asset_1h"), { case Seq(h) =>
+        val spine = Relational.timeSpine(h, col("timestamp"), alias = "timestamp")
+        val assets = h.select("asset").distinct()
+        val dense = Relational.densify(spine, assets, h,
+          Seq("timestamp", "asset"),
+          Map("trade_count" -> 0L, "volume" -> 0.0))
+        val w = Relational.trailingWindow(Seq("asset"), col("timestamp"), 86400L)
+        dense
+          .withColumn("trade_count_24h", sum(col("trade_count")).over(w))
+          .withColumn("volume_24h",
+            sum(col("volume").cast(graft.queries.QH.DEC)).over(w).cast("double"))
+      }, mode = Mode.Full))
+
+    reg
+  }
+}

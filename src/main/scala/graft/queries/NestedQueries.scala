@@ -76,9 +76,9 @@ object NestedQueries {
               col("trade")))
               .otherwise(col("place")))
         merged.select(col("user_id"),
-            expr("element_at(merged, 'value')").as("m_value"),
-            expr("element_at(merged, 'ts')").as("m_ts"),
-            expr("element_at(merged, 'fee')").as("m_fee"))
+            expr("try_element_at(merged, 'value')").as("m_value"),
+            expr("try_element_at(merged, 'ts')").as("m_ts"),
+            expr("try_element_at(merged, 'fee')").as("m_fee"))
           .orderBy("user_id")
       },
       Some("""

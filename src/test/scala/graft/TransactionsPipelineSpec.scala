@@ -1,0 +1,116 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipelines.TransactionsPipeline
+
+case class TxEvent(name: String, event: Map[String, String])
+case class TxAccounts(named: Map[String, String], remaining: Seq[String])
+case class TxIx(name: String, args: Map[String, String],
+                accounts: TxAccounts, program_id: String, events: Seq[TxEvent])
+case class Tx(signature: String, instructions: Seq[TxIx],
+              is_successful: Boolean, slot: Long, block_time: Timestamp,
+              fee: Int)
+
+/** Hand-computed expectations over a deterministic nested fixture shaped
+  * like the reference's bronze transactions (FIXTURES.md §1). */
+class TransactionsPipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private val acc = TxAccounts(Map("authority" -> "authA"), Seq.empty)
+
+  private def fixture = Seq(
+    Tx("sig1", Seq(
+      TxIx("deposit", Map("amount" -> "1500000"), acc, "zeta", Seq.empty),
+      TxIx("place_perp_order_v3",
+        Map("asset" -> "SOL", "price" -> "2000000", "size" -> "5000",
+          "side" -> "bid"),
+        acc, "zeta", Seq(
+          TxEvent("place_order_event", Map(
+            "user" -> "authA", "asset" -> "SOL",
+            "price" -> "2000000", "size" -> "5000", "order_id" -> "o1")),
+          TxEvent("trade_event_v2", Map(
+            "user" -> "authA", "asset" -> "SOL",
+            "price" -> "2100000", "size" -> "3000"))))),
+      true, 100L, ts("2024-01-05 09:00:00"), 5000),
+    Tx("sig2", Seq(
+      TxIx("crank_event_queue", Map.empty, acc, "zeta", Seq(
+        TxEvent("trade_event", Map(
+          "user" -> "mm1", "asset" -> "SOL",
+          "price" -> "2100000", "size" -> "1000")),
+        TxEvent("trade_event_v3", Map(
+          "user" -> "mm2", "asset" -> "ETH",
+          "price" -> "3000000", "size" -> "2000")),
+        TxEvent("place_order_event", Map("user" -> "x"))))),
+      true, 101L, ts("2024-01-05 09:30:00"), 5000),
+    Tx("sig3", Seq(
+      TxIx("place_order",
+        Map("asset" -> "ETH", "price" -> "3000000", "size" -> "1000",
+          "side" -> "ask"),
+        acc, "zeta", Seq(
+          TxEvent("place_order_event", Map(
+            "user" -> "authA", "asset" -> "ETH",
+            "price" -> "3000000", "size" -> "1000", "order_id" -> "o2"))))),
+      true, 102L, ts("2024-01-05 10:15:00"), 5000),
+    Tx("sig4", Seq(
+      TxIx("deposit", Map("amount" -> "999"), acc, "zeta", Seq.empty)),
+      false, 103L, ts("2024-01-05 11:00:00"), 5000))
+
+  private def registry = {
+    val sp = spark
+    import sp.implicits._
+    TransactionsPipeline.build(sp, () => fixture.toDF())
+  }
+
+  test("cleaned_ix_deposit decodes fixed-point amounts from successful txs only") {
+    val rows = registry.resolve("cleaned_ix_deposit").collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[String]("authority") === "authA")
+    assert(rows.head.getAs[Double]("amount") === 1.5)
+  }
+
+  test("cleaned_ix_place_order matches the regex family and stamps the epoch") {
+    val rows = registry.resolve("cleaned_ix_place_order")
+      .orderBy("signature").collect()
+    assert(rows.map(_.getAs[String]("signature")).toSeq === Seq("sig1", "sig3"))
+    val r1 = rows.head
+    assert(r1.getAs[Double]("price") === 2.0)
+    assert(r1.getAs[Double]("size") === 5.0)
+    // Friday 2024-01-05 09:00 belongs to the epoch anchored 08:00 that day
+    assert(r1.getAs[Timestamp]("epoch") === ts("2024-01-05 08:00:00"))
+  }
+
+  test("cleaned_ix_trade: maker fills from cranks, taker fill from merged events") {
+    val rows = registry.resolve("cleaned_ix_trade").collect()
+    assert(rows.length === 3)
+    val taker = rows.filter(_.getAs[Boolean]("is_taker"))
+    assert(taker.length === 1)
+    // merge {**place, **trade}: price/size from the trade event, order_id
+    // (place-only key) preserved upstream; decoded 2.1 * 3.0
+    assert(taker.head.getAs[Double]("price") === 2.1)
+    assert(taker.head.getAs[Double]("size") === 3.0)
+    assert(taker.head.getAs[Double]("volume") === 2.1 * 3.0)
+    val makers = rows.filter(!_.getAs[Boolean]("is_taker"))
+    assert(makers.map(_.getAs[String]("authority")).toSet === Set("mm1", "mm2"))
+  }
+
+  test("agg_ix_trade_asset_1h aggregates volume per (hour, asset)") {
+    val agg = registry.resolve("agg_ix_trade_asset_1h").collect()
+      .map(r => (r.getAs[Timestamp]("timestamp").toString,
+        r.getAs[String]("asset")) ->
+        (r.getAs[Long]("trade_count"), r.getAs[Double]("volume"))).toMap
+    // 09:00 SOL: taker 2.1*3.0 + maker mm1 2.1*1.0 = 8.4 over 2 trades
+    assert(agg(("2024-01-05 09:00:00.0", "SOL")) === ((2L, 8.4)))
+    assert(agg(("2024-01-05 09:00:00.0", "ETH")) === ((1L, 3.0 * 2.0)))
+  }
+
+  test("24h rolling table densifies the spine and accumulates") {
+    val roll = registry.resolve("agg_ix_trade_asset_24h_rolling").collect()
+    // spine has 1 hour (09:00 only trades) → 09:00..09:00? min..max hourly:
+    // hourly rows exist only at 09:00 → spine = 1 hour × 2 assets
+    assert(roll.length === 2)
+    val sol = roll.find(_.getAs[String]("asset") === "SOL").get
+    assert(sol.getAs[Double]("volume_24h") === 8.4)
+  }
+}
