@@ -351,6 +351,61 @@ object ExtendedQueries {
           COALESCE(LEAD(value, 1) OVER w, -1.0) AS next_value
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        ORDER BY event_id"""))
+        ORDER BY event_id""")),
+
+    // The agg_pnl composite (transactions:1486–1878, the reference's
+    // heaviest table): cumulative equity (W6) → trailing-window anchor
+    // (W8) → period PnL → tie-broken leaderboard rank (W1) + rank-change
+    // inputs, all sharing one user partitioning so the window stages
+    // reuse a single exchange.
+    Q("q60_pnl_leaderboard",
+      (s, d) => {
+        val wCum = Window.partitionBy("user_id")
+          .orderBy(unix_timestamp(col("ts")), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val w24 = Window.partitionBy("user_id")
+          .orderBy(unix_timestamp(col("ts")))
+          .rangeBetween(-86400L, 0L)
+        val equityed = t(s, d, "events")
+          .withColumn("equity",
+            sum(col("value").cast(DEC)).over(wCum).cast("double"))
+        val withAnchor = equityed
+          .withColumn("equity_24h_ago", first(col("equity")).over(w24))
+          .withColumn("pnl_24h", col("equity") - col("equity_24h_ago"))
+        val latest = withAnchor
+          .withColumn("__rn", row_number().over(Window.partitionBy("user_id")
+            .orderBy(col("ts").desc, col("event_id").desc)))
+          .filter(col("__rn") === 1)
+        latest
+          .withColumn("rank", rank().over(
+            Window.orderBy(col("pnl_24h").desc, col("user_id"))))
+          .select(col("rank"), col("user_id"), col("equity"),
+            col("pnl_24h"))
+          .orderBy("rank")
+      },
+      Some("""
+        WITH eq AS (
+          SELECT user_id, ts, event_id,
+            CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (
+              PARTITION BY user_id
+              ORDER BY CAST(FLOOR(EPOCH(ts)) AS BIGINT), event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+              AS equity
+          FROM events),
+        anch AS (
+          SELECT user_id, ts, event_id, equity,
+            equity - FIRST_VALUE(equity) OVER (
+              PARTITION BY user_id
+              ORDER BY CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+              RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) AS pnl_24h
+          FROM eq),
+        latest AS (
+          SELECT user_id, equity, pnl_24h FROM anch
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY ts DESC, event_id DESC) = 1)
+        SELECT CAST(RANK() OVER (ORDER BY pnl_24h DESC, user_id) AS INTEGER)
+            AS rank,
+          user_id, equity, pnl_24h
+        FROM latest ORDER BY rank"""))
   )
 }
