@@ -46,6 +46,10 @@ final class Registry(spark: SparkSession) {
 
   def tableNames: Seq[String] = defs.keys.toSeq
 
+  /** The registered definition for `name`, if it is a transform node
+    * (sources have no TableDef). */
+  def describe(name: String): Option[TableDef] = defs.get(name)
+
   /** Resolve a node to its DataFrame, resolving dependencies first.
     * Detects cycles; memoizes within this resolver. */
   def resolve(name: String): DataFrame = {

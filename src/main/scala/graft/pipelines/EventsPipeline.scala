@@ -26,17 +26,30 @@ object EventsPipeline {
     reg.source("raw_events", () => graft.tables.Tables.load(spark, sfDir, "events"))
 
     reg.register(TableDef("cleaned_events", Seq("raw_events"), { case Seq(raw) =>
-      Relational.dedupeExact(Seq("event_id"), col("event_id"))(
-        raw.filter(col("event_type").isNotNull && col("ts").isNotNull))
+      val filtered = raw.filter(col("event_type").isNotNull && col("ts").isNotNull)
+      // same dedup semantics in both modes: ids are unique per event;
+      // streaming bounds its state with a watermark (zetaflex:86–88),
+      // batch picks the deterministic min-id survivor
+      val deduped =
+        if (raw.isStreaming)
+          graft.streaming.StreamingOps.streamDedup("ts", "1 hour",
+            Seq("event_id"))(filtered)
+        else Relational.dedupeExact(Seq("event_id"), col("event_id"))(filtered)
+      deduped
         .withColumn("date_", to_date(col("ts")))
         .withColumn("hour_", date_format(col("ts"), "HH"))
     }, mode = Mode.Incremental))
 
+    // gold aggregates are batch-recomputed from the materialized silver:
+    // parquet boundaries are append-only, so update-mode streaming aggs
+    // (proven equivalent in StreamingSpec via the memory sink) cannot
+    // upsert into them — the same engine limit the reference works
+    // around by forcing window golds to dlt.read (orderbook:571–574)
     reg.register(TableDef("agg_events_1h", Seq("cleaned_events"), { case Seq(ce) =>
       ce.groupBy(date_trunc("hour", col("ts")).as("timestamp"), col("event_type"))
         .agg(count(lit(1)).as("event_count"),
           graft.queries.QH.decSum(col("value")).as("volume"))
-    }, mode = Mode.Incremental))
+    }, mode = Mode.Full))
 
     // gold window table: forced batch, like the reference's window-function
     // gold tables (orderbook:571–574)

@@ -23,8 +23,12 @@ object Tables {
     * floor-divide to micros (`div` = integer division: a double round-trip
     * would lose precision above 2^53). Matches the oracle's
     * `CAST(ts AS TIMESTAMP)` ns→us truncation. */
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    normalize(name, spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** ns-long → micros-timestamp conversion for the events feed; works on
+    * batch and streaming frames alike. */
+  def normalize(name: String, df: DataFrame): DataFrame =
     if (name == "events" &&
       df.schema.exists(f => f.name == "ts" &&
         f.dataType == org.apache.spark.sql.types.LongType))
@@ -32,7 +36,6 @@ object Tables {
         org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
     else df
-  }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
