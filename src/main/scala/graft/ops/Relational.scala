@@ -151,6 +151,22 @@ object Relational {
       .orderBy(unixSeconds(ts).cast(LongType))
       .rangeBetween(-seconds, 0)
 
+  /** Salted equi-join for skewed keys: the left (large, skewed) side gets
+    * a deterministic salt derived from `saltSource` (use a high-cardinality
+    * column — never rand(), which breaks retry/replay determinism); the
+    * right side is replicated across all salt values. Complements AQE's
+    * runtime skew-join splitting when the skew is known up front (e.g. a
+    * hot market or a null-heavy key at 100 TB).
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 saltSource: Column, nSalts: Int,
+                 joinType: String = "inner"): DataFrame = {
+    val l = left.withColumn("__salt", pmod(xxhash64(saltSource), lit(nSalts)))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0L), lit(nSalts - 1L))))
+    l.join(r, keys :+ "__salt", joinType).drop("__salt")
+  }
+
   /** Binned interval-overlap join — the engine's replacement for the
     * Databricks-only `RANGE_JOIN` hint (zetadex-mm-uptime-pipeline-v2
     * .sql:38, :111): intervals are exploded onto fixed time bins of

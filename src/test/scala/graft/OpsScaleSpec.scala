@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Multimodal, Relational}
+
+class OpsScaleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("saltedJoin equals the plain join on a skewed key") {
+    val sp = spark
+    import sp.implicits._
+    // 90% of left rows share one hot key
+    val left = (1 to 1000)
+      .map(i => (if (i <= 900) "hot" else s"k$i", i.toLong))
+      .toDF("k", "v").repartition(8)
+    val right = Seq(("hot", 1.0), ("k950", 2.0), ("miss", 3.0)).toDF("k", "w")
+    val salted = Relational.saltedJoin(left, right, Seq("k"), col("v"), 16)
+      .select("k", "v", "w").collect().map(_.toSeq).toSet
+    val plain = left.join(right, Seq("k"))
+      .select("k", "v", "w").collect().map(_.toSeq).toSet
+    assert(salted === plain)
+    assert(plain.size === 901)
+  }
+
+  test("extractFeatures: per-partition decode, deterministic across partitionings") {
+    val sp = spark
+    import sp.implicits._
+    val docs = graft.tables.Tables.load(sp, TestSpark.sf0001, "documents")
+      .select($"doc_id", $"text")
+    val a = Multimodal.extractFeatures(
+      docs.repartition(2), "doc_id", "text", dim = 8)()
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    val b = Multimodal.extractFeatures(
+      docs.repartition(7), "doc_id", "text", dim = 8)()
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    assert(a === b)
+    assert(a.size === 500)
+    assert(a.values.forall(v => v.length === 8 &&
+      v.forall(x => x >= -1.0f && x < 1.0f)))
+  }
+
+  test("extractFeatures runs decoder setup once per partition, not per row") {
+    val sp = spark
+    import sp.implicits._
+    val setups = sp.sparkContext.longAccumulator("setups")
+    val rowsDecoded = sp.sparkContext.longAccumulator("rows")
+    val df = (1L to 100L).map(i => (i, s"payload$i")).toDF("id", "bin")
+      .repartition(4)
+    Multimodal.extractFeatures(df, "id", "bin", dim = 4)(() => {
+      setups.add(1)
+      bytes => { rowsDecoded.add(1); Multimodal.stubDecoder(4)(bytes) }
+    }).count()
+    assert(rowsDecoded.value === 100)
+    assert(setups.value <= 4)
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties}
+import graft.ops.Relational
+
+/** Property tests (SURVEY.md §5.1): window/CDC operators vs brute-force
+  * reference implementations over randomized inputs. */
+object WindowProperties extends Properties("graft.ops") {
+
+  // each trial runs real Spark jobs; 20 randomized trials per property
+  // is plenty and keeps the suite fast
+  override def overrideParameters(p: org.scalacheck.Test.Parameters)
+      : org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(20)
+
+  private lazy val spark = TestSpark.spark
+
+  private val rowGen = for {
+    key <- Gen.oneOf("a", "b", "c")
+    ts <- Gen.choose(0L, 500L)
+    v <- Gen.choose(-100, 100)
+  } yield (key, ts, v.toDouble)
+
+  private val rowsGen = Gen.listOfN(60, rowGen)
+
+  property("trailingWindow sum equals brute force") = Prop.forAll(rowsGen) { rows =>
+    val sp = spark
+    import sp.implicits._
+    val df = rows.toDF("k", "secs", "v")
+      .withColumn("ts", timestamp_seconds(col("secs")))
+      .withColumn("id", monotonically_increasing_id())
+    val horizon = 60L
+    val w = Relational.trailingWindow(Seq("k"), col("ts"), horizon)
+    val got = df.select(col("k"), col("secs"), col("v"),
+      sum(col("v")).over(w).as("s")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    got.forall { case (k, t, _, s) =>
+      val expect = rows.filter { case (k2, t2, _) =>
+        k2 == k && t2 <= t && t2 >= t - horizon
+      }.map(_._3).sum
+      math.abs(s - expect) < 1e-9
+    }
+  }
+
+  property("applyChanges keeps exactly the max-(seq, tie) row per key") =
+    Prop.forAll(rowsGen, Gen.choose(1, 8)) { (rows, parts) =>
+      val sp = spark
+      import sp.implicits._
+      val df = rows.zipWithIndex
+        .map { case ((k, seq, v), i) => (k, seq, v, i.toLong) }
+        .toDF("k", "seq", "v", "tie")
+        .repartition(parts)
+      val got = Relational.applyChanges(Seq("k"), col("seq"), Seq(col("tie")))(df)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+      val expect = rows.zipWithIndex
+        .map { case ((k, seq, _), i) => (k, seq, i.toLong) }
+        .groupBy(_._1)
+        .map { case (k, g) => k -> g.map(t => (t._2, t._3)).max }
+      got == expect
+    }
+
+  property("dedupeExact keeps the min-keep row per key under any partitioning") =
+    Prop.forAll(rowsGen, Gen.choose(1, 8)) { (rows, parts) =>
+      val sp = spark
+      import sp.implicits._
+      val df = rows.zipWithIndex
+        .map { case ((k, ord, _), i) => (k, ord * 1000 + i) }
+        .toDF("k", "ord").repartition(parts)
+      val got = Relational.dedupeExact(Seq("k"), col("ord"))(df)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val expect = rows.zipWithIndex
+        .map { case ((k, ord, _), i) => (k, ord * 1000 + i) }
+        .groupBy(_._1).map { case (k, g) => k -> g.map(_._2).min }
+      got == expect
+    }
+}
