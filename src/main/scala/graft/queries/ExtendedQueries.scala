@@ -406,6 +406,67 @@ object ExtendedQueries {
         SELECT CAST(RANK() OVER (ORDER BY pnl_24h DESC, user_id) AS INTEGER)
             AS rank,
           user_id, equity, pnl_24h
-        FROM latest ORDER BY rank"""))
+        FROM latest ORDER BY rank""")),
+
+    // Modified-Dietz 24h ROI with the reference's $100 fudge factor
+    // (transactions:1577–1655): flows in the trailing day are weighted by
+    // their remaining fraction of the period. The windowed weighted-flow
+    // sum Σ v·(t−T+86400)/86400 is decomposed into two decimal-exact
+    // window sums (Σ v·t and Σ v) so it stays order-insensitive.
+    Q("q63_dietz_roi",
+      (s, d) => {
+        val wCum = Window.partitionBy("user_id")
+          .orderBy(unix_timestamp(col("ts")), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val w24 = Window.partitionBy("user_id")
+          .orderBy(unix_timestamp(col("ts")))
+          .rangeBetween(-86400L, 0L)
+        val df = t(s, d, "events")
+          .withColumn("t", unix_timestamp(col("ts")))
+          .withColumn("equity",
+            sum(col("value").cast(DEC)).over(wCum).cast("double"))
+          .withColumn("equity_24h_ago", first(col("equity")).over(w24))
+          .withColumn("pnl_24h", col("equity") - col("equity_24h_ago"))
+          .withColumn("s1",
+            sum((col("value") * col("t")).cast(DEC)).over(w24).cast("double"))
+          .withColumn("s0",
+            sum(col("value").cast(DEC)).over(w24).cast("double"))
+          .withColumn("weighted_flows",
+            (col("s1") + (lit(86400.0) - col("t")) * col("s0")) / 86400.0)
+          .withColumn("dietz_denom",
+            col("equity_24h_ago") + col("weighted_flows") + 100.0)
+          .withColumn("roi_24h",
+            when(col("dietz_denom") =!= 0.0,
+              col("pnl_24h") / col("dietz_denom")))
+        df.select("event_id", "user_id", "pnl_24h", "roi_24h")
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH base AS (
+          SELECT event_id, user_id, value,
+            CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t, ts
+          FROM events),
+        eq AS (
+          SELECT *, CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (
+              PARTITION BY user_id ORDER BY t, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+              AS equity
+          FROM base),
+        win AS (
+          SELECT event_id, user_id, t, equity,
+            FIRST_VALUE(equity) OVER w AS equity_24h_ago,
+            CAST(SUM(CAST(value * t AS DECIMAL(28,6))) OVER w AS DOUBLE) AS s1,
+            CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS s0
+          FROM eq
+          WINDOW w AS (PARTITION BY user_id ORDER BY t
+            RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW))
+        SELECT event_id, user_id,
+          equity - equity_24h_ago AS pnl_24h,
+          CASE WHEN equity_24h_ago + (s1 + (86400.0 - t) * s0) / 86400.0 + 100.0
+                 != 0.0
+            THEN (equity - equity_24h_ago)
+              / (equity_24h_ago + (s1 + (86400.0 - t) * s0) / 86400.0 + 100.0)
+          END AS roi_24h
+        FROM win ORDER BY event_id"""))
   )
 }

@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.Catalog
+
+/** Plan-quality regression guards: the physical plans that make these
+  * queries scale must not silently degrade. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val d = TestSpark.sf0001
+
+  private def plan(name: String): String =
+    Catalog.byName(name).run(spark, d).queryExecution.executedPlan.toString
+
+  test("q01: shipdate filter reaches the parquet scan") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("l_shipdate"), "scan should mention the filter column")
+    assert("DataFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(p).isDefined,
+      "shipdate predicate must be a data filter on the scan")
+  }
+
+  test("q19: both dims broadcast, no shuffle join") {
+    val p = plan("q19_join_3way")
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 2)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q59: binned range join is an equi join, not a nested loop") {
+    val p = plan("q59_interval_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "range join must not fall back to a nested loop")
+  }
+
+  test("q25: as-of join is window-based, no join operator at all") {
+    val p = plan("q25_asof_join")
+    assert(!p.contains("Join"), "union+window merge should produce no join")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"))
+  }
+
+  test("column pruning: q03 scans only the needed lineitem columns") {
+    val p = plan("q03_top_revenue_orders")
+    val scan = p.linesIterator
+      .find(l => l.contains("FileScan parquet") && l.contains("l_orderkey"))
+      .getOrElse(fail("no lineitem scan found"))
+    assert(!scan.contains("l_comment") && !scan.contains("l_shipdate"),
+      s"unneeded columns read: $scan")
+  }
+}
