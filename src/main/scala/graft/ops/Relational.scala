@@ -151,6 +151,20 @@ object Relational {
       .orderBy(unixSeconds(ts).cast(LongType))
       .rangeBetween(-seconds, 0)
 
+  /** Deterministic sampling — the engine's replacement for the
+    * reference's `rand(seed=42)` (madwars-pipeline.py:60), whose output
+    * depends on partitioning and so is not stable under retry, AQE
+    * re-planning, or engine comparison. Keeps a row iff the md5 hex of
+    * its key is below a hex-prefix threshold: `sixteenths/16` of the
+    * keyspace, exactly and reproducibly on any engine.
+    */
+  def deterministicSample(keyCol: Column, sixteenths: Int)(
+      df: DataFrame): DataFrame = {
+    require(sixteenths >= 0 && sixteenths <= 16)
+    if (sixteenths == 16) df
+    else df.filter(md5(keyCol.cast("string")) < lit(f"$sixteenths%x"))
+  }
+
   /** Salted equi-join for skewed keys: the left (large, skewed) side gets
     * a deterministic salt derived from `saltSource` (use a high-cardinality
     * column — never rand(), which breaks retry/replay determinism); the

@@ -467,6 +467,69 @@ object ExtendedQueries {
             THEN (equity - equity_24h_ago)
               / (equity_24h_ago + (s1 + (86400.0 - t) * s0) / 86400.0 + 100.0)
           END AS roi_24h
-        FROM win ORDER BY event_id"""))
+        FROM win ORDER BY event_id""")),
+
+    // A4 first with ignoreNulls (prices:210–215): first non-null lagged
+    // value per user in time order.
+    Q("q64_first_ignorenulls",
+      (s, d) => {
+        val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val wAll = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "events")
+          .withColumn("prev_value", lag(col("value"), 1).over(wOrd))
+          .select(col("event_id"),
+            first(col("prev_value"), ignoreNulls = true).over(wAll)
+              .as("first_prev"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH l AS (
+          SELECT event_id, user_id, ts,
+            LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS prev_value
+          FROM events)
+        SELECT event_id,
+          FIRST_VALUE(prev_value IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_prev
+        FROM l ORDER BY event_id""")),
+
+    // P10 time-relative snapshot filter with an injectable as-of clock
+    // (zetadex-serving-v2.py:348–351 `current_timestamp - 2h` — replaced
+    // by graft.core.Conf.asOf so replays and oracles are deterministic).
+    Q("q65_snapshot_asof",
+      (s, d) => {
+        val conf = graft.core.Conf.ForTests
+        t(s, d, "events")
+          .groupBy(date_trunc("hour", col("ts")).as("timestamp"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .filter(col("timestamp") ===
+            date_trunc("hour", conf.asOfTs - expr("interval 2 hours")))
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT CAST(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+            AS timestamp,
+          event_type, COUNT(*) AS n
+        FROM events
+        GROUP BY 1, 2
+        HAVING CAST(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+          = DATE_TRUNC('hour', TIMESTAMP '2024-01-30 12:00:00' - INTERVAL 2 HOUR)
+        ORDER BY event_type""")),
+
+    // Deterministic hash sampling — the rand(seed) replacement
+    // (madwars-pipeline.py:60); exactly reproducible in any engine.
+    Q("q66_deterministic_sample",
+      (s, d) =>
+        graft.ops.Relational.deterministicSample(col("event_id"), 4)(
+          t(s, d, "events"))
+          .select("event_id", "user_id", "event_type")
+          .orderBy("event_id"),
+      Some("""
+        SELECT event_id, user_id, event_type FROM events
+        WHERE MD5(CAST(event_id AS VARCHAR)) < '4'
+        ORDER BY event_id"""))
   )
 }
