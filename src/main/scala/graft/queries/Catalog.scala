@@ -36,10 +36,11 @@ object QH {
   val DEC = "decimal(28,6)"
 
   /** Order-insensitive exact double sum: accumulate in decimal, surface as
-    * double. Oracle mirror: `CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)`.
+    * double. Oracle mirror: `CAST(CAST(SUM(CAST(x AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)`.
     * Removes the accumulation-order nondeterminism of double sums, which
     * would otherwise make hash-comparison against the oracle flaky. */
-  def decSum(c: Column): Column = sum(c.cast(DEC)).cast("double")
+  def decSum(c: Column): Column =
+    sum(c.cast(DEC)).cast("string").cast("double")
 
   /** Exact average built from decSum / count. */
   def decAvg(c: Column): Column = decSum(c) / count(lit(1))

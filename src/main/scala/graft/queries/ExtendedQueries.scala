@@ -107,12 +107,12 @@ object ExtendedQueries {
         t(s, d, "lineitem").createOrReplaceTempView("lineitem_v")
         s.sql("""
           SELECT l_returnflag, COUNT(*) AS n,
-            CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+            CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS STRING) AS DOUBLE) AS sum_qty
           FROM lineitem_v GROUP BY l_returnflag ORDER BY l_returnflag""")
       },
       Some("""
         SELECT l_returnflag, COUNT(*) AS n,
-          CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+          CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sum_qty
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // A8 collect_list, deterministically sorted (zetadex-serving-v2.py:628).
@@ -147,7 +147,7 @@ object ExtendedQueries {
         WITH wide AS (
           SELECT o_orderpriority,
             MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
-            CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_price
+            CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_price
           FROM orders GROUP BY o_orderpriority)
         SELECT o_orderpriority, metric, value FROM (
           SELECT o_orderpriority, 'min_price' AS metric, min_price AS value FROM wide
@@ -179,7 +179,7 @@ object ExtendedQueries {
         WITH hourly AS (
           SELECT CAST(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour_ts,
                  event_type, COUNT(*) AS event_count,
-                 CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+                 CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS total_value
           FROM events GROUP BY 1, 2)
         SELECT hour_ts AS "hourTs", event_type AS "eventType",
           event_count AS "eventCount", total_value AS "totalValue",
@@ -197,14 +197,14 @@ object ExtendedQueries {
           .rangeBetween(-86400L + 3600L, 0L)
         t(s, d, "events")
           .select(col("event_id"),
-            sum(col("value").cast(DEC)).over(w).cast("double").as("dietz_sum"))
+            sum(col("value").cast(DEC)).over(w).cast("string").cast("double").as("dietz_sum"))
           .orderBy("event_id")
       },
       Some("""
         SELECT event_id,
-          CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (PARTITION BY user_id
+          CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (PARTITION BY user_id
             ORDER BY CAST(FLOOR(EPOCH(ts)) AS BIGINT)
-            RANGE BETWEEN 82800 PRECEDING AND CURRENT ROW) AS DOUBLE) AS dietz_sum
+            RANGE BETWEEN 82800 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS dietz_sum
         FROM events ORDER BY event_id""")),
 
     // W9 rank-change = rank − first(rank) over trailing window
@@ -269,9 +269,9 @@ object ExtendedQueries {
           .rangeBetween(-86400L, 0L)
         t(s, d, "events")
           .withColumn("k", expr("cast(get_json_object(props, '$.k') AS int)"))
-          .withColumn("den", sum(col("k").cast(DEC)).over(w).cast("double"))
+          .withColumn("den", sum(col("k").cast(DEC)).over(w).cast("string").cast("double"))
           .withColumn("num",
-            sum((col("value") * col("k")).cast(DEC)).over(w).cast("double"))
+            sum((col("value") * col("k")).cast(DEC)).over(w).cast("string").cast("double"))
           .select(col("event_id"),
             when(col("den") > 0, col("num") / col("den")).as("wavg_24h"))
           .orderBy("event_id")
@@ -280,9 +280,9 @@ object ExtendedQueries {
         WITH e AS (SELECT event_id, user_id, ts, value,
           CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) AS k FROM events)
         SELECT event_id,
-          CASE WHEN CAST(SUM(CAST(k AS DECIMAL(28,6))) OVER w AS DOUBLE) > 0
-            THEN CAST(SUM(CAST(value * k AS DECIMAL(28,6))) OVER w AS DOUBLE)
-              / CAST(SUM(CAST(k AS DECIMAL(28,6))) OVER w AS DOUBLE)
+          CASE WHEN CAST(CAST(SUM(CAST(k AS DECIMAL(28,6))) OVER w AS VARCHAR) AS DOUBLE) > 0
+            THEN CAST(CAST(SUM(CAST(value * k AS DECIMAL(28,6))) OVER w AS VARCHAR) AS DOUBLE)
+              / CAST(CAST(SUM(CAST(k AS DECIMAL(28,6))) OVER w AS VARCHAR) AS DOUBLE)
           END AS wavg_24h
         FROM e
         WINDOW w AS (PARTITION BY user_id
@@ -327,7 +327,7 @@ object ExtendedQueries {
         SELECT CASE WHEN price >= 90 THEN 0 WHEN price >= 70 THEN 1
           WHEN price >= 50 THEN 2 WHEN price >= 30 THEN 3 ELSE 4 END AS tier,
           COUNT(*) AS n,
-          CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+          CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS total_value
         FROM e GROUP BY 1 ORDER BY tier""")),
 
     // P8 null handling: lead-induced nulls → coalesce/fillna
@@ -368,7 +368,7 @@ object ExtendedQueries {
           .rangeBetween(-86400L, 0L)
         val equityed = t(s, d, "events")
           .withColumn("equity",
-            sum(col("value").cast(DEC)).over(wCum).cast("double"))
+            sum(col("value").cast(DEC)).over(wCum).cast("string").cast("double"))
         val withAnchor = equityed
           .withColumn("equity_24h_ago", first(col("equity")).over(w24))
           .withColumn("pnl_24h", col("equity") - col("equity_24h_ago"))
@@ -386,10 +386,10 @@ object ExtendedQueries {
       Some("""
         WITH eq AS (
           SELECT user_id, ts, event_id,
-            CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (
+            CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (
               PARTITION BY user_id
               ORDER BY CAST(FLOOR(EPOCH(ts)) AS BIGINT), event_id
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
               AS equity
           FROM events),
         anch AS (
@@ -421,16 +421,20 @@ object ExtendedQueries {
         val w24 = Window.partitionBy("user_id")
           .orderBy(unix_timestamp(col("ts")))
           .rangeBetween(-86400L, 0L)
+        // t is rebased to a constant epoch so the per-row value*t product
+        // stays ≤ ~1e9: large doubles (ulp > 1e-6) round to decimal(28,6)
+        // differently across engines; small exact products do not.
         val df = t(s, d, "events")
-          .withColumn("t", unix_timestamp(col("ts")))
+          .withColumn("t",
+            unix_timestamp(col("ts")) - lit(1704067200L))
           .withColumn("equity",
-            sum(col("value").cast(DEC)).over(wCum).cast("double"))
+            sum(col("value").cast(DEC)).over(wCum).cast("string").cast("double"))
           .withColumn("equity_24h_ago", first(col("equity")).over(w24))
           .withColumn("pnl_24h", col("equity") - col("equity_24h_ago"))
           .withColumn("s1",
-            sum((col("value") * col("t")).cast(DEC)).over(w24).cast("double"))
+            sum((col("value") * col("t")).cast(DEC)).over(w24).cast("string").cast("double"))
           .withColumn("s0",
-            sum(col("value").cast(DEC)).over(w24).cast("double"))
+            sum(col("value").cast(DEC)).over(w24).cast("string").cast("double"))
           .withColumn("weighted_flows",
             (col("s1") + (lit(86400.0) - col("t")) * col("s0")) / 86400.0)
           .withColumn("dietz_denom",
@@ -444,19 +448,19 @@ object ExtendedQueries {
       Some("""
         WITH base AS (
           SELECT event_id, user_id, value,
-            CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t, ts
+            CAST(FLOOR(EPOCH(ts)) AS BIGINT) - 1704067200 AS t, ts
           FROM events),
         eq AS (
-          SELECT *, CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (
+          SELECT *, CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (
               PARTITION BY user_id ORDER BY t, event_id
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
               AS equity
           FROM base),
         win AS (
           SELECT event_id, user_id, t, equity,
             FIRST_VALUE(equity) OVER w AS equity_24h_ago,
-            CAST(SUM(CAST(value * t AS DECIMAL(28,6))) OVER w AS DOUBLE) AS s1,
-            CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS s0
+            CAST(CAST(SUM(CAST(value * t AS DECIMAL(28,6))) OVER w AS VARCHAR) AS DOUBLE) AS s1,
+            CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS VARCHAR) AS DOUBLE) AS s0
           FROM eq
           WINDOW w AS (PARTITION BY user_id ORDER BY t
             RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW))

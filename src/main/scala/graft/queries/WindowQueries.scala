@@ -65,14 +65,14 @@ object WindowQueries {
           .rangeBetween(-86400L, 0L)
         t(s, d, "events")
           .select(col("event_id"),
-            sum(col("value").cast(DEC)).over(w).cast("double").as("rolling_24h"))
+            sum(col("value").cast(DEC)).over(w).cast("string").cast("double").as("rolling_24h"))
           .orderBy("event_id")
       },
       Some("""
         SELECT event_id,
-          CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (PARTITION BY user_id
+          CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (PARTITION BY user_id
             ORDER BY CAST(FLOOR(EPOCH(ts)) AS BIGINT)
-            RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_24h
+            RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS rolling_24h
         FROM events ORDER BY event_id""")),
 
     // W6 cumulative sum (transactions:1000–1004 deposit cumsum).
@@ -83,14 +83,14 @@ object WindowQueries {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         t(s, d, "events")
           .select(col("event_id"),
-            sum(col("value").cast(DEC)).over(w).cast("double").as("cum_value"))
+            sum(col("value").cast(DEC)).over(w).cast("string").cast("double").as("cum_value"))
           .orderBy("event_id")
       },
       Some("""
         SELECT event_id,
-          CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (PARTITION BY user_id
+          CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (PARTITION BY user_id
             ORDER BY ts, event_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_value
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS cum_value
         FROM events ORDER BY event_id""")),
 
     // W10 share-of-total: row value / partition total (rewards:105–107).
@@ -99,14 +99,14 @@ object WindowQueries {
         val w = Window.partitionBy("event_type")
         t(s, d, "events")
           .select(col("event_id"),
-            (col("value") / sum(col("value").cast(DEC)).over(w).cast("double"))
+            (col("value") / sum(col("value").cast(DEC)).over(w).cast("string").cast("double"))
               .as("share"))
           .orderBy("event_id")
       },
       Some("""
         SELECT event_id,
-          value / CAST(SUM(CAST(value AS DECIMAL(28,6)))
-            OVER (PARTITION BY event_type) AS DOUBLE) AS share
+          value / CAST(CAST(SUM(CAST(value AS DECIMAL(28,6)))
+            OVER (PARTITION BY event_type) AS VARCHAR) AS DOUBLE) AS share
         FROM events ORDER BY event_id""")),
 
     // W8 first() over a window = lagged/anchor value (transactions:1561–1576).
