@@ -25,7 +25,8 @@ final case class TableDef(
     deps: Seq[String],
     transform: Seq[DataFrame] => DataFrame,
     mode: Mode = Mode.Full,
-    materialize: Boolean = false)
+    materialize: Boolean = false,
+    partitionCols: Seq[String] = Nil)
 
 /** DAG registry + resolver, standing in for the DLT runtime
   * (`dlt.read`/`dlt.read_stream` edges, zetadex-transactions-helius

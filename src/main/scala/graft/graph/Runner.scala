@@ -18,12 +18,16 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object Runner {
 
-  /** Materialize every table batch-style under `outDir`, in topo order.
-    * Returns the materialized paths. */
+  /** Materialize every table batch-style under `outDir`, in topo order,
+    * honoring each table's partition columns (the reference's
+    * `partition_cols=["date_"]` convention, transactions:996). Returns
+    * the materialized paths. */
   def runBatch(reg: Registry, outDir: String): Map[String, String] =
     reg.topoOrder.map { name =>
       val path = s"$outDir/$name"
-      reg.resolve(name).write.mode("overwrite").parquet(path)
+      val parts = reg.describe(name).map(_.partitionCols).getOrElse(Nil)
+      val w = reg.resolve(name).write.mode("overwrite")
+      (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(path)
       name -> path
     }.toMap
 
