@@ -37,6 +37,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(back.columns.toSet.contains("eventCount24h"))
   }
 
+  test("JsonSource discovers hive-partitioned landing-zone columns") {
+    val dir = Files.createTempDirectory("jsonhive").toString
+    val part = java.nio.file.Path.of(s"$dir/year=2024/month=01/day=05/hour=09")
+    Files.createDirectories(part)
+    Files.writeString(part.resolve("batch1.json"),
+      """{"id":1,"v":1.5}
+        |{"id":2,"v":2.5}""".stripMargin)
+    val df = JsonSource.batch(spark, dir, "id bigint, v double")
+    // partition columns come from the directory layout (transactions:77)
+    assert(df.columns.toSet === Set("id", "v", "year", "month", "day", "hour"))
+    val r = df.orderBy("id").collect()
+    assert(r.map(_.getAs[Int]("hour")).toSeq === Seq(9, 9))
+  }
+
   test("JsonSource round-trips a fixed-schema landing zone, batch and stream") {
     val dir = Files.createTempDirectory("jsonsrc").toString
     Files.writeString(java.nio.file.Path.of(s"$dir/part1.json"),
