@@ -127,6 +127,106 @@ object TransactionsPipeline {
             col("date_"))
     }, mode = Mode.Incremental))
 
+    // withdrawals (transactions:404–442): deposit's mirror
+    reg.register(TableDef("cleaned_ix_withdraw", Seq("exploded_ix"), {
+      case Seq(ix) =>
+        ix.filter(col("instruction.name") === "withdraw")
+          .select(
+            col("signature"), col("instruction_index"), col("block_time"),
+            col("instruction.accounts.named.authority").as("authority"),
+            Relational.fixedPoint(col("instruction.args.amount"), PriceFactor)
+              .as("amount"),
+            col("date_"))
+    }, mode = Mode.Incremental))
+
+    // order completions (transactions:505–555): cancel/expire/fill events
+    reg.register(TableDef("cleaned_ix_order_complete", Seq("exploded_ix"), {
+      case Seq(ix) =>
+        ix.filter(col("instruction.name").rlike(
+            "^(crank_event_queue|cancel_order.*|place_(perp_)?order(_v[0-9]+)?)$"))
+          .select(col("signature"), col("instruction_index"),
+            col("block_time"), col("date_"),
+            explode(expr(
+              "filter(instruction.events, x -> x.name = 'order_complete_event')"))
+              .as("ev"))
+          .select(col("signature"), col("instruction_index"), col("block_time"),
+            col("ev.event.user").as("authority"),
+            col("ev.event.asset").as("asset"),
+            col("ev.event.order_complete_type").as("order_complete_type"),
+            Relational.fixedPoint(col("ev.event.unfilled_size"), SizeFactor)
+              .as("unfilled_size"),
+            col("date_"))
+    }, mode = Mode.Incremental))
+
+    // liquidations (transactions:559–624)
+    reg.register(TableDef("cleaned_ix_liquidate", Seq("exploded_ix"), {
+      case Seq(ix) =>
+        ix.filter(col("instruction.name").startsWith("liquidate"))
+          .select(col("signature"), col("instruction_index"),
+            col("block_time"), col("date_"),
+            explode(expr(
+              "filter(instruction.events, x -> x.name = 'liquidation_event')"))
+              .as("ev"))
+          .select(col("signature"), col("instruction_index"), col("block_time"),
+            col("ev.event.liquidator").as("liquidator"),
+            col("ev.event.liquidatee").as("liquidatee"),
+            col("ev.event.asset").as("asset"),
+            Relational.fixedPoint(col("ev.event.size"), SizeFactor).as("size"),
+            Relational.fixedPoint(col("ev.event.reward"), PriceFactor)
+              .as("liquidator_reward"),
+            col("date_"))
+    }, mode = Mode.Incremental))
+
+    // funding applications (transactions:723–758)
+    reg.register(TableDef("cleaned_ix_funding", Seq("exploded_ix"), {
+      case Seq(ix) =>
+        ix.filter(col("instruction.name") === "apply_funding")
+          .select(col("signature"), col("instruction_index"),
+            col("block_time"), col("date_"),
+            explode(expr(
+              "filter(instruction.events, x -> x.name = 'apply_funding_event')"))
+              .as("ev"))
+          .select(col("signature"), col("instruction_index"), col("block_time"),
+            col("ev.event.user").as("authority"),
+            col("ev.event.asset").as("asset"),
+            Relational.fixedPoint(col("ev.event.balance_change"), PriceFactor)
+              .as("balance_change"),
+            col("date_"))
+    }, mode = Mode.Incremental))
+
+    // per-user hourly deposit/withdraw aggregates (transactions:858–910)
+    reg.register(TableDef("agg_ix_deposit_user_1h", Seq("cleaned_ix_deposit"), {
+      case Seq(dep) =>
+        dep.groupBy(date_trunc("hour", col("block_time")).as("timestamp"),
+            col("authority"))
+          .agg(count(lit(1)).as("deposit_count"),
+            sum(col("amount").cast(graft.queries.QH.DEC))
+              .cast("string").cast("double").as("deposit_amount"))
+    }, mode = Mode.Incremental))
+
+    // 30d-volume fee tiers, latest per user (transactions:1882–1947)
+    reg.register(TableDef("fee_tiers", Seq("cleaned_ix_trade"), {
+      case Seq(tr) =>
+        val w30 = Relational.trailingWindow(Seq("authority"),
+          col("block_time"), 30L * 86400L)
+        val tiers = tr.filter(col("is_taker"))
+          .withColumn("volume_30d",
+            sum(col("volume").cast(graft.queries.QH.DEC)).over(w30)
+              .cast("string").cast("double"))
+          .withColumn("fee_tier",
+            when(col("volume_30d") >= 50000000.0, 7)
+              .when(col("volume_30d") >= 10000000.0, 6)
+              .when(col("volume_30d") >= 5000000.0, 5)
+              .when(col("volume_30d") >= 2500000.0, 4)
+              .when(col("volume_30d") >= 1000000.0, 3)
+              .when(col("volume_30d") >= 500000.0, 2)
+              .when(col("volume_30d") >= 100000.0, 1)
+              .otherwise(0))
+        Relational.applyChanges(Seq("authority"), col("block_time"),
+          Seq(col("signature"), col("instruction_index")))(tiers)
+          .select("authority", "block_time", "volume_30d", "fee_tier")
+    }, mode = Mode.Full))
+
     // hourly gold (transactions:777–793)
     reg.register(TableDef("agg_ix_trade_asset_1h", Seq("cleaned_ix_trade"), {
       case Seq(tr) =>

@@ -55,7 +55,22 @@ class TransactionsPipelineSpec extends AnyFunSuite {
       true, 102L, ts("2024-01-05 10:15:00"), 5000),
     Tx("sig4", Seq(
       TxIx("deposit", Map("amount" -> "999"), acc, "zeta", Seq.empty)),
-      false, 103L, ts("2024-01-05 11:00:00"), 5000))
+      false, 103L, ts("2024-01-05 11:00:00"), 5000),
+    Tx("sig5", Seq(
+      TxIx("withdraw", Map("amount" -> "2500000"), acc, "zeta", Seq.empty),
+      TxIx("liquidate", Map.empty, acc, "zeta", Seq(
+        TxEvent("liquidation_event", Map(
+          "liquidator" -> "liq1", "liquidatee" -> "authA",
+          "asset" -> "SOL", "size" -> "4000", "reward" -> "500000")))),
+      TxIx("apply_funding", Map.empty, acc, "zeta", Seq(
+        TxEvent("apply_funding_event", Map(
+          "user" -> "authA", "asset" -> "SOL",
+          "balance_change" -> "-250000")))),
+      TxIx("cancel_order", Map.empty, acc, "zeta", Seq(
+        TxEvent("order_complete_event", Map(
+          "user" -> "authA", "asset" -> "ETH",
+          "order_complete_type" -> "cancel", "unfilled_size" -> "1000"))))),
+      true, 104L, ts("2024-01-05 11:30:00"), 5000))
 
   private def registry = {
     val sp = spark
@@ -93,6 +108,28 @@ class TransactionsPipelineSpec extends AnyFunSuite {
     assert(taker.head.getAs[Double]("volume") === 2.1 * 3.0)
     val makers = rows.filter(!_.getAs[Boolean]("is_taker"))
     assert(makers.map(_.getAs[String]("authority")).toSet === Set("mm1", "mm2"))
+  }
+
+  test("remaining silver tables decode their event families") {
+    val reg = registry
+    val wd = reg.resolve("cleaned_ix_withdraw").collect()
+    assert(wd.length === 1 && wd.head.getAs[Double]("amount") === 2.5)
+    val liq = reg.resolve("cleaned_ix_liquidate").collect()
+    assert(liq.length === 1)
+    assert(liq.head.getAs[String]("liquidator") === "liq1")
+    assert(liq.head.getAs[Double]("size") === 4.0)
+    assert(liq.head.getAs[Double]("liquidator_reward") === 0.5)
+    val f = reg.resolve("cleaned_ix_funding").collect()
+    assert(f.length === 1 && f.head.getAs[Double]("balance_change") === -0.25)
+    val oc = reg.resolve("cleaned_ix_order_complete").collect()
+    assert(oc.length === 1)
+    assert(oc.head.getAs[String]("order_complete_type") === "cancel")
+    assert(oc.head.getAs[Double]("unfilled_size") === 1.0)
+    val dep1h = reg.resolve("agg_ix_deposit_user_1h").collect()
+    assert(dep1h.length === 1 && dep1h.head.getAs[Double]("deposit_amount") === 1.5)
+    val tiers = reg.resolve("fee_tiers").collect()
+    // single taker (authA) with 6.3 USD 30d volume -> tier 0
+    assert(tiers.length === 1 && tiers.head.getAs[Int]("fee_tier") === 0)
   }
 
   test("agg_ix_trade_asset_1h aggregates volume per (hour, asset)") {
