@@ -42,6 +42,31 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** Per-partition batched payload "resize": re-encode each binary
+    * payload to a target size (a real pipeline would decode → rescale →
+    * re-encode an image here; the container has no codecs, so the
+    * transcode is STUBBED as deterministic byte sampling/padding —
+    * schema and batching are the real contract). Output schema:
+    * (id long, payload binary, n_bytes int). */
+  def resizePayloads(df: DataFrame, idCol: String, binCol: String,
+                     targetBytes: Int): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false),
+      StructField("n_bytes", IntegerType, nullable = false)))
+    val input = df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+    input.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val out = Array.tabulate(targetBytes) { i =>
+          if (bytes.isEmpty) 0.toByte
+          else bytes((i.toLong * bytes.length / targetBytes).toInt)
+        }
+        Row(r.getLong(0), out, out.length)
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Deterministic stand-in for a real decoder: hash-derived features in
     * [-1, 1). Stable across partitionings and retries. */
   def stubDecoder(dim: Int): Array[Byte] => Array[Float] = { bytes =>
