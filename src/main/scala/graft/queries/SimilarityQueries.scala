@@ -111,6 +111,34 @@ object SimilarityQueries {
         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                 ORDER BY sim DESC, neighbor_id) AS rk FROM pairs)
         WHERE rk <= 5
-        ORDER BY query_id, rk"""))
+        ORDER BY query_id, rk""")),
+
+    // Embedding-cosine near-duplicate pairs (the fifth dedup modality):
+    // exact all-pairs scan with the native cosine expression. This corpus
+    // has no engineered near-dups (max cosine ≈ 0.5), so the threshold is
+    // 0.4; at 100 TB the all-pairs scan is replaced by the q31 hyperplane
+    // buckets (join on bucket, then exact-verify, same as MinHash→Jaccard).
+    Q("q67_embedding_neardup",
+      (s, d) => {
+        val all = vecs(s, d)
+        val a = all.select(col("vec_id").as("vec_a"), col("v").as("qv"))
+        val b = all.select(col("vec_id").as("vec_b"), col("v"))
+        a.crossJoin(b)
+          .filter(col("vec_a") < col("vec_b"))
+          .withColumn("sim", round(expr("graft_cosine(qv, v)"), 6))
+          .filter(col("sim") >= 0.4)
+          .select("vec_a", "vec_b", "sim")
+          .orderBy("vec_a", "vec_b")
+      },
+      Some("""
+        WITH n AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+            SQRT(LIST_SUM(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]), x -> x*x))) AS nrm
+          FROM embeddings)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+          ROUND(LIST_DOT_PRODUCT(a.v, b.v) / (a.nrm * b.nrm), 6) AS sim
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE ROUND(LIST_DOT_PRODUCT(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4
+        ORDER BY vec_a, vec_b"""))
   )
 }
