@@ -245,13 +245,18 @@ object ExtendedQueries {
         FROM ranked ORDER BY h, event_type""")),
 
     // W13 global (empty-partition) window — top-100 overall
-    // (zetadex-serving-v2.py:433).
+    // (zetadex-serving-v2.py:433). NOT implemented as a global
+    // row_number window (which sorts the whole table into one
+    // partition): orderBy+limit plans as TakeOrderedAndProject —
+    // per-partition partial top-k, then a 100-row merge — and the rank
+    // is stamped on the tiny result.
     Q("q52_global_topk",
       (s, d) =>
         t(s, d, "events")
+          .orderBy(col("value").desc, col("event_id"))
+          .limit(100)
           .withColumn("rn", row_number().over(
             Window.orderBy(col("value").desc, col("event_id"))))
-          .filter(col("rn") <= 100)
           .select("rn", "event_id", "value")
           .orderBy("rn"),
       Some("""

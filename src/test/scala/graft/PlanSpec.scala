@@ -37,6 +37,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("RunningWindowFunction") || p.contains("Window"))
   }
 
+  test("q52: global top-k is TakeOrderedAndProject, not a global sort") {
+    val p = plan("q52_global_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      "global top-k must use distributed partial top-k")
+  }
+
   test("column pruning: q03 scans only the needed lineitem columns") {
     val p = plan("q03_top_revenue_orders")
     val scan = p.linesIterator
