@@ -94,6 +94,11 @@ object WindowQueries {
         FROM events ORDER BY event_id""")),
 
     // W10 share-of-total: row value / partition total (rewards:105–107).
+    // Note for low-cardinality partitions at 100 TB (here: 5 event
+    // types): the same result comes from groupBy totals + broadcast
+    // join, avoiding 5 giant window partitions — RewardsPipeline keys
+    // its cohort windows on (epoch, asset, side) where cardinality is
+    // high enough for the window form.
     Q("q16_share_of_total",
       (s, d) => {
         val w = Window.partitionBy("event_type")
