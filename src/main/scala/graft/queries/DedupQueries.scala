@@ -149,34 +149,37 @@ object DedupQueries {
       },
       Some(jaccardOracle)),
 
-    // SimHash signatures + near-pairs by Hamming distance ≤ 6 of 64 bits.
-    // Candidate generation by pigeonhole banding: split the signature
-    // into 8 byte-chunks — any pair within Hamming 6 (< 8) must agree on
-    // at least one chunk, so the chunk equi-join finds every such pair
-    // without the O(n²) cross join. xxhash64 word hashes have no DuckDB
-    // equivalent → rows-only check.
+    // SimHash signatures + near-pairs by Hamming distance ≤ 6 of 60 bits
+    // (word hashes = first 15 hex digits of md5, so the DuckDB oracle
+    // reproduces them exactly). Candidate generation by pigeonhole
+    // banding: split the signature into 10 six-bit chunks — any pair
+    // within Hamming 6 (< 10) must agree on at least one chunk, so the
+    // chunk equi-join finds every such pair without the O(n²) cross
+    // join (the oracle, running at small scale, does the quadratic form).
     Q("q29_simhash",
       (s, d) => {
         // bit j of simhash = majority vote of word-hash bit j, computed
-        // as 64 codegen'd conditional-sum aggregates over the exploded
+        // as 60 codegen'd conditional-sum aggregates over the exploded
         // word hashes (HOF lambdas are interpreted → ~10× slower)
         val exw = t(s, d, "documents")
           .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-          .select(col("doc_id"), xxhash64(col("w")).as("h"))
-        val bitCols = (0 until 64).map(j =>
+          .select(col("doc_id"),
+            expr("cast(conv(substring(md5(w), 1, 15), 16, 10) AS bigint)")
+              .as("h"))
+        val bitCols = (0 until 60).map(j =>
           sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1, 1)
             .otherwise(-1)).as(s"b$j"))
         val sig = exw.groupBy("doc_id")
           .agg(bitCols.head, bitCols.tail: _*)
           .select(col("doc_id"),
-            (0 until 64).map(j =>
+            (0 until 60).map(j =>
               when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
               .reduce(_ + _).as("simhash"))
           .cache()
         val chunks = sig.select(col("doc_id"), col("simhash"),
           explode(expr(
-            "transform(sequence(0, 7), c -> struct(c AS c, " +
-              "shiftright(simhash, 8 * c) & 255 AS v))")).as("ch"))
+            "transform(sequence(0, 9), c -> struct(c AS c, " +
+              "shiftright(simhash, 6 * c) & 63 AS v))")).as("ch"))
           .select(col("doc_id"), col("simhash"), col("ch.c"), col("ch.v"))
         val cand = chunks.as("x").join(chunks.as("y"), Seq("c", "v"))
           .filter(col("x.doc_id") < col("y.doc_id"))
@@ -189,6 +192,29 @@ object DedupQueries {
           .select("doc_a", "doc_b", "hamming")
           .orderBy("doc_a", "doc_b")
       },
-      None)
+      Some("""
+        WITH w AS (
+          SELECT doc_id, UNNEST(SPLIT(text, ' ')) AS word FROM documents),
+        h AS (
+          SELECT doc_id, LIST_REDUCE(
+            LIST_TRANSFORM(SPLIT(SUBSTRING(MD5(word), 1, 15), ''),
+              c -> CAST(POSITION(c IN '0123456789abcdef') - 1 AS BIGINT)),
+            (a, x) -> a * 16 + x) AS hw
+          FROM w),
+        bits AS (
+          SELECT doc_id, j,
+            SUM(CASE WHEN (hw >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+          FROM h CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 59)) AS j)
+          GROUP BY doc_id, j),
+        sig AS (
+          SELECT doc_id,
+            CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)
+              AS BIGINT) AS simhash
+          FROM bits GROUP BY doc_id)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(BIT_COUNT(XOR(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE BIT_COUNT(XOR(a.simhash, b.simhash)) <= 6
+        ORDER BY doc_a, doc_b"""))
   )
 }
