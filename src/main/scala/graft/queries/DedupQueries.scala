@@ -176,10 +176,13 @@ object DedupQueries {
               when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
               .reduce(_ + _).as("simhash"))
           .cache()
+        // 7 pigeonhole groups (4×9 + 3×8 bits): 6 differing bits cannot
+        // touch all 7, and 512/256-way buckets keep candidate sets small
         val chunks = sig.select(col("doc_id"), col("simhash"),
           explode(expr(
-            "transform(sequence(0, 9), c -> struct(c AS c, " +
-              "shiftright(simhash, 6 * c) & 63 AS v))")).as("ch"))
+            "transform(sequence(0, 6), c -> struct(c AS c, " +
+              "shiftright(simhash, element_at(array(0,9,18,27,36,44,52), c+1)) " +
+              "& IF(c < 4, 511, 255) AS v))")).as("ch"))
           .select(col("doc_id"), col("simhash"), col("ch.c"), col("ch.v"))
         val cand = chunks.as("x").join(chunks.as("y"), Seq("c", "v"))
           .filter(col("x.doc_id") < col("y.doc_id"))
