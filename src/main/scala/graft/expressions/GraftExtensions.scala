@@ -23,6 +23,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("graft_lsh_bucket"),
+      new ExpressionInfo(classOf[LcgLshBucket].getName, "graft_lsh_bucket"),
+      (children: Seq[Expression]) => children match {
+        case Seq(v) => LcgLshBucket(v)
+        case Seq(v, Literal(p: Int, _), Literal(d: Int, _)) =>
+          LcgLshBucket(v, p, d)
+        case _ => throw new IllegalArgumentException(
+          "graft_lsh_bucket(vec[, planes, dim]) — int literals")
+      }))
+
+    ext.injectFunction((
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
       (children: Seq[Expression]) => children match {

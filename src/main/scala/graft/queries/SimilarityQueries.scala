@@ -26,16 +26,11 @@ object SimilarityQueries {
     * lambda evaluation. */
   private val dotExpr = "graft_cosine(qv, v)"
 
-  /** 8 deterministic LCG hyperplanes → 256 buckets. Same integer
+  /** 8 deterministic LCG hyperplanes → 256 buckets, via the native
+    * codegen'd [[graft.expressions.LcgLshBucket]] (the interpreted HOF
+    * formulation re-derived the planes per row). Same integer
     * arithmetic is reproducible in the DuckDB oracle. */
-  private val bucketExpr = """
-    aggregate(sequence(0, 7), 0, (acc, p) -> acc + IF(
-      aggregate(zip_with(
-        transform(sequence(0, 63),
-          i -> ((1103515245L * (p*64 + i) + 12345L) % 2147483648L)
-               / 2147483648.0 - 0.5),
-        v, (x, y) -> x * y), 0D, (a, x) -> a + x) > 0,
-      shiftleft(1, p), 0))"""
+  private val bucketExpr = "graft_lsh_bucket(v)"
 
   val qs: Seq[Q] = Seq(
     // Brute-force cosine top-5 for query vectors vec_id < 10.

@@ -48,6 +48,26 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(native === perCol)
   }
 
+  test("graft_lsh_bucket equals the HOF hyperplane formulation") {
+    val df = TestSpark.spark.read
+      .parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    val rows = df.select(
+      expr("graft_lsh_bucket(v)").as("native"),
+      expr("""
+        aggregate(sequence(0, 7), 0, (acc, p) -> acc + IF(
+          aggregate(zip_with(
+            transform(sequence(0, 63),
+              i -> ((1103515245L * (p*64 + i) + 12345L) % 2147483648L)
+                   / 2147483648.0 - 0.5),
+            v, (x, y) -> x * y), 0D, (a, x) -> a + x) > 0,
+          shiftleft(1, p), 0))""").as("hof"))
+      .collect()
+    assert(rows.length === 500)
+    rows.foreach(r => assert(r.getInt(0) === r.getInt(1)))
+  }
+
   test("rangeJoinBinned equals the naive theta join") {
     val sp = spark
     import sp.implicits._
