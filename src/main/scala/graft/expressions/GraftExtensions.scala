@@ -23,6 +23,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHashSignature].getName, "graft_simhash"),
+      (children: Seq[Expression]) => children match {
+        case Seq(h) => SimHashSignature(h)
+        case Seq(h, Literal(b: Int, _)) => SimHashSignature(h, b)
+        case _ => throw new IllegalArgumentException(
+          "graft_simhash(hash[, bits]) — bits must be an int literal")
+      }))
+
+    ext.injectFunction((
       FunctionIdentifier("graft_lsh_bucket"),
       new ExpressionInfo(classOf[LcgLshBucket].getName, "graft_lsh_bucket"),
       (children: Seq[Expression]) => children match {

@@ -158,23 +158,18 @@ object DedupQueries {
     // join (the oracle, running at small scale, does the quadratic form).
     Q("q29_simhash",
       (s, d) => {
-        // bit j of simhash = majority vote of word-hash bit j, computed
-        // as 60 codegen'd conditional-sum aggregates over the exploded
-        // word hashes (HOF lambdas are interpreted → ~10× slower)
+        // bit j of simhash = majority vote of word-hash bit j, folded by
+        // the native SimHashSignature aggregate (one primitive vote
+        // buffer with map-side combine; a 60-column conditional-sum
+        // aggregate generates code past JIT limits, and HOF lambdas are
+        // interpreted)
         val exw = t(s, d, "documents")
           .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
           .select(col("doc_id"),
             expr("cast(conv(substring(md5(w), 1, 15), 16, 10) AS bigint)")
               .as("h"))
-        val bitCols = (0 until 60).map(j =>
-          sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1, 1)
-            .otherwise(-1)).as(s"b$j"))
         val sig = exw.groupBy("doc_id")
-          .agg(bitCols.head, bitCols.tail: _*)
-          .select(col("doc_id"),
-            (0 until 60).map(j =>
-              when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
-              .reduce(_ + _).as("simhash"))
+          .agg(expr("graft_simhash(h, 60)").as("simhash"))
           .cache()
         // 7 pigeonhole groups (4×9 + 3×8 bits): 6 differing bits cannot
         // touch all 7, and 512/256-way buckets keep candidate sets small
