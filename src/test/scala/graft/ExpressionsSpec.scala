@@ -68,6 +68,22 @@ class ExpressionsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getInt(0) === r.getInt(1)))
   }
 
+  test("aggregate buffers survive serde round-trips") {
+    val mh = graft.expressions.MinHashSignature(
+      org.apache.spark.sql.catalyst.expressions.Literal(1L), numPerms = 16)
+    val buf = mh.createAggregationBuffer()
+    buf(3) = 42L; buf(7) = -9L
+    assert(mh.deserialize(mh.serialize(buf)).toSeq === buf.toSeq)
+    val sh = graft.expressions.SimHashSignature(
+      org.apache.spark.sql.catalyst.expressions.Literal(1L), bits = 12)
+    val vb = sh.createAggregationBuffer()
+    vb(0) = 5; vb(11) = -3
+    assert(sh.deserialize(sh.serialize(vb)).toSeq === vb.toSeq)
+    // empty-group eval: minhash -> null, simhash -> all-zero votes -> 0L
+    assert(mh.eval(mh.createAggregationBuffer()) === null)
+    assert(sh.eval(sh.createAggregationBuffer()) === 0L)
+  }
+
   test("rangeJoinBinned equals the naive theta join") {
     val sp = spark
     import sp.implicits._

@@ -60,6 +60,33 @@ object WindowProperties extends Properties("graft.ops") {
       got == expect
     }
 
+  property("rangeJoinBinned equals the naive theta join on random intervals") =
+    Prop.forAll(Gen.listOfN(25, for {
+      k <- Gen.oneOf("a", "b")
+      s <- Gen.choose(0L, 2000L)
+      len <- Gen.choose(1L, 900L)
+    } yield (k, s, s + len)), Gen.oneOf(60L, 300L, 1000L)) { (ivs, bin) =>
+      val sp = spark
+      import sp.implicits._
+      val l = ivs.toDF("k", "ls", "le")
+        .select($"k", timestamp_seconds($"ls").as("l_s"),
+          timestamp_seconds($"le").as("l_e"))
+      val r = ivs.reverse.toDF("k", "rs", "re")
+        .select($"k", timestamp_seconds($"rs").as("r_s"),
+          timestamp_seconds($"re").as("r_e"))
+      val binned = Relational.rangeJoinBinned(l, r,
+          col("l_s"), col("l_e"), col("r_s"), col("r_e"), Seq("k"), bin)
+        .select("k", "l_s", "r_s").collect()
+        .map(x => (x.getString(0), x.getTimestamp(1), x.getTimestamp(2)))
+        .sortBy(_.toString)
+      val naive = l.join(r, Seq("k"))
+        .filter(col("l_s") < col("r_e") && col("l_e") > col("r_s"))
+        .select("k", "l_s", "r_s").collect()
+        .map(x => (x.getString(0), x.getTimestamp(1), x.getTimestamp(2)))
+        .sortBy(_.toString)
+      binned.sameElements(naive)
+    }
+
   property("dedupeExact keeps the min-keep row per key under any partitioning") =
     Prop.forAll(rowsGen, Gen.choose(1, 8)) { (rows, parts) =>
       val sp = spark
