@@ -103,7 +103,8 @@ object Relational {
     def toCamel(s: String): String = {
       val parts = s.split("_").filter(_.nonEmpty)
       if (parts.isEmpty) s
-      else (parts.head +: parts.tail.map(p => p.head.toUpper + p.tail)).mkString
+      else (parts.head +: parts.tail.map(p => s"${p.head.toUpper}${p.tail}"))
+        .mkString
     }
     df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, toCamel(c)))
   }

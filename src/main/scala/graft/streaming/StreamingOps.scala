@@ -21,7 +21,7 @@ object StreamingOps {
   def applyChangesStream(keys: Seq[String], seq: Column, tieBreak: Seq[Column] = Nil)(
       df: DataFrame): DataFrame = {
     val ord = struct((seq +: tieBreak): _*)
-    val payload = struct(df.columns.map(col): _*)
+    val payload = struct(df.columns.toIndexedSeq.map(col): _*)
     df.groupBy(keys.map(col): _*)
       .agg(max_by(payload, ord).as("__row"))
       .select(col("__row.*"))
