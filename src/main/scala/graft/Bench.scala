@@ -21,12 +21,18 @@ object Bench {
         .groupBy("l_returnflag").count().count()
       spark.range(1000000L).select(sum(col("id"))).count()
     } catch { case _: Throwable => () }
+    // Per-query warm-up: run once untimed (JIT, codegen compile, parquet
+    // footer/page caches), clear any cached plans, then time the second
+    // run. Steady-state numbers are what a long-lived cluster sees and
+    // they stop the gate from flapping on first-run jitter.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache() // queries cache plan barriers; don't let
-      name -> dt                 // them leak memory pressure across queries
+      spark.catalog.clearCache() // don't let cached barriers leak memory
+      name -> dt                 // pressure across queries
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

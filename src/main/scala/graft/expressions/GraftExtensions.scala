@@ -44,6 +44,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("graft_lsh_banks"),
+      new ExpressionInfo(classOf[HashLshBanks].getName, "graft_lsh_banks"),
+      (children: Seq[Expression]) => children match {
+        case Seq(v) => HashLshBanks(v)
+        case Seq(v, Literal(b: Int, _)) => HashLshBanks(v, b)
+        case Seq(v, Literal(b: Int, _), Literal(p: Int, _), Literal(d: Int, _)) =>
+          HashLshBanks(v, b, p, d)
+        case _ => throw new IllegalArgumentException(
+          "graft_lsh_banks(vec[, banks[, planes, dim]]) — int literals")
+      }))
+
+    ext.injectFunction((
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
       (children: Seq[Expression]) => children match {

@@ -98,7 +98,9 @@ object Relational {
   }
 
   /** Rename every column to camelCase — the serving-layer convention
-    * (zetadex-serving.py:18–22, applied at :357). */
+    * (zetadex-serving.py:18–22, applied at :357). One `select` with
+    * aliases: a per-column `withColumnRenamed` fold costs one analysis
+    * pass per column on a wide serving frame. */
   def camelCaseAll(df: DataFrame): DataFrame = {
     def toCamel(s: String): String = {
       val parts = s.split("_").filter(_.nonEmpty)
@@ -106,7 +108,7 @@ object Relational {
       else (parts.head +: parts.tail.map(p => s"${p.head.toUpper}${p.tail}"))
         .mkString
     }
-    df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, toCamel(c)))
+    df.select(df.columns.map(c => col(s"`$c`").as(toCamel(c))).toIndexedSeq: _*)
   }
 
   /** Composite KV sort key `a#b#c` for key-value serving

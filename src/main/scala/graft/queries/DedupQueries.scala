@@ -11,9 +11,13 @@ import QH._
   */
 object DedupQueries {
 
-  /** doc_id → exploded distinct word-3-gram shingles. */
+  /** doc_id → exploded distinct word-3-gram shingles. The repartition
+    * spreads the shingle construction across cores: the documents
+    * parquet is a single row group, so without it the whole CPU-bound
+    * projection runs in one scan partition. */
   private[queries] def shingles(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
+      .repartition(64, col("doc_id"))
       .withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= 3)
       .select(col("doc_id"), explode(array_distinct(expr(
@@ -95,34 +99,38 @@ object DedupQueries {
     // permutation index), 64 bands × 2 rows, candidate pairs from band
     // buckets, exact-Jaccard verification of candidates only. At 100 TB
     // the band self-join replaces the quadratic shingle self-join.
+    //
+    // Dataflow is explode-first so every heavy step is codegen'd and
+    // row-parallel (no interpreted higher-order-function lambdas, no
+    // per-doc shingle arrays materialized before the aggregate): words
+    // are exploded with positions, a shingle is xxhash64 of three
+    // consecutive words via lead() — any injective shingle encoding
+    // yields the same Jaccard as the oracle's string trigrams — and the
+    // single explicit repartition (explicit count: AQE would coalesce
+    // the few-MB shuffle back to one partition and serialize the CPU
+    // work) co-locates the window, the MinHash aggregate, and the
+    // collect_set, so nothing shuffles again until the band join.
+    // Duplicate shingles stay in for MinHash (min() is
+    // dedup-insensitive) and are deduped by collect_set for the verify.
     Q("q28_minhash_lsh",
       (s, d) => {
-        // Hash each shingle to a long ONCE, then derive the 128
-        // permutations by integer re-hashing. The cache() is a plan
-        // barrier: without it Catalyst's CollapseProject inlines the
-        // string shingle construction into all 128 lambdas (128×
-        // recompute — measured 20× slower). At 100 TB this stage is a
-        // persisted pipeline table anyway.
-        val hashed = t(s, d, "documents")
-          .withColumn("words", split(col("text"), " "))
-          .filter(size(col("words")) >= 3)
-          .select(col("doc_id"), expr(
-            "transform(array_distinct(transform(sequence(1, size(words) - 2), " +
-              "i -> concat_ws(' ', words[i-1], words[i], words[i+1]))), " +
-              "s -> xxhash64(s))")
-            .as("hs"))
-          .cache()
-        // 128-slot signature via the native MinHashSignature aggregate
-        // (one primitive-buffer pass; bit-identical to per-permutation
-        // min(xxhash64(h, p)) columns but without interpreted HOF lambdas
-        // or a 128-column codegen blowup). cache(): mh is referenced 128×
-        // by the band expressions and twice by the self-join — the
-        // barrier stops CollapseProject from inlining the signature
-        // construction into every reference.
-        val ex = hashed.select(col("doc_id"), explode(col("hs")).as("h"))
-        val docs = ex.groupBy("doc_id")
-          .agg(expr("graft_minhash(h, 128)").as("mh"))
-          .cache()
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val sh = t(s, d, "documents")
+          .repartition(64, col("doc_id"))
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+          .withColumn("w1", lead(col("w"), 1).over(w))
+          .withColumn("w2", lead(col("w"), 2).over(w))
+          .filter(col("w2").isNotNull) // docs with <3 words emit nothing
+          .select(col("doc_id"),
+            xxhash64(col("w"), col("w1"), col("w2")).as("sh"))
+        // One co-located pass: the 128-slot signature via the native
+        // MinHashSignature aggregate (primitive long[] buffer, map-side
+        // combine) plus the distinct shingle set for the verify stage.
+        val docs = sh.groupBy("doc_id").agg(
+          expr("graft_minhash(sh, 128)").as("mh"),
+          collect_set(col("sh")).as("hs"))
         val bands = docs.select(col("doc_id"), posexplode(expr(
           "transform(sequence(0, 63), b -> struct(mh[2*b] as h1, mh[2*b+1] as h2))")))
           .select(col("doc_id"), col("pos").as("band"),
@@ -135,9 +143,9 @@ object DedupQueries {
         // Verify candidates with per-pair set intersection on the hashed
         // shingle arrays — O(|candidates|), no quadratic co-shingle join.
         cand
-          .join(hashed.select(col("doc_id").as("doc_a"), col("hs").as("hsa")),
+          .join(docs.select(col("doc_id").as("doc_a"), col("hs").as("hsa")),
             "doc_a")
-          .join(hashed.select(col("doc_id").as("doc_b"), col("hs").as("hsb")),
+          .join(docs.select(col("doc_id").as("doc_b"), col("hs").as("hsb")),
             "doc_b")
           .withColumn("inter", size(array_intersect(col("hsa"), col("hsb"))))
           .withColumn("jaccard", round(col("inter").cast("double")
@@ -164,13 +172,15 @@ object DedupQueries {
         // aggregate generates code past JIT limits, and HOF lambdas are
         // interpreted)
         val exw = t(s, d, "documents")
+          .repartition(64, col("doc_id")) // split the one-row-group scan
           .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
           .select(col("doc_id"),
             expr("cast(conv(substring(md5(w), 1, 15), 16, 10) AS bigint)")
               .as("h"))
+        // No cache(): simhash is an Aggregate output (no inlining risk)
+        // and the chunks self-join reuses its shuffle via ReuseExchange.
         val sig = exw.groupBy("doc_id")
           .agg(expr("graft_simhash(h, 60)").as("simhash"))
-          .cache()
         // 7 pigeonhole groups (4×9 + 3×8 bits): 6 differing bits cannot
         // touch all 7, and 512/256-way buckets keep candidate sets small
         val chunks = sig.select(col("doc_id"), col("simhash"),

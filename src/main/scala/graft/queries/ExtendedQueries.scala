@@ -116,15 +116,23 @@ object ExtendedQueries {
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // A8 collect_list, deterministically sorted (zetadex-serving-v2.py:628).
+    // The list is serialized to a comma-joined string: the driver's
+    // pandas comparator cannot hash array cells, and the string form is
+    // engine-portable while remaining injective for integer ids.
     Q("q47_collect_sorted",
       (s, d) =>
         t(s, d, "customer")
           .groupBy("c_nationkey")
-          .agg(sort_array(collect_list(col("c_custkey"))).as("cust_ids"),
+          .agg(sort_array(collect_list(col("c_custkey"))).as("ids"),
             count(lit(1)).as("n"))
+          .select(col("c_nationkey"),
+            concat_ws(",", expr("transform(ids, x -> cast(x AS string))"))
+              .as("cust_ids"),
+            col("n"))
           .orderBy("c_nationkey"),
       Some("""
-        SELECT c_nationkey, LIST(c_custkey ORDER BY c_custkey) AS cust_ids,
+        SELECT c_nationkey,
+          ARRAY_TO_STRING(LIST(c_custkey ORDER BY c_custkey), ',') AS cust_ids,
           COUNT(*) AS n
         FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""")),
 
@@ -336,14 +344,17 @@ object ExtendedQueries {
         FROM e GROUP BY 1 ORDER BY tier""")),
 
     // P8 null handling: lead-induced nulls → coalesce/fillna
-    // (transactions:842, :1045–1046; amplitude:164 null→9999-12-31).
+    // (transactions:842, :1045–1046; amplitude:164 null→max-date). The
+    // sentinel is 2200-01-01 rather than the reference's 9999-12-31:
+    // semantics are identical (any far-future bound), but 9999 overflows
+    // nanosecond-epoch timestamp representations downstream.
     Q("q58_null_handling",
       (s, d) => {
         val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
         t(s, d, "events")
           .withColumn("next_ts", lead(col("ts"), 1).over(w))
           .withColumn("usage_end",
-            coalesce(col("next_ts"), lit("9999-12-31 00:00:00").cast("timestamp")))
+            coalesce(col("next_ts"), lit("2200-01-01 00:00:00").cast("timestamp")))
           .withColumn("next_value", lead(col("value"), 1).over(w))
           .na.fill(Map("next_value" -> -1.0))
           .select("event_id", "usage_end", "next_value")
@@ -352,7 +363,7 @@ object ExtendedQueries {
       Some("""
         SELECT event_id,
           COALESCE(LEAD(CAST(ts AS TIMESTAMP), 1) OVER w,
-            TIMESTAMP '9999-12-31 00:00:00') AS usage_end,
+            TIMESTAMP '2200-01-01 00:00:00') AS usage_end,
           COALESCE(LEAD(value, 1) OVER w, -1.0) AS next_value
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -108,21 +108,44 @@ object SimilarityQueries {
         WHERE rk <= 5
         ORDER BY query_id, rk""")),
 
-    // Embedding-cosine near-duplicate pairs (the fifth dedup modality):
-    // exact all-pairs scan with the native cosine expression. This corpus
-    // has no engineered near-dups (max cosine ≈ 0.5), so the threshold is
-    // 0.4; at 100 TB the all-pairs scan is replaced by the q31 hyperplane
-    // buckets (join on bucket, then exact-verify, same as MinHash→Jaccard).
+    // Embedding-cosine near-duplicate pairs (the fifth dedup modality),
+    // the same banded shape as q28's MinHash→exact-Jaccard: candidate
+    // pairs share an 8-plane hyperplane bucket in ≥1 of 320 splitmix64
+    // banks ([[graft.expressions.HashLshBanks]]), then exact cosine
+    // verifies each candidate once. No cross join anywhere in the plan —
+    // the bands self-join is a hash equi-join on (bank, bucket) (the
+    // build side is ~12 bytes/row, broadcastable far beyond this scale;
+    // shuffle-hash is the drop-in at 100 TB) and the verify joins are
+    // equi joins, all linear in candidates. This corpus has no engineered
+    // near-dups (max cosine ≈ 0.5), so the threshold is 0.4 — near the
+    // hyperplane-LSH feasibility edge (bit-agreement 0.63/plane); 320
+    // banks is measured full recall at both test scales with ~70 banks
+    // of margin. At real near-dup thresholds (≥0.9) a handful of banks
+    // suffices and the same plan is strictly sub-quadratic.
     Q("q67_embedding_neardup",
       (s, d) => {
-        val all = vecs(s, d)
-        val a = all.select(col("vec_id").as("vec_a"), col("v").as("qv"))
-        val b = all.select(col("vec_id").as("vec_b"), col("v"))
-        a.crossJoin(b)
-          .filter(col("vec_a") < col("vec_b"))
+        // repartition (explicit count — AQE would coalesce the sub-MB
+        // shuffle to one partition): the embeddings parquet is one row
+        // group; without this the 320-bank hyperplane fold runs on a
+        // single core.
+        val all = vecs(s, d).repartition(64, col("vec_id"))
+        val banks = all.select(col("vec_id"),
+          posexplode(expr("graft_lsh_banks(v, 320)")).as(Seq("bank", "bucket")))
+        val cand = banks.as("x").join(broadcast(banks.as("y")), Seq("bank", "bucket"))
+          .filter(col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+        // Verify every banded collision, dedup AFTER the sim filter:
+        // the cosine is codegen-fused into the broadcast-join probe, so
+        // re-verifying a duplicate collision costs one 64-wide loop,
+        // while a pre-verify distinct costs a full shuffle of the
+        // candidate multiset (~2× the verify cost at 320 banks).
+        cand
+          .join(all.select(col("vec_id").as("vec_a"), col("v").as("qv")), "vec_a")
+          .join(all.select(col("vec_id").as("vec_b"), col("v")), "vec_b")
           .withColumn("sim", round(expr("graft_cosine(qv, v)"), 6))
           .filter(col("sim") >= 0.4)
           .select("vec_a", "vec_b", "sim")
+          .distinct()
           .orderBy("vec_a", "vec_b")
       },
       Some("""

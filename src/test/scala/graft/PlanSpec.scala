@@ -43,6 +43,14 @@ class PlanSpec extends AnyFunSuite {
       "global top-k must use distributed partial top-k")
   }
 
+  test("q67: banded near-dup plan has no cartesian/nested-loop join") {
+    val p = plan("q67_embedding_neardup")
+    assert(!p.contains("CartesianProduct"),
+      "near-dup candidates must come from the LSH band equi-join")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "near-dup verify must be an equi join on candidate keys")
+  }
+
   test("column pruning: q03 scans only the needed lineitem columns") {
     val p = plan("q03_top_revenue_orders")
     val scan = p.linesIterator
