@@ -51,6 +51,21 @@ class PlanSpec extends AnyFunSuite {
       "near-dup verify must be an equi join on candidate keys")
   }
 
+  test("q68: full agg_pnl composite is bounded at 10 shuffle exchanges") {
+    // Structural minimum for the reference's dependency shape: 4 grouping
+    // aggregates (hourly base + trades/nft/campaign dims), 3 user-window
+    // families (the chain alternates user → timestamp → user → timestamp,
+    // so the user partitioning is rebuilt twice, exactly as in the
+    // reference), 2 rank (timestamp) families, 1 final range sort. The
+    // ~30 window columns themselves add NO exchanges beyond these.
+    val p = plan("q68_agg_pnl")
+    val shuffles = "Exchange (hash|range)partitioning".r.findAllIn(p).size
+    assert(shuffles <= 10,
+      s"agg_pnl must share window partitionings (one exchange per " +
+        s"user/timestamp family), got $shuffles shuffles")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("column pruning: q03 scans only the needed lineitem columns") {
     val p = plan("q03_top_revenue_orders")
     val scan = p.linesIterator
