@@ -225,4 +225,28 @@ object Relational {
       .partitionBy(keys.map(col): _*)
       .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+  /** Cumulative sum excluding the partition's FIRST row — the intent of
+    * the reference's `rowsBetween(Window.unboundedPreceding + 1, 0)`
+    * (madwars-pipeline.py:130–136, :243–247, "Need to make start
+    * exclusive since net deposits are in between snapshots").
+    *
+    * The reference's construction is actually a no-op in its own engine:
+    * ROWS-frame offsets are relative to the CURRENT row, not the
+    * partition start, and PySpark clamps any start ≤ −(2⁶³−1) — which
+    * `unboundedPreceding + 1` is — back to unboundedPreceding (Scala
+    * Spark rejects the boundary outright, since a literal rows offset
+    * must fit in an int). This combinator implements the documented
+    * intent instead: Σ rows 2..current, i.e. the cumulative sum minus
+    * the first row's value, and null on the first row itself (the SQL
+    * empty-frame sum). Same single exchange + sort as the plain
+    * cumulative window.
+    */
+  def cumulativeExclusiveOfFirst(keys: Seq[String], order: Seq[Column])(
+      value: Column): Column = {
+    val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    when(row_number().over(wOrd) === 1, lit(null))
+      .otherwise(sum(value).over(wCum) - first(value).over(wCum))
+  }
 }

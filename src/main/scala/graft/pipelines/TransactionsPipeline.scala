@@ -30,10 +30,26 @@ object TransactionsPipeline {
   val PriceFactor = 1e6
   val SizeFactor = 1e3
 
-  /** Assemble the DAG over a provided bronze source. */
-  def build(spark: SparkSession, rawTransactions: () => DataFrame): Registry = {
+  /** Assemble the DAG over a provided bronze source plus the two external
+    * dimension tables every silver explosion joins in the reference:
+    * `zetagroup_mapping` (zetagroup_pub_key → asset, transactions:332–336,
+    * joined at :380–387 and :421–429) and `markets` (market_pub_key →
+    * asset, :456, joined at :475–479 and :677–681). Both are small,
+    * broadcast-joined dims; when absent an empty dim is used and the
+    * asset column falls back to the event/args value via coalesce,
+    * exactly like the reference's left-join-or-null semantics.
+    */
+  def build(spark: SparkSession, rawTransactions: () => DataFrame,
+            zetagroupMapping: Option[() => DataFrame] = None,
+            markets: Option[() => DataFrame] = None): Registry = {
+    val sp = spark
+    import sp.implicits._
     val reg = new Registry(spark)
     reg.source("raw_transactions", rawTransactions)
+    reg.source("zetagroup_mapping", zetagroupMapping.getOrElse(
+      () => Seq.empty[(String, String)].toDF("zetagroup_pub_key", "asset")))
+    reg.source("markets", markets.getOrElse(
+      () => Seq.empty[(String, String)].toDF("market_pub_key", "asset")))
 
     // silver root (transactions:340–358): successful txs, derived
     // partition cols, positional instruction explosion kept lazy
@@ -53,27 +69,41 @@ object TransactionsPipeline {
     }, mode = Mode.Incremental))
 
     // deposits (transactions:362–400): named-account access + u64 decode
-    reg.register(TableDef("cleaned_ix_deposit", Seq("exploded_ix"), {
-      case Seq(ix) =>
+    // + zetagroup→asset broadcast dim join (transactions:380–387)
+    reg.register(TableDef("cleaned_ix_deposit",
+      Seq("exploded_ix", "zetagroup_mapping"), {
+      case Seq(ix, zgm) =>
         ix.filter(col("instruction.name") === "deposit")
+          .join(broadcast(zgm),
+            col("instruction.accounts.named.zeta_group")
+              === zgm("zetagroup_pub_key"),
+            "left")
           .select(
             col("signature"), col("instruction_index"), col("block_time"),
             col("instruction.accounts.named.authority").as("authority"),
             Relational.fixedPoint(col("instruction.args.amount"), PriceFactor)
               .as("amount"),
+            col("asset"),
             col("date_"))
     }, mode = Mode.Incremental))
 
     // order placement (transactions:446–501): regex family filter,
-    // price/size decode, weekly epoch
-    reg.register(TableDef("cleaned_ix_place_order", Seq("exploded_ix"), {
-      case Seq(ix) =>
+    // price/size decode, weekly epoch, market→asset broadcast dim join
+    // with coalesce fallback to the instruction args
+    // (transactions:475–479: coalesce(markets.asset, upper(event.asset)))
+    reg.register(TableDef("cleaned_ix_place_order",
+      Seq("exploded_ix", "markets"), {
+      case Seq(ix, mkts) =>
         ix.filter(col("instruction.name")
             .rlike("^place_(perp_)?order(_v[0-9]+)?$"))
+          .join(broadcast(mkts.withColumnRenamed("asset", "market_asset")),
+            col("instruction.accounts.named.market") === col("market_pub_key"),
+            "left")
           .select(
             col("signature"), col("instruction_index"), col("block_time"),
             col("instruction.accounts.named.authority").as("authority"),
-            col("instruction.args.asset").as("asset"),
+            coalesce(col("market_asset"), upper(col("instruction.args.asset")))
+              .as("asset"),
             Relational.fixedPoint(col("instruction.args.price"), PriceFactor)
               .as("price"),
             Relational.fixedPoint(col("instruction.args.size"), SizeFactor)
@@ -86,17 +116,19 @@ object TransactionsPipeline {
     // trades (transactions:637–719): maker fills = every trade event of a
     // crank; taker fills = place_order's place event merged with its first
     // trade event ({**place, **trade}, the §2.9 SQL rewrite)
-    reg.register(TableDef("cleaned_ix_trade", Seq("exploded_ix"), {
-      case Seq(ix) =>
+    reg.register(TableDef("cleaned_ix_trade",
+      Seq("exploded_ix", "markets"), {
+      case Seq(ix, mkts) =>
         val maker = ix
           .filter(col("instruction.name") === "crank_event_queue")
           .select(col("signature"), col("instruction_index"),
             col("block_time"), col("date_"),
+            col("instruction.accounts.named.market").as("market_key"),
             explode(expr(
               "filter(instruction.events, x -> x.name LIKE 'trade_event%')"))
               .as("ev"))
           .select(col("signature"), col("instruction_index"),
-            col("block_time"), col("date_"),
+            col("block_time"), col("date_"), col("market_key"),
             col("ev.event").as("event"), lit(false).as("is_taker"))
         val taker = ix
           .filter(col("instruction.name")
@@ -108,15 +140,21 @@ object TransactionsPipeline {
           .filter(col("trade").isNotNull) // place without fill is not a trade
           .select(col("signature"), col("instruction_index"),
             col("block_time"), col("date_"),
+            col("instruction.accounts.named.market").as("market_key"),
             map_concat(
               expr("map_filter(place, (k, v) -> NOT array_contains(map_keys(trade), k))"),
               col("trade")).as("event"),
             lit(true).as("is_taker"))
+        // market→asset broadcast dim join after the union
+        // (transactions:677–681), falling back to the event's asset
         maker.unionByName(taker)
+          .join(broadcast(mkts.withColumnRenamed("asset", "market_asset")),
+            col("market_key") === col("market_pub_key"), "left")
           .select(
             col("signature"), col("instruction_index"), col("block_time"),
             col("event.user").as("authority"),
-            col("event.asset").as("asset"),
+            coalesce(col("market_asset"), upper(col("event.asset")))
+              .as("asset"),
             Relational.fixedPoint(col("event.price"), PriceFactor).as("price"),
             Relational.fixedPoint(col("event.size"), SizeFactor).as("size"),
             col("is_taker"),
@@ -127,15 +165,22 @@ object TransactionsPipeline {
             col("date_"))
     }, mode = Mode.Incremental))
 
-    // withdrawals (transactions:404–442): deposit's mirror
-    reg.register(TableDef("cleaned_ix_withdraw", Seq("exploded_ix"), {
-      case Seq(ix) =>
+    // withdrawals (transactions:404–442): deposit's mirror, same
+    // zetagroup dim join (transactions:421–429)
+    reg.register(TableDef("cleaned_ix_withdraw",
+      Seq("exploded_ix", "zetagroup_mapping"), {
+      case Seq(ix, zgm) =>
         ix.filter(col("instruction.name") === "withdraw")
+          .join(broadcast(zgm),
+            col("instruction.accounts.named.zeta_group")
+              === zgm("zetagroup_pub_key"),
+            "left")
           .select(
             col("signature"), col("instruction_index"), col("block_time"),
             col("instruction.accounts.named.authority").as("authority"),
             Relational.fixedPoint(col("instruction.args.amount"), PriceFactor)
               .as("amount"),
+            col("asset"),
             col("date_"))
     }, mode = Mode.Incremental))
 

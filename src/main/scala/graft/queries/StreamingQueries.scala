@@ -1,0 +1,71 @@
+package graft.queries
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.graph.{Mode, Registry, TableDef}
+import QH._
+
+/** Streaming semantics under the hard gate (SURVEY.md §2.11): the query
+  * actually RUNS a Structured Streaming job — events streamed through the
+  * DAG runner with `Trigger.AvailableNow`, a watermarked hourly
+  * aggregation materialized to parquet — and the result is hash-compared
+  * against the batch oracle.
+  *
+  * Two deliberate deviations from the batch formulation, both forced by
+  * streaming-to-parquet semantics and mirrored exactly in the oracle:
+  *
+  *  - Grouping uses `window(ts, '1 hour')` instead of `date_trunc`: a
+  *    parquet sink is append-only, and append-mode aggregation requires
+  *    the grouping to carry event-time metadata, which only `window()`
+  *    propagates (the reference's `date_trunc` form runs in update mode
+  *    into Delta, transactions:783). `window.start` ≡ `date_trunc('hour')`.
+  *  - Only windows closed by the final watermark (max event time − 5 min)
+  *    are emitted — the in-flight trailing hour stays in state. The
+  *    oracle applies the same cutoff (`hour + 1h ≤ max(ts) − 5 min`), so
+  *    the comparison verifies the watermark semantics rather than
+  *    papering over them.
+  */
+object StreamingQueries {
+
+  val qs: Seq[Q] = Seq(
+    Q("q70_streaming_hourly",
+      (s, d) => {
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val reg = new Registry(s)
+        reg.source("events_feed", () => graft.tables.Tables.events(s, d))
+        reg.register(TableDef("events_hourly", Seq("events_feed"), {
+          case Seq(ev) =>
+            ev.withWatermark("ts", "5 minutes")
+              .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+              .agg(count(lit(1)).as("n"),
+                decSum(col("value")).as("total_value"))
+              .select(col("window.start").as("hour_ts"), col("event_type"),
+                col("n"), col("total_value"))
+        }, mode = Mode.Incremental))
+        val out = Files.createTempDirectory("graft_q70_").toString
+        graft.graph.Runner.runStreamingThenFull(s, reg,
+          Map("events_feed" -> (() => graft.tables.Tables.normalize("events",
+            s.readStream.schema(schema)
+              .option("pathGlobFilter", "events.parquet") // file source needs a dir
+              .parquet(d)))),
+          out)
+        s.read.parquet(s"$out/events_hourly")
+          .orderBy("hour_ts", "event_type")
+      },
+      Some("""
+        WITH hourly AS (
+          SELECT CAST(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+              AS hour_ts,
+            event_type, COUNT(*) AS n,
+            CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)
+              AS total_value
+          FROM events GROUP BY 1, 2),
+        wm AS (
+          SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 5 MINUTE AS w
+          FROM events)
+        SELECT hour_ts, event_type, n, total_value
+        FROM hourly, wm
+        WHERE hour_ts + INTERVAL 1 HOUR <= w
+        ORDER BY hour_ts, event_type"""))
+  )
+}

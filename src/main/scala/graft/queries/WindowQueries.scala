@@ -149,6 +149,35 @@ object WindowQueries {
             OVER (PARTITION BY user_id) AS min_purchase,
           MAX(CASE WHEN event_type = 'click' THEN value END)
             OVER (PARTITION BY user_id) AS max_click
-        FROM events ORDER BY event_id"""))
+        FROM events ORDER BY event_id""")),
+
+    // W7 exclusive-of-first cumulative (madwars:130–136, :243–247): the
+    // reference's `rowsBetween(unboundedPreceding + 1, 0)` intent —
+    // cumulative sum skipping the partition's first snapshot — via
+    // [[graft.ops.Relational.cumulativeExclusiveOfFirst]] (see its doc
+    // for why the literal construction is a no-op in PySpark and
+    // rejected by Scala Spark).
+    Q("q69_cum_excl_first",
+      (s, d) =>
+        t(s, d, "events")
+          .select(col("event_id"),
+            graft.ops.Relational.cumulativeExclusiveOfFirst(
+              Seq("user_id"), Seq(col("ts"), col("event_id")))(
+              col("value").cast(DEC))
+              .cast("string").cast("double").as("cum_excl_first"))
+          .orderBy("event_id"),
+      Some("""
+        SELECT event_id,
+          CASE WHEN ROW_NUMBER() OVER wo = 1 THEN NULL
+            ELSE CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER wc
+              - FIRST_VALUE(CAST(value AS DECIMAL(28,6))) OVER wc
+              AS VARCHAR) AS DOUBLE)
+          END AS cum_excl_first
+        FROM events
+        WINDOW
+          wo AS (PARTITION BY user_id ORDER BY ts, event_id),
+          wc AS (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY event_id"""))
   )
 }

@@ -19,14 +19,20 @@ class TransactionsPipelineSpec extends AnyFunSuite {
 
   private def ts(s: String) = Timestamp.valueOf(s)
   private val acc = TxAccounts(Map("authority" -> "authA"), Seq.empty)
+  // deposit/withdraw instructions carry the zetagroup key (TX:380–387);
+  // order instructions carry the market key (TX:475–479)
+  private val accZg = TxAccounts(
+    Map("authority" -> "authA", "zeta_group" -> "zg1"), Seq.empty)
+  private def accMkt(m: String) = TxAccounts(
+    Map("authority" -> "authA", "market" -> m), Seq.empty)
 
   private def fixture = Seq(
     Tx("sig1", Seq(
-      TxIx("deposit", Map("amount" -> "1500000"), acc, "zeta", Seq.empty),
+      TxIx("deposit", Map("amount" -> "1500000"), accZg, "zeta", Seq.empty),
       TxIx("place_perp_order_v3",
-        Map("asset" -> "SOL", "price" -> "2000000", "size" -> "5000",
+        Map("asset" -> "sol", "price" -> "2000000", "size" -> "5000",
           "side" -> "bid"),
-        acc, "zeta", Seq(
+        accMkt("mkt_sol"), "zeta", Seq(
           TxEvent("place_order_event", Map(
             "user" -> "authA", "asset" -> "SOL",
             "price" -> "2000000", "size" -> "5000", "order_id" -> "o1")),
@@ -48,7 +54,7 @@ class TransactionsPipelineSpec extends AnyFunSuite {
       TxIx("place_order",
         Map("asset" -> "ETH", "price" -> "3000000", "size" -> "1000",
           "side" -> "ask"),
-        acc, "zeta", Seq(
+        accMkt("mkt_unknown"), "zeta", Seq(
           TxEvent("place_order_event", Map(
             "user" -> "authA", "asset" -> "ETH",
             "price" -> "3000000", "size" -> "1000", "order_id" -> "o2"))))),
@@ -57,7 +63,7 @@ class TransactionsPipelineSpec extends AnyFunSuite {
       TxIx("deposit", Map("amount" -> "999"), acc, "zeta", Seq.empty)),
       false, 103L, ts("2024-01-05 11:00:00"), 5000),
     Tx("sig5", Seq(
-      TxIx("withdraw", Map("amount" -> "2500000"), acc, "zeta", Seq.empty),
+      TxIx("withdraw", Map("amount" -> "2500000"), accZg, "zeta", Seq.empty),
       TxIx("liquidate", Map.empty, acc, "zeta", Seq(
         TxEvent("liquidation_event", Map(
           "liquidator" -> "liq1", "liquidatee" -> "authA",
@@ -75,7 +81,12 @@ class TransactionsPipelineSpec extends AnyFunSuite {
   private def registry = {
     val sp = spark
     import sp.implicits._
-    TransactionsPipeline.build(sp, () => fixture.toDF())
+    TransactionsPipeline.build(sp, () => fixture.toDF(),
+      zetagroupMapping = Some(() =>
+        Seq(("zg1", "SOL")).toDF("zetagroup_pub_key", "asset")),
+      markets = Some(() =>
+        Seq(("mkt_sol", "SOL"), ("mkt_eth", "ETH"))
+          .toDF("market_pub_key", "asset")))
   }
 
   test("cleaned_ix_deposit decodes fixed-point amounts from successful txs only") {
@@ -83,6 +94,23 @@ class TransactionsPipelineSpec extends AnyFunSuite {
     assert(rows.length === 1)
     assert(rows.head.getAs[String]("authority") === "authA")
     assert(rows.head.getAs[Double]("amount") === 1.5)
+    // zetagroup dim join resolved the asset (TX:380–387)
+    assert(rows.head.getAs[String]("asset") === "SOL")
+  }
+
+  test("silver dim joins broadcast and coalesce to the event asset") {
+    val reg = registry
+    val po = reg.resolve("cleaned_ix_place_order")
+    val rows = po.orderBy("signature").collect()
+    // sig1: args say lowercase 'sol' but the market dim wins → 'SOL';
+    // sig3: unknown market key → coalesce falls back to upper(args)
+    assert(rows.map(_.getAs[String]("asset")).toSeq === Seq("SOL", "ETH"))
+    val plan = po.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "market dim must broadcast, not shuffle")
+    val tradePlan = reg.resolve("cleaned_ix_trade")
+      .queryExecution.executedPlan.toString
+    assert(tradePlan.contains("BroadcastHashJoin"))
   }
 
   test("cleaned_ix_place_order matches the regex family and stamps the epoch") {
