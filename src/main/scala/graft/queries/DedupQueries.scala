@@ -160,10 +160,18 @@ object DedupQueries {
     // SimHash signatures + near-pairs by Hamming distance ≤ 6 of 60 bits
     // (word hashes = first 15 hex digits of md5, so the DuckDB oracle
     // reproduces them exactly). Candidate generation by pigeonhole
-    // banding: split the signature into 10 six-bit chunks — any pair
-    // within Hamming 6 (< 10) must agree on at least one chunk, so the
-    // chunk equi-join finds every such pair without the O(n²) cross
-    // join (the oracle, running at small scale, does the quadratic form).
+    // banding with single-bit multi-probing (the HmSearch/PartEnum
+    // idea): split the signature into 4 groups of 15 bits — 6 differing
+    // bits across 4 groups leave some group with ≤ 1 diff (⌊6/4⌋ = 1) —
+    // and let the probe side emit each group's value plus its 15
+    // single-bit flips. A ≤1-diff group then collides exactly, so the
+    // equi-join provably finds every Hamming-≤6 pair. Candidate bound:
+    // E ≈ (4 groups × 16 probes) · n²/2¹⁵ = n²/512 random collisions —
+    // 7× fewer than the previous 7×(9/8-bit) exact-chunk scheme, for
+    // 64 probe rows per doc; at larger n the same construction
+    // re-balances by widening groups (3×20-bit with double-bit probes →
+    // n²/1657 at 633 probes/doc). The oracle, running at small scale,
+    // does the quadratic form.
     Q("q29_simhash",
       (s, d) => {
         // bit j of simhash = majority vote of word-hash bit j, folded by
@@ -177,19 +185,27 @@ object DedupQueries {
           .select(col("doc_id"),
             expr("cast(conv(substring(md5(w), 1, 15), 16, 10) AS bigint)")
               .as("h"))
-        // No cache(): simhash is an Aggregate output (no inlining risk)
-        // and the chunks self-join reuses its shuffle via ReuseExchange.
+        // No cache(): simhash is an Aggregate output (no inlining risk).
         val sig = exw.groupBy("doc_id")
           .agg(expr("graft_simhash(h, 60)").as("simhash"))
-        // 7 pigeonhole groups (4×9 + 3×8 bits): 6 differing bits cannot
-        // touch all 7, and 512/256-way buckets keep candidate sets small
-        val chunks = sig.select(col("doc_id"), col("simhash"),
+        // probe side: per group, the exact 15-bit value + 15 bit-flips
+        val probes = sig.select(col("doc_id"), col("simhash"),
           explode(expr(
-            "transform(sequence(0, 6), c -> struct(c AS c, " +
-              "shiftright(simhash, element_at(array(0,9,18,27,36,44,52), c+1)) " +
-              "& IF(c < 4, 511, 255) AS v))")).as("ch"))
-          .select(col("doc_id"), col("simhash"), col("ch.c"), col("ch.v"))
-        val cand = chunks.as("x").join(chunks.as("y"), Seq("c", "v"))
+            "flatten(transform(sequence(0, 3), g -> " +
+              "transform(sequence(0, 15), f -> struct(g AS g, " +
+              "CASE WHEN f = 0 THEN shiftright(simhash, g * 15) & 32767 " +
+              "ELSE (shiftright(simhash, g * 15) & 32767) ^ shiftleft(1, f - 1) " +
+              "END AS v))))")).as("ch"))
+          .select(col("doc_id"), col("simhash"), col("ch.g"), col("ch.v"))
+        // build side: exact group values only (asymmetric probing — the
+        // flip relation is symmetric, so x-probes × y-exact covers every
+        // ≤1-diff group pair once per direction; doc_a < doc_b keeps one)
+        val exact = sig.select(col("doc_id"), col("simhash"),
+          explode(expr(
+            "transform(sequence(0, 3), g -> struct(g AS g, " +
+              "shiftright(simhash, g * 15) & 32767 AS v))")).as("ch"))
+          .select(col("doc_id"), col("simhash"), col("ch.g"), col("ch.v"))
+        val cand = probes.as("x").join(exact.as("y"), Seq("g", "v"))
           .filter(col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("doc_a"), col("x.simhash").as("ha"),
             col("y.doc_id").as("doc_b"), col("y.simhash").as("hb"))
