@@ -1,6 +1,7 @@
 package graft.pipelines
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.graph.{Mode, Registry, TableDef}
 import graft.ops.Relational
@@ -41,7 +42,9 @@ object TransactionsPipeline {
     */
   def build(spark: SparkSession, rawTransactions: () => DataFrame,
             zetagroupMapping: Option[() => DataFrame] = None,
-            markets: Option[() => DataFrame] = None): Registry = {
+            markets: Option[() => DataFrame] = None,
+            rawPnl: Option[() => DataFrame] = None,
+            conf: graft.core.Conf = graft.core.Conf.ForTests): Registry = {
     val sp = spark
     import sp.implicits._
     val reg = new Registry(spark)
@@ -50,6 +53,10 @@ object TransactionsPipeline {
       () => Seq.empty[(String, String)].toDF("zetagroup_pub_key", "asset")))
     reg.source("markets", markets.getOrElse(
       () => Seq.empty[(String, String)].toDF("market_pub_key", "asset")))
+    reg.source("raw_pnl", rawPnl.getOrElse(
+      () => Seq.empty[(java.sql.Timestamp, String, String, String, Double, Double)]
+        .toDF("timestamp", "underlying", "owner_pub_key", "authority",
+          "balance", "unrealized_pnl")))
 
     // silver root (transactions:340–358): successful txs, derived
     // partition cols, positional instruction explosion kept lazy
@@ -248,6 +255,135 @@ object TransactionsPipeline {
             sum(col("amount").cast(graft.queries.QH.DEC))
               .cast("string").cast("double").as("deposit_amount"))
     }, mode = Mode.Incremental))
+
+    // per-user hourly withdraw aggregates (transactions:885–910)
+    reg.register(TableDef("agg_ix_withdraw_user_1h", Seq("cleaned_ix_withdraw"), {
+      case Seq(wd) =>
+        wd.groupBy(date_trunc("hour", col("block_time")).as("timestamp"),
+            col("authority"))
+          .agg(count(lit(1)).as("withdraw_count"),
+            sum(col("amount").cast(graft.queries.QH.DEC))
+              .cast("string").cast("double").as("withdraw_amount"))
+    }, mode = Mode.Incremental))
+
+    // hourly margin-account snapshots + flow joins (transactions:990–1077):
+    // authority fallback to the owner key, hour-truncated snapshot agg,
+    // prior-hour deposit/withdraw offset joins (J5), cumulative flow sums,
+    // equity and cumulative PnL. Window-function table → batch recompute
+    // (the reference's own "ideally would be read_stream (TODO)").
+    reg.register(TableDef("cleaned_pnl",
+      Seq("raw_pnl", "agg_ix_deposit_user_1h", "agg_ix_withdraw_user_1h"), {
+      case Seq(raw, dep, wd) =>
+        val wCum = Window.partitionBy("authority").orderBy(col("timestamp"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        raw.filter(col("underlying").isNull) // V2 filter (TX:1011)
+          .withColumn("authority",
+            coalesce(col("authority"), col("owner_pub_key")))
+          .withColumn("timestamp", date_trunc("hour", col("timestamp")))
+          .groupBy("timestamp", "authority")
+          .agg(sum(col("balance")).as("balance"),
+            sum(col("unrealized_pnl")).as("unrealized_pnl"))
+          .join(dep.select(col("authority").as("d_auth"),
+              col("timestamp").as("d_ts"), col("deposit_amount")),
+            col("authority") === col("d_auth") &&
+              col("timestamp") === col("d_ts") + expr("interval 1 hour"),
+            "left")
+          .drop("d_auth", "d_ts", "deposit_count")
+          .join(wd.select(col("authority").as("w_auth"),
+              col("timestamp").as("w_ts"), col("withdraw_amount")),
+            col("authority") === col("w_auth") &&
+              col("timestamp") === col("w_ts") + expr("interval 1 hour"),
+            "left")
+          .drop("w_auth", "w_ts", "withdraw_count")
+          .withColumn("deposit_amount", coalesce(col("deposit_amount"), lit(0.0)))
+          .withColumn("withdraw_amount", coalesce(col("withdraw_amount"), lit(0.0)))
+          .withColumn("net_inflow",
+            col("deposit_amount") - col("withdraw_amount"))
+          .withColumn("deposit_amount_cumsum",
+            sum(col("deposit_amount")).over(wCum))
+          .withColumn("withdraw_amount_cumsum",
+            sum(col("withdraw_amount")).over(wCum))
+          .withColumn("equity", col("balance") + col("unrealized_pnl"))
+          .withColumn("cumulative_pnl", col("equity")
+            - (col("deposit_amount_cumsum") - col("withdraw_amount_cumsum")))
+          .withColumn("date_", date_trunc("day", col("timestamp")))
+    }, mode = Mode.Full))
+
+    // leaderboard gold (transactions:1486–1878, compact form): trailing
+    // anchors, exclusive-start Dietz flows, PnL/ROI, 7 tie-broken ranks
+    // + rank changes, all on one shared (authority, t) partitioning.
+    // The full-width composite with the z-score/volume/dim-join stages
+    // is the oracle-verified q68 (graft.queries.AggPnlQueries).
+    reg.register(TableDef("agg_pnl", Seq("cleaned_pnl"), { case Seq(cp) =>
+      def trail(sec: Long) = Window.partitionBy("authority")
+        .orderBy(col("t")).rangeBetween(-sec, 0)
+      def excl(sec: Long) = Window.partitionBy("authority")
+        .orderBy(col("t")).rangeBetween(-sec + 3600L, 0)
+      val w24 = trail(86400L); val w7d = trail(604800L)
+      val w30 = trail(2592000L)
+      val wAll = Window.partitionBy("authority").orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      def rankW(order: org.apache.spark.sql.Column*) =
+        Window.partitionBy("timestamp").orderBy(order: _*)
+      val nowH = unix_timestamp(date_trunc("hour", conf.asOfTs))
+      val base = cp.withColumn("t", unix_timestamp(col("timestamp")))
+        .withColumn("cum_lag_24h", first(col("cumulative_pnl")).over(w24))
+        .withColumn("cum_lag_7d", first(col("cumulative_pnl")).over(w7d))
+        .withColumn("cum_lag_30d", first(col("cumulative_pnl")).over(w30))
+        .withColumn("cum_lag_alltime", first(col("cumulative_pnl")).over(wAll))
+        .withColumn("equity_lag_24h", first(col("equity")).over(w24))
+        .withColumn("equity_lag_7d", first(col("equity")).over(w7d))
+        .withColumn("equity_lag_30d", first(col("equity")).over(w30))
+        .withColumn("dw_24h", sum(col("deposit_amount")
+          * ((nowH - col("t")) / 86400.0)).over(excl(86400L)))
+        .withColumn("dw_7d", sum(col("deposit_amount")
+          * ((nowH - col("t")) / 604800.0)).over(excl(604800L)))
+        .withColumn("dw_30d", sum(col("deposit_amount")
+          * ((nowH - col("t")) / 2592000.0)).over(excl(2592000L)))
+        .withColumn("pnl_24h", col("cumulative_pnl") - col("cum_lag_24h"))
+        .withColumn("pnl_7d", col("cumulative_pnl") - col("cum_lag_7d"))
+        .withColumn("pnl_30d", col("cumulative_pnl") - col("cum_lag_30d"))
+        .withColumn("pnl_alltime",
+          col("cumulative_pnl") - col("cum_lag_alltime"))
+        .withColumn("roi_24h", when(col("pnl_24h") === 0, lit(0.0)).otherwise(
+          col("pnl_24h") / (lit(100.0) + col("equity_lag_24h") + col("dw_24h"))))
+        .withColumn("roi_7d", when(col("pnl_7d") === 0, lit(0.0)).otherwise(
+          col("pnl_7d") / (lit(100.0) + col("equity_lag_7d") + col("dw_7d"))))
+        .withColumn("roi_30d", when(col("pnl_30d") === 0, lit(0.0)).otherwise(
+          col("pnl_30d") / (lit(100.0) + col("equity_lag_30d") + col("dw_30d"))))
+      base
+        .withColumn("pnl_24h_rank", rank().over(
+          rankW(col("pnl_24h").desc, col("roi_24h").desc, col("authority"))))
+        .withColumn("pnl_7d_rank", rank().over(
+          rankW(col("pnl_7d").desc, col("roi_7d").desc, col("authority"))))
+        .withColumn("pnl_30d_rank", rank().over(
+          rankW(col("pnl_30d").desc, col("roi_30d").desc, col("authority"))))
+        .withColumn("pnl_alltime_rank", rank().over(
+          rankW(col("pnl_alltime").desc, col("authority"))))
+        .withColumn("roi_24h_rank", rank().over(
+          rankW(col("roi_24h").desc, col("pnl_24h").desc, col("authority"))))
+        .withColumn("roi_7d_rank", rank().over(
+          rankW(col("roi_7d").desc, col("pnl_7d").desc, col("authority"))))
+        .withColumn("roi_30d_rank", rank().over(
+          rankW(col("roi_30d").desc, col("pnl_30d").desc, col("authority"))))
+        .withColumn("pnl_24h_rank_change",
+          -(col("pnl_24h_rank") - first(col("pnl_24h_rank")).over(w24)))
+        .withColumn("pnl_7d_rank_change",
+          -(col("pnl_7d_rank") - first(col("pnl_7d_rank")).over(w7d)))
+        .withColumn("pnl_30d_rank_change",
+          -(col("pnl_30d_rank") - first(col("pnl_30d_rank")).over(w30)))
+        .withColumn("pnl_alltime_rank_change",
+          -(col("pnl_alltime_rank") - first(col("pnl_alltime_rank")).over(wAll)))
+        .withColumn("roi_24h_rank_change",
+          -(col("roi_24h_rank") - first(col("roi_24h_rank")).over(w24)))
+        .withColumn("roi_7d_rank_change",
+          -(col("roi_7d_rank") - first(col("roi_7d_rank")).over(w7d)))
+        .withColumn("roi_30d_rank_change",
+          -(col("roi_30d_rank") - first(col("roi_30d_rank")).over(w30)))
+        .withColumn("date_", date_trunc("day", col("timestamp")))
+        .drop("t", "cum_lag_24h", "cum_lag_7d", "cum_lag_30d",
+          "cum_lag_alltime", "dw_24h", "dw_7d", "dw_30d")
+    }, mode = Mode.Full))
 
     // 30d-volume fee tiers, latest per user (transactions:1882–1947)
     reg.register(TableDef("fee_tiers", Seq("cleaned_ix_trade"), {

@@ -2,6 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 import graft.pipelines.TransactionsPipeline
 
 case class TxEvent(name: String, event: Map[String, String])
@@ -78,6 +79,25 @@ class TransactionsPipelineSpec extends AnyFunSuite {
           "order_complete_type" -> "cancel", "unfilled_size" -> "1000"))))),
       true, 104L, ts("2024-01-05 11:30:00"), 5000))
 
+  // margin-account snapshots for the pnl chain; the 10:00 rows join the
+  // 09:00 deposit/withdraw hourly aggs through the +1h offset join
+  private def pnlFixture = {
+    val sp = spark
+    import sp.implicits._
+    Seq(
+      (ts("2024-01-05 09:00:00"), Option.empty[String], "authA",
+        Option.empty[String], 100.0, 5.0),
+      (ts("2024-01-05 10:00:00"), Option.empty[String], "ownerX",
+        Option("authA"), 110.0, -5.0),
+      (ts("2024-01-05 10:00:00"), Option.empty[String], "authB",
+        Option("authB"), 50.0, 0.0),
+      // non-null underlying → dropped by the V2 filter
+      (ts("2024-01-05 10:00:00"), Option("SOL"), "authB",
+        Option("authB"), 999.0, 0.0))
+      .toDF("timestamp", "underlying", "owner_pub_key", "authority",
+        "balance", "unrealized_pnl")
+  }
+
   private def registry = {
     val sp = spark
     import sp.implicits._
@@ -86,7 +106,8 @@ class TransactionsPipelineSpec extends AnyFunSuite {
         Seq(("zg1", "SOL")).toDF("zetagroup_pub_key", "asset")),
       markets = Some(() =>
         Seq(("mkt_sol", "SOL"), ("mkt_eth", "ETH"))
-          .toDF("market_pub_key", "asset")))
+          .toDF("market_pub_key", "asset")),
+      rawPnl = Some(() => pnlFixture))
   }
 
   test("cleaned_ix_deposit decodes fixed-point amounts from successful txs only") {
@@ -158,6 +179,38 @@ class TransactionsPipelineSpec extends AnyFunSuite {
     val tiers = reg.resolve("fee_tiers").collect()
     // single taker (authA) with 6.3 USD 30d volume -> tier 0
     assert(tiers.length === 1 && tiers.head.getAs[Int]("fee_tier") === 0)
+  }
+
+  test("cleaned_pnl chains snapshots, offset flow joins and cumulative sums") {
+    val rows = registry.resolve("cleaned_pnl")
+      .orderBy("authority", "timestamp").collect()
+    assert(rows.length === 3, "V2 filter drops the non-null underlying row")
+    val Seq(a09, a10, b10) = rows.toSeq
+    // authority falls back to owner_pub_key on the 09:00 row
+    assert(a09.getAs[String]("authority") === "authA")
+    assert(a09.getAs[Double]("equity") === 105.0)
+    assert(a09.getAs[Double]("deposit_amount") === 0.0)
+    // the 09:00 deposit agg (1.5) lands on the 10:00 snapshot via +1h
+    assert(a10.getAs[Double]("deposit_amount") === 1.5)
+    assert(a10.getAs[Double]("deposit_amount_cumsum") === 1.5)
+    assert(a10.getAs[Double]("cumulative_pnl") === 105.0 - 1.5)
+    assert(b10.getAs[Double]("cumulative_pnl") === 50.0)
+  }
+
+  test("agg_pnl ranks the leaderboard with trailing anchors and changes") {
+    val rows = registry.resolve("agg_pnl")
+      .filter(col("timestamp") === ts("2024-01-05 10:00:00"))
+      .orderBy("authority").collect()
+    val a = rows(0); val b = rows(1)
+    // pnl_24h = cumulative_pnl − first within 24h (authA: 103.5 − 105)
+    assert(a.getAs[Double]("pnl_24h") === -1.5)
+    assert(b.getAs[Double]("pnl_24h") === 0.0)
+    assert(b.getAs[Int]("pnl_24h_rank") === 1)
+    assert(a.getAs[Int]("pnl_24h_rank") === 2)
+    // authA was rank 1 alone at 09:00 → change = −(2 − 1) = −1
+    assert(a.getAs[Int]("pnl_24h_rank_change") === -1)
+    // zero pnl pins roi to 0 (the reference's safe-div convention)
+    assert(b.getAs[Double]("roi_24h") === 0.0)
   }
 
   test("agg_ix_trade_asset_1h aggregates volume per (hour, asset)") {
