@@ -23,4 +23,10 @@ final case class Conf(
 object Conf {
   /** Deterministic default pinned to the test corpus' time range. */
   val ForTests: Conf = Conf(Instant.parse("2024-01-30T12:00:00Z"))
+
+  /** The hardcoded bad burn signature the reference excludes inline
+    * (zetadex-transactions-helius-pipeline.py:204–208) — centralized
+    * here so engine and oracle share it (SURVEY.md §7.5 item 7). */
+  val ExcludedBurnSignature: String =
+    "52wXWMicfpXLzvDKbxtmmPwN3Jv2gq6NF1GtchG8iMQB94PwexTNkGZNYi749u9s8QLta6GVkdd5hr2391n9JYZY"
 }

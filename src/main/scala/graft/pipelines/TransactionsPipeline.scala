@@ -44,11 +44,24 @@ object TransactionsPipeline {
             zetagroupMapping: Option[() => DataFrame] = None,
             markets: Option[() => DataFrame] = None,
             rawPnl: Option[() => DataFrame] = None,
+            rawBurnEvents: Option[() => DataFrame] = None,
+            zpassNfts: Option[() => DataFrame] = None,
             conf: graft.core.Conf = graft.core.Conf.ForTests): Registry = {
     val sp = spark
     import sp.implicits._
     val reg = new Registry(spark)
     reg.source("raw_transactions", rawTransactions)
+    reg.source("raw_compressed_nft_burn_events", rawBurnEvents.getOrElse { () =>
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "signature string, " +
+          "events struct<compressed: struct<assetId: array<string>>>, " +
+          "feePayer string, timestamp timestamp, duration int")
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    })
+    reg.source("dim_zpass_nfts", zpassNfts.getOrElse(
+      () => Seq.empty[(String, String, Double, String)]
+        .toDF("mint", "color", "multiplier", "season")))
     reg.source("zetagroup_mapping", zetagroupMapping.getOrElse(
       () => Seq.empty[(String, String)].toDF("zetagroup_pub_key", "asset")))
     reg.source("markets", markets.getOrElse(
@@ -254,6 +267,57 @@ object TransactionsPipeline {
           .agg(count(lit(1)).as("deposit_count"),
             sum(col("amount").cast(graft.queries.QH.DEC))
               .cast("string").cast("double").as("deposit_amount"))
+    }, mode = Mode.Incremental))
+
+    // global hourly taker-trade gold (transactions:796–818)
+    reg.register(TableDef("agg_ix_trade_1h", Seq("cleaned_ix_trade"), {
+      case Seq(tr) =>
+        tr.filter(col("is_taker"))
+          .groupBy(date_trunc("hour", col("block_time")).as("timestamp"))
+          .agg(count(lit(1)).as("trade_count"),
+            sum(col("volume").cast(graft.queries.QH.DEC))
+              .cast("string").cast("double").as("volume"))
+    }, mode = Mode.Incremental))
+
+    // per-(user, asset) hourly funding gold (transactions:913–942)
+    reg.register(TableDef("agg_funding_rate_user_asset_1h",
+      Seq("cleaned_ix_funding"), { case Seq(f) =>
+        f.groupBy(date_trunc("hour", col("block_time")).as("timestamp"),
+            col("asset"), col("authority"))
+          .agg(sum(col("balance_change").cast(graft.queries.QH.DEC))
+            .cast("string").cast("double").as("balance_change"))
+    }, mode = Mode.Incremental))
+
+    // compressed-NFT burn family (transactions:160–245): nested-array
+    // element dim join (J4), burn→multiplier interval, hour explosion
+    // via sequence(), max of overlapping multipliers
+    reg.register(TableDef("cleaned_compressed_nft_burn_events",
+      Seq("raw_compressed_nft_burn_events", "dim_zpass_nfts"), {
+      case Seq(raw, dim) =>
+        raw.join(broadcast(dim),
+            dim("mint") === expr("events.compressed['assetId'][0]"),
+            "left")
+          .select(col("signature"),
+            expr("events.compressed.assetId[0]").as("mint"),
+            col("feePayer").as("authority"),
+            col("color"), col("multiplier"), col("season"),
+            col("duration").as("duration_hours"),
+            col("timestamp").as("start_timestamp"),
+            expr("timestamp + INTERVAL 1 HOURS * duration")
+              .as("end_timestamp"))
+          .filter(col("signature") =!= graft.core.Conf.ExcludedBurnSignature)
+    }, mode = Mode.Incremental))
+
+    reg.register(TableDef("agg_compressed_nft_burn_events_hourly",
+      Seq("cleaned_compressed_nft_burn_events"), { case Seq(cl) =>
+        cl.selectExpr(
+            "EXPLODE(SEQUENCE(date_trunc('hour', start_timestamp), " +
+              "date_trunc('hour', end_timestamp - INTERVAL 1 HOUR), " +
+              "INTERVAL 1 HOUR)) AS timestamp",
+            "authority", "multiplier")
+          .groupBy(date_trunc("hour", col("timestamp")).as("timestamp"),
+            col("authority"))
+          .agg(max(col("multiplier")).as("multiplier")) // overlapping burns
     }, mode = Mode.Incremental))
 
     // per-user hourly withdraw aggregates (transactions:885–910)

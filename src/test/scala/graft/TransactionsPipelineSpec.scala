@@ -12,6 +12,8 @@ case class TxIx(name: String, args: Map[String, String],
 case class Tx(signature: String, instructions: Seq[TxIx],
               is_successful: Boolean, slot: Long, block_time: Timestamp,
               fee: Int)
+case class BurnCompressed(assetId: Seq[String])
+case class BurnEvents(compressed: BurnCompressed)
 
 /** Hand-computed expectations over a deterministic nested fixture shaped
   * like the reference's bronze transactions (FIXTURES.md §1). */
@@ -211,6 +213,52 @@ class TransactionsPipelineSpec extends AnyFunSuite {
     assert(a.getAs[Int]("pnl_24h_rank_change") === -1)
     // zero pnl pins roi to 0 (the reference's safe-div convention)
     assert(b.getAs[Double]("roi_24h") === 0.0)
+  }
+
+  test("nft burn family: nested-element dim join, hour explosion, max multiplier") {
+    val sp = spark
+    import sp.implicits._
+    val burns = Seq(
+      ("sigB1", BurnEvents(BurnCompressed(Seq("mintA"))), "authA",
+        ts("2024-01-05 09:30:00"), 3),
+      ("sigB2", BurnEvents(BurnCompressed(Seq("mintA"))), "authA",
+        ts("2024-01-05 10:30:00"), 1), // overlaps hour 10 with sigB1
+      (graft.core.Conf.ExcludedBurnSignature,
+        BurnEvents(BurnCompressed(Seq("mintA"))), "authZ",
+        ts("2024-01-05 09:30:00"), 1))
+      .toDF("signature", "events", "feePayer", "timestamp", "duration")
+    val dim = Seq(("mintA", "gold", 2.0, "s2"), ("mintB", "red", 1.5, "s2"))
+      .toDF("mint", "color", "multiplier", "season")
+    val reg = {
+      TransactionsPipeline.build(sp, () => fixture.toDF(),
+        rawBurnEvents = Some(() => burns), zpassNfts = Some(() => dim))
+    }
+    val cleaned = reg.resolve("cleaned_compressed_nft_burn_events")
+      .orderBy("signature").collect()
+    assert(cleaned.length === 2, "excluded signature filtered")
+    assert(cleaned.head.getAs[String]("mint") === "mintA")
+    assert(cleaned.head.getAs[Double]("multiplier") === 2.0)
+    assert(cleaned.head.getAs[Timestamp]("end_timestamp")
+      === ts("2024-01-05 12:30:00"))
+    val hourly = reg.resolve("agg_compressed_nft_burn_events_hourly")
+      .orderBy("timestamp").collect()
+    // sigB1 covers hours 09,10,11; sigB2 covers hour 10 (same max mult)
+    assert(hourly.map(_.getAs[Timestamp]("timestamp").toString).toSeq ===
+      Seq("2024-01-05 09:00:00.0", "2024-01-05 10:00:00.0",
+        "2024-01-05 11:00:00.0"))
+    assert(hourly.forall(_.getAs[Double]("multiplier") === 2.0))
+  }
+
+  test("hourly golds: global taker trades and per-user-asset funding") {
+    val reg = registry
+    val t1h = reg.resolve("agg_ix_trade_1h").collect()
+    // single taker trade at 09:00, volume 2.1 * 3.0
+    assert(t1h.length === 1)
+    assert(t1h.head.getAs[Long]("trade_count") === 1L)
+    assert(t1h.head.getAs[Double]("volume") === 6.3)
+    val f1h = reg.resolve("agg_funding_rate_user_asset_1h").collect()
+    assert(f1h.length === 1)
+    assert(f1h.head.getAs[Double]("balance_change") === -0.25)
   }
 
   test("agg_ix_trade_asset_1h aggregates volume per (hour, asset)") {
