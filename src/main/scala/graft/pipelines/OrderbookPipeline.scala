@@ -28,9 +28,56 @@ object OrderbookPipeline {
   val WideSpreadBps = 40.0
   val WideDepthUsd = 1000.0
 
-  def build(spark: SparkSession, rawSnapshots: () => DataFrame): Registry = {
+  /** Per-market MM program weights (orderbook:290–419, mm_market_params):
+    * (asset, weight); the reference asserts the weights sum to 1.0 at
+    * view construction (OB:411) — mirrored here at registration. */
+  val DefaultMarketParams: Seq[(String, Double)] =
+    Seq(("SOL", 0.25), ("BTC", 0.25), ("ETH", 0.25), ("JTO", 0.25))
+
+  def build(spark: SparkSession, rawSnapshots: () => DataFrame,
+            trades: Option[() => DataFrame] = None,
+            pubkeyLabel: Option[() => DataFrame] = None,
+            marketParams: Seq[(String, Double)] = DefaultMarketParams)
+      : Registry = {
+    val sp = spark
+    import sp.implicits._
     val reg = new Registry(spark)
     reg.source("raw_orderbook_snapshot", rawSnapshots)
+    reg.source("cleaned_ix_trade", trades.getOrElse(
+      () => Seq.empty[(String, java.sql.Timestamp, Boolean, Double)]
+        .toDF("authority", "block_time", "is_taker", "volume")))
+    reg.source("pubkey_label", pubkeyLabel.getOrElse(
+      () => Seq.empty[(String, String)].toDF("pub_key", "label")))
+
+    // inline literal params table (S3): the one programmatic schema in
+    // the reference, weight-sum invariant checked eagerly like OB:411
+    require(math.abs(marketParams.map(_._2).sum - 1.0) < 1e-9,
+      "mm_market_params weights must sum to 1.0 (orderbook:411)")
+    reg.register(TableDef("mm_market_params", Seq.empty, { case Seq() =>
+      marketParams.toDF("asset", "weight")
+    }, mode = Mode.Full))
+
+    // per-(hour, asset) book aggregates (orderbook:227–249)
+    reg.register(TableDef("agg_orderbook_all",
+      Seq("raw_orderbook_snapshot"), { case Seq(raw) =>
+        raw.groupBy(date_trunc("hour", col("exchange_timestamp"))
+            .as("timestamp"), col("asset"))
+          .agg(avg(col("midpoint")).as("avg_midpoint"),
+            avg(col("mark_price")).as("avg_mark_price"),
+            count(lit(1)).as("n_snapshots"))
+      }, mode = Mode.Incremental))
+
+    // whitelisted-maker hourly volume (orderbook:534–550): inner join to
+    // the pubkey whitelist (J2), maker fills only
+    reg.register(TableDef("agg_mm_maker_volume_1h",
+      Seq("cleaned_ix_trade", "pubkey_label"), { case Seq(tr, labels) =>
+        tr.join(broadcast(labels),
+            tr("authority") === labels("pub_key"), "inner")
+          .filter(!col("is_taker"))
+          .groupBy(date_trunc("hour", col("block_time")).as("timestamp"),
+            col("authority"))
+          .agg(sum(col("volume")).as("maker_volume"))
+      }, mode = Mode.Incremental))
 
     // per-level explosion with spread/depth metrics + spread-group
     // bucketing (orderbook:89–144, both sides in one pass instead of the
@@ -93,6 +140,30 @@ object OrderbookPipeline {
           .withColumn("uptime", col("up_samples") / col("n_samples"))
           .withColumn("score",
             pow(col("avg_depth_usd"), 0.15) * pow(col("uptime"), 5.0))
+    }, mode = Mode.Full))
+
+    // full MM program score (orderbook:554–632): per-(asset, authority)
+    // quality Q = depth^0.15 × uptime^5 × maker_volume^0.85, weighted by
+    // the market's program weight. Maker volume comes from the hourly
+    // whitelist view summed per maker; makers without volume score 0
+    // (the reference's inner join drops them — kept as left+coalesce so
+    // the uptime component stays visible).
+    reg.register(TableDef("agg_mm_scores_1h",
+      Seq("agg_mm_scores", "agg_mm_maker_volume_1h", "mm_market_params"), {
+      case Seq(scores, vol, params) =>
+        val volByMaker = vol.groupBy("authority")
+          .agg(sum(col("maker_volume")).as("maker_volume"))
+        scores
+          .join(volByMaker, Seq("authority"), "left")
+          .withColumn("maker_volume", coalesce(col("maker_volume"), lit(0.0)))
+          .join(broadcast(params), Seq("asset"), "left")
+          .withColumn("weight", coalesce(col("weight"), lit(0.0)))
+          .withColumn("q_depth", pow(col("avg_depth_usd"), 0.15))
+          .withColumn("q_uptime", pow(col("uptime"), 5.0))
+          .withColumn("q_volume", pow(col("maker_volume"), 0.85))
+          .withColumn("q",
+            col("q_depth") * col("q_uptime") * col("q_volume"))
+          .withColumn("weighted_q", col("q") * col("weight"))
     }, mode = Mode.Full))
 
     reg

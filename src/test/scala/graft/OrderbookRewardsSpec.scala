@@ -51,6 +51,40 @@ class OrderbookRewardsSpec extends AnyFunSuite {
       math.pow(mm1.getAs[Double]("avg_depth_usd"), 0.15) * math.pow(0.5, 5.0))
   }
 
+  test("orderbook full program: params assert, maker volume, Q formula") {
+    val sp = spark
+    import sp.implicits._
+    val trades = Seq(
+      ("mm1", ts("2024-01-05 09:10:00"), false, 2000.0), // maker fill
+      ("mm1", ts("2024-01-05 09:20:00"), true, 500.0),   // taker -> excluded
+      ("rando", ts("2024-01-05 09:30:00"), false, 9999.0)) // not whitelisted
+      .toDF("authority", "block_time", "is_taker", "volume")
+    val labels = Seq(("mm1", "MM One"), ("mm2", "MM Two"))
+      .toDF("pub_key", "label")
+    val reg = OrderbookPipeline.build(sp, () => snaps.toDF(),
+      trades = Some(() => trades), pubkeyLabel = Some(() => labels),
+      marketParams = Seq(("SOL", 0.6), ("ETH", 0.4)))
+    val vol = reg.resolve("agg_mm_maker_volume_1h").collect()
+    assert(vol.length === 1, "whitelist + maker filter")
+    assert(vol.head.getAs[Double]("maker_volume") === 2000.0)
+    val book = reg.resolve("agg_orderbook_all").collect()
+    assert(book.length === 1 && book.head.getAs[Long]("n_snapshots") === 2L)
+    val q = reg.resolve("agg_mm_scores_1h").collect()
+      .map(r => r.getAs[String]("authority") -> r).toMap
+    val mm1 = q("mm1")
+    assert(mm1.getAs[Double]("q") ===
+      math.pow(mm1.getAs[Double]("avg_depth_usd"), 0.15)
+        * math.pow(0.5, 5.0) * math.pow(2000.0, 0.85))
+    assert(mm1.getAs[Double]("weighted_q") === mm1.getAs[Double]("q") * 0.6)
+    // mm2 has no maker volume -> q_volume 0 -> q 0
+    assert(q("mm2").getAs[Double]("q") === 0.0)
+    // weight-sum invariant rejects a bad params table eagerly
+    assertThrows[IllegalArgumentException] {
+      OrderbookPipeline.build(sp, () => snaps.toDF(),
+        marketParams = Seq(("SOL", 0.9)))
+    }
+  }
+
   test("rewards pipeline: pro-rata shares per epoch cohort + cumulative") {
     val sp = spark
     import sp.implicits._
