@@ -43,6 +43,14 @@ class PlanSpec extends AnyFunSuite {
       "global top-k must use distributed partial top-k")
   }
 
+  test("q28/q29: sketch-banded dedup plans are pure equi joins") {
+    for (q <- Seq("q28_minhash_lsh", "q29_simhash")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q must band, not cross")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q must equi-join")
+    }
+  }
+
   test("q67: banded near-dup plan has no cartesian/nested-loop join") {
     val p = plan("q67_embedding_neardup")
     assert(!p.contains("CartesianProduct"),

@@ -87,6 +87,33 @@ object WindowProperties extends Properties("graft.ops") {
       binned.sameElements(naive)
     }
 
+  property("cumulativeExclusiveOfFirst equals cumsum minus the first value") =
+    Prop.forAll(rowsGen, Gen.choose(1, 8)) { (rows, parts) =>
+      val sp = spark
+      import sp.implicits._
+      val df = rows.zipWithIndex
+        .map { case ((k, t, v), i) => (k, t * 1000 + i, v) } // total order
+        .toDF("k", "ord", "v").repartition(parts)
+      val got = df.select(col("k"), col("ord"),
+          Relational.cumulativeExclusiveOfFirst(
+            Seq("k"), Seq(col("ord")))(col("v")).as("s"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Double])))
+      val byKey = rows.zipWithIndex
+        .map { case ((k, t, v), i) => (k, t * 1000L + i, v) }
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+      got.forall { case (k, ord, s) =>
+        val series = byKey(k)
+        val first = series.head
+        if (ord == first._2) s.isEmpty // first row → null (empty frame)
+        else {
+          val expect = series.takeWhile(_._2 <= ord).map(_._3).sum - first._3
+          s.exists(x => math.abs(x - expect) < 1e-9)
+        }
+      }
+    }
+
   property("dedupeExact keeps the min-keep row per key under any partitioning") =
     Prop.forAll(rowsGen, Gen.choose(1, 8)) { (rows, parts) =>
       val sp = spark
