@@ -539,6 +539,68 @@ object ExtendedQueries {
           = DATE_TRUNC('hour', TIMESTAMP '2024-01-30 12:00:00' - INTERVAL 2 HOUR)
         ORDER BY event_type""")),
 
+    // A13 two-level re-aggregation (rewards:206–225, madwars:266–291):
+    // hourly per-(user, type) counts re-aggregated to per-user totals.
+    Q("q71_two_level_agg",
+      (s, d) => {
+        val lvl1 = t(s, d, "events")
+          .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"), decSum(col("value")).as("v"))
+        lvl1.groupBy("user_id")
+          .agg(sum(col("n")).as("total_events"),
+            countDistinct(col("event_type")).as("n_types"),
+            max(col("n")).as("busiest_cell"),
+            decSum(col("v")).as("total_value"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH lvl1 AS (
+          SELECT user_id, DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS h,
+            event_type, COUNT(*) AS n,
+            CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS v
+          FROM events GROUP BY 1, 2, 3)
+        SELECT user_id, SUM(n) AS total_events,
+          COUNT(DISTINCT event_type) AS n_types,
+          MAX(n) AS busiest_cell,
+          CAST(CAST(SUM(CAST(v AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS total_value
+        FROM lvl1 GROUP BY user_id ORDER BY user_id""")),
+
+    // J9 self equi join bid×ask in the same quote window
+    // (mm-uptime-v3:85–94, orderbook:510–527): per-(user, hour) click
+    // side joined to view side, spread = ask − bid.
+    Q("q72_bid_ask_self_join",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .withColumn("h", date_trunc("hour", col("ts")))
+        val bid = ev.filter(col("event_type") === "click")
+          .groupBy("user_id", "h").agg(decAvg(col("value")).as("bid"))
+        val ask = ev.filter(col("event_type") === "view")
+          .groupBy("user_id", "h").agg(decAvg(col("value")).as("ask"))
+        bid.join(ask, Seq("user_id", "h"))
+          .select(col("user_id"), col("h"), col("bid"), col("ask"),
+            (col("ask") - col("bid")).as("spread"))
+          .orderBy("user_id", "h")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS h,
+            event_type, value
+          FROM events),
+        bid AS (
+          SELECT user_id, h,
+            CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)
+              / COUNT(*) AS bid
+          FROM ev WHERE event_type = 'click' GROUP BY 1, 2),
+        ask AS (
+          SELECT user_id, h,
+            CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)
+              / COUNT(*) AS ask
+          FROM ev WHERE event_type = 'view' GROUP BY 1, 2)
+        SELECT user_id, CAST(h AS TIMESTAMP) AS h, bid, ask, ask - bid AS spread
+        FROM bid JOIN ask USING (user_id, h)
+        ORDER BY user_id, h""")),
+
     // Deterministic hash sampling — the rand(seed) replacement
     // (madwars-pipeline.py:60); exactly reproducible in any engine.
     Q("q66_deterministic_sample",
