@@ -44,4 +44,14 @@ object QH {
 
   /** Exact average built from decSum / count. */
   def decAvg(c: Column): Column = decSum(c) / count(lit(1))
+
+  /** Spread a CPU-heavy projection over the configured shuffle
+    * parallelism. The count is EXPLICIT (the session's shuffle-partition
+    * setting, so it follows deployment tuning) because an unnumbered
+    * `repartition(col)` lets AQE coalesce a byte-small shuffle back to
+    * one partition — which serializes compute-bound stages whose cost is
+    * per-row work, not bytes (the test corpus's single-row-group parquet
+    * cannot split at the scan either). */
+  def spread(s: SparkSession, key: Column)(df: DataFrame): DataFrame =
+    df.repartition(s.sessionState.conf.numShufflePartitions, key)
 }

@@ -16,8 +16,7 @@ object DedupQueries {
     * parquet is a single row group, so without it the whole CPU-bound
     * projection runs in one scan partition. */
   private[queries] def shingles(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents")
-      .repartition(64, col("doc_id"))
+    QH.spread(s, col("doc_id"))(t(s, d, "documents"))
       .withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= 3)
       .select(col("doc_id"), explode(array_distinct(expr(
@@ -116,8 +115,7 @@ object DedupQueries {
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy("doc_id").orderBy("pos")
-        val sh = t(s, d, "documents")
-          .repartition(64, col("doc_id"))
+        val sh = QH.spread(s, col("doc_id"))(t(s, d, "documents"))
           .select(col("doc_id"),
             posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
           .withColumn("w1", lead(col("w"), 1).over(w))
@@ -179,8 +177,7 @@ object DedupQueries {
         // buffer with map-side combine; a 60-column conditional-sum
         // aggregate generates code past JIT limits, and HOF lambdas are
         // interpreted)
-        val exw = t(s, d, "documents")
-          .repartition(64, col("doc_id")) // split the one-row-group scan
+        val exw = QH.spread(s, col("doc_id"))(t(s, d, "documents"))
           .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
           .select(col("doc_id"),
             expr("cast(conv(substring(md5(w), 1, 15), 16, 10) AS bigint)")

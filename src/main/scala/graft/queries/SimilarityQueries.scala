@@ -124,11 +124,11 @@ object SimilarityQueries {
     // suffices and the same plan is strictly sub-quadratic.
     Q("q67_embedding_neardup",
       (s, d) => {
-        // repartition (explicit count — AQE would coalesce the sub-MB
-        // shuffle to one partition): the embeddings parquet is one row
-        // group; without this the 320-bank hyperplane fold runs on a
-        // single core.
-        val all = vecs(s, d).repartition(64, col("vec_id"))
+        // spread (explicit partition count — AQE would coalesce the
+        // sub-MB shuffle to one partition): the embeddings parquet is
+        // one row group; without this the 320-bank hyperplane fold runs
+        // on a single core.
+        val all = QH.spread(s, col("vec_id"))(vecs(s, d))
         val banks = all.select(col("vec_id"),
           posexplode(expr("graft_lsh_banks(v, 320)")).as(Seq("bank", "bucket")))
         val cand = banks.as("x").join(broadcast(banks.as("y")), Seq("bank", "bucket"))
