@@ -35,6 +35,65 @@ object ServingJobs {
     served
   }
 
+  /** Funding serving (S2:334–361): snapshot the funding gold at
+    * `asOf − 2h` (the reference's watermark-lag delay), add the
+    * `timestamp#asset` composite sort key, camelCase, write keyed by
+    * margin account / authority. */
+  def serveFunding(gold: DataFrame, conf: Conf, sink: KVSink,
+                   table: String, lagHours: Int = 2): DataFrame = {
+    val served = Relational.camelCaseAll(
+      gold.filter(col("timestamp") ===
+          date_trunc("hour", conf.asOfTs - expr(s"interval $lagHours hours")))
+        .withColumn("timestamp#asset", Relational.kvSortKey(
+          unix_timestamp(col("timestamp")).cast("string"), col("asset"))))
+    sink.write(sink.servingProjection(served), table,
+      hashKey = "authority", rangeKey = Some("timestamp#asset"))
+    served
+  }
+
+  /** Leaderboard serving (S2:416–568, `leaderboard_v2_s2`): the agg_pnl
+    * snapshot reshaped to one row per (account, metric#timePeriod) with
+    * per-period metric/rank payloads.
+    *
+    * The reference builds this as an 11-iteration union loop — 11 full
+    * rescans of the gold table. Re-expressed Spark-first as ONE pass:
+    * a literal array of 11 payload structs (metric × period, minus
+    * roi#alltime) is exploded per input row, so the plan has a single
+    * scan and NO Union node (asserted in ServingJobsSpec).
+    */
+  def serveLeaderboard(gold: DataFrame, conf: Conf, sink: KVSink,
+                       table: String,
+                       idCols: Seq[String] = Seq("user_id")): DataFrame = {
+    val periodMap = Seq("24h" -> "TWENTY_FOUR_HOURS", "7d" -> "SEVEN_DAYS",
+      "30d" -> "THIRTY_DAYS", "alltime" -> "ALL_TIME")
+    val combos = for {
+      metric <- Seq("pnl", "roi", "z_score")
+      (period, periodName) <- periodMap
+      if !(metric == "roi" && period == "alltime")
+    } yield struct(
+      lit(s"${metric.toUpperCase}#$periodName").as("metric#time_period"),
+      col(s"pnl_$period").as("pnl"),
+      (if (period == "alltime") lit(null).cast("double")
+       else col(s"roi_$period")).as("roi"),
+      col(s"z_score_$period").as("z_score"),
+      (if (period == "24h") col("z_multiplier_24h")
+       else col(s"z_multiplier_$period")).as("z_multiplier"),
+      col(s"maker_volume_$period").as("maker_volume"),
+      col(s"taker_volume_$period").as("taker_volume"),
+      col(s"${metric}_${period}_rank").as("rank"),
+      col(s"${metric}_${period}_rank_change").as("rank_change"))
+    val snapshot = gold.filter(col("timestamp") ===
+      date_trunc("hour", conf.asOfTs))
+    val ids = (Seq("timestamp") ++ idCols :+ "z_multiplier_nft").map(col)
+    val long = snapshot
+      .select(ids :+ explode(array(combos: _*)).as("p"): _*)
+      .select(ids :+ col("p.*"): _*)
+    val served = Relational.camelCaseAll(long)
+    sink.write(sink.servingProjection(served), table,
+      hashKey = "metric#timePeriod", rangeKey = Some("rank"))
+    served
+  }
+
   /** All-time stats with historical backfill constants folded in
     * (S2:628–649: V1_VOLUME / v1_TRADE_COUNT added to the totals). */
   def serveAllTimeStats(hourly: DataFrame, volumeCol: String,

@@ -38,6 +38,79 @@ class ServingJobsSpec extends AnyFunSuite {
     assert(back.select("ttl").head().getLong(0) === snapSecs + 14 * 86400)
   }
 
+  test("serveFunding snapshots asOf-2h with the composite sort key") {
+    val sp = spark
+    import sp.implicits._
+    val gold = Seq(
+      (ts("2024-01-30 10:00:00"), "SOL", "authA", 1.5),
+      (ts("2024-01-30 09:00:00"), "SOL", "authA", 9.9)) // wrong hour
+      .toDF("timestamp", "asset", "authority", "balance_change")
+    val conf = Conf(Instant.parse("2024-01-30T12:00:00Z"))
+    val out = Files.createTempDirectory("servefund").toString
+    val served = ServingJobs.serveFunding(gold, conf,
+      new ParquetKVSink(out), "funding")
+    val rows = served.collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[String]("timestamp#asset")
+      === s"${ts("2024-01-30 10:00:00").getTime / 1000}#SOL")
+    assert(rows.head.getAs[Double]("balanceChange") === 1.5)
+  }
+
+  test("serveLeaderboard: one-pass 11-way period unpivot, no Union in plan") {
+    val sp = spark
+    import sp.implicits._
+    // q68-shaped single-account snapshot with distinct per-period values
+    val periods = Seq("24h", "7d", "30d", "alltime")
+    val row = (Seq[Any](ts("2024-01-30 12:00:00"), 7L, 1.1) ++
+      periods.zipWithIndex.flatMap { case (_, i) =>
+        Seq[Any](10.0 + i, 0.1 + i, 100.0 + i, 1.0 + i, 5.0 + i, 6.0 + i)
+      } ++ Seq[Any](1, 2, 3, 4, 5, 6, 7, -1, -2, -3, -4, -5, -6, -7,
+        11, 12, 13, 14, -11, -12, -13, -14)).toArray
+    val cols = Seq("timestamp", "user_id", "z_multiplier_nft") ++
+      periods.flatMap(p => Seq(s"pnl_$p", s"roi_$p", s"z_score_$p",
+        s"z_multiplier_$p", s"maker_volume_$p", s"taker_volume_$p")) ++
+      Seq("pnl_24h_rank", "pnl_7d_rank", "pnl_30d_rank", "pnl_alltime_rank",
+        "roi_24h_rank", "roi_7d_rank", "roi_30d_rank",
+        "pnl_24h_rank_change", "pnl_7d_rank_change", "pnl_30d_rank_change",
+        "pnl_alltime_rank_change", "roi_24h_rank_change",
+        "roi_7d_rank_change", "roi_30d_rank_change",
+        "z_score_24h_rank", "z_score_7d_rank", "z_score_30d_rank",
+        "z_score_alltime_rank", "z_score_24h_rank_change",
+        "z_score_7d_rank_change", "z_score_30d_rank_change",
+        "z_score_alltime_rank_change")
+    val schema = org.apache.spark.sql.types.StructType(cols.map {
+      case "timestamp" => org.apache.spark.sql.types.StructField(
+        "timestamp", org.apache.spark.sql.types.TimestampType)
+      case "user_id" => org.apache.spark.sql.types.StructField(
+        "user_id", org.apache.spark.sql.types.LongType)
+      case c if c.endsWith("_rank") || c.endsWith("_rank_change") =>
+        org.apache.spark.sql.types.StructField(
+          c, org.apache.spark.sql.types.IntegerType)
+      case c => org.apache.spark.sql.types.StructField(
+        c, org.apache.spark.sql.types.DoubleType)
+    })
+    val gold = sp.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(row: _*)), schema)
+    val conf = Conf(Instant.parse("2024-01-30T12:00:00Z"))
+    val out = Files.createTempDirectory("serveleader").toString
+    val served = ServingJobs.serveLeaderboard(gold, conf,
+      new ParquetKVSink(out), "leaderboard_v2")
+    val rows = served.collect()
+    assert(rows.length === 11, "3 metrics x 4 periods minus roi#alltime")
+    val byKey = rows.map(r =>
+      r.getAs[String]("metric#timePeriod") -> r).toMap
+    assert(byKey("PNL#TWENTY_FOUR_HOURS").getAs[Int]("rank") === 1)
+    assert(byKey("ROI#SEVEN_DAYS").getAs[Int]("rank") === 6)
+    assert(byKey("Z_SCORE#ALL_TIME").getAs[Int]("rankChange") === -14)
+    assert(byKey("PNL#ALL_TIME").isNullAt(
+      byKey("PNL#ALL_TIME").fieldIndex("roi")), "no alltime roi")
+    assert(byKey("PNL#SEVEN_DAYS").getAs[Double]("pnl") === 11.0)
+    // the reference's union loop rescans 11x; the one-pass explode must
+    // produce a plan without any Union node
+    val plan = served.queryExecution.executedPlan.toString
+    assert(!plan.contains("Union"), "one pass, not a union loop")
+  }
+
   test("serveAllTimeStats folds in the historical backfill constants") {
     val sp = spark
     import sp.implicits._
