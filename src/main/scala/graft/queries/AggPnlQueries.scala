@@ -347,7 +347,10 @@ object AggPnlQueries {
         nft AS (
           SELECT user_id,
             CAST(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS timestamp,
-            1.0 + LEAST(COUNT(*), 5) * 0.1 AS nft_multiplier
+            -- ::DOUBLE literals: DuckDB numeric literals are DECIMAL and
+            -- would compute this chain exactly, diverging from Spark's
+            -- binary64 arithmetic in the last ulp
+            1.0::DOUBLE + LEAST(COUNT(*), 5) * 0.1::DOUBLE AS nft_multiplier
           FROM events WHERE event_type = 'signup' GROUP BY 1, 2),
         cmp AS (
           SELECT user_id,
@@ -366,11 +369,15 @@ object AggPnlQueries {
           LEFT JOIN cmp ON c7.timestamp = cmp.timestamp AND c7.user_id = cmp.user_id),
         c9 AS (
           SELECT *,
-            CASE WHEN pnl_24h_rank <= 100 THEN 2.0 - (pnl_24h_rank - 1) * 0.01 ELSE 1.0 END AS z_multiplier
+            CASE WHEN pnl_24h_rank <= 100
+              THEN 2.0::DOUBLE - (pnl_24h_rank - 1) * 0.01::DOUBLE
+              ELSE 1.0::DOUBLE END AS z_multiplier
           FROM c8),
         c10 AS (
           SELECT *,
-            (z_multiplier * z_multiplier_nft) * (1.0 * taker_volume + 0.2 * maker_volume) + campaign_z_score AS z_score
+            (z_multiplier * z_multiplier_nft)
+              * (1.0::DOUBLE * taker_volume + 0.2::DOUBLE * maker_volume)
+              + campaign_z_score AS z_score
           FROM c9),
         c11 AS (
           SELECT *,
