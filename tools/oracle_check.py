@@ -31,7 +31,15 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: exec error: {e}")
             n_fail += 1
             continue
+        ULP_NOTES.clear()
         ok, msg = compare(got, want)
+        if ULP_NOTES:
+            # tolerance-passes are NOT driver-safe: the driver hashes
+            # exact values, so any ulp drift here fails its gate
+            print(f"  [WARNING] {name}: {len(ULP_NOTES)} value(s) within "
+                  f"tolerance but NOT bit-exact (cols: "
+                  f"{sorted(set(c for c, _ in ULP_NOTES))}) — the driver's "
+                  f"hash compare WILL fail these")
         if ok:
             n_pass += 1
             print(f"PASS {name} ({len(got)} rows)")
@@ -40,6 +48,9 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: {msg}")
     print(f"\n{n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0
+
+
+ULP_NOTES = []
 
 
 def compare(got, want):
@@ -76,7 +87,9 @@ def compare(got, want):
                 if x != y and abs(x - y) > 1e-9 * max(1.0, abs(x), abs(y)):
                     return False, f"col {c} row {i}: {x!r} vs {y!r}"
                 if x != y:
-                    print(f"  [ulp note] col {c} row {i}: {x!r} vs {y!r}")
+                    ULP_NOTES.append((c, i))
+                    if len(ULP_NOTES) <= 3:
+                        print(f"  [ulp note] col {c} row {i}: {x!r} vs {y!r}")
         else:
             ge = gc.astype(str).to_numpy()
             we = wc.astype(str).to_numpy()
