@@ -14,11 +14,20 @@ import graft.ops.Relational
 object CleaningPipelines {
 
   /** Prices: dedup per (underlying, minute), derive partition cols,
-    * latest vault balances (PR:62–78, PR:275–285). Input:
-    * (timestamp, underlying, price, source). */
-  def prices(spark: SparkSession, raw: () => DataFrame): Registry = {
+    * latest vault balances (PR:62–78, PR:275–285), and — when a
+    * coingecko feed is provided — the mark-price/OI join with notional
+    * derivation (PR:142–184). Inputs: raw (timestamp, underlying,
+    * price, source [, open_interest]); coingecko (timestamp, underlying,
+    * price_usd). */
+  def prices(spark: SparkSession, raw: () => DataFrame,
+             coingecko: Option[() => DataFrame] = None): Registry = {
+    val sp = spark
+    import sp.implicits._
     val reg = new Registry(spark)
     reg.source("raw_prices", raw)
+    reg.source("cleaned_coingecko_prices", coingecko.getOrElse(
+      () => Seq.empty[(java.sql.Timestamp, String, Double)]
+        .toDF("timestamp", "underlying", "price_usd")))
     reg.register(TableDef("cleaned_prices", Seq("raw_prices"), { case Seq(r) =>
       Relational.dedupeExact(
           Seq("underlying", "minute_"), col("timestamp"))(
@@ -26,6 +35,26 @@ object CleaningPipelines {
             .withColumn("minute_", date_trunc("minute", col("timestamp"))))
         .withColumn("date_", to_date(col("timestamp")))
     }, mode = Mode.Incremental, partitionCols = Seq("date_")))
+    // mark prices × USD reference prices on the hour, notional OI
+    // (PR:142–184: left join on (underlying, hour), OI × price_usd)
+    reg.register(TableDef("cleaned_prices_oi",
+      Seq("raw_prices", "cleaned_coingecko_prices"), { case Seq(r, cg) =>
+        val p = r.withColumn("timestamp", date_trunc("hour", col("timestamp")))
+        val cgH = cg
+          .withColumn("timestamp", date_trunc("hour", col("timestamp")))
+          .select(col("underlying").as("cg_underlying"),
+            col("timestamp").as("cg_ts"), col("price_usd"))
+        p.join(broadcast(cgH),
+            col("underlying") === col("cg_underlying") &&
+              col("timestamp") === col("cg_ts"), "left")
+          .withColumn("open_interest_notional",
+            col("open_interest") * col("price_usd"))
+          .select(col("timestamp"), col("underlying").as("asset"),
+            col("open_interest"), col("price_usd"),
+            col("open_interest_notional"))
+          .withColumn("date_", to_date(col("timestamp")))
+          .withColumn("hour_", date_format(col("timestamp"), "HH").cast("int"))
+      }, mode = Mode.Incremental, partitionCols = Seq("date_")))
     reg.register(TableDef("latest_prices", Seq("cleaned_prices"), {
       case Seq(cp) =>
         Relational.applyChanges(Seq("underlying"), col("timestamp"))(cp)

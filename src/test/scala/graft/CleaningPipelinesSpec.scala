@@ -24,6 +24,25 @@ class CleaningPipelinesSpec extends AnyFunSuite {
     assert(latest.head.getAs[Double]("price") === 102.0)
   }
 
+  test("prices: coingecko hourly join derives notional open interest") {
+    val sp = spark
+    import sp.implicits._
+    val raw = Seq(
+      (ts("2024-01-05 10:20:00"), "SOL", 100.0, "a", 500.0),
+      (ts("2024-01-05 11:20:00"), "SOL", 100.0, "a", 600.0)) // no cg row
+      .toDF("timestamp", "underlying", "price", "source", "open_interest")
+    val cg = Seq((ts("2024-01-05 10:05:00"), "SOL", 98.5))
+      .toDF("timestamp", "underlying", "price_usd")
+    val rows = CleaningPipelines.prices(sp, () => raw,
+        coingecko = Some(() => cg))
+      .resolve("cleaned_prices_oi").orderBy("timestamp").collect()
+    assert(rows.length === 2)
+    assert(rows.head.getAs[Double]("open_interest_notional") === 500.0 * 98.5)
+    assert(rows.head.getAs[Int]("hour_") === 10)
+    assert(rows(1).isNullAt(rows(1).fieldIndex("open_interest_notional")),
+      "left join: missing USD price leaves notional null")
+  }
+
   test("monitoring: formatted liquidity labels") {
     val sp = spark
     import sp.implicits._
