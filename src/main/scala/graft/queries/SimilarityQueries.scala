@@ -108,6 +108,82 @@ object SimilarityQueries {
         WHERE rk <= 5
         ORDER BY query_id, rk""")),
 
+    // IVF-bucketed ANN — the second scale path next to LSH (q31):
+    // a deterministic coarse quantizer (centroids = the first 16
+    // vectors; nearest-centroid assignment by cosine with id
+    // tie-break) partitions the corpus into inverted lists, and a
+    // query probes its 4 nearest centroids' lists only. At 100 TB the
+    // assignment is a narrow shuffle on centroid id and each query
+    // touches nprobe/K of the data; centroids would come from a
+    // k-means job, which only changes the centroid table, not the plan.
+    Q("q73_knn_ivf",
+      (s, d) => {
+        val all = vecs(s, d)
+        val cents = all.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("centroid_id"), col("v").as("cv"))
+        val aw = Window.partitionBy("vec_id")
+          .orderBy(col("sim_c").desc, col("centroid_id"))
+        val assigned = all.crossJoin(broadcast(cents))
+          .withColumn("sim_c", round(expr("graft_cosine(v, cv)"), 6))
+          .withColumn("rn", row_number().over(aw))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("v"), col("centroid_id").as("bucket"))
+        val pw = Window.partitionBy("query_id")
+          .orderBy(col("sim_c").desc, col("centroid_id"))
+        val probes = all.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"))
+          .crossJoin(broadcast(cents))
+          .withColumn("sim_c", round(expr("graft_cosine(qv, cv)"), 6))
+          .withColumn("rn", row_number().over(pw))
+          .filter(col("rn") <= 4)
+          .select(col("query_id"), col("qv"), col("centroid_id").as("bucket"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("sim").desc, col("vec_id"))
+        probes.join(assigned, Seq("bucket"))
+          .filter(col("query_id") =!= col("vec_id"))
+          .withColumn("sim", round(expr("graft_cosine(qv, v)"), 6))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            col("sim"), col("rk"))
+          .orderBy("query_id", "rk")
+      },
+      Some("""
+        WITH n AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+            SQRT(LIST_SUM(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]), x -> x*x))) AS nrm
+          FROM embeddings),
+        cents AS (
+          SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm
+          FROM n WHERE vec_id < 16),
+        assign AS (
+          SELECT vec_id, v, nrm, centroid_id AS bucket FROM (
+            SELECT a.vec_id, a.v, a.nrm, c.centroid_id,
+              ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+                ROUND(LIST_DOT_PRODUCT(a.v, c.cv) / (a.nrm * c.cnrm), 6) DESC,
+                c.centroid_id) AS rn
+            FROM n a CROSS JOIN cents c)
+          WHERE rn = 1),
+        probes AS (
+          SELECT query_id, qv, qnrm, centroid_id AS bucket FROM (
+            SELECT q.vec_id AS query_id, q.v AS qv, q.nrm AS qnrm,
+              c.centroid_id,
+              ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                ROUND(LIST_DOT_PRODUCT(q.v, c.cv) / (q.nrm * c.cnrm), 6) DESC,
+                c.centroid_id) AS rn
+            FROM n q CROSS JOIN cents c WHERE q.vec_id < 10)
+          WHERE rn <= 4),
+        pairs AS (
+          SELECT p.query_id, a.vec_id AS neighbor_id,
+            ROUND(LIST_DOT_PRODUCT(p.qv, a.v) / (p.qnrm * a.nrm), 6) AS sim
+          FROM probes p JOIN assign a USING (bucket)
+          WHERE a.vec_id != p.query_id)
+        SELECT query_id, neighbor_id, sim, CAST(rk AS INTEGER) AS rk
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) AS rk FROM pairs)
+        WHERE rk <= 5
+        ORDER BY query_id, rk""")),
+
     // Embedding-cosine near-duplicate pairs (the fifth dedup modality),
     // the same banded shape as q28's MinHash→exact-Jaccard: candidate
     // pairs share an 8-plane hyperplane bucket in ≥1 of 320 splitmix64
