@@ -66,6 +66,37 @@ object StreamingQueries {
         SELECT hour_ts, event_type, n, total_value
         FROM hourly, wm
         WHERE hour_ts + INTERVAL 1 HOUR <= w
-        ORDER BY hour_ts, event_type"""))
+        ORDER BY hour_ts, event_type""")),
+
+    // S1 JSON landing-zone ingest under the hard gate: the events feed
+    // is staged as hive-partitioned JSON (the bronze landing layout,
+    // transactions:70–80), read back through [[graft.sources.JsonSource]]
+    // with a declared DDL schema (never inferred — no sampling pass at
+    // 100 TB) and partition columns recovered from the directory layout,
+    // then aggregated and hash-compared against the oracle running on
+    // the original parquet. Timestamps/doubles round-trip Spark's JSON
+    // codec at full precision, which the bit-exact compare verifies.
+    Q("q74_json_ingest",
+      (s, d) => {
+        val out = Files.createTempDirectory("graft_q74_").toString
+        graft.tables.Tables.events(s, d)
+          .withColumn("date_", to_date(col("ts")))
+          .write.mode("overwrite").partitionBy("date_").json(out)
+        val ddl = "event_id bigint, ts timestamp, user_id bigint, " +
+          "event_type string, value double, props string"
+        val ingested = graft.sources.JsonSource.batch(s, out, ddl + ", date_ date")
+        ingested
+          .groupBy("date_", "event_type")
+          .agg(count(lit(1)).as("n"), decSum(col("value")).as("total_value"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy("date_", "event_type")
+      },
+      Some("""
+        SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS date_, event_type,
+          COUNT(*) AS n,
+          CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)
+            AS total_value,
+          COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1, 2 ORDER BY date_, event_type"""))
   )
 }
