@@ -37,7 +37,21 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Measurement conditions, embedded so every recorded bench line is
+    // self-documenting (BASELINE.md "Bench method"): wall-clock here is
+    // only comparable across runs at similar env values — loadAvg >> 0
+    // at start means the box was already contended and per-query times
+    // include straggler tails that are not plan cost.
+    import java.lang.management.ManagementFactory
+    import scala.jdk.CollectionConverters._
+    val os = ManagementFactory.getOperatingSystemMXBean
+    val gcMs = ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).sum
+    val env = s""""cpus":$cpus,"host_cpus":${os.getAvailableProcessors},""" +
+      s""""load_avg":${os.getSystemLoadAverage},""" +
+      s""""heap_max_mb":${Runtime.getRuntime.maxMemory / (1024 * 1024)},""" +
+      s""""gc_total_sec":${gcMs / 1e3}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$env}""")
     spark.stop()
   }
 }

