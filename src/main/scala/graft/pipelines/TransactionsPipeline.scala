@@ -46,6 +46,7 @@ object TransactionsPipeline {
             rawPnl: Option[() => DataFrame] = None,
             rawBurnEvents: Option[() => DataFrame] = None,
             zpassNfts: Option[() => DataFrame] = None,
+            pubkeyLabel: Option[() => DataFrame] = None,
             conf: graft.core.Conf = graft.core.Conf.ForTests): Registry = {
     val sp = spark
     import sp.implicits._
@@ -70,6 +71,10 @@ object TransactionsPipeline {
       () => Seq.empty[(java.sql.Timestamp, String, String, String, Double, Double)]
         .toDF("timestamp", "underlying", "owner_pub_key", "authority",
           "balance", "unrealized_pnl")))
+    // market-maker account labels (zetadex_mainnet.pubkey_label,
+    // transactions:1548) — the leaderboard excludes labeled accounts
+    reg.source("pubkey_label", pubkeyLabel.getOrElse(
+      () => Seq.empty[(String, String)].toDF("pub_key", "label")))
 
     // silver root (transactions:340–358): successful txs, derived
     // partition cols, positional instruction explosion kept lazy
@@ -373,12 +378,20 @@ object TransactionsPipeline {
           .withColumn("date_", date_trunc("day", col("timestamp")))
     }, mode = Mode.Full))
 
-    // leaderboard gold (transactions:1486–1878, compact form): trailing
-    // anchors, exclusive-start Dietz flows, PnL/ROI, 7 tie-broken ranks
-    // + rank changes, all on one shared (authority, t) partitioning.
-    // The full-width composite with the z-score/volume/dim-join stages
-    // is the oracle-verified q68 (graft.queries.AggPnlQueries).
-    reg.register(TableDef("agg_pnl", Seq("cleaned_pnl"), { case Seq(cp) =>
+    // leaderboard gold (transactions:1486–1878, compact form): MM
+    // left-anti exclusion (transactions:1556–1560: labeled accounts
+    // never enter the ranks — removing them AFTER ranking would leave
+    // holes in the rank sequence), then trailing anchors, exclusive-
+    // start Dietz flows, PnL/ROI, 7 tie-broken ranks + rank changes,
+    // all on one shared (authority, t) partitioning. The full-width
+    // composite with the z-score/volume/dim-join stages is the
+    // oracle-verified q68 (graft.queries.AggPnlQueries).
+    reg.register(TableDef("agg_pnl", Seq("cleaned_pnl", "pubkey_label"), {
+      case Seq(cpRaw, mm) =>
+      // label table is a genuine dimension (hand-curated account list)
+      // → broadcast is the right call at any scale
+      val cp = cpRaw.join(broadcast(mm),
+        cpRaw("authority") === mm("pub_key"), "left_anti")
       def trail(sec: Long) = Window.partitionBy("authority")
         .orderBy(col("t")).rangeBetween(-sec, 0)
       def excl(sec: Long) = Window.partitionBy("authority")

@@ -215,6 +215,22 @@ class TransactionsPipelineSpec extends AnyFunSuite {
     assert(b.getAs[Double]("roi_24h") === 0.0)
   }
 
+  test("agg_pnl excludes labeled MM accounts before ranking (TX:1556–1560)") {
+    val sp = spark
+    import sp.implicits._
+    val reg = TransactionsPipeline.build(sp, () => fixture.toDF(),
+      rawPnl = Some(() => pnlFixture),
+      pubkeyLabel = Some(() =>
+        Seq(("authB", "wintermute")).toDF("pub_key", "label")))
+    val rows = reg.resolve("agg_pnl")
+      .filter(col("timestamp") === ts("2024-01-05 10:00:00")).collect()
+    assert(rows.map(_.getAs[String]("authority")).toSet === Set("authA"),
+      "labeled accounts must not appear in the leaderboard")
+    // with authB anti-joined away BEFORE ranking, authA ranks 1 — no
+    // hole in the rank sequence
+    assert(rows.head.getAs[Int]("pnl_24h_rank") === 1)
+  }
+
   test("nft burn family: nested-element dim join, hour explosion, max multiplier") {
     val sp = spark
     import sp.implicits._
