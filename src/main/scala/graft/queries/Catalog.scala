@@ -21,7 +21,8 @@ object Catalog {
     RelationalQueries.qs ++ WindowQueries.qs ++ JoinQueries.qs ++
       DedupQueries.qs ++ SimilarityQueries.qs ++ TextQueries.qs ++
       CdcQueries.qs ++ MultimodalQueries.qs ++ ExtendedQueries.qs ++
-      NestedQueries.qs ++ AggPnlQueries.qs ++ StreamingQueries.qs
+      NestedQueries.qs ++ AggPnlQueries.qs ++ StreamingQueries.qs ++
+      ReferralQueries.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -112,4 +112,71 @@ class OrderbookRewardsSpec extends AnyFunSuite {
     assert(perUser(("u1", e1)) === 750.0)
     assert(perUser(("u1", e2)) === 1750.0)
   }
+
+  test("referral chain: as-of join, tier gates, tiered rebates, cumsums " +
+    "(rewards-v2:270–439)") {
+    val sp = spark
+    import sp.implicits._
+    // u1 referred by r9 on Jan 3; the Jan 1 trade predates the referral
+    // and must not count (rewards-v2:275–288). u2 referred by r9 too,
+    // u3 by r8.
+    val trades = Seq(
+      Trade(ts("2024-01-01 09:00:00"), "u1", "SOL", 9999.0, true), // pre-referral
+      Trade(ts("2024-01-05 09:00:00"), "u1", "SOL", 3000.0, true),
+      Trade(ts("2024-01-05 10:00:00"), "u2", "SOL", 2000.0, true),
+      Trade(ts("2024-01-05 11:00:00"), "u3", "ETH", 100.0, true),
+      // next epoch: only u1 trades
+      Trade(ts("2024-01-12 09:00:00"), "u1", "SOL", 1000.0, true))
+    val referrals = Seq(
+      ("r9", "apex", "u1", ts("2024-01-03 00:00:00")),
+      ("r9", "apex", "u2", ts("2024-01-03 00:00:00")),
+      ("r8", "beta", "u3", ts("2024-01-03 00:00:00")))
+      .toDF("referrer", "alias", "referral", "timestamp")
+    val reg = RewardsPipeline.build(sp, () => trades.toDF(),
+      referrals = Some(() => referrals),
+      tier3 = (10000.0, 3), tier2 = (4000.0, 2))
+    val e1 = "2024-01-05 08:00:00.0"
+    val e2 = "2024-01-12 08:00:00.0"
+
+    val view = reg.resolve("agg_trades_rewards_epoch_referee_referrer")
+      .collect()
+      .map(r => (r.getAs[String]("referee"),
+        r.getAs[Timestamp]("epoch").toString) -> r).toMap
+    // pre-referral trade excluded: u1 epoch-1 volume is 3000, not 12999
+    assert(view(("u1", e1)).getAs[java.math.BigDecimal]("volume")
+      .doubleValue === 3000.0)
+
+    val rr = reg.resolve("agg_referrer_rewards_epoch_user").collect()
+      .map(r => (r.getAs[String]("referrer"),
+        r.getAs[Timestamp]("epoch").toString) -> r).toMap
+    // r9 epoch 1: vol30d = 5000 ≥ 4000 and 2 referees as-of → tier 2;
+    // fee = 5000×2e-4 = 1.0; rebate = 1.0×0.075
+    val r9e1 = rr(("r9", e1))
+    assert(r9e1.getAs[Long]("referral_count") === 2L)
+    assert(r9e1.getAs[Int]("referrer_tier") === 2)
+    assert(r9e1.getAs[java.math.BigDecimal]("referrer_fee_rebate")
+      .doubleValue === 0.075)
+    // r8: vol30d 100 → tier 1; rebate = 0.02×0.05 = 0.001
+    val r8e1 = rr(("r8", e1))
+    assert(r8e1.getAs[Int]("referrer_tier") === 1)
+    assert(r8e1.getAs[java.math.BigDecimal]("referrer_fee_rebate")
+      .doubleValue === 0.001)
+    // r9 epoch 2: only u1 has an epoch-2 row; its 30d window still sees
+    // the epoch-1 volume (3000+1000) — u2 contributes nothing at e2
+    val r9e2 = rr(("r9", e2))
+    assert(r9e2.getAs[java.math.BigDecimal]("referral_volume_30d")
+      .doubleValue === 4000.0)
+    // tier 2 again (4000 ≥ 4000, count 2): cumsum = 1.0×0.075 + 0.2×0.075
+    assert(r9e2.getAs[java.math.BigDecimal]("referrer_fee_rebate_cumsum")
+      .doubleValue === 0.09)
+
+    val re = reg.resolve("agg_referee_rewards_epoch_user").collect()
+      .map(r => (r.getAs[String]("referee"),
+        r.getAs[Timestamp]("epoch").toString) -> r).toMap
+    // u1: rebate = own fee × 0.01 = 0.6×0.01; cumsum adds epoch 2
+    assert(re(("u1", e1)).getAs[Double]("referee_fee_rebate") === 0.006)
+    assert(re(("u1", e2)).getAs[Double]("referee_fee_rebate_cumsum")
+      === 0.006 + 1000.0 * 2e-4 * 0.01)
+    assert(re(("u3", e1)).getAs[String]("referrer_alias") === "beta")
+  }
 }
