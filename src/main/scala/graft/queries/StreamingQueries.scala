@@ -97,6 +97,73 @@ object StreamingQueries {
           CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)
             AS total_value,
           COUNT(DISTINCT user_id) AS n_users
-        FROM events GROUP BY 1, 2 ORDER BY date_, event_type"""))
+        FROM events GROUP BY 1, 2 ORDER BY date_, event_type""")),
+
+    // Stream∪stream union with aligned watermarks, EXECUTED as a real
+    // streaming job (orderbook:207–222 `cleaned_orderbook_all`: bids and
+    // asks streams union under 1-minute watermarks, feeding the gold
+    // aggregate). Two independent file-source streams each declare a
+    // 1-minute watermark; the union's downstream windowed aggregate runs
+    // under Spark's multi-watermark policy (global watermark = MIN of
+    // the inputs — mirrored by LEAST() in the oracle), all fused into
+    // one checkpointed AvailableNow query by the graph Runner.
+    Q("q76_streaming_union",
+      (s, d) => {
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val reg = new Registry(s)
+        reg.source("bids_feed", () =>
+          graft.tables.Tables.events(s, d)
+            .filter(col("event_type") === "click"))
+        reg.source("asks_feed", () =>
+          graft.tables.Tables.events(s, d)
+            .filter(col("event_type") === "view"))
+        reg.register(TableDef("orderbook_all", Seq("bids_feed", "asks_feed"), {
+          case Seq(bids, asks) =>
+            val b = bids.withWatermark("ts", "1 minute")
+              .withColumn("side", lit("bid"))
+            val a = asks.withWatermark("ts", "1 minute")
+              .withColumn("side", lit("ask"))
+            b.unionByName(a) // streaming∪streaming (OB:216–222)
+        }, mode = Mode.Incremental))
+        reg.register(TableDef("agg_orderbook_union_hourly",
+          Seq("orderbook_all"), { case Seq(all) =>
+            all.groupBy(window(col("ts"), "1 hour"), col("side"))
+              .agg(count(lit(1)).as("n"), decSum(col("value")).as("total_value"))
+              .select(col("window.start").as("hour_ts"), col("side"),
+                col("n"), col("total_value"))
+        }, mode = Mode.Incremental))
+        val out = Files.createTempDirectory("graft_q76_").toString
+        def feed(tp: String) = () => graft.tables.Tables.normalize("events",
+          s.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(d))
+          .filter(col("event_type") === tp)
+        graft.graph.Runner.runStreamingThenFull(s, reg,
+          Map("bids_feed" -> feed("click"), "asks_feed" -> feed("view")),
+          out)
+        s.read.parquet(s"$out/agg_orderbook_union_hourly")
+          .orderBy("hour_ts", "side")
+      },
+      Some("""
+        WITH sided AS (
+          SELECT CAST(ts AS TIMESTAMP) AS ts, value,
+            CASE WHEN event_type = 'click' THEN 'bid' ELSE 'ask' END AS side
+          FROM events WHERE event_type IN ('click', 'view')),
+        hourly AS (
+          SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hour_ts, side,
+            COUNT(*) AS n,
+            CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)
+              AS total_value
+          FROM sided GROUP BY 1, 2),
+        wm AS (
+          SELECT LEAST(
+            (SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events
+             WHERE event_type = 'click'),
+            (SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events
+             WHERE event_type = 'view')) - INTERVAL 1 MINUTE AS w)
+        SELECT hour_ts, side, n, total_value
+        FROM hourly, wm
+        WHERE hour_ts + INTERVAL 1 HOUR <= w
+        ORDER BY hour_ts, side"""))
   )
 }
