@@ -94,6 +94,33 @@ object ServingJobs {
     served
   }
 
+  /** Hourly + daily PnL snapshot serving (S2:572–611 "PnL Historical"):
+    * snapshot `cleaned_pnl` at the as-of hour, project the account
+    * equity columns, camelCase, then write two KV tables keyed by
+    * account with a numeric timestamp sort key —
+    * `<table>_hourly_v2` with a 2-week TTL (datapoints expire), and
+    * `<table>_daily_v2` keeping only midnight snapshots (no TTL — daily
+    * history is retained). The daily filter runs on the SAME served
+    * frame, exactly like the reference reuses `df` for both writes.
+    * Returns the hourly served frame. */
+  def servePnlSnapshots(cleanedPnl: DataFrame, conf: Conf, sink: KVSink,
+                        table: String,
+                        idCols: Seq[String] = Seq("authority")): DataFrame = {
+    val snapshot = cleanedPnl.filter(col("timestamp") ===
+      date_trunc("hour", conf.asOfTs))
+    val cols = Seq("timestamp") ++ idCols ++
+      Seq("balance", "unrealized_pnl", "equity", "cumulative_pnl")
+    val served = Relational.camelCaseAll(snapshot.select(cols.map(col): _*))
+    val account = served.columns(1) // camelCased idCols.head (after timestamp)
+    sink.write(
+      sink.servingProjection(served, ttlFrom = Some("timestamp")),
+      s"${table}_hourly_v2", hashKey = account, rangeKey = Some("timestamp"))
+    sink.write(
+      sink.servingProjection(served.filter(hour(col("timestamp")) === 0)),
+      s"${table}_daily_v2", hashKey = account, rangeKey = Some("timestamp"))
+    served
+  }
+
   /** All-time stats with historical backfill constants folded in
     * (S2:628–649: V1_VOLUME / v1_TRADE_COUNT added to the totals). */
   def serveAllTimeStats(hourly: DataFrame, volumeCol: String,

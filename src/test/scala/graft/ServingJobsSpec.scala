@@ -111,6 +111,41 @@ class ServingJobsSpec extends AnyFunSuite {
     assert(!plan.contains("Union"), "one pass, not a union loop")
   }
 
+  test("servePnlSnapshots: hourly with 2-week TTL, daily keeps midnight only " +
+    "(S2:572–611)") {
+    val sp = spark
+    import sp.implicits._
+    val pnl = Seq(
+      (ts("2024-01-30 00:00:00"), "authA", 100.0, 5.0, 105.0, 3.0),
+      (ts("2024-01-30 12:00:00"), "authA", 110.0, -5.0, 105.0, 1.5),
+      (ts("2024-01-30 12:00:00"), "authB", 50.0, 0.0, 50.0, 0.0),
+      (ts("2024-01-30 11:00:00"), "authA", 999.0, 0.0, 999.0, 9.9)) // wrong hr
+      .toDF("timestamp", "authority", "balance", "unrealized_pnl",
+        "equity", "cumulative_pnl")
+    val conf = Conf(Instant.parse("2024-01-30T12:00:00Z"))
+    val out = Files.createTempDirectory("servepnl").toString
+    val served = ServingJobs.servePnlSnapshots(pnl, conf,
+      new ParquetKVSink(out), "cleaned_pnl")
+    // snapshot = the as-of hour only
+    assert(served.collect().map(_.getAs[String]("authority")).sorted
+      === Array("authA", "authB"))
+    assert(served.columns.toSeq === Seq("timestamp", "authority", "balance",
+      "unrealizedPnl", "equity", "cumulativePnl"))
+    val hourly = spark.read.parquet(s"$out/cleaned_pnl_hourly_v2")
+    assert(hourly.count() === 2)
+    val snapSecs = ts("2024-01-30 12:00:00").getTime / 1000
+    assert(hourly.select("ttl").head().getLong(0) === snapSecs + 14 * 86400)
+    // daily keeps only hour-0 snapshots: the 12:00 as-of hour has none
+    val daily = spark.read.parquet(s"$out/cleaned_pnl_daily_v2")
+    assert(daily.count() === 0)
+    assert(!daily.columns.contains("ttl"), "daily history never expires")
+    // at midnight as-of, the daily table retains the row
+    val confMidnight = Conf(Instant.parse("2024-01-30T00:00:00Z"))
+    ServingJobs.servePnlSnapshots(pnl, confMidnight,
+      new ParquetKVSink(out), "cleaned_pnl")
+    assert(spark.read.parquet(s"$out/cleaned_pnl_daily_v2").count() === 1)
+  }
+
   test("serveAllTimeStats folds in the historical backfill constants") {
     val sp = spark
     import sp.implicits._
