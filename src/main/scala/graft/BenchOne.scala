@@ -23,6 +23,8 @@ object BenchOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
+    if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
+      println(fn(spark, sfDir).queryExecution.executedPlan.toString)
     fn(spark, sfDir).count() // warm-up
     spark.catalog.clearCache()
     val times = (1 to runs).map { _ =>

@@ -64,10 +64,15 @@ object RelationalQueries {
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
     // J1 fact-dim join + agg + top-k (leaderboard idiom, transactions:1656–1663).
+    // spread: the test lineitem parquet is ONE row group, so without an
+    // explicit repartition the scan→join→partial-agg chain runs on a
+    // single core (a row group is the minimum split). At real scale the
+    // scan has thousands of row groups and the exchange is redundant —
+    // but it lands on the same key the aggregation shuffles on anyway.
     Q("q03_top_revenue_orders",
       (s, d) => {
         val o = t(s, d, "orders")
-        val l = t(s, d, "lineitem")
+        val l = QH.spread(s, col("l_orderkey"))(t(s, d, "lineitem"))
         l.join(o, col("l_orderkey") === col("o_orderkey"))
           .groupBy("o_orderkey", "o_orderdate")
           .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")))

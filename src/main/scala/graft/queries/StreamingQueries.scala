@@ -27,6 +27,24 @@ import QH._
   */
 object StreamingQueries {
 
+  /** Run `body` with the session's shuffle-partition count (= streaming
+    * state-store cardinality) temporarily set to `n`, restoring after.
+    * A catch-up AvailableNow job over a bounded backlog wants FEW state
+    * partitions — each one is a checkpointed state store with its own
+    * directory, commit and snapshot overhead, and at 32 partitions on a
+    * 100k-row backlog that machinery dominates the actual aggregation.
+    * This is the deployment knob the reference tunes per pipeline
+    * cluster; a long-lived production stream over a large keyspace would
+    * size it up, which changes no semantics (state is hash-partitioned
+    * by group key either way). */
+  private def withStatePartitions[A](s: org.apache.spark.sql.SparkSession,
+                                     n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q70_streaming_hourly",
       (s, d) => {
@@ -43,12 +61,14 @@ object StreamingQueries {
                 col("n"), col("total_value"))
         }, mode = Mode.Incremental))
         val out = Files.createTempDirectory("graft_q70_").toString
-        graft.graph.Runner.runStreamingThenFull(s, reg,
-          Map("events_feed" -> (() => graft.tables.Tables.normalize("events",
-            s.readStream.schema(schema)
-              .option("pathGlobFilter", "events.parquet") // file source needs a dir
-              .parquet(d)))),
-          out)
+        withStatePartitions(s, 4) {
+          graft.graph.Runner.runStreamingThenFull(s, reg,
+            Map("events_feed" -> (() => graft.tables.Tables.normalize("events",
+              s.readStream.schema(schema)
+                .option("pathGlobFilter", "events.parquet") // file source needs a dir
+                .parquet(d)))),
+            out)
+        }
         s.read.parquet(s"$out/events_hourly")
           .orderBy("hour_ts", "event_type")
       },
@@ -138,9 +158,11 @@ object StreamingQueries {
             .option("pathGlobFilter", "events.parquet")
             .parquet(d))
           .filter(col("event_type") === tp)
-        graft.graph.Runner.runStreamingThenFull(s, reg,
-          Map("bids_feed" -> feed("click"), "asks_feed" -> feed("view")),
-          out)
+        withStatePartitions(s, 4) {
+          graft.graph.Runner.runStreamingThenFull(s, reg,
+            Map("bids_feed" -> feed("click"), "asks_feed" -> feed("view")),
+            out)
+        }
         s.read.parquet(s"$out/agg_orderbook_union_hourly")
           .orderBy("hour_ts", "side")
       },
