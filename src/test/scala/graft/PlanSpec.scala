@@ -93,6 +93,16 @@ class PlanSpec extends AnyFunSuite {
       "agg_pnl must not force-broadcast fact-derived join sides")
   }
 
+  test("q75: referral as-of join is an equi join with a residual bound") {
+    val p = plan("q75_referral_rewards")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "authority=referee must be the join key; block_time>=referral_" +
+        "timestamp must be a residual predicate, not a theta join")
+    assert(!logical("q75_referral_rewards").contains("strategy=broadcast"),
+      "no forced broadcast anywhere in the referral chain")
+  }
+
   test("column pruning: q03 scans only the needed lineitem columns") {
     val p = plan("q03_top_revenue_orders")
     val scan = p.linesIterator
