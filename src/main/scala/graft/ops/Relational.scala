@@ -226,6 +226,56 @@ object Relational {
       .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+  /** Connected components over an undirected edge list by iterative
+    * min-label propagation: every node starts labeled with itself, and
+    * each round takes the minimum label across itself and its neighbors,
+    * until a fixpoint. Returns (node, component) where component is the
+    * smallest node id reachable — the canonical survivor for a near-dup
+    * cluster (the dedup composition the reference stops short of:
+    * candidate PAIRS need a transitive closure before you can keep one
+    * document per group).
+    *
+    * Scale shape: each round is one shuffled join + partial-min
+    * aggregate, all distributed; the driver only counts changed labels
+    * (a scalar) to test convergence — no data is ever collected. Rounds
+    * = the cluster diameter, which for near-dup graphs is tiny (dup
+    * groups are near-cliques); `maxIter` guards adversarial chains,
+    * where a large-star/small-star variant (O(log n) rounds) would be
+    * the drop-in. `localCheckpoint` cuts the growing lineage each round
+    * — without it, round k re-analyzes a k-deep plan stack.
+    */
+  def connectedComponents(edges: DataFrame, src: String, dst: String,
+                          maxIter: Int = 50): DataFrame = {
+    // Materialize the edge list ONCE before iterating: the edge input is
+    // usually an expensive plan (a banded-LSH verify pipeline), and an
+    // unmaterialized plan would be re-executed by every round's join AND
+    // every convergence count.
+    val sym = edges.select(col(src).as("nb"), col(dst).as("node"))
+      .union(edges.select(col(dst).as("nb"), col(src).as("node")))
+      .localCheckpoint()
+    var labels = sym.select(col("node")).distinct()
+      .withColumn("comp", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("node").as("nb"), col("comp").as("nbc")), "nb")
+        .groupBy("node").agg(min(col("nbc")).as("nbr"))
+      val next = labels
+        .join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.select(col("node"), col("comp").as("prev")), "node")
+        .filter(col("comp") =!= col("prev")).count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
   /** Cumulative sum excluding the partition's FIRST row — the intent of
     * the reference's `rowsBetween(Window.unboundedPreceding + 1, 0)`
     * (madwars-pipeline.py:130–136, :243–247, "Need to make start

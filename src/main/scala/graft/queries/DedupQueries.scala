@@ -74,7 +74,9 @@ object DedupQueries {
     WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.6
     ORDER BY doc_a, doc_b"""
 
-  val qs: Seq[Q] = Seq(
+  // lazy: q29 is declared below qs (forward val reference is null at
+  // object init; Catalog forces qs only after construction)
+  lazy val qs: Seq[Q] = Seq(
     // Exact dedup: first doc_id per md5(text) group.
     Q("q26_dedup_exact",
       (s, d) => {
@@ -112,7 +114,74 @@ object DedupQueries {
     // Duplicate shingles stay in for MinHash (min() is
     // dedup-insensitive) and are deduped by collect_set for the verify.
     Q("q28_minhash_lsh",
+      (s, d) => minhashPairs(s, d).orderBy("doc_a", "doc_b"),
+      Some(jaccardOracle)),
+
+    // Near-dup CLUSTERING — the composition the pair queries stop short
+    // of: verified near-dup pairs are only half a dedup pipeline; to
+    // keep one document per duplicate group you need the transitive
+    // closure (A~B, B~C ⇒ keep one of {A,B,C} even when A,C never
+    // paired). Edges come from the banded MinHash path (q28 — the
+    // 100 TB shape), components from iterative min-label propagation
+    // ([[graft.ops.Relational.connectedComponents]]: distributed
+    // join+min rounds, driver sees only the convergence counter), and
+    // every document gets a canonical_id — itself for singletons, the
+    // smallest reachable doc_id inside a cluster. `keep = doc_id ==
+    // canonical_id` IS the dedup filter. Oracle: quadratic exact-Jaccard
+    // pairs + a recursive-CTE transitive closure.
+    Q("q77_neardup_clusters",
       (s, d) => {
+        val comps = graft.ops.Relational.connectedComponents(
+          minhashPairs(s, d).select("doc_a", "doc_b"), "doc_a", "doc_b")
+        t(s, d, "documents").select(col("doc_id"))
+          .join(comps.select(col("node").as("doc_id"),
+            col("comp").as("canonical_id")), Seq("doc_id"), "left")
+          .withColumn("canonical_id",
+            coalesce(col("canonical_id"), col("doc_id")))
+          .withColumn("keep",
+            (col("doc_id") === col("canonical_id")).cast("int"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH RECURSIVE docs AS (
+          SELECT doc_id, STRING_SPLIT(text, ' ') AS words FROM documents
+          WHERE LEN(STRING_SPLIT(text, ' ')) >= 3),
+        sh AS (
+          SELECT doc_id, UNNEST(LIST_DISTINCT(
+            [words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+             for i in GENERATE_SERIES(1, LEN(words) - 2)])) AS shingle
+          FROM docs),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        co AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+          FROM sh a JOIN sh b USING (shingle)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT doc_a, doc_b FROM co
+          JOIN sizes sa ON doc_a = sa.doc_id
+          JOIN sizes sb ON doc_b = sb.doc_id
+          WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.6),
+        sym AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+        reach(a, b) AS (
+          SELECT a, b FROM sym
+          UNION
+          SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+        comp AS (
+          SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+          FROM reach GROUP BY a)
+        SELECT d.doc_id,
+          COALESCE(c.component, d.doc_id) AS canonical_id,
+          CAST(d.doc_id = COALESCE(c.component, d.doc_id) AS INT) AS keep
+        FROM documents d LEFT JOIN comp c USING (doc_id)
+        ORDER BY doc_id"""))
+  ) :+ q29
+
+  /** MinHash + LSH verified near-dup pairs (the q28 body, reused by the
+    * q77 clustering): returns (doc_a, doc_b, jaccard), doc_a < doc_b. */
+  private[queries] def minhashPairs(s: SparkSession, d: String): DataFrame = {
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy("doc_id").orderBy("pos")
         val sh = QH.spread(s, col("doc_id"))(t(s, d, "documents"))
@@ -151,9 +220,7 @@ object DedupQueries {
           .filter(col("inter").cast("double")
             / (size(col("hsa")) + size(col("hsb")) - col("inter")) >= 0.6)
           .select("doc_a", "doc_b", "jaccard")
-          .orderBy("doc_a", "doc_b")
-      },
-      Some(jaccardOracle)),
+  }
 
     // SimHash signatures + near-pairs by Hamming distance ≤ 6 of 60 bits
     // (word hashes = first 15 hex digits of md5, so the DuckDB oracle
@@ -170,6 +237,7 @@ object DedupQueries {
     // re-balances by widening groups (3×20-bit with double-bit probes →
     // n²/1657 at 633 probes/doc). The oracle, running at small scale,
     // does the quadratic form.
+  private val q29: Q =
     Q("q29_simhash",
       (s, d) => {
         // bit j of simhash = majority vote of word-hash bit j, folded by
@@ -237,5 +305,4 @@ object DedupQueries {
         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         WHERE BIT_COUNT(XOR(a.simhash, b.simhash)) <= 6
         ORDER BY doc_a, doc_b"""))
-  )
 }

@@ -72,6 +72,18 @@ class RelationalOpsSpec extends AnyFunSuite {
     assert(v === 1.234567)
   }
 
+  test("connectedComponents: chains close transitively, components stay apart") {
+    // component {1,2,3,4} is a CHAIN (1-2, 2-3, 3-4): 4 reaches 1 only
+    // transitively, which needs diameter rounds of propagation;
+    // {10,11} is a separate pair; 99 never appears (caller left-joins)
+    val edges = Seq((2L, 1L), (3L, 2L), (4L, 3L), (10L, 11L))
+      .toDF("a", "b")
+    val comps = Relational.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   test("trailingWindow sums exactly the inclusive range") {
     val df = Seq(
       ("u", "2024-01-01 00:00:00", 1.0),
