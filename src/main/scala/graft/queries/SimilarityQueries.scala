@@ -184,6 +184,82 @@ object SimilarityQueries {
         WHERE rk <= 5
         ORDER BY query_id, rk""")),
 
+    // The IVF coarse quantizer as a REAL k-means job (q73's note:
+    // "centroids would come from a k-means job, which only changes the
+    // centroid table, not the plan" — this is that job): deterministic
+    // init (k smallest ids), two fixed Lloyd's rounds, then the final
+    // partition map (vector → nearest centroid). Cross-engine exactness
+    // comes from dyadic quantization ([[graft.ops.Vectors.quantized]]):
+    // components rounded once to 2⁻²⁰ grid, after which every k-means
+    // sum is EXACT in binary regardless of accumulation order — no
+    // decimal casts, no order sensitivity, bit-identical on any
+    // partitioning. The oracle replays the same two rounds in SQL.
+    Q("q78_kmeans_ivf",
+      (s, d) => {
+        val all = vecs(s, d)
+        val cents = graft.ops.Vectors.kmeansCentroids(
+          all, "vec_id", "v", k = 16, iters = 2, dim = 64)
+        val vq = all.select(col("vec_id"),
+          graft.ops.Vectors.quantized("v").as("vq"))
+        val aw = Window.partitionBy("vec_id")
+          .orderBy(col("sim_c").desc, col("centroid_id"))
+        vq.crossJoin(broadcast(cents))
+          .withColumn("sim_c", round(expr("graft_cosine(vq, cv)"), 6))
+          .withColumn("rn", row_number().over(aw))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("centroid_id"), col("sim_c"))
+          .orderBy("vec_id")
+      },
+      Some("""
+        WITH n AS (
+          SELECT vec_id, LIST_TRANSFORM(CAST(embedding AS DOUBLE[]),
+            x -> ROUND(x * 1048576) / 1048576) AS vq
+          FROM embeddings),
+        c0 AS (
+          SELECT vec_id AS centroid_id, vq AS cv FROM n WHERE vec_id < 16),
+        a1 AS (
+          SELECT vec_id, vq, centroid_id FROM (
+            SELECT v.vec_id, v.vq, c.centroid_id,
+              ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                ROUND(LIST_DOT_PRODUCT(v.vq, c.cv) /
+                  (SQRT(LIST_SUM(LIST_TRANSFORM(v.vq, x -> x*x))) *
+                   SQRT(LIST_SUM(LIST_TRANSFORM(c.cv, x -> x*x)))), 6) DESC,
+                c.centroid_id) AS rn
+            FROM n v CROSS JOIN c0 c) WHERE rn = 1),
+        c1 AS (
+          SELECT centroid_id, LIST(m ORDER BY g) AS cv FROM (
+            SELECT centroid_id, g, SUM(vq[g]) / COUNT(*) AS m
+            FROM a1, GENERATE_SERIES(1, 64) t(g)
+            GROUP BY centroid_id, g)
+          GROUP BY centroid_id),
+        a2 AS (
+          SELECT vec_id, vq, centroid_id FROM (
+            SELECT v.vec_id, v.vq, c.centroid_id,
+              ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                ROUND(LIST_DOT_PRODUCT(v.vq, c.cv) /
+                  (SQRT(LIST_SUM(LIST_TRANSFORM(v.vq, x -> x*x))) *
+                   SQRT(LIST_SUM(LIST_TRANSFORM(c.cv, x -> x*x)))), 6) DESC,
+                c.centroid_id) AS rn
+            FROM n v CROSS JOIN c1 c) WHERE rn = 1),
+        c2 AS (
+          SELECT centroid_id, LIST(m ORDER BY g) AS cv FROM (
+            SELECT centroid_id, g, SUM(vq[g]) / COUNT(*) AS m
+            FROM a2, GENERATE_SERIES(1, 64) t(g)
+            GROUP BY centroid_id, g)
+          GROUP BY centroid_id)
+        SELECT vec_id, centroid_id, sim_c FROM (
+          SELECT v.vec_id, c.centroid_id,
+            ROUND(LIST_DOT_PRODUCT(v.vq, c.cv) /
+              (SQRT(LIST_SUM(LIST_TRANSFORM(v.vq, x -> x*x))) *
+               SQRT(LIST_SUM(LIST_TRANSFORM(c.cv, x -> x*x)))), 6) AS sim_c,
+            ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+              ROUND(LIST_DOT_PRODUCT(v.vq, c.cv) /
+                (SQRT(LIST_SUM(LIST_TRANSFORM(v.vq, x -> x*x))) *
+                 SQRT(LIST_SUM(LIST_TRANSFORM(c.cv, x -> x*x)))), 6) DESC,
+              c.centroid_id) AS rn
+          FROM n v CROSS JOIN c2 c) WHERE rn = 1
+        ORDER BY vec_id""")),
+
     // Embedding-cosine near-duplicate pairs (the fifth dedup modality),
     // the same banded shape as q28's MinHash→exact-Jaccard: candidate
     // pairs share an 8-plane hyperplane bucket in ≥1 of 288 splitmix64
