@@ -605,6 +605,57 @@ object ExtendedQueries {
         FROM bid JOIN ask USING (user_id, h)
         ORDER BY user_id, h""")),
 
+    // Gap-based sessionization — the second canonical session form next
+    // to AmplitudePipeline's connect-window attribution (AM:141–197): a
+    // new session opens after a >30-minute silence; session id is the
+    // running count of session-opens (W3 lag + W6 cumulative, one
+    // shared user partitioning → one exchange), then per-session
+    // aggregates. The standard product-analytics/training-data shape at
+    // any scale: no self-join, no interval table.
+    Q("q79_sessionize",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "events")
+          .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+          .withColumn("new_sess",
+            when(col("prev_ts").isNull ||
+              unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800,
+              1).otherwise(0))
+          .withColumn("session_seq", sum(col("new_sess")).over(wCum))
+          .groupBy("user_id", "session_seq")
+          .agg(min(col("ts")).as("session_start"),
+            max(col("ts")).as("session_end"),
+            count(lit(1)).as("n_events"),
+            (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+              .as("duration_sec"))
+          .orderBy("user_id", "session_seq")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+            CAST(FLOOR(EPOCH(CAST(ts AS TIMESTAMP))) AS BIGINT) AS t
+          FROM events),
+        flagged AS (
+          SELECT user_id, ts, event_id, t,
+            CASE WHEN LAG(t, 1) OVER w IS NULL OR t - LAG(t, 1) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_sess
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sessed AS (
+          SELECT user_id, ts, t,
+            CAST(SUM(new_sess) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS session_seq
+          FROM flagged)
+        SELECT user_id, session_seq,
+          MIN(ts) AS session_start, MAX(ts) AS session_end,
+          COUNT(*) AS n_events,
+          MAX(t) - MIN(t) AS duration_sec
+        FROM sessed GROUP BY 1, 2
+        ORDER BY user_id, session_seq""")),
+
     // Deterministic hash sampling — the rand(seed) replacement
     // (madwars-pipeline.py:60); exactly reproducible in any engine.
     Q("q66_deterministic_sample",
