@@ -121,6 +121,18 @@ object ServingJobs {
     served
   }
 
+  /** Whole-table serving — camelCase + key write, no snapshot filter:
+    * the fee_tiers push (S2:722–738, active) and the referrer/referee
+    * rewards pushes (S2:692–721, present but commented out — same
+    * shape) serve the full gold table keyed by account with a numeric
+    * epoch/timestamp sort key. */
+  def serveTable(gold: DataFrame, sink: KVSink, table: String,
+                 hashKey: String, rangeKey: Option[String]): DataFrame = {
+    val served = Relational.camelCaseAll(gold)
+    sink.write(sink.servingProjection(served), table, hashKey, rangeKey)
+    served
+  }
+
   /** All-time stats with historical backfill constants folded in
     * (S2:628–649: V1_VOLUME / v1_TRADE_COUNT added to the totals). */
   def serveAllTimeStats(hourly: DataFrame, volumeCol: String,

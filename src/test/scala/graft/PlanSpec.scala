@@ -103,6 +103,17 @@ class PlanSpec extends AnyFunSuite {
       "no forced broadcast anywhere in the referral chain")
   }
 
+  test("q79: sessionization shares one user exchange end-to-end") {
+    // lag + cumulative session count + per-session groupBy all cluster
+    // on user_id: HashPartitioning(user_id) satisfies the groupBy's
+    // (user_id, session_seq) clustering, so the whole chain needs ONE
+    // hash exchange (plus the output range sort).
+    val p = plan("q79_sessionize")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx <= 1, s"sessionization must reuse the user " +
+      s"partitioning across window and groupBy, got $hashEx hash exchanges")
+  }
+
   test("column pruning: q03 scans only the needed lineitem columns") {
     val p = plan("q03_top_revenue_orders")
     val scan = p.linesIterator

@@ -146,6 +146,22 @@ class ServingJobsSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/cleaned_pnl_daily_v2").count() === 1)
   }
 
+  test("serveTable: whole-table camelCase push (fee_tiers / referral rewards)") {
+    val sp = spark
+    import sp.implicits._
+    val tiers = Seq(("authA", ts("2024-01-30 10:00:00"), 123456.0, 1))
+      .toDF("authority", "block_time", "volume_30d", "fee_tier")
+    val out = Files.createTempDirectory("servetable").toString
+    val served = ServingJobs.serveTable(tiers, new ParquetKVSink(out),
+      "fee_tiers", hashKey = "authority", rangeKey = Some("blockTime"))
+    assert(served.columns.toSeq ===
+      Seq("authority", "blockTime", "volume30d", "feeTier"))
+    val back = spark.read.parquet(s"$out/fee_tiers")
+    // timestamps serve as unix seconds (numeric sort key)
+    assert(back.select("blockTime").head().getLong(0)
+      === ts("2024-01-30 10:00:00").getTime / 1000)
+  }
+
   test("serveAllTimeStats folds in the historical backfill constants") {
     val sp = spark
     import sp.implicits._

@@ -129,3 +129,43 @@ object WindowProperties extends Properties("graft.ops") {
       got == expect
     }
 }
+
+/** Iterative-operator properties get their own (smaller) trial budget:
+  * each connectedComponents trial runs diameter+1 distributed rounds. */
+object GraphProperties extends Properties("graft.ops.graph") {
+
+  override def overrideParameters(p: org.scalacheck.Test.Parameters)
+      : org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = TestSpark.spark
+
+  property("connectedComponents equals driver-side union-find") =
+    Prop.forAll(
+      Gen.listOfN(12, Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 15L))),
+      Gen.choose(1, 8)) { (rawEdges, parts) =>
+      val sp = spark
+      import sp.implicits._
+      val edges = rawEdges.filter { case (a, b) => a != b }
+      if (edges.isEmpty) true
+      else {
+        val df = edges.toDF("a", "b").repartition(parts)
+        val got = Relational.connectedComponents(df, "a", "b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // brute-force union-find; "max root points to min root" keeps
+        // every tree's root = the component minimum, matching the
+        // operator's min-label semantics
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expect = parent.keys.map(x => x -> find(x)).toMap
+        got == expect
+      }
+    }
+}
