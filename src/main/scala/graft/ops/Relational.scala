@@ -236,13 +236,14 @@ object Relational {
     * document per group).
     *
     * Scale shape: each round is one shuffled join + partial-min
-    * aggregate, all distributed; the driver only counts changed labels
-    * (a scalar) to test convergence — no data is ever collected. Rounds
-    * = the cluster diameter, which for near-dup graphs is tiny (dup
-    * groups are near-cliques); `maxIter` guards adversarial chains,
-    * where a large-star/small-star variant (O(log n) rounds) would be
-    * the drop-in. `localCheckpoint` cuts the growing lineage each round
-    * — without it, round k re-analyzes a k-deep plan stack.
+    * aggregate over the edges, PLUS a pointer-jumping self-join on the
+    * label table (`comp(x) ← comp(comp(x))`, path halving) — so
+    * convergence is O(log longest-path), not O(diameter): a 10⁶-node
+    * chain closes in ~20 rounds, far under `maxIter`. All rounds are
+    * distributed; the driver only counts changed labels (a scalar) to
+    * test convergence — no data is ever collected. `localCheckpoint`
+    * cuts the growing lineage each round — without it, round k
+    * re-analyzes a k-deep plan stack.
     */
   def connectedComponents(edges: DataFrame, src: String, dst: String,
                           maxIter: Int = 50): DataFrame = {
@@ -262,10 +263,18 @@ object Relational {
       val nbrMin = sym
         .join(labels.select(col("node").as("nb"), col("comp").as("nbc")), "nb")
         .groupBy("node").agg(min(col("nbc")).as("nbr"))
-      val next = labels
+      val prop = labels
         .join(nbrMin, Seq("node"), "left")
         .select(col("node"),
           least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
+      // pointer jump: follow the label one more hop through the label
+      // table itself — halves every remaining path, turning chain
+      // convergence from O(diameter) into O(log) rounds
+      val next = prop
+        .join(prop.select(col("node").as("comp"), col("comp").as("jump")),
+          Seq("comp"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("jump"), col("comp"))).as("comp"))
         .localCheckpoint()
       changed = next
         .join(labels.select(col("node"), col("comp").as("prev")), "node")

@@ -84,6 +84,17 @@ class RelationalOpsSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponents: a 120-node chain converges under maxIter " +
+    "(pointer jumping, O(log) rounds)") {
+    // plain min-propagation would need 119 rounds — far over maxIter=50;
+    // path halving closes it in ~⌈log₂ 120⌉ ≈ 7
+    val edges = (1L until 120L).map(i => (i - 1, i)).toDF("a", "b")
+    val comps = Relational.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(comps.length === 120)
+    assert(comps.forall(_._2 === 0L), "every chain node must label to 0")
+  }
+
   test("trailingWindow sums exactly the inclusive range") {
     val df = Seq(
       ("u", "2024-01-01 00:00:00", 1.0),
