@@ -44,7 +44,11 @@ object CleaningPipelines {
           .withColumn("timestamp", date_trunc("hour", col("timestamp")))
           .select(col("underlying").as("cg_underlying"),
             col("timestamp").as("cg_ts"), col("price_usd"))
-        p.join(broadcast(cgH),
+        // no broadcast hint: the hourly reference-price frame grows with
+        // TIME (hours × assets — years of history is 100s of MB), so the
+        // optimizer must be free to shuffle it; at small sizes its stats
+        // pick broadcast on their own
+        p.join(cgH,
             col("underlying") === col("cg_underlying") &&
               col("timestamp") === col("cg_ts"), "left")
           .withColumn("open_interest_notional",
