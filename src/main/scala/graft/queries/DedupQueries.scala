@@ -176,15 +176,125 @@ object DedupQueries {
           COALESCE(c.component, d.doc_id) AS canonical_id,
           CAST(d.doc_id = COALESCE(c.component, d.doc_id) AS INT) AS keep
         FROM documents d LEFT JOIN comp c USING (doc_id)
+        ORDER BY doc_id""")),
+
+    // The end-to-end corpus-curation composition — what this engine is
+    // FOR at 100 TB: every document flows quality gate (length +
+    // stopword evidence) → exact dedup (normalized-fingerprint
+    // min-survivor) → near-dup clustering over the SURVIVORS ONLY
+    // (banded MinHash pairs + connected components — each stage prunes
+    // the next stage's input, the composition that makes the pipeline
+    // sub-quadratic end to end) → per-doc verdict with the first
+    // applicable drop reason and the token count the kept set
+    // contributes. Everything is a proven piece (q34/q36/q26/q28/q77);
+    // the value here is the audited composition under one oracle.
+    Q("q80_corpus_curation",
+      (s, d) => {
+        val stopList = "('the', 'and', 'of', 'a', 'in', 'to', 'is')"
+        val flags = t(s, d, "documents")
+          .withColumn("words", split(col("text"), " "))
+          .withColumn("token_cnt", size(col("words")).cast("long"))
+          .withColumn("stop_cnt",
+            expr(s"size(filter(words, w -> w IN $stopList))"))
+          .withColumn("q_pass", col("n_chars") >= 150 && col("stop_cnt") > 0)
+        val surv = graft.ops.Relational.dedupeExact(Seq("fp"), col("doc_id"))(
+          flags.filter(col("q_pass")).withColumn("fp",
+            md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))))
+        val comps = graft.ops.Relational.connectedComponents(
+          minhashPairsOf(s, surv.select("doc_id", "text"))
+            .select("doc_a", "doc_b"), "doc_a", "doc_b")
+        flags
+          .join(surv.select(col("doc_id"), lit(1).as("exact_surv")),
+            Seq("doc_id"), "left")
+          .join(comps.select(col("node").as("doc_id"),
+            col("comp").as("canon")), Seq("doc_id"), "left")
+          .withColumn("kept",
+            when(!col("q_pass"), 0)
+              .when(col("exact_surv").isNull, 0)
+              .when(col("canon").isNotNull && col("canon") =!= col("doc_id"), 0)
+              .otherwise(1))
+          .withColumn("drop_reason",
+            when(!col("q_pass"), "quality")
+              .when(col("exact_surv").isNull, "exact_dup")
+              .when(col("canon").isNotNull && col("canon") =!= col("doc_id"),
+                "near_dup"))
+          .select("doc_id", "kept", "drop_reason", "token_cnt")
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH RECURSIVE base AS (
+          SELECT doc_id, text, n_chars, STRING_SPLIT(text, ' ') AS words
+          FROM documents),
+        flags AS (
+          SELECT doc_id, text, words,
+            CAST(LEN(words) AS BIGINT) AS token_cnt,
+            (n_chars >= 150 AND LEN(LIST_FILTER(words,
+              x -> x IN ('the', 'and', 'of', 'a', 'in', 'to', 'is'))) > 0)
+              AS q_pass
+          FROM base),
+        surv AS (
+          SELECT doc_id, words FROM (
+            SELECT doc_id, words,
+              MD5(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g')))
+                AS fp
+            FROM flags WHERE q_pass)
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1),
+        sh AS (
+          SELECT doc_id, UNNEST(LIST_DISTINCT(
+            [words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+             for i in GENERATE_SERIES(1, LEN(words) - 2)])) AS shingle
+          FROM surv WHERE LEN(words) >= 3),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        co AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+          FROM sh a JOIN sh b USING (shingle)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT doc_a, doc_b FROM co
+          JOIN sizes sa ON doc_a = sa.doc_id
+          JOIN sizes sb ON doc_b = sb.doc_id
+          WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.6),
+        sym AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+        reach(a, b) AS (
+          SELECT a, b FROM sym
+          UNION
+          SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a),
+        comp AS (
+          SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+          FROM reach GROUP BY a)
+        SELECT f.doc_id,
+          CASE WHEN NOT f.q_pass THEN 0
+            WHEN s.doc_id IS NULL THEN 0
+            WHEN c.component IS NOT NULL AND c.component != f.doc_id THEN 0
+            ELSE 1 END AS kept,
+          CASE WHEN NOT f.q_pass THEN 'quality'
+            WHEN s.doc_id IS NULL THEN 'exact_dup'
+            WHEN c.component IS NOT NULL AND c.component != f.doc_id
+              THEN 'near_dup' END AS drop_reason,
+          f.token_cnt
+        FROM flags f
+        LEFT JOIN surv s USING (doc_id)
+        LEFT JOIN comp c USING (doc_id)
         ORDER BY doc_id"""))
   ) :+ q29
 
   /** MinHash + LSH verified near-dup pairs (the q28 body, reused by the
-    * q77 clustering): returns (doc_a, doc_b, jaccard), doc_a < doc_b. */
-  private[queries] def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    * q77 clustering and the q80 curation composition): returns
+    * (doc_a, doc_b, jaccard), doc_a < doc_b. */
+  private[queries] def minhashPairs(s: SparkSession, d: String): DataFrame =
+    minhashPairsOf(s, t(s, d, "documents"))
+
+  /** Same, over an arbitrary (doc_id, text, …) frame — the curation
+    * pipeline near-dups only the documents that survived its earlier
+    * stages. */
+  private[queries] def minhashPairsOf(s: SparkSession,
+                                      documents: DataFrame): DataFrame = {
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy("doc_id").orderBy("pos")
-        val sh = QH.spread(s, col("doc_id"))(t(s, d, "documents"))
+        val sh = QH.spread(s, col("doc_id"))(documents)
           .select(col("doc_id"),
             posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
           .withColumn("w1", lead(col("w"), 1).over(w))
