@@ -254,8 +254,12 @@ object Relational {
     val sym = edges.select(col(src).as("nb"), col(dst).as("node"))
       .union(edges.select(col(dst).as("nb"), col(src).as("node")))
       .localCheckpoint()
-    var labels = sym.select(col("node")).distinct()
-      .withColumn("comp", col("node"))
+    // initialization fuses the FIRST propagation round into the same
+    // aggregation that discovers the node set: label = min(self, direct
+    // neighbors). Pair/triangle components (the bulk of a near-dup
+    // graph) then converge on the next round's no-change check.
+    var labels = sym.groupBy("node")
+      .agg(least(col("node"), min(col("nb"))).as("comp"))
       .localCheckpoint()
     var changed = 1L
     var iter = 0
@@ -266,20 +270,23 @@ object Relational {
       val prop = labels
         .join(nbrMin, Seq("node"), "left")
         .select(col("node"),
-          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"),
+          col("comp").as("prev"))
       // pointer jump: follow the label one more hop through the label
       // table itself — halves every remaining path, turning chain
-      // convergence from O(diameter) into O(log) rounds
+      // convergence from O(diameter) into O(log) rounds. The changed
+      // flag rides inside the same checkpointed job, so the convergence
+      // test is a count over materialized data, not another join.
       val next = prop
         .join(prop.select(col("node").as("comp"), col("comp").as("jump")),
           Seq("comp"), "left")
         .select(col("node"),
-          least(col("comp"), coalesce(col("jump"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("jump"), col("comp"))).as("comp"),
+          col("prev"))
+        .withColumn("chg", col("comp") =!= col("prev"))
         .localCheckpoint()
-      changed = next
-        .join(labels.select(col("node"), col("comp").as("prev")), "node")
-        .filter(col("comp") =!= col("prev")).count()
-      labels = next
+      changed = next.filter(col("chg")).count()
+      labels = next.select("node", "comp")
       iter += 1
     }
     labels
