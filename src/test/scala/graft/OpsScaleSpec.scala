@@ -23,6 +23,24 @@ class OpsScaleSpec extends AnyFunSuite {
     assert(plain.size === 901)
   }
 
+  test("connectedComponents: 5000-node chain + disjoint pairs at scale shape") {
+    val sp = spark
+    import sp.implicits._
+    // a 5000-node chain forces ~log2(5000) ≈ 13 pointer-jumped rounds —
+    // far beyond near-dup diameters but well under maxIter; plus 500
+    // disjoint pair components that must stay separate
+    val chain = (1L until 5000L).map(i => (i - 1, i))
+    val pairs = (0 until 500).map(i => (10000L + 2 * i, 10001L + 2 * i))
+    val edges = (chain ++ pairs).toDF("a", "b").repartition(16)
+    val comps = Relational.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(comps.length === 6000)
+    val (chainNodes, pairNodes) = comps.partition(_._1 < 5000L)
+    assert(chainNodes.forall(_._2 === 0L), "chain must fully close to 0")
+    assert(pairNodes.forall { case (n, c) => c === (n - n % 2) },
+      "each disjoint pair labels to its even member")
+  }
+
   test("extractFeatures: per-partition decode, deterministic across partitionings") {
     val sp = spark
     import sp.implicits._
