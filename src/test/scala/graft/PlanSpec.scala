@@ -78,9 +78,13 @@ class PlanSpec extends AnyFunSuite {
     // so the user partitioning is rebuilt twice, exactly as in the
     // reference), 2 rank (timestamp) families, 1 final range sort. The
     // ~30 window columns themselves add NO exchanges beyond these.
+    // Still 10 after the stage-3 de-hinting: at test scale the planner
+    // broadcasts the three joins from its own size estimates, and at
+    // 100× those estimates grow and flip to shuffle joins landing on the
+    // existing (user_id, timestamp) partitioning.
     val p = plan("q68_agg_pnl")
     val shuffles = "Exchange (hash|range)partitioning".r.findAllIn(p).size
-    assert(shuffles <= 11,
+    assert(shuffles <= 10,
       s"agg_pnl must share window partitionings (one exchange per " +
         s"user/timestamp family), got $shuffles shuffles")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
