@@ -15,17 +15,31 @@ object PlanAudit {
       "q19_join_3way", // broadcast dims
       "q22_spine_densify", // cross join + broadcast
       "q30_knn_bruteforce", // broadcast + native expression
-      "q59_interval_overlap") // binned range join
+      "q59_interval_overlap", // binned range join
+      "q68_agg_pnl", // window-partitioning sharing, no forced broadcast
+      "q75_referral_rewards", // as-of equi join + residual bound
+      "q79_sessionize") // single user exchange end-to-end
     interesting.foreach { name =>
       val df = graft.queries.Catalog.byName(name).run(spark, d)
-      val plan = df.queryExecution.executedPlan.toString
+      // drive THIS df's own query execution to completion (count() would
+      // build a different plan) so AQE finalizes + codegen inserts
+      df.collect()
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.toString
+        case p => p.toString
+      }
       def count(p: String) = p.r.findAllIn(plan).size
       println(s"== $name")
+      // codegen spans print as `*(n)` operator prefixes in Spark 4; the
+      // span COUNT is the number of distinct ids
+      val codegenSpans = """\*\((\d+)\)""".r
+        .findAllMatchIn(plan).map(_.group(1)).toSet.size
       println(s"   BroadcastHashJoin=${count("BroadcastHashJoin")} " +
         s"SortMergeJoin=${count("SortMergeJoin")} " +
         s"NestedLoop=${count("BroadcastNestedLoopJoin")} " +
         s"Exchange=${count("Exchange ")} " +
-        s"WholeStageCodegen=${count("WholeStageCodegen")}")
+        s"CodegenSpans=$codegenSpans")
       plan.linesIterator
         .filter(l => l.contains("PushedFilters") || l.contains("ReadSchema"))
         .take(4).foreach(l => println("   " + l.trim.take(160)))
