@@ -56,6 +56,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[BoundedTopK].getName, "graft_topk"),
+      (children: Seq[Expression]) => children match {
+        case Seq(o, i) => BoundedTopK(o, i)
+        case Seq(o, i, Literal(k: Int, _)) => BoundedTopK(o, i, k)
+        case _ => throw new IllegalArgumentException(
+          "graft_topk(ord, id[, k]) — k must be an int literal")
+      }))
+
+    ext.injectFunction((
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
       (children: Seq[Expression]) => children match {

@@ -656,6 +656,34 @@ object ExtendedQueries {
         FROM sessed GROUP BY 1, 2
         ORDER BY user_id, session_seq""")),
 
+    // Top-k per group as a BOUNDED AGGREGATE ([[graft.expressions
+    // .BoundedTopK]]) instead of the row_number window (O2/q12): the
+    // window form must shuffle EVERY row to its group before ranking;
+    // the aggregate reduces each map task's slice to ≤ k pairs before
+    // the exchange (ObjectHashAggregate with a partial_graft_topk map
+    // side, asserted in PlanSpec), so the shuffle carries
+    // O(partitions × k) rows per group — TakeOrderedAndProject's
+    // leverage, per group. Same result as the window form, which the
+    // oracle runs.
+    Q("q81_topk_agg",
+      (s, d) =>
+        t(s, d, "events")
+          .groupBy("user_id")
+          .agg(expr("graft_topk(value, event_id, 3)").as("top"))
+          .select(col("user_id"),
+            posexplode(col("top")).as(Seq("rk0", "p")))
+          .select(col("user_id"),
+            (col("rk0") + 1).cast("integer").as("rk"),
+            col("p.ord").as("value"), col("p.id").as("event_id"))
+          .orderBy("user_id", "rk"),
+      Some("""
+        SELECT user_id, CAST(rk AS INTEGER) AS rk, value, event_id
+        FROM (SELECT user_id, value, event_id,
+          ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY value DESC, event_id) AS rk
+          FROM events)
+        WHERE rk <= 3 ORDER BY user_id, rk""")),
+
     // Deterministic hash sampling — the rand(seed) replacement
     // (madwars-pipeline.py:60); exactly reproducible in any engine.
     Q("q66_deterministic_sample",

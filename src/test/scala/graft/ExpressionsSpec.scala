@@ -84,6 +84,35 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(sh.eval(sh.createAggregationBuffer()) === 0L)
   }
 
+  test("graft_topk: ties, short groups, and merge order are deterministic") {
+    val sp = spark
+    import sp.implicits._
+    // group a: a tie on ord=5.0 resolves to the smaller id; group b has
+    // fewer rows than k; 7 partitions force map-side partial buffers to
+    // merge in arbitrary order
+    val df = Seq(
+      ("a", 5.0, 30L), ("a", 5.0, 10L), ("a", 9.0, 40L), ("a", 1.0, 2L),
+      ("a", 5.0, 20L), ("b", 3.0, 7L))
+      .toDF("k", "ord", "id").repartition(7)
+    val out = df.groupBy("k")
+      .agg(org.apache.spark.sql.functions.expr("graft_topk(ord, id, 3)").as("t"))
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1)
+          .map(p => (p.getDouble(0), p.getLong(1)))).toMap
+    assert(out("a") === Seq((9.0, 40L), (5.0, 10L), (5.0, 20L)))
+    assert(out("b") === Seq((3.0, 7L)))
+    // buffer serde round-trip
+    val tk = graft.expressions.BoundedTopK(
+      org.apache.spark.sql.catalyst.expressions.Literal(1.0),
+      org.apache.spark.sql.catalyst.expressions.Literal(1L), k = 4)
+    val buf = tk.createAggregationBuffer()
+    buf.offer(2.0, 5L); buf.offer(7.0, 1L); buf.offer(2.0, 3L)
+    val back = tk.deserialize(tk.serialize(buf))
+    assert((0 until back.size).map(j => (back.ords(j), back.ids(j)))
+      === Seq((7.0, 1L), (2.0, 3L), (2.0, 5L)))
+    assert(tk.eval(tk.createAggregationBuffer()) === null)
+  }
+
   test("rangeJoinBinned equals the naive theta join") {
     val sp = spark
     import sp.implicits._

@@ -118,6 +118,15 @@ class PlanSpec extends AnyFunSuite {
       s"partitioning across window and groupBy, got $hashEx hash exchanges")
   }
 
+  test("q81: bounded top-k aggregates map-side before the exchange") {
+    val p = plan("q81_topk_agg")
+    assert(p.contains("ObjectHashAggregate"),
+      "graft_topk must run as an object hash aggregate")
+    assert(p.contains("partial_graft_topk"),
+      "the plan must show the map-side partial aggregation that bounds " +
+        "the shuffle at k rows per map task per group")
+  }
+
   test("column pruning: q03 scans only the needed lineitem columns") {
     val p = plan("q03_top_revenue_orders")
     val scan = p.linesIterator
