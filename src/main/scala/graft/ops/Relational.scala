@@ -117,7 +117,14 @@ object Relational {
 
   /** Top-k rows per group by `order` (deterministic if `order` is a total
     * order) — the reference's top-1-per-key idiom
-    * (zetadex-transactions-helius-pipeline.py:1941–1945). */
+    * (zetadex-transactions-helius-pipeline.py:1941–1945).
+    *
+    * This window form shuffles every row to its group before ranking;
+    * when the payload reduces to a (double ord, long id) pair, prefer
+    * the bounded aggregate [[graft.expressions.BoundedTopK]]
+    * (`graft_topk`, q81) — map-side combine bounds the shuffle at k rows
+    * per task per group, which is the difference that matters at 100 TB
+    * (see q31/q73, whose ANN top-5 uses it). */
   def topKPerGroup(keys: Seq[String], order: Seq[Column], k: Int)(
       df: DataFrame): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)

@@ -66,21 +66,29 @@ object SimilarityQueries {
         ORDER BY query_id, rk""")),
 
     // LSH-bucketed ANN: candidates share the query's hyperplane bucket.
+    // The per-query top-5 is the bounded aggregate
+    // ([[graft.expressions.BoundedTopK]], same (sim desc, id asc) total
+    // order as the window form) — each map task reduces its candidate
+    // slice to ≤ 5 pairs before the exchange, where a row_number window
+    // would shuffle every candidate row to its query first. At 100 TB
+    // the candidate stream IS the job; this bounds it at
+    // O(tasks × k) rows per query.
     Q("q31_knn_lsh",
       (s, d) => {
         val all = vecs(s, d).withColumn("bucket", expr(bucketExpr))
         val q = all.filter(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"), col("v").as("qv"),
             col("bucket"))
-        val joined = broadcast(q).join(all, Seq("bucket"))
+        broadcast(q).join(all, Seq("bucket"))
           .filter(col("query_id") =!= col("vec_id"))
           .withColumn("sim", round(expr(dotExpr), 6))
-        val w = Window.partitionBy("query_id")
-          .orderBy(col("sim").desc, col("vec_id"))
-        joined.withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= 5)
-          .select(col("query_id"), col("vec_id").as("neighbor_id"),
-            col("sim"), col("rk"), col("bucket"))
+          .groupBy("query_id", "bucket")
+          .agg(expr("graft_topk(sim, vec_id, 5)").as("top"))
+          .select(col("query_id"), col("bucket"),
+            posexplode(col("top")).as(Seq("rk0", "p")))
+          .select(col("query_id"), col("p.id").as("neighbor_id"),
+            col("p.ord").as("sim"),
+            (col("rk0") + 1).cast("integer").as("rk"), col("bucket"))
           .orderBy("query_id", "rk")
       },
       Some("""
@@ -137,15 +145,18 @@ object SimilarityQueries {
           .withColumn("rn", row_number().over(pw))
           .filter(col("rn") <= 4)
           .select(col("query_id"), col("qv"), col("centroid_id").as("bucket"))
-        val w = Window.partitionBy("query_id")
-          .orderBy(col("sim").desc, col("vec_id"))
+        // bounded top-5 across the probed lists (each vector lives in
+        // exactly one inverted list, so no dedup is needed) — map-side
+        // combine bounds the shuffle, see q31/q81
         probes.join(assigned, Seq("bucket"))
           .filter(col("query_id") =!= col("vec_id"))
           .withColumn("sim", round(expr("graft_cosine(qv, v)"), 6))
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= 5)
-          .select(col("query_id"), col("vec_id").as("neighbor_id"),
-            col("sim"), col("rk"))
+          .groupBy("query_id")
+          .agg(expr("graft_topk(sim, vec_id, 5)").as("top"))
+          .select(col("query_id"), posexplode(col("top")).as(Seq("rk0", "p")))
+          .select(col("query_id"), col("p.id").as("neighbor_id"),
+            col("p.ord").as("sim"),
+            (col("rk0") + 1).cast("integer").as("rk"))
           .orderBy("query_id", "rk")
       },
       Some("""
