@@ -684,6 +684,70 @@ object ExtendedQueries {
           FROM events)
         WHERE rk <= 3 ORDER BY user_id, rk""")),
 
+    // Deterministic WEIGHTED sampling — the data-mixing op of a training
+    // corpus (upweight high-quality documents without replacement):
+    // Efraimidis–Spirakis order statistics, key = u^(1/w) with u a
+    // hash-derived uniform, top-k by key = a weighted sample. Engineered
+    // for cross-engine exactness: u = first 13 md5 hex digits / 2⁵²
+    // (exact in a double) and weights are POWERS OF TWO so the key is a
+    // chain of IEEE-correctly-rounded sqrt calls — libm pow/ln are NOT
+    // bit-reproducible across engines, sqrt is. The top-k is the
+    // bounded aggregate (q81), so the sample never shuffles more than
+    // k·tasks rows. Weight tiers: 4× for long docs with stopword
+    // evidence, 2× for either, 1× otherwise.
+    Q("q82_weighted_sample",
+      (s, d) => {
+        val stopList = "('the', 'and', 'of', 'a', 'in', 'to', 'is')"
+        val scored = t(s, d, "documents")
+          .withColumn("words", split(col("text"), " "))
+          .withColumn("has_stop",
+            expr(s"size(filter(words, w -> w IN $stopList)) > 0"))
+          .withColumn("is_long", col("n_chars") >= 150)
+          .withColumn("w",
+            when(col("has_stop") && col("is_long"), 4)
+              .when(col("has_stop") || col("is_long"), 2)
+              .otherwise(1))
+          .withColumn("u",
+            expr("cast(conv(substring(md5(cast(doc_id AS string)), 1, 13)," +
+              " 16, 10) AS bigint)").cast("double") / lit(4503599627370496.0))
+          .withColumn("key",
+            when(col("w") === 4, sqrt(sqrt(col("u"))))
+              .when(col("w") === 2, sqrt(col("u")))
+              .otherwise(col("u")))
+        scored
+          .agg(expr("graft_topk(key, doc_id, 100)").as("top"))
+          .select(posexplode(col("top")).as(Seq("rk0", "p")))
+          .select((col("rk0") + 1).cast("integer").as("rk"),
+            col("p.id").as("doc_id"), round(col("p.ord"), 6).as("key"))
+          .orderBy("rk")
+      },
+      Some("""
+        WITH scored AS (
+          SELECT doc_id,
+            LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+              x -> x IN ('the', 'and', 'of', 'a', 'in', 'to', 'is'))) > 0
+              AS has_stop,
+            n_chars >= 150 AS is_long
+          FROM documents),
+        keyed AS (
+          SELECT doc_id,
+            CASE WHEN has_stop AND is_long THEN 4
+              WHEN has_stop OR is_long THEN 2 ELSE 1 END AS w,
+            CAST(LIST_REDUCE(
+              LIST_TRANSFORM(SPLIT(SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 13), ''),
+                c -> CAST(POSITION(c IN '0123456789abcdef') - 1 AS BIGINT)),
+              (a, x) -> a * 16 + x) AS DOUBLE) / 4503599627370496.0 AS u
+          FROM scored),
+        es AS (
+          SELECT doc_id,
+            CASE WHEN w = 4 THEN SQRT(SQRT(u))
+              WHEN w = 2 THEN SQRT(u) ELSE u END AS key
+          FROM keyed)
+        SELECT CAST(rk AS INTEGER) AS rk, doc_id, ROUND(key, 6) AS key
+        FROM (SELECT doc_id, key,
+          ROW_NUMBER() OVER (ORDER BY key DESC, doc_id) AS rk FROM es)
+        WHERE rk <= 100 ORDER BY rk""")),
+
     // Deterministic hash sampling — the rand(seed) replacement
     // (madwars-pipeline.py:60); exactly reproducible in any engine.
     Q("q66_deterministic_sample",
