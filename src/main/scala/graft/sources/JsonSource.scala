@@ -39,4 +39,36 @@ object JsonSource {
   def withDatePartitions(df: DataFrame, ts: String): DataFrame =
     df.withColumn("date_", to_date(col(ts)))
       .withColumn("hour_", date_format(col(ts), "HH"))
+
+  /** Batch read that QUARANTINES malformed records instead of nulling
+    * them silently (PERMISSIVE default) or dying on the first bad byte
+    * (FAILFAST): returns (clean rows, corrupt raw lines). At a 100 TB
+    * landing zone malformed producer output is a certainty, and the
+    * reference's Auto Loader ingests with no rescue path — dropped rows
+    * would be invisible. The corrupt frame carries the raw line for
+    * replay after a producer fix.
+    *
+    * Implementation reads the landing zone as TEXT and parses with
+    * `from_json` (a malformed line parses to a null struct): Spark
+    * forbids projecting the internal `_corrupt_record` column on its
+    * own from a raw JSON read, and the text route expresses the same
+    * split declaratively — each returned frame plans its own
+    * scan+parse+filter, pruned and pushed down independently. */
+  def batchWithQuarantine(spark: SparkSession, path: String, ddl: String)
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types.{StringType, StructType}
+    // from_json flags malformed input via a corrupt-record slot declared
+    // INSIDE its schema (a bare malformed line otherwise parses to an
+    // all-null struct, indistinguishable from legitimate nulls)
+    val schema = StructType.fromDDL(ddl).add("_cr", StringType)
+    val parsed = spark.read.text(path)
+      .select(col("value").as("raw_line"),
+        from_json(col("value"), schema,
+          Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_cr")).as("r"))
+    val clean = parsed.filter(col("r._cr").isNull)
+      .select(col("r.*")).drop("_cr")
+    val corrupt = parsed.filter(col("r._cr").isNotNull).select(col("raw_line"))
+    (clean, corrupt)
+  }
 }

@@ -72,4 +72,21 @@ class PipelineSpec extends AnyFunSuite {
       assert(spark.sql("SELECT count(*) FROM jsonsrc_t").head().getLong(0) === 2)
     } finally q.stop()
   }
+
+  test("JsonSource quarantines malformed records with the raw line intact") {
+    val dir = Files.createTempDirectory("jsonbad").toString
+    Files.writeString(java.nio.file.Path.of(s"$dir/mixed.json"),
+      """{"id":1,"v":1.5}
+        |{"id":2,"v":BROKEN
+        |{"id":3,"v":3.5}
+        |not json at all""".stripMargin)
+    val (clean, corrupt) = JsonSource.batchWithQuarantine(
+      spark, dir, "id bigint, v double")
+    assert(clean.orderBy("id").collect().map(_.getLong(0)).toSeq === Seq(1L, 3L))
+    assert(!clean.columns.contains("_corrupt_record"))
+    val bad = corrupt.collect().map(_.getString(0)).sorted
+    assert(bad.length === 2)
+    assert(bad.exists(_.contains("BROKEN")), "raw line preserved for replay")
+    assert(bad.exists(_.contains("not json at all")))
+  }
 }
