@@ -1,0 +1,113 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.graph.{Mode, Registry, TableDef}
+import graft.ops.Relational
+
+/** Training-corpus preparation as a dataflow DAG — the pipeline-API form
+  * of the oracle-verified curation queries (q26/q28/q77/q80/q82): a
+  * `documents`-shaped source flows quality flags → exact dedup → banded
+  * near-dup pairs → duplicate clusters → a per-document curation verdict
+  * → a deterministic weighted sample of the kept set.
+  *
+  * Each stage prunes the next stage's input (the property that keeps the
+  * whole pipeline sub-quadratic at 100 TB); every operator here is the
+  * same shared implementation the hard-gated queries run, so the DAG
+  * inherits their oracle coverage.
+  */
+object CorpusPipeline {
+
+  val StopWords = Seq("the", "and", "of", "a", "in", "to", "is")
+  private val stopList = StopWords.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** @param documents (doc_id bigint, text string, n_chars bigint, …) */
+  def build(spark: SparkSession, documents: () => DataFrame,
+            minChars: Int = 150, sampleK: Int = 100): Registry = {
+    val reg = new Registry(spark)
+    reg.source("documents", documents)
+
+    // per-doc quality flags + token count (q32/q34 formulas)
+    reg.register(TableDef("doc_flags", Seq("documents"), { case Seq(docs) =>
+      docs
+        .withColumn("words", split(col("text"), " "))
+        .withColumn("token_cnt", size(col("words")).cast("long"))
+        .withColumn("has_stop",
+          expr(s"size(filter(words, w -> w IN $stopList)) > 0"))
+        .withColumn("q_pass", col("n_chars") >= minChars && col("has_stop"))
+    }, mode = Mode.Incremental))
+
+    // exact dedup among quality passes: min doc_id per normalized
+    // fingerprint (q36 normalization, q26 survivor rule)
+    reg.register(TableDef("exact_survivors", Seq("doc_flags"), {
+      case Seq(flags) =>
+        Relational.dedupeExact(Seq("fp"), col("doc_id"))(
+          flags.filter(col("q_pass")).withColumn("fp",
+            md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))))
+    }, mode = Mode.Full))
+
+    // banded MinHash near-dup pairs among the survivors only (q28 path)
+    reg.register(TableDef("neardup_pairs", Seq("exact_survivors"), {
+      case Seq(surv) =>
+        graft.queries.DedupQueries.minhashPairsOf(
+          spark, surv.select("doc_id", "text"))
+    }, mode = Mode.Full))
+
+    // duplicate clusters: smallest reachable doc_id per component (q77)
+    reg.register(TableDef("neardup_components", Seq("neardup_pairs"), {
+      case Seq(pairs) =>
+        Relational.connectedComponents(
+          pairs.select("doc_a", "doc_b"), "doc_a", "doc_b")
+          .select(col("node").as("doc_id"), col("comp").as("canonical_id"))
+    }, mode = Mode.Full))
+
+    // per-document verdict with the first applicable drop reason (q80)
+    reg.register(TableDef("corpus_curation",
+      Seq("doc_flags", "exact_survivors", "neardup_components"), {
+      case Seq(flags, surv, comps) =>
+        flags
+          .join(surv.select(col("doc_id"), lit(1).as("exact_surv")),
+            Seq("doc_id"), "left")
+          .join(comps, Seq("doc_id"), "left")
+          .withColumn("kept",
+            when(!col("q_pass"), 0)
+              .when(col("exact_surv").isNull, 0)
+              .when(col("canonical_id").isNotNull &&
+                col("canonical_id") =!= col("doc_id"), 0)
+              .otherwise(1))
+          .withColumn("drop_reason",
+            when(!col("q_pass"), "quality")
+              .when(col("exact_surv").isNull, "exact_dup")
+              .when(col("canonical_id").isNotNull &&
+                col("canonical_id") =!= col("doc_id"), "near_dup"))
+          .select("doc_id", "kept", "drop_reason", "token_cnt")
+    }, mode = Mode.Full))
+
+    // deterministic weighted sample of the KEPT set (q82: E-S order
+    // statistics with power-of-two weights and the bounded top-k)
+    reg.register(TableDef("weighted_sample",
+      Seq("corpus_curation", "doc_flags"), { case Seq(cur, flags) =>
+        val kept = cur.filter(col("kept") === 1).select("doc_id")
+          .join(flags.select(col("doc_id"), col("has_stop"),
+            (col("n_chars") >= minChars).as("is_long")), Seq("doc_id"))
+        kept
+          .withColumn("w",
+            when(col("has_stop") && col("is_long"), 4)
+              .when(col("has_stop") || col("is_long"), 2)
+              .otherwise(1))
+          .withColumn("u",
+            expr("cast(conv(substring(md5(cast(doc_id AS string)), 1, 13)," +
+              " 16, 10) AS bigint)").cast("double") / lit(4503599627370496.0))
+          .withColumn("key",
+            when(col("w") === 4, sqrt(sqrt(col("u"))))
+              .when(col("w") === 2, sqrt(col("u")))
+              .otherwise(col("u")))
+          .agg(expr(s"graft_topk(key, doc_id, $sampleK)").as("top"))
+          .select(posexplode(col("top")).as(Seq("rk0", "p")))
+          .select((col("rk0") + 1).cast("integer").as("rk"),
+            col("p.id").as("doc_id"), col("p.ord").as("key"))
+      }, mode = Mode.Full))
+
+    reg
+  }
+}

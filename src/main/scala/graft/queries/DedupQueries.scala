@@ -288,10 +288,10 @@ object DedupQueries {
     minhashPairsOf(s, t(s, d, "documents"))
 
   /** Same, over an arbitrary (doc_id, text, …) frame — the curation
-    * pipeline near-dups only the documents that survived its earlier
-    * stages. */
-  private[queries] def minhashPairsOf(s: SparkSession,
-                                      documents: DataFrame): DataFrame = {
+    * pipeline ([[graft.pipelines.CorpusPipeline]]) near-dups only the
+    * documents that survived its earlier stages. */
+  private[graft] def minhashPairsOf(s: SparkSession,
+                                    documents: DataFrame): DataFrame = {
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy("doc_id").orderBy("pos")
         val sh = QH.spread(s, col("doc_id"))(documents)

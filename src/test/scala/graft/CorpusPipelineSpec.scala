@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
+import graft.pipelines.CorpusPipeline
+
+/** Hand-computed expectations over a small curation corpus: a quality
+  * reject, an exact-dup pair, a near-dup pair, and clean keepers. */
+class CorpusPipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val long = "the quick brown fox jumps over the lazy dog and " +
+    "keeps running through the quiet field in a long morning of patient " +
+    "steady work that goes on and on without a pause for anyone at all"
+  // near-dup of `long`: one word changed → 3-gram jaccard stays ≥ 0.6
+  private val longNear = long.replace("quiet field", "quiet meadow")
+
+  private def fixture = {
+    val sp = spark
+    import sp.implicits._
+    Seq(
+      (0L, long, "en", "web", 200L),          // kept (cluster canonical)
+      (1L, longNear, "en", "web", 200L),      // near-dup of 0 → dropped
+      (2L, long + ".", "en", "web", 200L),    // normalized exact dup of 0
+      (3L, "tiny", "en", "web", 4L),          // quality reject (short)
+      (4L, long + " extra tail words here to make it clearly distinct " +
+        "from the first document in shingle space with many many new " +
+        "phrases that overlap almost nowhere at all for jaccard purposes " +
+        "plus further unrelated trailing content stretching the shingle " +
+        "set far beyond the sixty percent overlap threshold easily",
+        "en", "web", 400L))                   // kept
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("curation DAG: quality gate, exact dedup, near-dup cluster, verdicts") {
+    val reg = CorpusPipeline.build(spark, () => fixture)
+    val cur = reg.resolve("corpus_curation").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), Option(r.getString(2)))).toMap
+    assert(cur(3L) === ((0, Some("quality"))))
+    // doc 2 is an exact dup of doc 0 after punctuation normalization
+    assert(cur(2L) === ((0, Some("exact_dup"))))
+    // doc 1 near-dups doc 0; 0 is the canonical survivor
+    assert(cur(1L) === ((0, Some("near_dup"))))
+    assert(cur(0L) === ((1, None)))
+    assert(cur(4L) === ((1, None)))
+
+    val sample = reg.resolve("weighted_sample").collect()
+    // only kept docs are sampled, ranked by the E-S key
+    assert(sample.map(_.getLong(1)).toSet === Set(0L, 4L))
+    assert(sample.map(_.getInt(0)).toSeq === Seq(1, 2))
+  }
+
+  test("DAG corpus_curation matches the oracle-gated q80 on real documents") {
+    val reg = CorpusPipeline.build(spark,
+      () => graft.tables.Tables.load(spark, TestSpark.sf0001, "documents"))
+    val dag = reg.resolve("corpus_curation").orderBy("doc_id").collect()
+    val q80 = graft.queries.Catalog.byName("q80_corpus_curation")
+      .run(spark, TestSpark.sf0001).collect()
+    assert(dag.length === q80.length)
+    assert(dag.map(_.toSeq).toSeq === q80.map(_.toSeq).toSeq)
+  }
+}
