@@ -149,6 +149,97 @@ object TextQueries {
         SELECT doc_id,
           CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
             AS bpe_token_cnt
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // Benchmark decontamination — the pretraining hygiene step: flag
+    // every training document that shares an 8-word-gram with the
+    // held-out eval set (here a deterministic slice, doc_id % 13 = 0,
+    // standing in for a benchmark suite). The shape is the scale story:
+    // an EQUI-join on the gram (never a pairwise document comparison),
+    // with the eval side tiny by construction — at 100 TB AQE broadcasts
+    // the benchmark grams and the pass stays one linear scan of the
+    // corpus. Output covers every training doc (hit count 0 included) so
+    // the verdict is total, like q80's.
+    Q("q83_decontaminate",
+      (s, d) => {
+        val grams = QH.spread(s, col("doc_id"))(t(s, d, "documents"))
+          .withColumn("words", split(col("text"), " "))
+          .filter(size(col("words")) >= 8)
+          .select(col("doc_id"), explode(array_distinct(expr(
+            "transform(sequence(1, size(words) - 7), " +
+              "i -> concat_ws(' ', words[i-1], words[i], words[i+1], " +
+              "words[i+2], words[i+3], words[i+4], words[i+5], words[i+6]))")))
+            .as("gram"))
+        val evalGrams = grams.filter(col("doc_id") % 13 === 0)
+          .select("gram").distinct()
+        val hits = grams.filter(col("doc_id") % 13 =!= 0)
+          .join(evalGrams, "gram")
+          .groupBy("doc_id").agg(count(lit(1)).as("hit_grams"))
+        t(s, d, "documents").filter(col("doc_id") % 13 =!= 0)
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("hit_grams"), lit(0L)).as("hit_grams"),
+            (coalesce(col("hit_grams"), lit(0L)) > 0).cast("int")
+              .as("contaminated"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH docs AS (
+          SELECT doc_id, STRING_SPLIT(text, ' ') AS words FROM documents
+          WHERE LEN(STRING_SPLIT(text, ' ')) >= 8),
+        g AS (
+          SELECT doc_id, UNNEST(LIST_DISTINCT(
+            [words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' ||
+             words[i+3] || ' ' || words[i+4] || ' ' || words[i+5] || ' ' ||
+             words[i+6] || ' ' || words[i+7]
+             for i in GENERATE_SERIES(1, LEN(words) - 7)])) AS gram
+          FROM docs),
+        ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 13 = 0),
+        hits AS (
+          SELECT doc_id, COUNT(*) AS hit_grams FROM g
+          WHERE doc_id % 13 != 0 AND gram IN (SELECT gram FROM ev)
+          GROUP BY doc_id)
+        SELECT d.doc_id,
+          COALESCE(h.hit_grams, 0) AS hit_grams,
+          CAST(COALESCE(h.hit_grams, 0) > 0 AS INT) AS contaminated
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+        WHERE d.doc_id % 13 != 0
+        ORDER BY d.doc_id""")),
+
+    // Sequence packing — the concatenate-and-chop layout a pretraining
+    // loader needs: per language stream, documents are laid end-to-end
+    // in doc_id order and cut into fixed 256-token windows; each doc
+    // gets its start offset and the first/last pack it lands in. Pure
+    // window math over the W7 exclusive-cumulative idiom (q69) — one
+    // shuffle on the stream key. At 100 TB the partition key is the
+    // shard id, so every shard packs independently and in parallel.
+    Q("q84_pack_sequences",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("lang").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        t(s, d, "documents")
+          .select(col("lang"), col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("tok_cnt"))
+          .withColumn("start_off", coalesce(sum("tok_cnt").over(w), lit(0L)))
+          .withColumn("pack_first", expr("start_off DIV 256"))
+          .withColumn("pack_last", expr("(start_off + tok_cnt - 1) DIV 256"))
+          .orderBy("lang", "doc_id")
+      },
+      Some("""
+        WITH t AS (
+          SELECT lang, doc_id,
+            CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS tok_cnt
+          FROM documents),
+        o AS (
+          SELECT lang, doc_id, tok_cnt,
+            COALESCE(CAST(SUM(tok_cnt) OVER (PARTITION BY lang
+              ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+              AND 1 PRECEDING) AS BIGINT), 0) AS start_off
+          FROM t)
+        SELECT lang, doc_id, tok_cnt, start_off,
+          start_off // 256 AS pack_first,
+          (start_off + tok_cnt - 1) // 256 AS pack_last
+        FROM o ORDER BY lang, doc_id"""))
   )
 }

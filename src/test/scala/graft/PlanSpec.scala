@@ -127,6 +127,23 @@ class PlanSpec extends AnyFunSuite {
         "the shuffle at k rows per map task per group")
   }
 
+  test("q83: decontamination is a gram equi-join, no forced broadcast") {
+    val p = plan("q83_decontaminate")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "train×eval overlap must join on the gram, never pairwise docs")
+    // the eval-gram side is corpus-derived: AQE may broadcast it from
+    // its runtime size, a hint must not
+    assert(!logical("q83_decontaminate").contains("strategy=broadcast"))
+  }
+
+  test("q84: packing layout reuses one hash exchange per language stream") {
+    val p = plan("q84_pack_sequences")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx <= 1, s"pack offsets are one window over (lang, doc_id); " +
+      s"got $hashEx hash exchanges")
+  }
+
   test("column pruning: q03 scans only the needed lineitem columns") {
     val p = plan("q03_top_revenue_orders")
     val scan = p.linesIterator
