@@ -6,10 +6,11 @@ import graft.graph.{Mode, Registry, TableDef}
 import graft.ops.Relational
 
 /** Training-corpus preparation as a dataflow DAG — the pipeline-API form
-  * of the oracle-verified curation queries (q26/q28/q77/q80/q82): a
+  * of the oracle-verified curation queries (q26/q28/q77/q80/q82/q83): a
   * `documents`-shaped source flows quality flags → exact dedup → banded
   * near-dup pairs → duplicate clusters → a per-document curation verdict
-  * → a deterministic weighted sample of the kept set.
+  * → benchmark decontamination → a deterministic weighted sample of the
+  * kept set.
   *
   * Each stage prunes the next stage's input (the property that keeps the
   * whole pipeline sub-quadratic at 100 TB); every operator here is the
@@ -21,11 +22,27 @@ object CorpusPipeline {
   val StopWords = Seq("the", "and", "of", "a", "in", "to", "is")
   private val stopList = StopWords.map(w => s"'$w'").mkString("(", ", ", ")")
 
-  /** @param documents (doc_id bigint, text string, n_chars bigint, …) */
+  /** Distinct word-8-grams per doc — the q83 decontamination unit. */
+  private def grams8(df: DataFrame): DataFrame =
+    df.withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 8)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(1, size(words) - 7), " +
+          "i -> concat_ws(' ', words[i-1], words[i], words[i+1], " +
+          "words[i+2], words[i+3], words[i+4], words[i+5], words[i+6]))")))
+        .as("gram"))
+
+  /** @param documents (doc_id bigint, text string, n_chars bigint, …)
+    * @param benchmark held-out eval docs (doc_id, text) — any training
+    *                  doc sharing an 8-gram with one is quarantined */
   def build(spark: SparkSession, documents: () => DataFrame,
+            benchmark: () => DataFrame = null,
             minChars: Int = 150, sampleK: Int = 100): Registry = {
     val reg = new Registry(spark)
     reg.source("documents", documents)
+    reg.source("benchmark",
+      if (benchmark != null) benchmark
+      else () => documents().select("doc_id", "text").limit(0))
 
     // per-doc quality flags + token count (q32/q34 formulas)
     reg.register(TableDef("doc_flags", Seq("documents"), { case Seq(docs) =>
@@ -83,13 +100,28 @@ object CorpusPipeline {
           .select("doc_id", "kept", "drop_reason", "token_cnt")
     }, mode = Mode.Full))
 
-    // deterministic weighted sample of the KEPT set (q82: E-S order
-    // statistics with power-of-two weights and the bounded top-k)
+    // benchmark decontamination of the kept set (q83): quarantine any
+    // kept doc sharing an 8-gram with the held-out benchmark. Equi-join
+    // on the gram — the benchmark side is tiny, so at scale this stays
+    // one linear pass over the kept corpus.
+    reg.register(TableDef("train_ready",
+      Seq("corpus_curation", "doc_flags", "benchmark"), {
+      case Seq(cur, flags, bench) =>
+        val kept = flags.join(
+          cur.filter(col("kept") === 1).select("doc_id"), Seq("doc_id"))
+        val contaminated = grams8(kept.select("doc_id", "text"))
+          .join(grams8(bench).select("gram").distinct(), "gram")
+          .select("doc_id").distinct()
+        kept.join(contaminated, Seq("doc_id"), "left_anti")
+    }, mode = Mode.Full))
+
+    // deterministic weighted sample of the decontaminated kept set
+    // (q82: E-S order statistics with power-of-two weights and the
+    // bounded top-k)
     reg.register(TableDef("weighted_sample",
-      Seq("corpus_curation", "doc_flags"), { case Seq(cur, flags) =>
-        val kept = cur.filter(col("kept") === 1).select("doc_id")
-          .join(flags.select(col("doc_id"), col("has_stop"),
-            (col("n_chars") >= minChars).as("is_long")), Seq("doc_id"))
+      Seq("train_ready"), { case Seq(ready) =>
+        val kept = ready.select(col("doc_id"), col("has_stop"),
+          (col("n_chars") >= minChars).as("is_long"))
         kept
           .withColumn("w",
             when(col("has_stop") && col("is_long"), 4)

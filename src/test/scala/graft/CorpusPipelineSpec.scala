@@ -50,6 +50,22 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(sample.map(_.getInt(0)).toSeq === Seq(1, 2))
   }
 
+  test("benchmark decontamination quarantines kept docs sharing an 8-gram") {
+    val sp = spark
+    import sp.implicits._
+    // the benchmark doc shares doc 4's tail verbatim (≥8 words) but
+    // nothing with doc 0
+    val bench = Seq((1000L,
+      "plus further unrelated trailing content stretching the shingle " +
+        "set far beyond the sixty percent overlap threshold easily"))
+      .toDF("doc_id", "text")
+    val reg = CorpusPipeline.build(spark, () => fixture, () => bench)
+    val ready = reg.resolve("train_ready").collect().map(_.getLong(0)).toSet
+    assert(ready === Set(0L), "doc 4 is contaminated, doc 0 stays")
+    val sample = reg.resolve("weighted_sample").collect()
+    assert(sample.map(_.getLong(1)).toSet === Set(0L))
+  }
+
   test("DAG corpus_curation matches the oracle-gated q80 on real documents") {
     val reg = CorpusPipeline.build(spark,
       () => graft.tables.Tables.load(spark, TestSpark.sf0001, "documents"))
