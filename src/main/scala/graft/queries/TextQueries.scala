@@ -240,6 +240,64 @@ object TextQueries {
         SELECT lang, doc_id, tok_cnt, start_off,
           start_off // 256 AS pack_first,
           (start_off + tok_cnt - 1) // 256 AS pack_last
-        FROM o ORDER BY lang, doc_id"""))
+        FROM o ORDER BY lang, doc_id""")),
+
+    // Domain-mixture resampling — the data-mixing step: down-sample each
+    // language stream so the output corpus matches target mixture
+    // weights (en 30%, others 17.5%). N_max = min over streams of
+    // n/w is the largest total the corpus can support without
+    // up-sampling; each stream keeps docs whose deterministic u-hash
+    // (q66/q82 idiom, bit-exact across engines) falls under
+    // rate = w·N_max/n. Scale shape: one small per-stream count, a
+    // 5-row rates dim broadcast into one linear pass — the global min
+    // is a 1-row frame, not a driver .first() (O5). Output is integer
+    // counts + quotas, immune to float formatting.
+    Q("q85_mixture_resample",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+          .withColumn("w", when(col("lang") === "en", 0.30).otherwise(0.175))
+        val nMax = counts.agg(min(col("n_docs") / col("w")).as("n_max"))
+        val rates = counts.crossJoin(nMax)
+          .withColumn("rate",
+            least(lit(1.0), col("w") * col("n_max") / col("n_docs")))
+          .withColumn("quota", floor(col("w") * col("n_max")).cast("long"))
+        val sampled = docs
+          .join(rates.select("lang", "rate"), "lang")
+          .withColumn("u",
+            expr("cast(conv(substring(md5(cast(doc_id AS string)), 1, 13)," +
+              " 16, 10) AS bigint)").cast("double") / lit(4503599627370496.0))
+          .filter(col("u") < col("rate"))
+          .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+        rates.join(sampled, Seq("lang"), "left")
+          .select(col("lang"), col("n_docs"), col("quota"),
+            coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+          .orderBy("lang")
+      },
+      Some("""
+        WITH counts AS (
+          SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+        w AS (
+          SELECT lang, n_docs,
+            CASE WHEN lang = 'en' THEN CAST(0.30 AS DOUBLE)
+              ELSE CAST(0.175 AS DOUBLE) END AS w
+          FROM counts),
+        nm AS (SELECT MIN(n_docs / w) AS n_max FROM w),
+        r AS (
+          SELECT lang, n_docs,
+            LEAST(CAST(1 AS DOUBLE), w * nm.n_max / n_docs) AS rate,
+            CAST(FLOOR(w * nm.n_max) AS BIGINT) AS quota
+          FROM w, nm),
+        u AS (
+          SELECT lang, CAST(LIST_REDUCE(
+            LIST_TRANSFORM(SPLIT(SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 13), ''),
+              c -> CAST(POSITION(c IN '0123456789abcdef') - 1 AS BIGINT)),
+            (a, x) -> a * 16 + x) AS DOUBLE) / 4503599627370496.0 AS u
+          FROM documents),
+        smp AS (
+          SELECT u.lang, COUNT(*) AS n_sampled
+          FROM u JOIN r USING (lang) WHERE u.u < r.rate GROUP BY u.lang)
+        SELECT r.lang, r.n_docs, r.quota, COALESCE(smp.n_sampled, 0) AS n_sampled
+        FROM r LEFT JOIN smp USING (lang) ORDER BY r.lang"""))
   )
 }
