@@ -262,14 +262,20 @@ object TextQueries {
           .withColumn("rate",
             least(lit(1.0), col("w") * col("n_max") / col("n_docs")))
           .withColumn("quota", floor(col("w") * col("n_max")).cast("long"))
+        // broadcast is justified (unlike the fact-derived frames q67/q68
+        // must not hint): rates has at most one row per LANGUAGE —
+        // bounded dimension cardinality, independent of corpus size —
+        // and without the hint the stats-blind post-crossJoin estimate
+        // picks a sort-merge join that shuffles the whole corpus on a
+        // 5-value key (the real scale killer: 5-way skew)
         val sampled = docs
-          .join(rates.select("lang", "rate"), "lang")
+          .join(broadcast(rates.select("lang", "rate")), "lang")
           .withColumn("u",
             expr("cast(conv(substring(md5(cast(doc_id AS string)), 1, 13)," +
               " 16, 10) AS bigint)").cast("double") / lit(4503599627370496.0))
           .filter(col("u") < col("rate"))
           .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
-        rates.join(sampled, Seq("lang"), "left")
+        rates.join(broadcast(sampled), Seq("lang"), "left")
           .select(col("lang"), col("n_docs"), col("quota"),
             coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
           .orderBy("lang")

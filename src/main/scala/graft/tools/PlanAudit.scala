@@ -18,7 +18,9 @@ object PlanAudit {
       "q59_interval_overlap", // binned range join
       "q68_agg_pnl", // window-partitioning sharing, no forced broadcast
       "q75_referral_rewards", // as-of equi join + residual bound
-      "q79_sessionize") // single user exchange end-to-end
+      "q79_sessionize", // single user exchange end-to-end
+      "q83_decontaminate", // gram equi-join, eval side AQE-broadcast
+      "q85_mixture_resample") // rates dim broadcast into one pass
     interesting.foreach { name =>
       val df = graft.queries.Catalog.byName(name).run(spark, d)
       // drive THIS df's own query execution to completion (count() would

@@ -144,6 +144,15 @@ class PlanSpec extends AnyFunSuite {
       s"got $hashEx hash exchanges")
   }
 
+  test("q85: corpus never shuffles on the 5-value lang key") {
+    // the rates dim (≤ one row per language) must broadcast into the
+    // per-doc pass; a sort-merge join here partitions the whole corpus
+    // across 5 keys
+    val p = plan("q85_mixture_resample")
+    assert(!p.contains("SortMergeJoin"),
+      "per-doc rate lookup must be a broadcast hash join")
+  }
+
   test("column pruning: q03 scans only the needed lineitem columns") {
     val p = plan("q03_top_revenue_orders")
     val scan = p.linesIterator
