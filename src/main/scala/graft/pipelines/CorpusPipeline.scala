@@ -9,8 +9,8 @@ import graft.ops.Relational
   * of the oracle-verified curation queries (q26/q28/q77/q80/q82/q83): a
   * `documents`-shaped source flows quality flags → exact dedup → banded
   * near-dup pairs → duplicate clusters → a per-document curation verdict
-  * → benchmark decontamination → a deterministic weighted sample of the
-  * kept set.
+  * → benchmark decontamination → domain-mixture resampling → sequence
+  * packing, plus a deterministic weighted sample of the kept set.
   *
   * Each stage prunes the next stage's input (the property that keeps the
   * whole pipeline sub-quadratic at 100 TB); every operator here is the
@@ -113,6 +113,39 @@ object CorpusPipeline {
           .join(grams8(bench).select("gram").distinct(), "gram")
           .select("doc_id").distinct()
         kept.join(contaminated, Seq("doc_id"), "left_anti")
+    }, mode = Mode.Full))
+
+    // domain-mixture resampling of the decontaminated set (q85): largest
+    // feasible total from per-language counts, deterministic u-hash
+    // keep-rates, rates dim broadcast (bounded at one row per language)
+    reg.register(TableDef("mixed", Seq("train_ready"), { case Seq(ready) =>
+      val counts = ready.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .withColumn("mw", when(col("lang") === "en", 0.30).otherwise(0.175))
+      val nMax = counts.agg(min(col("n_docs") / col("mw")).as("n_max"))
+      val rates = counts.crossJoin(nMax)
+        .withColumn("rate",
+          least(lit(1.0), col("mw") * col("n_max") / col("n_docs")))
+      ready
+        .join(broadcast(rates.select("lang", "rate")), "lang")
+        .withColumn("u",
+          expr("cast(conv(substring(md5(cast(doc_id AS string)), 1, 13)," +
+            " 16, 10) AS bigint)").cast("double") / lit(4503599627370496.0))
+        .filter(col("u") < col("rate"))
+        .drop("rate", "u")
+    }, mode = Mode.Full))
+
+    // sequence packing of the mixed corpus (q84): per language stream,
+    // docs laid end-to-end in doc_id order, cut into 256-token windows
+    reg.register(TableDef("packed", Seq("mixed"), { case Seq(mixed) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      mixed
+        .select(col("lang"), col("doc_id"), col("token_cnt"))
+        .withColumn("start_off", coalesce(sum("token_cnt").over(w), lit(0L)))
+        .withColumn("pack_first", expr("start_off DIV 256"))
+        .withColumn("pack_last",
+          expr("(start_off + token_cnt - 1) DIV 256"))
     }, mode = Mode.Full))
 
     // deterministic weighted sample of the decontaminated kept set

@@ -66,6 +66,19 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(sample.map(_.getLong(1)).toSet === Set(0L))
   }
 
+  test("mixing keeps the feasible set; packing lays docs end-to-end") {
+    val reg = CorpusPipeline.build(spark, () => fixture)
+    // single-language fixture: rate = 1, both kept docs survive mixing
+    val packed = reg.resolve("packed").collect()
+      .map(r => r.getLong(1) -> r).toMap
+    assert(packed.keySet === Set(0L, 4L))
+    val d0 = packed(0L); val d4 = packed(4L)
+    assert(d0.getLong(3) === 0L, "first doc starts at offset 0")
+    assert(d4.getLong(3) === d0.getLong(2),
+      "doc 4 starts where doc 0's tokens end")
+    assert(d0.getLong(4) === 0L && d4.getLong(4) === d4.getLong(3) / 256)
+  }
+
   test("DAG corpus_curation matches the oracle-gated q80 on real documents") {
     val reg = CorpusPipeline.build(spark,
       () => graft.tables.Tables.load(spark, TestSpark.sf0001, "documents"))
