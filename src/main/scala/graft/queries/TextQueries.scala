@@ -304,6 +304,58 @@ object TextQueries {
           SELECT u.lang, COUNT(*) AS n_sampled
           FROM u JOIN r USING (lang) WHERE u.u < r.rate GROUP BY u.lang)
         SELECT r.lang, r.n_docs, r.quota, COALESCE(smp.n_sampled, 0) AS n_sampled
-        FROM r LEFT JOIN smp USING (lang) ORDER BY r.lang"""))
+        FROM r LEFT JOIN smp USING (lang) ORDER BY r.lang""")),
+
+    // Epoch up-sampling — the row-amplifying half of data mixing: hold
+    // the output size at the corpus total but redistribute it to the
+    // target weights, so over-represented domains drop docs and rare
+    // domains REPEAT theirs (fractional epochs: expected repetitions
+    // r = w·T/n per domain, e.g. 1.25 ⇒ every doc once, every fourth
+    // doc twice). floor(r) guaranteed copies + one more when the
+    // deterministic u-hash lands under frac(r); emitted via
+    // explode(sequence) with an epoch index — row-parallel, no window,
+    // rates dim broadcast exactly as in q85.
+    Q("q86_epoch_upsample",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+          .withColumn("mw", when(col("lang") === "en", 0.30).otherwise(0.175))
+        val total = docs.agg(count(lit(1)).as("t"))
+        val rates = counts.crossJoin(total)
+          .withColumn("r", col("mw") * col("t") / col("n_docs"))
+        docs
+          .join(broadcast(rates.select("lang", "r")), "lang")
+          .withColumn("u",
+            expr("cast(conv(substring(md5(cast(doc_id AS string)), 1, 13)," +
+              " 16, 10) AS bigint)").cast("double") / lit(4503599627370496.0))
+          .withColumn("n_copies",
+            floor(col("r")).cast("long") +
+              when(col("u") < col("r") - floor(col("r")), 1L).otherwise(0L))
+          .filter(col("n_copies") > 0)
+          .select(col("doc_id"), col("lang"),
+            explode(expr("sequence(CAST(0 AS BIGINT), n_copies - 1)"))
+              .as("epoch"))
+          .orderBy("doc_id", "epoch")
+      },
+      Some("""
+        WITH counts AS (
+          SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+        tot AS (SELECT COUNT(*) AS t FROM documents),
+        r AS (
+          SELECT lang, n_docs,
+            CASE WHEN lang = 'en' THEN CAST(0.30 AS DOUBLE)
+              ELSE CAST(0.175 AS DOUBLE) END * tot.t / n_docs AS r
+          FROM counts, tot),
+        c AS (
+          SELECT doc_id, d.lang,
+            CAST(FLOOR(r.r) AS BIGINT) +
+              CASE WHEN CAST(LIST_REDUCE(
+                LIST_TRANSFORM(SPLIT(SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 13), ''),
+                  ch -> CAST(POSITION(ch IN '0123456789abcdef') - 1 AS BIGINT)),
+                (a, x) -> a * 16 + x) AS DOUBLE) / 4503599627370496.0
+                < r.r - FLOOR(r.r) THEN 1 ELSE 0 END AS n_copies
+          FROM documents d JOIN r USING (lang))
+        SELECT doc_id, lang, UNNEST(GENERATE_SERIES(0, n_copies - 1)) AS epoch
+        FROM c WHERE n_copies > 0 ORDER BY doc_id, epoch"""))
   )
 }
