@@ -79,6 +79,17 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(d0.getLong(4) === 0L && d4.getLong(4) === d4.getLong(3) / 256)
   }
 
+  test("the corpus DAG materializes end-to-end through Runner.runBatch") {
+    val out = java.nio.file.Files
+      .createTempDirectory("corpus_dag").toString
+    val reg = CorpusPipeline.build(spark, () => fixture)
+    val paths = graft.graph.Runner.runBatch(reg, out)
+    assert(paths.keySet.contains("packed") && paths.keySet.contains(
+      "weighted_sample"))
+    val packed = spark.read.parquet(paths("packed"))
+    assert(packed.count() === 2)
+  }
+
   test("DAG corpus_curation matches the oracle-gated q80 on real documents") {
     val reg = CorpusPipeline.build(spark,
       () => graft.tables.Tables.load(spark, TestSpark.sf0001, "documents"))
