@@ -144,13 +144,15 @@ class PlanSpec extends AnyFunSuite {
       s"got $hashEx hash exchanges")
   }
 
-  test("q85: corpus never shuffles on the 5-value lang key") {
+  test("q85/q86: corpus never shuffles on the 5-value lang key") {
     // the rates dim (≤ one row per language) must broadcast into the
     // per-doc pass; a sort-merge join here partitions the whole corpus
     // across 5 keys
-    val p = plan("q85_mixture_resample")
-    assert(!p.contains("SortMergeJoin"),
-      "per-doc rate lookup must be a broadcast hash join")
+    for (q <- Seq("q85_mixture_resample", "q86_epoch_upsample")) {
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin"),
+        s"$q: per-doc rate lookup must be a broadcast hash join")
+    }
   }
 
   test("column pruning: q03 scans only the needed lineitem columns") {
