@@ -47,6 +47,12 @@ final class Registry(spark: SparkSession) {
 
   def tableNames: Seq[String] = defs.keys.toSeq
 
+  /** The registered source loaders — so a runner can carry static
+    * (non-streamed) sources into a derived registry: the stream-static
+    * pattern, where an incremental table joins a batch dim. */
+  private[graph] def sourceLoaders: Map[String, () => DataFrame] =
+    sources.toMap
+
   /** The registered definition for `name`, if it is a transform node
     * (sources have no TableDef). */
   def describe(name: String): Option[TableDef] = defs.get(name)

@@ -57,8 +57,13 @@ object Runner {
         consumers.getOrElse(n, Seq.empty).exists(_.mode == Mode.Full)
     }
 
-    // one streaming resolver whose sources are the streaming frames
+    // one streaming resolver whose sources are the streaming frames;
+    // sources NOT being streamed stay batch loaders — the stream-static
+    // join pattern (a streaming table may read a dim batch-style)
     val streamReg = new Registry(spark)
+    reg.sourceLoaders.foreach { case (n, f) =>
+      if (!streamSources.contains(n)) streamReg.source(n, f)
+    }
     streamSources.foreach { case (n, f) => streamReg.source(n, f) }
     reg.topoOrder.flatMap(defs(_)).foreach(streamReg.register)
 
@@ -74,8 +79,12 @@ object Runner {
       name -> path
     }.toMap
 
-    // Full tables batch-read the materialized boundaries
+    // Full tables batch-read the materialized boundaries; static
+    // sources (never streamed, never a boundary) keep their loaders
     val batchReg = new Registry(spark)
+    reg.sourceLoaders.foreach { case (n, f) =>
+      if (!written.contains(n)) batchReg.source(n, f)
+    }
     written.foreach { case (n, p) =>
       batchReg.source(n, () => spark.read.parquet(p))
     }

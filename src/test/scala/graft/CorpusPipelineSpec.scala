@@ -90,6 +90,38 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(packed.count() === 2)
   }
 
+  test("streaming run with a static benchmark dim equals the batch run") {
+    val sp = spark
+    import sp.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("corpus_src").toString
+    fixture.write.mode("overwrite").parquet(s"$srcDir/docs")
+    val bench = Seq((1000L,
+      "plus further unrelated trailing content stretching the shingle " +
+        "set far beyond the sixty percent overlap threshold easily"))
+      .toDF("doc_id", "text")
+
+    val batchOut = graft.graph.Runner.runBatch(
+      CorpusPipeline.build(spark,
+        () => spark.read.parquet(s"$srcDir/docs"), () => bench),
+      java.nio.file.Files.createTempDirectory("corpus_b").toString)
+    // documents streams; benchmark stays a static batch dim
+    val streamOut = graft.graph.Runner.runStreamingThenFull(spark,
+      CorpusPipeline.build(spark,
+        () => spark.read.parquet(s"$srcDir/docs"), () => bench),
+      Map("documents" -> (() =>
+        spark.readStream.schema(fixture.schema).parquet(s"$srcDir/docs"))),
+      java.nio.file.Files.createTempDirectory("corpus_s").toString)
+
+    for (tbl <- Seq("train_ready", "packed")) {
+      val b = spark.read.parquet(batchOut(tbl))
+      val s = spark.read.parquet(streamOut(tbl))
+      assert(b.exceptAll(s).count() === 0 && s.exceptAll(b).count() === 0,
+        s"$tbl: stream/batch divergence")
+    }
+    assert(spark.read.parquet(streamOut("train_ready"))
+      .select("doc_id").as[Long].collect().toSet === Set(0L))
+  }
+
   test("DAG corpus_curation matches the oracle-gated q80 on real documents") {
     val reg = CorpusPipeline.build(spark,
       () => graft.tables.Tables.load(spark, TestSpark.sf0001, "documents"))
