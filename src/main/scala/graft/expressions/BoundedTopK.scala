@@ -105,7 +105,10 @@ case class BoundedTopK(
 object BoundedTopK {
   /** Insertion-sorted bounded buffer, kept in (ord desc, id asc) order.
     * Total order: ties on ord resolve to the smaller id, so the result
-    * is deterministic under any merge order. */
+    * is deterministic under any merge order — including NaN ords
+    * (graft_cosine yields NaN for a zero vector), which
+    * `Double.compare`'s total order ranks above +∞; raw `>`/`==` would
+    * compare false everywhere and tie-break NaNs by arrival order. */
   final class Buf(k: Int) {
     val ords = new Array[Double](k)
     val ids = new Array[Long](k)
@@ -113,9 +116,14 @@ object BoundedTopK {
 
     /** True if (o1, i1) ranks strictly before (o2, i2). */
     @inline private def before(o1: Double, i1: Long, o2: Double, i2: Long)
-        : Boolean = o1 > o2 || (o1 == o2 && i1 < i2)
+        : Boolean = {
+      val c = java.lang.Double.compare(o1, o2)
+      c > 0 || (c == 0 && i1 < i2)
+    }
 
-    def offer(o: Double, i: Long): Unit = {
+    def offer(o0: Double, i: Long): Unit = {
+      val o = if (o0 == 0.0d) 0.0d else o0 // canonicalize -0.0 (compare
+      // would order it below +0.0; arithmetic treats them equal)
       if (size == k && !before(o, i, ords(size - 1), ids(size - 1))) return
       // find insertion point (buffer is small; linear from the tail)
       var pos = if (size == k) size - 1 else size

@@ -39,7 +39,9 @@ object Vectors {
   def kmeansCentroids(vecs: DataFrame, idCol: String, vCol: String,
                       k: Int, iters: Int, dim: Int): DataFrame = {
     val vq = vecs.select(col(idCol).as("vec_id"), quantized(vCol).as("vq"))
-    var cents = vq.filter(col("vec_id") < k)
+    // genuinely the k SMALLEST ids (TakeOrderedAndProject — no full
+    // sort), not `id < k`, which under-selects on sparse id spaces
+    var cents = vq.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("centroid_id"), col("vq").as("cv"))
       .localCheckpoint() // k rows; keeps the per-round plan flat
     val aw = Window.partitionBy("vec_id")

@@ -153,12 +153,16 @@ object CorpusPipeline {
     // bounded top-k)
     reg.register(TableDef("weighted_sample",
       Seq("train_ready"), { case Seq(ready) =>
-        val kept = ready.select(col("doc_id"), col("has_stop"),
-          (col("n_chars") >= minChars).as("is_long"))
+        // weights must come from a signal NOT implied by the quality
+        // gate (every train_ready doc already has has_stop and the
+        // min-chars floor — tiers on those would collapse to a single
+        // weight, i.e. a uniform sample): token-count buckets vary
+        // across kept docs
+        val kept = ready.select(col("doc_id"), col("token_cnt"))
         kept
           .withColumn("w",
-            when(col("has_stop") && col("is_long"), 4)
-              .when(col("has_stop") || col("is_long"), 2)
+            when(col("token_cnt") >= 64, 4)
+              .when(col("token_cnt") >= 32, 2)
               .otherwise(1))
           .withColumn("u",
             expr("cast(conv(substring(md5(cast(doc_id AS string)), 1, 13)," +

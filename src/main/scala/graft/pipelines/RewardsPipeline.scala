@@ -167,6 +167,13 @@ object RewardsPipeline {
     // Referee side (rewards-v2:392–439): all tiers rebate the referee
     // 0.02/2 of their own fee; cumulative per referee. The referrer join
     // only needs the tier — column-pruned before the join.
+    //
+    // INTENTIONAL deviation from rewards-v2: the reference's cumulative
+    // window orders by epoch alone, so a referee with two referrers in
+    // one epoch gets engine-order-dependent intra-epoch cumsums. We add
+    // `referrer` as a tie-break — same totals at every epoch boundary,
+    // but the intermediate rows are deterministic (replayable, oracle-
+    // comparable) instead of inheriting shuffle order.
     reg.register(TableDef("agg_referee_rewards_epoch_user",
       Seq("agg_trades_rewards_epoch_referee_referrer",
         "agg_referrer_rewards_epoch_user"), {

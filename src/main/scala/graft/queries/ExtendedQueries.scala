@@ -321,7 +321,10 @@ object ExtendedQueries {
     // (transactions:1909–1928 fee tiers, :20–21 PRICE_FACTOR).
     Q("q57_fee_tiers",
       (s, d) =>
-        t(s, d, "events")
+        // The per-row JSON parse is the cost here; the test corpus's
+        // single-row-group parquet gives the scan one partition, which
+        // would serialize the parse on one core without the spread.
+        QH.spread(s, col("event_id"))(t(s, d, "events"))
           .withColumn("k", expr("cast(get_json_object(props, '$.k') AS int)"))
           .withColumn("price", graft.ops.Relational.fixedPoint(col("k") * lit(1000000L), 1e6))
           .withColumn("tier",
@@ -564,7 +567,7 @@ object ExtendedQueries {
             event_type, COUNT(*) AS n,
             SUM(CAST(value AS DECIMAL(28,6))) AS v
           FROM events GROUP BY 1, 2, 3)
-        SELECT user_id, SUM(n) AS total_events,
+        SELECT user_id, CAST(SUM(n) AS BIGINT) AS total_events,
           COUNT(DISTINCT event_type) AS n_types,
           MAX(n) AS busiest_cell,
           CAST(CAST(SUM(v) AS VARCHAR) AS DOUBLE) AS total_value

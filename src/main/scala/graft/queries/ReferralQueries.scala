@@ -80,8 +80,9 @@ object ReferralQueries {
         counted AS (
           SELECT epoch, referrer, per_referrer.alias AS alias, referral_volume,
             referral_volume_30d, referral_fee,
-            SUM(CAST(epoch >= CAST(DATE_TRUNC('week', r2.referral_timestamp)
-              AS TIMESTAMP) AS INT)) AS referral_count
+            CAST(SUM(CAST(epoch >= CAST(DATE_TRUNC('week',
+              r2.referral_timestamp) AS TIMESTAMP) AS INT)) AS BIGINT)
+              AS referral_count
           FROM per_referrer LEFT JOIN refs r2 USING (referrer)
           GROUP BY 1, 2, 3, 4, 5, 6),
         tiered AS (

@@ -66,9 +66,15 @@ object JsonSource {
         from_json(col("value"), schema,
           Map("mode" -> "PERMISSIVE",
             "columnNameOfCorruptRecord" -> "_cr")).as("r"))
-    val clean = parsed.filter(col("r._cr").isNull)
+    // a NULL struct (blank line, literal `null` JSON) carries no _cr
+    // flag yet is not a data row — it must quarantine too, or it lands
+    // in the clean frame as an all-null row (the silent-null path this
+    // function exists to prevent)
+    val clean = parsed.filter(col("r").isNotNull && col("r._cr").isNull)
       .select(col("r.*")).drop("_cr")
-    val corrupt = parsed.filter(col("r._cr").isNotNull).select(col("raw_line"))
+    val corrupt = parsed
+      .filter(col("r").isNull || col("r._cr").isNotNull)
+      .select(col("raw_line"))
     (clean, corrupt)
   }
 }

@@ -111,6 +111,18 @@ class ExpressionsSpec extends AnyFunSuite {
     assert((0 until back.size).map(j => (back.ords(j), back.ids(j)))
       === Seq((7.0, 1L), (2.0, 3L), (2.0, 5L)))
     assert(tk.eval(tk.createAggregationBuffer()) === null)
+    // NaN ords (graft_cosine of a zero vector) take Double.compare's
+    // total order — above +∞, id tie-break — instead of arrival order
+    val nb = tk.createAggregationBuffer()
+    nb.offer(Double.NaN, 9L); nb.offer(3.0, 1L)
+    nb.offer(Double.NaN, 4L); nb.offer(Double.PositiveInfinity, 6L)
+    assert((0 until nb.size).map(j => (nb.ords(j), nb.ids(j))).map {
+      case (o, i) => (if (o.isNaN) "NaN" else o.toString, i)
+    } === Seq(("NaN", 4L), ("NaN", 9L), ("Infinity", 6L), ("3.0", 1L)))
+    // -0.0 canonicalizes: it ties with +0.0 and resolves by id
+    val zb = tk.createAggregationBuffer()
+    zb.offer(-0.0, 7L); zb.offer(0.0, 2L)
+    assert((0 until zb.size).map(j => zb.ids(j)) === Seq(2L, 7L))
   }
 
   test("rangeJoinBinned equals the naive theta join") {

@@ -85,4 +85,19 @@ class OpsScaleSpec extends AnyFunSuite {
     assert(rowsDecoded.value === 100)
     assert(setups.value <= 4)
   }
+
+  test("kmeansCentroids seeds the k smallest ids even on sparse id spaces") {
+    val sp = spark
+    import sp.implicits._
+    // ids 100, 200, 300, 400 — the old `id < k` seed would select NONE
+    val vecs = Seq(
+      (100L, Array(1.0, 0.0)), (200L, Array(0.0, 1.0)),
+      (300L, Array(-1.0, 0.1)), (400L, Array(0.9, 0.9)))
+      .toDF("vec_id", "v")
+    val cents = graft.ops.Vectors
+      .kmeansCentroids(vecs, "vec_id", "v", k = 2, iters = 1, dim = 2)
+      .collect()
+    assert(cents.length === 2, "seeded from the 2 smallest ids")
+    assert(cents.map(_.getLong(0)).toSet === Set(100L, 200L))
+  }
 }

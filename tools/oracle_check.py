@@ -32,6 +32,7 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         ULP_NOTES.clear()
+        TYPE_NOTES.clear()
         ok, msg = compare(got, want)
         if ULP_NOTES:
             # tolerance-passes are NOT driver-safe: the driver hashes
@@ -40,6 +41,9 @@ def main(sf_dir, out_dir):
                   f"tolerance but NOT bit-exact (cols: "
                   f"{sorted(set(c for c, _ in ULP_NOTES))}) — the driver's "
                   f"hash compare WILL fail these")
+        if TYPE_NOTES:
+            print(f"  [WARNING] {name}: typed-hash divergence — local "
+                  f"values match but the driver gate will be red")
         if ok:
             n_pass += 1
             print(f"PASS {name} ({len(got)} rows)")
@@ -51,6 +55,7 @@ def main(sf_dir, out_dir):
 
 
 ULP_NOTES = []
+TYPE_NOTES = []
 
 
 def compare(got, want):
@@ -62,9 +67,22 @@ def compare(got, want):
     gt = [str(t) for t in g.dtypes]
     wt = [str(t) for t in w.dtypes]
     if gt != wt:
-        # ns-vs-us timestamps and int32/int64 promotions show up here;
-        # report but keep comparing values
-        print(f"  [schema note] spark={gt} duck={wt}")
+        # The driver's gate hashes TYPED values, so a dtype divergence is
+        # fatal there even when the values compare equal here. The q71
+        # lesson: DuckDB widens a bare integer SUM to HUGEINT (→ float64
+        # or object in pandas) while Spark stays int64 — values equal,
+        # driver hash red. Surface every mismatch loudly.
+        bad = [(c, a, b) for c, a, b in zip(g.columns, gt, wt) if a != b]
+        # ns-vs-us timestamp resolution is a pandas artifact, not a type
+        # divergence the driver sees (both sides are TIMESTAMP).
+        fatal = [(c, a, b) for c, a, b in bad
+                 if not (a.startswith("datetime64") and b.startswith("datetime64"))]
+        if fatal:
+            TYPE_NOTES.extend(fatal)
+            print(f"  [TYPE WARNING] dtype mismatch (driver hash WILL "
+                  f"fail): {fatal}")
+        elif bad:
+            print(f"  [schema note] {bad}")
     if len(g) != len(w):
         return False, f"row count {len(g)} vs {len(w)}"
     # list-typed columns (ndarray) are unhashable/unsortable → stringify
