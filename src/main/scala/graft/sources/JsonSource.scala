@@ -77,4 +77,34 @@ object JsonSource {
       .select(col("raw_line"))
     (clean, corrupt)
   }
+
+  /** Additive schema evolution for the landing zone (the reference reads
+    * its evolving bronze table with `mergeSchema`, transactions:983): the
+    * declared DDL stays authoritative — old readers see exactly their
+    * declared columns — while any UNDECLARED top-level field a producer
+    * starts emitting is captured into a `map<string,string>` rescue
+    * column instead of being silently dropped (Auto Loader's
+    * `rescuedDataColumn` semantics). Promoting a rescued field is then a
+    * DDL change, not a backfill: the next read with the widened DDL
+    * parses it natively and it disappears from the rescue map.
+    *
+    * Reads the zone as text (like [[batchWithQuarantine]]); hive
+    * partition discovery does not apply on this path. Nested-object
+    * values are rescued as their JSON text. */
+  def batchWithRescue(spark: SparkSession, path: String, ddl: String,
+                      rescuedCol: String = "_rescued"): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    val declared = StructType.fromDDL(ddl).fieldNames.toSeq
+    val parsed = spark.read.text(path).select(
+      from_json(col("value"), StructType.fromDDL(ddl)).as("r"),
+      // a second parse of the same line into map<string,string> sees every
+      // top-level key; subtracting the declared ones leaves the rescues
+      from_json(col("value"), org.apache.spark.sql.types.DataType
+        .fromDDL("map<string,string>")).as("m"))
+    val rescued = map_filter(col("m"),
+      (k, _) => !k.isin(declared.map(lit): _*))
+    parsed
+      .select(col("r.*"),
+        when(size(map_keys(rescued)) > 0, rescued).as(rescuedCol))
+  }
 }

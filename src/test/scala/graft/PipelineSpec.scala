@@ -96,4 +96,67 @@ class PipelineSpec extends AnyFunSuite {
     assert(bad.contains("") && bad.contains("null"),
       "null-struct lines quarantine instead of passing as all-null rows")
   }
+
+  test("JsonSource rescues undeclared fields instead of dropping them") {
+    val dir = Files.createTempDirectory("jsonrescue").toString
+    // producer starts emitting `extra` (scalar) and `meta` (object) fields
+    // the declared DDL knows nothing about
+    Files.writeString(java.nio.file.Path.of(s"$dir/evolved.json"),
+      """{"id":1,"v":1.5}
+        |{"id":2,"v":2.5,"extra":"x2","meta":{"k":7}}
+        |{"id":3,"v":3.5,"extra":"x3"}""".stripMargin)
+    val df = JsonSource.batchWithRescue(spark, dir, "id bigint, v double")
+    assert(df.columns.toSeq === Seq("id", "v", "_rescued"))
+    val rows = df.orderBy("id").collect()
+    // old readers: declared columns parse exactly as before
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    // row 1 has no undeclared fields → rescue column is null, not {}
+    assert(rows(0).isNullAt(2))
+    val r2 = rows(1).getMap[String, String](2)
+    assert(r2("extra") === "x2")
+    assert(r2("meta").contains("7"), "nested objects rescued as JSON text")
+    assert(rows(2).getMap[String, String](2).keySet === Set("extra"))
+    // promoting a rescued field = widening the DDL; it leaves the map
+    val widened = JsonSource.batchWithRescue(
+      spark, dir, "id bigint, v double, extra string")
+    val w = widened.orderBy("id").collect()
+    assert(w(2).getString(2) === "x3")
+    assert(w(1).getMap[String, String](3).keySet === Set("meta"))
+    assert(w(2).isNullAt(3), "promoted field no longer rescued")
+  }
+
+  test("IncrementalIngest processes each landing-zone file exactly once") {
+    import graft.sources.{DirectoryListing, IncrementalIngest, NotifiedFiles}
+    val zone = Files.createTempDirectory("ingestzone").toString
+    val ledger = s"$zone/_ledger/processed.txt"
+    Files.writeString(java.nio.file.Path.of(s"$zone/a.json"), """{"id":1}""")
+    Files.writeString(java.nio.file.Path.of(s"$zone/b.json"), """{"id":2}""")
+    val listing = new DirectoryListing(zone)
+    var seen = Vector.empty[Long]
+    def ingest(): Seq[String] =
+      IncrementalIngest.runOnce(spark, listing, "id bigint", ledger) { df =>
+        seen ++= df.collect().map(_.getLong(0))
+      }
+    assert(ingest().size === 2)
+    assert(seen.sorted === Vector(1L, 2L))
+    // nothing new → write not called
+    assert(ingest().isEmpty && seen.size === 2)
+    // a new file arrives: ONLY it is read (O(new), not a re-read)
+    Files.writeString(java.nio.file.Path.of(s"$zone/c.json"), """{"id":3}""")
+    assert(ingest() === Seq(s"$zone/c.json"))
+    assert(seen.sorted === Vector(1L, 2L, 3L))
+    // the notification-driven implementation plugs into the same seam:
+    // discovery cost is O(drained paths), independent of zone size
+    val buf = scala.collection.mutable.Queue[String](s"$zone/a.json")
+    val notified = new NotifiedFiles(() => buf.dequeueAll(_ => true).toSeq)
+    val ledger2 = s"$zone/_ledger2/processed.txt"
+    var n = 0L
+    IncrementalIngest.runOnce(spark, notified, "id bigint", ledger2) { df =>
+      n = df.count()
+    }
+    assert(n === 1L)
+    // queue drained → next trigger sees nothing, no listing ever happens
+    assert(IncrementalIngest.runOnce(spark, notified, "id bigint", ledger2)(
+      _ => fail("write must not be called with no new files")).isEmpty)
+  }
 }
