@@ -179,4 +179,21 @@ object CorpusPipeline {
 
     reg
   }
+
+  /** Serve the corpus products through the KV layer exactly the way the
+    * trading gold tables go out (the fee-tiers whole-table shape,
+    * [[graft.serving.ServingJobs.serveTable]]): `packed` keyed by
+    * (lang, docId) so a training reader fetches one language stream in
+    * pack order, `weighted_sample` keyed by rank. Returns the two served
+    * frames (camelCased, unix timestamps — the sink contract). */
+  def serve(reg: Registry, sink: graft.serving.KVSink)
+      : (DataFrame, DataFrame) = {
+    val packed = graft.serving.ServingJobs.serveTable(
+      reg.resolve("packed"), sink, "corpus_packed",
+      hashKey = "lang", rangeKey = Some("docId"))
+    val sample = graft.serving.ServingJobs.serveTable(
+      reg.resolve("weighted_sample"), sink, "corpus_sample",
+      hashKey = "rk", rangeKey = None)
+    (packed, sample)
+  }
 }

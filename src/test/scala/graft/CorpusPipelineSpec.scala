@@ -79,6 +79,27 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(d0.getLong(4) === 0L && d4.getLong(4) === d4.getLong(3) / 256)
   }
 
+  test("corpus products serve through the KV layer like the trading gold") {
+    val out = java.nio.file.Files.createTempDirectory("corpus_kv").toString
+    val reg = CorpusPipeline.build(spark, () => fixture)
+    val (packed, sample) =
+      CorpusPipeline.serve(reg, new graft.serving.ParquetKVSink(out))
+    // the sink contract applied: camelCase, keys present
+    assert(packed.columns.toSeq ===
+      Seq("lang", "docId", "tokenCnt", "startOff", "packFirst", "packLast"))
+    // served frame row-matches the DAG output it was built from
+    val backP = spark.read.parquet(s"$out/corpus_packed")
+    val dag = reg.resolve("packed")
+    assert(backP.count() === dag.count())
+    assert(backP.select("docId", "startOff").exceptAll(
+      dag.select(col("doc_id"), col("start_off"))).count() === 0)
+    val backS = spark.read.parquet(s"$out/corpus_sample")
+    assert(backS.count() === sample.count())
+    assert(backS.orderBy("rk").collect().map(_.getAs[Long]("docId")).toSeq
+      === reg.resolve("weighted_sample").orderBy("rk")
+        .collect().map(_.getLong(1)).toSeq)
+  }
+
   test("the corpus DAG materializes end-to-end through Runner.runBatch") {
     val out = java.nio.file.Files
       .createTempDirectory("corpus_dag").toString
