@@ -186,6 +186,77 @@ object StreamingQueries {
         SELECT hour_ts, side, n, total_value
         FROM hourly, wm
         WHERE hour_ts + INTERVAL 1 HOUR <= w
-        ORDER BY hour_ts, side"""))
+        ORDER BY hour_ts, side""")),
+
+    // Gap-based sessionization EXECUTED as a streaming job via Spark's
+    // native `session_window` — the streaming twin of the batch q79
+    // (W3 lag + W6 cumsum). Declarative session windows are the scale
+    // path: state is one merging interval per open (user, session) in
+    // the state store, evicted the moment the watermark passes
+    // session_end — no per-event state, no custom code. Session
+    // semantics: a session spans [first_ts, last_ts + gap) and ADJACENT
+    // windows merge — a new session opens only when the silence
+    // STRICTLY exceeds the gap (verified against session_window's
+    // merge rule in StreamingSpec; mirrored by `>` in the oracle) —
+    // and only sessions closed by the final watermark
+    // (max event time − 5 min) are emitted in append mode — the oracle
+    // applies the same cutoff, verifying the watermark semantics.
+    Q("q87_streaming_sessions",
+      (s, d) => {
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val reg = new Registry(s)
+        reg.source("events_feed", () => graft.tables.Tables.events(s, d))
+        reg.register(TableDef("user_sessions", Seq("events_feed"), {
+          case Seq(ev) =>
+            ev.withWatermark("ts", "5 minutes")
+              .groupBy(col("user_id"),
+                session_window(col("ts"), "30 minutes"))
+              .agg(count(lit(1)).as("n_events"),
+                decSum(col("value")).as("total_value"))
+              .select(col("user_id"),
+                col("session_window.start").as("session_start"),
+                col("session_window.end").as("session_end"),
+                col("n_events"), col("total_value"))
+        }, mode = Mode.Incremental))
+        val out = Files.createTempDirectory("graft_q87_").toString
+        withStatePartitions(s, 4) {
+          graft.graph.Runner.runStreamingThenFull(s, reg,
+            Map("events_feed" -> (() => graft.tables.Tables.normalize("events",
+              s.readStream.schema(schema)
+                .option("pathGlobFilter", "events.parquet")
+                .parquet(d)))),
+            out)
+        }
+        s.read.parquet(s"$out/user_sessions")
+          .orderBy("user_id", "session_start")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+          FROM events),
+        flagged AS (
+          SELECT user_id, ts, value, event_id,
+            CASE WHEN LAG(ts) OVER w IS NULL
+              OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sessed AS (
+          SELECT user_id, ts, value,
+            SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM flagged),
+        agg AS (
+          SELECT user_id, MIN(ts) AS session_start,
+            MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+            COUNT(*) AS n_events,
+            CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)
+              AS total_value
+          FROM sessed GROUP BY user_id, sid),
+        wm AS (
+          SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 5 MINUTE AS w
+          FROM events)
+        SELECT user_id, session_start, session_end, n_events, total_value
+        FROM agg, wm WHERE session_end <= w
+        ORDER BY user_id, session_start"""))
   )
 }

@@ -1,7 +1,27 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One event for the custom-state sessionizer. */
+case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
+
+/** One open/closed session interval; times in epoch millis while in
+  * state (cheap to serialize, no timezone ambiguity in the store). */
+case class SessionIv(start: Long, end: Long, n: Long, total: Double)
+
+/** Per-user state: every session not yet closed by the watermark. */
+case class UserSessions(sessions: List[SessionIv])
+
+/** One emitted (watermark-closed) session. `session_end` is the last
+  * event time + gap — the same half-open convention as
+  * `session_window`, so the two sessionizers are directly comparable. */
+case class SessionRow(user_id: Long, session_start: Timestamp,
+                      session_end: Timestamp, n_events: Long,
+                      total_value: Double)
 
 /** Streaming re-expressions of the reference's incremental semantics
   * (SURVEY.md §2.11). The batch transforms in [[graft.ops.Relational]] and
@@ -47,4 +67,72 @@ object StreamingOps {
       df: DataFrame): DataFrame =
     df.withWatermark(ts, watermark)
       .dropDuplicatesWithinWatermark(keys)
+
+  /** Gap-based sessionization with CUSTOM per-key state
+    * (`flatMapGroupsWithState` + event-time timeout) — the seam for
+    * session payloads the declarative `session_window` aggregation
+    * (q87) cannot express: arbitrary session state machines, capped
+    * session length, first/last event payloads, per-session sketches.
+    * For plain count/sum sessions prefer q87's `session_window` — it
+    * stays whole-stage-codegen'd and needs no bespoke state code.
+    *
+    * Semantics (identical to `session_window`, verified in
+    * StreamingSpec): a session spans `[first_ts, last_ts+gap)`, and
+    * ADJACENT windows merge — an event at exactly `last_ts+gap`
+    * extends the session (a new one opens only when the silence
+    * STRICTLY exceeds the gap). A session is EMITTED only once the
+    * watermark passes its end. Out-of-order
+    * events above the watermark merge into any open session, including
+    * bridging two open sessions into one (interval merge, not
+    * append-to-latest); events BELOW the watermark never reach the
+    * state function — Spark filters stateful-operator input at the
+    * watermark — so `lateness` is the disorder budget. State per user
+    * is the open-session list, bounded by the watermark horizon rather
+    * than stream length: sessions are flushed and dropped on the
+    * event-time timeout, so a key holds only sessions overlapping the
+    * last `gap + lateness` of event time.
+    */
+  def statefulSessions(gapMinutes: Int, lateness: String = "5 minutes")(
+      events: Dataset[SessionEvent]): Dataset[SessionRow] = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    def toRow(user: Long, s: SessionIv): SessionRow =
+      SessionRow(user, new Timestamp(s.start), new Timestamp(s.end + gapMs),
+        s.n, s.total)
+
+    def update(user: Long, batch: Iterator[SessionEvent],
+               state: GroupState[UserSessions]): Iterator[SessionRow] = {
+      val existing = state.getOption.map(_.sessions).getOrElse(Nil)
+      val incoming = batch.map(e =>
+        SessionIv(e.ts.getTime, e.ts.getTime, 1L, e.value)).toList
+      // interval merge over (state ∪ batch), sorted: two sessions fuse
+      // when the later one starts inside [start, end + gap] — INCLUSIVE
+      // of the endpoint, matching session_window's adjacent-merge rule
+      val merged = (existing ++ incoming)
+        .sortBy(s => (s.start, s.end))
+        .foldLeft(List.empty[SessionIv]) {
+          case (h :: t, s) if s.start <= h.end + gapMs =>
+            SessionIv(h.start, math.max(h.end, s.end), h.n + s.n,
+              h.total + s.total) :: t
+          case (acc, s) => s :: acc
+        }.reverse
+      val wm = state.getCurrentWatermarkMs()
+      val (closed, open) = merged.partition(_.end + gapMs <= wm)
+      if (open.isEmpty) state.remove()
+      else {
+        state.update(UserSessions(open))
+        // wake when the earliest open session can close
+        state.setTimeoutTimestamp(open.map(_.end).min + gapMs)
+      }
+      closed.iterator.map(toRow(user, _))
+    }
+
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserSessions, SessionRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
 }

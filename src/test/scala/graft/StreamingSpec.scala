@@ -95,4 +95,67 @@ class StreamingSpec extends AnyFunSuite {
       assert(n === 2)
     } finally q.stop()
   }
+
+  test("statefulSessions matches session_window semantics incl. late bridge") {
+    import graft.streaming.SessionEvent
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    // 2h lateness: events below the watermark are DROPPED by Spark before
+    // they reach the state function, so the out-of-order bridge below
+    // needs a watermark behind it
+    val out = StreamingOps.statefulSessions(
+      gapMinutes = 30, lateness = "2 hours")(mem.toDS())
+    val q = out.writeStream.format("memory").queryName("sessfmgs")
+      .outputMode("append").start()
+    val batch1 = Seq(
+      SessionEvent(1L, ts("2024-01-01 10:00:00"), 1.0),
+      SessionEvent(1L, ts("2024-01-01 10:10:00"), 2.0), // merges with prev
+      SessionEvent(2L, ts("2024-01-01 10:00:00"), 1.0),
+      SessionEvent(2L, ts("2024-01-01 10:30:00"), 4.0), // EXACT gap → merges
+      SessionEvent(3L, ts("2024-01-01 10:00:00"), 1.0),
+      SessionEvent(3L, ts("2024-01-01 10:40:00"), 2.0)) // 40 min → separate
+    // out-of-order (above-watermark) event that BRIDGES user 3's two
+    // open sessions into one; the far-future user-9 event drives the
+    // watermark to 12:00 so every earlier session closes
+    val batch2 = Seq(
+      SessionEvent(3L, ts("2024-01-01 10:20:00"), 4.0),
+      SessionEvent(9L, ts("2024-01-01 14:00:00"), 0.5))
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      val got = sp.sql(
+        "SELECT user_id, session_start, session_end, n_events, total_value" +
+          " FROM sessfmgs")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString, r.getLong(3), r.getDouble(4)))
+        .toSet
+      assert(got === Set(
+        (1L, "2024-01-01 10:00:00.0", "2024-01-01 10:40:00.0", 2L, 3.0),
+        // exact-gap adjacency merges (session_window's rule)
+        (2L, "2024-01-01 10:00:00.0", "2024-01-01 11:00:00.0", 2L, 5.0),
+        (3L, "2024-01-01 10:00:00.0", "2024-01-01 11:10:00.0", 3L, 7.0)))
+      // user 9's session end (14:30) is past the final watermark (12:00):
+      // still open, not emitted
+      assert(!got.exists(_._1 == 9L))
+      // cross-validate against the declarative session_window (q87's
+      // operator) over the same data with the same watermark cutoff
+      val batchSw = (batch1 ++ batch2).toDS()
+        .groupBy($"user_id", session_window($"ts", "30 minutes"))
+        .agg(count(lit(1)).as("n"), sum($"value").as("tv"))
+        .filter($"session_window.end" <= ts("2024-01-01 12:00:00"))
+        .collect()
+        .map(r => (r.getLong(0),
+          r.getStruct(1).getTimestamp(0).toString,
+          r.getStruct(1).getTimestamp(1).toString,
+          r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(batchSw === got,
+        "custom-state sessionizer diverges from session_window")
+    } finally q.stop()
+  }
 }
