@@ -13,6 +13,35 @@ object Mode {
   case object Incremental extends Mode
 }
 
+/** How a materialized table is WRITTEN — the reference's three sink
+  * cadences, made explicit per table.
+  */
+sealed trait WriteMode
+object WriteMode {
+  /** Full-table overwrite per run (the DLT default for recomputed gold
+    * tables). */
+  case object Overwrite extends WriteMode
+
+  /** Idempotent append (K3, zetadex-mm-uptime-pipeline-v3.sql:151–157:
+    * the hourly `mode("append").saveAsTable` cadence). Implemented as
+    * DYNAMIC partition overwrite over the table's `partitionCols`: a run
+    * replaces exactly the partitions it computed and leaves the rest of
+    * the table untouched, so re-running the same batch (a retried hourly
+    * job, a replayed cluster run) never doubles rows — the idempotence
+    * the reference's raw `append` lacks. Requires non-empty
+    * `partitionCols` whose values identify the batch (e.g. the hour). */
+  case object Append extends WriteMode
+
+  /** CDC upsert (§2.10 streaming apply_changes as a SINK): keep the
+    * max-`(seqCol, tieBreak)` row per `keys`. Batch runs merge into the
+    * existing table; streaming boundaries run each micro-batch through
+    * [[Runner.upsertParquet]] via `foreachBatch` — the parquet-native
+    * stand-in for a Delta `MERGE`. Idempotent under micro-batch replay
+    * (the merge keeps the max row regardless of duplicate delivery). */
+  final case class Upsert(keys: Seq[String], seqCol: String,
+                          tieBreak: Seq[String] = Nil) extends WriteMode
+}
+
 /** A named node in the dataflow DAG: the Spark-native re-expression of a
   * `@dlt.table` / `@dlt.view` function (SURVEY.md §1.1). `transform`
   * receives the resolved dependency DataFrames in `deps` order and returns
@@ -26,7 +55,8 @@ final case class TableDef(
     transform: Seq[DataFrame] => DataFrame,
     mode: Mode = Mode.Full,
     materialize: Boolean = false,
-    partitionCols: Seq[String] = Nil)
+    partitionCols: Seq[String] = Nil,
+    writeMode: WriteMode = WriteMode.Overwrite)
 
 /** DAG registry + resolver, standing in for the DLT runtime
   * (`dlt.read`/`dlt.read_stream` edges, zetadex-transactions-helius

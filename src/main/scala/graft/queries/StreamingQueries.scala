@@ -2,7 +2,7 @@ package graft.queries
 
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
-import graft.graph.{Mode, Registry, TableDef}
+import graft.graph.{Mode, Registry, TableDef, WriteMode}
 import QH._
 
 /** Streaming semantics under the hard gate (SURVEY.md §2.11): the query
@@ -257,6 +257,60 @@ object StreamingQueries {
           FROM events)
         SELECT user_id, session_start, session_end, n_events, total_value
         FROM agg, wm WHERE session_end <= w
-        ORDER BY user_id, session_start"""))
+        ORDER BY user_id, session_start""")),
+
+    // §2.10 streaming CDC upsert under the hard gate (zetaflex-pipeline
+    // .py:138–151 `apply_changes`): the events feed is staged as MULTIPLE
+    // parquet files and streamed with `maxFilesPerTrigger=1`, so
+    // Trigger.AvailableNow produces several micro-batches and the upserts
+    // genuinely cross batch boundaries. The transform is the declarative
+    // `max_by` state aggregation (StreamingOps.applyChangesStream — one
+    // row per key in the state store, update-mode emission); the sink is
+    // WriteMode.Upsert, whose foreachBatch MERGE keeps the max-(ts,
+    // event_id) row per key across batches (Runner.upsertParquet). The
+    // final table must hash-equal the batch apply_changes oracle (q38's
+    // QUALIFY form) — batch ≡ final streaming state, the §2.11 contract.
+    Q("q88_streaming_apply_changes",
+      (s, d) => {
+        val cols = Seq("user_id", "event_type", "event_id", "ts", "value")
+        val staged = Files.createTempDirectory("graft_q88_src_").toString
+        // exactly 3 staged files (hash on event_id, so every upsert key
+        // spans batches) — micro-batch count is bounded and deterministic,
+        // not a function of the corpus's date range
+        graft.tables.Tables.events(s, d)
+          .withColumn("batch_", pmod(col("event_id"), lit(3)).cast("int"))
+          .repartition(3, col("batch_"))
+          .write.mode("overwrite").partitionBy("batch_").parquet(staged)
+        val schema = s.read.parquet(staged).schema
+        val reg = new Registry(s)
+        reg.source("events_feed", () =>
+          graft.tables.Tables.events(s, d))
+        reg.register(TableDef("latest_events", Seq("events_feed"), {
+          case Seq(ev) =>
+            graft.streaming.StreamingOps.applyChangesStream(
+              Seq("user_id", "event_type"), col("ts"), Seq(col("event_id")))(
+              ev.select(cols.map(col): _*))
+        }, mode = Mode.Incremental,
+          writeMode = WriteMode.Upsert(Seq("user_id", "event_type"), "ts",
+            Seq("event_id"))))
+        val out = Files.createTempDirectory("graft_q88_").toString
+        withStatePartitions(s, 4) {
+          graft.graph.Runner.runStreamingThenFull(s, reg,
+            Map("events_feed" -> (() =>
+              s.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(staged))),
+            out)
+        }
+        s.read.parquet(s"$out/latest_events")
+          .select(cols.map(col): _*)
+          .orderBy("user_id", "event_type")
+      },
+      Some("""
+        SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+        FROM events
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+          ORDER BY ts DESC, event_id DESC) = 1
+        ORDER BY user_id, event_type"""))
   )
 }
