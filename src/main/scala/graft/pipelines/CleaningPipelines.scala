@@ -1,7 +1,8 @@
 package graft.pipelines
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 import graft.graph.{Mode, Registry, TableDef}
 import graft.ops.Relational
 
@@ -13,14 +14,29 @@ import graft.ops.Relational
   */
 object CleaningPipelines {
 
+  /** Landing-zone schema of the vaults feed (zetadex-prices-pipeline.py:
+    * 239–249 `vaults_schema`): balances + TVL per underlying, hive
+    * year/month/day/hour partition strings from the landed layout. */
+  val vaultsDdl: String =
+    "timestamp timestamp, underlying string, vault_balance double, " +
+      "insurance_vault_balance double, tvl double, slot long, " +
+      "year string, month string, day string, hour string"
+
+  private def emptyOf(spark: SparkSession, ddl: String): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      StructType.fromDDL(ddl))
+
   /** Prices: dedup per (underlying, minute), derive partition cols,
-    * latest vault balances (PR:62–78, PR:275–285), and — when a
-    * coingecko feed is provided — the mark-price/OI join with notional
-    * derivation (PR:142–184). Inputs: raw (timestamp, underlying,
-    * price, source [, open_interest]); coingecko (timestamp, underlying,
-    * price_usd). */
+    * latest vault balances (PR:62–78, PR:275–285), the vaults
+    * bronze/silver pair (PR:252–285), and — when a coingecko feed is
+    * provided — the mark-price/OI join with notional derivation
+    * (PR:142–184). Inputs: raw (timestamp, underlying, price, source
+    * [, open_interest]); coingecko (timestamp, underlying, price_usd);
+    * vaults (the [[vaultsDdl]] landing shape, e.g. via
+    * [[graft.sources.JsonSource]]). */
   def prices(spark: SparkSession, raw: () => DataFrame,
-             coingecko: Option[() => DataFrame] = None): Registry = {
+             coingecko: Option[() => DataFrame] = None,
+             vaults: Option[() => DataFrame] = None): Registry = {
     val sp = spark
     import sp.implicits._
     val reg = new Registry(spark)
@@ -64,15 +80,57 @@ object CleaningPipelines {
         Relational.applyChanges(Seq("underlying"), col("timestamp"))(cp)
           .select("underlying", "timestamp", "price")
     }, mode = Mode.Full))
+    // Vaults bronze/silver (PR:252–285): the bronze table IS the schema'd
+    // landing-zone ingest (cloudFiles JSON with the declared vaults_schema
+    // and year/month/day/hour partition columns — our JsonSource seam);
+    // silver drops the hive partition strings, keeping event time as the
+    // ordering column (the reference z-orders on `timestamp`).
+    reg.source("landed_vault_balances",
+      vaults.getOrElse(() => emptyOf(spark, vaultsDdl)))
+    reg.register(TableDef("raw_vault_balances", Seq("landed_vault_balances"),
+      { case Seq(v) => v }, mode = Mode.Incremental))
+    reg.register(TableDef("cleaned_vault_balances", Seq("raw_vault_balances"),
+      { case Seq(v) => v.drop("year", "month", "day", "hour") },
+      mode = Mode.Incremental))
     reg
   }
 
-  /** Platform monitoring: formatted liquidity metrics per (venue, asset)
-    * (PM:126–142: format_string projections, partition by venue/asset).
-    * Input: (timestamp, venue, asset, bid_liquidity, ask_liquidity). */
-  def monitoring(spark: SparkSession, raw: () => DataFrame): Registry = {
+  /** Landing-zone schema of the order-placement monitor feed
+    * (zetadex-platform-monitoring-pipeline.py:30–35
+    * `monitoring_orders_schema`): success/failure of periodic
+    * placeOrders probes. */
+  val monitoringOrdersDdl: String =
+    "underlying string, timestamp timestamp, priority_fee bigint, " +
+      "error_message string"
+
+  /** Landing-zone schema of the backend exchange-stats feed
+    * (PM:60–66 `monitoring_stats_schema`). */
+  val monitoringStatsDdl: String =
+    "underlying string, timestamp timestamp, update_age_local int, " +
+      "update_age_exchange int, mark_price double"
+
+  /** Platform monitoring: the two bronze probe ingests (PM:37–58
+    * `raw_monitoring_orders`, PM:60–85 `raw_monitoring_stats` — schema'd
+    * landing-zone reads, no transform beyond the declared DDL) plus the
+    * formatted liquidity metrics per (venue, asset) (PM:126–142:
+    * format_string projections, partition by venue/asset). Inputs:
+    * liquidity (timestamp, venue, asset, bid_liquidity, ask_liquidity);
+    * orders/stats in their landing DDL shapes. */
+  def monitoring(spark: SparkSession, raw: () => DataFrame,
+                 orders: Option[() => DataFrame] = None,
+                 stats: Option[() => DataFrame] = None): Registry = {
     val reg = new Registry(spark)
     reg.source("raw_exchange_liquidity", raw)
+    reg.source("landed_monitoring_orders",
+      orders.getOrElse(() => emptyOf(spark, monitoringOrdersDdl)))
+    reg.source("landed_monitoring_stats",
+      stats.getOrElse(() => emptyOf(spark, monitoringStatsDdl)))
+    reg.register(TableDef("raw_monitoring_orders",
+      Seq("landed_monitoring_orders"), { case Seq(o) => o },
+      mode = Mode.Incremental))
+    reg.register(TableDef("raw_monitoring_stats",
+      Seq("landed_monitoring_stats"), { case Seq(st) => st },
+      mode = Mode.Incremental))
     reg.register(TableDef("cleaned_exchange_liquidity",
       Seq("raw_exchange_liquidity"), { case Seq(r) =>
         r.withColumn("total_liquidity",

@@ -49,7 +49,14 @@ final class DirectoryListing(root: String, suffix: String = ".json")
 
 /** Notification-driven discovery backed by any queue-like callback: each
   * `newFiles` call drains whatever the notification consumer has buffered.
-  * O(new files) per trigger — the 100 TB shape. */
+  * O(new files) per trigger — the 100 TB shape.
+  *
+  * Delivery contract: draining is DESTRUCTIVE (the queue forgets the
+  * paths), so a drained-but-unprocessed path would be lost on a crash —
+  * unlike [[DirectoryListing]], where unprocessed files remain listable.
+  * [[IncrementalIngest.runOnce]] closes this gap by journaling every
+  * drained batch to `<ledger>.pending` BEFORE processing and re-reading
+  * the journal on the next trigger, restoring at-least-once end to end. */
 final class NotifiedFiles(drain: () => Seq[String]) extends FileDiscovery {
   def newFiles(processed: Set[String]): Seq[String] =
     drain().filterNot(processed).distinct.sorted
@@ -60,32 +67,58 @@ final class NotifiedFiles(drain: () => Seq[String]) extends FileDiscovery {
   * re-expressed as a plain-text ledger next to the sink.
   *
   * Each `runOnce` is one micro-batch: read the ledger, ask discovery for
-  * new files, read ONLY those files with the declared schema (no
-  * inference pass), hand the frame to `write`, then append the ledger.
-  * The ledger is appended only after `write` returns, so a crash
-  * mid-batch re-processes that batch (at-least-once); sinks make it
-  * exactly-once by keying on file provenance or idempotent overwrite —
-  * the same contract Structured Streaming's file source offers.
+  * new files, JOURNAL the batch to `<ledger>.pending`, read ONLY those
+  * files with the declared schema (no inference pass), hand the frame to
+  * `write`, append the ledger, then clear the journal. The ledger is
+  * appended only after `write` returns, so a crash mid-batch re-processes
+  * that batch (at-least-once) — and the pending journal extends that
+  * guarantee to DESTRUCTIVE discoveries like [[NotifiedFiles]], whose
+  * drained paths would otherwise vanish with the crash. Sinks make the
+  * pipeline exactly-once by keying on file provenance or idempotent
+  * overwrite — the same contract Structured Streaming's file source
+  * offers.
+  *
+  * Driver cost per trigger is O(processed files): the ledger is re-read
+  * and held as a Set. Fine for months of hourly batches (a few MB of
+  * paths); a long-lived 100 TB zone would compact the ledger (or swap in
+  * a bloom filter over it) — the discovery seam and this contract stay
+  * unchanged either way.
   */
 object IncrementalIngest {
+
+  private def readLines(p: Path): Seq[String] =
+    if (Files.exists(p)) Files.readAllLines(p).asScala.filter(_.nonEmpty).toSeq
+    else Seq.empty
+
+  private def writeLines(p: Path, lines: Seq[String],
+                         opts: StandardOpenOption*): Unit = {
+    // getParent is null for a bare relative filename — nothing to create
+    Option(p.toAbsolutePath.getParent).foreach(Files.createDirectories(_))
+    Files.write(p, lines.mkString("", "\n", "\n")
+      .getBytes(StandardCharsets.UTF_8), opts: _*)
+  }
 
   /** Run one discovery+ingest micro-batch. Returns the files processed
     * (empty = nothing new, `write` not called). */
   def runOnce(spark: SparkSession, discovery: FileDiscovery, ddl: String,
               ledger: String)(write: DataFrame => Unit): Seq[String] = {
     val ledgerPath = Path.of(ledger)
-    val processed: Set[String] =
-      if (Files.exists(ledgerPath))
-        Files.readAllLines(ledgerPath).asScala.filter(_.nonEmpty).toSet
-      else Set.empty
-    val fresh = discovery.newFiles(processed)
+    val pendingPath = Path.of(ledger + ".pending")
+    val processed: Set[String] = readLines(ledgerPath).toSet
+    // re-deliver paths a crashed previous attempt drained but never
+    // ledgered (minus any that DID reach the ledger before the crash)
+    val pending = readLines(pendingPath)
+    val fresh = (pending ++ discovery.newFiles(processed))
+      .distinct.filterNot(processed).sorted
     if (fresh.nonEmpty) {
+      // journal BEFORE processing: from here a crash re-reads the journal
+      writeLines(pendingPath, fresh, StandardOpenOption.CREATE,
+        StandardOpenOption.TRUNCATE_EXISTING)
       write(spark.read.schema(ddl).json(fresh: _*))
-      Files.createDirectories(ledgerPath.getParent)
-      Files.write(ledgerPath,
-        (fresh.mkString("", "\n", "\n")).getBytes(StandardCharsets.UTF_8),
-        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      writeLines(ledgerPath, fresh, StandardOpenOption.CREATE,
+        StandardOpenOption.APPEND)
     }
+    Files.deleteIfExists(pendingPath)
     fresh
   }
 }

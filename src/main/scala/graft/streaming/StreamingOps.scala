@@ -123,8 +123,17 @@ object StreamingOps {
       if (open.isEmpty) state.remove()
       else {
         state.update(UserSessions(open))
-        // wake when the earliest open session can close
-        state.setTimeoutTimestamp(open.map(_.end).min + gapMs)
+        // Wake when the earliest open session can close. The timeout only
+        // fires once the watermark STRICTLY exceeds the timestamp, while
+        // eviction is `end + gap <= wm` — arming at exactly end+gap would
+        // strand a session whose end+gap EQUALS the final watermark (no
+        // later event ever pushes wm past it). Arming one tick EARLY
+        // (end+gap−1) makes wm == end+gap fire the timeout, and the
+        // eviction predicate re-checks, so an early wake is never an
+        // early emit. Clamped to wm+1: Spark rejects timeouts at or
+        // below the current watermark.
+        state.setTimeoutTimestamp(
+          math.max(wm + 1L, open.map(_.end).min + gapMs - 1L))
       }
       closed.iterator.map(toRow(user, _))
     }

@@ -23,6 +23,36 @@ class OpsScaleSpec extends AnyFunSuite {
     assert(plain.size === 901)
   }
 
+  // The point of salting is the SHUFFLE SHAPE, not the result: under a
+  // hot key, the plain join's hash exchange lands every hot row in one
+  // task (the straggler that kills a 100 TB join), while the salted
+  // exchange spreads them across nSalts partitions. Assert the
+  // max-partition row count directly on the two exchanges.
+  test("saltedJoin bounds the max shuffle partition under a hot key") {
+    val sp = spark
+    import sp.implicits._
+    val nSalts = 16
+    val hot = 9000
+    val left = (1 to 10000)
+      .map(i => (if (i <= hot) "hot" else s"k$i", i.toLong))
+      .toDF("k", "v").repartition(8)
+    def maxPartitionRows(exchanged: org.apache.spark.sql.DataFrame): Int =
+      exchanged.rdd.mapPartitions(it => Iterator(it.size)).collect().max
+    // the exchange a plain equi-join would perform: hash on the key alone
+    val unsalted = maxPartitionRows(left.repartition(32, col("k")))
+    // the exchange saltedJoin performs: hash on (key, salt)
+    val salted = maxPartitionRows(
+      left.withColumn("__salt", pmod(xxhash64(col("v")), lit(nSalts)))
+        .repartition(32, col("k"), col("__salt")))
+    assert(unsalted >= hot, "plain exchange: all hot rows in one task")
+    // several of the 16 salt buckets can hash-collide into one of the 32
+    // partitions, so the guaranteed bound is a constant-factor spread,
+    // not hot/nSalts exactly (observed ≈hot/4 here; deterministic —
+    // xxhash64 is seedless)
+    assert(salted <= hot / 2,
+      s"salted exchange must spread the hot key (max=$salted)")
+  }
+
   test("connectedComponents: 5000-node chain + disjoint pairs at scale shape") {
     val sp = spark
     import sp.implicits._

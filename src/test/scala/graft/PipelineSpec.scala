@@ -125,6 +125,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(w(2).isNullAt(3), "promoted field no longer rescued")
   }
 
+  test("JsonSource rescues declared-field type mismatches and raw lines") {
+    val dir = Files.createTempDirectory("jsonrescue2").toString
+    // row 2: declared `v double` arrives as a non-numeric string —
+    // PERMISSIVE parsing nulls the field; the raw text must survive in
+    // the rescue map instead of vanishing. row 3: legitimate JSON null
+    // is NOT a mismatch. row 4: unparseable line → whole line under _raw.
+    Files.writeString(java.nio.file.Path.of(s"$dir/drift.json"),
+      """{"id":1,"v":1.5}
+        |{"id":2,"v":"oops"}
+        |{"id":3,"v":null}
+        |garbage line""".stripMargin)
+    val rows = JsonSource.batchWithRescue(spark, dir, "id bigint, v double")
+      .orderBy("id").collect()
+    assert(rows.length === 4)
+    // nulls-first ascending: rows(0) is the unparseable line
+    assert(rows(0).isNullAt(0))
+    assert(rows(0).getMap[String, String](2)("_raw") === "garbage line")
+    val byId = rows.filter(!_.isNullAt(0)).map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getDouble(1) === 1.5 && byId(1L).isNullAt(2),
+      "clean row: nothing rescued")
+    assert(byId(2L).isNullAt(1), "type mismatch nulls the declared field")
+    assert(byId(2L).getMap[String, String](2)("v") === "oops",
+      "...but the raw text survives in the rescue map")
+    assert(byId(3L).isNullAt(1) && byId(3L).isNullAt(2),
+      "explicit JSON null is a legitimate value, nothing rescued")
+  }
+
   test("IncrementalIngest processes each landing-zone file exactly once") {
     import graft.sources.{DirectoryListing, IncrementalIngest, NotifiedFiles}
     val zone = Files.createTempDirectory("ingestzone").toString
@@ -158,5 +185,35 @@ class PipelineSpec extends AnyFunSuite {
     // queue drained → next trigger sees nothing, no listing ever happens
     assert(IncrementalIngest.runOnce(spark, notified, "id bigint", ledger2)(
       _ => fail("write must not be called with no new files")).isEmpty)
+  }
+
+  test("IncrementalIngest re-delivers a notified batch whose write crashed") {
+    import graft.sources.{IncrementalIngest, NotifiedFiles}
+    val zone = Files.createTempDirectory("ingestcrash").toString
+    val ledger = s"$zone/_ledger/processed.txt"
+    Files.writeString(java.nio.file.Path.of(s"$zone/a.json"), """{"id":1}""")
+    Files.writeString(java.nio.file.Path.of(s"$zone/b.json"), """{"id":2}""")
+    // one-shot queue: the drain destroys the paths — exactly the case
+    // where a crashed write used to lose files silently
+    val buf = scala.collection.mutable.Queue[String](
+      s"$zone/a.json", s"$zone/b.json")
+    val notified = new NotifiedFiles(() => buf.dequeueAll(_ => true).toSeq)
+    intercept[RuntimeException] {
+      IncrementalIngest.runOnce(spark, notified, "id bigint", ledger) { _ =>
+        throw new RuntimeException("sink down")
+      }
+    }
+    assert(buf.isEmpty, "queue really is drained — no re-notification")
+    // next trigger: the pending journal re-delivers both paths
+    var seen = Vector.empty[Long]
+    val redelivered =
+      IncrementalIngest.runOnce(spark, notified, "id bigint", ledger) { df =>
+        seen = df.collect().map(_.getLong(0)).toVector.sorted
+      }
+    assert(redelivered.map(_.split('/').last).sorted === Seq("a.json", "b.json"))
+    assert(seen === Vector(1L, 2L))
+    // and once ledgered, a third trigger is a no-op
+    assert(IncrementalIngest.runOnce(spark, notified, "id bigint", ledger)(
+      _ => fail("must not reprocess")).isEmpty)
   }
 }

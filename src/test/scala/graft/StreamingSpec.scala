@@ -158,4 +158,32 @@ class StreamingSpec extends AnyFunSuite {
         "custom-state sessionizer diverges from session_window")
     } finally q.stop()
   }
+
+  test("statefulSessions flushes a session whose end+gap EQUALS the final watermark") {
+    import graft.streaming.SessionEvent
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    // user 1's session is [10:00, 10:30); user 9's lone event pins the
+    // final watermark to EXACTLY 10:30 (10:35 − 5 min lateness). The
+    // event-time timeout only fires when wm STRICTLY exceeds the armed
+    // timestamp, so arming at end+gap would strand this session forever
+    // (session_window's `<=` eviction emits it) — the boundary case the
+    // one-tick-early arm exists for.
+    val out = StreamingOps.statefulSessions(
+      gapMinutes = 30, lateness = "5 minutes")(mem.toDS())
+    val q = out.writeStream.format("memory").queryName("sessboundary")
+      .outputMode("append").start()
+    try {
+      mem.addData(SessionEvent(1L, ts("2024-01-01 10:00:00"), 1.0))
+      q.processAllAvailable()
+      mem.addData(SessionEvent(9L, ts("2024-01-01 10:35:00"), 0.5))
+      q.processAllAvailable()
+      val got = sp.sql("SELECT user_id, session_end FROM sessboundary")
+        .collect().map(r => r.getLong(0) -> r.getTimestamp(1).toString).toSet
+      assert(got === Set(1L -> "2024-01-01 10:30:00.0"),
+        "end+gap == watermark must flush, matching session_window's <= rule")
+    } finally q.stop()
+  }
 }
