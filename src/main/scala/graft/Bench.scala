@@ -51,7 +51,14 @@ object Bench {
       s""""load_avg":${os.getSystemLoadAverage},""" +
       s""""heap_max_mb":${Runtime.getRuntime.maxMemory / (1024 * 1024)},""" +
       s""""gc_total_sec":${gcMs / 1e3}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$env}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$env}"""
+    println(line)
+    // full per-query record as a file artifact: the driver's captured
+    // tail truncates, losing early-alphabet queries from round history
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { out =>
+      java.nio.file.Files.writeString(java.nio.file.Path.of(out), line + "\n")
+    }
     spark.stop()
   }
 }

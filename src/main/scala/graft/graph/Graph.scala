@@ -54,7 +54,6 @@ final case class TableDef(
     deps: Seq[String],
     transform: Seq[DataFrame] => DataFrame,
     mode: Mode = Mode.Full,
-    materialize: Boolean = false,
     partitionCols: Seq[String] = Nil,
     writeMode: WriteMode = WriteMode.Overwrite)
 
@@ -63,8 +62,9 @@ final case class TableDef(
   * -pipeline.py:179–181, :351).
   *
   * `resolve` is memoized per run so a node shared by several consumers is
-  * planned once; only nodes marked `materialize` are checkpointed (written
-  * and re-read), everything else stays one fused Catalyst plan.
+  * planned once; within a run everything stays one fused Catalyst plan —
+  * materialization happens only at [[Runner]] table boundaries, per each
+  * table's [[WriteMode]].
   */
 final class Registry(spark: SparkSession) {
   private val defs = mutable.LinkedHashMap.empty[String, TableDef]

@@ -2,7 +2,7 @@ package graft.graph
 
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.streaming.Trigger
 
 /** DAG executors — the engine's stand-in for the DLT runtime's two
@@ -44,7 +44,9 @@ object Runner {
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(parts: _*).parquet(path)
         case WriteMode.Upsert(keys, seqCol, tie) =>
-          upsertParquet(path, keys, seqCol, tie)(df)
+          if (parts.nonEmpty)
+            upsertParquetPruned(path, keys, seqCol, tie, parts)(df)
+          else upsertParquet(path, keys, seqCol, tie)(df)
       }
       name -> path
     }.toMap
@@ -55,12 +57,12 @@ object Runner {
     * `foreachBatch` upsert sink. Copy-on-write: the merged generation is
     * staged next to the table and swapped in, so a reader never sees a
     * half-written table and a crashed merge leaves the old generation
-    * intact. At 100 TB the rewrite would be partition-pruned to the
-    * partitions containing the batch's keys (what Delta/Iceberg MERGE
-    * does per file group); the full-table rewrite here is the simplest
-    * correct form at test scale and the merge itself is one hash
-    * shuffle on `keys`. Idempotent: re-delivering a micro-batch cannot
-    * change the max row per key.
+    * intact. The rewrite is O(table) per batch — correct anywhere, and
+    * the right default for unpartitioned tables; a hive-partitioned
+    * table whose partition columns are stable per key should use
+    * [[upsertParquetPruned]], which rewrites only touched partitions.
+    * Idempotent: re-delivering a micro-batch cannot change the max row
+    * per key.
     */
   def upsertParquet(path: String, keys: Seq[String], seqCol: String,
                     tieBreak: Seq[String] = Nil)(batch: DataFrame): Unit = {
@@ -80,6 +82,58 @@ object Runner {
     fs.delete(target, true)
     if (!fs.rename(staging, target))
       throw new java.io.IOException(s"upsert swap failed for $path")
+  }
+
+  /** Partition-pruned upsert — the 100 TB shape of [[upsertParquet]] for
+    * hive-partitioned tables whose partition columns are FUNCTIONALLY
+    * DEPENDENT on the merge keys (a key never changes partitions: a
+    * key-hash bucket, an account's region, an asset's venue). Only the
+    * partitions present in the batch are read (partition pruning at the
+    * file index — the predicate is on partition columns only), merged,
+    * and rewritten via dynamic partition overwrite; untouched partitions
+    * are never read or written, so per-batch cost is O(touched
+    * partitions), what Delta/Iceberg MERGE achieves with file pruning.
+    * The touched-partition list is a driver collect at METADATA scale
+    * (distinct partition tuples in one batch), not data scale. If a key
+    * could move partitions, use [[upsertParquet]] — a pruned merge would
+    * strand the key's old row in its previous partition.
+    */
+  def upsertParquetPruned(path: String, keys: Seq[String], seqCol: String,
+                          tieBreak: Seq[String], partitionCols: Seq[String])(
+      batch: DataFrame): Unit = {
+    val spark = batch.sparkSession
+    val target = new HPath(path)
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    val merge = graft.ops.Relational.applyChanges(
+      keys, col(seqCol), tieBreak.map(col)) _
+    if (!fs.exists(target)) {
+      merge(batch).write.mode("overwrite")
+        .partitionBy(partitionCols: _*).parquet(path)
+    } else {
+      val touched = batch.select(partitionCols.map(col): _*).distinct()
+        .collect()
+      val touchedPred = touched.map { r =>
+        partitionCols.zipWithIndex
+          .map { case (c, i) => col(c) <=> lit(r.get(i)) }
+          .reduce(_ && _)
+      }.reduceOption(_ || _).getOrElse(lit(false))
+      // declared schema (the batch's) on the partitioned read: partition
+      // column types must not drift via directory-name inference, or the
+      // union would mismatch
+      val existing = spark.read.schema(batch.schema).parquet(path)
+        .filter(touchedPred)
+      val merged = merge(existing.unionByName(batch,
+        allowMissingColumns = true))
+      // stage the merged partitions first: Spark refuses (and could not
+      // safely execute) an overwrite of a path its own plan is reading
+      val staging = new HPath(path + ".staging")
+      merged.write.mode("overwrite").parquet(staging.toString)
+      spark.read.parquet(staging.toString)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partitionCols: _*).parquet(path)
+      fs.delete(staging, true)
+    }
   }
 
   /** Run the DAG with streaming sources: every Incremental table whose
@@ -129,11 +183,14 @@ object Runner {
           // Delta MERGE, zetaflex-pipeline.py:138–151). Replay-safe: the
           // merge is idempotent, so at-least-once foreachBatch delivery
           // still converges to exactly the batch apply_changes result.
+          val parts = defs(name).map(_.partitionCols).getOrElse(Nil)
           streamReg.resolve(name).writeStream
             .outputMode("update")
             .option("checkpointLocation", checkpoint)
             .foreachBatch { (batch: DataFrame, _: Long) =>
-              upsertParquet(path, keys, seqCol, tie)(batch)
+              if (parts.nonEmpty)
+                upsertParquetPruned(path, keys, seqCol, tie, parts)(batch)
+              else upsertParquet(path, keys, seqCol, tie)(batch)
             }
             .trigger(Trigger.AvailableNow())
             .start()

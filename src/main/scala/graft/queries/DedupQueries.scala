@@ -332,20 +332,64 @@ object DedupQueries {
           .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** SimHash near-pair search over a `(doc_id, simhash)` frame by
+    * pigeonhole banding with multi-bit probing (the HmSearch/PartEnum
+    * idea), parameterized by group count so the probe/collision balance
+    * can follow corpus size: split the `totalBits` signature into
+    * `groups` equal groups — `maxHamming` differing bits leave some
+    * group with ≤ ⌊maxHamming/groups⌋ diffs — and let the probe side
+    * emit, per group, the group value XOR every in-group mask of up to
+    * that many bits. A ≤depth-diff group then collides exactly with the
+    * build side's exact value, so the equi-join provably finds every
+    * Hamming-≤maxHamming pair (asymmetric probing: the flip relation is
+    * symmetric, so x-probes × y-exact covers each pair; doc_a < doc_b
+    * keeps one direction). Candidate bound at 60/6: 4×15-bit groups
+    * probe 64 rows/doc with E ≈ n²/512 random collisions; 3×20-bit
+    * groups probe 633 rows/doc with E ≈ n²/1657 — the wider grouping
+    * pays ~10× the probe rows to cut collisions ~3×, the right trade
+    * once n² dominates (SimHashProperties pins both recalls against the
+    * exact quadratic). */
+  private[graft] def simhashNearPairs(sig: DataFrame, groups: Int,
+                                      maxHamming: Int = 6,
+                                      totalBits: Int = 60): DataFrame = {
+    require(totalBits % groups == 0, "groups must divide the signature width")
+    val width = totalBits / groups
+    val depth = maxHamming / groups
+    val widthMask = (1L << width) - 1
+    // all in-group XOR masks with ≤ depth bits set, as one literal array
+    // (computed on the driver: O(width^depth) values, constant per plan —
+    // no join, so the banding stays a pure equi-join for Catalyst)
+    val masks: Seq[Long] = (0 to depth).flatMap(k =>
+      (0 until width).combinations(k)
+        .map(_.foldLeft(0L)((m, b) => m | (1L << b))).toSeq)
+    val probes = sig.select(col("doc_id"), col("simhash"),
+      explode(expr(
+        s"flatten(transform(sequence(0, ${groups - 1}), g -> " +
+          s"transform(array(${masks.mkString(",")}), m -> struct(g AS g, " +
+          s"(shiftright(simhash, g * $width) & $widthMask) ^ m AS v))))"))
+        .as("ch"))
+      .select(col("doc_id"), col("simhash"), col("ch.g"), col("ch.v"))
+    val exact = sig.select(col("doc_id"), col("simhash"),
+      explode(expr(
+        s"transform(sequence(0, ${groups - 1}), g -> struct(g AS g, " +
+          s"shiftright(simhash, g * $width) & $widthMask AS v))")).as("ch"))
+      .select(col("doc_id"), col("simhash"), col("ch.g"), col("ch.v"))
+    probes.as("x").join(exact.as("y"), Seq("g", "v"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("x.simhash").as("ha"),
+        col("y.doc_id").as("doc_b"), col("y.simhash").as("hb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
     // SimHash signatures + near-pairs by Hamming distance ≤ 6 of 60 bits
     // (word hashes = first 15 hex digits of md5, so the DuckDB oracle
-    // reproduces them exactly). Candidate generation by pigeonhole
-    // banding with single-bit multi-probing (the HmSearch/PartEnum
-    // idea): split the signature into 4 groups of 15 bits — 6 differing
-    // bits across 4 groups leave some group with ≤ 1 diff (⌊6/4⌋ = 1) —
-    // and let the probe side emit each group's value plus its 15
-    // single-bit flips. A ≤1-diff group then collides exactly, so the
-    // equi-join provably finds every Hamming-≤6 pair. Candidate bound:
-    // E ≈ (4 groups × 16 probes) · n²/2¹⁵ = n²/512 random collisions —
-    // 7× fewer than the previous 7×(9/8-bit) exact-chunk scheme, for
-    // 64 probe rows per doc; at larger n the same construction
-    // re-balances by widening groups (3×20-bit with double-bit probes →
-    // n²/1657 at 633 probes/doc). The oracle, running at small scale,
+    // reproduces them exactly). Candidate generation via
+    // [[simhashNearPairs]] at the 4×15-bit setting — the right balance
+    // at this corpus size; the 3×20-bit re-balancing for larger n is the
+    // same call with groups = 3. The oracle, running at small scale,
     // does the quadratic form.
   private val q29: Q =
     Q("q29_simhash",
@@ -363,32 +407,7 @@ object DedupQueries {
         // No cache(): simhash is an Aggregate output (no inlining risk).
         val sig = exw.groupBy("doc_id")
           .agg(expr("graft_simhash(h, 60)").as("simhash"))
-        // probe side: per group, the exact 15-bit value + 15 bit-flips
-        val probes = sig.select(col("doc_id"), col("simhash"),
-          explode(expr(
-            "flatten(transform(sequence(0, 3), g -> " +
-              "transform(sequence(0, 15), f -> struct(g AS g, " +
-              "CASE WHEN f = 0 THEN shiftright(simhash, g * 15) & 32767 " +
-              "ELSE (shiftright(simhash, g * 15) & 32767) ^ shiftleft(1, f - 1) " +
-              "END AS v))))")).as("ch"))
-          .select(col("doc_id"), col("simhash"), col("ch.g"), col("ch.v"))
-        // build side: exact group values only (asymmetric probing — the
-        // flip relation is symmetric, so x-probes × y-exact covers every
-        // ≤1-diff group pair once per direction; doc_a < doc_b keeps one)
-        val exact = sig.select(col("doc_id"), col("simhash"),
-          explode(expr(
-            "transform(sequence(0, 3), g -> struct(g AS g, " +
-              "shiftright(simhash, g * 15) & 32767 AS v))")).as("ch"))
-          .select(col("doc_id"), col("simhash"), col("ch.g"), col("ch.v"))
-        val cand = probes.as("x").join(exact.as("y"), Seq("g", "v"))
-          .filter(col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("x.simhash").as("ha"),
-            col("y.doc_id").as("doc_b"), col("y.simhash").as("hb"))
-          .distinct()
-        cand
-          .withColumn("hamming", expr("bit_count(ha ^ hb)"))
-          .filter(col("hamming") <= 6)
-          .select("doc_a", "doc_b", "hamming")
+        simhashNearPairs(sig, groups = 4)
           .orderBy("doc_a", "doc_b")
       },
       Some("""

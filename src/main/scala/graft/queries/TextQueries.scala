@@ -356,6 +356,98 @@ object TextQueries {
                 < r.r - FLOOR(r.r) THEN 1 ELSE 0 END AS n_copies
           FROM documents d JOIN r USING (lang))
         SELECT doc_id, lang, UNNEST(GENERATE_SERIES(0, n_copies - 1)) AS epoch
-        FROM c WHERE n_copies > 0 ORDER BY doc_id, epoch"""))
+        FROM c WHERE n_copies > 0 ORDER BY doc_id, epoch""")),
+
+    // Repetition-ratio quality signals (the Gopher-style intra-document
+    // filters): duplicate word / bigram / trigram fractions per document.
+    // Pure per-row array math — codegen'd, no shuffle at all beyond the
+    // final presentation sort; the cheapest quality gate in the corpus
+    // pipeline and the first one to run at 100 TB (it prunes before
+    // anything that shuffles).
+    Q("q89_repetition_ratio",
+      (s, d) =>
+        t(s, d, "documents")
+          .withColumn("words", split(col("text"), " "))
+          .filter(size(col("words")) >= 3)
+          .withColumn("g2", expr(
+            "transform(sequence(1, size(words) - 1), " +
+              "i -> concat_ws(' ', words[i-1], words[i]))"))
+          .withColumn("g3", expr(
+            "transform(sequence(1, size(words) - 2), " +
+              "i -> concat_ws(' ', words[i-1], words[i], words[i+1]))"))
+          .select(col("doc_id"),
+            round(lit(1.0) - size(array_distinct(col("words"))).cast("double")
+              / size(col("words")), 6).as("dup_word_ratio"),
+            round(lit(1.0) - size(array_distinct(col("g2"))).cast("double")
+              / size(col("g2")), 6).as("dup_bigram_ratio"),
+            round(lit(1.0) - size(array_distinct(col("g3"))).cast("double")
+              / size(col("g3")), 6).as("dup_trigram_ratio"))
+          .orderBy("doc_id"),
+      Some("""
+        WITH w AS (
+          SELECT doc_id, STRING_SPLIT(text, ' ') AS words FROM documents
+          WHERE LEN(STRING_SPLIT(text, ' ')) >= 3),
+        g AS (
+          SELECT doc_id, words,
+            [words[i] || ' ' || words[i+1]
+             for i in GENERATE_SERIES(1, LEN(words) - 1)] AS g2,
+            [words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+             for i in GENERATE_SERIES(1, LEN(words) - 2)] AS g3
+          FROM w)
+        SELECT doc_id,
+          ROUND(1.0 - CAST(LEN(LIST_DISTINCT(words)) AS DOUBLE) / LEN(words), 6)
+            AS dup_word_ratio,
+          ROUND(1.0 - CAST(LEN(LIST_DISTINCT(g2)) AS DOUBLE) / LEN(g2), 6)
+            AS dup_bigram_ratio,
+          ROUND(1.0 - CAST(LEN(LIST_DISTINCT(g3)) AS DOUBLE) / LEN(g3), 6)
+            AS dup_trigram_ratio
+        FROM g ORDER BY doc_id""")),
+
+    // Cross-corpus n-gram novelty — how much of a document's content
+    // appears nowhere else: the fraction of its distinct 5-grams with
+    // corpus frequency 1. Scale shape mirrors q83's decontamination: an
+    // EQUI-join on the gram (never doc×doc), one map-side-combined gram
+    // count, one per-doc re-aggregation. Corpus-hot grams are hot JOIN
+    // keys — that skew is AQE's skew-join case (or pre-salt via
+    // Relational.saltedJoin when the hot set is known); the aggregations
+    // themselves are immune (partial aggregation absorbs hot grams
+    // map-side).
+    Q("q90_ngram_novelty",
+      (s, d) => {
+        val grams = QH.spread(s, col("doc_id"))(t(s, d, "documents"))
+          .withColumn("words", split(col("text"), " "))
+          .filter(size(col("words")) >= 5)
+          .select(col("doc_id"), explode(array_distinct(expr(
+            "transform(sequence(1, size(words) - 4), " +
+              "i -> concat_ws(' ', words[i-1], words[i], words[i+1], " +
+              "words[i+2], words[i+3]))"))).as("gram"))
+        // grams are per-doc distinct, so count(*) = number of docs
+        // containing the gram
+        val freq = grams.groupBy("gram").agg(count(lit(1)).as("nd"))
+        grams.join(freq, "gram")
+          .groupBy("doc_id").agg(
+            count(lit(1)).as("n_grams"),
+            sum(when(col("nd") === 1, 1L).otherwise(0L)).as("n_novel"))
+          .withColumn("novelty",
+            round(col("n_novel").cast("double") / col("n_grams"), 6))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH w AS (
+          SELECT doc_id, STRING_SPLIT(text, ' ') AS words FROM documents
+          WHERE LEN(STRING_SPLIT(text, ' ')) >= 5),
+        g AS (
+          SELECT doc_id, UNNEST(LIST_DISTINCT(
+            [words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' ||
+             words[i+3] || ' ' || words[i+4]
+             for i in GENERATE_SERIES(1, LEN(words) - 4)])) AS gram
+          FROM w),
+        f AS (SELECT gram, COUNT(*) AS nd FROM g GROUP BY gram)
+        SELECT g.doc_id,
+          COUNT(*) AS n_grams,
+          CAST(SUM(CASE WHEN f.nd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+          ROUND(CAST(SUM(CASE WHEN f.nd = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+            / COUNT(*), 6) AS novelty
+        FROM g JOIN f USING (gram) GROUP BY g.doc_id ORDER BY g.doc_id"""))
   )
 }

@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.graph.{Mode, Registry, Runner, TableDef, WriteMode}
@@ -85,5 +86,41 @@ class RunnerSpec extends AnyFunSuite {
     val got = sp.read.parquet(s"$out/latest")
       .select("k", "v").as[(Long, String)].collect().toSet
     assert(got === Set(1L -> "A", 2L -> "b", 3L -> "c"))
+  }
+
+  // The 100 TB shape: a partitioned upsert must not rewrite partitions
+  // the batch doesn't touch — pinned PHYSICALLY (same parquet files, not
+  // just same rows).
+  test("WriteMode.Upsert with partitionCols leaves untouched partitions' files intact") {
+    val sp = spark
+    import sp.implicits._
+    val out = Files.createTempDirectory("runner_upsert_pruned").toString
+    // bucket is a stable function of the key — the precondition for
+    // partition-pruned merging
+    def reg(rows: Seq[(Long, Long, String)]): Registry = {
+      val r = new Registry(sp)
+      r.source("cdc_feed", () => rows.toDF("k", "seq", "v")
+        .withColumn("bucket", pmod(col("k"), lit(2)).cast("int")))
+      r.register(TableDef("latest", Seq("cdc_feed"), { case Seq(c) => c },
+        mode = Mode.Full, partitionCols = Seq("bucket"),
+        writeMode = WriteMode.Upsert(Seq("k"), "seq")))
+      r
+    }
+    def filesOf(bucket: Int): Set[String] = {
+      val dir = java.nio.file.Path.of(s"$out/latest/bucket=$bucket")
+      val s = Files.list(dir)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toSet
+      finally s.close()
+    }
+    Runner.runBatch(reg(Seq((1L, 1L, "a"), (2L, 1L, "b"), (4L, 1L, "d"))), out)
+    val evenFilesBefore = filesOf(0)
+    // second batch touches only odd keys → only bucket=1 rewrites
+    Runner.runBatch(reg(Seq((1L, 5L, "A"), (3L, 1L, "c"))), out)
+    assert(filesOf(0) === evenFilesBefore,
+      "bucket=0 was not in the batch — its files must be untouched")
+    val got = sp.read.parquet(s"$out/latest")
+      .select("k", "v").as[(Long, String)].collect().toSet
+    assert(got === Set(1L -> "A", 2L -> "b", 3L -> "c", 4L -> "d"))
   }
 }
