@@ -70,6 +70,10 @@ final class Registry(spark: SparkSession) {
   private val defs = mutable.LinkedHashMap.empty[String, TableDef]
   private val sources = mutable.LinkedHashMap.empty[String, () => DataFrame]
 
+  /** The session this registry plans against — runners use it to shadow
+    * stateful tables with reads of their materialized paths. */
+  private[graph] def session: SparkSession = spark
+
   def register(t: TableDef): this.type = { defs(t.name) = t; this }
   def source(name: String, load: () => DataFrame): this.type = {
     sources(name) = load; this

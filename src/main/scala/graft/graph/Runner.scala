@@ -20,55 +20,86 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object Runner {
 
+  /** Write one resolved table per its [[WriteMode]]. Returns true when
+    * the on-disk table now carries state BEYOND this run's plan (Append
+    * accumulates partitions, Upsert merges history) — the signal that
+    * downstream consumers must READ the materialized table rather than
+    * re-derive its plan, or they would compute from this run's partial
+    * view of an accumulating table. */
+  private def writeTable(df: DataFrame, t: Option[TableDef],
+                         path: String): Boolean = {
+    val parts = t.map(_.partitionCols).getOrElse(Nil)
+    t.map(_.writeMode).getOrElse(WriteMode.Overwrite) match {
+      case WriteMode.Overwrite =>
+        val w = df.write.mode("overwrite")
+        (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(path)
+        false
+      case WriteMode.Append =>
+        // K3 idempotent append: overwrite ONLY the partitions this run
+        // produced (mm-uptime's hourly cadence); a re-run of the same
+        // batch replaces its own partitions instead of doubling rows
+        require(parts.nonEmpty,
+          s"WriteMode.Append needs partitionCols identifying the batch ($path)")
+        df.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(parts: _*).parquet(path)
+        true
+      case WriteMode.Upsert(keys, seqCol, tie) =>
+        if (parts.nonEmpty)
+          upsertParquetPruned(path, keys, seqCol, tie, parts)(df)
+        else upsertParquet(path, keys, seqCol, tie)(df)
+        true
+    }
+  }
+
   /** Materialize every table batch-style under `outDir`, in topo order,
     * honoring each table's partition columns (the reference's
-    * `partition_cols=["date_"]` convention, transactions:996). Returns
-    * the materialized paths. */
-  def runBatch(reg: Registry, outDir: String): Map[String, String] =
+    * `partition_cols=["date_"]` convention, transactions:996) and write
+    * mode. After a STATEFUL table (Append/Upsert) is written, its name is
+    * shadowed by a read of the materialized path, so downstream consumers
+    * see the full accumulated table — matching how the streaming runner's
+    * Full tables read materialized boundaries. Returns the materialized
+    * paths. */
+  def runBatch(reg: Registry, outDir: String): Map[String, String] = {
+    val spark = reg.session
+    val work = new Registry(spark)
+    reg.sourceLoaders.foreach { case (n, f) => work.source(n, f) }
+    reg.topoOrder.flatMap(reg.describe).foreach(work.register)
     reg.topoOrder.map { name =>
       val path = s"$outDir/$name"
-      val t = reg.describe(name)
-      val parts = t.map(_.partitionCols).getOrElse(Nil)
-      val df = reg.resolve(name)
-      t.map(_.writeMode).getOrElse(WriteMode.Overwrite) match {
-        case WriteMode.Overwrite =>
-          val w = df.write.mode("overwrite")
-          (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(path)
-        case WriteMode.Append =>
-          // K3 idempotent append: overwrite ONLY the partitions this run
-          // produced (mm-uptime's hourly cadence); a re-run of the same
-          // batch replaces its own partitions instead of doubling rows
-          require(parts.nonEmpty,
-            s"WriteMode.Append on '$name' needs partitionCols identifying the batch")
-          df.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(parts: _*).parquet(path)
-        case WriteMode.Upsert(keys, seqCol, tie) =>
-          if (parts.nonEmpty)
-            upsertParquetPruned(path, keys, seqCol, tie, parts)(df)
-          else upsertParquet(path, keys, seqCol, tie)(df)
-      }
+      val stateful = writeTable(work.resolve(name), work.describe(name), path)
+      if (stateful) work.source(name, () => spark.read.parquet(path))
       name -> path
     }.toMap
+  }
 
   /** Merge `batch` into the parquet table at `path`, keeping the
     * max-`(seqCol, tieBreak)` row per `keys` — the parquet-native
     * `MERGE` used by [[WriteMode.Upsert]] tables and by the streaming
-    * `foreachBatch` upsert sink. Copy-on-write: the merged generation is
-    * staged next to the table and swapped in, so a reader never sees a
-    * half-written table and a crashed merge leaves the old generation
-    * intact. The rewrite is O(table) per batch — correct anywhere, and
-    * the right default for unpartitioned tables; a hive-partitioned
-    * table whose partition columns are stable per key should use
-    * [[upsertParquetPruned]], which rewrites only touched partitions.
-    * Idempotent: re-delivering a micro-batch cannot change the max row
-    * per key.
+    * `foreachBatch` upsert sink. Copy-on-write with a two-rename swap:
+    * the merged generation is staged, the old generation moves aside to
+    * `<path>.old`, the new one renames into place, and only then is the
+    * backup dropped — every crash point leaves either the old or the new
+    * complete generation recoverable (the `.old` restore on entry), so a
+    * replayed micro-batch merges against intact history. The rewrite is
+    * O(table) per batch — correct anywhere, and the right default for
+    * unpartitioned tables; a hive-partitioned table whose partition
+    * columns are stable per key should use [[upsertParquetPruned]],
+    * which rewrites only touched partitions. Idempotent: re-delivering a
+    * micro-batch cannot change the max row per key.
     */
   def upsertParquet(path: String, keys: Seq[String], seqCol: String,
                     tieBreak: Seq[String] = Nil)(batch: DataFrame): Unit = {
     val spark = batch.sparkSession
     val target = new HPath(path)
+    val backup = new HPath(path + ".old")
     val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    // recovery: a crash between the two swap renames below leaves no
+    // target but an intact backup — restore it before merging
+    if (!fs.exists(target) && fs.exists(backup)) fs.rename(backup, target)
+    // no-data micro-batches (watermark-advance triggers) must not pay an
+    // O(table) rewrite — the merge result would be identical
+    if (batch.isEmpty) return
     val unioned =
       if (fs.exists(target))
         spark.read.parquet(path).unionByName(batch, allowMissingColumns = true)
@@ -79,9 +110,13 @@ object Runner {
     // the staging write MATERIALIZES the merge before the old generation
     // is touched — the read above is consumed entirely by this job
     merged.write.mode("overwrite").parquet(staging.toString)
-    fs.delete(target, true)
+    fs.delete(backup, true) // stale backup from a completed prior swap
+    if (fs.exists(target) && !fs.rename(target, backup))
+      throw new java.io.IOException(s"upsert swap: backup rename failed for $path")
     if (!fs.rename(staging, target))
+      // old generation still intact at .old — recovered on next entry
       throw new java.io.IOException(s"upsert swap failed for $path")
+    fs.delete(backup, true)
   }
 
   /** Partition-pruned upsert — the 100 TB shape of [[upsertParquet]] for
@@ -97,6 +132,15 @@ object Runner {
     * (distinct partition tuples in one batch), not data scale. If a key
     * could move partitions, use [[upsertParquet]] — a pruned merge would
     * strand the key's old row in its previous partition.
+    *
+    * Durability granularity: the dynamic overwrite commits per
+    * partition, so a crash mid-commit can leave SOME touched partitions
+    * on the new generation and some on the old — each partition is
+    * individually complete, and replaying the batch re-merges both to
+    * the same final state (merge idempotence). That is a weaker
+    * all-or-nothing story than [[upsertParquet]]'s whole-table swap —
+    * the price of not rewriting untouched partitions; a table format
+    * with a commit log (Delta/Iceberg) is the production answer.
     */
   def upsertParquetPruned(path: String, keys: Seq[String], seqCol: String,
                           tieBreak: Seq[String], partitionCols: Seq[String])(
@@ -104,6 +148,7 @@ object Runner {
     val spark = batch.sparkSession
     val target = new HPath(path)
     val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    if (batch.isEmpty) return // no-data micro-batch: nothing to merge
     val merge = graft.ops.Relational.applyChanges(
       keys, col(seqCol), tieBreak.map(col)) _
     if (!fs.exists(target)) {
@@ -117,10 +162,16 @@ object Runner {
           .map { case (c, i) => col(c) <=> lit(r.get(i)) }
           .reduce(_ && _)
       }.reduceOption(_ || _).getOrElse(lit(false))
-      // declared schema (the batch's) on the partitioned read: partition
-      // column types must not drift via directory-name inference, or the
-      // union would mismatch
-      val existing = spark.read.schema(batch.schema).parquet(path)
+      // declared read schema: the batch's fields keep their declared
+      // types (partition-column types must not drift via directory-name
+      // inference, or the union would mismatch) and on-disk columns
+      // ABSENT from this batch ride along, so a pruned rewrite cannot
+      // drop data from rows the batch never touched
+      val extra = spark.read.parquet(path).schema.fields
+        .filterNot(f => batch.schema.fieldNames.contains(f.name))
+      val readSchema =
+        org.apache.spark.sql.types.StructType(batch.schema.fields ++ extra)
+      val existing = spark.read.schema(readSchema).parquet(path)
         .filter(touchedPred)
       val merged = merge(existing.unionByName(batch,
         allowMissingColumns = true))
@@ -219,7 +270,11 @@ object Runner {
     full.flatMap(defs(_)).foreach(batchReg.register)
     val fullOut = full.map { name =>
       val path = s"$outDir/$name"
-      batchReg.resolve(name).write.mode("overwrite").parquet(path)
+      // same write dispatch and stateful-shadowing as runBatch: a Full
+      // table with Append/Upsert semantics accumulates across runs, and
+      // its consumers must read the accumulated table
+      val stateful = writeTable(batchReg.resolve(name), defs(name), path)
+      if (stateful) batchReg.source(name, () => spark.read.parquet(path))
       name -> path
     }.toMap
     written ++ fullOut

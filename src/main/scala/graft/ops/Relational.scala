@@ -182,10 +182,16 @@ object Relational {
     * runtime skew-join splitting when the skew is known up front (e.g. a
     * hot market or a null-heavy key at 100 TB).
     */
+  /** The deterministic salt in [0, nSalts) that [[saltedJoin]] appends to
+    * the skewed side's join key — exposed so the shuffle-shape spec
+    * (OpsScaleSpec) asserts on the PRODUCT expression, not a copy. */
+  def saltCol(saltSource: Column, nSalts: Int): Column =
+    pmod(xxhash64(saltSource), lit(nSalts))
+
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  saltSource: Column, nSalts: Int,
                  joinType: String = "inner"): DataFrame = {
-    val l = left.withColumn("__salt", pmod(xxhash64(saltSource), lit(nSalts)))
+    val l = left.withColumn("__salt", saltCol(saltSource, nSalts))
     val r = right.withColumn("__salt",
       explode(sequence(lit(0L), lit(nSalts - 1L))))
     l.join(r, keys :+ "__salt", joinType).drop("__salt")

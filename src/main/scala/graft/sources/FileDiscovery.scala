@@ -54,9 +54,14 @@ final class DirectoryListing(root: String, suffix: String = ".json")
   * Delivery contract: draining is DESTRUCTIVE (the queue forgets the
   * paths), so a drained-but-unprocessed path would be lost on a crash —
   * unlike [[DirectoryListing]], where unprocessed files remain listable.
-  * [[IncrementalIngest.runOnce]] closes this gap by journaling every
+  * [[IncrementalIngest.runOnce]] narrows this gap by journaling every
   * drained batch to `<ledger>.pending` BEFORE processing and re-reading
-  * the journal on the next trigger, restoring at-least-once end to end. */
+  * the journal on the next trigger: a crash anywhere between journal
+  * write and ledger append re-delivers. The residual window is the
+  * instant between the drain itself and the journal write — closing it
+  * fully requires an ack-after-process consumer (visibility-timeout
+  * queues redeliver unacked messages), which this seam supports: have
+  * `drain` PEEK and ack from the `write` callback. */
 final class NotifiedFiles(drain: () => Seq[String]) extends FileDiscovery {
   def newFiles(processed: Set[String]): Seq[String] =
     drain().filterNot(processed).distinct.sorted
@@ -73,7 +78,9 @@ final class NotifiedFiles(drain: () => Seq[String]) extends FileDiscovery {
   * appended only after `write` returns, so a crash mid-batch re-processes
   * that batch (at-least-once) — and the pending journal extends that
   * guarantee to DESTRUCTIVE discoveries like [[NotifiedFiles]], whose
-  * drained paths would otherwise vanish with the crash. Sinks make the
+  * drained paths would otherwise vanish with the crash (up to the
+  * drain-to-journal instant; see the NotifiedFiles contract note for
+  * the ack-based consumer that closes even that). Sinks make the
   * pipeline exactly-once by keying on file provenance or idempotent
   * overwrite — the same contract Structured Streaming's file source
   * offers.

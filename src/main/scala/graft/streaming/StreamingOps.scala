@@ -131,7 +131,12 @@ object StreamingOps {
         // (end+gap−1) makes wm == end+gap fire the timeout, and the
         // eviction predicate re-checks, so an early wake is never an
         // early emit. Clamped to wm+1: Spark rejects timeouts at or
-        // below the current watermark.
+        // below the current watermark. Residual corner the timer API
+        // cannot close: when the clamp engages (end+gap == wm+1 at
+        // arming time) AND the watermark then advances exactly one
+        // millisecond and never moves again, the strict-exceed rule
+        // keeps that session open where session_window would emit it —
+        // a 1 ms-measure coincidence, noted for honesty.
         state.setTimeoutTimestamp(
           math.max(wm + 1L, open.map(_.end).min + gapMs - 1L))
       }

@@ -40,9 +40,10 @@ class OpsScaleSpec extends AnyFunSuite {
       exchanged.rdd.mapPartitions(it => Iterator(it.size)).collect().max
     // the exchange a plain equi-join would perform: hash on the key alone
     val unsalted = maxPartitionRows(left.repartition(32, col("k")))
-    // the exchange saltedJoin performs: hash on (key, salt)
+    // the exchange saltedJoin performs: hash on (key, salt), using the
+    // PRODUCT salt expression so this spec cannot drift from the code
     val salted = maxPartitionRows(
-      left.withColumn("__salt", pmod(xxhash64(col("v")), lit(nSalts)))
+      left.withColumn("__salt", Relational.saltCol(col("v"), nSalts))
         .repartition(32, col("k"), col("__salt")))
     assert(unsalted >= hot, "plain exchange: all hot rows in one task")
     // several of the 16 salt buckets can hash-collide into one of the 32

@@ -123,4 +123,72 @@ class RunnerSpec extends AnyFunSuite {
       .select("k", "v").as[(Long, String)].collect().toSet
     assert(got === Set(1L -> "A", 2L -> "b", 3L -> "c", 4L -> "d"))
   }
+
+  // A consumer of a stateful (Upsert/Append) table must read the
+  // ACCUMULATED on-disk table, not re-derive the plan from this run's
+  // sources — otherwise the second run's summary would only see the
+  // second run's keys.
+  test("downstream of an Upsert table reads merged history, not the run's plan") {
+    val sp = spark
+    import sp.implicits._
+    val out = Files.createTempDirectory("runner_upsert_dag").toString
+    def reg(rows: Seq[(Long, Long, String)]): Registry = {
+      val r = new Registry(sp)
+      r.source("cdc_feed", () => rows.toDF("k", "seq", "v"))
+      r.register(TableDef("latest", Seq("cdc_feed"), { case Seq(c) => c },
+        mode = Mode.Full, writeMode = WriteMode.Upsert(Seq("k"), "seq")))
+      r.register(TableDef("summary", Seq("latest"), { case Seq(l) =>
+        l.agg(count(lit(1)).as("n_keys"))
+      }, mode = Mode.Full))
+      r
+    }
+    Runner.runBatch(reg(Seq((1L, 1L, "a"), (2L, 1L, "b"))), out)
+    Runner.runBatch(reg(Seq((3L, 1L, "c"))), out)
+    val n = sp.read.parquet(s"$out/summary").head().getLong(0)
+    assert(n === 3L, "summary must count keys {1,2,3}, not just run 2's {3}")
+  }
+
+  // Crash window of the generation swap: target deleted, backup intact.
+  // The next merge must restore the backup and converge, not treat the
+  // table as empty.
+  test("upsertParquet recovers the backup generation after a crashed swap") {
+    val sp = spark
+    import sp.implicits._
+    val out = Files.createTempDirectory("runner_upsert_crash").toString
+    val path = s"$out/latest"
+    Runner.upsertParquet(path, Seq("k"), "seq")(
+      Seq((1L, 1L, "a"), (2L, 1L, "b")).toDF("k", "seq", "v"))
+    // simulate the crash point between the two renames: the old
+    // generation sits at .old, the target is gone
+    Files.move(java.nio.file.Path.of(path), java.nio.file.Path.of(path + ".old"))
+    Runner.upsertParquet(path, Seq("k"), "seq")(
+      Seq((2L, 5L, "B")).toDF("k", "seq", "v"))
+    val got = sp.read.parquet(path)
+      .select("k", "v").as[(Long, String)].collect().toSet
+    assert(got === Set(1L -> "a", 2L -> "B"),
+      "key 1 must survive via the restored backup generation")
+  }
+
+  // Pruned rewrite + schema evolution: a batch missing a column that
+  // exists on disk must not erase that column from untouched keys in the
+  // partitions it rewrites.
+  test("pruned upsert keeps on-disk columns absent from the batch") {
+    val sp = spark
+    import sp.implicits._
+    val out = Files.createTempDirectory("runner_upsert_evo").toString
+    val path = s"$out/latest"
+    Runner.upsertParquetPruned(path, Seq("k"), "seq", Nil, Seq("bucket"))(
+      Seq((1L, 1L, "a", "x1", 0), (3L, 1L, "c", "x3", 0))
+        .toDF("k", "seq", "v", "extra", "bucket"))
+    // later producer drops 'extra'; batch touches bucket 0 via key 1 only
+    Runner.upsertParquetPruned(path, Seq("k"), "seq", Nil, Seq("bucket"))(
+      Seq((1L, 5L, "A", 0)).toDF("k", "seq", "v", "bucket"))
+    val rows = sp.read.parquet(path)
+      .select("k", "v", "extra").collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toMap
+    assert(rows(1L) === ("A", null), "updated key takes the batch's shape")
+    assert(rows(3L) === ("c", "x3"),
+      "untouched key in the rewritten partition keeps its extra column")
+  }
 }
