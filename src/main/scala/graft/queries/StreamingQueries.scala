@@ -311,6 +311,70 @@ object StreamingQueries {
         FROM events
         QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
           ORDER BY ts DESC, event_id DESC) = 1
-        ORDER BY user_id, event_type"""))
+        ORDER BY user_id, event_type""")),
+
+    // The CUSTOM-STATE sessionizer under the hard gate — q87's twin
+    // through `flatMapGroupsWithState` instead of the declarative
+    // `session_window` (StreamingOps.statefulSessions: interval-merging
+    // per-key state, event-time timeouts, watermark eviction). Running
+    // BOTH through the same oracle pins that the hand-rolled state
+    // machine and Spark's native session operator implement identical
+    // semantics on real data — the seam a user needs the moment a
+    // session payload outgrows count/sum (capped sessions, per-session
+    // sketches). Session sums accumulate as exact decimals in the state
+    // store, so the result is bit-stable under any micro-batch order.
+    Q("q91_stateful_sessions",
+      (s, d) => {
+        import s.implicits._
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val reg = new Registry(s)
+        reg.source("events_feed", () => graft.tables.Tables.events(s, d))
+        reg.register(TableDef("user_sessions_custom", Seq("events_feed"), {
+          case Seq(ev) =>
+            graft.streaming.StreamingOps.statefulSessions(
+              gapMinutes = 30, lateness = "5 minutes")(
+              ev.select(col("user_id"), col("ts"), col("value"))
+                .as[graft.streaming.SessionEvent]).toDF()
+        }, mode = Mode.Incremental))
+        val out = Files.createTempDirectory("graft_q91_").toString
+        withStatePartitions(s, 4) {
+          graft.graph.Runner.runStreamingThenFull(s, reg,
+            Map("events_feed" -> (() => graft.tables.Tables.normalize("events",
+              s.readStream.schema(schema)
+                .option("pathGlobFilter", "events.parquet")
+                .parquet(d)))),
+            out)
+        }
+        s.read.parquet(s"$out/user_sessions_custom")
+          .orderBy("user_id", "session_start")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+          FROM events),
+        flagged AS (
+          SELECT user_id, ts, value, event_id,
+            CASE WHEN LAG(ts) OVER w IS NULL
+              OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sessed AS (
+          SELECT user_id, ts, value,
+            SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM flagged),
+        agg AS (
+          SELECT user_id, MIN(ts) AS session_start,
+            MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+            COUNT(*) AS n_events,
+            CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)
+              AS total_value
+          FROM sessed GROUP BY user_id, sid),
+        wm AS (
+          SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 5 MINUTE AS w
+          FROM events)
+        SELECT user_id, session_start, session_end, n_events, total_value
+        FROM agg, wm WHERE session_end <= w
+        ORDER BY user_id, session_start"""))
   )
 }

@@ -9,9 +9,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** One event for the custom-state sessionizer. */
 case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
 
-/** One open/closed session interval; times in epoch millis while in
-  * state (cheap to serialize, no timezone ambiguity in the store). */
-case class SessionIv(start: Long, end: Long, n: Long, total: Double)
+/** One open/closed session interval; times in epoch MICROS while in
+  * state (cheap to serialize, no timezone ambiguity in the store, and
+  * the same precision as Spark event time — millis would truncate
+  * `session_end`). `total` accumulates as EXACT decimal so the session
+  * sum is independent of event arrival/merge order — a double fold
+  * would drift by an ulp under reordered micro-batches. Both matter for
+  * the q91 hash gate (the stateful mirror of QH.decSum). */
+case class SessionIv(start: Long, end: Long, n: Long, total: BigDecimal)
 
 /** Per-user state: every session not yet closed by the watermark. */
 case class UserSessions(sessions: List[SessionIv])
@@ -96,30 +101,46 @@ object StreamingOps {
       events: Dataset[SessionEvent]): Dataset[SessionRow] = {
     val sp = events.sparkSession
     import sp.implicits._
-    val gapMs = gapMinutes * 60000L
+    val gapUs = gapMinutes * 60000000L
+
+    def microsOf(t: Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    def tsOf(us: Long): Timestamp = {
+      val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
 
     def toRow(user: Long, s: SessionIv): SessionRow =
-      SessionRow(user, new Timestamp(s.start), new Timestamp(s.end + gapMs),
-        s.n, s.total)
+      SessionRow(user, tsOf(s.start), tsOf(s.end + gapUs),
+        s.n, s.total.toDouble)
 
     def update(user: Long, batch: Iterator[SessionEvent],
                state: GroupState[UserSessions]): Iterator[SessionRow] = {
       val existing = state.getOption.map(_.sessions).getOrElse(Nil)
+      // decimal(…,6) conversion mirrors the oracle's
+      // CAST(value AS DECIMAL(28,6)) so sums stay bit-comparable
       val incoming = batch.map(e =>
-        SessionIv(e.ts.getTime, e.ts.getTime, 1L, e.value)).toList
+        SessionIv(microsOf(e.ts), microsOf(e.ts), 1L,
+          BigDecimal.decimal(e.value)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP))).toList
       // interval merge over (state ∪ batch), sorted: two sessions fuse
       // when the later one starts inside [start, end + gap] — INCLUSIVE
       // of the endpoint, matching session_window's adjacent-merge rule
       val merged = (existing ++ incoming)
         .sortBy(s => (s.start, s.end))
         .foldLeft(List.empty[SessionIv]) {
-          case (h :: t, s) if s.start <= h.end + gapMs =>
+          case (h :: t, s) if s.start <= h.end + gapUs =>
             SessionIv(h.start, math.max(h.end, s.end), h.n + s.n,
               h.total + s.total) :: t
           case (acc, s) => s :: acc
         }.reverse
+      // the engine watermark is millisecond-granular; event time is
+      // micros — scale up for the eviction compare, exactly as Spark's
+      // own stateful operators do
       val wm = state.getCurrentWatermarkMs()
-      val (closed, open) = merged.partition(_.end + gapMs <= wm)
+      val wmUs = wm * 1000L
+      val (closed, open) = merged.partition(_.end + gapUs <= wmUs)
       if (open.isEmpty) state.remove()
       else {
         state.update(UserSessions(open))
@@ -136,9 +157,12 @@ object StreamingOps {
         // arming time) AND the watermark then advances exactly one
         // millisecond and never moves again, the strict-exceed rule
         // keeps that session open where session_window would emit it —
-        // a 1 ms-measure coincidence, noted for honesty.
+        // a 1 ms-measure coincidence, noted for honesty. (Timer API is
+        // millisecond-granular; the floor-div keeps the arm ≤ the true
+        // micros close time, preserving the early-not-late invariant.)
         state.setTimeoutTimestamp(
-          math.max(wm + 1L, open.map(_.end).min + gapMs - 1L))
+          math.max(wm + 1L,
+            Math.floorDiv(open.map(_.end).min + gapUs, 1000L) - 1L))
       }
       closed.iterator.map(toRow(user, _))
     }
