@@ -45,9 +45,12 @@ object Runner {
           .partitionBy(parts: _*).parquet(path)
         true
       case WriteMode.Upsert(keys, seqCol, tie) =>
+        // checkEmpty=false: a batch-mode plan is essentially never empty
+        // and the emptiness probe would execute the full plan once more
         if (parts.nonEmpty)
-          upsertParquetPruned(path, keys, seqCol, tie, parts)(df)
-        else upsertParquet(path, keys, seqCol, tie)(df)
+          upsertParquetPruned(path, keys, seqCol, tie, parts,
+            checkEmpty = false)(df)
+        else upsertParquet(path, keys, seqCol, tie, checkEmpty = false)(df)
         true
     }
   }
@@ -67,8 +70,15 @@ object Runner {
     reg.topoOrder.flatMap(reg.describe).foreach(work.register)
     reg.topoOrder.map { name =>
       val path = s"$outDir/$name"
-      val stateful = writeTable(work.resolve(name), work.describe(name), path)
-      if (stateful) work.source(name, () => spark.read.parquet(path))
+      val df = work.resolve(name)
+      // shadow with the PLAN's schema, not directory inference — a read
+      // without it re-types partition columns from directory names
+      // (string "00" → int 0) and reorders them to the end, silently
+      // changing what downstream consumers see
+      val planSchema = df.schema
+      val stateful = writeTable(df, work.describe(name), path)
+      if (stateful)
+        work.source(name, () => spark.read.schema(planSchema).parquet(path))
       name -> path
     }.toMap
   }
@@ -89,17 +99,25 @@ object Runner {
     * micro-batch cannot change the max row per key.
     */
   def upsertParquet(path: String, keys: Seq[String], seqCol: String,
-                    tieBreak: Seq[String] = Nil)(batch: DataFrame): Unit = {
+                    tieBreak: Seq[String] = Nil, checkEmpty: Boolean = true)(
+      batch: DataFrame): Unit = {
     val spark = batch.sparkSession
     val target = new HPath(path)
     val backup = new HPath(path + ".old")
     val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
     // recovery: a crash between the two swap renames below leaves no
-    // target but an intact backup — restore it before merging
-    if (!fs.exists(target) && fs.exists(backup)) fs.rename(backup, target)
+    // target but an intact backup — restore it before merging. The
+    // restore MUST succeed or stop the merge: proceeding would treat
+    // the table as empty and the later backup delete would destroy the
+    // only surviving generation.
+    if (!fs.exists(target) && fs.exists(backup) &&
+        !fs.rename(backup, target))
+      throw new java.io.IOException(s"upsert recovery rename failed for $path")
     // no-data micro-batches (watermark-advance triggers) must not pay an
-    // O(table) rewrite — the merge result would be identical
-    if (batch.isEmpty) return
+    // O(table) rewrite — the merge result would be identical. Skipped in
+    // batch mode (checkEmpty=false), where the probe would re-execute a
+    // full plan that is essentially never empty.
+    if (checkEmpty && batch.isEmpty) return
     val unioned =
       if (fs.exists(target))
         spark.read.parquet(path).unionByName(batch, allowMissingColumns = true)
@@ -143,12 +161,14 @@ object Runner {
     * with a commit log (Delta/Iceberg) is the production answer.
     */
   def upsertParquetPruned(path: String, keys: Seq[String], seqCol: String,
-                          tieBreak: Seq[String], partitionCols: Seq[String])(
+                          tieBreak: Seq[String], partitionCols: Seq[String],
+                          checkEmpty: Boolean = true)(
       batch: DataFrame): Unit = {
     val spark = batch.sparkSession
     val target = new HPath(path)
     val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
-    if (batch.isEmpty) return // no-data micro-batch: nothing to merge
+    // no-data micro-batch: nothing to merge (see upsertParquet)
+    if (checkEmpty && batch.isEmpty) return
     val merge = graft.ops.Relational.applyChanges(
       keys, col(seqCol), tieBreak.map(col)) _
     if (!fs.exists(target)) {
@@ -166,8 +186,12 @@ object Runner {
       // types (partition-column types must not drift via directory-name
       // inference, or the union would mismatch) and on-disk columns
       // ABSENT from this batch ride along, so a pruned rewrite cannot
-      // drop data from rows the batch never touched
-      val extra = spark.read.parquet(path).schema.fields
+      // drop data from rows the batch never touched. mergeSchema: a
+      // column that exists only in SOME partitions' files must still be
+      // discovered — single-footer sampling would miss it and the
+      // rewrite would erase it from the partitions that have it
+      val extra = spark.read.option("mergeSchema", "true").parquet(path)
+        .schema.fields
         .filterNot(f => batch.schema.fieldNames.contains(f.name))
       val readSchema =
         org.apache.spark.sql.types.StructType(batch.schema.fields ++ extra)
@@ -272,9 +296,13 @@ object Runner {
       val path = s"$outDir/$name"
       // same write dispatch and stateful-shadowing as runBatch: a Full
       // table with Append/Upsert semantics accumulates across runs, and
-      // its consumers must read the accumulated table
-      val stateful = writeTable(batchReg.resolve(name), defs(name), path)
-      if (stateful) batchReg.source(name, () => spark.read.parquet(path))
+      // its consumers must read the accumulated table (with the plan's
+      // schema — see runBatch)
+      val df = batchReg.resolve(name)
+      val planSchema = df.schema
+      val stateful = writeTable(df, defs(name), path)
+      if (stateful)
+        batchReg.source(name, () => spark.read.schema(planSchema).parquet(path))
       name -> path
     }.toMap
     written ++ fullOut

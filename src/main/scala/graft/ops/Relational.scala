@@ -175,6 +175,12 @@ object Relational {
     else df.filter(md5(keyCol.cast("string")) < lit(f"$sixteenths%x"))
   }
 
+  /** The deterministic salt in [0, nSalts) that [[saltedJoin]] appends to
+    * the skewed side's join key — exposed so the shuffle-shape spec
+    * (OpsScaleSpec) asserts on the PRODUCT expression, not a copy. */
+  def saltCol(saltSource: Column, nSalts: Int): Column =
+    pmod(xxhash64(saltSource), lit(nSalts))
+
   /** Salted equi-join for skewed keys: the left (large, skewed) side gets
     * a deterministic salt derived from `saltSource` (use a high-cardinality
     * column — never rand(), which breaks retry/replay determinism); the
@@ -182,12 +188,6 @@ object Relational {
     * runtime skew-join splitting when the skew is known up front (e.g. a
     * hot market or a null-heavy key at 100 TB).
     */
-  /** The deterministic salt in [0, nSalts) that [[saltedJoin]] appends to
-    * the skewed side's join key — exposed so the shuffle-shape spec
-    * (OpsScaleSpec) asserts on the PRODUCT expression, not a copy. */
-  def saltCol(saltSource: Column, nSalts: Int): Column =
-    pmod(xxhash64(saltSource), lit(nSalts))
-
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  saltSource: Column, nSalts: Int,
                  joinType: String = "inner"): DataFrame = {

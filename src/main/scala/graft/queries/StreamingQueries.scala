@@ -45,6 +45,44 @@ object StreamingQueries {
     try body finally s.conf.set(key, prev)
   }
 
+  /** ONE oracle for BOTH sessionizers — q87 (`session_window`) and q91
+    * (`flatMapGroupsWithState`): the whole point of the twin gate is
+    * identical semantics, so the SQL must be literally shared, not
+    * copied. The watermark cutoff floors max(ts) to MILLISECONDS before
+    * subtracting the delay: Spark's watermark is ms-granular
+    * (floor(max_event_µs / 1000) − delay), so an oracle keeping raw
+    * microseconds would claim sessions in the sub-ms sliver that the
+    * engine correctly still holds open. */
+  private val sessionOracle = """
+        WITH e AS (
+          SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+          FROM events),
+        flagged AS (
+          SELECT user_id, ts, value, event_id,
+            CASE WHEN LAG(ts) OVER w IS NULL
+              OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sessed AS (
+          SELECT user_id, ts, value,
+            SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM flagged),
+        agg AS (
+          SELECT user_id, MIN(ts) AS session_start,
+            MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+            COUNT(*) AS n_events,
+            CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)
+              AS total_value
+          FROM sessed GROUP BY user_id, sid),
+        wm AS (
+          SELECT DATE_TRUNC('milliseconds', MAX(CAST(ts AS TIMESTAMP)))
+            - INTERVAL 5 MINUTE AS w
+          FROM events)
+        SELECT user_id, session_start, session_end, n_events, total_value
+        FROM agg, wm WHERE session_end <= w
+        ORDER BY user_id, session_start"""
+
   val qs: Seq[Q] = Seq(
     Q("q70_streaming_hourly",
       (s, d) => {
@@ -230,34 +268,7 @@ object StreamingQueries {
         s.read.parquet(s"$out/user_sessions")
           .orderBy("user_id", "session_start")
       },
-      Some("""
-        WITH e AS (
-          SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
-          FROM events),
-        flagged AS (
-          SELECT user_id, ts, value, event_id,
-            CASE WHEN LAG(ts) OVER w IS NULL
-              OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
-              THEN 1 ELSE 0 END AS new_sess
-          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        sessed AS (
-          SELECT user_id, ts, value,
-            SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-          FROM flagged),
-        agg AS (
-          SELECT user_id, MIN(ts) AS session_start,
-            MAX(ts) + INTERVAL 30 MINUTE AS session_end,
-            COUNT(*) AS n_events,
-            CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)
-              AS total_value
-          FROM sessed GROUP BY user_id, sid),
-        wm AS (
-          SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 5 MINUTE AS w
-          FROM events)
-        SELECT user_id, session_start, session_end, n_events, total_value
-        FROM agg, wm WHERE session_end <= w
-        ORDER BY user_id, session_start""")),
+      Some(sessionOracle)),
 
     // §2.10 streaming CDC upsert under the hard gate (zetaflex-pipeline
     // .py:138–151 `apply_changes`): the events feed is staged as MULTIPLE
@@ -348,33 +359,6 @@ object StreamingQueries {
         s.read.parquet(s"$out/user_sessions_custom")
           .orderBy("user_id", "session_start")
       },
-      Some("""
-        WITH e AS (
-          SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
-          FROM events),
-        flagged AS (
-          SELECT user_id, ts, value, event_id,
-            CASE WHEN LAG(ts) OVER w IS NULL
-              OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
-              THEN 1 ELSE 0 END AS new_sess
-          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        sessed AS (
-          SELECT user_id, ts, value,
-            SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-          FROM flagged),
-        agg AS (
-          SELECT user_id, MIN(ts) AS session_start,
-            MAX(ts) + INTERVAL 30 MINUTE AS session_end,
-            COUNT(*) AS n_events,
-            CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)
-              AS total_value
-          FROM sessed GROUP BY user_id, sid),
-        wm AS (
-          SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 5 MINUTE AS w
-          FROM events)
-        SELECT user_id, session_start, session_end, n_events, total_value
-        FROM agg, wm WHERE session_end <= w
-        ORDER BY user_id, session_start"""))
+      Some(sessionOracle))
   )
 }

@@ -155,6 +155,22 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q89: repetition ratios are shuffle-free up to the presentation sort") {
+    val p = plan("q89_repetition_ratio")
+    // per-row array math: the ONLY exchange allowed is the final
+    // orderBy's range partitioning — a hash exchange would mean the
+    // cheapest quality gate started shuffling the corpus
+    assert(!p.contains("Exchange hashpartitioning"),
+      "q89 must stay a scan→project pipeline")
+  }
+
+  test("q90: n-gram novelty is a gram equi-join, no doc-pair blowup") {
+    val p = plan("q90_ngram_novelty")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "novelty must join on the gram, never compare documents pairwise")
+  }
+
   test("column pruning: q03 scans only the needed lineitem columns") {
     val p = plan("q03_top_revenue_orders")
     val scan = p.linesIterator
