@@ -116,10 +116,6 @@ final class Registry(spark: SparkSession) {
   def topoOrder: Seq[String] = {
     val indeg = mutable.LinkedHashMap.empty[String, Int]
     defs.values.foreach { t =>
-      indeg.getOrElseUpdate(t.name, 0)
-      t.deps.filter(defs.contains).foreach { _ => () }
-    }
-    defs.values.foreach { t =>
       indeg(t.name) = t.deps.count(defs.contains)
     }
     val out = mutable.ArrayBuffer.empty[String]

@@ -3,7 +3,7 @@ package graft.pipelines
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.graph.{Mode, Registry, TableDef}
+import graft.graph.{Mode, Registry, TableDef, WriteMode}
 import graft.ops.Relational
 
 /** Market-maker uptime (zetadex-mm-uptime-pipeline-v3.sql): quote
@@ -76,6 +76,18 @@ object MMUptimePipeline {
           .agg(median(col("uptime_pct")).as("median_uptime"),
             count(lit(1)).as("n_makers"))
     }, mode = Mode.Full))
+
+    // K3 (U3:151–157): the published `cleaned_mm_uptime` — the reference
+    // appends each hourly notebook run with a raw `mode("append")
+    // .saveAsTable`, which doubles rows on a cluster re-run.
+    // WriteMode.Append materializes the same cadence as dynamic
+    // partition overwrite on the hour, so Runner.runBatch re-runs are
+    // idempotent per partition.
+    reg.register(TableDef("cleaned_mm_uptime", Seq("uptime_hourly"), {
+      case Seq(u) =>
+        u.withColumn("hour_", date_format(col("hour_start"), "yyyy-MM-dd-HH"))
+    }, mode = Mode.Full, partitionCols = Seq("hour_"),
+      writeMode = WriteMode.Append))
 
     reg
   }

@@ -32,6 +32,29 @@ class UptimeAmplitudeSpec extends AnyFunSuite {
     assert(med("2024-01-05 10:00:00.0") === 0.75)
   }
 
+  // K3 end-to-end at its real site (U3:151–157): the published
+  // cleaned_mm_uptime materializes through Runner.runBatch, and the
+  // hourly re-run cadence is idempotent — unlike the reference's raw
+  // append, which doubles rows on a cluster re-run.
+  test("cleaned_mm_uptime hourly append is idempotent through the Runner") {
+    val sp = spark
+    import sp.implicits._
+    val quotes = Seq(
+      (ts("2024-01-05 10:00:00"), "mm1", "SOL", "bid", 99.0, 1.0),
+      (ts("2024-01-05 10:00:00"), "mm1", "SOL", "ask", 101.0, 1.0))
+      .toDF("timestamp", "authority", "asset", "side", "price", "size")
+    val out = java.nio.file.Files.createTempDirectory("mm_k3").toString
+    val reg = MMUptimePipeline.build(sp, () => quotes.toDF())
+    graft.graph.Runner.runBatch(reg, out)
+    val once = sp.read.parquet(s"$out/cleaned_mm_uptime").count()
+    // the retried hourly run: same inputs, same partitions → same rows
+    graft.graph.Runner.runBatch(
+      MMUptimePipeline.build(sp, () => quotes.toDF()), out)
+    val twice = sp.read.parquet(s"$out/cleaned_mm_uptime").count()
+    assert(once > 0 && twice === once,
+      "a re-run must replace its hour partitions, not double them")
+  }
+
   test("Amplitude sessionization attributes events to connect windows") {
     val sp = spark
     import sp.implicits._
