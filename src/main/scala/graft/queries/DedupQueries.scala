@@ -279,7 +279,7 @@ object DedupQueries {
         LEFT JOIN surv s USING (doc_id)
         LEFT JOIN comp c USING (doc_id)
         ORDER BY doc_id"""))
-  ) :+ q29
+  ) :+ q29 :+ q92
 
   /** MinHash + LSH verified near-dup pairs (the q28 body, reused by the
     * q77 clustering and the q80 curation composition): returns
@@ -391,26 +391,25 @@ object DedupQueries {
     // at this corpus size; the 3×20-bit re-balancing for larger n is the
     // same call with groups = 3. The oracle, running at small scale,
     // does the quadratic form.
-  private val q29: Q =
-    Q("q29_simhash",
-      (s, d) => {
-        // bit j of simhash = majority vote of word-hash bit j, folded by
-        // the native SimHashSignature aggregate (one primitive vote
-        // buffer with map-side combine; a 60-column conditional-sum
-        // aggregate generates code past JIT limits, and HOF lambdas are
-        // interpreted)
-        val exw = QH.spread(s, col("doc_id"))(t(s, d, "documents"))
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-          .select(col("doc_id"),
-            expr("cast(conv(substring(md5(w), 1, 15), 16, 10) AS bigint)")
-              .as("h"))
-        // No cache(): simhash is an Aggregate output (no inlining risk).
-        val sig = exw.groupBy("doc_id")
-          .agg(expr("graft_simhash(h, 60)").as("simhash"))
-        simhashNearPairs(sig, groups = 4)
-          .orderBy("doc_a", "doc_b")
-      },
-      Some("""
+  /** 60-bit SimHash signatures over the documents table: bit j = majority
+    * vote of word-hash bit j, folded by the native SimHashSignature
+    * aggregate (one primitive vote buffer with map-side combine; a
+    * 60-column conditional-sum aggregate generates code past JIT limits,
+    * and HOF lambdas are interpreted). No cache(): the signature is an
+    * Aggregate output (no inlining risk). Shared by q29/q92. */
+  private def simhashSignatures(s: SparkSession, d: String): DataFrame =
+    QH.spread(s, col("doc_id"))(t(s, d, "documents"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"),
+        expr("cast(conv(substring(md5(w), 1, 15), 16, 10) AS bigint)")
+          .as("h"))
+      .groupBy("doc_id")
+      .agg(expr("graft_simhash(h, 60)").as("simhash"))
+
+  /** ONE oracle for both banding widths (q29 4×15-bit, q92 3×20-bit):
+    * the grouping is a candidate-generation strategy, not a semantics
+    * change — both must return exactly the quadratic Hamming-≤6 set. */
+  private val simhashOracle = """
         WITH w AS (
           SELECT doc_id, UNNEST(SPLIT(text, ' ')) AS word FROM documents),
         h AS (
@@ -433,5 +432,23 @@ object DedupQueries {
           CAST(BIT_COUNT(XOR(a.simhash, b.simhash)) AS INTEGER) AS hamming
         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         WHERE BIT_COUNT(XOR(a.simhash, b.simhash)) <= 6
-        ORDER BY doc_a, doc_b"""))
+        ORDER BY doc_a, doc_b"""
+
+  private val q29: Q =
+    Q("q29_simhash",
+      (s, d) => simhashNearPairs(simhashSignatures(s, d), groups = 4)
+        .orderBy("doc_a", "doc_b"),
+      Some(simhashOracle))
+
+  /** The large-n re-balancing of q29 under the same oracle: 3×20-bit
+    * groups with double-bit probes pay ~10× the probe rows for ~3× fewer
+    * random collisions (E ≈ n²/1657 vs n²/512) — the right trade once
+    * candidate verification dominates. Gating both widths against one
+    * oracle on real data (plus SimHashProperties on adversarial corpora)
+    * pins that the width knob never changes the result set. */
+  private val q92: Q =
+    Q("q92_simhash_wide",
+      (s, d) => simhashNearPairs(simhashSignatures(s, d), groups = 3)
+        .orderBy("doc_a", "doc_b"),
+      Some(simhashOracle))
 }

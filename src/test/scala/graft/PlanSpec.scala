@@ -49,8 +49,8 @@ class PlanSpec extends AnyFunSuite {
       "global top-k must use distributed partial top-k")
   }
 
-  test("q28/q29: sketch-banded dedup plans are pure equi joins") {
-    for (q <- Seq("q28_minhash_lsh", "q29_simhash")) {
+  test("q28/q29/q92: sketch-banded dedup plans are pure equi joins") {
+    for (q <- Seq("q28_minhash_lsh", "q29_simhash", "q92_simhash_wide")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q must band, not cross")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q must equi-join")
