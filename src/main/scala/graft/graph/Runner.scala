@@ -187,12 +187,28 @@ object Runner {
       // inference, or the union would mismatch) and on-disk columns
       // ABSENT from this batch ride along, so a pruned rewrite cannot
       // drop data from rows the batch never touched. mergeSchema: a
-      // column that exists only in SOME partitions' files must still be
-      // discovered — single-footer sampling would miss it and the
-      // rewrite would erase it from the partitions that have it
-      val extra = spark.read.option("mergeSchema", "true").parquet(path)
-        .schema.fields
-        .filterNot(f => batch.schema.fieldNames.contains(f.name))
+      // column that exists only in SOME files must still be discovered —
+      // single-footer sampling would miss it and the rewrite would erase
+      // it from the files that have it. The probe is scoped to the
+      // TOUCHED partition directories (only their columns can be
+      // erased), keeping the per-batch cost O(touched partitions) as
+      // documented — except when a touched partition value is null,
+      // whose hive dir encoding is private; that rare case pays the
+      // full-table probe.
+      val touchedDirs =
+        if (touched.exists(r => (0 until partitionCols.length)
+            .exists(r.isNullAt)))
+          Seq(path)
+        else touched.toSeq.map { r =>
+          partitionCols.zipWithIndex
+            .map { case (c, i) => s"$c=${r.get(i)}" }
+            .mkString(s"$path/", "/", "")
+        }.filter(dir => fs.exists(new HPath(dir)))
+      val extra =
+        if (touchedDirs.isEmpty) Array.empty[org.apache.spark.sql.types.StructField]
+        else spark.read.option("mergeSchema", "true")
+          .parquet(touchedDirs: _*).schema.fields
+          .filterNot(f => batch.schema.fieldNames.contains(f.name))
       val readSchema =
         org.apache.spark.sql.types.StructType(batch.schema.fields ++ extra)
       val existing = spark.read.schema(readSchema).parquet(path)
@@ -250,6 +266,7 @@ object Runner {
     val written = boundaries.map { name =>
       val path = s"$outDir/$name"
       val checkpoint = s"$outDir/_checkpoints/$name"
+      val resolved = streamReg.resolve(name)
       val q = defs(name).map(_.writeMode).getOrElse(WriteMode.Overwrite) match {
         case WriteMode.Upsert(keys, seqCol, tie) =>
           // §2.10 streaming apply_changes as a sink: update-mode batches
@@ -259,7 +276,7 @@ object Runner {
           // merge is idempotent, so at-least-once foreachBatch delivery
           // still converges to exactly the batch apply_changes result.
           val parts = defs(name).map(_.partitionCols).getOrElse(Nil)
-          streamReg.resolve(name).writeStream
+          resolved.writeStream
             .outputMode("update")
             .option("checkpointLocation", checkpoint)
             .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -271,7 +288,7 @@ object Runner {
             .start()
         case _ =>
           // parquet file sink: append-only with an exactly-once sink log
-          streamReg.resolve(name).writeStream
+          resolved.writeStream
             .format("parquet")
             .option("path", path)
             .option("checkpointLocation", checkpoint)
@@ -279,7 +296,9 @@ object Runner {
             .start()
       }
       q.awaitTermination()
-      name -> path
+      // the boundary's PLAN schema, for the same reason as runBatch:
+      // consumers must not see directory-inference re-typing
+      name -> (path, resolved.schema)
     }.toMap
 
     // Full tables batch-read the materialized boundaries; static
@@ -288,8 +307,8 @@ object Runner {
     reg.sourceLoaders.foreach { case (n, f) =>
       if (!written.contains(n)) batchReg.source(n, f)
     }
-    written.foreach { case (n, p) =>
-      batchReg.source(n, () => spark.read.parquet(p))
+    written.foreach { case (n, (p, schema)) =>
+      batchReg.source(n, () => spark.read.schema(schema).parquet(p))
     }
     full.flatMap(defs(_)).foreach(batchReg.register)
     val fullOut = full.map { name =>
@@ -305,6 +324,6 @@ object Runner {
         batchReg.source(name, () => spark.read.schema(planSchema).parquet(path))
       name -> path
     }.toMap
-    written ++ fullOut
+    written.view.mapValues(_._1).toMap ++ fullOut
   }
 }

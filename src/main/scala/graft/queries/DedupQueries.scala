@@ -384,19 +384,14 @@ object DedupQueries {
       .select("doc_a", "doc_b", "hamming")
   }
 
-    // SimHash signatures + near-pairs by Hamming distance ≤ 6 of 60 bits
-    // (word hashes = first 15 hex digits of md5, so the DuckDB oracle
-    // reproduces them exactly). Candidate generation via
-    // [[simhashNearPairs]] at the 4×15-bit setting — the right balance
-    // at this corpus size; the 3×20-bit re-balancing for larger n is the
-    // same call with groups = 3. The oracle, running at small scale,
-    // does the quadratic form.
-  /** 60-bit SimHash signatures over the documents table: bit j = majority
-    * vote of word-hash bit j, folded by the native SimHashSignature
-    * aggregate (one primitive vote buffer with map-side combine; a
-    * 60-column conditional-sum aggregate generates code past JIT limits,
-    * and HOF lambdas are interpreted). No cache(): the signature is an
-    * Aggregate output (no inlining risk). Shared by q29/q92. */
+  /** 60-bit SimHash signatures over the documents table (word hashes =
+    * first 15 hex digits of md5, so the DuckDB oracle reproduces them
+    * exactly): bit j = majority vote of word-hash bit j, folded by the
+    * native SimHashSignature aggregate (one primitive vote buffer with
+    * map-side combine; a 60-column conditional-sum aggregate generates
+    * code past JIT limits, and HOF lambdas are interpreted). No cache():
+    * the signature is an Aggregate output (no inlining risk). Shared by
+    * q29/q92. */
   private def simhashSignatures(s: SparkSession, d: String): DataFrame =
     QH.spread(s, col("doc_id"))(t(s, d, "documents"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))

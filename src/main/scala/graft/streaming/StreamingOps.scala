@@ -119,11 +119,19 @@ object StreamingOps {
                state: GroupState[UserSessions]): Iterator[SessionRow] = {
       val existing = state.getOption.map(_.sessions).getOrElse(Nil)
       // decimal(…,6) conversion mirrors the oracle's
-      // CAST(value AS DECIMAL(28,6)) so sums stay bit-comparable
-      val incoming = batch.map(e =>
-        SessionIv(microsOf(e.ts), microsOf(e.ts), 1L,
-          BigDecimal.decimal(e.value)
-            .setScale(6, BigDecimal.RoundingMode.HALF_UP))).toList
+      // CAST(value AS DECIMAL(28,6)) so sums stay bit-comparable.
+      // Non-finite values contribute 0, mirroring how the declarative
+      // path's decimal cast NULLs them out of the SUM (the residual
+      // divergence — an all-non-finite session sums to 0 here vs NULL
+      // there — beats crashing the state function on the first NaN).
+      val incoming = batch.map { e =>
+        val v =
+          if (java.lang.Double.isFinite(e.value))
+            BigDecimal.decimal(e.value)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          else BigDecimal(0)
+        SessionIv(microsOf(e.ts), microsOf(e.ts), 1L, v)
+      }.toList
       // interval merge over (state ∪ batch), sorted: two sessions fuse
       // when the later one starts inside [start, end + gap] — INCLUSIVE
       // of the endpoint, matching session_window's adjacent-merge rule
@@ -158,11 +166,14 @@ object StreamingOps {
         // millisecond and never moves again, the strict-exceed rule
         // keeps that session open where session_window would emit it —
         // a 1 ms-measure coincidence, noted for honesty. (Timer API is
-        // millisecond-granular; the floor-div keeps the arm ≤ the true
-        // micros close time, preserving the early-not-late invariant.)
-        state.setTimeoutTimestamp(
-          math.max(wm + 1L,
-            Math.floorDiv(open.map(_.end).min + gapUs, 1000L) - 1L))
+        // millisecond-granular; the CEILING-div arms one ms before the
+        // first millisecond at which the micros close time is evictable
+        // — a floor-div would fire one ms too early for sub-ms close
+        // times, fail the eviction check, and re-arm into the clamp,
+        // widening the stranding corner.)
+        val firstEvictableMs =
+          Math.floorDiv(open.map(_.end).min + gapUs + 999L, 1000L)
+        state.setTimeoutTimestamp(math.max(wm + 1L, firstEvictableMs - 1L))
       }
       closed.iterator.map(toRow(user, _))
     }
