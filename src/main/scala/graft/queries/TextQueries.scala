@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import QH._
 
@@ -448,6 +449,184 @@ object TextQueries {
           CAST(SUM(CASE WHEN f.nd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
           ROUND(CAST(SUM(CASE WHEN f.nd = 1 THEN 1 ELSE 0 END) AS DOUBLE)
             / COUNT(*), 6) AS novelty
-        FROM g JOIN f USING (gram) GROUP BY g.doc_id ORDER BY g.doc_id"""))
+        FROM g JOIN f USING (gram) GROUP BY g.doc_id ORDER BY g.doc_id""")),
+
+    // BM25 keyword scoring — the retrieval side of a training-data
+    // engine (data selection by query relevance, not just dedup). The
+    // scale shape is two linear passes: one tiny global agg (N, Σdl,
+    // per-term df — a single broadcast-back row), then a scan that
+    // scores per-row with codegen'd array math and a
+    // TakeOrderedAndProject top-k. tf is computed with a per-row
+    // `filter(words, …)` rather than explode+groupBy — no token shuffle
+    // at all, and the hot stopword-key skew problem never exists.
+    // Determinism: the classic log-IDF is replaced by the rational
+    // Robertson-Sparck-Jones core (N - df + 0.5)/(df + 0.5) so every
+    // value is reached by IEEE-754 +−×÷ on the SAME expression tree in
+    // both engines — `ln` is libm-dependent and would break the
+    // driver's bit-exact hash gate. k1 = 1.2, b = 0.75.
+    Q("q93_bm25",
+      (s, d) => {
+        val terms = Seq("spark", "window", "merge")
+        val docs = t(s, d, "documents")
+          .withColumn("words", split(col("text"), " "))
+          .withColumn("dl", size(col("words")).cast("double"))
+        val withTf = terms.foldLeft(docs) { (df, tm) =>
+          df.withColumn(s"tf_$tm",
+            expr(s"size(filter(words, w -> w = '$tm'))").cast("double"))
+        }
+        val stats = withTf.agg(
+          (count(lit(1)).cast("double")).as("n_docs"),
+          (sum(size(col("words"))).cast("double")
+            / count(lit(1))).as("avgdl") +:
+            terms.map(tm => sum((col(s"tf_$tm") > 0).cast("long"))
+              .cast("double").as(s"df_$tm")): _*)
+        def score(tm: String): Column = {
+          val tf = col(s"tf_$tm"); val df = col(s"df_$tm")
+          (col("n_docs") - df + lit(0.5)) / (df + lit(0.5)) *
+            (tf * lit(2.2)) /
+            (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+        }
+        withTf.crossJoin(broadcast(stats))
+          .filter(terms.map(tm => col(s"tf_$tm")).reduce(_ + _) > 0)
+          .select(col("doc_id"),
+            round(terms.map(score).reduce(_ + _), 6).as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""
+        WITH w AS (
+          SELECT doc_id, STRING_SPLIT(text, ' ') AS words FROM documents),
+        t AS (
+          SELECT doc_id,
+            CAST(LEN(words) AS DOUBLE) AS dl,
+            CAST(LEN(LIST_FILTER(words, x -> x = 'spark')) AS DOUBLE) AS tf_spark,
+            CAST(LEN(LIST_FILTER(words, x -> x = 'window')) AS DOUBLE) AS tf_window,
+            CAST(LEN(LIST_FILTER(words, x -> x = 'merge')) AS DOUBLE) AS tf_merge
+          FROM w),
+        g AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+            CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS DOUBLE) / COUNT(*) AS avgdl,
+            CAST(SUM(CASE WHEN LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+              x -> x = 'spark')) > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_spark,
+            CAST(SUM(CASE WHEN LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+              x -> x = 'window')) > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_window,
+            CAST(SUM(CASE WHEN LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+              x -> x = 'merge')) > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_merge
+          FROM documents)
+        SELECT doc_id,
+          ROUND(
+            (n_docs - df_spark + 0.5) / (df_spark + 0.5) *
+              (tf_spark * 2.2) /
+              (tf_spark + 1.2 * (0.25 + 0.75 * dl / avgdl))
+            + (n_docs - df_window + 0.5) / (df_window + 0.5) *
+              (tf_window * 2.2) /
+              (tf_window + 1.2 * (0.25 + 0.75 * dl / avgdl))
+            + (n_docs - df_merge + 0.5) / (df_merge + 0.5) *
+              (tf_merge * 2.2) /
+              (tf_merge + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS bm25
+        FROM t, g
+        WHERE tf_spark + tf_window + tf_merge > 0
+        ORDER BY bm25 DESC, doc_id LIMIT 20""")),
+
+    // Sliding-window chunking — the tokenizer-side splitter that turns
+    // long documents into overlapping max-length training windows
+    // (max_len 64 tokens, stride 48 → 16-token overlap, the BERT-style
+    // recipe). Pure per-row generate + slice: `sequence` starts,
+    // `posexplode`, `slice` — codegen'd, no shuffle before the
+    // presentation sort, row count grows by len/stride (bounded fan-out,
+    // unlike gram explosion). At 100 TB this runs in the same scan as
+    // the quality gates.
+    Q("q94_chunk_windows",
+      (s, d) =>
+        t(s, d, "documents")
+          .withColumn("words", split(col("text"), " "))
+          .select(col("doc_id"), col("words"),
+            posexplode(expr("sequence(1, size(words), 48)"))
+              .as(Seq("chunk_idx", "start")))
+          .select(col("doc_id"),
+            col("chunk_idx").cast("long").as("chunk_idx"),
+            col("start").cast("long").as("start_tok"),
+            expr("size(slice(words, start, 64))").cast("long").as("n_tokens"),
+            expr("array_join(slice(words, start, 64), ' ')").as("chunk_text"))
+          .orderBy("doc_id", "chunk_idx"),
+      Some("""
+        WITH w AS (
+          SELECT doc_id, STRING_SPLIT(text, ' ') AS words FROM documents),
+        c AS (
+          SELECT doc_id, words,
+            UNNEST(GENERATE_SERIES(1, LEN(words), 48)) AS start FROM w)
+        SELECT doc_id,
+          CAST((start - 1) // 48 AS BIGINT) AS chunk_idx,
+          CAST(start AS BIGINT) AS start_tok,
+          CAST(LEN(words[start : start + 63]) AS BIGINT) AS n_tokens,
+          ARRAY_TO_STRING(words[start : start + 63], ' ') AS chunk_text
+        FROM c ORDER BY doc_id, chunk_idx""")),
+
+    // Tokenizer-vocabulary construction: global term frequencies, the
+    // top-50 vocabulary by (count desc, term), and each prefix's
+    // cumulative corpus coverage — the first step of BPE/WordPiece vocab
+    // building. Scale shape: one map-side-combined token count (the only
+    // shuffle; hot stopword keys are absorbed by partial aggregation),
+    // a scalar total, a TakeOrderedAndProject top-k, and a window over
+    // the 50 SURVIVING rows only (the single-partition window is
+    // vocab-top-k-sized by construction, never corpus-sized).
+    Q("q95_vocab_coverage",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val counts = QH.spread(s, col("doc_id"))(t(s, d, "documents"))
+          .select(explode(split(col("text"), " ")).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("cnt"))
+        val total = counts.agg(sum(col("cnt")).as("total"))
+        val top = counts.orderBy(col("cnt").desc, col("term")).limit(50)
+        val w = Window.orderBy(col("cnt").desc, col("term"))
+        top.crossJoin(broadcast(total))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .withColumn("cum_cnt", sum(col("cnt")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select(col("rank"), col("term"), col("cnt"), col("cum_cnt"),
+            round(col("cum_cnt").cast("double") / col("total"), 6)
+              .as("coverage"))
+          .orderBy("rank")
+      },
+      Some("""
+        WITH t AS (
+          SELECT UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents),
+        c AS (SELECT term, COUNT(*) AS cnt FROM t GROUP BY term),
+        tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c),
+        top AS (SELECT term, cnt FROM c ORDER BY cnt DESC, term LIMIT 50),
+        r AS (
+          SELECT term, cnt,
+            CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS rank,
+            CAST(SUM(cnt) OVER (ORDER BY cnt DESC, term
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS cum_cnt
+          FROM top)
+        SELECT rank, term, cnt, cum_cnt,
+          ROUND(CAST(cum_cnt AS DOUBLE) / total, 6) AS coverage
+        FROM r, tot ORDER BY rank""")),
+
+    // PII-redaction-shaped regex scrub: mask every match of a sensitive
+    // pattern and count redactions per document. On real corpora the
+    // pattern set is emails/phones/SSNs; this synthetic vocab corpus has
+    // none, so three present vocabulary words stand in — the machinery
+    // (regexp_count + regexp_replace over the full text column, both
+    // codegen'd, zero shuffle) is exactly the production op. Pattern
+    // stays in the Java∩RE2 common subset (`\b`, alternation) so the
+    // oracle matches byte-for-byte.
+    Q("q96_regex_scrub",
+      (s, d) =>
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            regexp_count(col("text"), lit("\\b(key|value|hash)\\b"))
+              .cast("long").as("n_masked"),
+            regexp_replace(col("text"), "\\b(key|value|hash)\\b", "<MASK>")
+              .as("scrubbed"))
+          .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id,
+          CAST(LEN(REGEXP_EXTRACT_ALL(text, '\b(key|value|hash)\b')) AS BIGINT)
+            AS n_masked,
+          REGEXP_REPLACE(text, '\b(key|value|hash)\b', '<MASK>', 'g') AS scrubbed
+        FROM documents ORDER BY doc_id"""))
   )
 }

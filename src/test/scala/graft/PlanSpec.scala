@@ -171,6 +171,31 @@ class PlanSpec extends AnyFunSuite {
       "novelty must join on the gram, never compare documents pairwise")
   }
 
+  test("q93: BM25 never shuffles tokens; top-k is TakeOrderedAndProject") {
+    val p = plan("q93_bm25")
+    // tf comes from per-row filter(words, …), so the only exchanges are
+    // the 1-row stats agg (SinglePartition) and its broadcast — a hash
+    // exchange would mean an exploded token shuffle snuck back in
+    assert(!p.contains("Exchange hashpartitioning"),
+      "q93 must compute tf per-row, not via explode+groupBy")
+    assert(p.contains("TakeOrderedAndProject"),
+      "q93 top-20 must be TakeOrderedAndProject, not a global sort")
+  }
+
+  test("q94/q96: chunker and scrub are scan→project pipelines") {
+    for (q <- Seq("q94_chunk_windows", "q96_regex_scrub")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q must not shuffle before the presentation sort")
+    }
+  }
+
+  test("q95: vocab top-50 is TakeOrderedAndProject; window sees 50 rows") {
+    val p = plan("q95_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"),
+      "q95 must TakeOrdered the vocab, never globally sort the counts")
+  }
+
   test("column pruning: q03 scans only the needed lineitem columns") {
     val p = plan("q03_top_revenue_orders")
     val scan = p.linesIterator
