@@ -278,7 +278,76 @@ object DedupQueries {
         FROM flags f
         LEFT JOIN surv s USING (doc_id)
         LEFT JOIN comp c USING (doc_id)
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // EXACT SUBSTRING dedup — the span-level sibling of q26 (whole-doc)
+    // and q28 (whole-doc fuzzy): for every document, the fraction of its
+    // 8-gram token positions whose gram also appears in ANOTHER document
+    // ("Deduplicating Training Data Makes Language Models Better"-style
+    // duplicated-span measurement at gram granularity, the signal used
+    // to cut boilerplate and templated spans from training corpora).
+    //
+    // Scale shape — three shuffles, all map-side combined, never a
+    // doc×doc pair: grams are built LINEARLY with lead() over the
+    // exploded token stream (carrying the words array through a
+    // stride-1 posexplode would copy the whole array per gram row —
+    // O(len²) bytes per doc); a gram is cross-doc duplicated iff
+    // min(doc_id) ≠ max(doc_id) — min/max partial-aggregate absorbs
+    // hot boilerplate grams map-side where a countDistinct could not;
+    // the gram→dup-gram equi-join then reuses the aggregation's hash
+    // partitioning on the gram key. Gram identity is xxhash64 of the 8
+    // words — as with q28's shingles, any injective encoding yields the
+    // same counts as the oracle's string grams.
+    Q("q98_substring_dedup",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val docs = t(s, d, "documents")
+          .withColumn("n_grams",
+            (size(split(col("text"), " ")) - 7).cast("long"))
+          .filter(col("n_grams") >= 1)
+        val grams = QH.spread(s, col("doc_id"))(docs)
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        val hashed = (1 to 7).foldLeft(grams)((df, i) =>
+            df.withColumn(s"w$i", lead(col("w"), i).over(w)))
+          .filter(col("w7").isNotNull)
+          .select(col("doc_id"),
+            xxhash64((col("w") +: (1 to 7).map(i => col(s"w$i"))): _*).as("g"))
+        val dupGrams = hashed.groupBy("g")
+          .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+          .filter(col("mn") =!= col("mx"))
+          .select("g")
+        val perDoc = hashed.join(dupGrams, Seq("g"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+        docs.select("doc_id", "n_grams")
+          .join(perDoc, Seq("doc_id"), "left")
+          .withColumn("n_dup", coalesce(col("n_dup"), lit(0L)))
+          .withColumn("dup_frac",
+            round(col("n_dup").cast("double") / col("n_grams"), 6))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH docs AS (
+          SELECT doc_id, STRING_SPLIT(text, ' ') AS words FROM documents),
+        sized AS (
+          SELECT doc_id, words, CAST(LEN(words) - 7 AS BIGINT) AS n_grams
+          FROM docs WHERE LEN(words) >= 8),
+        g AS (
+          SELECT doc_id, UNNEST([ARRAY_TO_STRING(words[i : i + 7], ' ')
+            for i in GENERATE_SERIES(1, LEN(words) - 7)]) AS gram
+          FROM sized),
+        dup AS (
+          SELECT gram FROM g GROUP BY gram HAVING MIN(doc_id) <> MAX(doc_id)),
+        cnt AS (
+          SELECT doc_id, COUNT(*) AS n_dup
+          FROM g JOIN dup USING (gram) GROUP BY doc_id)
+        SELECT s.doc_id, s.n_grams,
+          CAST(COALESCE(c.n_dup, 0) AS BIGINT) AS n_dup,
+          ROUND(CAST(COALESCE(c.n_dup, 0) AS DOUBLE) / s.n_grams, 6)
+            AS dup_frac
+        FROM sized s LEFT JOIN cnt c USING (doc_id)
+        ORDER BY s.doc_id"""))
   ) :+ q29 :+ q92
 
   /** MinHash + LSH verified near-dup pairs (the q28 body, reused by the

@@ -762,6 +762,54 @@ object ExtendedQueries {
       Some("""
         SELECT event_id, user_id, event_type FROM events
         WHERE MD5(CAST(event_id AS VARCHAR)) < '4'
-        ORDER BY event_id"""))
+        ORDER BY event_id""")),
+
+    // MERGEABLE SKETCHES with their error contracts pinned on real data
+    // — the 100 TB replacements for two aggregations that do not scale
+    // exactly: COUNT(DISTINCT) (expands to a two-level shuffle of every
+    // distinct pair) and exact percentiles (buffers every value of a
+    // group in one task). HyperLogLog++ (`approx_count_distinct`) and
+    // the Greenwald–Khanna summary (`percentile_approx`) are one-pass,
+    // constant-state, merge-associative — partial-aggregated map-side
+    // like any sum.
+    //
+    // Gate design: approximate values cannot hash-match a DuckDB
+    // oracle, so the query emits the EXACT statistics (which the oracle
+    // recomputes) plus BOOLEAN error-contract columns the oracle
+    // expects to be TRUE. Both booleans are deterministic, not flaky:
+    // HLL's registers are order-insensitive (max-merge), and GK's rank
+    // error ≤ n/accuracy is a worst-case guarantee holding under ANY
+    // partial-merge order — the sketch value may vary run to run inside
+    // the band, the band membership cannot. The exact columns double as
+    // the proof the band is meaningful (p50_sketch sits inside the
+    // exact [p45, p55] envelope at 1% guaranteed rank error). At scale
+    // the exact columns are what you delete, keeping the sketches.
+    Q("q99_sketch_bounds",
+      (s, d) =>
+        t(s, d, "events")
+          .groupBy("event_type")
+          .agg(
+            countDistinct(col("user_id")).as("n_users_exact"),
+            approx_count_distinct(col("user_id"), 0.02).as("hll"),
+            expr("percentile(value, array(0.45D, 0.5D, 0.55D))").as("pex"),
+            percentile_approx(col("value"), lit(0.5), lit(100))
+              .as("p50_sketch"),
+            count(lit(1)).as("n"))
+          .select(col("event_type"), col("n_users_exact"),
+            (abs(col("hll") - col("n_users_exact")) <=
+              col("n_users_exact") * lit(0.1)).as("hll_ok"),
+            round(element_at(col("pex"), 2), 6).as("p50_exact"),
+            (col("p50_sketch") >= element_at(col("pex"), 1) &&
+              col("p50_sketch") <= element_at(col("pex"), 3)).as("p50_ok"),
+            col("n"))
+          .orderBy("event_type"),
+      Some("""
+        SELECT event_type,
+          COUNT(DISTINCT user_id) AS n_users_exact,
+          TRUE AS hll_ok,
+          ROUND(QUANTILE_CONT(value, 0.5), 6) AS p50_exact,
+          TRUE AS p50_ok,
+          COUNT(*) AS n
+        FROM events GROUP BY event_type ORDER BY event_type"""))
   )
 }

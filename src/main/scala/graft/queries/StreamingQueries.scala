@@ -334,6 +334,113 @@ object StreamingQueries {
     // session payload outgrows count/sum (capped sessions, per-session
     // sketches). Session sums accumulate as exact decimals in the state
     // store, so the result is bit-stable under any micro-batch order.
+    // STREAM×STREAM join under the hard gate — the one §2.11 join family
+    // the reference never exercises (its streaming joins are all
+    // stream-static dims, J1/J2) but any real-time engine needs:
+    // two live feeds joined on key + event-time range (clicks to the
+    // purchases that follow within 30 minutes). Both sides declare
+    // watermarks and the range condition bounds BOTH event times, so
+    // Spark derives state-eviction watermarks for each side — state
+    // holds only the trailing 30-minute-plus-disorder horizon per key,
+    // never the full history (the 100 TB contract: state is O(rate ×
+    // horizon), not O(stream)).
+    //
+    // Staging makes the cross-batch state handoff DETERMINISTIC, not
+    // probabilistic: clicks replay as two time-contiguous slices
+    // (batches 1–2), purchases only in the final slice (batch 3). Every
+    // single match therefore joins a batch-3 purchase against a click
+    // held in the join STATE STORE from an earlier batch — with
+    // coarse time slices and aligned feeds, a within-30-min pair would
+    // almost never straddle a slice boundary and the state machinery
+    // would go untested. Until the purchase side sees data, its
+    // watermark node reports no progress, and Spark's multi-watermark
+    // policy (global = MIN over inputs — the same policy q76's oracle
+    // pins with LEAST) holds the global watermark at zero — so the
+    // clicks provably survive in state, and no row is ever late. The
+    // inner join then emits exactly the batch-join result, which is
+    // what the oracle checks. In production with aligned feeds the same
+    // range condition bounds BOTH sides' state to the 30-minute-plus-
+    // disorder horizon per key — state is O(rate × horizon), not
+    // O(stream).
+    Q("q97_stream_stream_join",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val staged = Files.createTempDirectory("graft_q97_src_").toString
+        // staging scaffolding (not the operator): ntile's global sort is
+        // test-rig-only
+        graft.tables.Tables.events(s, d)
+          .withColumn("batch_",
+            when(col("event_type") === "purchase", 2)
+              .otherwise(
+                ntile(2).over(Window.orderBy(col("ts"), col("event_id"))) - 1))
+          .repartition(3, col("batch_"))
+          .write.mode("overwrite").partitionBy("batch_").parquet(staged)
+        // FileStreamSource replays oldest-modified first; same-ms writes
+        // would leave slice order unstable, so stamp mtimes explicitly
+        for (b <- 0 to 2) {
+          val dir = java.nio.file.Paths.get(staged, s"batch_=$b")
+          val t0 = java.nio.file.attribute.FileTime
+            .fromMillis(1700000000000L + b * 60000L)
+          val ls = Files.list(dir)
+          try ls.forEach(p => Files.setLastModifiedTime(p, t0))
+          finally ls.close()
+        }
+        val schema = s.read.parquet(staged).schema
+        val reg = new Registry(s)
+        reg.source("clicks_feed", () =>
+          graft.tables.Tables.events(s, d)
+            .filter(col("event_type") === "click"))
+        reg.source("purchases_feed", () =>
+          graft.tables.Tables.events(s, d)
+            .filter(col("event_type") === "purchase"))
+        reg.register(TableDef("click_purchases",
+          Seq("clicks_feed", "purchases_feed"), {
+            case Seq(c, p) =>
+              val cw = c.withWatermark("ts", "10 minutes")
+                .select(col("user_id"), col("event_id").as("click_id"),
+                  col("ts").as("click_ts"))
+              val pw = p.withWatermark("ts", "10 minutes")
+                .select(col("user_id").as("p_user_id"),
+                  col("event_id").as("purchase_id"),
+                  col("ts").as("purchase_ts"),
+                  col("value").as("purchase_value"))
+              cw.join(pw, col("user_id") === col("p_user_id") &&
+                  col("purchase_ts") >= col("click_ts") &&
+                  col("purchase_ts") <= col("click_ts") +
+                    expr("INTERVAL 30 MINUTES"))
+                .select(col("user_id"), col("click_id"), col("click_ts"),
+                  col("purchase_id"), col("purchase_ts"),
+                  col("purchase_value"))
+          }, mode = Mode.Incremental))
+        def feed(tp: String) = () =>
+          s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staged)
+            .filter(col("event_type") === tp)
+            .drop("batch_")
+        val out = Files.createTempDirectory("graft_q97_").toString
+        withStatePartitions(s, 4) {
+          graft.graph.Runner.runStreamingThenFull(s, reg,
+            Map("clicks_feed" -> feed("click"),
+              "purchases_feed" -> feed("purchase")),
+            out)
+        }
+        s.read.parquet(s"$out/click_purchases")
+          .orderBy("click_id", "purchase_id")
+      },
+      Some("""
+        SELECT c.user_id, c.event_id AS click_id,
+          CAST(c.ts AS TIMESTAMP) AS click_ts,
+          p.event_id AS purchase_id,
+          CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+          p.value AS purchase_value
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts
+         AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        ORDER BY click_id, purchase_id""")),
+
     Q("q91_stateful_sessions",
       (s, d) => {
         import s.implicits._

@@ -627,6 +627,50 @@ object TextQueries {
           CAST(LEN(REGEXP_EXTRACT_ALL(text, '\b(key|value|hash)\b')) AS BIGINT)
             AS n_masked,
           REGEXP_REPLACE(text, '\b(key|value|hash)\b', '<MASK>', 'g') AS scrubbed
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // STRATIFIED train/val/test split — the last step before a corpus
+    // ships to training. Assignment is a row-local projection on a
+    // PORTABLE deterministic hash (md5 of the document key, the q66
+    // device): no global sort, no shuffle, no rand() — the same doc
+    // lands in the same split on every engine, every re-run, and under
+    // corpus growth (adding documents never reassigns existing ones —
+    // the property a random or rank-based split lacks, and the reason
+    // eval contamination can't creep in between corpus versions). First
+    // hex nibble buckets 16 ways: 2/16 test, 2/16 val, 12/16 train.
+    // The aggregation below is the stratification REPORT (per-language
+    // doc/token counts and within-language shares); its window runs
+    // over lang×split group rows, never corpus rows.
+    Q("q100_stratified_split",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val nib = substring(md5(col("doc_id").cast("string")), 1, 1)
+        t(s, d, "documents")
+          .withColumn("split",
+            when(nib < "2", "test").when(nib < "4", "val")
+              .otherwise("train"))
+          .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+          .groupBy("lang", "split")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+          .withColumn("frac_docs",
+            round(col("n_docs").cast("double") /
+              sum(col("n_docs")).over(Window.partitionBy("lang")), 6))
+          .orderBy("lang", "split")
+      },
+      Some("""
+        WITH a AS (
+          SELECT lang,
+            CASE WHEN SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 1) < '2'
+                THEN 'test'
+              WHEN SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'
+                THEN 'val'
+              ELSE 'train' END AS split,
+            LEN(STRING_SPLIT(text, ' ')) AS n_tok
+          FROM documents)
+        SELECT lang, split, COUNT(*) AS n_docs,
+          CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+          ROUND(CAST(COUNT(*) AS DOUBLE) /
+            SUM(COUNT(*)) OVER (PARTITION BY lang), 6) AS frac_docs
+        FROM a GROUP BY lang, split ORDER BY lang, split"""))
   )
 }

@@ -196,6 +196,27 @@ class PlanSpec extends AnyFunSuite {
       "q95 must TakeOrdered the vocab, never globally sort the counts")
   }
 
+  test("q98: substring dedup joins on the gram key, never doc×doc") {
+    val p = plan("q98_substring_dedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "dup-span detection must be a gram-key equi join")
+    // the dup-gram side is fact-derived (one row per distinct shared
+    // gram): a forced broadcast would collect it on the driver at scale
+    assert(!logical("q98_substring_dedup").contains("strategy=broadcast"),
+      "no forced broadcast of the fact-derived dup-gram frame")
+  }
+
+  test("q100: split assignment is row-local — no pre-agg shuffle") {
+    // the ONLY exchanges are the lang×split aggregation and the
+    // per-lang share window; a third would mean the hash-split
+    // projection itself started shuffling corpus rows
+    val p = plan("q100_stratified_split")
+    val shuffles = "Exchange (hash|range)partitioning".r.findAllIn(p).size
+    assert(shuffles <= 3,
+      s"split must assign per-row and aggregate once, got $shuffles")
+  }
+
   test("column pruning: q03 scans only the needed lineitem columns") {
     val p = plan("q03_top_revenue_orders")
     val scan = p.linesIterator
