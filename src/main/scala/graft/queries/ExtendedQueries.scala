@@ -810,6 +810,91 @@ object ExtendedQueries {
           ROUND(QUANTILE_CONT(value, 0.5), 6) AS p50_exact,
           TRUE AS p50_ok,
           COUNT(*) AS n
-        FROM events GROUP BY event_type ORDER BY event_type"""))
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ROLLING DISTINCT over time via mergeable sketches — the pattern
+    // q99's HLL unlocks and the reason mergeability matters: distinct
+    // counts don't decompose over windows (a user active on 5 of the 7
+    // days must count once), so the exact rolling form must touch every
+    // EVENT 7 times. The sketch form pre-aggregates ONE DataSketches HLL
+    // per day (events touched once) and then unions 7 daily sketches
+    // per window day — O(days × 7) sketch merges instead of O(events ×
+    // 7) rows, the standard at-scale shape for "7-day active users".
+    // Both paths run here; the oracle recomputes the exact one, and the
+    // sketch estimate must land within 10% of it (default lgConfigK=12
+    // HLL has ~1.6% rsd; the bound is deterministic on fixed data since
+    // sketch build is item-wise and union is register-max, both
+    // insensitive to duplicate order and merge order).
+    Q("q101_rolling_distinct_sketch",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(to_date(col("ts")).as("day"), col("user_id"))
+        val days = ev.select(col("day")).distinct()
+        // exact rolling 7-day: each event row fans out to the 7 window
+        // days it contributes to — an equi-join-shaped expansion (no
+        // range join), correct at any scale but 7× the event rows
+        val exact = ev
+          .withColumn("window_day",
+            explode(expr("sequence(day, date_add(day, 6))")))
+          .groupBy("window_day")
+          .agg(countDistinct(col("user_id")).as("n_users_7d"))
+        // sketch rolling 7-day: daily HLL first (events touched once),
+        // then the 7× fanout carries 1.5 kB sketches, not events
+        val sketch = ev
+          .groupBy("day").agg(hll_sketch_agg(col("user_id")).as("hll"))
+          .withColumn("window_day",
+            explode(expr("sequence(day, date_add(day, 6))")))
+          .groupBy("window_day")
+          .agg(hll_sketch_estimate(hll_union_agg(col("hll"))).as("est"))
+        exact.join(sketch, Seq("window_day"))
+          .join(days.withColumnRenamed("day", "window_day"),
+            Seq("window_day")) // only days that exist in the data
+          .select(col("window_day").as("day"), col("n_users_7d"),
+            (abs(col("est") - col("n_users_7d")) <=
+              col("n_users_7d") * lit(0.1)).as("sketch_ok"))
+          .orderBy("day")
+      },
+      Some("""
+        WITH e AS (
+          SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id
+          FROM events),
+        days AS (SELECT DISTINCT day FROM e)
+        SELECT d.day, COUNT(DISTINCT e.user_id) AS n_users_7d,
+          TRUE AS sketch_ok
+        FROM days d JOIN e ON e.day BETWEEN d.day - 6 AND d.day
+        GROUP BY d.day ORDER BY d.day""")),
+
+    // STRATIFIED RESERVOIR — k documents per language, deterministic:
+    // rank key is the md5-prefix uniform (the q82 device), selection is
+    // the k-BOUNDED native top-k aggregate (expressions/BoundedTopK),
+    // so every map task ships at most k rows per stratum into the
+    // shuffle — reservoir sampling's fixed-memory guarantee,
+    // DISTRIBUTED, which the row_number()-over-full-sort form (the
+    // oracle) cannot give at 100 TB. Deterministic hash keys make the
+    // "reservoir" reproducible across engines and re-runs.
+    Q("q102_stratified_reservoir",
+      (s, d) => {
+        // u = first 13 md5 hex digits as an integer (exact in a double);
+        // BoundedTopK keeps the k LARGEST ords, so rank on -u == k
+        // smallest md5 prefixes == the oracle's ORDER BY md5 ascending
+        val u = conv(substring(md5(col("doc_id").cast("string")), 1, 13),
+          16, 10).cast("long")
+        t(s, d, "documents")
+          .withColumn("neg_u", -u.cast("double"))
+          .groupBy("lang")
+          .agg(expr("graft_topk(neg_u, doc_id, 5)").as("top"))
+          .select(col("lang"), posexplode(col("top")).as(Seq("rk0", "p")))
+          .select(col("lang"), (col("rk0") + 1).cast("integer").as("rk"),
+            col("p.id").as("doc_id"))
+          .orderBy("lang", "rk")
+      },
+      Some("""
+        SELECT lang, CAST(rk AS INTEGER) AS rk, doc_id
+        FROM (SELECT lang, doc_id,
+          ROW_NUMBER() OVER (PARTITION BY lang
+            ORDER BY SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 13), doc_id)
+            AS rk
+          FROM documents)
+        WHERE rk <= 5 ORDER BY lang, rk"""))
   )
 }

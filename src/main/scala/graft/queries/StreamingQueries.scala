@@ -441,6 +441,109 @@ object StreamingQueries {
         WHERE c.event_type = 'click' AND p.event_type = 'purchase'
         ORDER BY click_id, purchase_id""")),
 
+    // Stream×stream LEFT OUTER — q97's sibling where the semantics
+    // under test are the NULL rows: an unmatched left row may only be
+    // emitted once the watermark proves no matching right row can still
+    // arrive (purchase_ts ≤ click_ts + 30 min, so the click expires —
+    // and null-emits — when wm passes click_ts + 30 min). The engine
+    // flushes expired state in the trailing no-data batch that
+    // Trigger.AvailableNow runs after the watermark's final advance
+    // (the same machinery that closes q70's windows); clicks younger
+    // than the final watermark stay in state unemitted, and the oracle
+    // applies the identical cutoff: matches always, nulls only where
+    // click_ts + 30 min < min(max click ts, max purchase ts) − 10 min
+    // (multi-watermark MIN policy, ms-floored like the session oracle).
+    // Slices here are time-ALIGNED (both feeds advance together) —
+    // cross-batch state handoff is q97's job; this gate pins the
+    // expiry/emission rule.
+    Q("q104_stream_outer_join",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val staged = Files.createTempDirectory("graft_q104_src_").toString
+        graft.tables.Tables.events(s, d)
+          .withColumn("batch_",
+            ntile(3).over(Window.orderBy(col("ts"), col("event_id"))) - 1)
+          .repartition(3, col("batch_"))
+          .write.mode("overwrite").partitionBy("batch_").parquet(staged)
+        for (b <- 0 to 2) {
+          val dir = java.nio.file.Paths.get(staged, s"batch_=$b")
+          val t0 = java.nio.file.attribute.FileTime
+            .fromMillis(1700000000000L + b * 60000L)
+          val ls = Files.list(dir)
+          try ls.forEach(p => Files.setLastModifiedTime(p, t0))
+          finally ls.close()
+        }
+        val schema = s.read.parquet(staged).schema
+        val reg = new Registry(s)
+        reg.source("clicks_feed", () =>
+          graft.tables.Tables.events(s, d)
+            .filter(col("event_type") === "click"))
+        reg.source("purchases_feed", () =>
+          graft.tables.Tables.events(s, d)
+            .filter(col("event_type") === "purchase"))
+        reg.register(TableDef("click_outcomes",
+          Seq("clicks_feed", "purchases_feed"), {
+            case Seq(c, p) =>
+              val cw = c.withWatermark("ts", "10 minutes")
+                .select(col("user_id"), col("event_id").as("click_id"),
+                  col("ts").as("click_ts"))
+              val pw = p.withWatermark("ts", "10 minutes")
+                .select(col("user_id").as("p_user_id"),
+                  col("event_id").as("purchase_id"),
+                  col("ts").as("purchase_ts"),
+                  col("value").as("purchase_value"))
+              cw.join(pw, col("user_id") === col("p_user_id") &&
+                  col("purchase_ts") >= col("click_ts") &&
+                  col("purchase_ts") <= col("click_ts") +
+                    expr("INTERVAL 30 MINUTES"),
+                "left_outer")
+                .select(col("user_id"), col("click_id"), col("click_ts"),
+                  col("purchase_id"), col("purchase_ts"),
+                  col("purchase_value"))
+          }, mode = Mode.Incremental))
+        def feed(tp: String) = () =>
+          s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staged)
+            .filter(col("event_type") === tp)
+            .drop("batch_")
+        val out = Files.createTempDirectory("graft_q104_").toString
+        withStatePartitions(s, 4) {
+          graft.graph.Runner.runStreamingThenFull(s, reg,
+            Map("clicks_feed" -> feed("click"),
+              "purchases_feed" -> feed("purchase")),
+            out)
+        }
+        s.read.parquet(s"$out/click_outcomes")
+          .orderBy("click_id", "purchase_id")
+      },
+      Some("""
+        WITH c AS (
+          SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS click_ts
+          FROM events WHERE event_type = 'click'),
+        p AS (
+          SELECT user_id, event_id AS purchase_id,
+            CAST(ts AS TIMESTAMP) AS purchase_ts, value AS purchase_value
+          FROM events WHERE event_type = 'purchase'),
+        wm AS (
+          SELECT LEAST(
+              DATE_TRUNC('milliseconds', (SELECT MAX(click_ts) FROM c)),
+              DATE_TRUNC('milliseconds', (SELECT MAX(purchase_ts) FROM p)))
+            - INTERVAL 10 MINUTE AS w),
+        matched AS (
+          SELECT c.user_id, c.click_id, c.click_ts,
+            p.purchase_id, p.purchase_ts, p.purchase_value
+          FROM c JOIN p ON c.user_id = p.user_id
+            AND p.purchase_ts >= c.click_ts
+            AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE)
+        SELECT * FROM matched
+        UNION ALL
+        SELECT c.user_id, c.click_id, c.click_ts, NULL, NULL, NULL
+        FROM c, wm
+        WHERE c.click_id NOT IN (SELECT click_id FROM matched)
+          AND c.click_ts + INTERVAL 30 MINUTE < wm.w
+        ORDER BY click_id, purchase_id""")),
+
     Q("q91_stateful_sessions",
       (s, d) => {
         import s.implicits._

@@ -671,6 +671,47 @@ object TextQueries {
           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
           ROUND(CAST(COUNT(*) AS DOUBLE) /
             SUM(COUNT(*)) OVER (PARTITION BY lang), 6) AS frac_docs
-        FROM a GROUP BY lang, split ORDER BY lang, split"""))
+        FROM a GROUP BY lang, split ORDER BY lang, split""")),
+
+    // MODEL-BASED QUALITY FILTERING — the fasttext/DCLM-style linear
+    // classifier gate: hash each token into a weight table, mean-pool
+    // the weights, keep documents scoring above threshold. The score is
+    // one per-row `aggregate()` over the token array — scan→project,
+    // ZERO shuffles for the whole corpus pass (the presentation sort is
+    // the only exchange), which is the entire point at 100 TB: quality
+    // scoring rides the same scan as every other per-doc signal.
+    //
+    // Engineered for the cross-engine hash gate: the weight of a token
+    // is derived from its md5 prefix (a trained model would broadcast a
+    // real weight array; the LOOKUP machinery is identical) and weights
+    // are dyadic (k/64, |k| ≤ 64), so the pooled sum is exact in IEEE
+    // doubles regardless of accumulation order and the keep decision is
+    // bit-stable in both engines — no libm, no tolerance.
+    Q("q103_quality_classifier",
+      (s, d) => {
+        val wsum = "aggregate(words, CAST(0 AS DOUBLE), (acc, w) -> " +
+          "acc + (CAST(CONV(SUBSTRING(MD5(w), 1, 8), 16, 10) AS BIGINT) " +
+          "% 129 - 64) / CAST(64 AS DOUBLE))"
+        t(s, d, "documents")
+          .withColumn("words", split(col("text"), " "))
+          .select(col("doc_id"),
+            size(col("words")).cast("long").as("n_tokens"),
+            (expr(wsum) / size(col("words"))).as("score0"))
+          .select(col("doc_id"), col("n_tokens"),
+            round(col("score0"), 6).as("score"),
+            (col("score0") > 0).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH a AS (
+          SELECT doc_id, STRING_SPLIT(text, ' ') AS words FROM documents),
+        sc AS (
+          SELECT doc_id, CAST(LEN(words) AS BIGINT) AS n_tokens,
+            LIST_SUM([(CAST(CONCAT('0x', SUBSTRING(MD5(w), 1, 8)) AS BIGINT)
+              % 129 - 64) / 64.0 for w in words]) / LEN(words) AS score0
+          FROM a)
+        SELECT doc_id, n_tokens, ROUND(score0, 6) AS score,
+          score0 > 0 AS keep
+        FROM sc ORDER BY doc_id"""))
   )
 }

@@ -217,6 +217,21 @@ class PlanSpec extends AnyFunSuite {
       s"split must assign per-row and aggregate once, got $shuffles")
   }
 
+  test("q101: rolling-distinct fanout stays equi-shaped, no range join") {
+    val p = plan("q101_rolling_distinct_sketch")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "the 7-day window must come from sequence+explode fanout, not a " +
+        "day-range theta join")
+  }
+
+  test("q103: classifier scoring is a scan→project pipeline") {
+    val p = plan("q103_quality_classifier")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "quality scoring must ride the scan — per-row aggregate(), " +
+        "no token shuffle")
+  }
+
   test("column pruning: q03 scans only the needed lineitem columns") {
     val p = plan("q03_top_revenue_orders")
     val scan = p.linesIterator
