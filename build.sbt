@@ -30,4 +30,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 100+ queries × whole-stage codegen in ONE JVM overflow the default
+  // 240 MB JIT code cache; when it fills the JVM silently stops
+  // JIT-compiling and interpreted execution inflates CPU-bound queries
+  // 5-10× late in a run (measured: the full bench fell 85 s → 60 s
+  // with this flag). Production Spark drivers/executors size this the
+  // same way.
+  "-XX:ReservedCodeCacheSize=512m",
 )

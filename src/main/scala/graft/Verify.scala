@@ -27,7 +27,13 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      finally spark.catalog.clearCache()
+      finally {
+        spark.catalog.clearCache()
+        // sweep the query's leftover localCheckpoint blocks (see the
+        // same hygiene in Bench): 100+ queries share this JVM
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

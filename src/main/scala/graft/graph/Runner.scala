@@ -300,6 +300,18 @@ object Runner {
       // consumers must not see directory-inference re-typing
       name -> (path, resolved.schema)
     }.toMap
+    // A terminated query's state-store providers stay loaded in the
+    // executor cache (in-memory version maps + a maintenance thread
+    // each); a long-lived shared JVM running many catch-up jobs
+    // accumulates them into heap pressure on unrelated work. Providers
+    // reload lazily from the checkpoint on the next run, so unloading
+    // here is pure hygiene. Reflection because the API is private[sql];
+    // a no-op if it ever disappears.
+    try {
+      val cls = Class.forName(
+        "org.apache.spark.sql.execution.streaming.state.StateStore$")
+      cls.getMethod("unloadAll").invoke(cls.getField("MODULE$").get(null))
+    } catch { case _: Throwable => () }
 
     // Full tables batch-read the materialized boundaries; static
     // sources (never streamed, never a boundary) keep their loaders

@@ -258,22 +258,24 @@ object Relational {
     * cuts the growing lineage each round — without it, round k
     * re-analyzes a k-deep plan stack.
     */
+  import Checkpoints.{checkpointTracked, releasePinned}
+
   def connectedComponents(edges: DataFrame, src: String, dst: String,
                           maxIter: Int = 50): DataFrame = {
     // Materialize the edge list ONCE before iterating: the edge input is
     // usually an expensive plan (a banded-LSH verify pipeline), and an
     // unmaterialized plan would be re-executed by every round's join AND
     // every convergence count.
-    val sym = edges.select(col(src).as("nb"), col(dst).as("node"))
-      .union(edges.select(col(dst).as("nb"), col(src).as("node")))
-      .localCheckpoint()
+    val (sym, symIds) = checkpointTracked(
+      edges.select(col(src).as("nb"), col(dst).as("node"))
+        .union(edges.select(col(dst).as("nb"), col(src).as("node"))))
     // initialization fuses the FIRST propagation round into the same
     // aggregation that discovers the node set: label = min(self, direct
     // neighbors). Pair/triangle components (the bulk of a near-dup
     // graph) then converge on the next round's no-change check.
-    var labels = sym.groupBy("node")
-      .agg(least(col("node"), min(col("nb"))).as("comp"))
-      .localCheckpoint()
+    var (labels, labelIds) = checkpointTracked(
+      sym.groupBy("node")
+        .agg(least(col("node"), min(col("nb"))).as("comp")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -290,19 +292,21 @@ object Relational {
       // convergence from O(diameter) into O(log) rounds. The changed
       // flag rides inside the same checkpointed job, so the convergence
       // test is a count over materialized data, not another join.
-      val next = prop
+      val (next, nextIds) = checkpointTracked(prop
         .join(prop.select(col("node").as("comp"), col("comp").as("jump")),
           Seq("comp"), "left")
         .select(col("node"),
           least(col("comp"), coalesce(col("jump"), col("comp"))).as("comp"),
           col("prev"))
-        .withColumn("chg", col("comp") =!= col("prev"))
-        .localCheckpoint()
+        .withColumn("chg", col("comp") =!= col("prev")))
       changed = next.filter(col("chg")).count()
+      releasePinned(labels, labelIds) // superseded round: free its blocks
       labels = next.select("node", "comp")
+      labelIds = nextIds
       iter += 1
     }
-    labels
+    releasePinned(sym, symIds) // the result depends only on its own
+    labels                     // checkpoint, not the edge copy
   }
 
   /** Cumulative sum excluding the partition's FIRST row — the intent of

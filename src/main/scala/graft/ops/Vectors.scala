@@ -38,12 +38,14 @@ object Vectors {
     */
   def kmeansCentroids(vecs: DataFrame, idCol: String, vCol: String,
                       k: Int, iters: Int, dim: Int): DataFrame = {
+    import Checkpoints.{checkpointTracked, releasePinned}
     val vq = vecs.select(col(idCol).as("vec_id"), quantized(vCol).as("vq"))
     // genuinely the k SMALLEST ids (TakeOrderedAndProject — no full
     // sort), not `id < k`, which under-selects on sparse id spaces
-    var cents = vq.orderBy(col("vec_id")).limit(k)
-      .select(col("vec_id").as("centroid_id"), col("vq").as("cv"))
-      .localCheckpoint() // k rows; keeps the per-round plan flat
+    var (cents, centIds) = checkpointTracked(
+      vq.orderBy(col("vec_id")).limit(k)
+        .select(col("vec_id").as("centroid_id"), col("vq").as("cv")))
+    // k rows per round; the checkpoint keeps the per-round plan flat
     val aw = Window.partitionBy("vec_id")
       .orderBy(col("sim_c").desc, col("centroid_id"))
     for (_ <- 1 to iters) {
@@ -52,14 +54,16 @@ object Vectors {
         .withColumn("rn", row_number().over(aw))
         .filter(col("rn") === 1)
         .select(col("centroid_id"), col("vq"))
-      cents = assigned
+      val (next, nextIds) = checkpointTracked(assigned
         .select(col("centroid_id"), posexplode(col("vq")).as(Seq("pos", "x")))
         .groupBy("centroid_id", "pos")
         .agg((sum(col("x")) / count(lit(1))).as("m")) // exact dyadic sum
         .groupBy("centroid_id")
         .agg(expr("transform(array_sort(collect_list(struct(pos, m)))," +
-          " s -> s.m)").as("cv"))
-        .localCheckpoint()
+          " s -> s.m)").as("cv")))
+      releasePinned(cents, centIds) // superseded round
+      cents = next
+      centIds = nextIds
     }
     cents
   }
