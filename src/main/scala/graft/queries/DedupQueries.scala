@@ -1,5 +1,6 @@
 package graft.queries
 
+import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import QH._
@@ -347,7 +348,115 @@ object DedupQueries {
           ROUND(CAST(COALESCE(c.n_dup, 0) AS DOUBLE) / s.n_grams, 6)
             AS dup_frac
         FROM sized s LEFT JOIN cnt c USING (doc_id)
-        ORDER BY s.doc_id"""))
+        ORDER BY s.doc_id""")),
+
+    // INCREMENTAL near-dup — the production shape of corpus dedup:
+    // "which of tonight's new documents duplicate the EXISTING corpus",
+    // answered without recomputing anything pairwise over the corpus.
+    // The history side builds its MinHash band index once per run with
+    // the fast batch aggregate path ([[docSignatures]] — in production
+    // this index is a materialized table maintained by the pipeline);
+    // the increment arrives as a STREAM, computes its own signature
+    // per-row (shingle/minhash as nested array lambdas over the token
+    // array — window functions and aggregates don't exist on a stream,
+    // and the increment is small by definition, so per-row interpreted
+    // lambdas are the right trade where the corpus side must use the
+    // codegen'd aggregate), and candidate generation + Jaccard verify
+    // are two STATELESS stream-static equi joins: band match, then a
+    // per-row array_intersect against the matched history doc's shingle
+    // set. No watermark, no state store, no doc×doc pass — per
+    // micro-batch cost is O(increment × matched bands).
+    //
+    // The per-row signature is BIT-IDENTICAL to the aggregate path:
+    // shingle = xxhash64(w, w1, w2) over three strings, slot p =
+    // min over shingles of xxhash64(shingle, CAST(p AS INT)) — the same
+    // seed-42 XXH64 chain MinHashSignature documents. Band-duplicate
+    // candidate rows collapse in the downstream Full `distinct` table
+    // (the Runner's Incremental→Full boundary), mirroring q28's
+    // candidate dedup. Intra-increment duplicates are out of scope by
+    // construction (that's a q26/q28 pass over the tiny increment).
+    Q("q105_incremental_neardup",
+      (s, d) => {
+        val nib = substring(md5(col("doc_id").cast("string")), 1, 1)
+        val history = t(s, d, "documents").filter(nib < "c")
+        val incr = t(s, d, "documents").filter(nib >= "c")
+        val staged = Files.createTempDirectory("graft_q105_src_").toString
+        incr.write.mode("overwrite").parquet(staged)
+        val schema = s.read.parquet(staged).schema
+        val reg = new graft.graph.Registry(s)
+        reg.source("history_docs", () => history)
+        reg.source("incr_feed", () => incr)
+        reg.register(graft.graph.TableDef("incr_band_matches",
+          Seq("incr_feed", "history_docs"), {
+            case Seq(in, hist) =>
+              val histSig = docSignatures(s, hist)
+              val histBands = bandsOf(histSig)
+                .withColumnRenamed("doc_id", "doc_hist")
+              val histSets = histSig.select(col("doc_id").as("doc_hist"),
+                col("hs").as("hs_hist"))
+              val inSig = in
+                .withColumn("words", split(col("text"), " "))
+                .withColumn("shs", expr(
+                  "transform(sequence(1, size(words) - 2), i -> " +
+                    "xxhash64(element_at(words, i), element_at(words, i + 1), " +
+                    "element_at(words, i + 2)))"))
+                .filter(size(col("shs")) > 0)
+                .withColumn("hs_new", array_distinct(col("shs")))
+                .withColumn("mh", expr("transform(sequence(0, 127), p -> " +
+                  "array_min(transform(shs, s -> xxhash64(s, CAST(p AS INT)))))"))
+                .select(col("doc_id").as("doc_new"), col("hs_new"),
+                  posexplode(expr("transform(sequence(0, 63), b -> " +
+                    "struct(mh[2*b] as h1, mh[2*b+1] as h2))")))
+                .select(col("doc_new"), col("hs_new"),
+                  col("pos").as("band"), col("col.h1"), col("col.h2"))
+              inSig.join(histBands, Seq("band", "h1", "h2"))
+                .join(histSets, Seq("doc_hist"))
+                .withColumn("inter",
+                  size(array_intersect(col("hs_new"), col("hs_hist"))))
+                .withColumn("jaccard", round(col("inter").cast("double")
+                  / (size(col("hs_new")) + size(col("hs_hist"))
+                    - col("inter")), 6))
+                .filter(col("inter").cast("double")
+                  / (size(col("hs_new")) + size(col("hs_hist"))
+                    - col("inter")) >= 0.6)
+                .select("doc_new", "doc_hist", "jaccard")
+          }, mode = graft.graph.Mode.Incremental))
+        reg.register(graft.graph.TableDef("incr_neardups",
+          Seq("incr_band_matches"),
+          { case Seq(m) => m.distinct() }, mode = graft.graph.Mode.Full))
+        val out = Files.createTempDirectory("graft_q105_").toString
+        graft.graph.Runner.runStreamingThenFull(s, reg,
+          Map("incr_feed" -> (() =>
+            s.readStream.schema(schema).parquet(staged))),
+          out)
+        s.read.parquet(s"$out/incr_neardups")
+          .orderBy("doc_new", "doc_hist")
+      },
+      Some("""
+        WITH split_docs AS (
+          SELECT doc_id, STRING_SPLIT(text, ' ') AS words,
+            SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 1) >= 'c' AS is_incr
+          FROM documents
+          WHERE LEN(STRING_SPLIT(text, ' ')) >= 3),
+        sh AS (
+          SELECT doc_id, is_incr, UNNEST(LIST_DISTINCT(
+            [words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+             for i in GENERATE_SERIES(1, LEN(words) - 2)])) AS shingle
+          FROM split_docs),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        pairs AS (
+          SELECT n.doc_id AS doc_new, h.doc_id AS doc_hist,
+            COUNT(*) AS inter
+          FROM sh n JOIN sh h USING (shingle)
+          WHERE n.is_incr AND NOT h.is_incr
+          GROUP BY 1, 2)
+        SELECT doc_new, doc_hist,
+          ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON doc_new = sa.doc_id
+        JOIN sizes sb ON doc_hist = sb.doc_id
+        WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.6
+        ORDER BY doc_new, doc_hist"""))
   ) :+ q29 :+ q92
 
   /** MinHash + LSH verified near-dup pairs (the q28 body, reused by the
@@ -356,11 +465,12 @@ object DedupQueries {
   private[queries] def minhashPairs(s: SparkSession, d: String): DataFrame =
     minhashPairsOf(s, t(s, d, "documents"))
 
-  /** Same, over an arbitrary (doc_id, text, …) frame — the curation
-    * pipeline ([[graft.pipelines.CorpusPipeline]]) near-dups only the
-    * documents that survived its earlier stages. */
-  private[graft] def minhashPairsOf(s: SparkSession,
-                                    documents: DataFrame): DataFrame = {
+  /** Per-document MinHash state: `(doc_id, mh: 128-slot signature,
+    * hs: distinct shingle-hash set)` — the batch aggregate path (lead()
+    * shingling, native MinHashSignature with map-side combine). Shared
+    * by the pair queries and the q105 static-index side. */
+  private[graft] def docSignatures(s: SparkSession,
+                                   documents: DataFrame): DataFrame = {
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy("doc_id").orderBy("pos")
         val sh = QH.spread(s, col("doc_id"))(documents)
@@ -374,13 +484,25 @@ object DedupQueries {
         // One co-located pass: the 128-slot signature via the native
         // MinHashSignature aggregate (primitive long[] buffer, map-side
         // combine) plus the distinct shingle set for the verify stage.
-        val docs = sh.groupBy("doc_id").agg(
+        sh.groupBy("doc_id").agg(
           expr("graft_minhash(sh, 128)").as("mh"),
           collect_set(col("sh")).as("hs"))
-        val bands = docs.select(col("doc_id"), posexplode(expr(
-          "transform(sequence(0, 63), b -> struct(mh[2*b] as h1, mh[2*b+1] as h2))")))
-          .select(col("doc_id"), col("pos").as("band"),
-            col("col.h1"), col("col.h2"))
+  }
+
+  /** The 64×2 band table of a signature frame: (doc_id, band, h1, h2). */
+  private def bandsOf(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), posexplode(expr(
+      "transform(sequence(0, 63), b -> struct(mh[2*b] as h1, mh[2*b+1] as h2))")))
+      .select(col("doc_id"), col("pos").as("band"),
+        col("col.h1"), col("col.h2"))
+
+  /** MinHash-LSH pairs over an arbitrary (doc_id, text, …) frame — the
+    * curation pipeline ([[graft.pipelines.CorpusPipeline]]) near-dups
+    * only the documents that survived its earlier stages. */
+  private[graft] def minhashPairsOf(s: SparkSession,
+                                    documents: DataFrame): DataFrame = {
+        val docs = docSignatures(s, documents)
+        val bands = bandsOf(docs)
         val cand = bands.as("x").join(bands.as("y"),
             Seq("band", "h1", "h2"))
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))

@@ -125,6 +125,33 @@ class ExpressionsSpec extends AnyFunSuite {
     assert((0 until zb.size).map(j => zb.ids(j)) === Seq(2L, 7L))
   }
 
+  test("q105's per-row signature path is bit-identical to the aggregate") {
+    // The incremental-dedup stream side cannot window or aggregate, so
+    // it recomputes shingles and the 128-slot MinHash per row with
+    // nested array lambdas; history keeps the fast MinHashSignature
+    // aggregate. Both must walk the SAME seed-42 XXH64 chain or band
+    // keys never collide across the two paths and recall silently
+    // drops to zero.
+    import org.apache.spark.sql.functions._
+    val docs = spark.createDataFrame(Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "x y z w"),
+      (4L, "one two three four five six seven"))).toDF("doc_id", "text")
+    val agg = graft.queries.DedupQueries.docSignatures(spark, docs)
+      .select("doc_id", "mh").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val perRow = docs
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("shs", expr(
+        "transform(sequence(1, size(words) - 2), i -> " +
+          "xxhash64(element_at(words, i), element_at(words, i + 1), " +
+          "element_at(words, i + 2)))"))
+      .withColumn("mh", expr("transform(sequence(0, 127), p -> " +
+        "array_min(transform(shs, s -> xxhash64(s, CAST(p AS INT)))))"))
+      .select("doc_id", "mh").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(perRow === agg)
+  }
+
   test("rangeJoinBinned equals the naive theta join") {
     val sp = spark
     import sp.implicits._
