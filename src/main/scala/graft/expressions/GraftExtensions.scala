@@ -23,6 +23,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("graft_l2"),
+      new ExpressionInfo(classOf[SquaredL2].getName, "graft_l2"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_l2(a, b) takes two arrays")
+        SquaredL2(children.head, children(1))
+      }))
+
+    ext.injectFunction((
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHashSignature].getName, "graft_simhash"),
       (children: Seq[Expression]) => children match {

@@ -895,6 +895,59 @@ object ExtendedQueries {
             ORDER BY SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 13), doc_id)
             AS rk
           FROM documents)
-        WHERE rk <= 5 ORDER BY lang, rk"""))
+        WHERE rk <= 5 ORDER BY lang, rk""")),
+
+    // Z-ORDER layout — the multi-dimensional file-clustering technique
+    // (interleave the bits of two scan dimensions, range-partition files
+    // by the resulting curve position) that single-column sorting can't
+    // give: files sorted by time span EVERY user, so a user-predicate
+    // scan reads them all; files bucketed along the Z-curve have
+    // bounded min/max spans in BOTH dimensions at once, so parquet
+    // row-group stats prune on EITHER predicate. The z-value is pure
+    // per-row bit arithmetic (shift/mask inside one `aggregate` over 16
+    // bit positions — identical integer math in the oracle); the bucket
+    // assignment in production is `repartitionByRange(zval)` at write
+    // time, here surfaced as the per-bucket stats REPORT whose bounded
+    // u/d spans ARE the pruning guarantee being claimed. ntile's global
+    // sort stands in for the range partitioner (same boundaries,
+    // verifiable output).
+    Q("q107_zorder_layout",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val z = "aggregate(sequence(0, 15), 0L, (acc, i) -> acc + " +
+          "shiftleft(shiftright(a, i) & 1, 2 * i) + " +
+          "shiftleft(shiftright(b, i) & 1, 2 * i + 1))"
+        t(s, d, "events")
+          .withColumn("a", pmod(col("user_id"), lit(65536)))
+          .withColumn("b",
+            datediff(to_date(col("ts")), lit("2024-01-01")).cast("long"))
+          .withColumn("zval", expr(z))
+          .withColumn("bucket",
+            ntile(16).over(Window.orderBy(col("zval"), col("event_id"))))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"),
+            min(col("a")).as("u_min"), max(col("a")).as("u_max"),
+            min(col("b")).as("d_min"), max(col("b")).as("d_max"))
+          .orderBy("bucket")
+      },
+      Some("""
+        WITH z AS (
+          SELECT event_id, user_id % 65536 AS a,
+            DATEDIFF('day', DATE '2024-01-01',
+              CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS b
+          FROM events),
+        zv AS (
+          SELECT event_id, a, b,
+            LIST_SUM([(((a >> i) & 1) << (2 * i)) +
+                      (((b >> i) & 1) << (2 * i + 1))
+                      for i in GENERATE_SERIES(0, 15)]) AS zval
+          FROM z),
+        bk AS (
+          SELECT a, b, NTILE(16) OVER (ORDER BY zval, event_id) AS bucket
+          FROM zv)
+        SELECT bucket, COUNT(*) AS n,
+          MIN(a) AS u_min, MAX(a) AS u_max,
+          CAST(MIN(b) AS BIGINT) AS d_min, CAST(MAX(b) AS BIGINT) AS d_max
+        FROM bk GROUP BY bucket ORDER BY bucket"""))
   )
 }

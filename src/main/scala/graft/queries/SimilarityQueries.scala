@@ -325,6 +325,98 @@ object SimilarityQueries {
           ROUND(LIST_DOT_PRODUCT(a.v, b.v) / (a.nrm * b.nrm), 6) AS sim
         FROM n a JOIN n b ON a.vec_id < b.vec_id
         WHERE ROUND(LIST_DOT_PRODUCT(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4
-        ORDER BY vec_a, vec_b"""))
+        ORDER BY vec_a, vec_b""")),
+
+    // PRODUCT QUANTIZATION + ADC scan — the missing fourth ANN path
+    // (after brute q30 / LSH q31 / IVF q73) and the one that changes the
+    // MEMORY story at 100 TB: a 64-dim float vector compresses to 4
+    // one-byte codes (4 subspaces × 16 centroids), so the scan touches
+    // codes, not vectors, and distances come from a per-query lookup
+    // table of (subspace × centroid) partial distances — the ADC table
+    // is 10 queries × 4 × 16 rows here, broadcast exactly like the real
+    // algorithm keeps it in L1. Encode is one (vector-subspace ×
+    // centroid) nearest-centroid pass over the codegen'd native
+    // `graft_l2` (expressions/SquaredL2 — the hot scalar; HOF lambdas
+    // would run interpreted), with min-distance/centroid-id total
+    // ordering. Codebooks here are the 16 seed vectors' subvectors
+    // (deterministic; production trains them with
+    // ops/Vectors.kmeansCentroids per subspace — encode/ADC is
+    // invariant to how the codebook was trained). Dyadic quantization
+    // makes every distance and every ADC partial-sum exact in IEEE
+    // doubles, so the oracle matches bit-for-bit with no tolerance.
+    Q("q106_pq_adc",
+      (s, d) => {
+        val all = vecs(s, d)
+        val vq = all.select(col("vec_id"),
+          graft.ops.Vectors.quantized("v").as("vq"))
+        val subs = vq.select(col("vec_id"), posexplode(expr(
+          "transform(sequence(0, 3), m -> slice(vq, m * 16 + 1, 16))"))
+            .as(Seq("m", "sub")))
+        val cb = subs.filter(col("vec_id") < 16)
+          .select(col("m"), col("vec_id").cast("integer").as("cid"),
+            col("sub").as("cv"))
+        val ew = Window.partitionBy("vec_id", "m")
+          .orderBy(col("dist"), col("cid"))
+        val codes = subs.join(broadcast(cb), Seq("m"))
+          .withColumn("dist", expr("graft_l2(sub, cv)"))
+          .withColumn("rn", row_number().over(ew))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("m"), col("cid"))
+        val lut = subs.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("m"),
+            col("sub").as("qsub"))
+          .join(broadcast(cb), Seq("m"))
+          .withColumn("pd", expr("graft_l2(qsub, cv)"))
+          .select(col("query_id"), col("m"), col("cid"), col("pd"))
+        codes.join(broadcast(lut), Seq("m", "cid"))
+          .filter(col("query_id") =!= col("vec_id"))
+          .groupBy("query_id", "vec_id")
+          .agg(sum(col("pd")).as("adc0")) // dyadic partials: exact sum
+          .withColumn("neg", -col("adc0"))
+          .groupBy("query_id")
+          .agg(expr("graft_topk(neg, vec_id, 5)").as("top"))
+          .select(col("query_id"), posexplode(col("top")).as(Seq("rk0", "p")))
+          .select(col("query_id"), col("p.id").as("neighbor_id"),
+            round(-col("p.ord"), 6).as("adc"),
+            (col("rk0") + 1).cast("integer").as("rk"))
+          .orderBy("query_id", "rk")
+      },
+      Some("""
+        WITH n AS (
+          SELECT vec_id, LIST_TRANSFORM(CAST(embedding AS DOUBLE[]),
+            x -> ROUND(x * 1048576) / 1048576) AS vq
+          FROM embeddings),
+        subs AS (
+          SELECT vec_id, m, vq[m * 16 + 1 : m * 16 + 16] AS sub
+          FROM n, (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS m)),
+        cb AS (
+          SELECT m, CAST(vec_id AS INTEGER) AS cid, sub AS cv
+          FROM subs WHERE vec_id < 16),
+        dists AS (
+          SELECT s.vec_id, s.m, c.cid,
+            LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 16),
+              i -> (s.sub[i] - c.cv[i]) * (s.sub[i] - c.cv[i]))) AS dist
+          FROM subs s JOIN cb c USING (m)),
+        codes AS (
+          SELECT vec_id, m, cid FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+              ORDER BY dist, cid) AS rn FROM dists)
+          WHERE rn = 1),
+        lut AS (
+          SELECT s.vec_id AS query_id, s.m, c.cid,
+            LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 16),
+              i -> (s.sub[i] - c.cv[i]) * (s.sub[i] - c.cv[i]))) AS pd
+          FROM subs s JOIN cb c USING (m)
+          WHERE s.vec_id < 10),
+        adc AS (
+          SELECT l.query_id, co.vec_id, SUM(l.pd) AS adc0
+          FROM codes co JOIN lut l ON co.m = l.m AND co.cid = l.cid
+          WHERE l.query_id != co.vec_id
+          GROUP BY 1, 2)
+        SELECT query_id, vec_id AS neighbor_id, ROUND(adc0, 6) AS adc,
+          CAST(rk AS INTEGER) AS rk
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY adc0, vec_id) AS rk FROM adc)
+        WHERE rk <= 5 ORDER BY query_id, rk"""))
   )
 }
