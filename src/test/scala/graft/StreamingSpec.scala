@@ -186,4 +186,86 @@ class StreamingSpec extends AnyFunSuite {
         "end+gap == watermark must flush, matching session_window's <= rule")
     } finally q.stop()
   }
+
+  test("stream-stream join state survives a restart from the checkpoint") {
+    // The operational contract of the AvailableNow cadence: each run
+    // terminates, the NEXT run resumes from the checkpoint, and join
+    // state carried in the state store must bridge the two processes.
+    // A click arrives in run 1; its matching purchase only exists in a
+    // file added AFTER run 1 terminated. The match can only be emitted
+    // if run 2 restored the click from the checkpointed join state —
+    // an in-memory-only join would emit nothing.
+    import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
+    import graft.graph.{Mode, Registry, TableDef}
+    val sp = spark
+    val staged = JFiles.createTempDirectory("ssj_restart_src_").toString
+    val out = JFiles.createTempDirectory("ssj_restart_out_").toString
+
+    def writeSlice(rows: Seq[(String, Long, String, Long, Double)],
+                   name: String, mtime: Long): Unit = {
+      val tmp = JFiles.createTempDirectory("ssj_slice_").toString
+      sp.createDataFrame(rows).toDF("ts0", "user_id", "event_type",
+          "event_id", "value")
+        .select(col("ts0").cast("timestamp").as("ts"), col("user_id"),
+          col("event_type"), col("event_id"), col("value"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = JFiles.list(Paths.get(tmp)).toArray.map(_.toString)
+        .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS")).head
+      val dst = Paths.get(staged, name)
+      JFiles.move(Paths.get(part), dst, StandardCopyOption.REPLACE_EXISTING)
+      JFiles.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+
+    // run 1: a click and an unrelated later click (advances nothing —
+    // watermark delay is 2h, so nothing is ever late in this test)
+    writeSlice(Seq(("2024-01-01 10:00:00", 1L, "click", 100L, 0.0)),
+      "s1.parquet", 1700000000000L)
+    writeSlice(Seq(("2024-01-01 11:00:00", 2L, "click", 101L, 0.0)),
+      "s2.parquet", 1700000060000L)
+
+    def runOnce(): Unit = {
+      val schema = sp.read.parquet(staged).schema
+      val reg = new Registry(sp)
+      reg.source("clicks", () =>
+        sp.read.parquet(staged).filter(col("event_type") === "click"))
+      reg.source("purchases", () =>
+        sp.read.parquet(staged).filter(col("event_type") === "purchase"))
+      reg.register(TableDef("ssj_matches", Seq("clicks", "purchases"), {
+        case Seq(c, p) =>
+          val cw = c.withWatermark("ts", "2 hours")
+            .select(col("user_id"), col("event_id").as("click_id"),
+              col("ts").as("click_ts"))
+          val pw = p.withWatermark("ts", "2 hours")
+            .select(col("user_id").as("p_user"),
+              col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+          cw.join(pw, col("user_id") === col("p_user") &&
+            col("purchase_ts") >= col("click_ts") &&
+            col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      }, mode = Mode.Incremental))
+      def feed(tp: String) = () =>
+        sp.readStream.schema(sp.read.parquet(staged).schema)
+          .option("maxFilesPerTrigger", "1").parquet(staged)
+          .filter(col("event_type") === tp)
+      graft.graph.Runner.runStreamingThenFull(sp, reg,
+        Map("clicks" -> feed("click"), "purchases" -> feed("purchase")), out)
+    }
+
+    runOnce()
+    assert(sp.read.parquet(s"$out/ssj_matches").count() === 0,
+      "no purchases have arrived yet")
+
+    // the purchase lands AFTER run 1 terminated; only checkpointed
+    // join state can pair it with click 100
+    writeSlice(Seq(("2024-01-01 10:10:00", 1L, "purchase", 200L, 9.99)),
+      "s3.parquet", 1700000120000L)
+    runOnce()
+
+    val got = sp.read.parquet(s"$out/ssj_matches")
+      .select("click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((100L, 200L)),
+      "run 2 must join the new purchase against the RESTORED click state" +
+        " and must not re-emit or reprocess run 1's files")
+  }
 }
