@@ -417,6 +417,117 @@ object SimilarityQueries {
           CAST(rk AS INTEGER) AS rk
         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
           ORDER BY adc0, vec_id) AS rk FROM adc)
-        WHERE rk <= 5 ORDER BY query_id, rk"""))
+        WHERE rk <= 5 ORDER BY query_id, rk""")),
+
+    // SEMANTIC DEDUPLICATION (the SemDeDup shape, Abbas et al. 2023):
+    // k-means-cluster the embedding space, then prune near-duplicates
+    // WITHIN each cluster only — the published trick that turns O(n²)
+    // semantic dedup into k × O((n/k)²): grow k ∝ n and the per-cluster
+    // width stays constant, so the whole pass is linear in the corpus.
+    // Pure composition of existing machinery: the coarse quantizer is
+    // the q78 Lloyd's job (ops/Vectors.kmeansCentroids — dyadic-exact,
+    // bit-reproducible on any partitioning), assignment is the same
+    // broadcast argmax, and the within-cluster pair join is a hash
+    // EQUI-join on centroid_id — no cartesian; the per-cluster pairwise
+    // cost is the algorithm's own bounded budget, not a plan accident.
+    // (A pathologically hot cluster is an input-distribution problem the
+    // operator surfaces, and the fix is raising k — re-clustering — not
+    // salting, which cannot split a semantic cluster without changing
+    // the answer.) Survivor rule is deterministic and NON-iterative: a
+    // vector is dropped iff a SMALLER-id vector in the same cluster has
+    // cosine ≥ τ — a total order, safe under retry/AQE, and
+    // SQL-expressible without transitive closure (q77 is the
+    // closure-based variant in MinHash space; SemDeDup's own greedy
+    // keep-first-seen is exactly this id-order rule).
+    Q("q108_semdedup",
+      (s, d) => {
+        val all = QH.spread(s, col("vec_id"))(vecs(s, d))
+        val cents = graft.ops.Vectors.kmeansCentroids(
+          all, "vec_id", "v", k = 16, iters = 2, dim = 64)
+        val vq = all.select(col("vec_id"),
+          graft.ops.Vectors.quantized("v").as("vq"))
+        val aw = Window.partitionBy("vec_id")
+          .orderBy(col("sim_c").desc, col("centroid_id"))
+        // barrier: the assignment feeds THREE consumers (both pair-join
+        // sides and the final verdict) — without it each one replays the
+        // broadcast-argmax, and the k-bounded centroid cross join would
+        // sit inside the pair-join plan (PlanSpec pins it out)
+        val (assigned, _) = graft.ops.Checkpoints.checkpointTracked(
+          vq.crossJoin(broadcast(cents))
+            .withColumn("sim_c", round(expr("graft_cosine(vq, cv)"), 6))
+            .withColumn("rn", row_number().over(aw))
+            .filter(col("rn") === 1)
+            .select(col("vec_id"), col("vq"), col("centroid_id")))
+        val lhs = assigned.select(col("centroid_id"),
+          col("vec_id").as("ia"), col("vq").as("va"))
+        val rhs = assigned.select(col("centroid_id"),
+          col("vec_id").as("ib"), col("vq").as("vb"))
+        val removed = lhs.join(rhs, Seq("centroid_id"))
+          .filter(col("ia") < col("ib") &&
+            round(expr("graft_cosine(va, vb)"), 6) >= 0.4)
+          .select(col("ib").as("vec_id")).distinct()
+          .withColumn("rm", lit(true))
+        assigned.join(removed, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("centroid_id"),
+            col("rm").isNull.as("kept"))
+          .orderBy("vec_id")
+      },
+      Some("""
+        WITH n AS (
+          SELECT vec_id, LIST_TRANSFORM(CAST(embedding AS DOUBLE[]),
+            x -> ROUND(x * 1048576) / 1048576) AS vq
+          FROM embeddings),
+        c0 AS (
+          SELECT vec_id AS centroid_id, vq AS cv FROM n
+          ORDER BY vec_id LIMIT 16),
+        a1 AS (
+          SELECT vec_id, vq, centroid_id FROM (
+            SELECT v.vec_id, v.vq, c.centroid_id,
+              ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                ROUND(LIST_DOT_PRODUCT(v.vq, c.cv) /
+                  (SQRT(LIST_SUM(LIST_TRANSFORM(v.vq, x -> x*x))) *
+                   SQRT(LIST_SUM(LIST_TRANSFORM(c.cv, x -> x*x)))), 6) DESC,
+                c.centroid_id) AS rn
+            FROM n v CROSS JOIN c0 c) WHERE rn = 1),
+        c1 AS (
+          SELECT centroid_id, LIST(m ORDER BY g) AS cv FROM (
+            SELECT centroid_id, g, SUM(vq[g]) / COUNT(*) AS m
+            FROM a1, GENERATE_SERIES(1, 64) t(g)
+            GROUP BY centroid_id, g)
+          GROUP BY centroid_id),
+        a2 AS (
+          SELECT vec_id, vq, centroid_id FROM (
+            SELECT v.vec_id, v.vq, c.centroid_id,
+              ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                ROUND(LIST_DOT_PRODUCT(v.vq, c.cv) /
+                  (SQRT(LIST_SUM(LIST_TRANSFORM(v.vq, x -> x*x))) *
+                   SQRT(LIST_SUM(LIST_TRANSFORM(c.cv, x -> x*x)))), 6) DESC,
+                c.centroid_id) AS rn
+            FROM n v CROSS JOIN c1 c) WHERE rn = 1),
+        c2 AS (
+          SELECT centroid_id, LIST(m ORDER BY g) AS cv FROM (
+            SELECT centroid_id, g, SUM(vq[g]) / COUNT(*) AS m
+            FROM a2, GENERATE_SERIES(1, 64) t(g)
+            GROUP BY centroid_id, g)
+          GROUP BY centroid_id),
+        a3 AS (
+          SELECT vec_id, vq, centroid_id FROM (
+            SELECT v.vec_id, v.vq, c.centroid_id,
+              ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                ROUND(LIST_DOT_PRODUCT(v.vq, c.cv) /
+                  (SQRT(LIST_SUM(LIST_TRANSFORM(v.vq, x -> x*x))) *
+                   SQRT(LIST_SUM(LIST_TRANSFORM(c.cv, x -> x*x)))), 6) DESC,
+                c.centroid_id) AS rn
+            FROM n v CROSS JOIN c2 c) WHERE rn = 1),
+        removed AS (
+          SELECT DISTINCT b.vec_id
+          FROM a3 a JOIN a3 b
+            ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+          WHERE ROUND(LIST_DOT_PRODUCT(a.vq, b.vq) /
+            (SQRT(LIST_SUM(LIST_TRANSFORM(a.vq, x -> x*x))) *
+             SQRT(LIST_SUM(LIST_TRANSFORM(b.vq, x -> x*x)))), 6) >= 0.4)
+        SELECT a3.vec_id, a3.centroid_id, (r.vec_id IS NULL) AS kept
+        FROM a3 LEFT JOIN removed r ON a3.vec_id = r.vec_id
+        ORDER BY a3.vec_id"""))
   )
 }

@@ -71,6 +71,21 @@ class PlanSpec extends AnyFunSuite {
       "band self-join must not force-broadcast the fact-derived banks frame")
   }
 
+  test("q108: semantic dedup prunes within clusters via equi joins only") {
+    // The checkpoint barrier keeps the k-bounded centroid cross join out
+    // of this plan, so everything visible here — the within-cluster pair
+    // join on centroid_id and the survivor left join — must be a hash
+    // equi join, and nothing in it may carry a forced-broadcast hint
+    // (every frame is fact-derived and grows with the corpus).
+    val p = plan("q108_semdedup")
+    assert(!p.contains("CartesianProduct"),
+      "within-cluster pairs must come from the centroid_id equi-join")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "semantic dedup must not fall back to a nested loop")
+    assert(!logical("q108_semdedup").contains("strategy=broadcast"),
+      "no forced broadcast of fact-derived frames in the prune plan")
+  }
+
   test("q68: full agg_pnl composite is bounded at 10 shuffle exchanges") {
     // Structural minimum for the reference's dependency shape: 4 grouping
     // aggregates (hourly base + trades/nft/campaign dims), 3 user-window
