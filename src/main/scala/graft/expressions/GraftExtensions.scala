@@ -2,7 +2,8 @@ package graft.expressions
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
 /** Session extension registering the engine's custom Catalyst functions
   * (`graft_cosine`, `graft_minhash`) into the SQL function registry.
@@ -71,6 +72,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(o, i, Literal(k: Int, _)) => BoundedTopK(o, i, k)
         case _ => throw new IllegalArgumentException(
           "graft_topk(ord, id[, k]) — k must be an int literal")
+      }))
+
+    // Spark's OWN runtime-filter building blocks (the exact classes
+    // `InjectRuntimeFilter` instantiates — not a reimplementation),
+    // surfaced as SQL functions so a query can express SEMI-JOIN
+    // REDUCTION explicitly: aggregate a bloom filter over the dim
+    // side's join keys (bounded bytes however large the dim is), hand
+    // it to the fact side as a scalar subquery, and prune the fact
+    // scan BEFORE its shuffle. The automatic rule only fires above
+    // multi-GB scan-size thresholds, so at 100 TB it injects this very
+    // shape by itself — the explicit form keeps the plan identical at
+    // every scale and under the operator's control (q109).
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(classOf[BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (children: Seq[Expression]) => children match {
+        case Seq(h) => new BloomFilterAggregate(h)
+        case Seq(h, n) => new BloomFilterAggregate(h, n)
+        case _ => throw new IllegalArgumentException(
+          "graft_bloom_agg(xxhash64(key)[, estimatedItems])")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "graft_might_contain(bloom, xxhash64(key)) takes two arguments")
+        BloomFilterMightContain(children.head, children(1))
       }))
 
     ext.injectFunction((

@@ -215,6 +215,47 @@ object JoinQueries {
             AS overlap_secs
         FROM v JOIN c ON v.user_id = c.user_id
           AND v.s < c.e AND v.e > c.s
-        GROUP BY v.user_id ORDER BY v.user_id"""))
+        GROUP BY v.user_id ORDER BY v.user_id""")),
+
+    // SEMI-JOIN REDUCTION with a bloom filter — the shuffle-volume
+    // optimization that matters most at 100 TB: when a selective dim
+    // filter survives only a sliver of join keys, shuffling the whole
+    // fact side to discover non-matches is wasted I/O. Build a bloom
+    // over the dim keys (graft_bloom_agg — Spark's own
+    // BloomFilterAggregate, bounded bytes regardless of dim size),
+    // deliver it to the fact side as a SCALAR SUBQUERY (exactly the
+    // plan InjectRuntimeFilter produces when its multi-GB thresholds
+    // fire), and prune the fact scan BEFORE its exchange. False
+    // positives pass the bloom and die in the exact join, so the
+    // result is IDENTICAL to the plain join — the oracle is the plain
+    // join. xxhash64 only needs to agree between build and probe,
+    // never with the oracle engine.
+    Q("q109_bloom_prune",
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("orders_bp")
+        t(s, d, "lineitem").createOrReplaceTempView("lineitem_bp")
+        s.sql("""
+          WITH dim AS (
+            SELECT o_orderkey FROM orders_bp
+            WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000)
+          SELECT l.l_returnflag, COUNT(*) AS n,
+            CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,6)))
+              AS STRING) AS DOUBLE) AS rev
+          FROM lineitem_bp l
+          JOIN dim ON l.l_orderkey = dim.o_orderkey
+          WHERE graft_might_contain(
+            (SELECT graft_bloom_agg(xxhash64(o_orderkey)) FROM dim),
+            xxhash64(l.l_orderkey))
+          GROUP BY l.l_returnflag ORDER BY l.l_returnflag""")
+      },
+      Some("""
+        WITH dim AS (
+          SELECT o_orderkey FROM orders
+          WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000)
+        SELECT l.l_returnflag, COUNT(*) AS n,
+          CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,6)))
+            AS VARCHAR) AS DOUBLE) AS rev
+        FROM lineitem l JOIN dim ON l.l_orderkey = dim.o_orderkey
+        GROUP BY l.l_returnflag ORDER BY l.l_returnflag"""))
   )
 }

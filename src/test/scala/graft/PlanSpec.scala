@@ -71,6 +71,21 @@ class PlanSpec extends AnyFunSuite {
       "band self-join must not force-broadcast the fact-derived banks frame")
   }
 
+  test("q109: bloom semi-join reduction filters the fact scan pre-shuffle") {
+    // The scalar-subquery bloom must land as a Filter on the lineitem
+    // (fact) side — pruning BEFORE the join's exchange is the whole
+    // point; a bloom evaluated after the join would be dead weight.
+    val p = plan("q109_bloom_prune")
+    assert(p.contains("might_contain(Subquery") ||
+      p.contains("might_contain(scalar-subquery"),
+      "bloom must arrive as a scalar subquery (the InjectRuntimeFilter shape)")
+    val factFilter = p.linesIterator.exists(l =>
+      l.contains("might_contain") && l.contains("xxhash64(l_orderkey"))
+    assert(factFilter, "bloom prune must filter the fact side's l_orderkey")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q108: semantic dedup prunes within clusters via equi joins only") {
     // The checkpoint barrier keeps the k-bounded centroid cross join out
     // of this plan, so everything visible here — the within-cluster pair
