@@ -256,6 +256,38 @@ object JoinQueries {
           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,6)))
             AS VARCHAR) AS DOUBLE) AS rev
         FROM lineitem l JOIN dim ON l.l_orderkey = dim.o_orderkey
-        GROUP BY l.l_returnflag ORDER BY l.l_returnflag"""))
+        GROUP BY l.l_returnflag ORDER BY l.l_returnflag""")),
+
+    // SALTED skew join, oracle-gated on real data (the shuffle-shape
+    // bound lives in OpsScaleSpec; this row gates the SEMANTICS): the
+    // events fact joins a per-type rates dim on `event_type` — a
+    // 5-value key, the canonical hot-key shape where one reducer
+    // receives a fifth of 100 TB. [[graft.ops.Relational.saltedJoin]]
+    // appends pmod(xxhash64(event_id), 16) to the fact key and
+    // explodes the dim across all 16 salts, so each hot key spreads
+    // over 16 reducers; the salt derives from a COLUMN, never rand(),
+    // so retries/replays/AQE re-plans see identical rows. The result
+    // is provably the plain join — which is the oracle.
+    Q("q110_salted_join",
+      (s, d) => {
+        import s.implicits._
+        val ev = t(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"))
+        val rates = Seq(("click", 10L), ("view", 1L), ("purchase", 100L),
+          ("signup", 50L), ("error", -20L)).toDF("event_type", "pts")
+        graft.ops.Relational.saltedJoin(
+            ev, rates, Seq("event_type"), col("event_id"), nSalts = 16)
+          .groupBy("user_id")
+          .agg(sum(col("pts")).as("score"), count(lit(1)).as("n_events"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH rates(event_type, pts) AS (VALUES
+          ('click', 10), ('view', 1), ('purchase', 100),
+          ('signup', 50), ('error', -20))
+        SELECT user_id, CAST(SUM(pts) AS BIGINT) AS score,
+          COUNT(*) AS n_events
+        FROM events e JOIN rates r USING (event_type)
+        GROUP BY user_id ORDER BY user_id"""))
   )
 }

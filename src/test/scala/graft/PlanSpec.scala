@@ -71,6 +71,31 @@ class PlanSpec extends AnyFunSuite {
       "band self-join must not force-broadcast the fact-derived banks frame")
   }
 
+  test("q101: daily HLL sketches partial-aggregate map-side") {
+    // The whole point of the sketch path is that events are touched
+    // once and the 7-day fanout carries ~kB sketches — that requires
+    // the daily HLL build to combine map-side before its exchange.
+    val p = plan("q101_rolling_distinct_sketch")
+    assert(p.contains("partial_hll_sketch_agg"),
+      "daily HLL build must map-side combine (partial aggregation)")
+  }
+
+  test("q102: stratified reservoir ships at most k rows per map task") {
+    val p = plan("q102_stratified_reservoir")
+    assert(p.contains("partial_graft_topk"),
+      "reservoir must be the k-bounded aggregate, not a sort/row_number")
+    assert(!p.contains("Window"), "no global-sort window in the scale path")
+  }
+
+  test("q106: PQ encode and ADC scan are equi joins over broadcast tables") {
+    val p = plan("q106_pq_adc")
+    assert(!p.contains("CartesianProduct"),
+      "codes/LUT joins must be equi joins on (m, cid)")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("partial_graft_topk"),
+      "per-query top-5 must be the map-side bounded aggregate")
+  }
+
   test("q109: bloom semi-join reduction filters the fact scan pre-shuffle") {
     // The scalar-subquery bloom must land as a Filter on the lineitem
     // (fact) side — pruning BEFORE the join's exchange is the whole
