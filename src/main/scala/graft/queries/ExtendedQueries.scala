@@ -948,6 +948,97 @@ object ExtendedQueries {
         SELECT bucket, COUNT(*) AS n,
           MIN(a) AS u_min, MAX(a) AS u_max,
           CAST(MIN(b) AS BIGINT) AS d_min, CAST(MAX(b) AS BIGINT) AS d_max
-        FROM bk GROUP BY bucket ORDER BY bucket"""))
+        FROM bk GROUP BY bucket ORDER BY bucket""")),
+
+    // PIVOT (long→wide) — the inverse of q48's unpivot and the one
+    // reshape family the suite lacked: one wide row per day, one column
+    // per event type. The values list is EXPLICIT, which is the scale
+    // decision: `pivot(col)` with no list first runs a DISTINCT and
+    // `collect()`s it on the driver to learn the output schema — an
+    // unbounded driver dependency and a full extra job at 100 TB.
+    // With the list, this is ONE grouping aggregate whose map-side
+    // partials are already wide (no per-type shuffle fanout). Missing
+    // day×type combos surface as null from pivot-count; coalesce to 0
+    // to match the oracle's FILTER form.
+    Q("q111_pivot_wide",
+      (s, d) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val wide = t(s, d, "events")
+          .groupBy(date_trunc("day", col("ts")).as("day"))
+          .pivot("event_type", types)
+          .agg(count(lit(1)))
+        wide.select(col("day") +:
+          types.map(v => coalesce(col(v), lit(0L)).as(v)): _*)
+          .orderBy("day")
+      },
+      Some("""
+        SELECT CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+            AS day,
+          COUNT(*) FILTER (event_type = 'click') AS click,
+          COUNT(*) FILTER (event_type = 'error') AS error,
+          COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+          COUNT(*) FILTER (event_type = 'signup') AS signup,
+          COUNT(*) FILTER (event_type = 'view') AS view
+        FROM events GROUP BY 1 ORDER BY day""")),
+
+    // DATA PROFILING — the `ANALYZE TABLE`-shaped corpus-intake pass:
+    // per-stratum count, distinct entities, range, mean, standard
+    // deviation, and a cross-column correlation, all in ONE scan. The
+    // scale trick is how the MOMENTS are computed: stddev_samp/corr
+    // accumulate doubles in partition order, so their last bits differ
+    // run-to-run under AQE/retries — unacceptable for a gated artifact.
+    // Instead every moment (Σx, Σx², Σy, Σy², Σxy) is an EXACT decimal
+    // sum (the QH.decSum device: inputs rounded once to 6 decimals at
+    // the cast, products exact in decimal(37,12), sums order-free),
+    // surfaced to double through the string cast, and the textbook
+    // formulas run on those exact moments identically in both engines.
+    // Distributed shape: plain partial-aggregating groupBy — map-side
+    // combine ships 9 numbers per stratum, never rows.
+    Q("q112_profile",
+      (s, d) => {
+        val xd = col("value").cast("decimal(18,6)")
+        val yd = col("user_id").cast("decimal(18,6)")
+        def d2(c: org.apache.spark.sql.Column) =
+          sum(c).cast("string").cast("double")
+        t(s, d, "events")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users"),
+            min(col("value")).as("vmin"), max(col("value")).as("vmax"),
+            d2(xd).as("sx"), d2(xd * xd).as("sx2"),
+            d2(yd).as("sy"), d2(yd * yd).as("sy2"), d2(xd * yd).as("sxy"))
+          .select(col("event_type"), col("n"), col("n_users"),
+            col("vmin"), col("vmax"),
+            round(col("sx") / col("n"), 6).as("mean_v"),
+            round(sqrt((col("sx2") - col("sx") * col("sx") / col("n"))
+              / (col("n") - lit(1))), 6).as("std_v"),
+            round((col("n") * col("sxy") - col("sx") * col("sy"))
+              / sqrt((col("n") * col("sx2") - col("sx") * col("sx"))
+                * (col("n") * col("sy2") - col("sy") * col("sy"))), 6)
+              .as("corr_vu"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH m AS (
+          SELECT event_type, COUNT(*) AS n,
+            COUNT(DISTINCT user_id) AS n_users,
+            MIN(value) AS vmin, MAX(value) AS vmax,
+            CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR)
+              AS DOUBLE) AS sx,
+            CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))
+              * CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sx2,
+            CAST(CAST(SUM(CAST(user_id AS DECIMAL(18,6))) AS VARCHAR)
+              AS DOUBLE) AS sy,
+            CAST(CAST(SUM(CAST(user_id AS DECIMAL(18,6))
+              * CAST(user_id AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sy2,
+            CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))
+              * CAST(user_id AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sxy
+          FROM events GROUP BY event_type)
+        SELECT event_type, n, n_users, vmin, vmax,
+          ROUND(sx / n, 6) AS mean_v,
+          ROUND(SQRT((sx2 - sx * sx / n) / (n - 1)), 6) AS std_v,
+          ROUND((n * sxy - sx * sy) /
+            SQRT((n * sx2 - sx * sx) * (n * sy2 - sy * sy)), 6) AS corr_vu
+        FROM m ORDER BY event_type"""))
   )
 }
