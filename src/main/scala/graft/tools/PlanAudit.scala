@@ -20,7 +20,12 @@ object PlanAudit {
       "q75_referral_rewards", // as-of equi join + residual bound
       "q79_sessionize", // single user exchange end-to-end
       "q83_decontaminate", // gram equi-join, eval side AQE-broadcast
-      "q85_mixture_resample") // rates dim broadcast into one pass
+      "q85_mixture_resample", // rates dim broadcast into one pass
+      "q101_rolling_distinct_sketch", // map-side daily HLL, sketch fanout
+      "q106_pq_adc", // broadcast codebook/LUT, bounded top-k
+      "q108_semdedup", // within-cluster equi-join prune
+      "q109_bloom_prune", // scalar-subquery bloom on the fact scan
+      "q112_profile") // one-scan exact-moment profile
     interesting.foreach { name =>
       val df = graft.queries.Catalog.byName(name).run(spark, d)
       // drive THIS df's own query execution to completion (count() would
