@@ -106,6 +106,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("graft_heavy"),
+      new ExpressionInfo(classOf[MisraGries].getName, "graft_heavy"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => MisraGries(c)
+        case Seq(c, Literal(k: Int, _)) => MisraGries(c, k)
+        case _ => throw new IllegalArgumentException(
+          "graft_heavy(item[, k]) — k must be an int literal")
+      }))
+
+    ext.injectFunction((
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
       (children: Seq[Expression]) => children match {

@@ -712,6 +712,47 @@ object TextQueries {
           FROM a)
         SELECT doc_id, n_tokens, ROUND(score0, 6) AS score,
           score0 > 0 AS keep
-        FROM sc ORDER BY doc_id"""))
+        FROM sc ORDER BY doc_id""")),
+
+    // HEAVY HITTERS via the Misra–Gries mergeable summary
+    // (expressions/MisraGries, `graft_heavy`) — the frequent-items
+    // sketch completing the mergeable-summary family (HLL q99/q101, GK
+    // quantiles q99, bounded top-k q81/q102): at 100 TB of tokens an
+    // exact `groupBy(token).count` shuffles one row per DISTINCT token
+    // (billions of keys) to answer "which items exceed φ·n" — the MG
+    // summary caps every map task at k counters, combines map-side,
+    // and merges associatively. MG counter VALUES depend on merge
+    // order, so the gated output exposes only the order-free theorem
+    // (the q99 device): exact counts for the guaranteed-found set
+    // (true_count > n/(k+1)) plus booleans that the sketch (a) found
+    // each of them and (b) estimated within [true − n/(k+1), true] —
+    // both TRUE for every valid MG summary regardless of merge order.
+    Q("q113_heavy_hitters",
+      (s, d) => {
+        val toks = QH.spread(s, col("doc_id"))(t(s, d, "documents"))
+          .select(explode(split(col("text"), " ")).as("tok"))
+        val exact = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        val total = exact.agg(sum(col("cnt")).as("n"))
+        val sk = toks.agg(expr("graft_heavy(tok, 64)").as("hh"))
+          .select(explode(col("hh")).as("e"))
+          .select(col("e.item").as("tok"), col("e.est").as("est"))
+        exact.crossJoin(broadcast(total))
+          .filter(col("cnt") > col("n") / lit(65.0d))
+          .join(sk, Seq("tok"), "left")
+          .select(col("tok"), col("cnt"),
+            col("est").isNotNull.as("in_sketch"),
+            coalesce(col("est") <= col("cnt") &&
+              (col("cnt") - col("est")) <= col("n") / lit(65.0d),
+              lit(false)).as("bound_ok"))
+          .orderBy(col("cnt").desc, col("tok"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents),
+        e AS (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY tok),
+        tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM e)
+        SELECT tok, cnt, TRUE AS in_sketch, TRUE AS bound_ok
+        FROM e, tot WHERE cnt > n / 65.0
+        ORDER BY cnt DESC, tok"""))
   )
 }

@@ -87,6 +87,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "no global-sort window in the scale path")
   }
 
+  test("q113: heavy-hitters summary partial-aggregates map-side") {
+    // The sketch's entire value is that each map task ships ≤ k
+    // counters into the shuffle instead of one row per distinct token.
+    val p = plan("q113_heavy_hitters")
+    assert(p.contains("partial_graft_heavy"),
+      "MG summary must combine map-side before the exchange")
+  }
+
   test("q106: PQ encode and ADC scan are equi joins over broadcast tables") {
     val p = plan("q106_pq_adc")
     assert(!p.contains("CartesianProduct"),
