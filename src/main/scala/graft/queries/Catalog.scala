@@ -22,7 +22,7 @@ object Catalog {
       DedupQueries.qs ++ SimilarityQueries.qs ++ TextQueries.qs ++
       CdcQueries.qs ++ MultimodalQueries.qs ++ ExtendedQueries.qs ++
       NestedQueries.qs ++ AggPnlQueries.qs ++ StreamingQueries.qs ++
-      ReferralQueries.qs
+      ReferralQueries.qs ++ FunnelQueries.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

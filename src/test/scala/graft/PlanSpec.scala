@@ -87,6 +87,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "no global-sort window in the scale path")
   }
 
+  test("q114/q115: funnel and cohort chains stay equi-join, no forced broadcast") {
+    for (q <- Seq("q114_funnel", "q115_cohort_retention")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must chain equi joins on its grouping keys")
+      // every joined frame is fact-derived (per-user / per-cohort rows
+      // that grow with the data) — AQE may broadcast at small scale
+      // from runtime sizes, but a forced hint would not reverse at 100×
+      assert(!logical(q).contains("strategy=broadcast"),
+        s"$q must not force-broadcast fact-derived stage frames")
+    }
+  }
+
   test("q113: heavy-hitters summary partial-aggregates map-side") {
     // The sketch's entire value is that each map task ships ≤ k
     // counters into the shuffle instead of one row per distinct token.
