@@ -22,7 +22,8 @@ object Catalog {
       DedupQueries.qs ++ SimilarityQueries.qs ++ TextQueries.qs ++
       CdcQueries.qs ++ MultimodalQueries.qs ++ ExtendedQueries.qs ++
       NestedQueries.qs ++ AggPnlQueries.qs ++ StreamingQueries.qs ++
-      ReferralQueries.qs ++ FunnelQueries.qs
+      ReferralQueries.qs ++ FunnelQueries.qs ++ TimeSeriesQueries.qs ++
+      GraphQueries.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

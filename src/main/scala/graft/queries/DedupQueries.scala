@@ -78,6 +78,48 @@ object DedupQueries {
   // lazy: q29 is declared below qs (forward val reference is null at
   // object init; Catalog forces qs only after construction)
   lazy val qs: Seq[Q] = Seq(
+    // FUZZY KEY CONSOLIDATION (sixth dedup modality: typo-distance).
+    // Candidate dirty-key pairs for entity resolution: collapse the
+    // fact to its DISTINCT-key dictionary first (the dictionary is
+    // vocabulary-sized — it does not grow with fact rows), then a
+    // prefix-blocked self-join over the dictionary with a length band
+    // and a Levenshtein cap. The blocking is a declared
+    // candidate-generation strategy exactly like q28's bands: pairs
+    // that disagree in their first 4 chars or by >2 length are out of
+    // scope by definition, which is what keeps the join equi-shaped —
+    // an unblocked edit-distance join is all-pairs and has no 100 TB
+    // shape. Distance arithmetic is integral, so the oracle gate is
+    // exact with no float discipline needed.
+    Q("q122_fuzzy_keys",
+      (s, d) => {
+        val keys = t(s, d, "part").groupBy(col("p_name"))
+          .agg(count(lit(1)).as("n"))
+        val a = keys.select(col("p_name").as("name_a"), col("n").as("n_a"),
+          substring(col("p_name"), 1, 4).as("blk"))
+        val b = keys.select(col("p_name").as("name_b"), col("n").as("n_b"),
+          substring(col("p_name"), 1, 4).as("blk"))
+        a.join(b, Seq("blk"))
+          .filter(col("name_a") < col("name_b"))
+          .filter(abs(length(col("name_a")) - length(col("name_b"))) <= 2)
+          .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+          .filter(col("dist").between(1, 3))
+          .select(col("name_a"), col("name_b"), col("dist"),
+            col("n_a"), col("n_b"))
+          .orderBy("name_a", "name_b")
+      },
+      Some("""
+        WITH keys AS (
+          SELECT p_name, COUNT(*) AS n FROM part GROUP BY p_name)
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+          CAST(LEVENSHTEIN(a.p_name, b.p_name) AS INTEGER) AS dist,
+          a.n AS n_a, b.n AS n_b
+        FROM keys a JOIN keys b
+          ON SUBSTRING(a.p_name, 1, 4) = SUBSTRING(b.p_name, 1, 4)
+          AND a.p_name < b.p_name
+        WHERE ABS(LENGTH(a.p_name) - LENGTH(b.p_name)) <= 2
+          AND LEVENSHTEIN(a.p_name, b.p_name) BETWEEN 1 AND 3
+        ORDER BY name_a, name_b""")),
+
     // Exact dedup: first doc_id per md5(text) group.
     Q("q26_dedup_exact",
       (s, d) => {

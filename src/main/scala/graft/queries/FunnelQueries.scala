@@ -129,6 +129,48 @@ object FunnelQueries {
         SELECT r.cohort_week, r.week_offset, r.n_active, s.cohort_size,
           ROUND(CAST(r.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
         FROM ret r JOIN sizes s USING (cohort_week)
-        ORDER BY cohort_week, week_offset"""))
+        ORDER BY cohort_week, week_offset""")),
+
+    // EVENT TRANSITION MATRIX (first-order Markov): for each ordered
+    // pair of consecutive events by the same user, count the
+    // (from_type, to_type) transition and normalize per from-state.
+    // Scale shape: ONE window over (user_id) — the canonical
+    // sequence-reconstruction shuffle; everything after it operates on
+    // the transition-pair frame, whose size is bounded by
+    // |event_type|^2 regardless of raw row count (the share-of-total
+    // window therefore sees a handful of rows). Ties on ts are broken
+    // by event_id so the lead() is deterministic.
+    Q("q116_transition_matrix",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val pairs = ev
+          .withColumn("to_type", lead(col("event_type"), 1).over(w))
+          .filter(col("to_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+        pairs
+          .withColumn("p_transition",
+            round(col("n").cast("double") /
+              sum(col("n")).over(Window.partitionBy("from_type")), 6))
+          .orderBy("from_type", "to_type")
+      },
+      Some("""
+        WITH seq AS (
+          SELECT event_type AS from_type,
+            LEAD(event_type) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+          FROM events),
+        pairs AS (
+          SELECT from_type, to_type, COUNT(*) AS n
+          FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        SELECT from_type, to_type, n,
+          ROUND(CAST(n AS DOUBLE) /
+            SUM(n) OVER (PARTITION BY from_type), 6) AS p_transition
+        FROM pairs
+        ORDER BY from_type, to_type"""))
   )
 }

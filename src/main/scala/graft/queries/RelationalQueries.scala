@@ -157,6 +157,72 @@ object RelationalQueries {
           COUNT(*) AS n
         FROM lineitem GROUP BY ROLLUP(l_returnflag) ORDER BY l_returnflag""")),
 
+    // O-family completion: INTERSECT / EXCEPT (both DISTINCT-flavored,
+    // Spark's .intersect/.except semantics) — q09 covers UNION
+    // DISTINCT; these are the other two set operators a reference user
+    // has. Both plan as aggregates over a tagged union (no join), so
+    // they shuffle once on the full row as key — the same shape as
+    // distinct(), and the tag column is a constant that costs nothing.
+    Q("q121_set_ops",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"))
+        val e = ev.filter(col("event_type") === "error")
+          .select(col("user_id"))
+        p.intersect(e).withColumn("tag", lit("both"))
+          .union(p.except(e).withColumn("tag", lit("purchase_only")))
+          .select(col("tag"), col("user_id"))
+          .orderBy("tag", "user_id")
+      },
+      Some("""
+        SELECT 'both' AS tag, user_id FROM (
+          SELECT user_id FROM events WHERE event_type = 'purchase'
+          INTERSECT
+          SELECT user_id FROM events WHERE event_type = 'error')
+        UNION ALL
+        SELECT 'purchase_only' AS tag, user_id FROM (
+          SELECT user_id FROM events WHERE event_type = 'purchase'
+          EXCEPT
+          SELECT user_id FROM events WHERE event_type = 'error')
+        ORDER BY tag, user_id""")),
+
+    // A10 extension: full CUBE with grouping-id disambiguation — q08
+    // covers ROLLUP's prefix lattice; CUBE emits all 2^k slices, and
+    // grouping_id() is what lets a reader tell a real NULL key from a
+    // subtotal row (the ALL sentinel covers display, the id covers
+    // machine consumers). Two dims stay distinct via the id even when
+    // both coalesce to 'ALL'. Map-side combined like any hash agg; the
+    // expand operator multiplies rows 4× BEFORE the shuffle, which is
+    // the documented Spark cost model for cube at scale (rows × 2^k).
+    Q("q119_cube",
+      (s, d) => {
+        val o = t(s, d, "orders").join(
+          t(s, d, "customer").select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        o.cube(col("o_orderpriority"), col("c_mktsegment"))
+          .agg(grouping_id().as("gid"),
+            count(lit(1)).as("n"),
+            decSum(col("o_totalprice")).as("revenue"))
+          .select(
+            coalesce(col("o_orderpriority"), lit("ALL"))
+              .as("o_orderpriority"),
+            coalesce(col("c_mktsegment"), lit("ALL")).as("c_mktsegment"),
+            col("gid"), col("n"), col("revenue"))
+          .orderBy("gid", "o_orderpriority", "c_mktsegment")
+      },
+      Some("""
+        SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+          COALESCE(c_mktsegment, 'ALL') AS c_mktsegment,
+          CAST(GROUPING(o_orderpriority) * 2 + GROUPING(c_mktsegment)
+            AS BIGINT) AS gid,
+          COUNT(*) AS n,
+          CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS VARCHAR)
+            AS DOUBLE) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY CUBE(o_orderpriority, c_mktsegment)
+        ORDER BY gid, o_orderpriority, c_mktsegment""")),
+
     // O3/O4 union + distinct (mm-uptime-v2:91–104 UNION dedup semantics).
     Q("q09_union_distinct",
       (s, d) => {

@@ -1,0 +1,195 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import QH._
+
+/** Time-series operator families over the events stream: regular-grid
+  * resampling with gap fill (linear interpolation between neighboring
+  * observations) and rolling-statistics anomaly flagging. Both are the
+  * batch-gold shape of the reference's monitoring surface (SURVEY §0:
+  * platform-monitoring hourly rollups) extended with the standard
+  * time-series post-processing a metrics consumer runs downstream.
+  *
+  * Scale shape shared by both: the ONLY pass over raw events is a
+  * map-side-combined groupBy(event_type, hour) — the resample is the
+  * compaction. Every window after that runs on the resampled frame,
+  * whose row count is |event_type| × |hours| — a function of the grain
+  * and the clock, NOT of the raw event volume. At 100 TB of events the
+  * windows still see thousands of rows per type, so partitioning by
+  * event_type (low cardinality) is safe: the per-partition work is
+  * bounded by calendar time, not data size.
+  */
+object TimeSeriesQueries {
+
+  val qs: Seq[Q] = Seq(
+    // GAP FILL + LINEAR INTERPOLATION: hourly avg(value) per type on a
+    // dense hour spine from each type's first to last observed hour;
+    // missing hours are filled by interpolating linearly between the
+    // nearest earlier and later observations (edges clamp to the
+    // nearest observed value). The interpolation arithmetic runs on
+    // 6-dp-rounded endpoints in an op order mirrored exactly by the
+    // oracle, so the filled doubles hash-compare bit-identically.
+    Q("q117_gap_fill",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+            col("value"))
+          // no-op on this data (keys are never null), but it matches the
+          // null filter the left join infers on its build side — without
+          // it the two obs subtrees differ by that filter and the scan
+          // runs twice instead of reusing one exchange
+          .filter(col("event_type").isNotNull && col("h").isNotNull)
+        val obs = ev.groupBy("event_type", "h")
+          .agg(round(decAvg(col("value")), 6).as("v_obs"))
+        // bounds reference the non-key v_obs (always non-null, so the
+        // when() is the identity): plain min(h)/max(h) would let the
+        // optimizer drop the inner aggregate (h is one of its keys) and
+        // rescan raw events just for bounds — the guard keeps the obs
+        // subplan shared, so ONE fact scan feeds both branches via
+        // exchange reuse
+        val bounds = obs.groupBy("event_type")
+          .agg(min(when(col("v_obs").isNotNull, col("h"))).as("h0"),
+            max(when(col("v_obs").isNotNull, col("h"))).as("h1"))
+        val spine = bounds.select(col("event_type"),
+          explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR")))
+            .as("h"))
+        val filled = spine.join(obs, Seq("event_type", "h"), "left")
+        val ord = Window.partitionBy("event_type").orderBy("h")
+        val before = ord.rowsBetween(Window.unboundedPreceding, -1)
+        val after = ord.rowsBetween(1, Window.unboundedFollowing)
+        val prevV = last(col("v_obs"), ignoreNulls = true).over(before)
+        val prevH = last(when(col("v_obs").isNotNull, col("h")),
+          ignoreNulls = true).over(before)
+        val nextV = first(col("v_obs"), ignoreNulls = true).over(after)
+        val nextH = first(when(col("v_obs").isNotNull, col("h")),
+          ignoreNulls = true).over(after)
+        // exact integer-valued doubles: second-diffs of whole hours
+        val dh = (unix_timestamp(col("h")) - unix_timestamp(prevH))
+          .cast("double")
+        val dtot = (unix_timestamp(nextH) - unix_timestamp(prevH))
+          .cast("double")
+        filled
+          .select(col("event_type"), col("h"), col("v_obs"),
+            when(col("v_obs").isNotNull, col("v_obs"))
+              .when(prevV.isNull, nextV)
+              .when(nextV.isNull, prevV)
+              .otherwise(round(prevV + (nextV - prevV) * (dh / dtot), 6))
+              .as("v_fill"),
+            col("v_obs").isNull.as("is_gap"))
+          .orderBy("event_type", "h")
+      },
+      Some("""
+        WITH obs AS (
+          SELECT event_type, DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS h,
+            ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS VARCHAR)
+              AS DOUBLE) / COUNT(*), 6) AS v_obs
+          FROM events GROUP BY 1, 2),
+        bounds AS (
+          SELECT event_type, MIN(h) AS h0, MAX(h) AS h1 FROM obs GROUP BY 1),
+        spine AS (
+          SELECT event_type,
+            UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+          FROM bounds),
+        filled AS (
+          SELECT s.event_type, s.h, o.v_obs
+          FROM spine s LEFT JOIN obs o USING (event_type, h)),
+        ctx AS (
+          SELECT event_type, h, v_obs,
+            LAST_VALUE(v_obs IGNORE NULLS) OVER w_before AS prev_v,
+            LAST_VALUE(CASE WHEN v_obs IS NOT NULL THEN h END IGNORE NULLS)
+              OVER w_before AS prev_h,
+            FIRST_VALUE(v_obs IGNORE NULLS) OVER w_after AS next_v,
+            FIRST_VALUE(CASE WHEN v_obs IS NOT NULL THEN h END IGNORE NULLS)
+              OVER w_after AS next_h
+          FROM filled
+          WINDOW
+            w_before AS (PARTITION BY event_type ORDER BY h
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            w_after AS (PARTITION BY event_type ORDER BY h
+              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        SELECT event_type, h, v_obs,
+          CASE WHEN v_obs IS NOT NULL THEN v_obs
+               WHEN prev_v IS NULL THEN next_v
+               WHEN next_v IS NULL THEN prev_v
+               ELSE ROUND(prev_v + (next_v - prev_v) *
+                 (CAST(DATE_DIFF('second', prev_h, h) AS DOUBLE) /
+                  CAST(DATE_DIFF('second', prev_h, next_h) AS DOUBLE)), 6)
+          END AS v_fill,
+          v_obs IS NULL AS is_gap
+        FROM ctx
+        ORDER BY event_type, h""")),
+
+    // ROLLING Z-SCORE ANOMALY FLAG: each hourly total is scored
+    // against the trailing 24 observations (current row EXCLUDED, so
+    // the anomaly cannot suppress itself); |z| > 3 with at least 12
+    // points of history flags the hour. Variance is computed from
+    // decimal-exact window sums (Σv, Σv²) with the double arithmetic
+    // ((ssq − s²/n)/(n−1)) mirrored term-for-term in the oracle —
+    // deterministic hash equality without trusting two engines'
+    // internal stddev implementations to agree.
+    Q("q118_rolling_anomaly",
+      (s, d) => {
+        val obs = t(s, d, "events")
+          .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+            col("value"))
+          .groupBy("event_type", "h")
+          .agg(round(decSum(col("value")), 6).as("v"))
+        val wf = Window.partitionBy("event_type").orderBy("h")
+          .rowsBetween(-24, -1)
+        val nD = col("n_win").cast("double")
+        val scored = obs
+          .withColumn("n_win", count(col("v")).over(wf))
+          .withColumn("s",
+            sum(col("v").cast(DEC)).over(wf).cast("string").cast("double"))
+          .withColumn("ssq",
+            sum((col("v") * col("v")).cast(DEC)).over(wf)
+              .cast("string").cast("double"))
+          // ANSI mode: the divisions must not run for empty/size-1
+          // frames (n_win ≤ 1); guard at the history threshold, which
+          // also matches what the oracle's CASE exposes
+          .withColumn("mu", when(col("n_win") >= 12, col("s") / nD))
+          .withColumn("variance",
+            when(col("n_win") >= 12,
+              (col("ssq") - col("s") * col("s") / nD) / (nD - lit(1.0))))
+          .withColumn("z",
+            when(col("n_win") >= 12 && col("variance") > 0,
+              round((col("v") - col("mu")) / sqrt(col("variance")), 6)))
+        scored
+          .select(col("event_type"), col("h"), col("v"), col("n_win"),
+            col("z"),
+            coalesce(abs(col("z")) > 3, lit(false)).as("is_anomaly"))
+          .orderBy("event_type", "h")
+      },
+      Some("""
+        WITH obs AS (
+          SELECT event_type, DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS h,
+            ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS VARCHAR)
+              AS DOUBLE), 6) AS v
+          FROM events GROUP BY 1, 2),
+        ctx AS (
+          SELECT event_type, h, v,
+            COUNT(v) OVER w AS n_win,
+            CAST(CAST(SUM(CAST(v AS DECIMAL(28,6))) OVER w AS VARCHAR)
+              AS DOUBLE) AS s,
+            CAST(CAST(SUM(CAST(v * v AS DECIMAL(28,6))) OVER w AS VARCHAR)
+              AS DOUBLE) AS ssq
+          FROM obs
+          WINDOW w AS (PARTITION BY event_type ORDER BY h
+            ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        scored AS (
+          SELECT event_type, h, v, n_win,
+            s / CAST(n_win AS DOUBLE) AS mu,
+            (ssq - s * s / CAST(n_win AS DOUBLE)) /
+              (CAST(n_win AS DOUBLE) - 1.0) AS variance
+          FROM ctx)
+        SELECT event_type, h, v, n_win,
+          CASE WHEN n_win >= 12 AND variance > 0
+               THEN ROUND((v - mu) / SQRT(variance), 6) END AS z,
+          COALESCE(ABS(CASE WHEN n_win >= 12 AND variance > 0
+               THEN ROUND((v - mu) / SQRT(variance), 6) END) > 3, FALSE)
+            AS is_anomaly
+        FROM scored
+        ORDER BY event_type, h"""))
+  )
+}

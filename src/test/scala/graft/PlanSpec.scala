@@ -101,6 +101,92 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q116: one sequence window over raw events; matrix windows see pairs") {
+    val p = plan("q116_transition_matrix")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    // the lead() window is the only operator that sees raw events; the
+    // share-of-total window runs after the pair aggregation, whose
+    // output is bounded by |event_type|^2 — so exactly two Windows, and
+    // the pair count partial-aggregates map-side before its shuffle
+    assert("Window \\[".r.findAllIn(p).size === 2, "lead + share windows only")
+    assert(p.contains("partial_count"), "pair counting must map-side combine")
+  }
+
+  test("q117: resample is the only fact pass — obs exchange is reused") {
+    // AQE deduplicates the two identical obs subtrees at RUNTIME (stage
+    // reuse), so this pin must execute the query and read the final
+    // adaptive plan — the static plan still shows two scans
+    val df = Catalog.byName("q117_gap_fill").run(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case other => other.toString
+    }
+    // the hour spine's bounds MUST come from the resampled frame, not a
+    // second scan of raw events: one FileScan, one reused exchange
+    assert("FileScan parquet".r.findAllIn(p).size === 1,
+      "gap fill must scan the fact exactly once")
+    assert(p.contains("partial_sum"), "resample must map-side combine")
+    // all four neighbor lookups collapse into one Window operator over
+    // the calendar-bounded spine (no re-sort between frames)
+    assert("Window \\[".r.findAllIn(p).size === 1)
+  }
+
+  test("q118: anomaly scoring windows share one sort over the resample") {
+    val p = plan("q118_rolling_anomaly")
+    assert("FileScan parquet".r.findAllIn(p).size === 1)
+    assert(p.contains("partial_sum"), "resample must map-side combine")
+    // count/Σv/Σv² windows all use the same (event_type, h) spec: one
+    // Sort feeds the chain — any second Sort means a spec drifted
+    assert("\\) Sort \\[".r.findAllIn(p).size <= 2,
+      "rolling windows must share the resample's sort order")
+  }
+
+  test("q119: cube expands before the shuffle and map-side combines") {
+    val p = plan("q119_cube")
+    assert(p.contains("Expand"), "cube must plan as Expand (2^k slices)")
+    assert(p.contains("partial_count") && p.contains("partial_sum"),
+      "cube aggregate must partial-aggregate after the expand")
+    assert(p.contains("BroadcastHashJoin"), "customer dim should broadcast")
+  }
+
+  test("q120: iterations run off checkpointed frames, no fact re-scan") {
+    // the static edge frame and seed ranks are localCheckpoint-ed, so
+    // the 5-round job's own plan must contain NO parquet scan at all —
+    // any FileScan here means an iteration's lineage reached back to
+    // the raw fact (2×iterations scans at 100 TB)
+    val df = Catalog.byName("q120_pagerank").run(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    assert("FileScan parquet".r.findAllIn(p).size === 0,
+      "pagerank iterations must not re-derive edges from the raw scans")
+    assert(p.contains("partial_sum"), "inflow sums must map-side combine")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q121: intersect/except plan as hash semi/anti joins + distinct") {
+    val p = plan("q121_set_ops")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      "set ops must lower to semi/anti joins, not row-comparing loops")
+  }
+
+  test("q122: fuzzy-key join runs over the dictionary, not the fact") {
+    val p = plan("q122_fuzzy_keys")
+    // the self-join's BOTH inputs must be the distinct-key aggregate
+    // (vocabulary-sized); a join whose input is the raw part scan grows
+    // quadratically with duplicated keys
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "blocked edit-distance join must stay equi on the block key")
+    assert("HashAggregate\\(keys=\\[p_name".r.findAllIn(p).size >= 2,
+      "both join sides must aggregate to the key dictionary first")
+    assert(p.contains("levenshtein"),
+      "distance must evaluate as a join residual, post-blocking")
+  }
+
   test("q113: heavy-hitters summary partial-aggregates map-side") {
     // The sketch's entire value is that each map task ships ≤ k
     // counters into the shuffle instead of one row per distinct token.
