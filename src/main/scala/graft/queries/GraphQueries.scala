@@ -60,16 +60,21 @@ object GraphQueries {
           .select(col("src"), col("dst"),
             (col("w").cast("double") / col("w_out").cast("double")).as("p"))
           .localCheckpoint()
-        val nodes = edges0.select(col("src").as("node")).distinct()
+        // every node appears as a src (the walk is bidirectional), so
+        // the node set comes from the CHECKPOINTED edges — deriving it
+        // from edges0 would re-run the raw scan+join chain a second time
+        val nodes = edges.select(col("src").as("node")).distinct()
         // node count via a 1-row cross join (the O5 pattern) — no
         // driver-side first()/collect(); n_nodes rides along as a rank
         // column so later iterations never touch the node frame again
         val nn = nodes.agg(count(lit(1)).as("n_nodes"))
+        // the seed is NOT checkpointed: it derives from the checkpointed
+        // edges in two cheap aggregates, and folding it into the main
+        // job saves a whole job's scheduler round-trip
         var ranks = nodes.crossJoin(nn)
           .select(col("node"),
             (lit(1.0) / col("n_nodes").cast("double")).as("r"),
             col("n_nodes"))
-          .localCheckpoint()
         for (_ <- 1 to 5) {
           val inflow = edges
             .join(ranks.select(col("node").as("src"), col("r")), Seq("src"))
