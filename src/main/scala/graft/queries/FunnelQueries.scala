@@ -171,6 +171,107 @@ object FunnelQueries {
           ROUND(CAST(n AS DOUBLE) /
             SUM(n) OVER (PARTITION BY from_type), 6) AS p_transition
         FROM pairs
-        ORDER BY from_type, to_type"""))
+        ORDER BY from_type, to_type""")),
+
+    // RFM SEGMENTATION: per purchasing user, recency (days since last
+    // purchase, against the corpus max timestamp — data-derived, so
+    // deterministic), frequency (purchase count) and monetary
+    // (decimal-exact spend), each scored 1–4 against the EXACT
+    // quartile breakpoints of the user population. Scale shape: the
+    // user frame is one map-side-combined aggregate; the breakpoints
+    // and the global max are 1-row frames cross-joined in (the O5
+    // pattern) — broadcast, never a global sort: ntile would sort the
+    // whole population on a single partition per metric. Exact
+    // percentile buffers the per-user values on one reducer — fine for
+    // a per-user frame, and approx_percentile is the drop-in at the
+    // scale where even that frame overwhelms one executor (documented
+    // trade; the oracle needs the exact one). Boundary safety: a user
+    // value can only EQUAL a breakpoint when the breakpoint is that
+    // order statistic itself (interpolated points lie strictly between
+    // distinct observations), so engine-level last-ulp interpolation
+    // differences cannot flip a <= comparison.
+    Q("q124_rfm",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+        val users = purchases.groupBy("user_id")
+          .agg(max(col("ts")).as("last_ts"),
+            count(lit(1)).as("frequency"),
+            round(decSum(col("value")), 6).as("monetary"))
+        val gmax = ev.agg(max(col("ts")).as("gmax"))
+        val withR = users.crossJoin(gmax)
+          .withColumn("recency_days",
+            ((unix_timestamp(col("gmax")) - unix_timestamp(col("last_ts"))) /
+              lit(86400)).cast("long"))
+        val bp = withR.agg(
+          expr("percentile(recency_days, array(0.25D, 0.5D, 0.75D))")
+            .as("rp"),
+          expr("percentile(frequency, array(0.25D, 0.5D, 0.75D))").as("fp"),
+          expr("percentile(monetary, array(0.25D, 0.5D, 0.75D))").as("mp"))
+        def asc(v: org.apache.spark.sql.Column, p: org.apache.spark.sql.Column) =
+          when(v <= element_at(p, 1), 1)
+            .when(v <= element_at(p, 2), 2)
+            .when(v <= element_at(p, 3), 3)
+            .otherwise(4)
+        withR.crossJoin(bp)
+          .select(col("user_id"), col("recency_days"), col("frequency"),
+            col("monetary"),
+            // low recency is GOOD: invert the ascending quartile score
+            (lit(5) - asc(col("recency_days").cast("double"), col("rp")))
+              .as("r_score"),
+            asc(col("frequency").cast("double"), col("fp")).as("f_score"),
+            asc(col("monetary"), col("mp")).as("m_score"))
+          .withColumn("rfm_cell",
+            col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH purchases AS (
+          SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+          FROM events WHERE event_type = 'purchase'),
+        users AS (
+          SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS frequency,
+            ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS VARCHAR)
+              AS DOUBLE), 6) AS monetary
+          FROM purchases GROUP BY user_id),
+        gm AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS gmax FROM events),
+        withr AS (
+          SELECT u.*, CAST(DATE_DIFF('second', u.last_ts, g.gmax) // 86400
+            AS BIGINT) AS recency_days
+          FROM users u CROSS JOIN gm g),
+        bp AS (
+          SELECT
+            QUANTILE_CONT(CAST(recency_days AS DOUBLE), 0.25) AS rp1,
+            QUANTILE_CONT(CAST(recency_days AS DOUBLE), 0.5)  AS rp2,
+            QUANTILE_CONT(CAST(recency_days AS DOUBLE), 0.75) AS rp3,
+            QUANTILE_CONT(CAST(frequency AS DOUBLE), 0.25) AS fp1,
+            QUANTILE_CONT(CAST(frequency AS DOUBLE), 0.5)  AS fp2,
+            QUANTILE_CONT(CAST(frequency AS DOUBLE), 0.75) AS fp3,
+            QUANTILE_CONT(monetary, 0.25) AS mp1,
+            QUANTILE_CONT(monetary, 0.5)  AS mp2,
+            QUANTILE_CONT(monetary, 0.75) AS mp3
+          FROM withr),
+        scored AS (
+          SELECT w.user_id, w.recency_days, w.frequency, w.monetary,
+            5 - (CASE WHEN CAST(w.recency_days AS DOUBLE) <= b.rp1 THEN 1
+                 WHEN CAST(w.recency_days AS DOUBLE) <= b.rp2 THEN 2
+                 WHEN CAST(w.recency_days AS DOUBLE) <= b.rp3 THEN 3
+                 ELSE 4 END) AS r_score,
+            CASE WHEN CAST(w.frequency AS DOUBLE) <= b.fp1 THEN 1
+                 WHEN CAST(w.frequency AS DOUBLE) <= b.fp2 THEN 2
+                 WHEN CAST(w.frequency AS DOUBLE) <= b.fp3 THEN 3
+                 ELSE 4 END AS f_score,
+            CASE WHEN w.monetary <= b.mp1 THEN 1
+                 WHEN w.monetary <= b.mp2 THEN 2
+                 WHEN w.monetary <= b.mp3 THEN 3
+                 ELSE 4 END AS m_score
+          FROM withr w CROSS JOIN bp b)
+        SELECT user_id, recency_days, frequency, monetary,
+          CAST(r_score AS INTEGER) AS r_score,
+          CAST(f_score AS INTEGER) AS f_score,
+          CAST(m_score AS INTEGER) AS m_score,
+          CAST(r_score * 100 + f_score * 10 + m_score AS INTEGER) AS rfm_cell
+        FROM scored
+        ORDER BY user_id"""))
   )
 }

@@ -190,6 +190,83 @@ object TimeSeriesQueries {
                THEN ROUND((v - mu) / SQRT(variance), 6) END) > 3, FALSE)
             AS is_anomaly
         FROM scored
+        ORDER BY event_type, h""")),
+
+    // EXPONENTIAL MOVING AVERAGE over the hourly series, adjust-style:
+    // ewma(t) = Σ_k w^k·v(t−k) / Σ_k w^k over the trailing 13 hours
+    // with PRESENT terms only (a gap drops out of numerator AND
+    // denominator). The trailing window becomes an EQUI join by
+    // exploding a 13-row offset spine against the anchor hours — the
+    // J5 offset-join device generalized to a fanout, replacing a range
+    // join; the fanout multiplies the calendar-bounded resample, never
+    // raw events. Numerics: w = 0.5 and offsets ≤ 12 are chosen so
+    // every weight 2^-k and product v·2^-k is EXACT in decimal(38,18)
+    // (v carries 6 decimal digits, 2^-k needs k more, 6+12 = 18 — the
+    // q78 dyadic-quantization trick), so the order-free decimal sums
+    // hash-match the oracle with zero rounding ambiguity.
+    Q("q123_ewma",
+      (s, d) => {
+        val obs = t(s, d, "events")
+          .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+            col("value"))
+          // no-op null filter matching what the join infers on its build
+          // side, so both obs subtrees stay identical and the exchange
+          // reuses (q117's device)
+          .filter(col("event_type").isNotNull && col("h").isNotNull)
+          .groupBy("event_type", "h")
+          .agg(round(decAvg(col("value")), 6).as("v"))
+        // the anchor spine carries its own hour's value through to the
+        // output (v_now): besides being useful next to the smoothed
+        // value, the reference keeps BOTH branches' obs subtrees
+        // identical — project v away here and column pruning strips the
+        // value aggregation from this branch, making it a different
+        // subtree from the join side and a second fact scan instead of
+        // one reused exchange (same device as q117's bounds)
+        val anchored = obs
+          .withColumn("off", explode(sequence(lit(0), lit(12))))
+          .select(col("event_type"), col("h"), col("v").as("v_now"),
+            (col("h") - expr("INTERVAL '1' HOUR") * col("off")).as("h_src"),
+            col("off"))
+        anchored
+          .join(obs.select(col("event_type"), col("h").as("h_src"),
+            col("v")), Seq("event_type", "h_src"))
+          .withColumn("w", pow(lit(0.5), col("off")))
+          .groupBy("event_type", "h")
+          .agg(
+            max(col("v_now")).as("v_now"),
+            round(
+              sum((col("v") * col("w")).cast("decimal(38,18)"))
+                .cast("string").cast("double") /
+              sum(col("w").cast("decimal(38,18)"))
+                .cast("string").cast("double"), 6).as("ewma"),
+            count(lit(1)).as("n_terms"))
+          .select(col("event_type"), col("h"), col("v_now"), col("ewma"),
+            col("n_terms"))
+          .orderBy("event_type", "h")
+      },
+      Some("""
+        WITH obs AS (
+          SELECT event_type, DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS h,
+            ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS VARCHAR)
+              AS DOUBLE) / COUNT(*), 6) AS v
+          FROM events GROUP BY 1, 2),
+        offs AS (SELECT UNNEST(generate_series(0, 12)) AS off),
+        anchored AS (
+          SELECT o.event_type, o.h, o.v AS v_now, f.off,
+            o.h - f.off * INTERVAL 1 HOUR AS h_src
+          FROM obs o CROSS JOIN offs f),
+        joined AS (
+          SELECT a.event_type, a.h, a.v_now, POWER(0.5, a.off) AS w, s.v
+          FROM anchored a JOIN obs s
+            ON s.event_type = a.event_type AND s.h = a.h_src)
+        SELECT event_type, h, MAX(v_now) AS v_now,
+          ROUND(
+            CAST(CAST(SUM(CAST(v * w AS DECIMAL(38,18))) AS VARCHAR)
+              AS DOUBLE) /
+            CAST(CAST(SUM(CAST(w AS DECIMAL(38,18))) AS VARCHAR)
+              AS DOUBLE), 6) AS ewma,
+          COUNT(*) AS n_terms
+        FROM joined GROUP BY 1, 2
         ORDER BY event_type, h"""))
   )
 }

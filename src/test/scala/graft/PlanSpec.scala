@@ -187,6 +187,35 @@ class PlanSpec extends AnyFunSuite {
       "distance must evaluate as a join residual, post-blocking")
   }
 
+  test("q123: ewma offset fanout is an equi join over one fact pass") {
+    // the trailing window is an equi join on (type, h−off), NOT a range
+    // join; and both branches must share ONE obs subtree (runtime
+    // exchange reuse — needs the executed adaptive plan, like q117)
+    val df = Catalog.byName("q123_ewma").run(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case other => other.toString
+    }
+    assert("FileScan parquet".r.findAllIn(p).size === 1,
+      "ewma must scan the fact exactly once")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "offset spine must join equi, not as a range/nested loop")
+    assert(p.contains("partial_sum"), "resample must map-side combine")
+  }
+
+  test("q124: rfm scores via broadcast breakpoints, no global sort") {
+    val p = plan("q124_rfm")
+    assert(!p.contains("Window"),
+      "quartile scoring must not use ntile's single-partition sort")
+    // the three 1-row frames (global max, breakpoints) cross in as
+    // broadcasts — the only acceptable nested-loop shapes here
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 3)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("q113: heavy-hitters summary partial-aggregates map-side") {
     // The sketch's entire value is that each map task ships ≤ k
     // counters into the shuffle instead of one row per distinct token.
