@@ -178,6 +178,40 @@ object WindowQueries {
           wo AS (PARTITION BY user_id ORDER BY ts, event_id),
           wc AS (PARTITION BY user_id ORDER BY ts, event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        ORDER BY event_id"""))
+        ORDER BY event_id""")),
+
+    // W-family completion: percent_rank / cume_dist / nth_value — the
+    // distribution-rank trio q11–q18 doesn't touch. One spec (spend
+    // desc, user tiebreak) serves all three, so the whole query is a
+    // single shuffle+sort; the ordering is total (user_id breaks
+    // ties), which makes nth_value's default running frame
+    // deterministic. percent_rank/cume_dist are ratios of small ints —
+    // bit-identical across engines with no rounding discipline.
+    Q("q125_rank_distribution",
+      (s, d) => {
+        val spend = t(s, d, "events")
+          .groupBy("event_type", "user_id")
+          .agg(round(decSum(col("value")), 6).as("v"))
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("v").desc, col("user_id"))
+        spend.select(col("event_type"), col("user_id"), col("v"),
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd"),
+            nth_value(col("v"), 3).over(w).as("third_v"))
+          .orderBy("event_type", "user_id")
+      },
+      Some("""
+        WITH spend AS (
+          SELECT event_type, user_id,
+            ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS VARCHAR)
+              AS DOUBLE), 6) AS v
+          FROM events GROUP BY 1, 2)
+        SELECT event_type, user_id, v,
+          PERCENT_RANK() OVER w AS pr,
+          CUME_DIST() OVER w AS cd,
+          NTH_VALUE(v, 3) OVER w AS third_v
+        FROM spend
+        WINDOW w AS (PARTITION BY event_type ORDER BY v DESC, user_id)
+        ORDER BY event_type, user_id"""))
   )
 }

@@ -25,7 +25,10 @@ object PlanAudit {
       "q106_pq_adc", // broadcast codebook/LUT, bounded top-k
       "q108_semdedup", // within-cluster equi-join prune
       "q109_bloom_prune", // scalar-subquery bloom on the fact scan
-      "q112_profile") // one-scan exact-moment profile
+      "q112_profile", // one-scan exact-moment profile
+      "q117_gap_fill", // spine bounds reuse the resample exchange
+      "q120_pagerank", // iterations off checkpointed frames, no re-scan
+      "q123_ewma") // offset-fanout equi join, single fact pass
     interesting.foreach { name =>
       val df = graft.queries.Catalog.byName(name).run(spark, d)
       // drive THIS df's own query execution to completion (count() would
