@@ -62,31 +62,31 @@ object GraphQueries {
           .localCheckpoint()
         // every node appears as a src (the walk is bidirectional), so
         // the node set comes from the CHECKPOINTED edges — deriving it
-        // from edges0 would re-run the raw scan+join chain a second time
+        // from edges0 would re-run the raw scan+join chain a second time.
+        // The node count arrives via a 1-row cross join (the O5
+        // pattern, no driver-side collect), and the whole static
+        // (node, n_nodes) base is materialized once: each iteration
+        // must reference the EVOLVING frame exactly once (in the
+        // inflow join) and take its node base from this static leaf —
+        // deriving the base from `ranks` doubles the previous round's
+        // subtree per iteration, an exponentially-sized plan that only
+        // AQE stage-reuse saves from exponential runtime
         val nodes = edges.select(col("src").as("node")).distinct()
-        // node count via a 1-row cross join (the O5 pattern) — no
-        // driver-side first()/collect(); n_nodes rides along as a rank
-        // column so later iterations never touch the node frame again
-        val nn = nodes.agg(count(lit(1)).as("n_nodes"))
-        // the seed is NOT checkpointed: it derives from the checkpointed
-        // edges in two cheap aggregates, and folding it into the main
-        // job saves a whole job's scheduler round-trip
-        var ranks = nodes.crossJoin(nn)
+        val base = nodes.crossJoin(nodes.agg(count(lit(1)).as("n_nodes")))
+          .localCheckpoint()
+        var ranks = base
           .select(col("node"),
-            (lit(1.0) / col("n_nodes").cast("double")).as("r"),
-            col("n_nodes"))
+            (lit(1.0) / col("n_nodes").cast("double")).as("r"))
         for (_ <- 1 to 5) {
           val inflow = edges
             .join(ranks.select(col("node").as("src"), col("r")), Seq("src"))
             .select(col("dst"), (col("r") * col("p")).cast(DEC18).as("c"))
             .groupBy(col("dst").as("node"))
             .agg(sum(col("c")).cast("string").cast("double").as("inflow"))
-          ranks = ranks.select(col("node"), col("n_nodes"))
-            .join(inflow, Seq("node"), "left")
+          ranks = base.join(inflow, Seq("node"), "left")
             .select(col("node"),
               (lit(0.15) / col("n_nodes").cast("double") +
-                lit(0.85) * coalesce(col("inflow"), lit(0.0))).as("r"),
-              col("n_nodes"))
+                lit(0.85) * coalesce(col("inflow"), lit(0.0))).as("r"))
         }
         ranks.select(col("node"), round(col("r"), 9).as("rank"))
           .orderBy(desc("rank"), col("node"))
