@@ -23,6 +23,10 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // parquet files with isAdjustedToUTC=false would otherwise infer
+      // TIMESTAMP_NTZ, which streaming watermarks reject; load them as
+      // session-UTC TIMESTAMP so batch and streaming see one type
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
       .config("spark.ui.enabled", "false")
 

@@ -45,6 +45,37 @@ object CdcQueries {
         QUALIFY ROW_NUMBER() OVER (
           PARTITION BY user_id, event_type, DATE_TRUNC('minute', CAST(ts AS TIMESTAMP))
           ORDER BY event_id) = 1
-        ORDER BY event_id"""))
+        ORDER BY event_id""")),
+
+    // SCD TYPE 2 dimension build — the history-preserving complement to
+    // q38's latest-wins apply_changes: every change event becomes a
+    // validity interval [valid_from, valid_to) with an is_current flag
+    // on the open interval. One lead() window per entity key is the
+    // whole build: a single shuffle on user_id, no self-join, and the
+    // partition carries one entity's history (bounded by change rate,
+    // not corpus size). Ties on ts are broken by event_id so the
+    // interval chain is deterministic.
+    Q("q126_scd2",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+        t(s, d, "events")
+          .withColumn("valid_to", lead(col("ts"), 1).over(w))
+          .select(
+            col("user_id"), col("event_id"),
+            col("ts").as("valid_from"), col("valid_to"),
+            col("value"),
+            col("valid_to").isNull.as("is_current"))
+          .orderBy("user_id", "valid_from", "event_id")
+      },
+      Some("""
+        SELECT user_id, event_id,
+          CAST(ts AS TIMESTAMP) AS valid_from,
+          LEAD(CAST(ts AS TIMESTAMP)) OVER w AS valid_to,
+          value,
+          (LEAD(ts) OVER w IS NULL) AS is_current
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY user_id, valid_from, event_id"""))
   )
 }

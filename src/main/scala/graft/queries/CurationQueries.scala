@@ -1,0 +1,287 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+import QH._
+
+/** Round-9 corpus-curation operator families: retrieval-index builds,
+  * sparse similarity joins, tokenizer-training statistics, sketch set
+  * algebra, and budgeted selection. Each is a shape a 100 TB
+  * training-data pipeline runs daily, expressed so the heavy frames stay
+  * equi-join / single-aggregation shaped and nothing data-sized reaches
+  * the driver.
+  */
+object CurationQueries {
+
+  /** (doc_id, gram) term frequencies over word 3-gram shingles — the
+    * sparse feature space the index/similarity ops below share. Word
+    * n-grams (not unigrams) keep the posting lists short: the corpus
+    * vocabulary is tiny, so every unigram posting would be corpus-sized,
+    * while 3-gram document frequency stays ~poisson-small — the same
+    * reason shingle features are standard for near-dup candidate
+    * generation at scale.
+    */
+  private def gramTf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(expr(
+          """transform(sequence(1, size(split(text, ' ')) - 2),
+            |  i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"""
+            .stripMargin)).as("gram"))
+      .groupBy("doc_id", "gram")
+      .agg(count(lit(1)).as("tf"))
+
+  val qs: Seq[Q] = Seq(
+    // INVERTED INDEX build: token -> (document frequency, bounded posting
+    // list). The posting list is explicitly truncated to the 16 smallest
+    // doc_ids: an UNBOUNDED collect_list is the classic scale failure
+    // (one hot token = one executor-killing row), and real index builds
+    // shard or cap postings. df is computed over the FULL pair set, so
+    // the cap is display truncation, not a statistics change. One
+    // distinct + one aggregation, both on the (token, doc) pair frame.
+    Q("q127_inverted_index",
+      (s, d) =>
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            explode(split(col("text"), " ")).as("token"))
+          .distinct()
+          .groupBy("token")
+          .agg(
+            count(lit(1)).as("doc_freq"),
+            slice(sort_array(collect_list(col("doc_id"))), 1, 16)
+              .as("postings_head"))
+          .orderBy("token"),
+      Some("""
+        WITH pairs AS (
+          SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token
+          FROM documents)
+        SELECT token, COUNT(*) AS doc_freq,
+          (LIST(doc_id ORDER BY doc_id))[1:16] AS postings_head
+        FROM pairs GROUP BY token ORDER BY token""")),
+
+    // SPARSE COSINE similarity join over 3-gram term-count vectors: the
+    // inverted-index route to all-pairs document similarity. Candidates
+    // come from an equi join on the gram key (only docs SHARING a gram
+    // meet), dot products are exact integer sums, and the norms join is
+    // a second equi join — no doc x doc cartesian anywhere. Grams with
+    // document frequency > 1000 are dropped from the vectors (idf-zero
+    // weighting): a stopword-gram's posting list is corpus-sized, its
+    // candidate contribution quadratic, its cosine contribution ~none —
+    // the standard df-cap that keeps the join linear in corpus size.
+    // All arithmetic on exact integers; sqrt/division are single
+    // correctly-rounded IEEE ops, so the cosine hash-matches DuckDB.
+    Q("q128_sparse_cosine",
+      (s, d) => {
+        val tf = gramTf(t(s, d, "documents"))
+        val capped = tf
+          .withColumn("df", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("gram")))
+          .filter(col("df") <= 1000)
+          .drop("df")
+        val norms = capped.groupBy("doc_id")
+          .agg(sum(col("tf") * col("tf")).as("sq"))
+        val dots = capped.as("a")
+          .join(capped.as("b"),
+            col("a.gram") === col("b.gram") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
+        dots
+          .join(norms.withColumnRenamed("doc_id", "doc_a")
+            .withColumnRenamed("sq", "sq_a"), "doc_a")
+          .join(norms.withColumnRenamed("doc_id", "doc_b")
+            .withColumnRenamed("sq", "sq_b"), "doc_b")
+          .withColumn("cosine",
+            col("dot").cast("double") / (sqrt(col("sq_a")) * sqrt(col("sq_b"))))
+          .filter(col("cosine") >= 0.5)
+          .select(col("doc_a"), col("doc_b"), col("dot").cast("long").as("dot"),
+            round(col("cosine"), 6).as("cosine"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+        grams AS (
+          SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(1, LEN(ws) - 1),
+            i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1]
+              || ' ' || ws[CAST(i AS INT) + 2])) AS gram
+          FROM toks),
+        tf AS (
+          SELECT doc_id, gram, COUNT(*) AS tf FROM grams GROUP BY 1, 2),
+        capped AS (
+          SELECT * FROM (
+            SELECT doc_id, gram, tf,
+              COUNT(*) OVER (PARTITION BY gram) AS df FROM tf)
+          WHERE df <= 1000),
+        nrm AS (
+          SELECT doc_id, SUM(tf * tf) AS sq FROM capped GROUP BY 1),
+        dots AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            SUM(a.tf * b.tf) AS dot
+          FROM capped a JOIN capped b
+            ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b, CAST(dot AS BIGINT) AS dot,
+          ROUND(CAST(dot AS DOUBLE) / (SQRT(na.sq) * SQRT(nb.sq)), 6) AS cosine
+        FROM dots
+        JOIN nrm na ON na.doc_id = doc_a
+        JOIN nrm nb ON nb.doc_id = doc_b
+        WHERE CAST(dot AS DOUBLE) / (SQRT(na.sq) * SQRT(nb.sq)) >= 0.5
+        ORDER BY doc_a, doc_b""")),
+
+    // BPE-style pair statistics — the inner loop of tokenizer training.
+    // The scale trick: aggregate the corpus to its WORD DICTIONARY first
+    // (one shuffle over corpus tokens -> vocabulary-sized frame), then
+    // explode character pairs of the dictionary weighted by word count.
+    // Pair extraction runs over |vocab| rows, not |corpus| tokens — at
+    // 100 TB the dictionary is millions of rows where the corpus is
+    // trillions of tokens, so the per-iteration cost collapses. Global
+    // top-50 lowers to TakeOrderedAndProject (no full sort).
+    Q("q129_bpe_pairs",
+      (s, d) =>
+        t(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("word"))
+          .filter(length(col("word")) >= 2)
+          .groupBy("word")
+          .agg(count(lit(1)).as("wc"))
+          .select(
+            explode(expr(
+              "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+              .as("pair"),
+            col("wc"))
+          .groupBy("pair")
+          .agg(sum(col("wc")).cast("long").as("cnt"))
+          .orderBy(desc("cnt"), asc("pair"))
+          .limit(50),
+      Some("""
+        WITH w AS (
+          SELECT UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents),
+        wc AS (
+          SELECT word, COUNT(*) AS wc FROM w
+          WHERE LENGTH(word) >= 2 GROUP BY word),
+        p AS (
+          SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LENGTH(word)),
+            i -> SUBSTR(word, CAST(i AS INT), 2))) AS pair, wc
+          FROM wc)
+        SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt
+        FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50""")),
+
+    // SKETCH SET ALGEBRA: audience-overlap estimation via HLL
+    // inclusion-exclusion. Exact per-pair intersection needs the
+    // distinct (user, type) pair frame joined to itself — fine here,
+    // quadratic-in-users at 100 TB. The sketch path touches events ONCE
+    // (one HLL per type), then does ALL pairwise set algebra on the
+    // |types|^2 sketch frame — the mergeable-state shape that makes
+    // overlap matrices tractable. Both paths run; the oracle recomputes
+    // the exact one and the estimate must land inside the gate bound
+    // (the q99/q101 device: DataSketches HLL build is item-idempotent
+    // and union is register-max, so the booleans are deterministic on
+    // fixed data under any partitioning or merge order).
+    Q("q130_hll_set_algebra",
+      (s, d) => {
+        val du = t(s, d, "events")
+          .select(col("event_type"), col("user_id")).distinct()
+        val perType = t(s, d, "events")
+          .groupBy("event_type")
+          .agg(
+            hll_sketch_agg(col("user_id")).as("sk"),
+            countDistinct(col("user_id")).as("n_exact"))
+        val inter = du.as("a")
+          .join(du.as("b"),
+            col("a.user_id") === col("b.user_id") &&
+              col("a.event_type") < col("b.event_type"))
+          .groupBy(col("a.event_type").as("type_a"),
+            col("b.event_type").as("type_b"))
+          .agg(count(lit(1)).as("n_inter_exact"))
+        inter
+          .join(perType.select(col("event_type").as("type_a"),
+            col("sk").as("sk_a"), col("n_exact").as("n_a")), "type_a")
+          .join(perType.select(col("event_type").as("type_b"),
+            col("sk").as("sk_b"), col("n_exact").as("n_b")), "type_b")
+          .withColumn("est_inter",
+            hll_sketch_estimate(col("sk_a")) +
+              hll_sketch_estimate(col("sk_b")) -
+              hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))))
+          .select(
+            col("type_a"), col("type_b"),
+            col("n_a"), col("n_b"), col("n_inter_exact"),
+            (abs(col("est_inter") - col("n_inter_exact")) <=
+              (col("n_a") + col("n_b") - col("n_inter_exact")) * lit(0.1)
+                + lit(5.0)).as("inter_ok"))
+          .orderBy("type_a", "type_b")
+      },
+      Some("""
+        WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+        n AS (SELECT event_type, COUNT(*) AS n FROM du GROUP BY 1),
+        i AS (
+          SELECT a.event_type AS type_a, b.event_type AS type_b,
+            COUNT(*) AS n_inter_exact
+          FROM du a JOIN du b
+            ON a.user_id = b.user_id AND a.event_type < b.event_type
+          GROUP BY 1, 2)
+        SELECT i.type_a, i.type_b, na.n AS n_a, nb.n AS n_b,
+          i.n_inter_exact, TRUE AS inter_ok
+        FROM i
+        JOIN n na ON na.event_type = i.type_a
+        JOIN n nb ON nb.event_type = i.type_b
+        ORDER BY type_a, type_b""")),
+
+    // TOKEN-BUDGET curation: keep the highest-quality documents until a
+    // fixed token budget is exhausted — the selection step after scoring
+    // in every curated-pretraining recipe. A global running total is
+    // inherently sequential, so the scale shape is a TWO-LEVEL PREFIX
+    // SUM: (1) value-bucket the score (monotone bucketing, so bucket
+    // order refines global order), (2) per-bucket token totals -> a
+    // <=21-row frame whose running offsets are a bounded single-partition
+    // window, (3) per-bucket cumulative sums (partitioned window, fully
+    // parallel) + broadcast offsets = exact global cumulative sums with
+    // no global sort and no single-partition pass over data rows.
+    Q("q132_token_budget",
+      (s, d) => {
+        val budget = 15000L
+        val scored = t(s, d, "documents")
+          .withColumn("words", split(col("text"), " "))
+          .select(
+            col("doc_id"),
+            size(col("words")).cast("long").as("tokens"),
+            (size(array_distinct(col("words"))).cast("double")
+              / size(col("words"))).as("score"))
+          .withColumn("bucket", floor(col("score") * 20).cast("int"))
+        val offsets = scored
+          .groupBy("bucket").agg(sum(col("tokens")).as("btok"))
+          .withColumn("offset",
+            coalesce(
+              sum(col("btok")).over(org.apache.spark.sql.expressions.Window
+                .orderBy(desc("bucket"))
+                .rowsBetween(Long.MinValue, -1)),
+              lit(0L)))
+          .select(col("bucket"), col("offset"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("bucket")
+          .orderBy(desc("score"), asc("doc_id"))
+        scored
+          .withColumn("cum_in_bucket", sum(col("tokens")).over(w))
+          .join(broadcast(offsets), "bucket")
+          .withColumn("cum_tokens", col("offset") + col("cum_in_bucket"))
+          .filter(col("cum_tokens") - col("tokens") < budget)
+          .select(col("doc_id"), col("tokens"), col("score"),
+            col("cum_tokens"))
+          .orderBy(desc("score"), asc("doc_id"))
+      },
+      Some("""
+        WITH s AS (
+          SELECT doc_id,
+            CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS tokens,
+            CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE)
+              / LEN(STRING_SPLIT(text, ' ')) AS score
+          FROM documents),
+        c AS (
+          SELECT doc_id, tokens, score,
+            CAST(SUM(tokens) OVER (ORDER BY score DESC, doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+          FROM s)
+        SELECT doc_id, tokens, score, cum_tokens
+        FROM c WHERE cum_tokens - tokens < 15000
+        ORDER BY score DESC, doc_id"""))
+  )
+}

@@ -424,6 +424,34 @@ class PlanSpec extends AnyFunSuite {
         "no token shuffle")
   }
 
+  test("q128: sparse cosine joins on the gram key, never doc×doc") {
+    val p = plan("q128_sparse_cosine")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "candidate pairs must come from the gram-key equi join")
+    // the tf/norms frames are fact-derived: forcing them broadcast would
+    // collect a corpus-sized frame on the driver at scale
+    assert(!logical("q128_sparse_cosine").contains("strategy=broadcast"),
+      "no forced broadcast of fact-derived tf/norm frames")
+  }
+
+  test("q129: BPE pair stats aggregate the dictionary, then take top-50") {
+    val p = plan("q129_bpe_pairs")
+    assert(p.contains("TakeOrderedAndProject"),
+      "global top-50 must be distributed partial top-k, not a full sort")
+  }
+
+  test("q132: token budget has no global sort over document rows") {
+    // the only single-partition window runs over the ≤21-row bucket
+    // frame; document rows see a PARTITIONED window + a broadcast join
+    val p = plan("q132_token_budget")
+    assert(p.contains("BroadcastHashJoin"),
+      "bucket offsets must broadcast back, not shuffle the corpus")
+    val globalSorts = "Exchange rangepartitioning".r.findAllIn(p).size
+    assert(globalSorts <= 1,
+      s"only the presentation sort may range-shuffle, got $globalSorts")
+  }
+
   test("column pruning: q03 scans only the needed lineitem columns") {
     val p = plan("q03_top_revenue_orders")
     val scan = p.linesIterator
