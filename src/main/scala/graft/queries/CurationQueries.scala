@@ -226,6 +226,40 @@ object CurationQueries {
         JOIN n nb ON nb.event_type = i.type_b
         ORDER BY type_a, type_b""")),
 
+    // BUCKETED (SMB) co-located join — the write-once-join-many layout
+    // for repeated fact-fact joins: both sides bucketed AND sorted on
+    // the join key into the same bucket count, so every later join reads
+    // co-located buckets with ZERO shuffle exchange (BucketingSpec pins
+    // the exchange-free plan shape; this query is the driver-gated proof
+    // that the bucketed route returns byte-identical RESULTS to the
+    // plain join the oracle runs). At 100 TB this converts the dominant
+    // hourly cost — reshuffling the fact pair — into a one-time layout.
+    Q("q131_bucketed_join",
+      (s, d) => {
+        graft.tables.Bucketing.writeBucketed(
+          t(s, d, "lineitem").select("l_orderkey", "l_quantity",
+            "l_extendedprice"),
+          "g131_lineitem", "l_orderkey", 8, sortCols = Seq("l_orderkey"))
+        graft.tables.Bucketing.writeBucketed(
+          t(s, d, "orders").select("o_orderkey", "o_orderpriority"),
+          "g131_orders", "o_orderkey", 8, sortCols = Seq("o_orderkey"))
+        s.table("g131_lineitem")
+          .join(s.table("g131_orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("n_items"),
+            decSum(col("l_quantity")).as("sum_qty"),
+            decSum(col("l_extendedprice")).as("sum_price"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority, COUNT(*) AS n_items,
+          CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+          CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sum_price
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // TOKEN-BUDGET curation: keep the highest-quality documents until a
     // fixed token budget is exhausted — the selection step after scoring
     // in every curated-pretraining recipe. A global running total is
