@@ -316,6 +316,85 @@ object CurationQueries {
           FROM s)
         SELECT doc_id, tokens, score, cum_tokens
         FROM c WHERE cum_tokens - tokens < 15000
-        ORDER BY score DESC, doc_id"""))
+        ORDER BY score DESC, doc_id""")),
+
+    // WINSORIZED robust scaling — outlier clipping before feature
+    // normalization, the standard guard in front of model-based quality
+    // scoring. The two-pass broadcast shape: pass 1 aggregates exact
+    // per-group p01/p99/mean (a |groups|-row frame — bounded by the
+    // group key's cardinality, never by corpus size), pass 2 broadcasts
+    // it back and clips row-local. No window function ever touches the
+    // fact rows, so the clip stage is a scan→project pipeline. The mean
+    // is decimal-accumulated (QH.decSum) so both engines agree bit-wise;
+    // the exact interpolated percentile is the q99 device.
+    Q("q133_winsorize",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val stats = ev.groupBy("event_type")
+          .agg(
+            expr("percentile(value, 0.01D)").as("p01"),
+            expr("percentile(value, 0.99D)").as("p99"),
+            (decSum(col("value")) / count(lit(1))).as("mu"))
+        ev.join(broadcast(stats), "event_type")
+          .select(
+            col("event_id"), col("event_type"), col("value"),
+            round(greatest(col("p01"), least(col("p99"), col("value"))), 6)
+              .as("clipped"),
+            (col("value") > col("p99")).as("was_high"),
+            (col("value") < col("p01")).as("was_low"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH stats AS (
+          SELECT event_type,
+            QUANTILE_CONT(value, 0.01) AS p01,
+            QUANTILE_CONT(value, 0.99) AS p99
+          FROM events GROUP BY event_type)
+        SELECT event_id, e.event_type, value,
+          ROUND(GREATEST(p01, LEAST(p99, value)), 6) AS clipped,
+          value > p99 AS was_high,
+          value < p01 AS was_low
+        FROM events e JOIN stats USING (event_type)
+        ORDER BY event_id""")),
+
+    // RANDOM-PROJECTION dimensionality reduction (Achlioptas sparse
+    // {+1,-1,0} projection): 64-dim embeddings -> 8-dim codes in ONE
+    // scan->project pass — zero shuffles, zero UDFs, the projection
+    // matrix is a deterministic closed-form function of (i, j) computed
+    // inside codegen'd higher-order array functions (nothing to
+    // broadcast or look up). Components are first snapped to 2^-20
+    // dyadics (the q78 device, ops/Vectors.quantized): signed sums of
+    // dyadic terms are EXACT in double — order-free, engine-free, no
+    // decimal accumulator, no tolerance. This is the cheap pre-filter
+    // in front of the exact ANN paths (q30/q73/q106): at 100 TB the
+    // 8-dim codes are what gets indexed — 8x less shuffle bytes than
+    // raw vectors.
+    Q("q134_random_projection",
+      (s, d) =>
+        t(s, d, "embeddings")
+          .select(col("vec_id"), col("label"),
+            expr("""
+              transform(sequence(0, 7), j ->
+                aggregate(sequence(0, size(embedding) - 1), 0.0d,
+                  (acc, i) -> acc +
+                    round(cast(element_at(embedding, i + 1) as double)
+                      * 1048576d) / 1048576d *
+                    (case pmod(i * 31 + j * 17, 3)
+                       when 0 then 1.0d when 1 then -1.0d
+                       else 0.0d end)))
+            """).as("proj"))
+          .orderBy("vec_id"),
+      Some("""
+        SELECT vec_id, label,
+          LIST_TRANSFORM(RANGE(0, 8), j ->
+            COALESCE(LIST_SUM(LIST_TRANSFORM(RANGE(0, LEN(embedding)),
+              i -> ROUND(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)
+                  * 1048576) / 1048576 *
+                (CASE (i * 31 + j * 17) % 3
+                   WHEN 0 THEN CAST(1.0 AS DOUBLE)
+                   WHEN 1 THEN CAST(-1.0 AS DOUBLE)
+                   ELSE CAST(0.0 AS DOUBLE) END))), 0.0))
+            AS proj
+        FROM embeddings ORDER BY vec_id"""))
   )
 }

@@ -452,6 +452,20 @@ class PlanSpec extends AnyFunSuite {
       s"only the presentation sort may range-shuffle, got $globalSorts")
   }
 
+  test("q133: winsorize clips via broadcast stats — no window over facts") {
+    val p = plan("q133_winsorize")
+    assert(p.contains("BroadcastHashJoin"),
+      "per-type stats must broadcast back to the fact scan")
+    assert(!p.contains("Window"),
+      "clipping must be row-local, not a percentile window per row")
+  }
+
+  test("q134: random projection is a pure scan→project pipeline") {
+    val p = plan("q134_random_projection")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "projection must ride the scan — no shuffle of vector rows")
+  }
+
   test("column pruning: q03 scans only the needed lineitem columns") {
     val p = plan("q03_top_revenue_orders")
     val scan = p.linesIterator
