@@ -395,6 +395,92 @@ object CurationQueries {
                    WHEN 1 THEN CAST(-1.0 AS DOUBLE)
                    ELSE CAST(0.0 AS DOUBLE) END))), 0.0))
             AS proj
-        FROM embeddings ORDER BY vec_id"""))
+        FROM embeddings ORDER BY vec_id""")),
+
+    // PARETO FRONTIER (2-D skyline): the documents no other document
+    // beats on BOTH axes (more tokens AND >= score) — multi-criteria
+    // corpus selection without collapsing axes into one weight. The
+    // naive global form is a single-partition running max over a
+    // token-ordered window; the scale shape here is the q132 two-level
+    // device applied to PREFIX-MAX: (1) value-bucket tokens (monotone),
+    // (2) per-bucket max score -> a bucket-count-sized frame whose
+    // strictly-higher-bucket prefix max is a bounded single-partition
+    // window, (3) within-bucket strictly-greater-tokens running max as
+    // a PARTITIONED range window + the broadcast bucket prefix. A doc
+    // survives iff every doc with strictly more tokens scores below it.
+    Q("q135_pareto_frontier",
+      (s, d) => {
+        val scored = t(s, d, "documents")
+          .withColumn("words", split(col("text"), " "))
+          .select(
+            col("doc_id"),
+            size(col("words")).cast("long").as("tokens"),
+            (size(array_distinct(col("words"))).cast("double")
+              / size(col("words"))).as("score"))
+          .withColumn("bucket", floor(col("tokens") / 8).cast("int"))
+        val hi = scored
+          .groupBy("bucket").agg(max(col("score")).as("bmax"))
+          .withColumn("hi_above",
+            max(col("bmax")).over(org.apache.spark.sql.expressions.Window
+              .orderBy(desc("bucket")).rowsBetween(Long.MinValue, -1)))
+          .select(col("bucket"), col("hi_above"))
+        val wIn = org.apache.spark.sql.expressions.Window
+          .partitionBy("bucket").orderBy(desc("tokens"))
+          .rangeBetween(Long.MinValue, -1)
+        scored
+          .withColumn("hi_in", max(col("score")).over(wIn))
+          .join(broadcast(hi), "bucket")
+          .withColumn("hi_all",
+            greatest(coalesce(col("hi_in"), lit(-1.0)),
+              coalesce(col("hi_above"), lit(-1.0))))
+          .filter(col("hi_all") < col("score"))
+          .select(col("doc_id"), col("tokens"), col("score"))
+          .orderBy(desc("tokens"), asc("doc_id"))
+      },
+      Some("""
+        WITH s AS (
+          SELECT doc_id,
+            CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS tokens,
+            CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE)
+              / LEN(STRING_SPLIT(text, ' ')) AS score
+          FROM documents),
+        m AS (
+          SELECT doc_id, tokens, score,
+            MAX(score) OVER (ORDER BY tokens
+              RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS hi
+          FROM s)
+        SELECT doc_id, tokens, score FROM m
+        WHERE hi IS NULL OR hi < score
+        ORDER BY tokens DESC, doc_id""")),
+
+    // PER-SOURCE QUOTA CAP — "domain capping": no single source may
+    // contribute more than k documents, and WHICH k is a deterministic
+    // uniform draw (the portable-md5 order of q100/q82, reproducible in
+    // any engine and stable under corpus growth within a source only
+    // appending docs with new ids). One partitioned window on the
+    // source key — the partition carries one source's docs; the hot-
+    // source ceiling is the point of the operator itself.
+    Q("q136_quota_cap",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source")
+          .orderBy(asc("h"), asc("doc_id"))
+        t(s, d, "documents")
+          .withColumn("h", md5(col("doc_id").cast("string")))
+          .withColumn("pick_rank", row_number().over(w))
+          .filter(col("pick_rank") <= 20)
+          .select(col("source"), col("pick_rank").cast("long")
+            .as("pick_rank"), col("doc_id"))
+          .orderBy("source", "pick_rank")
+      },
+      Some("""
+        SELECT source,
+          CAST(ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+            AS pick_rank,
+          doc_id
+        FROM documents
+        QUALIFY pick_rank <= 20
+        ORDER BY source, pick_rank"""))
   )
 }

@@ -466,6 +466,16 @@ class PlanSpec extends AnyFunSuite {
       "projection must ride the scan — no shuffle of vector rows")
   }
 
+  test("q135: skyline runs partitioned windows; singleton only for buckets") {
+    val p = plan("q135_pareto_frontier")
+    assert(p.contains("BroadcastHashJoin"),
+      "bucket prefix-max must broadcast back, not shuffle the corpus")
+    // exactly one SinglePartition exchange is allowed: the ≤bucket-count
+    // offsets frame; document rows must never funnel into one partition
+    val singles = "Exchange SinglePartition".r.findAllIn(p).size
+    assert(singles <= 1, s"document rows reached a global window: $singles")
+  }
+
   test("column pruning: q03 scans only the needed lineitem columns") {
     val p = plan("q03_top_revenue_orders")
     val scan = p.linesIterator
