@@ -1,6 +1,28 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Names that run a real checkpointed Structured Streaming query (temp
+    * checkpoint dirs are created fresh per invocation, so a re-run can
+    * never silently reuse state — but a measurement below this floor
+    * still means the streaming machinery did NOT run, e.g. a harness
+    * change broke the query into a no-op, and the number would be
+    * measurement fiction). Flagged in the emitted record rather than
+    * dropped, so a bad round is visible instead of quietly wrong. */
+  private val STREAMING_FLOOR_SEC = 0.25
+  private def streamingNames: Set[String] =
+    graft.queries.StreamingQueries.qs.map(_.name).toSet + "q105_incremental_neardup"
+
+  /** Headline subset for the PRINTED one-line record: the driver captures
+    * only a bounded stdout tail, and a 140-query line (~8 KB) truncates
+    * past it — round 9's BENCH record was unparseable for exactly that
+    * reason. One representative per heavy operator family; the FULL
+    * per-query record always goes to the bench-out file (default
+    * in-repo, so every round commits it). */
+  private val HEADLINE = Set(
+    "q01", "q06", "q11", "q19", "q26", "q28", "q30", "q52", "q70", "q77",
+    "q87", "q88", "q92", "q97", "q105", "q110", "q120", "q127", "q128",
+    "q131")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -49,9 +71,15 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def qJson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val streaming = streamingNames
+    val suspect = results.collect {
+      case (n, dt) if streaming(n) && dt < STREAMING_FLOOR_SEC => n
+    }
+    val suspectJson =
+      suspect.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Measurement conditions, embedded so every recorded bench line is
     // self-documenting (BASELINE.md "Bench method"): wall-clock here is
     // only comparable across runs at similar env values — loadAvg >> 0
@@ -65,15 +93,23 @@ object Bench {
     val env = s""""cpus":$cpus,"host_cpus":${os.getAvailableProcessors},""" +
       s""""load_avg":${os.getSystemLoadAverage},""" +
       s""""heap_max_mb":${Runtime.getRuntime.maxMemory / (1024 * 1024)},""" +
-      s""""gc_total_sec":${gcMs / 1e3}"""
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$env}"""
-    println(line)
-    // full per-query record as a file artifact: the driver's captured
-    // tail truncates, losing early-alphabet queries from round history
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { out =>
-      java.nio.file.Files.writeString(java.nio.file.Path.of(out), line + "\n")
-    }
+      s""""gc_total_sec":${gcMs / 1e3},""" +
+      s""""streaming_suspect":$suspectJson"""
+    val headline = results.filter { case (n, _) =>
+      HEADLINE(n.takeWhile(_ != '_')) }
+    def line(rs: Seq[(String, Double)]) =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
+        s""""queries":${qJson(rs)},"sf":"$sfDir",$env}"""
+    // printed record: headline subset only — MUST fit the driver's
+    // bounded stdout-tail capture in one parseable line
+    println(line(headline))
+    // full per-query record as a file artifact (committed per round as
+    // bench_full_r{N}.json); default path is in-repo so the driver's
+    // end-of-round commit always preserves it
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/bench_full_latest.json")
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(out), line(results) + "\n")
     spark.stop()
   }
 }

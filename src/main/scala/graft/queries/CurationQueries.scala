@@ -23,6 +23,12 @@ object CurationQueries {
     */
   private def gramTf(docs: DataFrame): DataFrame =
     docs
+      // the shingle guard (same convention as DedupQueries.shingles):
+      // a 1–2 word doc makes sequence(1, size-2) DESCENDING —
+      // sequence(1,0)=[1,0] — and slice(words, 0, 3) throws, where the
+      // oracle's RANGE(1, LEN-1) is just empty. Shorter docs have no
+      // 3-grams, so filtering them is semantics-preserving.
+      .filter(size(split(col("text"), " ")) >= 3)
       .select(col("doc_id"),
         explode(expr(
           """transform(sequence(1, size(split(text, ' ')) - 2),
@@ -33,12 +39,18 @@ object CurationQueries {
 
   val qs: Seq[Q] = Seq(
     // INVERTED INDEX build: token -> (document frequency, bounded posting
-    // list). The posting list is explicitly truncated to the 16 smallest
-    // doc_ids: an UNBOUNDED collect_list is the classic scale failure
-    // (one hot token = one executor-killing row), and real index builds
-    // shard or cap postings. df is computed over the FULL pair set, so
-    // the cap is display truncation, not a statistics change. One
-    // distinct + one aggregation, both on the (token, doc) pair frame.
+    // list). The posting head is the 16 SMALLEST doc_ids, built with the
+    // bounded aggregate [[graft.expressions.BoundedTopK]] (graft_topk on
+    // ord = -doc_id): an unbounded collect_list is the classic scale
+    // failure — one hot token materializes its full corpus-sized posting
+    // row on a single executor BEFORE any slice can truncate it. The
+    // bounded aggregate holds ≤ 16 pairs per map task and combines
+    // map-side, so the shuffle carries O(partitions × 16) rows per token
+    // (PlanSpec pins partial_graft_topk before the exchange). df is
+    // computed over the FULL pair set, so the cap is display truncation,
+    // not a statistics change. The head is serialized comma-joined (the
+    // q47 convention): the driver's comparator can't sort array cells,
+    // and the string form stays injective for integer ids.
     Q("q127_inverted_index",
       (s, d) =>
         t(s, d, "documents")
@@ -48,7 +60,13 @@ object CurationQueries {
           .groupBy("token")
           .agg(
             count(lit(1)).as("doc_freq"),
-            slice(sort_array(collect_list(col("doc_id"))), 1, 16)
+            // BoundedTopK keeps the k LARGEST ords in (ord desc, id asc)
+            // order, so ord = -doc_id yields the 16 smallest ids already
+            // ascending — no re-sort needed
+            expr("graft_topk(cast(-doc_id as double), doc_id, 16)")
+              .as("top"))
+          .select(col("token"), col("doc_freq"),
+            concat_ws(",", expr("transform(top, x -> cast(x.id as string))"))
               .as("postings_head"))
           .orderBy("token"),
       Some("""
@@ -56,7 +74,8 @@ object CurationQueries {
           SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token
           FROM documents)
         SELECT token, COUNT(*) AS doc_freq,
-          (LIST(doc_id ORDER BY doc_id))[1:16] AS postings_head
+          ARRAY_TO_STRING((LIST(doc_id ORDER BY doc_id))[1:16], ',')
+            AS postings_head
         FROM pairs GROUP BY token ORDER BY token""")),
 
     // SPARSE COSINE similarity join over 3-gram term-count vectors: the
@@ -73,11 +92,19 @@ object CurationQueries {
     Q("q128_sparse_cosine",
       (s, d) => {
         val tf = gramTf(t(s, d, "documents"))
+        // cached because it feeds THREE consumers (norms + both join
+        // sides): without the cache the split/explode/groupBy/window
+        // pipeline recomputes per consumer — exchange reuse covers the
+        // self-join today but only as an optimizer courtesy; the cache
+        // makes single-computation a contract (same reason
+        // DedupQueries.jaccardPairs caches its shingle frame).
+        // PlanSpec pins the InMemoryTableScan reuse.
         val capped = tf
           .withColumn("df", count(lit(1)).over(
             org.apache.spark.sql.expressions.Window.partitionBy("gram")))
           .filter(col("df") <= 1000)
           .drop("df")
+          .cache()
         val norms = capped.groupBy("doc_id")
           .agg(sum(col("tf") * col("tf")).as("sq"))
         val dots = capped.as("a")
@@ -321,20 +348,18 @@ object CurationQueries {
     // WINSORIZED robust scaling — outlier clipping before feature
     // normalization, the standard guard in front of model-based quality
     // scoring. The two-pass broadcast shape: pass 1 aggregates exact
-    // per-group p01/p99/mean (a |groups|-row frame — bounded by the
-    // group key's cardinality, never by corpus size), pass 2 broadcasts
-    // it back and clips row-local. No window function ever touches the
-    // fact rows, so the clip stage is a scan→project pipeline. The mean
-    // is decimal-accumulated (QH.decSum) so both engines agree bit-wise;
-    // the exact interpolated percentile is the q99 device.
+    // per-group p01/p99 (a |groups|-row frame — bounded by the group
+    // key's cardinality, never by corpus size), pass 2 broadcasts it
+    // back and clips row-local. No window function ever touches the
+    // fact rows, so the clip stage is a scan→project pipeline; the
+    // exact interpolated percentile is the q99 device.
     Q("q133_winsorize",
       (s, d) => {
         val ev = t(s, d, "events")
         val stats = ev.groupBy("event_type")
           .agg(
             expr("percentile(value, 0.01D)").as("p01"),
-            expr("percentile(value, 0.99D)").as("p99"),
-            (decSum(col("value")) / count(lit(1))).as("mu"))
+            expr("percentile(value, 0.99D)").as("p99"))
         ev.join(broadcast(stats), "event_type")
           .select(
             col("event_id"), col("event_type"), col("value"),
@@ -369,33 +394,45 @@ object CurationQueries {
     // in front of the exact ANN paths (q30/q73/q106): at 100 TB the
     // 8-dim codes are what gets indexed — 8x less shuffle bytes than
     // raw vectors.
+    // The 8 components are emitted as SCALAR double columns p0..p7 (not
+    // an array): the gate comparator hashes scalar cells, and the dyadic
+    // arithmetic makes each component bit-identical across engines. An
+    // empty embedding degrades to 0.0 exactly like the oracle's COALESCE
+    // (the guard also dodges sequence(0,-1)'s descending-sequence edge).
     Q("q134_random_projection",
       (s, d) =>
         t(s, d, "embeddings")
-          .select(col("vec_id"), col("label"),
-            expr("""
-              transform(sequence(0, 7), j ->
-                aggregate(sequence(0, size(embedding) - 1), 0.0d,
-                  (acc, i) -> acc +
-                    round(cast(element_at(embedding, i + 1) as double)
-                      * 1048576d) / 1048576d *
-                    (case pmod(i * 31 + j * 17, 3)
-                       when 0 then 1.0d when 1 then -1.0d
-                       else 0.0d end)))
-            """).as("proj"))
+          .select(
+            Seq(col("vec_id"), col("label")) ++
+              (0 to 7).map { j =>
+                expr(s"""
+                  if(size(embedding) <= 0, 0.0d,
+                    aggregate(sequence(0, size(embedding) - 1), 0.0d,
+                      (acc, i) -> acc +
+                        round(cast(element_at(embedding, i + 1) as double)
+                          * 1048576d) / 1048576d *
+                        (case pmod(i * 31 + $j * 17, 3)
+                           when 0 then 1.0d when 1 then -1.0d
+                           else 0.0d end)))
+                """).as(s"p$j")
+              }: _*)
           .orderBy("vec_id"),
-      Some("""
+      Some {
+        val comps = (0 to 7).map { j =>
+          s"""COALESCE(LIST_SUM(LIST_TRANSFORM(RANGE(0, LEN(embedding)),
+             |  i -> ROUND(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)
+             |      * 1048576) / 1048576 *
+             |    (CASE (i * 31 + $j * 17) % 3
+             |       WHEN 0 THEN CAST(1.0 AS DOUBLE)
+             |       WHEN 1 THEN CAST(-1.0 AS DOUBLE)
+             |       ELSE CAST(0.0 AS DOUBLE) END))), 0.0) AS p$j"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""
         SELECT vec_id, label,
-          LIST_TRANSFORM(RANGE(0, 8), j ->
-            COALESCE(LIST_SUM(LIST_TRANSFORM(RANGE(0, LEN(embedding)),
-              i -> ROUND(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)
-                  * 1048576) / 1048576 *
-                (CASE (i * 31 + j * 17) % 3
-                   WHEN 0 THEN CAST(1.0 AS DOUBLE)
-                   WHEN 1 THEN CAST(-1.0 AS DOUBLE)
-                   ELSE CAST(0.0 AS DOUBLE) END))), 0.0))
-            AS proj
-        FROM embeddings ORDER BY vec_id""")),
+        $comps
+        FROM embeddings ORDER BY vec_id"""
+      }),
 
     // PARETO FRONTIER (2-D skyline): the documents no other document
     // beats on BOTH axes (more tokens AND >= score) — multi-criteria

@@ -424,6 +424,17 @@ class PlanSpec extends AnyFunSuite {
         "no token shuffle")
   }
 
+  test("q127: posting-list aggregation is k-bounded before the exchange") {
+    val p = plan("q127_inverted_index")
+    assert(p.contains("ObjectHashAggregate"),
+      "the posting build must run as an object hash aggregate")
+    assert(p.contains("partial_graft_topk"),
+      "postings must map-side combine at ≤ k rows per task per token — " +
+        "an unbounded collect_list here is the hot-token executor killer")
+    assert(!p.contains("collect_list"),
+      "no unbounded list aggregation may appear anywhere in the plan")
+  }
+
   test("q128: sparse cosine joins on the gram key, never doc×doc") {
     val p = plan("q128_sparse_cosine")
     assert(!p.contains("CartesianProduct") &&
@@ -433,6 +444,10 @@ class PlanSpec extends AnyFunSuite {
     // collect a corpus-sized frame on the driver at scale
     assert(!logical("q128_sparse_cosine").contains("strategy=broadcast"),
       "no forced broadcast of fact-derived tf/norm frames")
+    // the capped gram-TF frame feeds three consumers; the cache makes
+    // single-computation a contract, not an exchange-reuse courtesy
+    assert(p.contains("InMemoryTableScan"),
+      "the shared capped frame must be cached, not recomputed per consumer")
   }
 
   test("q129: BPE pair stats aggregate the dictionary, then take top-50") {

@@ -85,13 +85,22 @@ def compare(got, want):
             print(f"  [schema note] {bad}")
     if len(g) != len(w):
         return False, f"row count {len(g)} vs {len(w)}"
-    # list-typed columns (ndarray) are unhashable/unsortable → stringify
+    # DRIVER-SHAPE GUARD (the q127/q134 round-9 lesson, same class as the
+    # round-4 q71 HUGEINT fix): the driver's comparator sorts and hashes
+    # raw cells and dies on array/struct/map-typed columns (unhashable
+    # numpy.ndarray). This harness used to stringify them — which made
+    # the local gate GREEN on exactly the queries the driver fails.
+    # Reject non-scalar output columns instead, so the class fails HERE.
     import numpy as np
-    for df in (g, w):
+    for side, df in (("spark", g), ("oracle", w)):
         for c in df.columns:
             if df[c].dtype == object and len(df) and isinstance(
-                    df[c].iloc[0], (list, np.ndarray)):
-                df[c] = df[c].map(lambda v: str(list(v)))
+                    df[c].iloc[0], (list, np.ndarray, dict, tuple)):
+                return False, (
+                    f"{side} column {c!r} is non-scalar "
+                    f"({type(df[c].iloc[0]).__name__}) — the driver gate "
+                    f"cannot sort/hash it; serialize it (q47 concat_ws ↔ "
+                    f"ARRAY_TO_STRING convention) or emit scalar columns")
     g = g.sort_values(by=list(g.columns), ignore_index=True)
     w = w.sort_values(by=list(w.columns), ignore_index=True)
     for c in g.columns:
