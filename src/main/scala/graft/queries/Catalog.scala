@@ -23,7 +23,7 @@ object Catalog {
       CdcQueries.qs ++ MultimodalQueries.qs ++ ExtendedQueries.qs ++
       NestedQueries.qs ++ AggPnlQueries.qs ++ StreamingQueries.qs ++
       ReferralQueries.qs ++ FunnelQueries.qs ++ TimeSeriesQueries.qs ++
-      GraphQueries.qs ++ CurationQueries.qs
+      GraphQueries.qs ++ CurationQueries.qs ++ StatsQueries.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

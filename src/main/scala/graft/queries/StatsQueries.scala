@@ -1,0 +1,258 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import QH._
+
+/** Round-10 corpus-statistics operator families: language-model count
+  * statistics (bigram familiarity, continuation counts), distribution
+  * analytics without global sorts (exact CDF binning, closed-form group
+  * variance), curriculum scheduling, and embedding outlier pruning.
+  * Every query keeps the corpus-sized frames in scan→explode→aggregate
+  * shape; the only broadcast frames are STRUCTURALLY bounded (charset²,
+  * |distinct values|, |labels|) — never corpus-sized.
+  */
+object StatsQueries {
+
+  val qs: Seq[Q] = Seq(
+    // CHAR-BIGRAM FAMILIARITY — the cheap LM-free fluency score used to
+    // pre-filter gibberish before an expensive model scorer: a document
+    // whose character bigrams are rare corpus-wide is (machine noise |
+    // wrong language | binary junk). Two-phase dictionary shape: phase 1
+    // aggregates the corpus to its bigram dictionary — bounded by
+    // |charset|² (~10⁴ rows for UTF-8 text in practice), NOT corpus
+    // size, which is why the broadcast is structurally safe where
+    // broadcasting a fact-derived frame would not be. Phase 2 re-walks
+    // the bigrams and broadcast-joins the counts back — one shuffle over
+    // corpus bigrams (the per-doc re-agg), everything else map-side.
+    // All-integer sums; the single final division is one IEEE op.
+    Q("q137_bigram_familiarity",
+      (s, d) => {
+        val bg = t(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+          .filter(length(col("word")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+            .as("pair"))
+          // feeds the dictionary AND the scoring join: cache makes
+          // single-computation a contract (q128 convention)
+          .cache()
+        val dict = bg.groupBy("pair").agg(count(lit(1)).as("cnt"))
+        bg.join(broadcast(dict), "pair")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("cnt")).as("fs"))
+          .select(col("doc_id"), col("n_bigrams"),
+            col("fs").cast("long").as("fam_sum"),
+            (col("fs").cast("double") / col("n_bigrams")).as("familiarity"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH w AS (
+          SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS word
+          FROM documents),
+        bg AS (
+          SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(1, LENGTH(word)),
+            i -> SUBSTR(word, CAST(i AS INT), 2))) AS pair
+          FROM w WHERE LENGTH(word) >= 2),
+        dict AS (SELECT pair, COUNT(*) AS cnt FROM bg GROUP BY pair)
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+          CAST(SUM(cnt) AS BIGINT) AS fam_sum,
+          CAST(SUM(cnt) AS DOUBLE) / COUNT(*) AS familiarity
+        FROM bg JOIN dict USING (pair) GROUP BY doc_id ORDER BY doc_id""")),
+
+    // EXACT CDF QUANTILE BINNING without a global sort — assign every
+    // document its corpus quartile by length. NTILE over a global window
+    // is the naive form (single partition sees every row). The scale
+    // shape: (1) value-frequency frame (one aggregation, bounded by
+    // |distinct n_chars|), (2) running below-count over THAT bounded
+    // frame (the only single-partition window), (3) broadcast back and
+    // assign bin = floor(4·cdf) row-locally. Ties all land in the same
+    // bin — deterministic where NTILE's remainder-splitting is not.
+    // 4.0 is a power of two so the multiply is exact; the one division
+    // is a single IEEE op — bit-equal across engines.
+    Q("q138_cdf_quantile_bins",
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+        val freq = docs.groupBy("n_chars").agg(count(lit(1)).as("c"))
+        val cum = freq
+          .withColumn("below", coalesce(
+            sum(col("c")).over(Window.orderBy("n_chars")
+              .rowsBetween(Long.MinValue, -1)), lit(0L)))
+          .select(col("n_chars"), col("below"))
+        val tot = freq.agg(sum(col("c")).as("n"))
+        docs.join(broadcast(cum), "n_chars")
+          .crossJoin(broadcast(tot))
+          .select(col("doc_id"), col("n_chars"),
+            least(lit(3), floor(col("below") * lit(4.0) / col("n")))
+              .cast("int").as("qbin"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH f AS (SELECT n_chars, COUNT(*) AS c FROM documents GROUP BY 1),
+        cum AS (SELECT n_chars, COALESCE(SUM(c) OVER (ORDER BY n_chars
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+          FROM f),
+        n AS (SELECT COUNT(*) AS n FROM documents)
+        SELECT doc_id, n_chars,
+          CAST(LEAST(3, FLOOR(below * 4.0 / n)) AS INT) AS qbin
+        FROM documents JOIN cum USING (n_chars), n ORDER BY doc_id""")),
+
+    // PER-GROUP EXACT VARIANCE via the closed form (n·Σx² − (Σx)²)/n² —
+    // one aggregation pass, no second centered pass and no window. The
+    // sums accumulate in DECIMAL (Spark) ↔ HUGEINT (DuckDB): token
+    // counts are integers, so the numerator is an EXACT integer in both
+    // engines before the one cast→divide→sqrt tail of correctly-rounded
+    // IEEE ops — bit-equal, order-free under any partitioning. The
+    // stock `var_pop` would double-accumulate and drift by partitioning.
+    Q("q139_group_variance",
+      (s, d) =>
+        t(s, d, "documents")
+          .select(col("source"),
+            size(split(col("text"), " ")).cast("long").as("tok"))
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("tok")).as("s1"),
+            sum(col("tok").cast("decimal(19,0)")
+              * col("tok").cast("decimal(19,0)")).as("s2"))
+          .select(col("source"), col("n"),
+            (col("s1").cast("double") / col("n")).as("mean_tok"),
+            ((col("n").cast("decimal(38,0)") * col("s2")
+              - col("s1").cast("decimal(19,0)")
+                * col("s1").cast("decimal(19,0)")).cast("double")
+              / (col("n") * col("n")).cast("double")).as("var_pop"))
+          .withColumn("std_pop", sqrt(col("var_pop")))
+          .orderBy("source"),
+      Some("""
+        WITH t AS (SELECT source,
+          CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS tok
+          FROM documents)
+        SELECT source, COUNT(*) AS n,
+          CAST(SUM(tok) AS DOUBLE) / COUNT(*) AS mean_tok,
+          CAST(COUNT(*) * SUM(tok * tok) - SUM(tok) * SUM(tok) AS DOUBLE)
+            / CAST(COUNT(*) * COUNT(*) AS DOUBLE) AS var_pop,
+          SQRT(CAST(COUNT(*) * SUM(tok * tok) - SUM(tok) * SUM(tok) AS DOUBLE)
+            / CAST(COUNT(*) * COUNT(*) AS DOUBLE)) AS std_pop
+        FROM t GROUP BY source ORDER BY source""")),
+
+    // CURRICULUM INTERLEAVE — the deterministic "shuffle" that preserves
+    // the difficulty mixture: band documents by score, give each doc a
+    // reproducible uniform slot inside its band (portable-md5 order, the
+    // q100/q136 device), and emit the schedule ordered (slot, band) —
+    // i.e. round-robin across bands, so every training window sees the
+    // full difficulty mixture. One PARTITIONED window (the band carries
+    // one difficulty stratum); no global window, no global sort except
+    // presentation. This is how you shuffle 100 TB without a shuffle: the
+    // (slot, band) key IS the write-partitioning of the schedule.
+    Q("q140_curriculum_interleave",
+      (s, d) => {
+        val w = Window.partitionBy("band").orderBy(asc("h"), asc("doc_id"))
+        t(s, d, "documents")
+          .withColumn("words", split(col("text"), " "))
+          .select(col("doc_id"),
+            (size(array_distinct(col("words"))).cast("double")
+              / size(col("words"))).as("score"))
+          .withColumn("band", floor(col("score") * 10).cast("int"))
+          .withColumn("h", md5(col("doc_id").cast("string")))
+          .withColumn("slot", row_number().over(w).cast("long"))
+          .select(col("slot"), col("band"), col("doc_id"))
+          .orderBy("slot", "band", "doc_id")
+      },
+      Some("""
+        WITH s AS (SELECT doc_id,
+          CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE)
+            / LEN(STRING_SPLIT(text, ' ')) AS score FROM documents),
+        b AS (SELECT doc_id, CAST(FLOOR(score * 10) AS INT) AS band,
+          CAST(ROW_NUMBER() OVER (PARTITION BY CAST(FLOOR(score * 10) AS INT)
+            ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS slot
+          FROM s)
+        SELECT slot, band, doc_id FROM b ORDER BY slot, band, doc_id""")),
+
+    // CONTINUATION COUNTS — the Kneser-Ney statistic: for each word, how
+    // many DISTINCT left contexts it follows (vs its raw frequency).
+    // The ratio separates true content words from words that only ever
+    // appear inside one boilerplate phrase — a boilerplate detector that
+    // needs no template mining. Adjacent pairs come from one in-row
+    // transform over the word array (no self-join on position);
+    // countDistinct lowers to Spark's two-level expand+agg. The ≥2-word
+    // guard matches the oracle's empty RANGE and dodges the descending-
+    // sequence edge (sequence(2,1) = [2,1]).
+    Q("q141_continuation_counts",
+      (s, d) =>
+        t(s, d, "documents")
+          .select(split(col("text"), " ").as("ws"))
+          .filter(size(col("ws")) >= 2)
+          .select(explode(expr(
+            """transform(sequence(2, size(ws)), i ->
+              |  named_struct('prev', element_at(ws, i - 1),
+              |               'cur',  element_at(ws, i)))""".stripMargin))
+            .as("p"))
+          .select(col("p.prev").as("prev"), col("p.cur").as("cur"))
+          .groupBy("cur")
+          .agg(countDistinct(col("prev")).as("continuation"),
+            count(lit(1)).as("total"))
+          .orderBy("cur"),
+      Some("""
+        WITH w AS (SELECT STRING_SPLIT(text, ' ') AS ws FROM documents
+          WHERE LEN(STRING_SPLIT(text, ' ')) >= 2),
+        p AS (SELECT ws[CAST(u.i AS INT) - 1] AS prev,
+            ws[CAST(u.i AS INT)] AS cur
+          FROM w, UNNEST(RANGE(2, LEN(ws) + 1)) AS u(i))
+        SELECT cur, COUNT(DISTINCT prev) AS continuation, COUNT(*) AS total
+        FROM p GROUP BY cur ORDER BY cur""")),
+
+    // EMBEDDING CENTROID OUTLIERS — mislabeled/corrupt-vector pruning:
+    // distance to the per-label centroid, global top-50 outliers. The
+    // centroid is a (|labels| × dim)-bounded frame (posexplode + one
+    // aggregation), rebuilt into an ordered array and BROADCAST — the
+    // fact vectors are never shuffled. Exactness is the q78/q134 dyadic
+    // device twice over: components snap to 2^-20 dyadics (sums of ≤
+    // 2^33 dyadic terms are exact in double → order-free), and the
+    // residuals re-snap before squaring so Σr² is again an exact dyadic
+    // sum — bit-equal across engines with no decimal accumulator and no
+    // tolerance. Top-50 lowers to TakeOrderedAndProject.
+    Q("q142_centroid_outliers",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+          .select(col("vec_id"), col("label"), expr(
+            "transform(embedding, x -> round(cast(x as double) * 1048576d) / 1048576d)")
+            .as("e"))
+          .cache() // feeds the centroid build AND the distance scan
+        val cent = emb
+          .select(col("label"), posexplode(col("e")).as(Seq("i", "x")))
+          .groupBy("label", "i")
+          .agg((sum(col("x")) / count(lit(1))).as("c"))
+        // collect_list here is bounded by the embedding dim (64), not by
+        // data — the one place a list agg is legitimate
+        val centArr = cent.groupBy("label")
+          .agg(expr("transform(sort_array(collect_list(struct(i, c))), s -> s.c)")
+            .as("cent"))
+        emb.join(broadcast(centArr), "label")
+          .select(col("vec_id"), col("label"), expr(
+            """aggregate(sequence(0, size(e) - 1), 0.0d, (acc, i) -> acc +
+              |  (round((element_at(e, i + 1) - element_at(cent, i + 1)) * 1048576d) / 1048576d)
+              |  * (round((element_at(e, i + 1) - element_at(cent, i + 1)) * 1048576d) / 1048576d))"""
+              .stripMargin).as("dist2"))
+          .orderBy(desc("dist2"), asc("vec_id"))
+          .limit(50)
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, label,
+          LIST_TRANSFORM(embedding,
+            x -> ROUND(CAST(x AS DOUBLE) * 1048576) / 1048576) AS e
+          FROM embeddings),
+        comp AS (SELECT label, u.i AS i, e[CAST(u.i AS INT)] AS x
+          FROM e, UNNEST(RANGE(1, LEN(e) + 1)) AS u(i)),
+        cent AS (SELECT label, i, SUM(x) / COUNT(*) AS c
+          FROM comp GROUP BY 1, 2),
+        centarr AS (SELECT label, LIST(c ORDER BY i) AS cent
+          FROM cent GROUP BY label)
+        SELECT vec_id, e.label,
+          LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(e.e) + 1), i ->
+            (ROUND((e.e[CAST(i AS INT)] - cent[CAST(i AS INT)]) * 1048576) / 1048576)
+            * (ROUND((e.e[CAST(i AS INT)] - cent[CAST(i AS INT)]) * 1048576) / 1048576)))
+            AS dist2
+        FROM e JOIN centarr USING (label)
+        ORDER BY dist2 DESC, vec_id LIMIT 50"""))
+  )
+}

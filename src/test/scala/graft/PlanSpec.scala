@@ -491,6 +491,48 @@ class PlanSpec extends AnyFunSuite {
     assert(singles <= 1, s"document rows reached a global window: $singles")
   }
 
+  test("q137: bigram dictionary broadcasts; shared bigram frame is cached") {
+    val p = plan("q137_bigram_familiarity")
+    assert(p.contains("BroadcastHashJoin"),
+      "the charset²-bounded dictionary must broadcast, not shuffle-join " +
+        "the corpus bigram frame")
+    assert(p.contains("InMemoryTableScan"),
+      "the bigram frame feeds dictionary + scoring; cache is the contract")
+  }
+
+  test("q138: quantile bins assign row-locally off broadcast CDF offsets") {
+    val p = plan("q138_cdf_quantile_bins")
+    assert(p.contains("BroadcastHashJoin"),
+      "the |distinct-values| CDF frame must broadcast back to the scan")
+    // exactly two bounded singletons are allowed: the |distinct-values|
+    // freq frame's running window, and the global-total aggregate
+    // (which exchanges one partial row per partition, not data rows)
+    val singles = "Exchange SinglePartition".r.findAllIn(p).size
+    assert(singles <= 2, s"document rows reached a global window: $singles")
+  }
+
+  test("q139: closed-form variance is one aggregation, no window") {
+    val p = plan("q139_group_variance")
+    assert(!p.contains("Window"),
+      "variance must come from one sums pass, not a centered second pass")
+  }
+
+  test("q141: adjacent pairs are built in-row — no positional self-join") {
+    val p = plan("q141_continuation_counts")
+    assert(!p.contains("Join"),
+      "bigram pairs must come from the in-row array transform")
+  }
+
+  test("q142: centroid broadcasts; top-50 is TakeOrderedAndProject") {
+    val p = plan("q142_centroid_outliers")
+    assert(p.contains("BroadcastHashJoin"),
+      "the |labels|-bounded centroid frame must broadcast; fact vectors " +
+        "must never shuffle")
+    assert(p.contains("TakeOrderedAndProject"),
+      "global top-50 must be distributed partial top-k, not a full sort")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("column pruning: q03 scans only the needed lineitem columns") {
     val p = plan("q03_top_revenue_orders")
     val scan = p.linesIterator
