@@ -253,6 +253,127 @@ object StatsQueries {
             * (ROUND((e.e[CAST(i AS INT)] - cent[CAST(i AS INT)]) * 1048576) / 1048576)))
             AS dist2
         FROM e JOIN centarr USING (label)
-        ORDER BY dist2 DESC, vec_id LIMIT 50"""))
+        ORDER BY dist2 DESC, vec_id LIMIT 50""")),
+
+    // BOILERPLATE PRUNE — the C4 cleaning recipe as a document REWRITE
+    // (q98 only scores span duplication; this removes it): chop each doc
+    // into fixed 8-word segments, count each segment corpus-wide, drop
+    // segments appearing ≥ 3 times, and reconstruct the text in original
+    // order. The segment-frequency frame is corpus-sized, so the count
+    // join is a plain shuffle equi join on the segment key (NOT a
+    // broadcast — that's the q83 eval-side trap in reverse). The only
+    // list aggregation is per-document and bounded by document length —
+    // a doc must fit in one task's memory to exist at all (same bound
+    // q84's packing relies on).
+    Q("q143_boilerplate_prune",
+      (s, d) => {
+        val segs = t(s, d, "documents")
+          .select(col("doc_id"), posexplode(expr(
+            """transform(
+              |  sequence(0, cast(ceil(size(split(text, ' ')) / 8.0d) as int) - 1),
+              |  k -> concat_ws(' ', slice(split(text, ' '), k * 8 + 1, 8)))"""
+              .stripMargin)).as(Seq("pos", "seg")))
+          .cache() // feeds the frequency count AND the keep join
+        val freq = segs.groupBy("seg").agg(count(lit(1)).as("cnt"))
+        val kept = segs.join(freq, "seg").filter(col("cnt") < 3)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_kept"),
+            concat_ws(" ", expr(
+              "transform(sort_array(collect_list(struct(pos, seg))), x -> x.seg)"))
+              .as("new_text"))
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            expr("cast(ceil(size(split(text, ' ')) / 8.0d) as bigint)")
+              .as("n_total"))
+          .join(kept, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            (col("n_total") - coalesce(col("n_kept"), lit(0L))).as("n_pruned"),
+            coalesce(col("new_text"), lit("")).as("new_text"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH segs AS (
+          SELECT doc_id, u.k AS pos,
+            ARRAY_TO_STRING((STRING_SPLIT(text, ' '))
+              [CAST(u.k * 8 + 1 AS INT) : CAST(u.k * 8 + 8 AS INT)], ' ')
+              AS seg
+          FROM documents,
+            UNNEST(RANGE(0,
+              CAST(CEIL(LEN(STRING_SPLIT(text, ' ')) / 8.0) AS BIGINT)))
+              AS u(k)),
+        freq AS (SELECT seg, COUNT(*) AS cnt FROM segs GROUP BY seg),
+        kept AS (
+          SELECT doc_id, COUNT(*) AS n_kept,
+            ARRAY_TO_STRING(LIST(s.seg ORDER BY pos), ' ') AS new_text
+          FROM segs s JOIN freq USING (seg) WHERE cnt < 3 GROUP BY doc_id)
+        SELECT d.doc_id,
+          COALESCE(k.n_kept, 0) AS n_kept,
+          CAST(CEIL(LEN(STRING_SPLIT(d.text, ' ')) / 8.0) AS BIGINT)
+            - COALESCE(k.n_kept, 0) AS n_pruned,
+          COALESCE(k.new_text, '') AS new_text
+        FROM documents d LEFT JOIN kept k USING (doc_id)
+        ORDER BY d.doc_id""")),
+
+    // NEXT-EVENT TRAINING EXAMPLES — sequence-dataset construction for a
+    // next-action model: each event becomes a (3-event context, target)
+    // example. THREE lag() columns over ONE user partitioning — the
+    // whole construction rides a single hash exchange on user_id and
+    // never materializes per-user arrays (the collect_list-then-slide
+    // formulation holds a user's whole history in one row; lag holds
+    // three). Tie-broken (ts, event_id) so the sequence order is total
+    // and engine-independent.
+    Q("q144_next_event_dataset",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+        t(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+          .withColumn("ctx1", lag(col("event_type"), 3).over(w))
+          .withColumn("ctx2", lag(col("event_type"), 2).over(w))
+          .withColumn("ctx3", lag(col("event_type"), 1).over(w))
+          .filter(col("ctx1").isNotNull)
+          .select(col("user_id"), col("event_id"),
+            col("ctx1"), col("ctx2"), col("ctx3"),
+            col("event_type").as("target"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""
+        SELECT user_id, event_id, ctx1, ctx2, ctx3, target FROM (
+          SELECT user_id, event_id,
+            LAG(event_type, 3) OVER w AS ctx1,
+            LAG(event_type, 2) OVER w AS ctx2,
+            LAG(event_type, 1) OVER w AS ctx3,
+            event_type AS target
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        WHERE ctx1 IS NOT NULL ORDER BY user_id, event_id""")),
+
+    // LEAVE-ONE-OUT TARGET ENCODING — the category feature that doesn't
+    // leak its own row's label: encode event_type as the mean target of
+    // the OTHER rows in the group, (Σ − v)/(n − 1). One aggregation to a
+    // |categories|-row stats frame, broadcast back, then two row-local
+    // IEEE ops — no window over facts, no per-row re-aggregation. The
+    // group sum is decimal-accumulated (QH.decSum) so Σ is bit-equal
+    // across engines and partitionings; singleton groups yield NULL in
+    // both engines rather than a 0/0.
+    Q("q145_loo_target_encoding",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val stats = ev.groupBy("event_type")
+          .agg(decSum(col("value")).as("s"), count(lit(1)).as("n"))
+        ev.join(broadcast(stats), "event_type")
+          .select(col("event_id"), col("event_type"), col("value"),
+            when(col("n") > 1, (col("s") - col("value")) / (col("n") - 1))
+              .as("loo_mean"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH st AS (SELECT event_type,
+          CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)
+            AS s,
+          COUNT(*) AS n FROM events GROUP BY 1)
+        SELECT event_id, e.event_type, value,
+          CASE WHEN n > 1 THEN (s - value) / (n - 1) END AS loo_mean
+        FROM events e JOIN st USING (event_type) ORDER BY event_id"""))
   )
 }

@@ -533,6 +533,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q143: segment frequency joins on the segment key, never broadcast") {
+    val p = plan("q143_boilerplate_prune")
+    assert(!p.contains("CartesianProduct"))
+    // the frequency frame is corpus-sized: forcing it broadcast would
+    // collect a corpus-sized frame on the driver at scale
+    assert(!logical("q143_boilerplate_prune").contains("strategy=broadcast"),
+      "no forced broadcast of the corpus-sized segment-frequency frame")
+    assert(p.contains("InMemoryTableScan"),
+      "the segment frame feeds frequency + keep join; cache is the contract")
+  }
+
+  test("q144: three lags ride ONE user exchange") {
+    val p = plan("q144_next_event_dataset")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx <= 1,
+      s"ctx1/ctx2/ctx3 must share one user_id window partitioning, got $hashEx")
+  }
+
+  test("q145: LOO encoding clips via broadcast stats — no window over facts") {
+    val p = plan("q145_loo_target_encoding")
+    assert(p.contains("BroadcastHashJoin"),
+      "the |categories| stats frame must broadcast back to the fact scan")
+    assert(!p.contains("Window"),
+      "the encoding must be row-local off group sums, not a per-row window")
+  }
+
   test("column pruning: q03 scans only the needed lineitem columns") {
     val p = plan("q03_top_revenue_orders")
     val scan = p.linesIterator
