@@ -23,7 +23,8 @@ object Catalog {
       CdcQueries.qs ++ MultimodalQueries.qs ++ ExtendedQueries.qs ++
       NestedQueries.qs ++ AggPnlQueries.qs ++ StreamingQueries.qs ++
       ReferralQueries.qs ++ FunnelQueries.qs ++ TimeSeriesQueries.qs ++
-      GraphQueries.qs ++ CurationQueries.qs ++ StatsQueries.qs
+      GraphQueries.qs ++ CurationQueries.qs ++ StatsQueries.qs ++
+      QualityQueries.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

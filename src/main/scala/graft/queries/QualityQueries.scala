@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import QH._
+
+/** Round-10 data-quality & operational-diagnostics family — the
+  * Deequ-shaped components a 100 TB pipeline runs before and after every
+  * load: column profiling, declarative constraint checks, and join-key
+  * skew diagnostics. All three reduce the corpus to metric rows in one
+  * or two aggregation passes; nothing data-sized survives past the agg.
+  */
+object QualityQueries {
+
+  val qs: Seq[Q] = Seq(
+    // COLUMN PROFILE — per-column (rows, nulls, distinct, min, max) in
+    // ONE scan: all stats fold into a single aggregation (the three
+    // countDistincts expand the scan 3× map-side — still one pass, one
+    // shuffle of partial aggregates), then a codegen'd stack() unpivots
+    // the 1-row stats frame to one row per column. Numeric and string
+    // extrema travel in separate typed columns: casting a double min to
+    // string would make the gate hostage to two engines' float
+    // formatting.
+    Q("q146_column_profile",
+      (s, d) =>
+        t(s, d, "orders")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when(col("o_orderpriority").isNull, 1).otherwise(0))
+              .cast("long").as("p_nulls"),
+            countDistinct(col("o_orderpriority")).as("p_dist"),
+            min(col("o_orderpriority")).as("p_min"),
+            max(col("o_orderpriority")).as("p_max"),
+            sum(when(col("o_custkey").isNull, 1).otherwise(0))
+              .cast("long").as("c_nulls"),
+            countDistinct(col("o_custkey")).as("c_dist"),
+            min(col("o_custkey")).cast("double").as("c_min"),
+            max(col("o_custkey")).cast("double").as("c_max"),
+            sum(when(col("o_totalprice").isNull, 1).otherwise(0))
+              .cast("long").as("t_nulls"),
+            countDistinct(col("o_totalprice")).as("t_dist"),
+            min(col("o_totalprice")).as("t_min"),
+            max(col("o_totalprice")).as("t_max"))
+          .select(expr(
+            """stack(3,
+              |  'o_orderpriority', n, p_nulls, p_dist,
+              |    cast(null as double), cast(null as double), p_min, p_max,
+              |  'o_custkey', n, c_nulls, c_dist, c_min, c_max,
+              |    cast(null as string), cast(null as string),
+              |  'o_totalprice', n, t_nulls, t_dist, t_min, t_max,
+              |    cast(null as string), cast(null as string))
+              |as (column_name, n_rows, n_nulls, n_distinct,
+              |    min_num, max_num, min_str, max_str)""".stripMargin))
+          .orderBy("column_name"),
+      Some("""
+        WITH s AS (SELECT
+          COUNT(*) AS n,
+          SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS p_nulls,
+          COUNT(DISTINCT o_orderpriority) AS p_dist,
+          MIN(o_orderpriority) AS p_min, MAX(o_orderpriority) AS p_max,
+          SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS c_nulls,
+          COUNT(DISTINCT o_custkey) AS c_dist,
+          MIN(o_custkey) AS c_min, MAX(o_custkey) AS c_max,
+          SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS t_nulls,
+          COUNT(DISTINCT o_totalprice) AS t_dist,
+          MIN(o_totalprice) AS t_min, MAX(o_totalprice) AS t_max
+          FROM orders)
+        SELECT 'o_orderpriority' AS column_name, n AS n_rows,
+          CAST(p_nulls AS BIGINT) AS n_nulls, p_dist AS n_distinct,
+          CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+          p_min AS min_str, p_max AS max_str FROM s
+        UNION ALL SELECT 'o_custkey', n, CAST(c_nulls AS BIGINT), c_dist,
+          CAST(c_min AS DOUBLE), CAST(c_max AS DOUBLE), NULL, NULL FROM s
+        UNION ALL SELECT 'o_totalprice', n, CAST(t_nulls AS BIGINT), t_dist,
+          t_min, t_max, NULL, NULL FROM s
+        ORDER BY column_name""")),
+
+    // CONSTRAINT CHECKS — assertions as data (the Deequ/DLT-expectations
+    // shape, and the batch complement of the reference's DLT
+    // `expect_or_drop` semantics): each named check reduces to ONE
+    // violation count, the suite is their union — four tiny one-row
+    // frames, so the union is free. The FK check is a broadcast ANTI
+    // join (dim side broadcast; the fact side is counted, never
+    // collected). Downstream orchestration gates on `passed`.
+    Q("q147_constraint_checks",
+      (s, d) => {
+        val orders = t(s, d, "orders")
+        val fk = orders
+          .join(broadcast(t(s, d, "customer").select(col("c_custkey"))),
+            col("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("violations"))
+          .select(lit("fk_custkey_in_customer").as("check_name"),
+            col("violations"))
+        val nn = orders
+          .agg(sum(when(col("o_custkey").isNull, 1).otherwise(0))
+            .cast("long").as("violations"))
+          .select(lit("not_null_o_custkey").as("check_name"),
+            col("violations"))
+        val pk = orders
+          .agg((count(lit(1)) - countDistinct(col("o_orderkey")))
+            .cast("long").as("violations"))
+          .select(lit("pk_unique_o_orderkey").as("check_name"),
+            col("violations"))
+        val pos = orders
+          .agg(sum(when(col("o_totalprice") <= 0, 1).otherwise(0))
+            .cast("long").as("violations"))
+          .select(lit("positive_o_totalprice").as("check_name"),
+            col("violations"))
+        fk.unionByName(nn).unionByName(pk).unionByName(pos)
+          .withColumn("passed", col("violations") === 0)
+          .orderBy("check_name")
+      },
+      Some("""
+        SELECT check_name, CAST(violations AS BIGINT) AS violations,
+          violations = 0 AS passed FROM (
+          SELECT 'fk_custkey_in_customer' AS check_name,
+            (SELECT COUNT(*) FROM orders o LEFT JOIN customer c
+              ON o.o_custkey = c.c_custkey
+              WHERE c.c_custkey IS NULL) AS violations
+          UNION ALL SELECT 'not_null_o_custkey',
+            (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)
+          UNION ALL SELECT 'pk_unique_o_orderkey',
+            (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
+          UNION ALL SELECT 'positive_o_totalprice',
+            (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0))
+        ORDER BY check_name""")),
+
+    // JOIN-KEY SKEW REPORT — the pre-join diagnostic that decides
+    // whether q110's salting is needed: per-key cardinalities (one
+    // aggregation), then key count / row count / hottest key / skew
+    // factor (max·keys/rows) AND the top-5 heaviest keys in a SECOND
+    // single aggregation whose only non-scalar state is the k-bounded
+    // graft_topk buffer — the heavy-key list costs O(k) memory per map
+    // task, not a sort. One row out; at 100 TB this is the cheap scout
+    // job you run before committing to a join strategy.
+    Q("q148_skew_report",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy("l_orderkey").agg(count(lit(1)).as("c"))
+          .agg(
+            count(lit(1)).as("n_keys"),
+            sum(col("c")).cast("long").as("n_rows"),
+            max(col("c")).as("max_rows_per_key"),
+            expr("graft_topk(cast(c as double), l_orderkey, 5)").as("top"))
+          .select(
+            col("n_keys"), col("n_rows"), col("max_rows_per_key"),
+            ((col("max_rows_per_key") * col("n_keys")).cast("double")
+              / col("n_rows")).as("skew_factor"),
+            concat_ws(",", expr(
+              "transform(top, x -> concat(cast(x.id as string), ':', cast(cast(x.ord as long) as string)))"))
+              .as("top_keys")),
+      Some("""
+        WITH g AS (SELECT l_orderkey, COUNT(*) AS c
+          FROM lineitem GROUP BY 1),
+        top AS (SELECT LIST(l_orderkey || ':' || c
+            ORDER BY c DESC, l_orderkey) AS l FROM (
+          SELECT l_orderkey, c FROM g ORDER BY c DESC, l_orderkey LIMIT 5))
+        SELECT COUNT(*) AS n_keys, CAST(SUM(c) AS BIGINT) AS n_rows,
+          CAST(MAX(c) AS BIGINT) AS max_rows_per_key,
+          CAST(MAX(c) * COUNT(*) AS DOUBLE) / SUM(c) AS skew_factor,
+          (SELECT ARRAY_TO_STRING(l, ',') FROM top) AS top_keys
+        FROM g"""))
+  )
+}

@@ -569,6 +569,70 @@ object StreamingQueries {
         s.read.parquet(s"$out/user_sessions_custom")
           .orderBy("user_id", "session_start")
       },
-      Some(sessionOracle))
+      Some(sessionOracle)),
+
+    // STREAMING EXPECTATIONS — the q147 constraint suite moved onto the
+    // live feed: the streaming half of DLT's expect/expect_or_drop
+    // surface (available to every reference notebook, though none uses
+    // it — beyond-parity hardening of the same pipeline platform). Per
+    // closed event-hour, row count + named violation
+    // counters, materialized through the same checkpointed AvailableNow
+    // run and watermark cutoff as q70. The counters are plain
+    // conditional sums, so the state per window is a handful of longs —
+    // a quality monitor adds no state cardinality beyond the clock
+    // windows themselves. Oracle = the batch recomputation under the
+    // same watermark cutoff (batch ≡ final-state).
+    Q("q149_streaming_expectations",
+      (s, d) => {
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val reg = new Registry(s)
+        reg.source("events_feed", () => graft.tables.Tables.events(s, d))
+        reg.register(TableDef("events_quality_hourly", Seq("events_feed"), {
+          case Seq(ev) =>
+            ev.withWatermark("ts", "5 minutes")
+              .groupBy(window(col("ts"), "1 hour"))
+              .agg(
+                count(lit(1)).as("n"),
+                sum(when(col("value") > 400, 1).otherwise(0)).cast("long")
+                  .as("range_violations"),
+                sum(when(col("props").isNull, 1).otherwise(0)).cast("long")
+                  .as("null_props_violations"),
+                sum(when(col("user_id").isNull, 1).otherwise(0)).cast("long")
+                  .as("null_user_violations"))
+              .select(col("window.start").as("hour_ts"), col("n"),
+                col("range_violations"), col("null_props_violations"),
+                col("null_user_violations"))
+        }, mode = Mode.Incremental))
+        val out = Files.createTempDirectory("graft_q149_").toString
+        withStatePartitions(s, 4) {
+          graft.graph.Runner.runStreamingThenFull(s, reg,
+            Map("events_feed" -> (() => graft.tables.Tables.normalize("events",
+              s.readStream.schema(schema)
+                .option("pathGlobFilter", "events.parquet")
+                .parquet(d)))),
+            out)
+        }
+        s.read.parquet(s"$out/events_quality_hourly").orderBy("hour_ts")
+      },
+      Some("""
+        WITH hourly AS (
+          SELECT CAST(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+              AS hour_ts,
+            COUNT(*) AS n,
+            CAST(SUM(CASE WHEN value > 400 THEN 1 ELSE 0 END) AS BIGINT)
+              AS range_violations,
+            CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+              AS null_props_violations,
+            CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+              AS null_user_violations
+          FROM events GROUP BY 1),
+        wm AS (
+          SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 5 MINUTE AS w
+          FROM events)
+        SELECT hour_ts, n, range_violations, null_props_violations,
+          null_user_violations
+        FROM hourly, wm
+        WHERE hour_ts + INTERVAL 1 HOUR <= w
+        ORDER BY hour_ts"""))
   )
 }

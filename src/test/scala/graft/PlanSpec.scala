@@ -559,6 +559,29 @@ class PlanSpec extends AnyFunSuite {
       "the encoding must be row-local off group sums, not a per-row window")
   }
 
+  test("q146: profile is one expanded scan — no join, no window") {
+    val p = plan("q146_column_profile")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      "all column stats must fold into a single aggregation pass")
+    assert(p.contains("Expand"),
+      "the three countDistincts should expand the one scan, not re-scan")
+  }
+
+  test("q147: FK check is a broadcast anti join; no shuffle joins") {
+    val p = plan("q147_constraint_checks")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      "orphan detection must anti-join against the broadcast dim")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q148: heavy-key list is the k-bounded aggregate, not a sort") {
+    val p = plan("q148_skew_report")
+    assert(p.contains("partial_graft_topk"),
+      "top keys must map-side combine at k rows per task")
+    assert(!p.contains("Exchange rangepartitioning"),
+      "no global sort may appear in the skew report")
+  }
+
   test("column pruning: q03 scans only the needed lineitem columns") {
     val p = plan("q03_top_revenue_orders")
     val scan = p.linesIterator
