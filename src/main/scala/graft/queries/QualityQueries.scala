@@ -158,6 +158,93 @@ object QualityQueries {
           CAST(MAX(c) AS BIGINT) AS max_rows_per_key,
           CAST(MAX(c) * COUNT(*) AS DOUBLE) / SUM(c) AS skew_factor,
           (SELECT ARRAY_TO_STRING(l, ',') FROM top) AS top_keys
-        FROM g"""))
+        FROM g""")),
+
+    // TOKEN-DISTRIBUTION DRIFT — the training-data drift monitor: which
+    // tokens shifted most between two corpus epochs (here doc_id parity
+    // stands in for yesterday/today snapshots). One dictionary-shaped
+    // aggregation (conditional counts per token), totals from the
+    // dictionary frame broadcast back, and the drift rank key is the
+    // CROSS-MULTIPLIED integer |c1·n2 − c2·n1| — exactly ordering rate
+    // differences WITHOUT dividing first, so ranking never depends on
+    // float rounding (the decimal product mirrors DuckDB's HUGEINT).
+    // Top-20 lowers to TakeOrderedAndProject.
+    Q("q151_token_drift",
+      (s, d) => {
+        val tok = t(s, d, "documents")
+          .select((col("doc_id") % 2).as("epoch"),
+            explode(split(col("text"), " ")).as("token"))
+        val c = tok.groupBy("token").agg(
+          sum(when(col("epoch") === 0, 1).otherwise(0)).cast("long").as("c1"),
+          sum(when(col("epoch") === 1, 1).otherwise(0)).cast("long").as("c2"))
+        val n = c.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+        c.crossJoin(broadcast(n))
+          .select(col("token"), col("c1"), col("c2"),
+            (col("c1").cast("double") / col("n1")).as("rate1"),
+            (col("c2").cast("double") / col("n2")).as("rate2"),
+            abs(col("c1").cast("decimal(38,0)") * col("n2").cast("decimal(19,0)")
+              - col("c2").cast("decimal(38,0)") * col("n1").cast("decimal(19,0)"))
+              .cast("double").as("drift"))
+          .orderBy(desc("drift"), asc("token"))
+          .limit(20)
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id % 2 AS epoch, UNNEST(STRING_SPLIT(text, ' ')) AS token
+          FROM documents),
+        c AS (
+          SELECT token,
+            COUNT(*) FILTER (epoch = 0) AS c1,
+            COUNT(*) FILTER (epoch = 1) AS c2
+          FROM tok GROUP BY token),
+        n AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM c)
+        SELECT token, CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
+          CAST(c1 AS DOUBLE) / n1 AS rate1,
+          CAST(c2 AS DOUBLE) / n2 AS rate2,
+          CAST(ABS(c1 * n2 - c2 * n1) AS DOUBLE) AS drift
+        FROM c, n
+        ORDER BY drift DESC, token LIMIT 20""")),
+
+    // DELETION-PROPAGATION AUDIT — the right-to-be-forgotten job: purge
+    // every event of the users on a deletion list and PROVE the purge
+    // (remaining_rows must be 0 — the anti join's complement checked by
+    // a membership-marking left join, one pass over the kept frame).
+    // The deletion list is broadcast: a compliance queue is structurally
+    // tiny relative to the corpus (thousands of subjects vs billions of
+    // rows) — that assumption is the documented contract, not a size
+    // guess. rows_before/after/deleted reconcile exactly.
+    Q("q152_deletion_audit",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val del = ev.filter(col("user_id") % 10 === 7)
+          .select(col("user_id")).distinct()
+        val kept = ev.join(broadcast(del), Seq("user_id"), "left_anti")
+        val keptStats = kept
+          .join(broadcast(del.withColumn("in_del", lit(1))),
+            Seq("user_id"), "left")
+          .agg(count(lit(1)).as("rows_after"),
+            sum(coalesce(col("in_del"), lit(0))).cast("long")
+              .as("remaining_rows"))
+        del.agg(count(lit(1)).as("n_users_deleted"))
+          .crossJoin(ev.agg(count(lit(1)).as("rows_before")))
+          .crossJoin(keptStats)
+          .withColumn("rows_deleted", col("rows_before") - col("rows_after"))
+          .select(col("n_users_deleted"), col("rows_before"),
+            col("rows_after"), col("rows_deleted"), col("remaining_rows"))
+      },
+      Some("""
+        WITH del AS (
+          SELECT DISTINCT user_id FROM events WHERE user_id % 10 = 7),
+        kept AS (
+          SELECT e.* FROM events e LEFT JOIN del d ON e.user_id = d.user_id
+          WHERE d.user_id IS NULL)
+        SELECT
+          (SELECT COUNT(*) FROM del) AS n_users_deleted,
+          (SELECT COUNT(*) FROM events) AS rows_before,
+          (SELECT COUNT(*) FROM kept) AS rows_after,
+          (SELECT COUNT(*) FROM events) - (SELECT COUNT(*) FROM kept)
+            AS rows_deleted,
+          (SELECT COUNT(*) FROM kept k JOIN del d ON k.user_id = d.user_id)
+            AS remaining_rows"""))
   )
 }

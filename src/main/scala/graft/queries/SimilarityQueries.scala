@@ -528,6 +528,92 @@ object SimilarityQueries {
              SQRT(LIST_SUM(LIST_TRANSFORM(b.vq, x -> x*x)))), 6) >= 0.4)
         SELECT a3.vec_id, a3.centroid_id, (r.vec_id IS NULL) AS kept
         FROM a3 LEFT JOIN removed r ON a3.vec_id = r.vec_id
-        ORDER BY a3.vec_id"""))
+        ORDER BY a3.vec_id""")),
+
+    // ANN RECALL EVALUATION — the measurement loop that makes an
+    // approximate index trustworthy: recall@5 of the LSH path (q31)
+    // against brute-force ground truth (q30), per query. At 100 TB you
+    // run this on a sampled query set before trusting a new index
+    // layout; here the ENTIRE evaluation — both retrieval paths and the
+    // intersection — is one plan, and every stage reuses the pinned
+    // q30/q31 shapes (bounded graft_topk aggregates, bucket equi join,
+    // broadcast query side). The denominator is fixed k=5, so recall is
+    // an exact small-integer ratio — no float tolerance anywhere.
+    Q("q150_ann_recall",
+      (s, d) => {
+        val all = vecs(s, d)
+        val q = all.select(col("vec_id").as("query_id"), col("v").as("qv"))
+        val truth = broadcast(q).crossJoin(all)
+          .filter(col("query_id") < 10 && col("query_id") =!= col("vec_id"))
+          .withColumn("sim", round(expr(dotExpr), 6))
+          .groupBy("query_id")
+          .agg(expr("graft_topk(sim, vec_id, 5)").as("top"))
+          .select(col("query_id"),
+            explode(expr("transform(top, x -> x.id)")).as("neighbor_id"))
+        val withB = all.withColumn("bucket", expr(bucketExpr))
+        val qb = withB.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"),
+            col("bucket"))
+        val approx = broadcast(qb).join(withB, Seq("bucket"))
+          .filter(col("query_id") =!= col("vec_id"))
+          .withColumn("sim", round(expr(dotExpr), 6))
+          .groupBy("query_id")
+          .agg(expr("graft_topk(sim, vec_id, 5)").as("top"))
+          .select(col("query_id"),
+            explode(expr("transform(top, x -> x.id)")).as("neighbor_id"))
+        // truth/approx/hits are all ≤ |queries|·k rows — bounded by the
+        // evaluation design, so broadcasting them is structural, not a
+        // size guess the optimizer has to make post-aggregation
+        val hits = truth
+          .join(broadcast(approx), Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+        truth.select("query_id").distinct()
+          .join(broadcast(hits), Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+          .withColumn("recall_at_5", col("n_hits").cast("double") / lit(5.0d))
+          .orderBy("query_id")
+      },
+      Some("""
+        WITH n AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+            SQRT(LIST_SUM(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]), x -> x*x))) AS nrm
+          FROM embeddings),
+        truth AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+              ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                ROUND(LIST_DOT_PRODUCT(q.v, e.v) / (q.nrm * e.nrm), 6) DESC,
+                e.vec_id) AS rk
+            FROM n q JOIN n e ON q.vec_id < 10 AND q.vec_id != e.vec_id)
+          WHERE rk <= 5),
+        b AS (
+          SELECT vec_id, v, nrm, CAST(LIST_SUM(
+            [CASE WHEN LIST_DOT_PRODUCT(
+               [((1103515245::BIGINT * (p*64 + i) + 12345) % 2147483648)
+                  / 2147483648.0 - 0.5 for i in GENERATE_SERIES(0, 63)],
+               v) > 0 THEN (1 << p) ELSE 0 END
+             for p in GENERATE_SERIES(0, 7)]) AS INTEGER) AS bucket
+          FROM n),
+        approx AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+              ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                ROUND(LIST_DOT_PRODUCT(q.v, e.v) / (q.nrm * e.nrm), 6) DESC,
+                e.vec_id) AS rk
+            FROM b q JOIN b e
+              ON q.bucket = e.bucket AND q.vec_id != e.vec_id
+            WHERE q.vec_id < 10)
+          WHERE rk <= 5),
+        hits AS (
+          SELECT t.query_id, COUNT(*) AS n_hits
+          FROM truth t JOIN approx a
+            ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+          GROUP BY 1)
+        SELECT q.query_id, COALESCE(n_hits, 0) AS n_hits,
+          CAST(COALESCE(n_hits, 0) AS DOUBLE) / 5.0 AS recall_at_5
+        FROM (SELECT DISTINCT query_id FROM truth) q
+        LEFT JOIN hits USING (query_id)
+        ORDER BY query_id"""))
   )
 }

@@ -28,19 +28,27 @@ object StatsQueries {
     // All-integer sums; the single final division is one IEEE op.
     Q("q137_bigram_familiarity",
       (s, d) => {
-        val bg = t(s, d, "documents")
+        // occurrences collapse to per-doc pair COUNTS before anything
+        // else: every later frame (dictionary, scoring join, final agg)
+        // carries one row per DISTINCT (doc, pair), not one per
+        // occurrence — at 100 TB that first map-side-combined groupBy is
+        // the only pass over raw token volume
+        val bgc = t(s, d, "documents")
           .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
           .filter(length(col("word")) >= 2)
           .select(col("doc_id"), explode(expr(
             "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
             .as("pair"))
+          .groupBy("doc_id", "pair")
+          .agg(count(lit(1)).as("k"))
           // feeds the dictionary AND the scoring join: cache makes
           // single-computation a contract (q128 convention)
           .cache()
-        val dict = bg.groupBy("pair").agg(count(lit(1)).as("cnt"))
-        bg.join(broadcast(dict), "pair")
+        val dict = bgc.groupBy("pair").agg(sum(col("k")).as("cnt"))
+        bgc.join(broadcast(dict), "pair")
           .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_bigrams"), sum(col("cnt")).as("fs"))
+          .agg(sum(col("k")).cast("long").as("n_bigrams"),
+            sum(col("k") * col("cnt")).as("fs"))
           .select(col("doc_id"), col("n_bigrams"),
             col("fs").cast("long").as("fam_sum"),
             (col("fs").cast("double") / col("n_bigrams")).as("familiarity"))

@@ -582,6 +582,29 @@ class PlanSpec extends AnyFunSuite {
       "no global sort may appear in the skew report")
   }
 
+  test("q150: both retrieval paths use bounded top-k aggregates") {
+    val p = plan("q150_ann_recall")
+    assert(p.contains("partial_graft_topk"),
+      "truth and approx top-5 must map-side combine at k rows per task")
+    assert(!p.contains("SortMergeJoin"),
+      "query sides are broadcast; the corpus must never shuffle-join")
+  }
+
+  test("q151: drift ranks by TakeOrderedAndProject off the dictionary") {
+    val p = plan("q151_token_drift")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 drifted tokens must be distributed partial top-k")
+    assert(!p.contains("SortMergeJoin"),
+      "the 1-row totals frame must broadcast, never shuffle-join")
+  }
+
+  test("q152: purge and proof are broadcast anti/left joins") {
+    val p = plan("q152_deletion_audit")
+    assert(p.contains("LeftAnti"), "the purge must be an anti join")
+    assert(!p.contains("SortMergeJoin"),
+      "the deletion list is the broadcast side everywhere")
+  }
+
   test("column pruning: q03 scans only the needed lineitem columns") {
     val p = plan("q03_top_revenue_orders")
     val scan = p.linesIterator
