@@ -19,7 +19,10 @@ object QualityQueries {
     // the 1-row stats frame to one row per column. Numeric and string
     // extrema travel in separate typed columns: casting a double min to
     // string would make the gate hostage to two engines' float
-    // formatting.
+    // formatting. Scale note: the distinct counts are EXACT here because
+    // the oracle hashes exact values; a 100 TB profiler swaps them for
+    // the mergeable HLL sketches already in-tree (q99/q101/q130) — a
+    // one-line substitution that removes the expand entirely.
     Q("q146_column_profile",
       (s, d) =>
         t(s, d, "orders")
