@@ -177,6 +177,53 @@ object CorpusPipeline {
             col("p.id").as("doc_id"), col("p.ord").as("key"))
       }, mode = Mode.Full))
 
+    // token-budget selection over the mixed corpus (the q132 two-level
+    // prefix-sum device): keep the highest-scoring docs until the token
+    // budget is exhausted — score is the distinct-token ratio, buckets
+    // are monotone in score, per-bucket cumsums run partitioned, and
+    // only the ≤21-row bucket-offset frame ever sees a singleton window
+    reg.register(TableDef("budget_selection",
+      Seq("mixed"), { case Seq(mixed) =>
+        import org.apache.spark.sql.expressions.Window
+        val budget = 1000L
+        val scored = mixed
+          .withColumn("words", split(col("text"), " "))
+          .select(col("doc_id"), col("token_cnt"),
+            (size(array_distinct(col("words"))).cast("double")
+              / size(col("words"))).as("score"))
+          .withColumn("bucket", floor(col("score") * 20).cast("int"))
+        val offsets = scored
+          .groupBy("bucket").agg(sum(col("token_cnt")).as("btok"))
+          .withColumn("offset", coalesce(
+            sum(col("btok")).over(Window.orderBy(desc("bucket"))
+              .rowsBetween(Long.MinValue, -1)), lit(0L)))
+          .select(col("bucket"), col("offset"))
+        val w = Window.partitionBy("bucket")
+          .orderBy(desc("score"), asc("doc_id"))
+        scored
+          .withColumn("cum_in_bucket", sum(col("token_cnt")).over(w))
+          .join(broadcast(offsets), "bucket")
+          .withColumn("cum_tokens", col("offset") + col("cum_in_bucket"))
+          .filter(col("cum_tokens") - col("token_cnt") < budget)
+          .select("doc_id", "token_cnt", "score", "cum_tokens")
+      }, mode = Mode.Full))
+
+    // curriculum schedule of the budget selection (the q140 interleave):
+    // difficulty bands by score, reproducible md5 slots inside each
+    // band, emitted in (slot, band) order so every training window sees
+    // the full difficulty mixture — the (slot, band) key IS the write
+    // partitioning of the schedule
+    reg.register(TableDef("curriculum_schedule",
+      Seq("budget_selection"), { case Seq(sel) =>
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("band").orderBy(asc("h"), asc("doc_id"))
+        sel
+          .withColumn("band", floor(col("score") * 10).cast("int"))
+          .withColumn("h", md5(col("doc_id").cast("string")))
+          .withColumn("slot", row_number().over(w).cast("long"))
+          .select("slot", "band", "doc_id", "token_cnt")
+      }, mode = Mode.Full))
+
     reg
   }
 

@@ -50,6 +50,25 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(sample.map(_.getInt(0)).toSeq === Seq(1, 2))
   }
 
+  test("budget selection and curriculum schedule compose on the DAG tail") {
+    val reg = CorpusPipeline.build(spark, () => fixture)
+    val mixedIds = reg.resolve("mixed").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val sel = reg.resolve("budget_selection").collect()
+    // the fixture's kept docs total far under the 1000-token budget, so
+    // selection must be exactly the mixed set, with reconcilable cumsums
+    assert(sel.map(_.getLong(0)).toSet === mixedIds)
+    val totalTok = sel.map(_.getLong(1)).sum
+    assert(sel.map(_.getAs[Long]("cum_tokens")).max === totalTok,
+      "the largest cumulative sum must equal the selected token total")
+    val sched = reg.resolve("curriculum_schedule").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(sched.map(_._3).toSet === mixedIds)
+    // slots are contiguous 1..n inside every band
+    assert(sched.groupBy(_._2).forall { case (_, rows) =>
+      rows.map(_._1).sorted.sameElements(1L to rows.size) })
+  }
+
   test("benchmark decontamination quarantines kept docs sharing an 8-gram") {
     val sp = spark
     import sp.implicits._
