@@ -117,6 +117,33 @@ class OpsScaleSpec extends AnyFunSuite {
     assert(setups.value <= 4)
   }
 
+  test("bounded posting build stays correct under a hot token") {
+    // the q127 scale scenario the unbounded collect_list dies on: one
+    // token present in (almost) every document. The graft_topk path must
+    // return the 16 smallest doc_ids in ascending order with the FULL
+    // document frequency, holding ≤ k pairs per map task throughout —
+    // the ids arrive in randomized order across 8 partitions, so a
+    // merge-order-sensitive buffer would be caught here too.
+    val sp = spark
+    import sp.implicits._
+    val n = 50000
+    val rnd = new scala.util.Random(7)
+    val hotDocs = rnd.shuffle((1 to n).toList)
+      .map(i => (i.toLong, "hot"))
+    val cold = Seq((5L, "cold"), (9L, "cold"), (2L, "rare"))
+    val pairs = (hotDocs ++ cold).toDF("doc_id", "token").repartition(8)
+    val got = pairs.distinct().groupBy("token")
+      .agg(count(lit(1)).as("doc_freq"),
+        expr("graft_topk(cast(-doc_id as double), doc_id, 16)").as("top"))
+      .select(col("token"), col("doc_freq"),
+        expr("transform(top, x -> x.id)").as("head"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getSeq[Long](2).toList))).toMap
+    assert(got("hot") === ((n.toLong, (1L to 16L).toList)))
+    assert(got("cold") === ((2L, List(5L, 9L))))
+    assert(got("rare") === ((1L, List(2L))))
+  }
+
   test("kmeansCentroids seeds the k smallest ids even on sparse id spaces") {
     val sp = spark
     import sp.implicits._
