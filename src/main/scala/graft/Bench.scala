@@ -8,9 +8,17 @@ object Bench {
     * change broke the query into a no-op, and the number would be
     * measurement fiction). Flagged in the emitted record rather than
     * dropped, so a bad round is visible instead of quietly wrong. */
-  private val STREAMING_FLOOR_SEC = 0.25
-  private def streamingNames: Set[String] =
+  private[graft] val STREAMING_FLOOR_SEC = 0.25
+  private[graft] def streamingNames: Set[String] =
     graft.queries.StreamingQueries.qs.map(_.name).toSet + "q105_incremental_neardup"
+
+  /** Streaming queries whose measured time is physically impossible for
+    * a real checkpointed run — named, not dropped, so a broken round is
+    * loud instead of quietly flattering. */
+  private[graft] def streamingSuspects(results: Seq[(String, Double)],
+                                       streaming: Set[String],
+                                       floor: Double): Seq[String] =
+    results.collect { case (n, dt) if streaming(n) && dt < floor => n }
 
   /** Headline subset for the PRINTED one-line record: the driver captures
     * only a bounded stdout tail, and a 140-query line (~8 KB) truncates
@@ -18,10 +26,13 @@ object Bench {
     * reason. One representative per heavy operator family; the FULL
     * per-query record always goes to the bench-out file (default
     * in-repo, so every round commits it). */
-  private val HEADLINE = Set(
+  private[graft] val HEADLINE = Set(
     "q01", "q06", "q11", "q19", "q26", "q28", "q30", "q52", "q70", "q77",
     "q87", "q88", "q92", "q97", "q105", "q110", "q120", "q127", "q128",
     "q131")
+
+  private[graft] def isHeadline(name: String): Boolean =
+    HEADLINE(name.takeWhile(_ != '_'))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -74,10 +85,8 @@ object Bench {
     def qJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val streaming = streamingNames
-    val suspect = results.collect {
-      case (n, dt) if streaming(n) && dt < STREAMING_FLOOR_SEC => n
-    }
+    val suspect =
+      streamingSuspects(results, streamingNames, STREAMING_FLOOR_SEC)
     val suspectJson =
       suspect.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Measurement conditions, embedded so every recorded bench line is
@@ -95,8 +104,7 @@ object Bench {
       s""""heap_max_mb":${Runtime.getRuntime.maxMemory / (1024 * 1024)},""" +
       s""""gc_total_sec":${gcMs / 1e3},""" +
       s""""streaming_suspect":$suspectJson"""
-    val headline = results.filter { case (n, _) =>
-      HEADLINE(n.takeWhile(_ != '_')) }
+    val headline = results.filter { case (n, _) => isHeadline(n) }
     def line(rs: Seq[(String, Double)]) =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
         s""""queries":${qJson(rs)},"sf":"$sfDir",$env}"""

@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bench-contract guards — the driver parses a bounded stdout tail, so
+  * the printed line's size is a CONTRACT, not a cosmetic choice (rounds
+  * 8–9 shipped unparseable records when the full line outgrew the
+  * capture). */
+class BenchSpec extends AnyFunSuite {
+
+  test("headline line stays under the driver's tail-capture budget") {
+    // worst case: every catalog query at a 17-char double (the widest
+    // `System.nanoTime`-derived seconds value observed)
+    val names = graft.queries.Catalog.all.map(_.name)
+    val headline = names.filter(Bench.isHeadline)
+    assert(headline.size >= 15 && headline.size <= 25,
+      s"headline subset drifted to ${headline.size} queries")
+    val line = headline
+      .map(n => "\"" + n + "\":123.456789012345678").mkString(",")
+    // ~350 bytes of envelope fields + the sbt [success] trailer must
+    // also fit inside the ~2000-byte capture window
+    assert(line.length + 400 < 1900,
+      s"printed headline line (${line.length} B + envelope) risks " +
+        "truncation in the driver's stdout-tail capture")
+  }
+
+  test("every headline prefix matches exactly one catalog query family") {
+    val names = graft.queries.Catalog.all.map(_.name)
+    val unmatched = Bench.HEADLINE.filterNot(p =>
+      names.exists(n => n.takeWhile(_ != '_') == p))
+    assert(unmatched.isEmpty,
+      s"headline prefixes with no catalog query: $unmatched")
+  }
+
+  test("streaming suspects: below-floor streaming runs are named") {
+    val streaming = Set("q70_streaming_hourly", "q97_stream_stream_join")
+    val results = Seq(
+      "q70_streaming_hourly" -> 0.07,   // impossible: stale state
+      "q97_stream_stream_join" -> 1.9,  // real run
+      "q01_pricing_summary" -> 0.01)    // fast batch query: fine
+    assert(Bench.streamingSuspects(results, streaming,
+      Bench.STREAMING_FLOOR_SEC) === Seq("q70_streaming_hourly"))
+  }
+
+  test("all checkpointed streaming queries are in the suspect watch set") {
+    val s = Bench.streamingNames
+    for (q <- Seq("q70_streaming_hourly", "q87_streaming_sessions",
+        "q88_streaming_apply_changes", "q91_stateful_sessions",
+        "q97_stream_stream_join", "q104_stream_outer_join",
+        "q105_incremental_neardup", "q149_streaming_expectations"))
+      assert(s(q), s"$q missing from the streaming watch set")
+  }
+}
