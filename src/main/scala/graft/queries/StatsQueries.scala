@@ -382,6 +382,80 @@ object StatsQueries {
           COUNT(*) AS n FROM events GROUP BY 1)
         SELECT event_id, e.event_type, value,
           CASE WHEN n > 1 THEN (s - value) / (n - 1) END AS loo_mean
-        FROM events e JOIN st USING (event_type) ORDER BY event_id"""))
+        FROM events e JOIN st USING (event_type) ORDER BY event_id""")),
+
+    // GENERATOR NULL-PRESERVATION — explode_outer semantics pinned under
+    // the hash gate: a per-segment fact build must NOT silently drop
+    // parents whose array is empty (plain explode does — the classic
+    // missing-rows bug in per-doc reports; 5 docs here have no ≥6-char
+    // word). The generator emits a null row for empty arrays, the
+    // conditional count turns it into an honest 0, and min() carries
+    // the SQL-standard null-skipping through. Row count == |documents|
+    // is exactly what the gate verifies.
+    Q("q153_explode_outer",
+      (s, d) =>
+        t(s, d, "documents")
+          .select(col("doc_id"), explode_outer(expr(
+            "filter(split(text, ' '), w -> length(w) >= 6)")).as("w"))
+          .groupBy("doc_id")
+          .agg(
+            sum(when(col("w").isNotNull, 1).otherwise(0)).cast("long")
+              .as("n_long"),
+            min(col("w")).as("first_long"))
+          .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id,
+          CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+            w -> LENGTH(w) >= 6)) AS BIGINT) AS n_long,
+          (LIST_SORT(LIST_FILTER(STRING_SPLIT(text, ' '),
+            w -> LENGTH(w) >= 6)))[1] AS first_long
+        FROM documents ORDER BY doc_id""")),
+
+    // MAP-TYPED higher-order functions under the gate: per-doc
+    // word-count MAP (map_from_entries), repeated-word filter
+    // (map_filter), deterministic serialization (map_entries +
+    // sort_array + transform) — the map surface a feature store's
+    // sparse-feature columns live on, exercised end-to-end and reduced
+    // to a gate-comparable string. The per-doc collect_list is bounded
+    // by the document's own vocabulary (the q143 per-doc bound); docs
+    // with no repeated word survive with an empty map ('' after
+    // serialization) via the left join.
+    Q("q154_map_functions",
+      (s, d) => {
+        val wc = t(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        val maps = wc.groupBy("doc_id")
+          .agg(map_from_entries(sort_array(collect_list(struct(col("w"),
+            col("c"))))).as("m"))
+          .select(col("doc_id"),
+            expr("""concat_ws(',',
+              |  transform(sort_array(map_entries(map_filter(m, (k, v) -> v >= 2))),
+              |    e -> concat(e.key, ':', cast(e.value as string))))"""
+              .stripMargin).as("repeats"),
+            expr("cast(size(map_filter(m, (k, v) -> v >= 2)) as bigint)")
+              .as("n_repeated"))
+        t(s, d, "documents").select(col("doc_id"))
+          .join(maps, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("repeats"), lit("")).as("repeats"),
+            coalesce(col("n_repeated"), lit(0L)).as("n_repeated"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH w AS (
+          SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w
+          FROM documents),
+        wc AS (
+          SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY 1, 2),
+        rep AS (
+          SELECT doc_id,
+            ARRAY_TO_STRING(LIST(w || ':' || c ORDER BY w), ',') AS repeats,
+            COUNT(*) AS n_repeated
+          FROM wc WHERE c >= 2 GROUP BY doc_id)
+        SELECT d.doc_id, COALESCE(r.repeats, '') AS repeats,
+          COALESCE(r.n_repeated, 0) AS n_repeated
+        FROM documents d LEFT JOIN rep r USING (doc_id)
+        ORDER BY d.doc_id"""))
   )
 }
