@@ -605,6 +605,14 @@ class PlanSpec extends AnyFunSuite {
       "the deletion list is the broadcast side everywhere")
   }
 
+  test("q155: as-of lookup is an entity-key equi join with a residual") {
+    val p = plan("q155_scd2_asof_lookup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "the interval predicate must ride the user_id equi join as a " +
+        "residual, never become the join condition itself")
+  }
+
   test("column pruning: q03 scans only the needed lineitem columns") {
     val p = plan("q03_top_revenue_orders")
     val scan = p.linesIterator
