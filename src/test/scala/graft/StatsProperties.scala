@@ -73,6 +73,37 @@ object StatsProperties extends Properties("graft.stats") {
         tiesOneBin && inRange && monotone
     }
 
+  property("graft_topk equals the row_number window top-k, any partitioning") =
+    Prop.forAll(
+      Gen.listOfN(60, for {
+        g <- Gen.oneOf("a", "b", "c")
+        // coarse ord values force ties so the (ord desc, id asc) total
+        // order — the equivalence's hard part — is actually exercised
+        o <- Gen.choose(0, 5)
+        id <- Gen.choose(0L, 1000L)
+      } yield (g, o.toDouble, id)),
+      Gen.choose(1, 7)) { (rows, parts) =>
+      val sp = spark
+      import sp.implicits._
+      val df = rows.distinct.toDF("g", "ord", "id").repartition(parts)
+      val viaAgg = df.groupBy("g")
+        .agg(expr("graft_topk(ord, id, 4)").as("top"))
+        .select(col("g"), posexplode(col("top")).as(Seq("rk0", "p")))
+        .select(col("g"), (col("rk0") + 1).as("rk"),
+          col("p.ord"), col("p.id"))
+        .collect().map(r => (r.getString(0), r.getInt(1) + 0L,
+          r.getDouble(2), r.getLong(3))).toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy(col("ord").desc, col("id").asc)
+      val viaWindow = df
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 4)
+        .select(col("g"), col("rk").cast("long"), col("ord"), col("id"))
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getDouble(2), r.getLong(3))).toSet
+      viaAgg == viaWindow
+    }
+
   property("LOO encoding: reconstructing the group mean from any row is exact") =
     Prop.forAll(Gen.listOfN(50, rowGen), Gen.choose(1, 7)) { (rows, parts) =>
       val sp = spark
