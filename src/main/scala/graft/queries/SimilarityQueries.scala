@@ -614,6 +614,65 @@ object SimilarityQueries {
           CAST(COALESCE(n_hits, 0) AS DOUBLE) / 5.0 AS recall_at_5
         FROM (SELECT DISTINCT query_id FROM truth) q
         LEFT JOIN hits USING (query_id)
-        ORDER BY query_id"""))
+        ORDER BY query_id""")),
+
+    // MULTI-PROBE LSH — the recall lever that does NOT change the index
+    // (Lv et al.'s multi-probe idea on the hyperplane scheme): each
+    // query probes its own bucket PLUS the 8 buckets at Hamming
+    // distance 1 (one plane flipped), trading a 9× broadcast of the
+    // tiny query side for recall that single-bucket q31 only gets by
+    // rebuilding with more banks. Candidates stay bucket-equi-join
+    // shaped; a candidate lives in exactly ONE bucket, and the 9 probe
+    // buckets are distinct, so no dedup stage is needed. Per-query
+    // top-5 is the bounded graft_topk aggregate, as in q31/q150.
+    Q("q157_multiprobe_lsh",
+      (s, d) => {
+        val all = vecs(s, d).withColumn("bucket", expr(bucketExpr))
+        val probes = all.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"),
+            explode(expr(
+              """array_append(
+                |  transform(sequence(0, 7),
+                |    p -> cast(bucket ^ shiftleft(1, p) as int)),
+                |  bucket)""".stripMargin)).as("bucket"))
+        broadcast(probes).join(all, Seq("bucket"))
+          .filter(col("query_id") =!= col("vec_id"))
+          .withColumn("sim", round(expr(dotExpr), 6))
+          .groupBy("query_id")
+          .agg(expr("graft_topk(sim, vec_id, 5)").as("top"))
+          .select(col("query_id"), posexplode(col("top")).as(Seq("rk0", "p")))
+          .select(col("query_id"), col("p.id").as("neighbor_id"),
+            col("p.ord").as("sim"),
+            (col("rk0") + 1).cast("integer").as("rk"))
+          .orderBy("query_id", "rk")
+      },
+      Some("""
+        WITH n AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+            SQRT(LIST_SUM(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]), x -> x*x))) AS nrm
+          FROM embeddings),
+        b AS (
+          SELECT vec_id, v, nrm, CAST(LIST_SUM(
+            [CASE WHEN LIST_DOT_PRODUCT(
+               [((1103515245::BIGINT * (p*64 + i) + 12345) % 2147483648)
+                  / 2147483648.0 - 0.5 for i in GENERATE_SERIES(0, 63)],
+               v) > 0 THEN (1 << p) ELSE 0 END
+             for p in GENERATE_SERIES(0, 7)]) AS INTEGER) AS bucket
+          FROM n),
+        probes AS (
+          SELECT vec_id AS query_id, v AS qv, nrm AS qnrm,
+            UNNEST(LIST_APPEND(LIST_TRANSFORM(RANGE(0, 8),
+              p -> xor(bucket, CAST((1 << p) AS INTEGER))), bucket))
+              AS bucket
+          FROM b WHERE vec_id < 10),
+        pairs AS (
+          SELECT p.query_id, e.vec_id AS neighbor_id,
+            ROUND(LIST_DOT_PRODUCT(p.qv, e.v) / (p.qnrm * e.nrm), 6) AS sim
+          FROM probes p JOIN b e
+            ON p.bucket = e.bucket AND p.query_id != e.vec_id)
+        SELECT query_id, neighbor_id, sim, CAST(rk AS INTEGER) AS rk
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) AS rk FROM pairs)
+        WHERE rk <= 5 ORDER BY query_id, rk"""))
   )
 }

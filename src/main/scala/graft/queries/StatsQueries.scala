@@ -456,6 +456,50 @@ object StatsQueries {
         SELECT d.doc_id, COALESCE(r.repeats, '') AS repeats,
           COALESCE(r.n_repeated, 0) AS n_repeated
         FROM documents d LEFT JOIN rep r USING (doc_id)
-        ORDER BY d.doc_id"""))
+        ORDER BY d.doc_id""")),
+
+    // EXACT WEIGHTED MEDIAN per group — the weighted-quantile gap next
+    // to plain median (A9/q07): on a weighted corpus ("each doc counts
+    // by its bytes") the unweighted median answers the wrong question.
+    // The q138 CDF device applied per group: collapse to the
+    // (group, value)-frequency frame FIRST (bounded by distinct values
+    // per group, never by row count), then two partitioned windows over
+    // that bounded frame give cumulative and total weight, and the
+    // median is the smallest value whose doubled cumulative weight
+    // reaches the total. All-integer arithmetic — exact, order-free,
+    // and no single-partition window anywhere (both windows partition
+    // on the group key).
+    Q("q156_weighted_median",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val g = t(s, d, "documents")
+          .select(col("source"),
+            size(split(col("text"), " ")).cast("long").as("tok"),
+            col("n_chars").as("wt"))
+          .groupBy("source", "tok").agg(sum(col("wt")).as("w"))
+        val wc = Window.partitionBy("source").orderBy("tok")
+          .rowsBetween(Long.MinValue, 0)
+        val wt = Window.partitionBy("source")
+        g.withColumn("cum", sum(col("w")).over(wc))
+          .withColumn("tot", sum(col("w")).over(wt))
+          .filter(col("cum") * 2 >= col("tot"))
+          .groupBy("source")
+          .agg(min(col("tok")).as("wmedian_tok"),
+            min(col("tot")).cast("long").as("total_weight"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH s AS (
+          SELECT source, CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS tok,
+            n_chars AS wt
+          FROM documents),
+        g AS (SELECT source, tok, SUM(wt) AS w FROM s GROUP BY 1, 2),
+        c AS (SELECT source, tok, w,
+            SUM(w) OVER (PARTITION BY source ORDER BY tok) AS cum,
+            SUM(w) OVER (PARTITION BY source) AS tot
+          FROM g)
+        SELECT source, CAST(MIN(tok) AS BIGINT) AS wmedian_tok,
+          CAST(MIN(tot) AS BIGINT) AS total_weight
+        FROM c WHERE cum * 2 >= tot GROUP BY source ORDER BY source"""))
   )
 }

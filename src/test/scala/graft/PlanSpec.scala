@@ -613,6 +613,21 @@ class PlanSpec extends AnyFunSuite {
         "residual, never become the join condition itself")
   }
 
+  test("q156: weighted median windows partition on the group key") {
+    val p = plan("q156_weighted_median")
+    assert(!p.contains("Exchange SinglePartition"),
+      "both weight windows must partition on source — no global window")
+  }
+
+  test("q157: multi-probe candidates come from the bucket equi join") {
+    val p = plan("q157_multiprobe_lsh")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "probes must equi-join buckets, never scan all pairs")
+    assert(p.contains("partial_graft_topk"),
+      "per-query top-5 must map-side combine at k rows per task")
+  }
+
   test("column pruning: q03 scans only the needed lineitem columns") {
     val p = plan("q03_top_revenue_orders")
     val scan = p.linesIterator
