@@ -500,6 +500,91 @@ object StatsQueries {
           FROM g)
         SELECT source, CAST(MIN(tok) AS BIGINT) AS wmedian_tok,
           CAST(MIN(tot) AS BIGINT) AS total_weight
-        FROM c WHERE cum * 2 >= tot GROUP BY source ORDER BY source"""))
+        FROM c WHERE cum * 2 >= tot GROUP BY source ORDER BY source""")),
+
+    // POISSON BOOTSTRAP confidence intervals — the bootstrap that
+    // scales: instead of resampling (a B× data blowup plus a shuffle
+    // per replica), every row gets 32 independent Poisson(1) weights —
+    // inverse-CDF over the portable-md5 uniform (q82/q100 device), so
+    // the "randomness" is reproducible in any engine — and all 32
+    // replica means reduce in ONE aggregation pass as 64 agg columns
+    // (map-side combined; the corpus is touched once, 32 md5s per row).
+    // The replica-mean frame is |groups|×32 — the quantile step is
+    // trivially small. CI = 2nd / 31st of the 32 sorted replica means
+    // (≈ the 2.5/97.5 percentile bracket at B = 32).
+    Q("q158_bootstrap_ci",
+      (s, d) => {
+        val B = 32
+        val pois = """u -> case when u < 0.36787944117144233d then 0
+          | when u < 0.7357588823428847d then 1
+          | when u < 0.9196986029286058d then 2
+          | when u < 0.9810118431238462d then 3 else 4 end""".stripMargin
+        val weighted = t(s, d, "events")
+          .withColumn("w_arr", expr(
+            s"""transform(
+              |  transform(sequence(0, ${B - 1}), b ->
+              |    cast(conv(substring(md5(concat(cast(event_id as string),
+              |      ':', cast(b as string))), 1, 13), 16, 10) as bigint)
+              |      / 4503599627370496.0d),
+              |  $pois)""".stripMargin))
+        val aggs = (0 until B).flatMap { b =>
+          Seq(
+            sum(expr(s"element_at(w_arr, ${b + 1}) * value").cast(DEC))
+              .cast("string").cast("double").as(s"s$b"),
+            sum(expr(s"element_at(w_arr, ${b + 1})")).cast("long").as(s"n$b"))
+        }
+        val reps = weighted.groupBy("event_type")
+          .agg(aggs.head, aggs.tail: _*)
+          .selectExpr("event_type",
+            s"stack($B, ${(0 until B).map(b => s"$b, s$b, n$b").mkString(", ")})" +
+              " as (b, rs, rn)")
+          .select(col("event_type"), (col("rs") / col("rn")).as("mean_b"))
+          .groupBy("event_type")
+          .agg(sort_array(collect_list(col("mean_b"))).as("means"))
+          .select(col("event_type"),
+            round(element_at(col("means"), 2), 6).as("ci_lo"),
+            round(element_at(col("means"), 31), 6).as("ci_hi"))
+        val point = t(s, d, "events").groupBy("event_type")
+          .agg(round(decSum(col("value")) / count(lit(1)), 6).as("mean"))
+        point.join(broadcast(reps), "event_type")
+          .select(col("event_type"), col("mean"), col("ci_lo"), col("ci_hi"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH b AS (SELECT UNNEST(RANGE(0, 32)) AS b),
+        r AS (
+          SELECT event_type, b.b AS b, value,
+            CAST(LIST_REDUCE(
+              LIST_TRANSFORM(SPLIT(SUBSTRING(MD5(
+                CAST(event_id AS VARCHAR) || ':' || CAST(b.b AS VARCHAR)),
+                1, 13), ''),
+                c -> CAST(POSITION(c IN '0123456789abcdef') - 1 AS BIGINT)),
+              (a, x) -> a * 16 + x) AS DOUBLE) / 4503599627370496.0 AS u
+          FROM events, b),
+        w AS (
+          SELECT event_type, b, value,
+            CASE WHEN u < 0.36787944117144233 THEN 0
+              WHEN u < 0.7357588823428847 THEN 1
+              WHEN u < 0.9196986029286058 THEN 2
+              WHEN u < 0.9810118431238462 THEN 3 ELSE 4 END AS w
+          FROM r),
+        m AS (
+          SELECT event_type, b,
+            CAST(CAST(SUM(CAST(w * value AS DECIMAL(28,6))) AS VARCHAR)
+              AS DOUBLE) / SUM(w) AS mean_b
+          FROM w GROUP BY 1, 2),
+        ci AS (
+          SELECT event_type,
+            ROUND((LIST(mean_b ORDER BY mean_b))[2], 6) AS ci_lo,
+            ROUND((LIST(mean_b ORDER BY mean_b))[31], 6) AS ci_hi
+          FROM m GROUP BY 1),
+        pt AS (
+          SELECT event_type,
+            ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS VARCHAR)
+              AS DOUBLE) / COUNT(*), 6) AS mean
+          FROM events GROUP BY 1)
+        SELECT event_type, mean, ci_lo, ci_hi
+        FROM pt JOIN ci USING (event_type)
+        ORDER BY event_type"""))
   )
 }

@@ -628,6 +628,17 @@ class PlanSpec extends AnyFunSuite {
       "per-query top-5 must map-side combine at k rows per task")
   }
 
+  test("q158: bootstrap replicas never blow up the fact scan") {
+    val p = plan("q158_bootstrap_ci")
+    // the one-pass formulation: 64 agg columns over ONE scan of events
+    // (plus the point-estimate scan) — a resampling implementation
+    // would explode each row 32× before its exchange
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx <= 2,
+      s"replica means + point stats are two aggs, got $hashEx exchanges")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("column pruning: q03 scans only the needed lineitem columns") {
     val p = plan("q03_top_revenue_orders")
     val scan = p.linesIterator
