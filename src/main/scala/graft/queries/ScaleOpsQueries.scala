@@ -176,6 +176,227 @@ object ScaleOpsQueries {
           FROM ev, span)
         SELECT split, event_type, COUNT(*) AS n,
           COUNT(DISTINCT user_id) AS n_users
-        FROM tagged GROUP BY 1, 2 ORDER BY 1, 2"""))
+        FROM tagged GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // RECIPROCAL-RANK-FUSION hybrid retrieval — fuse a lexical ranking
+    // (term-overlap over documents) with a dense ranking (cosine to a
+    // query embedding) into one list: rrf = Σ 1/(60+rank). The arms
+    // rank on EXACT keys — the lexical score is all-integer (matched
+    // terms, total tf), the dense sim is the q30 round-6 cosine — so
+    // ranks are reproducible and the fused float is a sum of ≤2
+    // single-division terms evaluated in one fixed order: bit-equal
+    // across engines. Scale shape: each arm reduces to its top-50
+    // BEFORE the fusion join (rank windows run over arm-local frames;
+    // at 100 TB the arms' candidate generation is bucketed retrieval —
+    // q31/q93 — and fusion stays a join of two k-row lists per query).
+    Q("q162_rrf_fusion",
+      (s, d) => {
+        val terms = Seq("spark", "window", "merge")
+        val lexBase = t(s, d, "documents")
+          .withColumn("words", split(col("text"), " "))
+          .select(col("doc_id") +: terms.map(tm =>
+            expr(s"size(filter(words, w -> w = '$tm'))").as(s"tf_$tm")): _*)
+          .withColumn("matched",
+            terms.map(tm => (col(s"tf_$tm") > 0).cast("int")).reduce(_ + _))
+          .withColumn("total_tf", terms.map(tm => col(s"tf_$tm")).reduce(_ + _))
+          .filter(col("matched") > 0)
+        val wl = Window.orderBy(col("matched").desc, col("total_tf").desc,
+          col("doc_id"))
+        val lex = lexBase.withColumn("lex_rank", row_number().over(wl))
+          .filter(col("lex_rank") <= 50).select("doc_id", "lex_rank")
+        val emb = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val qv = emb.filter(col("vec_id") === 0)
+          .select(col("v").as("qv"))
+        val dotExpr =
+          """aggregate(zip_with(v, qv, (a, b) -> a * b), 0d, (acc, x) -> acc + x)
+            | / (sqrt(aggregate(transform(v, x -> x * x), 0d, (acc, x) -> acc + x))
+            |    * sqrt(aggregate(transform(qv, x -> x * x), 0d, (acc, x) -> acc + x)))
+            |""".stripMargin
+        val wd = Window.orderBy(col("sim").desc, col("vec_id"))
+        val dense = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+          .withColumn("sim", round(expr(dotExpr), 6))
+          .withColumn("dense_rank", row_number().over(wd))
+          .filter(col("dense_rank") <= 50)
+          .select(col("vec_id").as("doc_id"), col("dense_rank"))
+        lex.join(dense, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"), col("lex_rank"), col("dense_rank"),
+            round(
+              coalesce(lit(1.0d) / (lit(60) + col("lex_rank")), lit(0.0d)) +
+                coalesce(lit(1.0d) / (lit(60) + col("dense_rank")), lit(0.0d)),
+              6).as("rrf"))
+          .orderBy(col("rrf").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""
+        WITH lt AS (
+          SELECT doc_id,
+            LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x = 'spark')) AS tf_spark,
+            LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x = 'window')) AS tf_window,
+            LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x = 'merge')) AS tf_merge
+          FROM documents),
+        lexb AS (
+          SELECT doc_id,
+            (CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END +
+             CASE WHEN tf_window > 0 THEN 1 ELSE 0 END +
+             CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS matched,
+            tf_spark + tf_window + tf_merge AS total_tf
+          FROM lt),
+        lex AS (
+          SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY matched DESC,
+            total_tf DESC, doc_id) AS INT) AS lex_rank
+          FROM lexb WHERE matched > 0
+          QUALIFY lex_rank <= 50),
+        n AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+            SQRT(LIST_SUM(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]),
+              x -> x * x))) AS nrm
+          FROM embeddings),
+        dense AS (
+          SELECT e.vec_id AS doc_id, CAST(ROW_NUMBER() OVER (ORDER BY
+            ROUND(LIST_DOT_PRODUCT(q.v, e.v) / (q.nrm * e.nrm), 6) DESC,
+            e.vec_id) AS INT) AS dense_rank
+          FROM n q JOIN n e ON q.vec_id = 0 AND e.vec_id != 0
+          QUALIFY dense_rank <= 50)
+        SELECT doc_id, lex_rank, dense_rank,
+          ROUND(COALESCE(1.0 / (60 + lex_rank), 0.0) +
+                COALESCE(1.0 / (60 + dense_rank), 0.0), 6) AS rrf
+        FROM lex FULL OUTER JOIN dense USING (doc_id)
+        ORDER BY rrf DESC, doc_id LIMIT 20""")),
+
+    // GROUP-WISE OLS in one aggregation pass — the per-segment trend
+    // line (tokens vs characters here) via the closed normal-equation
+    // form: slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²). All four sums are
+    // INTEGER sums accumulated exactly (decimal(38,0) ↔ HUGEINT — the
+    // q139 variance device generalized to two variables), so numerator
+    // and denominator are exact integers in both engines before the one
+    // cast→divide tail of correctly-rounded IEEE ops. No second
+    // centered pass, no window, no per-group iteration — a 100 TB
+    // regression is the same single map-side-combined groupBy as a sum.
+    // The intercept reuses the ROUNDED slope on both sides so the gate
+    // compares identical arithmetic, not re-derived values.
+    Q("q163_group_ols",
+      (s, d) => {
+        val X = "cast(n_chars as decimal(38,0))"
+        val Y = "cast(size(split(text, ' ')) as decimal(38,0))"
+        t(s, d, "documents")
+          .groupBy("source")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(expr(X)).as("sx"), sum(expr(Y)).as("sy"),
+            sum(expr(s"$X * $X")).as("sxx"),
+            sum(expr(s"$X * $Y")).as("sxy"))
+          .withColumn("slope", round(
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"),
+            6))
+          .withColumn("intercept", round(
+            (col("sy").cast("double") - col("slope") * col("sx").cast("double"))
+              / col("n"), 6))
+          .select(col("source"), col("n"), col("slope"), col("intercept"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH s AS (
+          SELECT source, COUNT(*) AS n,
+            SUM(CAST(n_chars AS HUGEINT)) AS sx,
+            SUM(CAST(LEN(STRING_SPLIT(text, ' ')) AS HUGEINT)) AS sy,
+            SUM(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT)) AS sxx,
+            SUM(CAST(n_chars AS HUGEINT)
+              * CAST(LEN(STRING_SPLIT(text, ' ')) AS HUGEINT)) AS sxy
+          FROM documents GROUP BY source),
+        sl AS (
+          SELECT source, CAST(n AS BIGINT) AS n,
+            ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+              / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+            sx, sy
+          FROM s)
+        SELECT source, n, slope,
+          ROUND((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / n, 6)
+            AS intercept
+        FROM sl ORDER BY source""")),
+
+    // JOIN-SIZE FORECAST from frequency sketches — predict a join's
+    // output cardinality BEFORE running it (the planner question that
+    // decides broadcast vs shuffle vs salting): |A ⋈ B on k| =
+    // Σ_k c_A(k)·c_B(k), estimated by the CMS inner product
+    // min_j Σ_b gridA[j][b]·gridB[j][b] — an upper bound (AMS/CM
+    // guarantee), deterministic given the hash, so the oracle
+    // recomputes the SAME estimate and the gate hash-compares it.
+    // Forecast rows: the events×events self-join on user_id (the
+    // session-blowup forecast) and events×orders on user=cust. The
+    // per-key count frames are the only corpus-sized aggregations; the
+    // grids are j×w ≤ 2048 rows, the inner products join grid-to-grid.
+    Q("q164_join_size_estimate",
+      (s, d) => {
+        val D = 4; val W = 512
+        def grid(df: org.apache.spark.sql.DataFrame, key: String) =
+          df.groupBy(col(key).cast("string").as("k"))
+            .agg(count(lit(1)).as("c"))
+            .select(col("k"), col("c"),
+              explode(expr(s"sequence(0, ${D - 1})")).as("j"))
+            .withColumn("b", expr(bucketSpark("k", "j", W)))
+            .groupBy("j", "b").agg(sum(col("c")).as("cell"))
+        def exactSize(a: org.apache.spark.sql.DataFrame, ka: String,
+            b: org.apache.spark.sql.DataFrame, kb: String) = {
+          val ca = a.groupBy(col(ka).cast("string").as("k"))
+            .agg(count(lit(1)).as("ca"))
+          val cb = b.groupBy(col(kb).cast("string").as("k"))
+            .agg(count(lit(1)).as("cb"))
+          ca.join(cb, "k").agg(sum(col("ca") * col("cb")).as("exact_pairs"))
+        }
+        def inner(ga: org.apache.spark.sql.DataFrame,
+            gb: org.apache.spark.sql.DataFrame) =
+          ga.join(gb.withColumnRenamed("cell", "cell_b"), Seq("j", "b"))
+            .groupBy("j").agg(sum(col("cell") * col("cell_b")).as("ip"))
+            .agg(min(col("ip")).as("est_pairs"))
+        val ev = t(s, d, "events"); val ord = t(s, d, "orders")
+        val ge = grid(ev, "user_id"); val go = grid(ord, "o_custkey")
+        val r1 = exactSize(ev, "user_id", ev, "user_id")
+          .crossJoin(inner(ge, ge))
+          .select(lit("events_self_user").as("join_name"),
+            col("exact_pairs"), col("est_pairs"))
+        val r2 = exactSize(ev, "user_id", ord, "o_custkey")
+          .crossJoin(inner(ge, go))
+          .select(lit("events_orders_cust").as("join_name"),
+            col("exact_pairs"), col("est_pairs"))
+        r1.union(r2)
+          .withColumn("upper_bound_ok", col("est_pairs") >= col("exact_pairs"))
+          .orderBy("join_name")
+      },
+      Some(s"""
+        WITH ec AS (
+          SELECT CAST(user_id AS VARCHAR) AS k, COUNT(*) AS c
+          FROM events GROUP BY 1),
+        oc AS (
+          SELECT CAST(o_custkey AS VARCHAR) AS k, COUNT(*) AS c
+          FROM orders GROUP BY 1),
+        eg AS (
+          SELECT j, ${bucketDuck("k", "j", 512)} AS b,
+            CAST(SUM(c) AS BIGINT) AS cell
+          FROM (SELECT k, c, UNNEST(RANGE(0, 4)) AS j FROM ec) GROUP BY 1, 2),
+        og AS (
+          SELECT j, ${bucketDuck("k", "j", 512)} AS b,
+            CAST(SUM(c) AS BIGINT) AS cell
+          FROM (SELECT k, c, UNNEST(RANGE(0, 4)) AS j FROM oc) GROUP BY 1, 2),
+        ips AS (
+          SELECT 'events_self_user' AS join_name,
+            CAST(MIN(ip) AS BIGINT) AS est_pairs FROM (
+              SELECT a.j, SUM(a.cell * b.cell) AS ip
+              FROM eg a JOIN eg b ON a.j = b.j AND a.b = b.b GROUP BY a.j)
+          UNION ALL
+          SELECT 'events_orders_cust',
+            CAST(MIN(ip) AS BIGINT) FROM (
+              SELECT a.j, SUM(a.cell * b.cell) AS ip
+              FROM eg a JOIN og b ON a.j = b.j AND a.b = b.b GROUP BY a.j)),
+        exacts AS (
+          SELECT 'events_self_user' AS join_name,
+            CAST(SUM(a.c * b.c) AS BIGINT) AS exact_pairs
+          FROM ec a JOIN ec b ON a.k = b.k
+          UNION ALL
+          SELECT 'events_orders_cust', CAST(SUM(a.c * b.c) AS BIGINT)
+          FROM ec a JOIN oc b ON a.k = b.k)
+        SELECT join_name, exact_pairs, est_pairs, TRUE AS upper_bound_ok
+        FROM exacts JOIN ips USING (join_name)
+        ORDER BY join_name"""))
   )
 }

@@ -51,4 +51,50 @@ class ScaleOpsSpec extends AnyFunSuite {
       "embargo buffer must be small relative to train")
     assert(bySplit.contains("train") && bySplit.contains("test"))
   }
+
+  test("q162: every fused doc has at least one arm; rrf bounded by 2/61") {
+    val rows = Catalog.byName("q162_rrf_fusion").run(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(!(r.isNullAt(1) && r.isNullAt(2)),
+        "a fused doc must come from the lexical or the dense arm")
+      val rrf = r.getAs[Double]("rrf")
+      assert(rrf > 0.0 && rrf <= 2.0 / 61.0 + 1e-9)
+    }
+  }
+
+  test("q163: closed-form slope matches the two-pass reference per source") {
+    val got = Catalog.byName("q163_group_ols").run(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getAs[Double]("slope"),
+        r.getAs[Double]("intercept"))).toMap
+    val pts = graft.tables.Tables.load(spark, d, "documents")
+      .select(col("source"), col("n_chars").cast("double").as("x"),
+        size(split(col("text"), " ")).cast("double").as("y"))
+      .collect()
+      .groupBy(_.getString(0))
+    pts.foreach { case (src, rows) =>
+      val xs = rows.map(_.getDouble(1)); val ys = rows.map(_.getDouble(2))
+      val n = xs.length.toDouble
+      val xb = xs.sum / n; val yb = ys.sum / n
+      val slope = xs.zip(ys).map { case (x, y) => (x - xb) * (y - yb) }.sum /
+        xs.map(x => (x - xb) * (x - xb)).sum
+      assert(math.abs(got(src)._1 - slope) < 1e-4,
+        s"$src: closed-form ${got(src)._1} vs two-pass $slope")
+      assert(math.abs(got(src)._2 - (yb - slope * xb)) < 1e-2)
+    }
+  }
+
+  test("q164: sketch forecast upper-bounds the exact join size") {
+    val rows = Catalog.byName("q164_join_size_estimate").run(spark, d).collect()
+    assert(rows.length === 2)
+    val nEvents = graft.tables.Tables.load(spark, d, "events").count()
+    rows.foreach { r =>
+      val (exact, est) =
+        (r.getAs[Long]("exact_pairs"), r.getAs[Long]("est_pairs"))
+      assert(est >= exact, s"${r.getString(0)}: est $est < exact $exact")
+    }
+    // a self-join on any key yields at least one pair per row
+    val self = rows.find(_.getString(0) == "events_self_user").get
+    assert(self.getAs[Long]("exact_pairs") >= nEvents)
+  }
 }
