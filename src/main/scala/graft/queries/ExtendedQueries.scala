@@ -923,7 +923,8 @@ object ExtendedQueries {
             datediff(to_date(col("ts")), lit("2024-01-01")).cast("long"))
           .withColumn("zval", expr(z))
           .withColumn("bucket",
-            ntile(16).over(Window.orderBy(col("zval"), col("event_id"))))
+            ntile(16).over(Window.orderBy(col("zval"), col("event_id")))
+              .cast("long")) // DuckDB NTILE is BIGINT — match it
           .groupBy("bucket")
           .agg(count(lit(1)).as("n"),
             min(col("a")).as("u_min"), max(col("a")).as("u_max"),

@@ -397,6 +397,244 @@ object ScaleOpsQueries {
           FROM ec a JOIN oc b ON a.k = b.k)
         SELECT join_name, exact_pairs, est_pairs, TRUE AS upper_bound_ok
         FROM exacts JOIN ips USING (join_name)
-        ORDER BY join_name"""))
+        ORDER BY join_name""")),
+
+    // WEIGHTED RANGE-PARTITION PLANNER — compute the 8 boundary ranges
+    // a repartitionByRange would need to balance BYTES (not rows) when
+    // key weights are skewed: cut the key space where cumulative weight
+    // crosses each 1/8 of the total. The q138 CDF device lifted to the
+    // planner: the corpus collapses to its (key, weight) frequency
+    // frame first (the only corpus-sized pass, map-side combined), the
+    // prefix sum runs over that |distinct keys|-bounded frame, and the
+    // bucket cut is pure integer arithmetic — (cb·8) div total — so
+    // both engines agree exactly. A bucket overshoots perfect balance
+    // by at most one key's weight (greedy cut granularity), which the
+    // spec pins; the gate hash-compares the boundary keys themselves.
+    Q("q165_range_planner",
+      (s, d) => {
+        val freq = t(s, d, "lineitem")
+          .groupBy(col("l_partkey").as("k"))
+          .agg(sum(col("l_quantity").cast("long")).as("w"))
+        val win = Window.orderBy("k").rowsBetween(Long.MinValue, -1)
+        val tot = freq.agg(sum(col("w")).as("tw"))
+        freq
+          .withColumn("cb", coalesce(sum(col("w")).over(win), lit(0L)))
+          .crossJoin(broadcast(tot))
+          .withColumn("bucket",
+            least(lit(7L), expr("(cb * 8) div tw")))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_keys"), sum(col("w")).as("total_w"),
+            min(col("k")).as("lo_key"), max(col("k")).as("hi_key"))
+          .orderBy("bucket")
+      },
+      Some("""
+        WITH f AS (
+          SELECT l_partkey AS k, SUM(CAST(l_quantity AS BIGINT)) AS w
+          FROM lineitem GROUP BY 1),
+        c AS (
+          SELECT k, w, COALESCE(SUM(w) OVER (ORDER BY k
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+          FROM f),
+        tw AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM f)
+        SELECT LEAST(7, CAST((cb * 8) // tw AS BIGINT)) AS bucket,
+          COUNT(*) AS n_keys, CAST(SUM(w) AS BIGINT) AS total_w,
+          MIN(k) AS lo_key, MAX(k) AS hi_key
+        FROM c, tw GROUP BY 1 ORDER BY 1""")),
+
+    // HARD-NEGATIVE MINING — the contrastive-training data op: for each
+    // query vector, the most-similar vectors with a DIFFERENT label
+    // (similar but wrong = the informative negatives). The per-query
+    // top-3 is the bounded aggregate ([[graft.expressions.BoundedTopK]],
+    // q81 device): each map task reduces its candidate slice to ≤3
+    // before the exchange, so at 100 TB the shuffle carries
+    // O(tasks × 3) rows per query rather than every candidate — the
+    // same reason q31's ANN uses it. Label filtering happens BEFORE
+    // scoring (no wasted dot products on same-label pairs). Sims are
+    // the q30 round-6 cosine, so ranks are engine-reproducible.
+    Q("q166_hard_negatives",
+      (s, d) => {
+        val all = t(s, d, "embeddings")
+          .select(col("vec_id"), col("label"),
+            col("embedding").cast("array<double>").as("v"))
+        val q = all.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+            col("v").as("qv"))
+        val dotExpr =
+          """aggregate(zip_with(v, qv, (a, b) -> a * b), 0d, (acc, x) -> acc + x)
+            | / (sqrt(aggregate(transform(v, x -> x * x), 0d, (acc, x) -> acc + x))
+            |    * sqrt(aggregate(transform(qv, x -> x * x), 0d, (acc, x) -> acc + x)))
+            |""".stripMargin
+        broadcast(q).crossJoin(all)
+          .filter(col("label") =!= col("qlabel"))
+          .withColumn("sim", round(expr(dotExpr), 6))
+          .groupBy("query_id")
+          .agg(expr("graft_topk(sim, vec_id, 3)").as("top"))
+          .select(col("query_id"), posexplode(col("top")).as(Seq("rk0", "p")))
+          .select(col("query_id"), (col("rk0") + 1).cast("integer").as("rk"),
+            col("p.id").as("neg_id"), col("p.ord").as("sim"))
+          .orderBy("query_id", "rk")
+      },
+      Some("""
+        WITH n AS (
+          SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+            SQRT(LIST_SUM(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]),
+              x -> x * x))) AS nrm
+          FROM embeddings),
+        pairs AS (
+          SELECT q.vec_id AS query_id, e.vec_id AS neg_id,
+            ROUND(LIST_DOT_PRODUCT(q.v, e.v) / (q.nrm * e.nrm), 6) AS sim
+          FROM n q JOIN n e ON q.vec_id < 20 AND e.label != q.label)
+        SELECT query_id, CAST(rk AS INTEGER) AS rk, neg_id, sim
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neg_id) AS rk FROM pairs)
+        WHERE rk <= 3 ORDER BY query_id, rk""")),
+
+    // HILBERT-CURVE LAYOUT — the q107 Z-order upgrade (SURVEY §7.7
+    // item 5): same clustered-write diagnostic, better locality
+    // constant (the Hilbert walk never takes the Z-curve's long
+    // diagonal jumps, so a contiguous index range maps to a tighter
+    // x/y tile → tighter zone maps → more file pruning). The index is
+    // the canonical xy2d unrolled into 8 straight-line CASE/arithmetic
+    // steps — ALL-INTEGER, generated once and spliced verbatim into
+    // both engines (Spark withColumn chain inside whole-stage codegen;
+    // DuckDB CTE chain), so the gate hash-compares the curve itself.
+    // The XOR in d += s²·((3rx)^ry) is algebraized to
+    // 3rx + ry − 2·rx·ry (bit-identical for rx,ry ∈ {0,1}) to dodge
+    // engine XOR syntax differences. Bucketing mirrors q107's ntile so
+    // the two layouts stay comparable row-for-row.
+    Q("q167_hilbert_layout",
+      (s, d) => {
+        val base = t(s, d, "events")
+          .select(col("event_id"),
+            expr("cast(user_id % 256 as int)").as("x0"),
+            expr("cast((unix_micros(ts) div 60000000) % 256 as int)").as("y0"))
+          .withColumn("d0", lit(0))
+        val hil = hilbertSteps.foldLeft(base) { case (df, (name, e)) =>
+          df.withColumn(name, expr(e))
+        }
+        hil
+          .withColumn("bucket",
+            ntile(16).over(Window.orderBy(col("d8"), col("event_id")))
+              .cast("long")) // DuckDB NTILE is BIGINT — match it
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"),
+            min(col("x0")).as("u_min"), max(col("x0")).as("u_max"),
+            min(col("y0")).as("m_min"), max(col("y0")).as("m_max"))
+          .orderBy("bucket")
+      },
+      Some {
+        val ctes = hilbertSteps.zipWithIndex.map { case ((name, e), i) =>
+          s"h${i + 1} AS (SELECT *, $e AS $name FROM h$i)"
+        }
+        s"""
+        WITH h0 AS (
+          SELECT event_id, CAST(user_id % 256 AS INT) AS x0,
+            CAST((EPOCH_US(ts) // 60000000) % 256 AS INT) AS y0, 0 AS d0
+          FROM events),
+        ${ctes.mkString(",\n        ")},
+        bk AS (
+          SELECT x0, y0, NTILE(16) OVER (ORDER BY d8, event_id) AS bucket
+          FROM h${hilbertSteps.size})
+        SELECT bucket, COUNT(*) AS n,
+          MIN(x0) AS u_min, MAX(x0) AS u_max,
+          MIN(y0) AS m_min, MAX(y0) AS m_max
+        FROM bk GROUP BY bucket ORDER BY bucket"""
+      }),
+
+    // ZONE-MAP PRUNING EFFECTIVENESS — the why-you-sort diagnostic:
+    // simulate two physical layouts of the same table (files cut by
+    // arrival order vs files cut by the predicate column) and measure
+    // how many files a min/max zone map would let a quarter-range scan
+    // skip. Pure metadata math once the per-file min/max frame exists —
+    // one aggregation per layout over the fact table (map-side
+    // combined, |files| rows out), then a |files|-sized summary. The
+    // arrival layout scans everything (every file spans the full date
+    // range); the date-cut layout prunes all but the predicate's
+    // months — the measured gap IS the argument for q107/q167 ordered
+    // writes.
+    Q("q168_zone_map_prune",
+      (s, d) => {
+        val lo = lit(java.sql.Date.valueOf("1998-04-01"))
+        val hi = lit(java.sql.Date.valueOf("1998-06-30"))
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey"), to_date(col("l_shipdate")).as("sd"))
+        def layout(name: String, fileId: org.apache.spark.sql.Column) =
+          li.withColumn("file_id", fileId)
+            .groupBy("file_id")
+            .agg(min(col("sd")).as("f_min"), max(col("sd")).as("f_max"),
+              count(lit(1)).as("f_rows"),
+              sum((col("sd") >= lo && col("sd") <= hi).cast("long"))
+                .as("f_match"))
+            .agg(count(lit(1)).as("n_files"),
+              sum((col("f_max") < lo || col("f_min") > hi).cast("long"))
+                .as("files_pruned"),
+              sum(when(col("f_max") >= lo && col("f_min") <= hi,
+                col("f_rows")).otherwise(lit(0L))).as("rows_scanned"),
+              sum(col("f_match")).as("matching_rows"))
+            .select(lit(name).as("layout"), col("n_files"),
+              col("files_pruned"), col("rows_scanned"), col("matching_rows"))
+        layout("arrival_order", expr("l_orderkey div 2048"))
+          .union(layout("date_clustered",
+            expr("(year(sd) * 12 + month(sd))").cast("long")))
+          .orderBy("layout")
+      },
+      Some("""
+        WITH li AS (
+          SELECT l_orderkey, CAST(l_shipdate AS DATE) AS sd FROM lineitem),
+        fa AS (
+          SELECT CAST(l_orderkey // 2048 AS BIGINT) AS file_id,
+            MIN(sd) AS f_min, MAX(sd) AS f_max, COUNT(*) AS f_rows,
+            SUM(CASE WHEN sd BETWEEN DATE '1998-04-01' AND DATE '1998-06-30'
+              THEN 1 ELSE 0 END) AS f_match
+          FROM li GROUP BY 1),
+        fb AS (
+          SELECT CAST(YEAR(sd) * 12 + MONTH(sd) AS BIGINT) AS file_id,
+            MIN(sd) AS f_min, MAX(sd) AS f_max, COUNT(*) AS f_rows,
+            SUM(CASE WHEN sd BETWEEN DATE '1998-04-01' AND DATE '1998-06-30'
+              THEN 1 ELSE 0 END) AS f_match
+          FROM li GROUP BY 1),
+        s AS (
+          SELECT 'arrival_order' AS layout, COUNT(*) AS n_files,
+            SUM(CASE WHEN f_max < DATE '1998-04-01'
+              OR f_min > DATE '1998-06-30' THEN 1 ELSE 0 END) AS files_pruned,
+            SUM(CASE WHEN f_max >= DATE '1998-04-01'
+              AND f_min <= DATE '1998-06-30' THEN f_rows ELSE 0 END)
+              AS rows_scanned,
+            SUM(f_match) AS matching_rows
+          FROM fa
+          UNION ALL
+          SELECT 'date_clustered', COUNT(*),
+            SUM(CASE WHEN f_max < DATE '1998-04-01'
+              OR f_min > DATE '1998-06-30' THEN 1 ELSE 0 END),
+            SUM(CASE WHEN f_max >= DATE '1998-04-01'
+              AND f_min <= DATE '1998-06-30' THEN f_rows ELSE 0 END),
+            SUM(f_match)
+          FROM fb)
+        SELECT layout, n_files,
+          CAST(files_pruned AS BIGINT) AS files_pruned,
+          CAST(rows_scanned AS BIGINT) AS rows_scanned,
+          CAST(matching_rows AS BIGINT) AS matching_rows
+        FROM s ORDER BY layout"""))
   )
+
+  /** Canonical Hilbert xy2d (order 8, 256×256 grid) unrolled to named
+    * straight-line steps in ENGINE-NEUTRAL SQL: column (x_i, y_i, d_i)
+    * chains with only CASE / integer arithmetic, spliced verbatim into
+    * the Spark plan and the DuckDB oracle of q167. The rotation flip
+    * uses the full grid constant (n−1 = 255), per the canonical
+    * algorithm; (3rx)^ry is algebraized to 3rx + ry − 2·rx·ry. */
+  // lazy: referenced by the qs initializer above its definition site
+  private[graft] lazy val hilbertSteps: Seq[(String, String)] =
+    (0 until 8).flatMap { i =>
+      val s = 1 << (7 - i)
+      val j = i + 1
+      Seq(
+        s"rx$j" -> s"CASE WHEN (x$i & $s) > 0 THEN 1 ELSE 0 END",
+        s"ry$j" -> s"CASE WHEN (y$i & $s) > 0 THEN 1 ELSE 0 END",
+        s"d$j" -> s"d$i + ${s * s} * (3 * rx$j + ry$j - 2 * rx$j * ry$j)",
+        s"x$j" -> (s"CASE WHEN ry$j = 1 THEN x$i WHEN rx$j = 0 THEN y$i " +
+          s"ELSE 255 - y$i END"),
+        s"y$j" -> (s"CASE WHEN ry$j = 1 THEN y$i WHEN rx$j = 0 THEN x$i " +
+          s"ELSE 255 - x$i END"))
+    }
 }

@@ -97,4 +97,99 @@ class ScaleOpsSpec extends AnyFunSuite {
     val self = rows.find(_.getString(0) == "events_self_user").get
     assert(self.getAs[Long]("exact_pairs") >= nEvents)
   }
+
+  test("q165: buckets are contiguous key ranges, balanced to one key's weight") {
+    val b = Catalog.byName("q165_range_planner").run(spark, d).collect()
+    assert(b.nonEmpty && b.head.getAs[Long]("bucket") === 0L)
+    // contiguous, non-overlapping key ranges in bucket order
+    b.sliding(2).foreach {
+      case Array(a, c) =>
+        assert(a.getAs[Long]("hi_key") < c.getAs[Long]("lo_key"))
+      case _ =>
+    }
+    val tw = b.map(_.getAs[Long]("total_w")).sum
+    val maxKeyW = graft.tables.Tables.load(spark, d, "lineitem")
+      .groupBy("l_partkey").agg(sum(col("l_quantity").cast("long")).as("w"))
+      .agg(max("w")).head.getLong(0)
+    b.foreach { r =>
+      assert(r.getAs[Long]("total_w") <= tw / 8 + maxKeyW,
+        s"bucket ${r.getAs[Long]("bucket")} overshoots the greedy bound")
+    }
+  }
+
+  test("q166: hard negatives never share the query's label; sims descend") {
+    import spark.implicits._
+    val labels = graft.tables.Tables.load(spark, d, "embeddings")
+      .select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = Catalog.byName("q166_hard_negatives").run(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (qid, rs) =>
+      val ordered = rs.sortBy(_.getAs[Int]("rk"))
+      ordered.foreach { r =>
+        assert(labels(r.getAs[Long]("neg_id")) != labels(qid),
+          s"negative shares label with query $qid")
+      }
+      val sims = ordered.map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  /** Canonical Hilbert xy2d reference (order 8) — the loop form of the
+    * unrolled SQL in ScaleOpsQueries.hilbertSteps. */
+  private def xy2d(x0: Int, y0: Int): Int = {
+    var (x, y, dd) = (x0, y0, 0)
+    var s = 128
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1 else 0
+      val ry = if ((y & s) > 0) 1 else 0
+      dd += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = 255 - x; y = 255 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    dd
+  }
+
+  test("q167: unrolled SQL Hilbert index equals the canonical loop form") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val pts = Seq.fill(500)((rnd.nextInt(256), rnd.nextInt(256))) ++
+      Seq((0, 0), (255, 255), (0, 255), (255, 0), (128, 127))
+    val base = pts.toDF("x0", "y0").withColumn("d0", lit(0))
+    val hil = graft.queries.ScaleOpsQueries.hilbertSteps
+      .foldLeft(base) { case (df, (name, e)) => df.withColumn(name, expr(e)) }
+      .select("x0", "y0", "d8").collect()
+    hil.foreach { r =>
+      val (x, y, got) = (r.getInt(0), r.getInt(1), r.getInt(2))
+      assert(got === xy2d(x, y), s"($x,$y): sql $got != ref ${xy2d(x, y)}")
+    }
+  }
+
+  test("hilbert reference walks the full grid with unit steps (locality)") {
+    val byD = Array.ofDim[(Int, Int)](65536)
+    for (x <- 0 until 256; y <- 0 until 256) byD(xy2d(x, y)) = (x, y)
+    assert(byD.forall(_ != null), "xy2d must be a bijection on the grid")
+    byD.sliding(2).foreach {
+      case Array((x1, y1), (x2, y2)) =>
+        assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1,
+          s"non-adjacent step at ($x1,$y1)->($x2,$y2)")
+      case _ =>
+    }
+  }
+
+  test("q168: date-clustered layout prunes; both layouts agree on the answer") {
+    val rows = Catalog.byName("q168_zone_map_prune").run(spark, d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val (a, b) = (rows("arrival_order"), rows("date_clustered"))
+    assert(a.getAs[Long]("matching_rows") === b.getAs[Long]("matching_rows"),
+      "layout must not change query results")
+    assert(b.getAs[Long]("files_pruned") > a.getAs[Long]("files_pruned"))
+    assert(b.getAs[Long]("rows_scanned") < a.getAs[Long]("rows_scanned"))
+    Seq(a, b).foreach { r =>
+      assert(r.getAs[Long]("rows_scanned") >= r.getAs[Long]("matching_rows"))
+    }
+  }
 }
