@@ -614,7 +614,212 @@ object ScaleOpsQueries {
           CAST(files_pruned AS BIGINT) AS files_pruned,
           CAST(rows_scanned AS BIGINT) AS rows_scanned,
           CAST(matching_rows AS BIGINT) AS matching_rows
-        FROM s ORDER BY layout"""))
+        FROM s ORDER BY layout""")),
+
+    // SKETCHED COLUMN PROFILE — the 100 TB form of q146's profiler
+    // (SURVEY §7.7 item 4 closed): per-column distinct counts via
+    // HyperLogLog++ instead of exact countDistinct, so the profile is
+    // ONE pass of constant-state mergeable aggregates with no
+    // distinct-expand shuffle. HLL registers are order-free max-merges
+    // — the estimate is DETERMINISTIC on fixed data — so the gate's
+    // boolean error-contract columns (|est − exact| ≤ 15 % · exact,
+    // triple the configured 5 % rsd) cannot flake; the exact columns
+    // double as the evidence and are what a real deployment deletes.
+    Q("q169_profile_sketch",
+      (s, d) => {
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_orderpriority")
+        val aggs = cols.flatMap { c =>
+          Seq(countDistinct(col(c)).as(s"x_$c"),
+            approx_count_distinct(col(c), 0.05).as(s"a_$c"))
+        }
+        t(s, d, "orders").agg(aggs.head, aggs.tail: _*)
+          .selectExpr(s"stack(${cols.size}, " +
+            cols.map(c => s"'$c', x_$c, a_$c").mkString(", ") +
+            ") as (column_name, exact_distinct, approx_distinct)")
+          .select(col("column_name"), col("exact_distinct"),
+            (abs(col("approx_distinct") - col("exact_distinct")) <=
+              col("exact_distinct") * lit(0.15d)).as("hll_ok"))
+          .orderBy("column_name")
+      },
+      Some("""
+        SELECT column_name, exact_distinct, TRUE AS hll_ok FROM (
+          SELECT 'o_orderkey' AS column_name,
+            COUNT(DISTINCT o_orderkey) AS exact_distinct FROM orders
+          UNION ALL SELECT 'o_custkey', COUNT(DISTINCT o_custkey) FROM orders
+          UNION ALL SELECT 'o_orderstatus', COUNT(DISTINCT o_orderstatus)
+            FROM orders
+          UNION ALL SELECT 'o_orderpriority', COUNT(DISTINCT o_orderpriority)
+            FROM orders)
+        ORDER BY column_name""")),
+
+    // TWO-SAMPLE KOLMOGOROV–SMIRNOV, exactly — drift detection between
+    // two sub-corpora (en vs de document lengths) with NO floats until
+    // the last line: D = max|F₁−F₂| is computed as the integer
+    // max|cum₁·n₂ − cum₂·n₁| over the merged value-frequency frame, so
+    // the statistic is an exact rational both engines agree on
+    // bit-wise. The corpus collapses to per-value counts first (q138
+    // device); the merged CDF walk is one window over that bounded
+    // frame. The D ≥ c(α)·√((n₁+n₂)/(n₁n₂)) rejection test compares
+    // via sqrt — the one libm op that IS correctly rounded everywhere.
+    Q("q170_ks_test",
+      (s, d) => {
+        val docs = t(s, d, "documents").filter(col("lang").isin("en", "de"))
+        val freq = docs.groupBy(col("n_chars").as("v"))
+          .agg(sum((col("lang") === "en").cast("long")).as("c1"),
+            sum((col("lang") === "de").cast("long")).as("c2"))
+        val w = Window.orderBy("v").rowsBetween(Long.MinValue, 0)
+        val tot = docs.agg(
+          sum((col("lang") === "en").cast("long")).as("n1"),
+          sum((col("lang") === "de").cast("long")).as("n2"))
+        freq
+          .withColumn("f1", sum(col("c1")).over(w))
+          .withColumn("f2", sum(col("c2")).over(w))
+          .crossJoin(broadcast(tot))
+          .agg(max(abs(col("f1") * col("n2") - col("f2") * col("n1")))
+            .as("d_num"))
+          .crossJoin(broadcast(tot))
+          .select(col("n1"), col("n2"), col("d_num"),
+            round(col("d_num").cast("double") /
+              (col("n1") * col("n2")).cast("double"), 6).as("d_stat"),
+            (col("d_num").cast("double") / (col("n1") * col("n2")).cast("double")
+              > lit(1.358d) * sqrt((col("n1") + col("n2")).cast("double") /
+                (col("n1") * col("n2")).cast("double"))).as("reject_05"))
+      },
+      Some("""
+        WITH docs AS (
+          SELECT n_chars AS v, lang FROM documents WHERE lang IN ('en', 'de')),
+        f AS (
+          SELECT v, SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c1,
+            SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS c2
+          FROM docs GROUP BY v),
+        t AS (
+          SELECT CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+              AS n1,
+            CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n2
+          FROM docs),
+        c AS (
+          SELECT SUM(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+              AND CURRENT ROW) AS f1,
+            SUM(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+              AND CURRENT ROW) AS f2
+          FROM f),
+        dm AS (
+          SELECT CAST(MAX(ABS(f1 * n2 - f2 * n1)) AS BIGINT) AS d_num
+          FROM c, t)
+        SELECT n1, n2, d_num,
+          ROUND(CAST(d_num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE), 6) AS d_stat,
+          CAST(d_num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)
+            > 1.358 * SQRT(CAST(n1 + n2 AS DOUBLE) / CAST(n1 * n2 AS DOUBLE))
+            AS reject_05
+        FROM dm, t""")),
+
+    // CO-OCCURRENCE PMI over the hot vocabulary — the association
+    // statistic behind phrase mining and embedding evaluation, shaped
+    // so the pair space can't explode: tokens are first capped to the
+    // top-50 by document frequency (deterministic df-desc/token tie
+    // break, broadcast), so the per-doc self-join generates at most
+    // C(50,2) pairs per document and the aggregate is bounded by
+    // |vocab|² regardless of corpus size. PMI's log is NOT
+    // cross-engine-reproducible (libm), so the gate carries the exact
+    // integer ratio r = (n·c_xy·10⁶) div (c_x·c_y) — a monotone
+    // transform of PMI with identical ordering — and leaves the log to
+    // the consumer.
+    Q("q171_cooccurrence_pmi",
+      (s, d) => {
+        val docTok = t(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .distinct()
+        val nDocs = t(s, d, "documents").agg(count(lit(1)).as("n"))
+        val wdf = Window.orderBy(col("df").desc, col("tok"))
+        val hot = docTok.groupBy("tok").agg(count(lit(1)).as("df"))
+          .withColumn("rk", row_number().over(wdf))
+          .filter(col("rk") <= 50)
+          .select("tok", "df")
+        val hotDocs = docTok.join(broadcast(hot), "tok")
+        val pairs = hotDocs.alias("a")
+          .join(hotDocs.alias("b"), Seq("doc_id"))
+          .filter(col("a.tok") < col("b.tok"))
+          .groupBy(col("a.tok").as("tok1"), col("b.tok").as("tok2"),
+            col("a.df").as("df1"), col("b.df").as("df2"))
+          .agg(count(lit(1)).as("c_xy"))
+        pairs.crossJoin(broadcast(nDocs))
+          .withColumn("ratio",
+            expr("(c_xy * n * 1000000) div (df1 * df2)"))
+          .select(col("tok1"), col("tok2"), col("c_xy"), col("ratio"))
+          .orderBy(col("ratio").desc, col("tok1"), col("tok2"))
+          .limit(20)
+      },
+      Some("""
+        WITH dt AS (
+          SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+          FROM documents),
+        nd AS (SELECT COUNT(*) AS n FROM documents),
+        hot AS (
+          SELECT tok, df FROM (
+            SELECT tok, COUNT(*) AS df,
+              ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS rk
+            FROM dt GROUP BY tok)
+          WHERE rk <= 50),
+        hd AS (SELECT doc_id, tok, df FROM dt JOIN hot USING (tok)),
+        pairs AS (
+          SELECT a.tok AS tok1, b.tok AS tok2, a.df AS df1, b.df AS df2,
+            COUNT(*) AS c_xy
+          FROM hd a JOIN hd b ON a.doc_id = b.doc_id AND a.tok < b.tok
+          GROUP BY 1, 2, 3, 4)
+        SELECT tok1, tok2, c_xy,
+          CAST((c_xy * n * 1000000) // (df1 * df2) AS BIGINT) AS ratio
+        FROM pairs, nd
+        ORDER BY ratio DESC, tok1, tok2 LIMIT 20""")),
+
+    // LAST-TOUCH ATTRIBUTION — join every conversion to the most recent
+    // preceding non-conversion touch of the same user. The as-of lookup
+    // is a per-user window (max prior timestamp among touches), NOT a
+    // range join: one shuffle on user_id, prior_us carried row-locally,
+    // then one equi join back on (user, us) to resolve the touch row.
+    // The resolve join takes min(event_id) to stay deterministic even
+    // if two touches ever share a microsecond. Gap is integer
+    // microseconds div 10⁶ — no float time arithmetic.
+    Q("q172_last_touch_attribution",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            expr("unix_micros(ts)").as("us"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("us"), col("event_id"))
+          .rowsBetween(Long.MinValue, -1)
+        val withPrior = ev.withColumn("prior_us",
+          max(when(col("event_type") =!= "purchase", col("us"))).over(w))
+        val touches = ev.filter(col("event_type") =!= "purchase")
+          .groupBy(col("user_id"), col("us").as("prior_us"))
+          .agg(min(col("event_id")).as("touch_event_id"))
+        withPrior.filter(col("event_type") === "purchase" &&
+            col("prior_us").isNotNull)
+          .join(touches, Seq("user_id", "prior_us"))
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("touch_event_id"),
+            expr("(us - prior_us) div 1000000").as("gap_sec"))
+          .orderBy("purchase_id")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT event_id, user_id, event_type, EPOCH_US(ts) AS us
+          FROM events),
+        p AS (
+          SELECT event_id, user_id, event_type, us,
+            MAX(CASE WHEN event_type != 'purchase' THEN us END)
+              OVER (PARTITION BY user_id ORDER BY us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_us
+          FROM ev),
+        touches AS (
+          SELECT user_id, us AS prior_us, MIN(event_id) AS touch_event_id
+          FROM ev WHERE event_type != 'purchase' GROUP BY 1, 2)
+        SELECT p.event_id AS purchase_id, p.user_id, t.touch_event_id,
+          CAST((p.us - p.prior_us) // 1000000 AS BIGINT) AS gap_sec
+        FROM p JOIN touches t ON p.user_id = t.user_id
+          AND p.prior_us = t.prior_us
+        WHERE p.event_type = 'purchase'
+        ORDER BY purchase_id"""))
   )
 
   /** Canonical Hilbert xy2d (order 8, 256×256 grid) unrolled to named

@@ -192,4 +192,44 @@ class ScaleOpsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("rows_scanned") >= r.getAs[Long]("matching_rows"))
     }
   }
+
+  test("q170: KS statistic is a valid probability distance") {
+    val r = Catalog.byName("q170_ks_test").run(spark, d).head
+    val (n1, n2, dn) = (r.getAs[Long]("n1"), r.getAs[Long]("n2"),
+      r.getAs[Long]("d_num"))
+    assert(n1 > 0 && n2 > 0)
+    assert(dn >= 0 && dn <= n1 * n2, "D must normalize into [0,1]")
+    val ds = r.getAs[Double]("d_stat")
+    assert(ds >= 0.0 && ds <= 1.0)
+  }
+
+  test("q171: PMI pairs are canonical-ordered and ranked by ratio") {
+    val rows = Catalog.byName("q171_cooccurrence_pmi").run(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "pairs must be tok1 < tok2")
+      assert(r.getAs[Long]("c_xy") > 0 && r.getAs[Long]("ratio") > 0)
+    }
+    val ratios = rows.map(_.getAs[Long]("ratio"))
+    assert(ratios.zip(ratios.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q172: one attribution per purchase, non-negative gap, touch precedes") {
+    import spark.implicits._
+    val attr = Catalog.byName("q172_last_touch_attribution").run(spark, d)
+      .collect()
+    assert(attr.nonEmpty)
+    val ids = attr.map(_.getAs[Long]("purchase_id"))
+    assert(ids.distinct.length === ids.length,
+      "a purchase must be attributed at most once")
+    assert(attr.forall(_.getAs[Long]("gap_sec") >= 0L))
+    val types = graft.tables.Tables.load(spark, d, "events")
+      .select($"event_id", $"event_type").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    attr.foreach { r =>
+      assert(types(r.getAs[Long]("purchase_id")) == "purchase")
+      assert(types(r.getAs[Long]("touch_event_id")) != "purchase",
+        "the attributed touch must not itself be a conversion")
+    }
+  }
 }
