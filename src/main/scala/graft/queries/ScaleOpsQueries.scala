@@ -819,7 +819,146 @@ object ScaleOpsQueries {
         FROM p JOIN touches t ON p.user_id = t.user_id
           AND p.prior_us = t.prior_us
         WHERE p.event_type = 'purchase'
-        ORDER BY purchase_id"""))
+        ORDER BY purchase_id""")),
+
+    // TRIANGLE COUNT + TRANSITIVITY on the co-supply backbone — the
+    // third graph operator (after q77's connected components and
+    // q120's PageRank): project the part→supplier bipartite onto a
+    // supplier graph (edge weight = shared parts), keep the ≥150-
+    // shared-parts backbone (the sparsifying cap that bounds the
+    // projected edge set the way q128 caps df — an unthresholded
+    // projection of a hot part is the classic quadratic blowup), then
+    // count triangles with the DEGREE-ORIENTED join: every edge points
+    // low→high in (degree, id) order, so each triangle is generated
+    // exactly once and the wedge join fans out by min-degree, not max
+    // (the standard distributed-triangle trick). Wedge count is the
+    // closed form Σ deg(deg−1)/2 — all integers; transitivity's one
+    // division is the only float.
+    Q("q173_triangle_count",
+      (s, d) => {
+        val ps = t(s, d, "lineitem")
+          .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+          .distinct()
+        val edges = ps.alias("a").join(ps.alias("b"), Seq("p"))
+          .filter(col("a.s") < col("b.s"))
+          .groupBy(col("a.s").as("u"), col("b.s").as("v"))
+          .agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 150)
+          .select("u", "v")
+          .cache() // degrees + orientation + wedge join all read it
+        val deg = edges.select(col("u").as("n"))
+          .union(edges.select(col("v").as("n")))
+          .groupBy("n").agg(count(lit(1)).as("deg"))
+        val dg = deg.cache()
+        // orient by (deg, id): lower endpoint first
+        val oriented = edges
+          .join(dg.withColumnRenamed("n", "u").withColumnRenamed("deg", "du"),
+            "u")
+          .join(dg.withColumnRenamed("n", "v").withColumnRenamed("deg", "dv"),
+            "v")
+          .select(
+            when(col("du") < col("dv") ||
+              (col("du") === col("dv") && col("u") < col("v")), col("u"))
+              .otherwise(col("v")).as("a"),
+            when(col("du") < col("dv") ||
+              (col("du") === col("dv") && col("u") < col("v")), col("v"))
+              .otherwise(col("u")).as("b"))
+        val wedges2 = oriented.alias("e1")
+          .join(oriented.alias("e2"), col("e1.b") === col("e2.a"))
+          .select(col("e1.a").as("x"), col("e1.b").as("y"),
+            col("e2.b").as("z"))
+        val tri = wedges2
+          .join(oriented.select(col("a").as("x"), col("b").as("z")),
+            Seq("x", "z"), "left_semi")
+          .agg(count(lit(1)).as("n_triangles"))
+        val stats = edges.agg(count(lit(1)).as("n_edges"))
+          .crossJoin(dg.agg(count(lit(1)).as("n_nodes"),
+            sum(expr("deg * (deg - 1)")).as("w2")))
+        stats.crossJoin(tri)
+          .select(col("n_nodes"), col("n_edges"),
+            col("n_triangles"),
+            (col("w2") / lit(2)).cast("long").as("n_wedges"),
+            round(lit(3.0d) * col("n_triangles") /
+              greatest((col("w2") / lit(2)).cast("double"), lit(1.0d)), 6)
+              .as("transitivity"))
+      },
+      Some("""
+        WITH ps AS (
+          SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+        edges AS (
+          SELECT a.s AS u, b.s AS v
+          FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+          GROUP BY 1, 2 HAVING COUNT(*) >= 150),
+        deg AS (
+          SELECT n, COUNT(*) AS deg FROM (
+            SELECT u AS n FROM edges UNION ALL SELECT v FROM edges)
+          GROUP BY n),
+        o AS (
+          SELECT CASE WHEN du.deg < dv.deg
+              OR (du.deg = dv.deg AND u < v) THEN u ELSE v END AS a,
+            CASE WHEN du.deg < dv.deg
+              OR (du.deg = dv.deg AND u < v) THEN v ELSE u END AS b
+          FROM edges JOIN deg du ON du.n = u JOIN deg dv ON dv.n = v),
+        tri AS (
+          SELECT COUNT(*) AS n_triangles
+          FROM (SELECT e1.a AS x, e2.b AS z
+                FROM o e1 JOIN o e2 ON e1.b = e2.a) w
+          WHERE EXISTS (SELECT 1 FROM o WHERE o.a = w.x AND o.b = w.z)),
+        st AS (
+          SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+            (SELECT COUNT(*) FROM edges) AS n_edges,
+            (SELECT CAST(SUM(deg * (deg - 1)) AS BIGINT) FROM deg) AS w2)
+        SELECT n_nodes, n_edges, n_triangles,
+          CAST(w2 // 2 AS BIGINT) AS n_wedges,
+          ROUND(3.0 * n_triangles /
+            GREATEST(CAST(w2 AS DOUBLE) / 2, 1.0), 6) AS transitivity
+        FROM st, tri""")),
+
+    // INCREMENTAL AGGREGATE MAINTENANCE — the lakehouse IVM contract:
+    // a materialized aggregate plus a new partition's PARTIAL
+    // aggregate, merged by re-aggregation, must equal the full
+    // recompute. The query computes the merged form (base = all days
+    // before the newest, delta = the newest day, both reduced to
+    // per-group partials BEFORE the union — the delta pass touches one
+    // partition's data, never the history); the DuckDB oracle computes
+    // the flat full-recompute GROUP BY — so the driver's hash equality
+    // IS the maintenance-equals-recompute proof. Sums are
+    // decimal-accumulated (QH.decSum convention) to stay order-free.
+    Q("q174_incremental_agg",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(to_date(col("ts")).as("day"), col("event_type"),
+            col("value"))
+        val cut = ev.agg(max(col("day")).as("d_max"))
+        val tagged = ev.crossJoin(broadcast(cut))
+        def partial(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy("event_type")
+            .agg(count(lit(1)).as("pn"), sum(col("value").cast(DEC)).as("ps"))
+        val base = partial(tagged.filter(col("day") < col("d_max")))
+        val delta = partial(tagged.filter(col("day") === col("d_max")))
+          .cache() // merged union + the delta_rows column
+        base.union(delta)
+          .groupBy("event_type")
+          .agg(sum(col("pn")).cast("long").as("n_total"),
+            sum(col("ps")).cast("string").cast("double").as("total_value"))
+          .join(delta.select(col("event_type"), col("pn").as("delta_rows")),
+            Seq("event_type"), "left")
+          .select(col("event_type"), col("n_total"), col("total_value"),
+            coalesce(col("delta_rows"), lit(0L)).as("delta_rows"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type,
+            value
+          FROM events),
+        cut AS (SELECT MAX(day) AS d_max FROM ev)
+        SELECT event_type, COUNT(*) AS n_total,
+          CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)
+            AS total_value,
+          CAST(SUM(CASE WHEN day = d_max THEN 1 ELSE 0 END) AS BIGINT)
+            AS delta_rows
+        FROM ev, cut GROUP BY event_type ORDER BY event_type"""))
   )
 
   /** Canonical Hilbert xy2d (order 8, 256×256 grid) unrolled to named

@@ -639,6 +639,41 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q159/q164: CMS grid probes broadcast — no shuffle join, no cartesian") {
+    Seq("q159_countmin", "q164_join_size_estimate").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q: sketch probes must never cross-join data frames")
+    }
+    assert(plan("q159_countmin").contains("BroadcastHashJoin"),
+      "the d×w grid is structurally bounded — it must broadcast")
+  }
+
+  test("q166: hard-negative top-k is bounded before the exchange") {
+    val p = plan("q166_hard_negatives")
+    assert(p.contains("partial_graft_topk"),
+      "candidates must reduce to k per map task before shuffling")
+  }
+
+  test("q167: Hilbert index is pure projection — no join in the plan") {
+    val p = plan("q167_hilbert_layout")
+    assert(!p.contains("Join"), "the unrolled curve is row-local arithmetic")
+  }
+
+  test("q171: PMI pair generation is an equi join on doc_id, not doc×doc") {
+    val p = plan("q171_cooccurrence_pmi")
+    assert(!p.contains("CartesianProduct"))
+    // the only nested-loop is the 1-row n_docs stats frame; the pair
+    // self-join itself must be an equi join keyed on doc_id
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      "hot-vocab pairs must come from the doc_id equi join")
+  }
+
+  test("q168: zone-map summary is aggregation-only — no join, two scans") {
+    val p = plan("q168_zone_map_prune")
+    assert(!p.contains("Join"))
+  }
+
   test("column pruning: q03 scans only the needed lineitem columns") {
     val p = plan("q03_top_revenue_orders")
     val scan = p.linesIterator

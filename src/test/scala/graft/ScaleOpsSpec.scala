@@ -232,4 +232,33 @@ class ScaleOpsSpec extends AnyFunSuite {
         "the attributed touch must not itself be a conversion")
     }
   }
+
+  test("q173: triangle identities hold (3·tri ≤ wedges, transitivity ∈ [0,1])") {
+    val r = Catalog.byName("q173_triangle_count").run(spark, d).head
+    val (tri, wedges) =
+      (r.getAs[Long]("n_triangles"), r.getAs[Long]("n_wedges"))
+    assert(tri >= 0 && wedges >= 0)
+    assert(3 * tri <= math.max(wedges, 1),
+      "every triangle closes exactly three wedges")
+    val t = r.getAs[Double]("transitivity")
+    assert(t >= 0.0 && t <= 1.0)
+    // an undirected simple graph: wedges bound by nodes choose 2 × max deg
+    assert(r.getAs[Long]("n_edges") >= 0 && r.getAs[Long]("n_nodes") >= 0)
+  }
+
+  test("q174: incremental maintenance equals the full recompute") {
+    import spark.implicits._
+    val got = Catalog.byName("q174_incremental_agg").run(spark, d)
+      .select("event_type", "n_total", "total_value").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val full = graft.tables.Tables.load(spark, d, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), graft.queries.QH.decSum($"value").as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(got.keySet === full.keySet)
+    got.foreach { case (k, (n, s)) =>
+      assert((n, s) === full(k), s"$k: merged $n/$s != recompute ${full(k)}")
+    }
+  }
 }
