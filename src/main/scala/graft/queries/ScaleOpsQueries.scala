@@ -958,7 +958,137 @@ object ScaleOpsQueries {
             AS total_value,
           CAST(SUM(CASE WHEN day = d_max THEN 1 ELSE 0 END) AS BIGINT)
             AS delta_rows
-        FROM ev, cut GROUP BY event_type ORDER BY event_type"""))
+        FROM ev, cut GROUP BY event_type ORDER BY event_type""")),
+
+    // TWO-PHASE SALTED AGGREGATION — the skew device q110 applies to
+    // joins, applied to a hot-key groupBy: aggregate on (key, salt)
+    // first so the hot key's rows spread over 16 reducers, then merge
+    // the 16 partials per key. For algebraic aggregates
+    // (count/sum/min/max) the merge is exact, which is what the gate
+    // proves: the oracle computes the PLAIN one-phase GROUP BY and the
+    // hash must match — salting is invisible in the result, visible
+    // only in the shuffle layout (PlanSpec pins the two-exchange
+    // shape). Salt is the portable event_id residue, not rand(), so
+    // the intermediate frame is reproducible too. Sums decimal-
+    // accumulate (decSum) to stay order-free under the extra merge.
+    Q("q175_salted_agg",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .withColumn("salt", pmod(col("event_id"), lit(16)))
+        val partials = ev.groupBy("event_type", "salt")
+          .agg(count(lit(1)).as("pn"), sum(col("value").cast(DEC)).as("ps"),
+            min(col("value")).as("pmin"), max(col("value")).as("pmax"))
+        partials.groupBy("event_type")
+          .agg(sum(col("pn")).cast("long").as("n"),
+            sum(col("ps")).cast("string").cast("double").as("total"),
+            min(col("pmin")).as("v_min"), max(col("pmax")).as("v_max"))
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type, COUNT(*) AS n,
+          CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)
+            AS total,
+          MIN(value) AS v_min, MAX(value) AS v_max
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // DATA RECONCILIATION REPORT — the ledger-vs-shadow diff every
+    // migration and replication pipeline runs: full-outer join two
+    // copies on the business key, classify each key as matched /
+    // value_mismatch / missing_in_shadow, and report counts plus the
+    // absolute value drift. The shadow here is a deterministic
+    // perturbation of orders (0.1 % of keys dropped, 0.2 % price-
+    // shifted) so both engines build the identical scenario. One
+    // equi join on the key — at 100 TB this is the bucketed-join
+    // use case (q131): reconciliation re-runs nightly against the
+    // same key, so both sides should be bucket-laid on it.
+    Q("q176_reconciliation",
+      (s, d) => {
+        val a = t(s, d, "orders")
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("va"))
+        val b = t(s, d, "orders")
+          .filter(col("o_orderkey") % 1000 =!= 0)
+          .select(col("o_orderkey").as("k"),
+            when(col("o_orderkey") % 500 === 0, col("o_totalprice") + 1.0d)
+              .otherwise(col("o_totalprice")).as("vb"))
+        a.join(b, Seq("k"), "full_outer")
+          .select(
+            when(col("vb").isNull, lit("missing_in_shadow"))
+              .when(col("va") === col("vb"), lit("matched"))
+              .otherwise(lit("value_mismatch")).as("status"),
+            coalesce(abs(col("va") - col("vb")), lit(0.0d)).as("drift"))
+          .groupBy("status")
+          .agg(count(lit(1)).as("n_keys"),
+            sum(col("drift").cast(DEC)).cast("string").cast("double")
+              .as("total_drift"))
+          .orderBy("status")
+      },
+      Some("""
+        WITH a AS (SELECT o_orderkey AS k, o_totalprice AS va FROM orders),
+        b AS (
+          SELECT o_orderkey AS k,
+            CASE WHEN o_orderkey % 500 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS vb
+          FROM orders WHERE o_orderkey % 1000 != 0),
+        j AS (
+          SELECT CASE WHEN vb IS NULL THEN 'missing_in_shadow'
+              WHEN va = vb THEN 'matched'
+              ELSE 'value_mismatch' END AS status,
+            COALESCE(ABS(va - vb), 0.0) AS drift
+          FROM a FULL OUTER JOIN b USING (k))
+        SELECT status, COUNT(*) AS n_keys,
+          CAST(CAST(SUM(CAST(drift AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)
+            AS total_drift
+        FROM j GROUP BY status ORDER BY status""")),
+
+    // SOURCE-VOCABULARY OVERLAP MATRIX — corpus-level dedup triage:
+    // pairwise Jaccard between sources' token vocabularies answers
+    // "which two crawls are near-copies" BEFORE any doc-level pass.
+    // Dictionary-first: the corpus collapses to distinct (source,
+    // token) — bounded by Σ|vocab|, not token volume — intersections
+    // come from the token-key equi self-join (never source×source over
+    // docs), and unions are inclusion–exclusion from the same counts.
+    // All integers until the one final division, rounded to 6.
+    Q("q177_source_overlap",
+      (s, d) => {
+        val st = t(s, d, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+          .distinct()
+          .cache() // sizes + intersections read the same frame
+        val sizes = st.groupBy("source").agg(count(lit(1)).as("vs"))
+        val inter = st.alias("a").join(st.alias("b"), Seq("tok"))
+          .filter(col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("src1"), col("b.source").as("src2"))
+          .agg(count(lit(1)).as("inter"))
+        inter
+          .join(broadcast(sizes.withColumnRenamed("source", "src1")
+            .withColumnRenamed("vs", "v1")), "src1")
+          .join(broadcast(sizes.withColumnRenamed("source", "src2")
+            .withColumnRenamed("vs", "v2")), "src2")
+          .select(col("src1"), col("src2"), col("inter"),
+            (col("v1") + col("v2") - col("inter")).as("un"),
+            round(col("inter").cast("double") /
+              (col("v1") + col("v2") - col("inter")).cast("double"), 6)
+              .as("jaccard"))
+          .orderBy(col("jaccard").desc, col("src1"), col("src2"))
+          .limit(25)
+      },
+      Some("""
+        WITH st AS (
+          SELECT DISTINCT source, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+          FROM documents),
+        sizes AS (SELECT source, COUNT(*) AS vs FROM st GROUP BY source),
+        inter AS (
+          SELECT a.source AS src1, b.source AS src2, COUNT(*) AS inter
+          FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+          GROUP BY 1, 2)
+        SELECT src1, src2, inter,
+          CAST(v1.vs + v2.vs - inter AS BIGINT) AS un,
+          ROUND(CAST(inter AS DOUBLE) /
+            CAST(v1.vs + v2.vs - inter AS DOUBLE), 6) AS jaccard
+        FROM inter
+          JOIN sizes v1 ON v1.source = src1
+          JOIN sizes v2 ON v2.source = src2
+        ORDER BY jaccard DESC, src1, src2 LIMIT 25"""))
   )
 
   /** Canonical Hilbert xy2d (order 8, 256×256 grid) unrolled to named

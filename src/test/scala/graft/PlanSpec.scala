@@ -674,6 +674,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"))
   }
 
+  test("q175: salted aggregation shuffles twice — (key,salt) then key") {
+    val p = plan("q175_salted_agg")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2,
+      "two-phase form: one exchange per aggregation level")
+    assert(!p.contains("Join"))
+  }
+
   test("column pruning: q03 scans only the needed lineitem columns") {
     val p = plan("q03_top_revenue_orders")
     val scan = p.linesIterator

@@ -261,4 +261,46 @@ class ScaleOpsSpec extends AnyFunSuite {
       assert((n, s) === full(k), s"$k: merged $n/$s != recompute ${full(k)}")
     }
   }
+
+  test("q175: salted two-phase aggregation is invisible in the result") {
+    import spark.implicits._
+    val got = Catalog.byName("q175_salted_agg").run(spark, d).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val plain = graft.tables.Tables.load(spark, d, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), graft.queries.QH.decSum($"value").as("t"),
+        min($"value").as("mn"), max($"value").as("mx"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got === plain)
+  }
+
+  test("q176: reconciliation statuses partition the ledger's keys") {
+    val rows = Catalog.byName("q176_reconciliation").run(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_keys"),
+        r.getAs[Double]("total_drift"))).toMap
+    val nOrders = graft.tables.Tables.load(spark, d, "orders").count()
+    assert(rows.values.map(_._1).sum === nOrders,
+      "every ledger key must land in exactly one status")
+    assert(rows.contains("matched"))
+    assert(rows("matched")._2 === 0.0, "matched keys must carry zero drift")
+    rows.get("value_mismatch").foreach { case (n, drift) =>
+      assert(math.abs(drift - n * 1.0) < 1e-6,
+        "the simulated mismatch shifts each key by exactly 1.0")
+    }
+  }
+
+  test("q177: source-overlap Jaccard is a valid (0,1] similarity") {
+    val rows = Catalog.byName("q177_source_overlap").run(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "canonical src1 < src2")
+      val (inter, un) = (r.getAs[Long]("inter"), r.getAs[Long]("un"))
+      assert(inter > 0 && un >= inter)
+      val j = r.getAs[Double]("jaccard")
+      assert(j > 0.0 && j <= 1.0)
+    }
+  }
 }
