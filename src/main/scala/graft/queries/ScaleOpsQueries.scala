@@ -1088,7 +1088,124 @@ object ScaleOpsQueries {
         FROM inter
           JOIN sizes v1 ON v1.source = src1
           JOIN sizes v2 ON v2.source = src2
-        ORDER BY jaccard DESC, src1, src2 LIMIT 25"""))
+        ORDER BY jaccard DESC, src1, src2 LIMIT 25""")),
+
+    // BLOOM-FILTER CALIBRATION — measure the runtime filter q109 relies
+    // on against its two contracts on real data: (1) NO false
+    // negatives, ever (a bloom miss is proof of absence — the property
+    // that makes pre-shuffle pruning safe), and (2) the false-positive
+    // rate stays near its design point. The filter can't be rebuilt in
+    // DuckDB, but it doesn't need to be: Spark's bloom is hash-
+    // deterministic on fixed data, so the contract BOOLEANS are stable
+    // and the exact member/probe counts are ordinary aggregates the
+    // oracle recomputes. Probes are the disjoint key set (non-urgent
+    // orders), so every hit among them is by definition a false
+    // positive — fp counting without any join.
+    Q("q178_bloom_fpr",
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("orders_fpr")
+        s.sql("""
+          WITH dim AS (
+            SELECT o_orderkey FROM orders_fpr
+            WHERE o_orderpriority = '1-URGENT'),
+          bf AS (SELECT graft_bloom_agg(xxhash64(o_orderkey),
+                   CAST(20000 AS BIGINT)) AS b
+                 FROM dim),
+          member_hits AS (
+            SELECT COUNT(*) AS n_members,
+              SUM(CASE WHEN graft_might_contain(
+                (SELECT b FROM bf), xxhash64(o_orderkey))
+                THEN 1 ELSE 0 END) AS hits
+            FROM dim),
+          probe_hits AS (
+            SELECT COUNT(*) AS n_probes,
+              SUM(CASE WHEN graft_might_contain(
+                (SELECT b FROM bf), xxhash64(o_orderkey))
+                THEN 1 ELSE 0 END) AS fps
+            FROM orders_fpr WHERE o_orderpriority != '1-URGENT')
+          SELECT CAST(n_members AS BIGINT) AS n_members,
+            CAST(n_probes AS BIGINT) AS n_probes,
+            (hits = n_members) AS no_false_negatives,
+            (CAST(fps AS DOUBLE) / n_probes <= 0.05) AS fpr_ok
+          FROM member_hits, probe_hits""")
+      },
+      Some("""
+        SELECT
+          (SELECT COUNT(*) FROM orders
+             WHERE o_orderpriority = '1-URGENT') AS n_members,
+          (SELECT COUNT(*) FROM orders
+             WHERE o_orderpriority != '1-URGENT') AS n_probes,
+          TRUE AS no_false_negatives, TRUE AS fpr_ok""")),
+
+    // χ² FEATURE SELECTION — rank tokens by association with a class
+    // (lang = 'en') from 2×2 contingency counts: the classic
+    // vocabulary-selection pass before training a cheap classifier
+    // (q103's feature side, made supervised). Dictionary-first: per
+    // (token, class) document counts — bounded by vocabulary — capped
+    // to the top-200-df tokens (q171's cap device) before scoring.
+    // χ² = n(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) is computed from EXACT
+    // integer products (fits a long through sf0.1; the in-code note
+    // marks the decimal switch for larger corpora), then one
+    // cast→divide→round tail both engines execute identically.
+    Q("q179_chi2_tokens",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val n = docs.agg(count(lit(1)).as("n"),
+          sum((col("lang") === "en").cast("long")).as("n_en"))
+        val dt = docs
+          .select(col("doc_id"), (col("lang") === "en").as("is_en"),
+            explode(split(col("text"), " ")).as("tok"))
+          .distinct()
+        val wdf = Window.orderBy(col("df").desc, col("tok"))
+        val counts = dt.groupBy("tok")
+          .agg(count(lit(1)).as("df"),
+            sum(col("is_en").cast("long")).as("a"))
+          .withColumn("rk", row_number().over(wdf))
+          .filter(col("rk") <= 200)
+        counts.crossJoin(broadcast(n))
+          .withColumn("b", col("df") - col("a"))
+          .withColumn("c", col("n_en") - col("a"))
+          .withColumn("dd", col("n") - col("n_en") - col("b"))
+          .withColumn("num",
+            col("n") * (col("a") * col("dd") - col("b") * col("c")) *
+              (col("a") * col("dd") - col("b") * col("c")))
+          .withColumn("den", greatest(
+            (col("a") + col("b")) * (col("c") + col("dd")) *
+              (col("a") + col("c")) * (col("b") + col("dd")), lit(1L)))
+          .select(col("tok"), col("a").as("en_docs"), col("b").as("other_docs"),
+            round(col("num").cast("double") / col("den").cast("double"), 6)
+              .as("chi2"))
+          .orderBy(col("chi2").desc, col("tok"))
+          .limit(20)
+      },
+      Some("""
+        WITH docs AS (SELECT doc_id, lang, text FROM documents),
+        n AS (
+          SELECT COUNT(*) AS n,
+            CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_en
+          FROM docs),
+        dt AS (
+          SELECT DISTINCT doc_id, lang = 'en' AS is_en,
+            UNNEST(STRING_SPLIT(text, ' ')) AS tok
+          FROM docs),
+        counts AS (
+          SELECT tok, df, a FROM (
+            SELECT tok, COUNT(*) AS df,
+              CAST(SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT) AS a,
+              ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS rk
+            FROM dt GROUP BY tok)
+          WHERE rk <= 200),
+        sc AS (
+          SELECT tok, a, df - a AS b, n_en - a AS c,
+            n - n_en - (df - a) AS dd, n
+          FROM counts, n)
+        SELECT tok, a AS en_docs, b AS other_docs,
+          ROUND(CAST(n * (a * dd - b * c) * (a * dd - b * c) AS DOUBLE) /
+            CAST(GREATEST((a + b) * (c + dd) * (a + c) * (b + dd), 1)
+              AS DOUBLE), 6) AS chi2
+        FROM sc
+        ORDER BY chi2 DESC, tok LIMIT 20"""))
   )
 
   /** Canonical Hilbert xy2d (order 8, 256×256 grid) unrolled to named

@@ -303,4 +303,36 @@ class ScaleOpsSpec extends AnyFunSuite {
       assert(j > 0.0 && j <= 1.0)
     }
   }
+
+  test("q178: bloom honors no-false-negatives; member+probe keys partition") {
+    val r = Catalog.byName("q178_bloom_fpr").run(spark, d).head
+    assert(r.getAs[Boolean]("no_false_negatives"),
+      "a bloom filter must never miss a member")
+    assert(r.getAs[Boolean]("fpr_ok"))
+    val nOrders = graft.tables.Tables.load(spark, d, "orders").count()
+    assert(r.getAs[Long]("n_members") + r.getAs[Long]("n_probes") === nOrders)
+  }
+
+  test("q179: chi2 matches a direct contingency recompute for every row") {
+    import spark.implicits._
+    val docs = graft.tables.Tables.load(spark, d, "documents")
+    val n = docs.count()
+    val nEn = docs.filter($"lang" === "en").count()
+    val byTok = docs
+      .select($"doc_id", ($"lang" === "en").as("is_en"),
+        explode(split($"text", " ")).as("tok"))
+      .distinct().collect()
+      .groupBy(_.getString(2))
+    Catalog.byName("q179_chi2_tokens").run(spark, d).collect().foreach { r =>
+      val tok = r.getString(0)
+      val a = byTok(tok).count(_.getBoolean(1)).toLong
+      val b = byTok(tok).size - a
+      val c = nEn - a; val dd = n - nEn - b
+      val num = (n * (a * dd - b * c) * (a * dd - b * c)).toDouble
+      val den = math.max((a + b) * (c + dd) * (a + c) * (b + dd), 1L).toDouble
+      assert(r.getAs[Long]("en_docs") === a)
+      assert(math.abs(r.getAs[Double]("chi2") - num / den) < 1e-5,
+        s"$tok: query chi2 ${r.getAs[Double]("chi2")} != direct ${num / den}")
+    }
+  }
 }
