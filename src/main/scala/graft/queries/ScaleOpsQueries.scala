@@ -1205,7 +1205,97 @@ object ScaleOpsQueries {
             CAST(GREATEST((a + b) * (c + dd) * (a + c) * (b + dd), 1)
               AS DOUBLE), 6) AS chi2
         FROM sc
-        ORDER BY chi2 DESC, tok LIMIT 20"""))
+        ORDER BY chi2 DESC, tok LIMIT 20""")),
+
+    // ORDER-FREE TABLE DIGEST — the checksum that lets two replicas be
+    // compared WITHOUT moving rows (the q176 reconciliation's cheap
+    // first stage: digests differ → then run the row-level diff): each
+    // row folds to a portable md5-derived integer fingerprint over its
+    // KEY + CATEGORICAL columns (floats stay out of the fingerprint —
+    // engine float-formatting must never decide a checksum), and the
+    // per-group digest is the exact decimal/HUGEINT SUM of
+    // fingerprints — commutative and associative, so ANY partitioning,
+    // replica layout, or merge order yields the identical digest. One
+    // map-side-combined aggregation; digests travel as strings so the
+    // gate compares integers, not float-cast artifacts.
+    Q("q180_table_digest",
+      (s, d) => {
+        val fp = "cast(conv(substring(md5(concat_ws('|', " +
+          "cast(event_id as string), cast(user_id as string), event_type" +
+          ")), 1, 13), 16, 10) as decimal(38,0))"
+        t(s, d, "events")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(expr(fp)).cast("decimal(38,0)").cast("string").as("digest"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH fp AS (
+          SELECT event_type,
+            LIST_REDUCE(LIST_TRANSFORM(SPLIT(SUBSTRING(MD5(
+              CAST(event_id AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)
+                || '|' || event_type), 1, 13), ''),
+              c -> CAST(POSITION(c IN '0123456789abcdef') - 1 AS HUGEINT)),
+              (a, x) -> a * 16 + x) AS f
+          FROM events)
+        SELECT event_type, COUNT(*) AS n_rows,
+          CAST(SUM(f) AS VARCHAR) AS digest
+        FROM fp GROUP BY event_type ORDER BY event_type""")),
+
+    // TWO-PROPORTION Z-TEST — the experiment readout: did arm A convert
+    // differently from arm B? Arms are the deterministic user-id parity
+    // (a hash split in production — q100's device); conversion is any
+    // purchase event. Everything is four integer counts until the z²
+    // statistic's one fixed sequence of IEEE divisions, and the
+    // significance verdict compares against the χ²₁ 95 % critical
+    // value — both engines execute the identical float tail, so even
+    // the boolean is hash-stable. One aggregation pass over events
+    // (conditional sums), no join, no window.
+    Q("q181_ab_ztest",
+      (s, d) =>
+        t(s, d, "events")
+          .select((col("user_id") % 2 === 0).as("arm_a"),
+            (col("event_type") === "purchase").cast("long").as("conv"))
+          .agg(
+            sum(col("arm_a").cast("long")).as("n_a"),
+            sum(when(col("arm_a"), col("conv")).otherwise(0L)).as("conv_a"),
+            sum((!col("arm_a")).cast("long")).as("n_b"),
+            sum(when(!col("arm_a"), col("conv")).otherwise(0L)).as("conv_b"))
+          .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+            round(
+              pow(col("conv_a").cast("double") / col("n_a") -
+                col("conv_b").cast("double") / col("n_b"), 2) /
+                (((col("conv_a") + col("conv_b")).cast("double") /
+                  (col("n_a") + col("n_b"))) *
+                  (lit(1.0d) - (col("conv_a") + col("conv_b")).cast("double") /
+                    (col("n_a") + col("n_b"))) *
+                  (lit(1.0d) / col("n_a") + lit(1.0d) / col("n_b"))), 6)
+              .as("z2"))
+          .withColumn("significant_95", col("z2") > lit(3.8415d)),
+      Some("""
+        WITH c AS (
+          SELECT
+            CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_a,
+            CAST(SUM(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase'
+              THEN 1 ELSE 0 END) AS BIGINT) AS conv_a,
+            CAST(SUM(CASE WHEN user_id % 2 != 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_b,
+            CAST(SUM(CASE WHEN user_id % 2 != 0 AND event_type = 'purchase'
+              THEN 1 ELSE 0 END) AS BIGINT) AS conv_b
+          FROM events)
+        SELECT n_a, conv_a, n_b, conv_b,
+          ROUND(
+            POW(CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b, 2)
+            / ((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+               * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+               * (1.0 / n_a + 1.0 / n_b)), 6) AS z2,
+          ROUND(
+            POW(CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b, 2)
+            / ((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+               * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+               * (1.0 / n_a + 1.0 / n_b)), 6) > 3.8415 AS significant_95
+        FROM c"""))
   )
 
   /** Canonical Hilbert xy2d (order 8, 256×256 grid) unrolled to named

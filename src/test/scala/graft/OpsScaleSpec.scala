@@ -144,6 +144,60 @@ class OpsScaleSpec extends AnyFunSuite {
     assert(got("rare") === ((1L, List(2L))))
   }
 
+  // The q159/q164 scale claim: however large and however skewed the
+  // token stream, the CMS grid the shuffle carries is at most d×w rows
+  // — and a 50k-occurrence hot token still estimates correctly (est is
+  // a deterministic upper bound).
+  test("CMS grid stays d×w-bounded and upper-bounds a 50k hot token") {
+    val sp = spark
+    import sp.implicits._
+    val (dRows, w) = (4, 256)
+    val hot = (1 to 50000).map(_ => "hot")
+    val rare = (1 to 40).map(i => s"rare$i")
+    val toks = (hot ++ rare).toDF("tok").repartition(8)
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val bucket = s"cast(conv(substring(md5(concat(tok, '#', " +
+      s"cast(j as string))), 1, 13), 16, 10) as bigint) % $w"
+    val grid = counts
+      .select(col("tok"), col("cnt"),
+        explode(expr(s"sequence(0, ${dRows - 1})")).as("j"))
+      .withColumn("b", expr(bucket))
+      .groupBy("j", "b").agg(sum(col("cnt")).as("cell"))
+      .cache()
+    assert(grid.count() <= dRows.toLong * w,
+      "the sketch frame must be structurally bounded, not data-sized")
+    val est = counts.filter($"tok" === "hot")
+      .select(col("tok"), col("cnt"), explode(expr("sequence(0, 3)")).as("j"))
+      .withColumn("b", expr(bucket))
+      .join(grid, Seq("j", "b"))
+      .groupBy("tok").agg(min(col("cell")).as("est"))
+      .head.getLong(1)
+    assert(est >= 50000L, "CMS estimate is a one-sided bound")
+    grid.unpersist()
+  }
+
+  // The q175 scale claim: under a single hot group key, the salted
+  // partial frame is |keys|×nSalts rows — the second-phase shuffle
+  // never sees the raw row volume, so no reducer inherits the hot key.
+  test("salted aggregation partials are keys×salts-bounded under a hot key") {
+    val sp = spark
+    import sp.implicits._
+    val rows = (1L to 100000L).map(i => (i, "hot", 1.0)) ++
+      Seq((100001L, "cold", 2.0))
+    val df = rows.toDF("id", "k", "v").repartition(8)
+    val partials = df.withColumn("salt", pmod(col("id"), lit(16)))
+      .groupBy("k", "salt")
+      .agg(count(lit(1)).as("pn"), sum($"v".cast("decimal(28,6)")).as("ps"))
+    assert(partials.count() <= 2L * 16,
+      "phase-1 output must be keys×salts, independent of row volume")
+    val merged = partials.groupBy("k")
+      .agg(sum($"pn").as("n"), sum($"ps").cast("string").cast("double").as("t"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(merged("hot") === ((100000L, 100000.0)))
+    assert(merged("cold") === ((1L, 2.0)))
+  }
+
   test("kmeansCentroids seeds the k smallest ids even on sparse id spaces") {
     val sp = spark
     import sp.implicits._

@@ -335,4 +335,42 @@ class ScaleOpsSpec extends AnyFunSuite {
         s"$tok: query chi2 ${r.getAs[Double]("chi2")} != direct ${num / den}")
     }
   }
+
+  test("q180: digest is partition-order-free and detects a single-row change") {
+    import spark.implicits._
+    val q = Catalog.byName("q180_table_digest")
+    val a = q.run(spark, d).collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    // recompute from a differently-partitioned read: digests must agree
+    val fp = "cast(conv(substring(md5(concat_ws('|', " +
+      "cast(event_id as string), cast(user_id as string), event_type" +
+      ")), 1, 13), 16, 10) as decimal(38,0))"
+    val b = graft.tables.Tables.load(spark, d, "events")
+      .repartition(13, $"user_id")
+      .groupBy("event_type")
+      .agg(sum(expr(fp)).cast("decimal(38,0)").cast("string").as("digest"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(a === b, "digest must not depend on partitioning")
+    // drop one row → that group's digest must change, others unchanged
+    val one = graft.tables.Tables.load(spark, d, "events")
+      .orderBy("event_id").limit(1).select("event_id", "event_type")
+      .head
+    val c = graft.tables.Tables.load(spark, d, "events")
+      .filter($"event_id" =!= one.getLong(0))
+      .groupBy("event_type")
+      .agg(sum(expr(fp)).cast("decimal(38,0)").cast("string").as("digest"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(c(one.getString(1)) != a(one.getString(1)),
+      "a missing row must change its group's digest")
+    (a.keySet - one.getString(1)).foreach(k => assert(c(k) === a(k)))
+  }
+
+  test("q181: z-test counts partition events; z2 is non-negative") {
+    val r = Catalog.byName("q181_ab_ztest").run(spark, d).head
+    val nEvents = graft.tables.Tables.load(spark, d, "events").count()
+    assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") === nEvents)
+    assert(r.getAs[Long]("conv_a") <= r.getAs[Long]("n_a"))
+    assert(r.getAs[Long]("conv_b") <= r.getAs[Long]("n_b"))
+    assert(r.getAs[Double]("z2") >= 0.0)
+  }
 }
