@@ -850,7 +850,12 @@ object ScaleOpsQueries {
           .union(edges.select(col("v").as("n")))
           .groupBy("n").agg(count(lit(1)).as("deg"))
         val dg = deg.cache()
-        // orient by (deg, id): lower endpoint first
+        // orient by (deg, id): lower endpoint first. localCheckpoint
+        // severs the lineage: `oriented` feeds BOTH wedge sides and the
+        // closing semi join — left as lazy lineage, each of those three
+        // references re-expands the edges⋈deg⋈deg subtree and the plan
+        // multiplies (the q120 exponential-plan trap; the audit caught
+        // 300+ exchanges here before the cut)
         val oriented = edges
           .join(dg.withColumnRenamed("n", "u").withColumnRenamed("deg", "du"),
             "u")
@@ -863,6 +868,7 @@ object ScaleOpsQueries {
             when(col("du") < col("dv") ||
               (col("du") === col("dv") && col("u") < col("v")), col("v"))
               .otherwise(col("u")).as("b"))
+          .localCheckpoint()
         val wedges2 = oriented.alias("e1")
           .join(oriented.alias("e2"), col("e1.b") === col("e2.a"))
           .select(col("e1.a").as("x"), col("e1.b").as("y"),

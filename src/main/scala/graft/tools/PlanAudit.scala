@@ -28,7 +28,15 @@ object PlanAudit {
       "q112_profile", // one-scan exact-moment profile
       "q117_gap_fill", // spine bounds reuse the resample exchange
       "q120_pagerank", // iterations off checkpointed frames, no re-scan
-      "q123_ewma") // offset-fanout equi join, single fact pass
+      "q123_ewma", // offset-fanout equi join, single fact pass
+      "q159_countmin", // d×w grid broadcast back to probes
+      "q164_join_size_estimate", // grid-to-grid inner products
+      "q166_hard_negatives", // partial_graft_topk before the exchange
+      "q167_hilbert_layout", // 40-column integer chain, no join
+      "q171_cooccurrence_pmi", // doc_id equi self-join, df-capped
+      "q173_triangle_count", // degree-oriented wedge join
+      "q175_salted_agg", // two-phase exchange shape
+      "q180_table_digest") // one map-side-combined digest agg
     interesting.foreach { name =>
       val df = graft.queries.Catalog.byName(name).run(spark, d)
       // drive THIS df's own query execution to completion (count() would
