@@ -1026,14 +1026,18 @@ object ExtendedQueries {
             MIN(value) AS vmin, MAX(value) AS vmax,
             CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR)
               AS DOUBLE) AS sx,
-            CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))
-              * CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sx2,
+            -- DECIMAL(28,6) operands force int128 storage: at sf0.1 the
+            -- squared terms overflow DuckDB's int64-backed DECIMAL(18)
+            -- multiply (Spark auto-widens the product type; DuckDB does
+            -- not widen the STORAGE)
+            CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))
+              * CAST(value AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sx2,
             CAST(CAST(SUM(CAST(user_id AS DECIMAL(18,6))) AS VARCHAR)
               AS DOUBLE) AS sy,
-            CAST(CAST(SUM(CAST(user_id AS DECIMAL(18,6))
-              * CAST(user_id AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sy2,
-            CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))
-              * CAST(user_id AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sxy
+            CAST(CAST(SUM(CAST(user_id AS DECIMAL(28,6))
+              * CAST(user_id AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sy2,
+            CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))
+              * CAST(user_id AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sxy
           FROM events GROUP BY event_type)
         SELECT event_type, n, n_users, vmin, vmax,
           ROUND(sx / n, 6) AS mean_v,

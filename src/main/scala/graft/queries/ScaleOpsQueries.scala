@@ -1106,7 +1106,10 @@ object ScaleOpsQueries {
     // and the exact member/probe counts are ordinary aggregates the
     // oracle recomputes. Probes are the disjoint key set (non-urgent
     // orders), so every hit among them is by definition a false
-    // positive — fp counting without any join.
+    // positive — fp counting without any join. Capacity (200k) is
+    // sized with 6× headroom over the sf0.1 member count: an
+    // undersized bloom saturates and the FPR contract fails — which
+    // the sf0.1 robustness sweep caught at the original 20k.
     Q("q178_bloom_fpr",
       (s, d) => {
         t(s, d, "orders").createOrReplaceTempView("orders_fpr")
@@ -1115,7 +1118,7 @@ object ScaleOpsQueries {
             SELECT o_orderkey FROM orders_fpr
             WHERE o_orderpriority = '1-URGENT'),
           bf AS (SELECT graft_bloom_agg(xxhash64(o_orderkey),
-                   CAST(20000 AS BIGINT)) AS b
+                   CAST(200000 AS BIGINT)) AS b
                  FROM dim),
           member_hits AS (
             SELECT COUNT(*) AS n_members,

@@ -698,7 +698,12 @@ object TextQueries {
             size(col("words")).cast("long").as("n_tokens"),
             (expr(wsum) / size(col("words"))).as("score0"))
           .select(col("doc_id"), col("n_tokens"),
-            round(col("score0"), 6).as("score"),
+            // FLOOR of micro-units, not round(…,6): the dyadic-exact
+            // score sum divided by n can land its ×10⁶ image EXACTLY on
+            // a .5 tie, where Spark rounds half-up and DuckDB half-even
+            // (one real hit at sf0.1) — floor has no tie semantics at
+            // all, so both engines agree on every representable input
+            expr("cast(floor(score0 * 1000000) as bigint)").as("score_micro"),
             (col("score0") > 0).as("keep"))
           .orderBy("doc_id")
       },
@@ -710,7 +715,8 @@ object TextQueries {
             LIST_SUM([(CAST(CONCAT('0x', SUBSTRING(MD5(w), 1, 8)) AS BIGINT)
               % 129 - 64) / 64.0 for w in words]) / LEN(words) AS score0
           FROM a)
-        SELECT doc_id, n_tokens, ROUND(score0, 6) AS score,
+        SELECT doc_id, n_tokens,
+          CAST(FLOOR(score0 * 1000000) AS BIGINT) AS score_micro,
           score0 > 0 AS keep
         FROM sc ORDER BY doc_id""")),
 

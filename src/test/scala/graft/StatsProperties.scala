@@ -134,4 +134,68 @@ object StatsProperties extends Properties("graft.stats") {
         }
       }
     }
+
+  // q163's closed normal-equation form: integer-sum slope must match the
+  // centered two-pass reference on random integer points, any
+  // partitioning — including degenerate groups (all-same x → zero
+  // denominator → excluded here; the query's corpus never produces one,
+  // but the property pins behavior on everything else).
+  property("closed-form OLS slope equals the two-pass reference") =
+    Prop.forAll(
+      Gen.listOfN(60, for {
+        g <- Gen.oneOf("a", "b", "c")
+        x <- Gen.choose(1L, 500L)
+        y <- Gen.choose(0L, 300L)
+      } yield (g, x, y)),
+      Gen.choose(1, 7)) { (rows, parts) =>
+      val sp = spark
+      import sp.implicits._
+      val df = rows.toDF("g", "x", "y").repartition(parts)
+      val got = df.groupBy("g")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast("decimal(38,0)")).as("sx"),
+          sum(col("y").cast("decimal(38,0)")).as("sy"),
+          sum(expr("cast(x as decimal(38,0)) * cast(x as decimal(38,0))"))
+            .as("sxx"),
+          sum(expr("cast(x as decimal(38,0)) * cast(y as decimal(38,0))"))
+            .as("sxy"))
+        .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+        .filter(col("den") =!= 0)
+        .select(col("g"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            col("den").cast("double")).as("slope"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      rows.groupBy(_._1).forall { case (g, grp) =>
+        val xs = grp.map(_._2.toDouble); val ys = grp.map(_._3.toDouble)
+        val xb = xs.sum / xs.size; val yb = ys.sum / ys.size
+        val den = xs.map(x => (x - xb) * (x - xb)).sum
+        if (den == 0.0) !got.contains(g)
+        else {
+          val slope = xs.zip(ys).map { case (x, y) => (x - xb) * (y - yb) }
+            .sum / den
+          math.abs(got(g) - slope) <= 1e-9 * math.max(1.0, math.abs(slope))
+        }
+      }
+    }
+
+  // q180's digest contract: the md5-fingerprint SUM is invariant under
+  // row permutation AND partitioning, and flips when any single row
+  // changes — on random multisets, not just the gate corpus.
+  property("table digest: partition/order-free, sensitive to one row") =
+    Prop.forAll(
+      Gen.nonEmptyListOf(Gen.choose(0L, 50L)).map(_.take(40)),
+      Gen.choose(1, 7), Gen.choose(1, 7)) { (ids, p1, p2) =>
+      val sp = spark
+      import sp.implicits._
+      val fp = "cast(conv(substring(md5(cast(id as string)), 1, 13), 16, 10)" +
+        " as decimal(38,0))"
+      def digest(xs: Seq[Long], parts: Int): String =
+        xs.toDF("id").repartition(parts)
+          .agg(sum(expr(fp)).cast("decimal(38,0)").cast("string"))
+          .head.getString(0)
+      val base = digest(ids, p1)
+      val shuffled = digest(scala.util.Random.shuffle(ids), p2)
+      val changed = digest(ids.updated(0, ids.head + 1000L), p1)
+      (base == shuffled) && (changed != base)
+    }
 }
