@@ -518,6 +518,67 @@ object CurationQueries {
           doc_id
         FROM documents
         QUALIFY pick_rank <= 20
-        ORDER BY source, pick_rank"""))
+        ORDER BY source, pick_rank""")),
+
+    // SURVIVORSHIP / GOLDEN RECORD — the resolution step AFTER dedup
+    // detection (q26/q77 find the groups; something must then pick
+    // the copy to keep and merge the rest): block documents on a
+    // cheap deterministic key (md5 of the 50-char prefix — the MDM
+    // "blocking key", same role as q28's bands), and within each
+    // multi-member block elect the canonical record by quality
+    // (longest text, doc_id tie-break) while merging member fields
+    // (source spread, total bytes, earliest id). One window pass over
+    // the blocked frame — partitioned by block key, so per-partition
+    // work is bounded by block size, never corpus size — then a
+    // block-keyed aggregation; the golden⋈merged join is |blocks|-
+    // sized on both sides. No doc×doc comparison anywhere: the block
+    // key carries all the grouping.
+    Q("q185_survivorship",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val blocked = t(s, d, "documents")
+          .withColumn("blk", md5(substring(col("text"), 1, 50)))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("blk")
+              .orderBy(col("n_chars").desc, col("doc_id"))))
+          .withColumn("n_members",
+            count(lit(1)).over(Window.partitionBy("blk")))
+          .filter(col("n_members") > 1)
+        val golden = blocked.filter(col("rn") === 1)
+          .select(col("blk"), col("doc_id").as("canonical_doc"),
+            col("source").as("canonical_source"),
+            col("n_chars").as("canonical_chars"), col("n_members"))
+        val merged = blocked.groupBy("blk")
+          .agg(countDistinct(col("source")).as("n_sources"),
+            sum(col("n_chars")).cast("long").as("total_chars"),
+            min(col("doc_id")).as("first_doc"))
+        golden.join(merged, "blk")
+          .select(col("blk"), col("n_members"), col("canonical_doc"),
+            col("canonical_source"), col("canonical_chars"),
+            col("n_sources"), col("total_chars"), col("first_doc"))
+          .orderBy("blk")
+      },
+      Some("""
+        WITH blocked AS (
+          SELECT doc_id, source, n_chars,
+            MD5(SUBSTRING(text, 1, 50)) AS blk,
+            ROW_NUMBER() OVER (PARTITION BY MD5(SUBSTRING(text, 1, 50))
+              ORDER BY n_chars DESC, doc_id) AS rn,
+            COUNT(*) OVER (PARTITION BY MD5(SUBSTRING(text, 1, 50)))
+              AS n_members
+          FROM documents),
+        multi AS (SELECT * FROM blocked WHERE n_members > 1),
+        golden AS (
+          SELECT blk, doc_id AS canonical_doc, source AS canonical_source,
+            n_chars AS canonical_chars, n_members
+          FROM multi WHERE rn = 1),
+        merged AS (
+          SELECT blk, COUNT(DISTINCT source) AS n_sources,
+            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+            MIN(doc_id) AS first_doc
+          FROM multi GROUP BY blk)
+        SELECT g.blk, g.n_members, g.canonical_doc, g.canonical_source,
+          g.canonical_chars, m.n_sources, m.total_chars, m.first_doc
+        FROM golden g JOIN merged m USING (blk) ORDER BY g.blk"""))
   )
 }

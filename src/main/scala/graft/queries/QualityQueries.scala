@@ -248,6 +248,63 @@ object QualityQueries {
           (SELECT COUNT(*) FROM events) - (SELECT COUNT(*) FROM kept)
             AS rows_deleted,
           (SELECT COUNT(*) FROM kept k JOIN del d ON k.user_id = d.user_id)
-            AS remaining_rows"""))
+            AS remaining_rows""")),
+
+    // SNAPSHOT DRIFT — the cross-epoch twin of q146's single-snapshot
+    // profile: split the stream at a calendar boundary, profile each
+    // epoch per event_type (count, distinct users, exact decimal
+    // mean), and flag volume drift (count ratio outside [0.8, 1.2])
+    // and mean shift (>10% of the old mean). This is the check a
+    // pipeline runs between yesterday's and today's load before
+    // promoting a snapshot. Both profiles come out of ONE map-side-
+    // combined groupBy over a single scan (epoch is just a second
+    // grouping key); the A⋈B self-join is |types|-sized. Drift
+    // booleans stay in integer cross-multiplication (n_b·10 > n_a·12)
+    // and rounded-decimal arithmetic — no raw float ratio feeds a
+    // gate.
+    Q("q188_snapshot_drift",
+      (s, d) => {
+        val prof = t(s, d, "events")
+          .withColumn("ep",
+            when(col("ts").cast("date") < lit("2024-01-16").cast("date"),
+              "A").otherwise("B"))
+          .groupBy("event_type", "ep")
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("users"),
+            round(decAvg(col("value")), 6).as("mean_v"))
+        val a = prof.filter(col("ep") === "A")
+          .select(col("event_type"), col("n").as("n_a"),
+            col("users").as("users_a"), col("mean_v").as("mean_a"))
+        val b = prof.filter(col("ep") === "B")
+          .select(col("event_type"), col("n").as("n_b"),
+            col("users").as("users_b"), col("mean_v").as("mean_b"))
+        a.join(b, "event_type")
+          .select(col("event_type"), col("n_a"), col("n_b"),
+            col("users_a"), col("users_b"), col("mean_a"), col("mean_b"),
+            (col("n_b") * 10 > col("n_a") * 12 ||
+              col("n_b") * 10 < col("n_a") * 8).as("count_drift"),
+            (abs(col("mean_b") - col("mean_a")) * 10 > abs(col("mean_a")))
+              .as("mean_drift"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH tagged AS (
+          SELECT event_type, user_id, value,
+            CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+              THEN 'A' ELSE 'B' END AS ep
+          FROM events),
+        prof AS (
+          SELECT event_type, ep, COUNT(*) AS n,
+            COUNT(DISTINCT user_id) AS users,
+            ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS VARCHAR)
+              AS DOUBLE) / COUNT(*), 6) AS mean_v
+          FROM tagged GROUP BY 1, 2),
+        a AS (SELECT * FROM prof WHERE ep = 'A'),
+        b AS (SELECT * FROM prof WHERE ep = 'B')
+        SELECT a.event_type, a.n AS n_a, b.n AS n_b, a.users AS users_a,
+          b.users AS users_b, a.mean_v AS mean_a, b.mean_v AS mean_b,
+          (b.n * 10 > a.n * 12) OR (b.n * 10 < a.n * 8) AS count_drift,
+          ABS(b.mean_v - a.mean_v) * 10 > ABS(a.mean_v) AS mean_drift
+        FROM a JOIN b USING (event_type) ORDER BY a.event_type"""))
   )
 }

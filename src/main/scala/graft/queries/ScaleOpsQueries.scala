@@ -1304,7 +1304,101 @@ object ScaleOpsQueries {
             / ((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
                * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
                * (1.0 / n_a + 1.0 / n_b)), 6) > 3.8415 AS significant_95
-        FROM c"""))
+        FROM c""")),
+
+    // EQUI-DEPTH HISTOGRAM — the ANALYZE-TABLE statistic the q164/q165
+    // planners consume: 8 buckets of l_extendedprice bounded by the
+    // exact interpolated octile boundaries (the q99/q133 percentile
+    // device, identical interpolation in both engines), each bucket
+    // carrying count / NDV / min / max. Two passes over the fact
+    // table: one aggregation collapses it to a single 7-element
+    // boundary array (broadcast back — no window, no sort), then one
+    // scan assigns bucket = |{b : b < v}| row-locally via a
+    // higher-order filter over the broadcast array and aggregates.
+    // Equi-DEPTH (not equi-width) is what selectivity estimation
+    // needs under skew: every bucket has the same mass, so a range
+    // predicate's selectivity is (buckets covered)/8 regardless of
+    // how the values clump.
+    Q("q184_equidepth_histogram",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val bnds = li.agg(
+          expr("percentile(l_extendedprice, " +
+            "array(0.125D, 0.25D, 0.375D, 0.5D, 0.625D, 0.75D, 0.875D))")
+            .as("bnds"))
+        li.select(col("l_extendedprice").as("v"), col("l_partkey"))
+          .crossJoin(broadcast(bnds))
+          .select(col("v"), col("l_partkey"),
+            size(expr("filter(bnds, b -> b < v)")).as("bucket"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("cnt"),
+            countDistinct(col("l_partkey")).as("ndv"),
+            round(min(col("v")), 2).as("lo"),
+            round(max(col("v")), 2).as("hi"))
+          .orderBy("bucket")
+      },
+      Some("""
+        WITH qs AS (
+          SELECT UNNEST(QUANTILE_CONT(l_extendedprice,
+            [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875])) AS q
+          FROM lineitem),
+        assigned AS (
+          SELECT l_extendedprice AS v, l_partkey,
+            (SELECT COUNT(*) FROM qs WHERE q < v) AS bucket
+          FROM lineitem)
+        SELECT CAST(bucket AS INT) AS bucket, COUNT(*) AS cnt,
+          COUNT(DISTINCT l_partkey) AS ndv,
+          ROUND(MIN(v), 2) AS lo, ROUND(MAX(v), 2) AS hi
+        FROM assigned GROUP BY 1 ORDER BY 1""")),
+
+    // RENDEZVOUS (highest-random-weight) SHARDING — the coordination-
+    // free shard router: each document hashes once per shard
+    // (portable-md5, the q66/q158 device) and lands on the shard with
+    // the highest weight; removing a shard reassigns ONLY that
+    // shard's documents (the minimal-disruption property consistent
+    // hashing is used for), with no ring state to store or rebalance.
+    // The whole operator is a row-local scan→project (the 8-hash array
+    // and its argmax never leave the row) followed by one 8-group
+    // aggregation — zero joins, zero windows, embarrassingly parallel
+    // at any scale. Tie-break: array_position takes the FIRST maximum
+    // (= lowest shard id), mirrored by the oracle's ORDER BY wt DESC,
+    // shard.
+    Q("q186_rendezvous_shard",
+      (s, d) => {
+        t(s, d, "documents")
+          .withColumn("wts", expr("""
+            transform(sequence(0, 7), s ->
+              cast(conv(substring(md5(concat(cast(doc_id as string), '#',
+                cast(s as string))), 1, 13), 16, 10) as bigint))"""))
+          .select(col("doc_id"), col("n_chars"),
+            (array_position(col("wts"), array_max(col("wts"))) - 1)
+              .cast("int").as("shard"))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("total_chars"),
+            min(col("doc_id")).as("min_doc"),
+            max(col("doc_id")).as("max_doc"))
+          .orderBy("shard")
+      },
+      Some("""
+        WITH w AS (
+          SELECT doc_id, n_chars, s.s AS shard,
+            LIST_REDUCE(
+              LIST_TRANSFORM(SPLIT(SUBSTRING(MD5(
+                CAST(doc_id AS VARCHAR) || '#' || CAST(s.s AS VARCHAR)),
+                1, 13), ''),
+                c -> CAST(POSITION(c IN '0123456789abcdef') - 1 AS BIGINT)),
+              (a, x) -> a * 16 + x) AS wt
+          FROM documents CROSS JOIN (SELECT UNNEST(RANGE(0, 8)) AS s) s),
+        ranked AS (
+          SELECT doc_id, n_chars, shard,
+            ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY wt DESC, shard) AS rn
+          FROM w)
+        SELECT CAST(shard AS INT) AS shard, COUNT(*) AS n_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+          MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        FROM ranked WHERE rn = 1 GROUP BY shard ORDER BY shard"""))
   )
 
   /** Canonical Hilbert xy2d (order 8, 256×256 grid) unrolled to named

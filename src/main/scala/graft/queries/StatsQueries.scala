@@ -585,6 +585,62 @@ object StatsQueries {
           FROM events GROUP BY 1)
         SELECT event_type, mean, ci_lo, ci_hi
         FROM pt JOIN ci USING (event_type)
-        ORDER BY event_type"""))
+        ORDER BY event_type""")),
+
+    // ASSOCIATION RULES (market-basket): brand-pair support /
+    // confidence / lift over order baskets. The scale discipline is
+    // that pair generation is BASKET-LOCAL: items self-join on the
+    // order key, so the fanout per order is bounded by basket size
+    // squared (≤ ~20² here), linear in order count — never an
+    // item×item or corpus×corpus product. The item dimension (part →
+    // brand) is broadcast; the per-item support frame (|brands| rows)
+    // and the single-row basket count are broadcast back onto the
+    // HAVING-pruned pair frame. Confidence ships as one rounded IEEE
+    // division (identical in both engines); the lift>1 gate
+    // cross-multiplies in int64 (cxy·n > cx·cy ⟺ lift > 1) so no
+    // float ratio feeds a boolean.
+    Q("q183_assoc_rules",
+      (s, d) => {
+        val items = t(s, d, "lineitem")
+          .join(broadcast(t(s, d, "part")),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("ok"), col("p_brand").as("item"))
+          .distinct()
+        val nb = items.agg(countDistinct(col("ok")).as("n"))
+        val isup = items.groupBy("item").agg(count(lit(1)).as("c"))
+        val pairs = items.as("a")
+          .join(items.as("b"),
+            col("a.ok") === col("b.ok") && col("a.item") < col("b.item"))
+          .groupBy(col("a.item").as("x"), col("b.item").as("y"))
+          .agg(count(lit(1)).as("cxy"))
+          .filter(col("cxy") >= 20)
+        pairs
+          .join(broadcast(isup.select(col("item").as("x"), col("c").as("cx"))), "x")
+          .join(broadcast(isup.select(col("item").as("y"), col("c").as("cy"))), "y")
+          .crossJoin(broadcast(nb))
+          .select(col("x"), col("y"), col("cxy"),
+            round(col("cxy").cast("double") / col("cx"), 6).as("conf_xy"),
+            round(col("cxy").cast("double") / col("cy"), 6).as("conf_yx"),
+            (col("cxy") * col("n") > col("cx") * col("cy")).as("lift_gt1"))
+          .orderBy("x", "y")
+      },
+      Some("""
+        WITH items AS (
+          SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS item
+          FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+        nb AS (SELECT COUNT(DISTINCT ok) AS n FROM items),
+        isup AS (SELECT item, COUNT(*) AS c FROM items GROUP BY 1),
+        pairs AS (
+          SELECT a.item AS x, b.item AS y, COUNT(*) AS cxy
+          FROM items a JOIN items b ON a.ok = b.ok AND a.item < b.item
+          GROUP BY 1, 2 HAVING COUNT(*) >= 20)
+        SELECT x, y, cxy,
+          ROUND(CAST(cxy AS DOUBLE) / cx.c, 6) AS conf_xy,
+          ROUND(CAST(cxy AS DOUBLE) / cy.c, 6) AS conf_yx,
+          (CAST(cxy AS BIGINT) * nb.n) > (CAST(cx.c AS BIGINT) * cy.c)
+            AS lift_gt1
+        FROM pairs JOIN isup cx ON cx.item = pairs.x
+          JOIN isup cy ON cy.item = pairs.y CROSS JOIN nb
+        ORDER BY x, y"""))
   )
 }

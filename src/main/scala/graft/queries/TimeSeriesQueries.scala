@@ -267,6 +267,132 @@ object TimeSeriesQueries {
               AS DOUBLE), 6) AS ewma,
           COUNT(*) AS n_terms
         FROM joined GROUP BY 1, 2
-        ORDER BY event_type, h"""))
+        ORDER BY event_type, h""")),
+
+    // INTERVAL COVERAGE (gaps-and-islands): merge each user's
+    // overlapping activity intervals into maximal covered spans and
+    // report islands / covered seconds / total span — the uptime
+    // computation at the heart of the reference's deprecated MM-uptime
+    // notebook (zetadex-mm-uptime-pipeline-v2 [DEPRECATED].sql:120-180
+    // merges quote intervals the same way), generalized to any
+    // interval source. The classic algorithm: order intervals by
+    // start, an island begins wherever start exceeds the running max
+    // of all PRIOR ends (rows-frame ending at -1, so an interval
+    // cannot glue itself), island id = running count of island starts,
+    // then covered time = Σ per-island (max(end) − min(start)).
+    // Scale shape: both windows partition on user_id — per-partition
+    // work is one sort of that user's intervals, never a global sort;
+    // the per-island and per-user aggregations are map-side-combined
+    // groupBys. All arithmetic is integer epoch-seconds (exact).
+    Q("q182_interval_coverage",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val iv = t(s, d, "events").select(
+          col("user_id"),
+          unix_timestamp(col("ts")).as("s"),
+          (unix_timestamp(col("ts")) + lit(60L) +
+            floor(col("value") * 10).cast("long")).as("e"),
+          col("event_id"))
+        val ord = Window.partitionBy("user_id")
+          .orderBy("s", "e", "event_id")
+        val prevMax = max(col("e")).over(
+          ord.rowsBetween(Window.unboundedPreceding, -1))
+        val islands = iv
+          .withColumn("new_island",
+            when(prevMax.isNull || col("s") > prevMax, 1).otherwise(0))
+          .withColumn("island_id",
+            sum(col("new_island")).over(
+              ord.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "island_id")
+          .agg(min(col("s")).as("is_"), max(col("e")).as("ie"))
+        islands.groupBy("user_id")
+          .agg(count(lit(1)).as("n_islands"),
+            sum(col("ie") - col("is_")).cast("long").as("covered_s"),
+            (max(col("ie")) - min(col("is_"))).cast("long").as("span_s"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH iv AS (
+          SELECT user_id,
+            CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS s,
+            CAST(FLOOR(EPOCH(ts)) AS BIGINT) + 60
+              + CAST(FLOOR(value * 10) AS BIGINT) AS e,
+            event_id
+          FROM events),
+        marked AS (
+          SELECT user_id, s, e, event_id,
+            MAX(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+          FROM iv),
+        islands AS (
+          SELECT user_id, s, e,
+            SUM(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+          FROM marked),
+        per_island AS (
+          SELECT user_id, island_id, MIN(s) AS is_, MAX(e) AS ie
+          FROM islands GROUP BY 1, 2)
+        SELECT user_id, COUNT(*) AS n_islands,
+          CAST(SUM(ie - is_) AS BIGINT) AS covered_s,
+          CAST(MAX(ie) - MIN(is_) AS BIGINT) AS span_s
+        FROM per_island GROUP BY 1 ORDER BY user_id""")),
+
+    // SEASONAL INDEX by day-of-week: per (event_type, dow) the ratio of
+    // the dow mean to the type's overall mean — the multiplicative
+    // seasonal decomposition a monitoring consumer applies before
+    // thresholding (q118's anomaly flag fires falsely on weekends
+    // without it). Day-of-week is computed PORTABLY from epoch days
+    // ((days + 4) mod 7, anchored to 1970-01-01 = Thursday) — engine
+    // date functions disagree on week origin (Spark dayofweek is
+    // 1=Sunday, DuckDB DOW is 0=Sunday), integer arithmetic does not.
+    // Both aggregation levels are map-side-combined; the join joins a
+    // ≤|types|×7 frame to a |types| frame — nothing data-sized
+    // survives the first pass. The above_avg gate cross-multiplies
+    // (s·nt > st·n ⟺ dow mean > overall mean) so no division feeds a
+    // boolean.
+    Q("q187_seasonal_index",
+      (s, d) => {
+        val base = t(s, d, "events").select(
+          col("event_type"),
+          expr("CAST((CAST(unix_timestamp(ts) AS BIGINT) DIV 86400 + 4) % 7 AS INT)")
+            .as("dow"),
+          col("value"))
+        val dows = base.groupBy("event_type", "dow")
+          .agg(count(lit(1)).as("n"), decSum(col("value")).as("s"))
+        val tot = dows.groupBy("event_type")
+          .agg(sum(col("n")).cast("long").as("nt"),
+            decSum(col("s")).as("st"))
+        dows.join(broadcast(tot), "event_type")
+          .select(col("event_type"), col("dow"), col("n"),
+            round(col("s") / col("n"), 6).as("dow_mean"),
+            round((col("s") / col("n")) / (col("st") / col("nt")), 6)
+              .as("seasonal_index"),
+            (col("s") * col("nt") > col("st") * col("n")).as("above_avg"))
+          .orderBy("event_type", "dow")
+      },
+      Some("""
+        WITH base AS (
+          SELECT event_type,
+            CAST((CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) + 4) % 7 AS INT)
+              AS dow,
+            value
+          FROM events),
+        dows AS (
+          SELECT event_type, dow, COUNT(*) AS n,
+            CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS VARCHAR)
+              AS DOUBLE) AS s
+          FROM base GROUP BY 1, 2),
+        tot AS (
+          SELECT event_type, CAST(SUM(n) AS BIGINT) AS nt,
+            CAST(CAST(SUM(CAST(s AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)
+              AS st
+          FROM dows GROUP BY 1)
+        SELECT d.event_type, d.dow, d.n,
+          ROUND(d.s / d.n, 6) AS dow_mean,
+          ROUND((d.s / d.n) / (t.st / t.nt), 6) AS seasonal_index,
+          (d.s * t.nt) > (t.st * d.n) AS above_avg
+        FROM dows d JOIN tot t USING (event_type)
+        ORDER BY event_type, dow"""))
   )
 }
