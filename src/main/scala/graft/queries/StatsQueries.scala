@@ -515,29 +515,58 @@ object StatsQueries {
     Q("q158_bootstrap_ci",
       (s, d) => {
         val B = 32
-        val pois = """u -> case when u < 0.36787944117144233d then 0
-          | when u < 0.7357588823428847d then 1
-          | when u < 0.9196986029286058d then 2
-          | when u < 0.9810118431238462d then 3 else 4 end""".stripMargin
-        val weighted = t(s, d, "events")
-          .withColumn("w_arr", expr(
-            s"""transform(
-              |  transform(sequence(0, ${B - 1}), b ->
-              |    cast(conv(substring(md5(concat(cast(event_id as string),
-              |      ':', cast(b as string))), 1, 13), 16, 10) as bigint)
-              |      / 4503599627370496.0d),
-              |  $pois)""".stripMargin))
-        val aggs = (0 until B).flatMap { b =>
-          Seq(
-            sum(expr(s"element_at(w_arr, ${b + 1}) * value").cast(DEC))
-              .cast("string").cast("double").as(s"s$b"),
-            sum(expr(s"element_at(w_arr, ${b + 1})")).cast("long").as(s"n$b"))
-        }
-        val reps = weighted.groupBy("event_type")
-          .agg(aggs.head, aggs.tail: _*)
-          .selectExpr("event_type",
-            s"stack($B, ${(0 until B).map(b => s"$b, s$b, n$b").mkString(", ")})" +
-              " as (b, rs, rn)")
+        // Hash economics, measured at sf0.1: one digest carries 128
+        // bits — four independent 32-bit uniforms — so the 32 replica
+        // weights need 8 digests, not 32 (32→8 md5/row cut ~1.2 s).
+        // Everything is SCALAR columns in plain projections on purpose:
+        // (a) references inside a higher-order function's lambda are
+        // invisible to CollapseProject's use-count, so an array-typed
+        // digest column indexed from inside transform() gets inlined
+        // and re-evaluated per lane (measured 4× SLOWER — 256
+        // digests/row); (b) scalar lanes keep the whole weight
+        // derivation inside whole-stage codegen, where transform()'s
+        // ArrayTransform drops the projection to interpreted eval.
+        // Plain attribute references ARE counted, so the 4-refs-per-
+        // non-cheap-alias digest projection is kept and each digest
+        // computes once. A 32-bit uniform is ample for a 5-bucket
+        // inverse-CDF (bucket boundaries differ at the 2nd decimal).
+        // Lane fanout as ROWS, not columns. The wide form (32 weight
+        // columns + 64 agg columns) re-Janino-compiles its enormous
+        // generated code on every plan instance (fresh ExprIds defeat
+        // the codegen source cache) — measured ~4.8 s of this query's
+        // ~5.3 s at sf0.1, with warm execution at 0.2 s. Exploding
+        // (digest-group, lane) into rows keeps every expression small
+        // and constant-size: codegen compiles in milliseconds and the
+        // cost that remains is the actual data pass. The two-level
+        // explode also keeps the hash economics: one md5 per
+        // (row, group) = 8 digests/row (one digest = four 32-bit
+        // uniforms), a 4× cut from hashing per lane. The replica
+        // aggregation is a map-side-combined groupBy on
+        // (event_type, b) — |types|×32 groups — and the raw-event
+        // frame is touched exactly once.
+        val lanes = t(s, d, "events")
+          .select(col("event_type"), col("value"), col("event_id"),
+            explode(sequence(lit(0), lit(7))).as("g"))
+          .select(col("event_type"), col("value"), col("g"),
+            md5(concat(col("event_id").cast("string"), lit(":"),
+              col("g").cast("string"))).as("h"))
+          .select(col("event_type"), col("value"), col("g"), col("h"),
+            explode(sequence(lit(0), lit(3))).as("lane"))
+          .select(col("event_type"), col("value"),
+            (col("g") * 4 + col("lane")).as("b"),
+            expr("""cast(conv(substring(h, 1 + 8 * lane, 8), 16, 10)
+              |  as bigint) / 4294967296.0d""".stripMargin).as("u"))
+          .select(col("event_type"), col("value"), col("b"),
+            expr("""case when u < 0.36787944117144233d then 0
+              | when u < 0.7357588823428847d then 1
+              | when u < 0.9196986029286058d then 2
+              | when u < 0.9810118431238462d then 3 else 4 end"""
+              .stripMargin).as("w"))
+        val reps = lanes.groupBy("event_type", "b")
+          .agg(
+            sum((col("w") * col("value")).cast(DEC))
+              .cast("string").cast("double").as("rs"),
+            sum(col("w")).cast("long").as("rn"))
           .select(col("event_type"), (col("rs") / col("rn")).as("mean_b"))
           .groupBy("event_type")
           .agg(sort_array(collect_list(col("mean_b"))).as("means"))
@@ -556,10 +585,11 @@ object StatsQueries {
           SELECT event_type, b.b AS b, value,
             CAST(LIST_REDUCE(
               LIST_TRANSFORM(SPLIT(SUBSTRING(MD5(
-                CAST(event_id AS VARCHAR) || ':' || CAST(b.b AS VARCHAR)),
-                1, 13), ''),
+                CAST(event_id AS VARCHAR) || ':' ||
+                  CAST(b.b // 4 AS VARCHAR)),
+                1 + 8 * (b.b % 4), 8), ''),
                 c -> CAST(POSITION(c IN '0123456789abcdef') - 1 AS BIGINT)),
-              (a, x) -> a * 16 + x) AS DOUBLE) / 4503599627370496.0 AS u
+              (a, x) -> a * 16 + x) AS DOUBLE) / 4294967296.0 AS u
           FROM events, b),
         w AS (
           SELECT event_type, b, value,
