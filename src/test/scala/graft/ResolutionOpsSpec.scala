@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.Catalog
+
+/** Invariants of the round-10 resolution/planning additions (q182–q188)
+  * beyond the DuckDB hash gate: each test re-derives the operator's
+  * defining property from the raw tables (or from the output's own
+  * internal consistency), so a future rewrite cannot silently change
+  * semantics while still producing hash-stable rows.
+  */
+class ResolutionOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val d = TestSpark.sf0001
+
+  test("q182: covered time equals a brute-force interval union per user") {
+    val out = Catalog.byName("q182_interval_coverage").run(spark, d)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_islands"), r.getAs[Long]("covered_s"),
+          r.getAs[Long]("span_s"))).toMap
+    // brute force: merge each user's sorted intervals in driver code
+    val iv = graft.tables.Tables.load(spark, d, "events")
+      .select(col("user_id"), unix_timestamp(col("ts")).as("s"),
+        (unix_timestamp(col("ts")) + lit(60L) +
+          floor(col("value") * 10).cast("long")).as("e"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    iv.foreach { case (u, rows) =>
+      val sorted = rows.map(t => (t._2, t._3)).sortBy(identity)
+      var islands = 0; var covered = 0L
+      var curS = Long.MinValue; var curE = Long.MinValue
+      sorted.foreach { case (s, e) =>
+        if (s > curE) {
+          if (islands > 0) covered += curE - curS
+          islands += 1; curS = s; curE = e
+        } else if (e > curE) curE = e
+      }
+      covered += curE - curS
+      val (gotIslands, gotCovered, gotSpan) = out(u)
+      assert(gotIslands === islands.toLong, s"user $u islands")
+      assert(gotCovered === covered, s"user $u covered")
+      assert(gotSpan === sorted.map(_._2).max - sorted.head._1,
+        s"user $u span")
+      assert(gotCovered <= gotSpan)
+    }
+    assert(out.keySet === iv.keySet, "one output row per active user")
+  }
+
+  test("q183: rules are canonical-ordered, thresholded, and match a recount") {
+    val rows = Catalog.byName("q183_assoc_rules").run(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("x") < r.getAs[String]("y"),
+        "pairs must be canonical x < y")
+      assert(r.getAs[Long]("cxy") >= 20L, "support threshold")
+      val (cXY, cYX) =
+        (r.getAs[Double]("conf_xy"), r.getAs[Double]("conf_yx"))
+      assert(cXY > 0 && cXY <= 1 && cYX > 0 && cYX <= 1)
+    }
+    // recount one rule's support from the raw tables
+    val (x, y, cxy) = (rows.head.getAs[String]("x"),
+      rows.head.getAs[String]("y"), rows.head.getAs[Long]("cxy"))
+    val items = graft.tables.Tables.load(spark, d, "lineitem")
+      .join(graft.tables.Tables.load(spark, d, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("item"))
+      .distinct()
+    val recount = items.filter(col("item") === x).select("ok")
+      .intersect(items.filter(col("item") === y).select("ok")).count()
+    assert(recount === cxy, s"rule ($x,$y) support")
+  }
+
+  test("q184: buckets are equi-depth, exhaustive, and range-monotone") {
+    val rows = Catalog.byName("q184_equidepth_histogram").run(spark, d)
+      .orderBy("bucket").collect()
+    assert(rows.map(_.getAs[Int]("bucket")).toSeq === (0 until 8))
+    val n = graft.tables.Tables.load(spark, d, "lineitem").count()
+    assert(rows.map(_.getAs[Long]("cnt")).sum === n, "counts cover the table")
+    val target = n.toDouble / 8
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Long]("cnt") - target) <= target * 0.02 + 2,
+        s"bucket ${r.get(0)} depth ${r.get(1)} vs target $target")
+      assert(r.getAs[Double]("lo") <= r.getAs[Double]("hi"))
+    }
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo"),
+        "bucket ranges must not overlap")
+    case _ => ()
+    }
+  }
+
+  test("q185: golden record is the max-quality member; merges are consistent") {
+    val rows = Catalog.byName("q185_survivorship").run(spark, d).collect()
+    val docs = graft.tables.Tables.load(spark, d, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        md5(substring(col("text"), 1, 50)).as("blk"))
+      .collect().map(r => (r.getString(2), r.getLong(0), r.getLong(1)))
+      .groupBy(_._1)
+    // output rows = exactly the multi-member blocks
+    val multi = docs.filter(_._2.size > 1)
+    assert(rows.map(_.getAs[String]("blk")).toSet === multi.keySet)
+    rows.foreach { r =>
+      val members = multi(r.getAs[String]("blk"))
+      assert(r.getAs[Long]("n_members") === members.size.toLong)
+      assert(r.getAs[Long]("canonical_chars") === members.map(_._3).max,
+        "canonical must carry the block's max n_chars")
+      assert(r.getAs[Long]("total_chars") === members.map(_._3).sum)
+      assert(r.getAs[Long]("first_doc") === members.map(_._2).min)
+      assert(members.map(_._2).contains(r.getAs[Long]("canonical_doc")))
+    }
+  }
+
+  test("q186: rendezvous routing is total, in-range, and deterministic") {
+    val run1 = Catalog.byName("q186_rendezvous_shard").run(spark, d).collect()
+    val run2 = Catalog.byName("q186_rendezvous_shard").run(spark, d).collect()
+    assert(run1.toSeq === run2.toSeq, "routing must be reproducible")
+    val nDocs = graft.tables.Tables.load(spark, d, "documents").count()
+    assert(run1.map(_.getAs[Long]("n_docs")).sum === nDocs,
+      "every document lands on exactly one shard")
+    run1.foreach(r => assert((0 until 8).contains(r.getAs[Int]("shard"))))
+  }
+
+  test("q187: seasonal indices average to 1 under dow weights") {
+    val rows = Catalog.byName("q187_seasonal_index").run(spark, d).collect()
+    rows.foreach { r =>
+      assert((0 to 6).contains(r.getAs[Int]("dow")))
+      assert(r.getAs[Double]("seasonal_index") > 0)
+    }
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (t, rs) =>
+      val n = rs.map(_.getAs[Long]("n")).sum.toDouble
+      val wmean = rs.map(r =>
+        r.getAs[Long]("n") * r.getAs[Double]("seasonal_index")).sum / n
+      assert(math.abs(wmean - 1.0) < 0.01,
+        s"$t: dow-weighted mean index $wmean must be ~1")
+    }
+  }
+
+  test("q188: epoch profiles partition the stream; flags match their counts") {
+    val rows = Catalog.byName("q188_snapshot_drift").run(spark, d).collect()
+    val totals = graft.tables.Tables.load(spark, d, "events")
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(_.getAs[String]("event_type")).toSet === totals.keySet)
+    rows.foreach { r =>
+      val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      assert(na + nb === totals(r.getAs[String]("event_type")),
+        "epochs must partition the type's events")
+      val expect = nb * 10 > na * 12 || nb * 10 < na * 8
+      assert(r.getAs[Boolean]("count_drift") === expect,
+        "count_drift must be the declared integer-ratio rule")
+    }
+  }
+}
