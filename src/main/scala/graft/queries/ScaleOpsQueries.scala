@@ -1319,6 +1319,15 @@ object ScaleOpsQueries {
     // needs under skew: every bucket has the same mass, so a range
     // predicate's selectivity is (buckets covered)/8 regardless of
     // how the values clump.
+    //
+    // Exact-vs-sketch contract (the q146/q169 pattern): exact
+    // percentile buffers the column per final aggregate — fine at
+    // bench scale and required for the cross-engine hash gate, but at
+    // 100 TB the boundary pass is the mergeable GK sketch already in
+    // tree (q99_sketch_bounds, expressions/GKQuantile) with this query
+    // kept as the oracle-gated exact companion. The scan-side bucket
+    // assignment below is the part that runs at data scale and it is
+    // row-local either way.
     Q("q184_equidepth_histogram",
       (s, d) => {
         val li = t(s, d, "lineitem")
