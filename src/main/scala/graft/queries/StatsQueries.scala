@@ -631,6 +631,14 @@ object StatsQueries {
     // float ratio feeds a boolean.
     Q("q183_assoc_rules",
       (s, d) => {
+        // deliberately NOT cached: the basket frame feeds three
+        // consumers (supports, basket count, both pair sides), but its
+        // recompute is one broadcast join + distinct off a column-
+        // pruned scan — measured at sf0.1, caching it DOUBLED the
+        // query (1.3 s → 2.6 s: materializing the row-count-sized
+        // frame costs more than three cheap recomputes). The q128
+        // cache convention applies to expensive derivations
+        // (split/explode/window chains), not to scan-shaped frames.
         val items = t(s, d, "lineitem")
           .join(broadcast(t(s, d, "part")),
             col("l_partkey") === col("p_partkey"))

@@ -36,7 +36,12 @@ object PlanAudit {
       "q171_cooccurrence_pmi", // doc_id equi self-join, df-capped
       "q173_triangle_count", // degree-oriented wedge join
       "q175_salted_agg", // two-phase exchange shape
-      "q180_table_digest") // one map-side-combined digest agg
+      "q180_table_digest", // one map-side-combined digest agg
+      "q158_bootstrap_ci", // exploded lanes, partial agg bounds exchange
+      "q182_interval_coverage", // user-partitioned island windows
+      "q183_assoc_rules", // basket-local pairs, broadcast supports
+      "q184_equidepth_histogram", // 1-row boundary broadcast
+      "q186_rendezvous_shard") // join-free row-local argmax routing
     interesting.foreach { name =>
       val df = graft.queries.Catalog.byName(name).run(spark, d)
       // drive THIS df's own query execution to completion (count() would
