@@ -150,6 +150,40 @@ object GraphQueries {
             0.85 * COALESCE(i.inflow, 0.0) AS r
           FROM nodes n CROSS JOIN nn LEFT JOIN i5 i USING (node))
         SELECT node, ROUND(r, 9) AS rank
-        FROM r5 ORDER BY rank DESC, node"""))
+        FROM r5 ORDER BY rank DESC, node""")),
+
+    // DEGREE DISTRIBUTION (log₂-binned) — the scout diagnostic run
+    // BEFORE the q120/q173 graph jobs: the degree histogram tells you
+    // whether the graph is skew-dominated (a heavy-tail bucket means
+    // the wedge join needs degree orientation and the inflow agg needs
+    // salting). Degrees come from one map-side-combined distinct-count
+    // per node; the histogram bins that |nodes|-row frame by
+    // floor(log₂(deg))+1 computed PORTABLY as the binary-string length
+    // (Spark `bin()`, DuckDB `FORMAT('{:b}')` — no float log at a
+    // power-of-two boundary can disagree). Nothing beyond the
+    // |nodes|-row degree frame ever shuffles.
+    Q("q193_degree_histogram",
+      (s, d) => {
+        val deg = t(s, d, "lineitem")
+          .groupBy(col("l_suppkey").as("node"))
+          .agg(countDistinct(col("l_partkey")).as("deg"))
+        deg
+          .select(col("deg"), length(bin(col("deg"))).cast("int").as("bucket"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_nodes"),
+            min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"),
+            sum(col("deg")).cast("long").as("sum_deg"))
+          .orderBy("bucket")
+      },
+      Some("""
+        WITH deg AS (
+          SELECT l_suppkey AS node, COUNT(DISTINCT l_partkey) AS deg
+          FROM lineitem GROUP BY 1),
+        b AS (SELECT deg, LENGTH(FORMAT('{:b}', deg)) AS bucket FROM deg)
+        SELECT CAST(bucket AS INT) AS bucket, COUNT(*) AS n_nodes,
+          CAST(MIN(deg) AS BIGINT) AS min_deg,
+          CAST(MAX(deg) AS BIGINT) AS max_deg,
+          CAST(SUM(deg) AS BIGINT) AS sum_deg
+        FROM b GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -1407,7 +1407,73 @@ object ScaleOpsQueries {
         SELECT CAST(shard AS INT) AS shard, COUNT(*) AS n_docs,
           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
-        FROM ranked WHERE rn = 1 GROUP BY shard ORDER BY shard"""))
+        FROM ranked WHERE rn = 1 GROUP BY shard ORDER BY shard""")),
+
+    // LINEAR (multi-touch) ATTRIBUTION — q172's last-touch twin with
+    // split credit: every view/click in the 24 h before a purchase
+    // shares the conversion equally (1/k each). The trailing window
+    // becomes an EQUI join by probing each purchase's day and the
+    // previous day (the q59/q123 binned-interval device) with the
+    // exact 24 h bound as a residual — the fanout per purchase is the
+    // user's touches in ≤ 2 calendar days, never a per-user history
+    // blowup. The 1/k split happens off a pid-partitioned window
+    // count; the credit sum accumulates the identical IEEE 1/k terms
+    // in decimal(28,18), so the total is order-free and hash-stable.
+    Q("q191_linear_attribution",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = t(s, d, "events")
+        val touches = ev.filter(col("event_type").isin("view", "click"))
+          .select(col("user_id"), col("event_type").as("touch_type"),
+            col("ts").as("tts"), date_trunc("day", col("ts")).as("td"))
+        val probe = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("pid"), col("user_id"),
+            col("ts").as("pts"))
+          .withColumn("o", explode(sequence(lit(0), lit(1))))
+          .select(col("pid"), col("user_id"), col("pts"),
+            (date_trunc("day", col("pts"))
+              - expr("INTERVAL '1' DAY") * col("o")).as("td"))
+        val cand = probe.join(touches, Seq("user_id", "td"))
+          .filter(col("tts") <= col("pts") &&
+            col("tts") > col("pts") - expr("INTERVAL '1' DAY"))
+          .select(col("pid"), col("touch_type"))
+        cand
+          .withColumn("n_touch",
+            count(lit(1)).over(Window.partitionBy("pid")))
+          .groupBy("touch_type")
+          .agg(count(lit(1)).as("n_credited"),
+            sum(when(col("n_touch") > 1, 1L).otherwise(0L)).as("n_shared"),
+            round(sum((lit(1.0) / col("n_touch")).cast("decimal(28,18)"))
+              .cast("string").cast("double"), 6).as("credit"))
+          .orderBy("touch_type")
+      },
+      Some("""
+        WITH touches AS (
+          SELECT user_id, event_type AS touch_type, ts AS tts,
+            DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS td
+          FROM events WHERE event_type IN ('view', 'click')),
+        purchases AS (
+          SELECT event_id AS pid, user_id, ts AS pts
+          FROM events WHERE event_type = 'purchase'),
+        probe AS (
+          SELECT pid, user_id, pts,
+            DATE_TRUNC('day', CAST(pts AS TIMESTAMP))
+              - o.o * INTERVAL 1 DAY AS td
+          FROM purchases CROSS JOIN (SELECT UNNEST(RANGE(0, 2)) AS o) o),
+        cand AS (
+          SELECT p.pid, t.touch_type
+          FROM probe p JOIN touches t
+            ON t.user_id = p.user_id AND t.td = p.td
+          WHERE t.tts <= p.pts AND t.tts > p.pts - INTERVAL 1 DAY),
+        k AS (SELECT pid, COUNT(*) AS n_touch FROM cand GROUP BY 1),
+        credit AS (
+          SELECT c.touch_type, k.n_touch FROM cand c JOIN k USING (pid))
+        SELECT touch_type, COUNT(*) AS n_credited,
+          CAST(SUM(CASE WHEN n_touch > 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_shared,
+          ROUND(CAST(CAST(SUM(CAST(CAST(1.0 AS DOUBLE) / n_touch
+            AS DECIMAL(28,18))) AS VARCHAR) AS DOUBLE), 6) AS credit
+        FROM credit GROUP BY 1 ORDER BY 1"""))
   )
 
   /** Canonical Hilbert xy2d (order 8, 256×256 grid) unrolled to named

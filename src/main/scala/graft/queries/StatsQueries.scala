@@ -679,6 +679,122 @@ object StatsQueries {
             AS lift_gt1
         FROM pairs JOIN isup cx ON cx.item = pairs.x
           JOIN isup cy ON cy.item = pairs.y CROSS JOIN nb
-        ORDER BY x, y"""))
+        ORDER BY x, y""")),
+
+    // GINI CONCENTRATION per event_type over user totals — the
+    // inequality diagnostic next to q148's join-key skew report: how
+    // concentrated is activity value across users? (Gini ≈ 0 →
+    // uniform, → 1 → one whale; the number that decides whether
+    // per-user partitioning needs the q110/q175 salt.) The raw stream
+    // collapses to the |users|-per-type frame FIRST (map-side-combined
+    // groupBy), so the rank window runs on a user-bounded frame
+    // partitioned by event_type — never a window over raw events. The
+    // classic closed form G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n on
+    // ascending-ranked totals; all sums decimal-exact, one rounded
+    // IEEE tail mirrored term-for-term by the oracle.
+    Q("q189_gini_concentration",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val peru = t(s, d, "events")
+          .groupBy("event_type", "user_id")
+          .agg(decSum(col("value")).as("s"))
+        val ranked = peru.withColumn("i",
+          row_number().over(Window.partitionBy("event_type")
+            .orderBy(col("s"), col("user_id"))))
+        ranked.groupBy("event_type")
+          .agg(count(lit(1)).as("n_users"),
+            decSum(col("s")).as("tot"),
+            decSum(col("i") * col("s")).as("ws"))
+          .select(col("event_type"), col("n_users"),
+            round(lit(2.0) * col("ws") / (col("n_users") * col("tot"))
+              - (col("n_users").cast("double") + lit(1.0)) / col("n_users"), 6)
+              .as("gini"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH peru AS (
+          SELECT event_type, user_id,
+            CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS VARCHAR)
+              AS DOUBLE) AS s
+          FROM events GROUP BY 1, 2),
+        ranked AS (
+          SELECT event_type, s,
+            ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY s, user_id)
+              AS i
+          FROM peru),
+        agg AS (
+          SELECT event_type, COUNT(*) AS n,
+            CAST(CAST(SUM(CAST(s AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)
+              AS tot,
+            CAST(CAST(SUM(CAST(i * s AS DECIMAL(28,6))) AS VARCHAR)
+              AS DOUBLE) AS ws
+          FROM ranked GROUP BY 1)
+        SELECT event_type, n AS n_users,
+          ROUND(2.0 * ws / (n * tot) - (CAST(n AS DOUBLE) + 1.0) / n, 6)
+            AS gini
+        FROM agg ORDER BY event_type""")),
+
+    // DECILE LIFT TABLE — the offline model-evaluation staple: score
+    // the population (here the deterministic n_chars proxy), cut into
+    // equal-mass deciles, and report each decile's positive rate
+    // against the base rate. Deciles come from the q138 CDF device
+    // (value-frequency frame → running below-counts → broadcast →
+    // row-local floor(10·cdf)) — deterministic on ties where NTILE is
+    // not, and no window ever touches the fact rows. The above_base
+    // gate cross-multiplies in int64; lift itself is one
+    // division-of-divisions mirrored exactly.
+    Q("q190_decile_lift",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("n_chars"), col("lang"))
+        val freq = docs.groupBy("n_chars").agg(count(lit(1)).as("c"))
+        val cum = freq
+          .withColumn("below", coalesce(
+            sum(col("c")).over(Window.orderBy("n_chars")
+              .rowsBetween(Long.MinValue, -1)), lit(0L)))
+          .select(col("n_chars"), col("below"))
+        val base = docs.agg(count(lit(1)).as("n"),
+          sum(when(col("lang") === "en", 1).otherwise(0)).as("pos"))
+        docs.join(broadcast(cum), "n_chars")
+          .crossJoin(broadcast(base))
+          .select(col("lang"), col("n"), col("pos"),
+            least(lit(9), floor(col("below") * lit(10.0) / col("n")))
+              .cast("int").as("decile"))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("lang") === "en", 1L).otherwise(0L)).as("positives"),
+            max(col("n")).as("n"), max(col("pos")).as("pos"))
+          .select(col("decile"), col("n_docs"), col("positives"),
+            round(col("positives").cast("double") / col("n_docs"), 6)
+              .as("rate"),
+            round((col("positives").cast("double") / col("n_docs"))
+              / (col("pos").cast("double") / col("n")), 6).as("lift"),
+            (col("positives") * col("n") > col("n_docs") * col("pos"))
+              .as("above_base"))
+          .orderBy("decile")
+      },
+      Some("""
+        WITH f AS (SELECT n_chars, COUNT(*) AS c FROM documents GROUP BY 1),
+        cum AS (SELECT n_chars, COALESCE(SUM(c) OVER (ORDER BY n_chars
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+          FROM f),
+        n AS (SELECT COUNT(*) AS n,
+          SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos
+          FROM documents),
+        dec AS (
+          SELECT d.lang, n.n, n.pos,
+            CAST(LEAST(9, FLOOR(below * 10.0 / n.n)) AS INT) AS decile
+          FROM documents d JOIN cum USING (n_chars) CROSS JOIN n)
+        SELECT decile, COUNT(*) AS n_docs,
+          CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+            AS positives,
+          ROUND(CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+            / COUNT(*), 6) AS rate,
+          ROUND((CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+            / COUNT(*)) / (CAST(MAX(pos) AS DOUBLE) / MAX(n)), 6) AS lift,
+          (SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * MAX(n))
+            > (COUNT(*) * MAX(pos)) AS above_base
+        FROM dec GROUP BY 1 ORDER BY 1"""))
   )
 }

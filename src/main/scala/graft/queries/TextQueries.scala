@@ -759,6 +759,78 @@ object TextQueries {
         tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM e)
         SELECT tok, cnt, TRUE AS in_sketch, TRUE AS bound_ok
         FROM e, tot WHERE cnt > n / 65.0
-        ORDER BY cnt DESC, tok"""))
+        ORDER BY cnt DESC, tok""")),
+
+    // LANGID CONFUSION MATRIX — the evaluation loop for q35's
+    // classifier: cross-tabulate truth (the lang column) against the
+    // marker-word prediction, with each cell's contribution to its
+    // truth row's recall and its prediction column's precision. The
+    // corpus pass is q35's scan→project scoring plus ONE
+    // (truth, pred) aggregation; the row/column totals it joins back
+    // to are ≤ |langs|² cells — broadcast trivially. Ratios are single
+    // IEEE divisions of exact integer counts. This is the measurement
+    // that decides whether the q35 heuristic is good enough to gate
+    // q33/q80-style per-language routing at scale.
+    Q("q192_langid_confusion",
+      (s, d) => {
+        val markers = Map(
+          "en" -> Seq("the", "and", "with"),
+          "es" -> Seq("el", "la", "con"),
+          "fr" -> Seq("le", "la", "avec"),
+          "de" -> Seq("der", "und", "mit"))
+        val df0 = t(s, d, "documents")
+          .withColumn("words", split(col("text"), " "))
+        val scored = markers.toSeq.sortBy(_._1).foldLeft(df0) {
+          case (df, (lg, ws)) =>
+            df.withColumn(s"s_$lg",
+              expr(s"size(filter(words, w -> w IN ${inList(ws)}))"))
+        }
+        val cm = scored
+          .withColumn("pred",
+            when(col("s_en") >= greatest(col("s_es"), col("s_fr"), col("s_de")) &&
+              col("s_en") > 0, lit("en"))
+              .when(col("s_es") >= greatest(col("s_fr"), col("s_de")) &&
+                col("s_es") > 0, lit("es"))
+              .when(col("s_fr") >= col("s_de") && col("s_fr") > 0, lit("fr"))
+              .when(col("s_de") > 0, lit("de"))
+              .otherwise(lit("unknown")))
+          .groupBy("lang", "pred").agg(count(lit(1)).as("c"))
+        val truth = cm.groupBy("lang").agg(sum(col("c")).as("t"))
+        val predt = cm.groupBy("pred").agg(sum(col("c")).as("pt"))
+        cm.join(broadcast(truth), "lang")
+          .join(broadcast(predt), "pred")
+          .select(col("lang"), col("pred"), col("c"),
+            round(col("c").cast("double") / col("t"), 6)
+              .as("recall_contrib"),
+            round(col("c").cast("double") / col("pt"), 6)
+              .as("precision_contrib"))
+          .orderBy("lang", "pred")
+      },
+      Some("""
+        WITH w AS (
+          SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS words
+          FROM documents),
+        s AS (SELECT doc_id, lang,
+          LEN(LIST_FILTER(words, x -> x IN ('the', 'and', 'with'))) AS s_en,
+          LEN(LIST_FILTER(words, x -> x IN ('el', 'la', 'con'))) AS s_es,
+          LEN(LIST_FILTER(words, x -> x IN ('le', 'la', 'avec'))) AS s_fr,
+          LEN(LIST_FILTER(words, x -> x IN ('der', 'und', 'mit'))) AS s_de
+        FROM w),
+        p AS (SELECT doc_id, lang,
+          CASE
+            WHEN s_en >= GREATEST(s_es, s_fr, s_de) AND s_en > 0 THEN 'en'
+            WHEN s_es >= GREATEST(s_fr, s_de) AND s_es > 0 THEN 'es'
+            WHEN s_fr >= s_de AND s_fr > 0 THEN 'fr'
+            WHEN s_de > 0 THEN 'de'
+            ELSE 'unknown' END AS pred
+          FROM s),
+        cm AS (SELECT lang, pred, COUNT(*) AS c FROM p GROUP BY 1, 2),
+        truth AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS t FROM cm GROUP BY 1),
+        predt AS (SELECT pred, CAST(SUM(c) AS BIGINT) AS pt FROM cm GROUP BY 1)
+        SELECT cm.lang, cm.pred, cm.c,
+          ROUND(CAST(cm.c AS DOUBLE) / t, 6) AS recall_contrib,
+          ROUND(CAST(cm.c AS DOUBLE) / pt, 6) AS precision_contrib
+        FROM cm JOIN truth USING (lang) JOIN predt USING (pred)
+        ORDER BY cm.lang, cm.pred"""))
   )
 }
