@@ -735,6 +735,31 @@ class PlanSpec extends AnyFunSuite {
       s"A and B profiles must come from one scanned profile frame, got $scans scans")
   }
 
+  test("q189: Gini rank window partitions on event_type") {
+    val p = plan("q189_gini_concentration")
+    assert(!p.contains("Exchange SinglePartition"),
+      "the rank runs on the per-type user frame, never one partition")
+    assert(!p.contains("Join"))
+  }
+
+  test("q191: attribution candidates come from the binned equi join") {
+    val p = plan("q191_linear_attribution")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "the 24h bound must ride the (user, day) equi join as a residual")
+  }
+
+  test("q192: confusion totals broadcast — no sort-merge join") {
+    val p = plan("q192_langid_confusion")
+    assert(!p.contains("SortMergeJoin"),
+      "the ≤|langs|² cell frame joins its totals by broadcast")
+  }
+
+  test("q193: degree histogram is aggregation-only — no join") {
+    val p = plan("q193_degree_histogram")
+    assert(!p.contains("Join"))
+  }
+
   test("column pruning: q03 scans only the needed lineitem columns") {
     val p = plan("q03_top_revenue_orders")
     val scan = p.linesIterator

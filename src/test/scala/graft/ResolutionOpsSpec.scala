@@ -136,6 +136,82 @@ class ResolutionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q189: Gini matches a driver-side recompute and sits in [0, 1)") {
+    val rows = Catalog.byName("q189_gini_concentration").run(spark, d).collect()
+    assert(rows.nonEmpty)
+    val totals = graft.tables.Tables.load(spark, d, "events")
+      .groupBy("event_type", "user_id")
+      .agg(sum(col("value").cast("decimal(28,6)")).cast("double").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val g = r.getAs[Double]("gini")
+      assert(g >= 0.0 && g < 1.0)
+      val xs = totals(r.getAs[String]("event_type"))
+        .sortBy(t => (t._3, t._2)).map(_._3)
+      val n = xs.size.toDouble
+      val brute = 2.0 * xs.zipWithIndex.map { case (x, i) =>
+        (i + 1) * x }.sum / (n * xs.sum) - (n + 1.0) / n
+      assert(math.abs(g - brute) < 1e-4,
+        s"${r.get(0)}: gini $g vs brute $brute")
+    }
+  }
+
+  test("q190: deciles cover the corpus and lift averages to the base rate") {
+    val rows = Catalog.byName("q190_decile_lift").run(spark, d).collect()
+    assert(rows.map(_.getAs[Int]("decile")).sorted.toSeq === (0 until 10))
+    val docs = graft.tables.Tables.load(spark, d, "documents")
+    val n = docs.count()
+    val pos = docs.filter(col("lang") === "en").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === n)
+    assert(rows.map(_.getAs[Long]("positives")).sum === pos)
+    rows.foreach { r =>
+      val expect =
+        r.getAs[Long]("positives") * n > r.getAs[Long]("n_docs") * pos
+      assert(r.getAs[Boolean]("above_base") === expect)
+    }
+  }
+
+  test("q191: each attributed purchase distributes exactly one unit of credit") {
+    val rows = Catalog.byName("q191_linear_attribution").run(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r =>
+      assert(r.getAs[Long]("n_credited") >= r.getAs[Long]("n_shared")))
+    // Σ credit over touch types = number of purchases with ≥1 touch in
+    // window (each splits exactly 1.0 across its touches)
+    val totalCredit = rows.map(_.getAs[Double]("credit")).sum
+    assert(math.abs(totalCredit - math.rint(totalCredit)) < 1e-3,
+      s"total credit $totalCredit must be (near-)integral")
+  }
+
+  test("q192: recall contributions sum to 1 per truth row; cells cover corpus") {
+    val rows = Catalog.byName("q192_langid_confusion").run(spark, d).collect()
+    val nDocs = graft.tables.Tables.load(spark, d, "documents").count()
+    assert(rows.map(_.getAs[Long]("c")).sum === nDocs)
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lg, rs) =>
+      val rec = rs.map(_.getAs[Double]("recall_contrib")).sum
+      assert(math.abs(rec - 1.0) < 1e-4, s"truth $lg recall sums to $rec")
+    }
+    rows.groupBy(_.getAs[String]("pred")).foreach { case (p, rs) =>
+      val prec = rs.map(_.getAs[Double]("precision_contrib")).sum
+      assert(math.abs(prec - 1.0) < 1e-4, s"pred $p precision sums to $prec")
+    }
+  }
+
+  test("q193: buckets are exact bit-lengths and cover every supplier") {
+    val rows = Catalog.byName("q193_degree_histogram").run(spark, d).collect()
+    val nSupp = graft.tables.Tables.load(spark, d, "lineitem")
+      .select("l_suppkey").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_nodes")).sum === nSupp)
+    rows.foreach { r =>
+      val b = r.getAs[Int]("bucket")
+      val (lo, hi) = (r.getAs[Long]("min_deg"), r.getAs[Long]("max_deg"))
+      assert(lo <= hi)
+      assert(lo >= (1L << (b - 1)) && hi < (1L << b),
+        s"bucket $b must hold degrees in [2^${b - 1}, 2^$b)")
+    }
+  }
+
   test("q188: epoch profiles partition the stream; flags match their counts") {
     val rows = Catalog.byName("q188_snapshot_drift").run(spark, d).collect()
     val totals = graft.tables.Tables.load(spark, d, "events")
