@@ -272,6 +272,70 @@ object FunnelQueries {
           CAST(m_score AS INTEGER) AS m_score,
           CAST(r_score * 100 + f_score * 10 + m_score AS INTEGER) AS rfm_cell
         FROM scored
-        ORDER BY user_id"""))
+        ORDER BY user_id""")),
+
+    // CONVERSION LATENCY — the timing half of the funnel (q114 counts
+    // WHO converts; this measures HOW FAST): for every view, the first
+    // purchase by the same user within 24 h, then the latency
+    // distribution. The "first event after" pairing is the binned
+    // as-of device (q191's day-bucket probe with the exact 24 h bound
+    // as a residual and min() as the as-of resolution) — candidates
+    // per view are the user's purchases in ≤ 2 calendar days, never a
+    // per-user history scan. Latencies are integer epoch-seconds; the
+    // percentile runs on the |conversions|-row latency frame (funnel-
+    // bounded, far smaller than the stream), kept exact for the gate.
+    Q("q195_conversion_latency",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("event_id").as("vid"), col("user_id"),
+            col("ts").as("vts"), date_trunc("day", col("ts")).as("vd"))
+        val probe = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("pts"))
+          .withColumn("o", explode(sequence(lit(0), lit(1))))
+          .select(col("user_id"), col("pts"),
+            (date_trunc("day", col("pts"))
+              - expr("INTERVAL '1' DAY") * col("o")).as("vd"))
+        val lat = views.join(probe, Seq("user_id", "vd"))
+          .filter(col("pts") >= col("vts") &&
+            col("pts") < col("vts") + expr("INTERVAL '1' DAY"))
+          .groupBy("vid", "vts").agg(min(col("pts")).as("first_p"))
+          .select((unix_timestamp(col("first_p"))
+            - unix_timestamp(col("vts"))).as("lat_s"))
+        lat.agg(
+          count(lit(1)).as("n_converted"),
+          min(col("lat_s")).as("min_s"),
+          round(expr("percentile(lat_s, 0.5D)"), 6).as("p50_s"),
+          round(expr("percentile(lat_s, 0.9D)"), 6).as("p90_s"),
+          max(col("lat_s")).as("max_s"))
+      },
+      Some("""
+        WITH views AS (
+          SELECT event_id AS vid, user_id, ts AS vts,
+            DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS vd
+          FROM events WHERE event_type = 'view'),
+        purchases AS (
+          SELECT user_id, ts AS pts,
+            DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS pd
+          FROM events WHERE event_type = 'purchase'),
+        probe AS (
+          SELECT user_id, pts, pd - o.o * INTERVAL 1 DAY AS vd
+          FROM purchases CROSS JOIN (SELECT UNNEST(RANGE(0, 2)) AS o) o),
+        cand AS (
+          SELECT v.vid, v.vts, MIN(p.pts) AS first_p
+          FROM views v JOIN probe p
+            ON p.user_id = v.user_id AND p.vd = v.vd
+          WHERE p.pts >= v.vts AND p.pts < v.vts + INTERVAL 1 DAY
+          GROUP BY 1, 2),
+        lat AS (
+          SELECT CAST(FLOOR(EPOCH(first_p)) - FLOOR(EPOCH(vts)) AS BIGINT)
+            AS lat_s
+          FROM cand)
+        SELECT COUNT(*) AS n_converted,
+          CAST(MIN(lat_s) AS BIGINT) AS min_s,
+          ROUND(QUANTILE_CONT(lat_s, 0.5), 6) AS p50_s,
+          ROUND(QUANTILE_CONT(lat_s, 0.9), 6) AS p90_s,
+          CAST(MAX(lat_s) AS BIGINT) AS max_s
+        FROM lat"""))
   )
 }

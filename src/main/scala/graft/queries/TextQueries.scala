@@ -831,6 +831,57 @@ object TextQueries {
           ROUND(CAST(cm.c AS DOUBLE) / t, 6) AS recall_contrib,
           ROUND(CAST(cm.c AS DOUBLE) / pt, 6) AS precision_contrib
         FROM cm JOIN truth USING (lang) JOIN predt USING (pred)
-        ORDER BY cm.lang, cm.pred"""))
+        ORDER BY cm.lang, cm.pred""")),
+
+    // FEATURE HASHING (the hashing trick) — the fixed-width sparse
+    // featurizer that needs NO vocabulary pass: token → bucket
+    // h mod 32 with sign (h div 32) mod 2, both off the portable-md5
+    // integer, so feature extraction is a pure scan→explode→aggregate
+    // with zero dimension tables, zero joins, and a feature space
+    // whose width is a constant — the property that lets the same
+    // featurizer run identically on any corpus shard with no
+    // coordination. Output is the per-bucket health report: nnz,
+    // colliding vocabulary, signed total (sign-cancellation is the
+    // hashing trick's variance-reduction device) and absolute mass.
+    Q("q194_feature_hashing",
+      (s, d) => {
+        val tf = t(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        tf
+          .withColumn("h", expr(
+            "cast(conv(substring(md5(w), 1, 13), 16, 10) as bigint)"))
+          .select(col("w"),
+            (col("h") % 32).cast("int").as("bucket"),
+            when(expr("(h div 32) % 2") === 0, col("c"))
+              .otherwise(-col("c")).as("signed_c"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("nnz"),
+            countDistinct(col("w")).as("vocab_in_bucket"),
+            sum(col("signed_c")).cast("long").as("total_signed"),
+            sum(abs(col("signed_c"))).cast("long").as("total_mass"))
+          .orderBy("bucket")
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w
+          FROM documents),
+        tf AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        hashed AS (
+          SELECT w, c,
+            CAST(LIST_REDUCE(
+              LIST_TRANSFORM(SPLIT(SUBSTRING(MD5(w), 1, 13), ''),
+                x -> CAST(POSITION(x IN '0123456789abcdef') - 1 AS BIGINT)),
+              (a, x) -> a * 16 + x) AS BIGINT) AS h
+          FROM tf),
+        feat AS (
+          SELECT w, CAST(h % 32 AS INT) AS bucket,
+            CASE WHEN (h // 32) % 2 = 0 THEN c ELSE -c END AS signed_c
+          FROM hashed)
+        SELECT bucket, COUNT(*) AS nnz,
+          COUNT(DISTINCT w) AS vocab_in_bucket,
+          CAST(SUM(signed_c) AS BIGINT) AS total_signed,
+          CAST(SUM(ABS(signed_c)) AS BIGINT) AS total_mass
+        FROM feat GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -760,6 +760,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"))
   }
 
+  test("q194: feature hashing needs no dimension table — zero joins") {
+    val p = plan("q194_feature_hashing")
+    assert(!p.contains("Join"),
+      "the hashing trick's point is vocabulary-free featurization")
+  }
+
+  test("q195: as-of pairing rides the (user, day) equi join") {
+    val p = plan("q195_conversion_latency")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "the 24h bound must stay a residual on the binned equi join")
+  }
+
   test("column pruning: q03 scans only the needed lineitem columns") {
     val p = plan("q03_top_revenue_orders")
     val scan = p.linesIterator

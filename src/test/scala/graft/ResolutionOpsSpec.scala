@@ -212,6 +212,42 @@ class ResolutionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q194: hashed features conserve vocabulary and mass") {
+    val rows = Catalog.byName("q194_feature_hashing").run(spark, d).collect()
+    val docs = graft.tables.Tables.load(spark, d, "documents")
+    val vocab = docs.select(explode(split(col("text"), " ")).as("w"))
+      .distinct().count()
+    val tokens = docs.select(explode(split(col("text"), " ")).as("w")).count()
+    assert(rows.map(_.getAs[Long]("vocab_in_bucket")).sum === vocab,
+      "every vocabulary word lands in exactly one bucket")
+    assert(rows.map(_.getAs[Long]("total_mass")).sum === tokens,
+      "absolute mass equals the corpus token count")
+    rows.foreach { r =>
+      assert((0 until 32).contains(r.getAs[Int]("bucket")))
+      assert(math.abs(r.getAs[Long]("total_signed")) <=
+        r.getAs[Long]("total_mass"))
+    }
+  }
+
+  test("q195: latency stats are ordered and match a brute-force pairing") {
+    val row = Catalog.byName("q195_conversion_latency").run(spark, d).head()
+    val (n, lo, p50, p90, hi) = (row.getAs[Long]("n_converted"),
+      row.getAs[Long]("min_s"), row.getAs[Double]("p50_s"),
+      row.getAs[Double]("p90_s"), row.getAs[Long]("max_s"))
+    assert(lo <= p50 && p50 <= p90 && p90 <= hi)
+    assert(lo >= 0 && hi < 86400, "24h window bounds every latency")
+    // brute force: for each view, any purchase by the user in [vts, vts+24h)
+    val ev = graft.tables.Tables.load(spark, d, "events")
+      .select(col("event_type"), col("user_id"), unix_timestamp(col("ts")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val purchases = ev.filter(_._1 == "purchase").groupBy(_._2)
+    val brute = ev.filter(_._1 == "view").count { case (_, u, vts) =>
+      purchases.getOrElse(u, Array.empty[(String, Long, Long)])
+        .exists(p => p._3 >= vts && p._3 < vts + 86400)
+    }
+    assert(n === brute.toLong, s"converted views: got $n, brute $brute")
+  }
+
   test("q188: epoch profiles partition the stream; flags match their counts") {
     val rows = Catalog.byName("q188_snapshot_drift").run(spark, d).collect()
     val totals = graft.tables.Tables.load(spark, d, "events")
