@@ -499,7 +499,7 @@ object DedupQueries {
         JOIN sizes sb ON doc_hist = sb.doc_id
         WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.6
         ORDER BY doc_new, doc_hist"""))
-  ) :+ q29 :+ q92
+  ) :+ q29 :+ q92 :+ q196
 
   /** MinHash + LSH verified near-dup pairs (the q28 body, reused by the
     * q77 clustering and the q80 curation composition): returns
@@ -679,4 +679,113 @@ object DedupQueries {
       (s, d) => simhashNearPairs(simhashSignatures(s, d), groups = 3)
         .orderBy("doc_a", "doc_b"),
       Some(simhashOracle))
+
+  /** MINHASH-LSH QUALITY EVALUATION — the measurement loop for the
+    * dedup index, exactly as q150 measures the ANN index: a DELIBERATELY
+    * under-provisioned portable signature (8 permutations, 4 bands × 2
+    * rows — vs q28's production 128/64×2) whose banded candidate set is
+    * compared against the exact Jaccard≥0.6 truth for precision and
+    * recall. Under-provisioning is the point: it surfaces a measurable
+    * precision gap (the band collisions exact-verify would prune) so the
+    * metric actually moves when the band geometry changes. The whole
+    * evaluation is cross-engine EXACT because every permutation is the
+    * portable-md5 integer (q66/q158 device) over the same string
+    * trigrams as the oracle — both engines derive the identical
+    * candidate set, not just similar statistics. Scale shape: signature
+    * build is one aggregation over the exploded-shingle frame (8 min
+    * columns), candidates come from the band equi self-join, and the
+    * truth side reuses the q27 gram-key join — nothing doc×doc. */
+  private val q196: Q =
+    Q("q196_minhash_eval",
+      (s, d) => {
+        // the shared string-trigram shingle frame (same encoding as the
+        // oracle; q28's xxhash64 shingles are injective but not
+        // cross-engine, so the portable signature hashes the strings)
+        val sh = shingles(s, d)
+          .cache() // feeds signatures, sizes, and both truth-join sides
+        def mh(p: Int) =
+          min(expr(s"cast(conv(substring(md5(concat(shingle, '#', '$p')), " +
+            "1, 13), 16, 10) as bigint)")).as(s"m$p")
+        val bands = sh.groupBy("doc_id")
+          .agg(mh(0), (1 until 8).map(mh): _*)
+          .selectExpr("doc_id",
+            "stack(4, 0, m0, m1, 1, m2, m3, 2, m4, m5, 3, m6, m7)" +
+              " as (band, v1, v2)")
+        val cand = bands.as("a")
+          .join(bands.as("b"), Seq("band", "v1", "v2"))
+          .filter(col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val truth = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+          .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
+            "shingle")
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+          .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
+            "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+            "doc_b")
+          .filter(col("inter").cast("double")
+            / (col("na") + col("nb") - col("inter")) >= 0.6)
+          .select("doc_a", "doc_b")
+        val nCand = cand.agg(count(lit(1)).as("n_cand"))
+        val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+        val nHit = cand.join(truth, Seq("doc_a", "doc_b"))
+          .agg(count(lit(1)).as("n_hit"))
+        nCand.crossJoin(nTruth).crossJoin(nHit)
+          .select(col("n_cand"), col("n_truth"), col("n_hit"),
+            round(col("n_hit").cast("double") / col("n_cand"), 6)
+              .as("precision_"),
+            round(col("n_hit").cast("double") / col("n_truth"), 6)
+              .as("recall_"))
+      },
+      Some("""
+        WITH docs AS (
+          SELECT doc_id, STRING_SPLIT(text, ' ') AS words FROM documents
+          WHERE LEN(STRING_SPLIT(text, ' ')) >= 3),
+        sh AS (
+          SELECT doc_id, UNNEST(LIST_DISTINCT(
+            [words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+             FOR i IN RANGE(1, LEN(words) - 1)])) AS shingle
+          FROM docs),
+        hashed AS (
+          SELECT doc_id, shingle, p.p AS p,
+            CAST(LIST_REDUCE(
+              LIST_TRANSFORM(SPLIT(SUBSTRING(MD5(shingle || '#' ||
+                CAST(p.p AS VARCHAR)), 1, 13), ''),
+                c -> CAST(POSITION(c IN '0123456789abcdef') - 1 AS BIGINT)),
+              (a, x) -> a * 16 + x) AS BIGINT) AS h
+          FROM sh CROSS JOIN (SELECT UNNEST(RANGE(0, 8)) AS p) p),
+        sig AS (SELECT doc_id, p, MIN(h) AS m FROM hashed GROUP BY 1, 2),
+        bands AS (
+          SELECT doc_id, CAST(p // 2 AS INT) AS band,
+            MIN(CASE WHEN p % 2 = 0 THEN m END) AS v1,
+            MIN(CASE WHEN p % 2 = 1 THEN m END) AS v2
+          FROM sig GROUP BY 1, 2),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.v1 = b.v1 AND a.v2 = b.v2
+              AND a.doc_id < b.doc_id),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        co AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        truth AS (
+          SELECT doc_a, doc_b
+          FROM co JOIN sizes sa ON sa.doc_id = co.doc_a
+            JOIN sizes sb ON sb.doc_id = co.doc_b
+          WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.6),
+        hit AS (SELECT COUNT(*) AS h FROM cand JOIN truth USING (doc_a, doc_b)),
+        counts AS (
+          SELECT (SELECT COUNT(*) FROM cand) AS n_cand,
+            (SELECT COUNT(*) FROM truth) AS n_truth,
+            (SELECT h FROM hit) AS n_hit)
+        SELECT n_cand, n_truth, n_hit,
+          ROUND(CAST(n_hit AS DOUBLE) / n_cand, 6) AS precision_,
+          ROUND(CAST(n_hit AS DOUBLE) / n_truth, 6) AS recall_
+        FROM counts"""))
 }

@@ -766,6 +766,12 @@ class PlanSpec extends AnyFunSuite {
       "the hashing trick's point is vocabulary-free featurization")
   }
 
+  test("q196: both candidate and truth sides are equi joins — no all-pairs") {
+    val p = plan("q196_minhash_eval")
+    assert(!p.contains("CartesianProduct"),
+      "bands and gram keys carry the pairing; doc×doc never appears")
+  }
+
   test("q195: as-of pairing rides the (user, day) equi join") {
     val p = plan("q195_conversion_latency")
     assert(!p.contains("CartesianProduct") &&

@@ -248,6 +248,21 @@ class ResolutionOpsSpec extends AnyFunSuite {
     assert(n === brute.toLong, s"converted views: got $n, brute $brute")
   }
 
+  test("q196: eval counts are consistent and truth matches q27's pair set") {
+    val row = Catalog.byName("q196_minhash_eval").run(spark, d).head()
+    val (cand, truth, hit) = (row.getAs[Long]("n_cand"),
+      row.getAs[Long]("n_truth"), row.getAs[Long]("n_hit"))
+    assert(hit <= cand && hit <= truth)
+    assert(row.getAs[Double]("precision_") <= 1.0 &&
+      row.getAs[Double]("recall_") <= 1.0)
+    // the truth side IS q27's exact-Jaccard pair set
+    val q27 = Catalog.byName("q27_jaccard_pairs").run(spark, d).count()
+    assert(truth === q27, "q196 truth must equal the q27 ground truth")
+    // 4 bands × 2 rows at j ≥ 0.6: per-pair miss ≤ (1−0.36)⁴ ≈ 0.17 —
+    // recall should be well above half on any corpus
+    assert(truth === 0 || hit.toDouble / truth > 0.5)
+  }
+
   test("q188: epoch profiles partition the stream; flags match their counts") {
     val rows = Catalog.byName("q188_snapshot_drift").run(spark, d).collect()
     val totals = graft.tables.Tables.load(spark, d, "events")
