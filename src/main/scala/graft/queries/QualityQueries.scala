@@ -305,6 +305,51 @@ object QualityQueries {
           b.users AS users_b, a.mean_v AS mean_a, b.mean_v AS mean_b,
           (b.n * 10 > a.n * 12) OR (b.n * 10 < a.n * 8) AS count_drift,
           ABS(b.mean_v - a.mean_v) * 10 > ABS(a.mean_v) AS mean_drift
-        FROM a JOIN b USING (event_type) ORDER BY a.event_type"""))
+        FROM a JOIN b USING (event_type) ORDER BY a.event_type""")),
+
+    // CORPUS DATACARD — the one-row summary published with a dataset
+    // release (docs/tokens/languages/sources, exact-duplicate count via
+    // fingerprint distinct, short-doc count, language share, mean
+    // length): every number the reference's downstream consumers ask
+    // for first, in ONE aggregation pass over ONE scan. The three
+    // countDistincts expand the pass ×3 (Spark's distinct-agg rewrite)
+    // but each leg is map-side combined and the fact is read once —
+    // there is no cheaper exact shape, and the sketched alternative is
+    // already in-tree (q169) when approximation is acceptable.
+    Q("q197_corpus_datacard",
+      (s, d) => {
+        t(s, d, "documents")
+          .select(col("lang"), col("source"), col("n_chars"),
+            size(split(col("text"), " ")).cast("long").as("tok"),
+            md5(col("text")).as("fp"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("total_chars"),
+            sum(col("tok")).cast("long").as("total_tokens"),
+            countDistinct(col("lang")).as("n_langs"),
+            countDistinct(col("source")).as("n_sources"),
+            (count(lit(1)) - countDistinct(col("fp"))).cast("long")
+              .as("n_exact_dupes"),
+            sum(when(col("n_chars") < 50, 1L).otherwise(0L)).as("n_short"),
+            round(sum(when(col("lang") === "en", 1).otherwise(0))
+              .cast("double") / count(lit(1)), 6).as("en_share"),
+            round(sum(col("tok")).cast("double") / count(lit(1)), 6)
+              .as("mean_tokens"))
+      },
+      Some("""
+        SELECT COUNT(*) AS n_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+          CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS total_tokens,
+          COUNT(DISTINCT lang) AS n_langs,
+          COUNT(DISTINCT source) AS n_sources,
+          CAST(COUNT(*) - COUNT(DISTINCT MD5(text)) AS BIGINT)
+            AS n_exact_dupes,
+          CAST(SUM(CASE WHEN n_chars < 50 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_short,
+          ROUND(CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+            / COUNT(*), 6) AS en_share,
+          ROUND(CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS DOUBLE)
+            / COUNT(*), 6) AS mean_tokens
+        FROM documents"""))
   )
 }

@@ -263,6 +263,19 @@ class ResolutionOpsSpec extends AnyFunSuite {
     assert(truth === 0 || hit.toDouble / truth > 0.5)
   }
 
+  test("q197: datacard numbers agree with their standalone recomputes") {
+    val row = Catalog.byName("q197_corpus_datacard").run(spark, d).head()
+    val docs = graft.tables.Tables.load(spark, d, "documents")
+    assert(row.getAs[Long]("n_docs") === docs.count())
+    assert(row.getAs[Long]("n_exact_dupes") ===
+      docs.count() - docs.select(md5(col("text"))).distinct().count())
+    assert(row.getAs[Long]("total_tokens") ===
+      docs.select(sum(size(split(col("text"), " ")).cast("long")))
+        .head().getLong(0))
+    assert(row.getAs[Double]("en_share") >= 0 &&
+      row.getAs[Double]("en_share") <= 1)
+  }
+
   test("q188: epoch profiles partition the stream; flags match their counts") {
     val rows = Catalog.byName("q188_snapshot_drift").run(spark, d).collect()
     val totals = graft.tables.Tables.load(spark, d, "events")
