@@ -41,7 +41,11 @@ object PlanAudit {
       "q182_interval_coverage", // user-partitioned island windows
       "q183_assoc_rules", // basket-local pairs, broadcast supports
       "q184_equidepth_histogram", // 1-row boundary broadcast
-      "q186_rendezvous_shard") // join-free row-local argmax routing
+      "q186_rendezvous_shard", // join-free row-local argmax routing
+      "q191_linear_attribution", // binned as-of probe, residual bound
+      "q193_degree_histogram", // agg-only, bit-length buckets
+      "q194_feature_hashing", // vocabulary-free featurizer, zero joins
+      "q196_minhash_eval") // band + gram equi joins, no all-pairs
     interesting.foreach { name =>
       val df = graft.queries.Catalog.byName(name).run(spark, d)
       // drive THIS df's own query execution to completion (count() would
