@@ -795,6 +795,67 @@ object StatsQueries {
             / COUNT(*)) / (CAST(MAX(pos) AS DOUBLE) / MAX(n)), 6) AS lift,
           (SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * MAX(n))
             > (COUNT(*) * MAX(pos)) AS above_base
-        FROM dec GROUP BY 1 ORDER BY 1"""))
+        FROM dec GROUP BY 1 ORDER BY 1""")),
+
+    // RANK-BIASED OVERLAP (RBO, Webber et al.) between two leaderboard
+    // orderings of the same population — by total value vs by event
+    // count — truncated at depth 20 with persistence p = 1/2. The
+    // ranking-stability metric that decides whether two scoring
+    // functions can be swapped (q11/q60-style leaderboards, ANN arms,
+    // retrieval rankers). The device: a user's earliest depth of joint
+    // membership is max(rank_a, rank_b), so each depth's intersection
+    // size is a simple ≤-count — no per-depth set materialization.
+    // p = 1/2 makes every weight 2^-d EXACT in IEEE (the q123 dyadic
+    // trick), so the per-depth contribution is one identical double
+    // product in both engines. Both rank windows run on the
+    // |users|-bounded totals frame (the q138 bounded-singleton-window
+    // precedent — never on raw events); the depth spine fans out
+    // 20×|users| at most.
+    Q("q198_rank_overlap",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val peru = t(s, d, "events")
+          .groupBy("user_id")
+          .agg(decSum(col("value")).as("tot"), count(lit(1)).as("cnt"))
+        val ra = peru.select(col("user_id"),
+          row_number().over(Window.orderBy(col("tot").desc, col("user_id")))
+            .as("r_a"))
+        val rb = peru.select(col("user_id"),
+          row_number().over(Window.orderBy(col("cnt").desc, col("user_id")))
+            .as("r_b"))
+        val m = ra.join(rb, "user_id")
+          .select(greatest(col("r_a"), col("r_b")).as("m"))
+        val depths = s.range(1, 21).select(col("id").cast("int").as("depth"))
+        depths.join(m, col("m") <= col("depth"), "left")
+          .groupBy("depth")
+          .agg(count(col("m")).as("inter"))
+          .select(col("depth"), col("inter"),
+            round(col("inter").cast("double") / col("depth"), 6)
+              .as("agreement"),
+            round((col("inter").cast("double") / col("depth"))
+              * pow(lit(0.5), col("depth")), 9).as("contrib"))
+          .orderBy("depth")
+      },
+      Some("""
+        WITH peru AS (
+          SELECT user_id,
+            CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS VARCHAR)
+              AS DOUBLE) AS tot,
+            COUNT(*) AS cnt
+          FROM events GROUP BY 1),
+        ra AS (SELECT user_id,
+          ROW_NUMBER() OVER (ORDER BY tot DESC, user_id) AS r_a FROM peru),
+        rb AS (SELECT user_id,
+          ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) AS r_b FROM peru),
+        m AS (
+          SELECT GREATEST(a.r_a, b.r_b) AS m
+          FROM ra a JOIN rb b USING (user_id)),
+        depths AS (SELECT CAST(UNNEST(RANGE(1, 21)) AS INT) AS depth)
+        SELECT depth, COUNT(m.m) AS inter,
+          ROUND(CAST(COUNT(m.m) AS DOUBLE) / depth, 6) AS agreement,
+          ROUND((CAST(COUNT(m.m) AS DOUBLE) / depth) * POWER(0.5, depth), 9)
+            AS contrib
+        FROM depths LEFT JOIN m ON m.m <= depth
+        GROUP BY depth ORDER BY depth"""))
   )
 }

@@ -276,6 +276,27 @@ class ResolutionOpsSpec extends AnyFunSuite {
       row.getAs[Double]("en_share") <= 1)
   }
 
+  test("q198: RBO structure — inter is monotone, bounded by depth; self-RBO = 1") {
+    val rows = Catalog.byName("q198_rank_overlap").run(spark, d)
+      .orderBy("depth").collect()
+    assert(rows.map(_.getAs[Int]("depth")).toSeq === (1 to 20))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("inter") <= r.getAs[Int]("depth").toLong)
+      assert(r.getAs[Double]("agreement") >= 0 &&
+        r.getAs[Double]("agreement") <= 1)
+    }
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("inter") <= b.getAs[Long]("inter"),
+          "intersection sizes are monotone in depth")
+      case _ => ()
+    }
+    // truncated-RBO identity: an identical pair of rankings would give
+    // contrib = 2^-d exactly; Σ agreement-weighted contribs ≤ Σ 2^-d
+    val total = rows.map(_.getAs[Double]("contrib")).sum
+    assert(total <= 1.0 - math.pow(0.5, 20) + 1e-9)
+  }
+
   test("q188: epoch profiles partition the stream; flags match their counts") {
     val rows = Catalog.byName("q188_snapshot_drift").run(spark, d).collect()
     val totals = graft.tables.Tables.load(spark, d, "events")
