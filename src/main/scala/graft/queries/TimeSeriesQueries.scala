@@ -393,6 +393,77 @@ object TimeSeriesQueries {
           ROUND((d.s / d.n) / (t.st / t.nt), 6) AS seasonal_index,
           (d.s * t.nt) > (t.st * d.n) AS above_avg
         FROM dows d JOIN tot t USING (event_type)
-        ORDER BY event_type, dow"""))
+        ORDER BY event_type, dow""")),
+
+    // TWAP — TIME-weighted average per (type, hour), the market-data
+    // average q54's size-weighted window cannot express: each
+    // observation holds from its timestamp until the next one of the
+    // same type (capped at 1 h — a stale quote stops counting), and a
+    // segment spanning an hour boundary contributes to BOTH hours
+    // pro-rata. The boundary clipping is JOIN-FREE: the 1 h cap bounds
+    // every segment to ≤ 2 hour buckets, so each segment explodes over
+    // its own covered-hour sequence (never a spine join whose fanout
+    // is |hours|). All durations are integer microseconds; the
+    // value×duration products are EXACT decimals (value is 6 dp, the
+    // factors are cast to decimal(16,6)×decimal(12,0) so no engine
+    // hits the precision-overflow scale-reduction path), and one
+    // rounded division ends the query. Windows partition on
+    // event_type; the aggregation is map-side combined.
+    Q("q199_twap",
+      (s, d) => {
+        val H = 3600000000L
+        val ord = Window.partitionBy("event_type")
+          .orderBy(col("ts"), col("event_id"))
+        val seg = t(s, d, "events")
+          .select(col("event_type"), col("event_id"), col("value"),
+            col("ts"))
+          .withColumn("t0", expr("unix_micros(ts)"))
+          .withColumn("t1",
+            least(coalesce(lead(col("t0"), 1).over(ord),
+              col("t0") + H), col("t0") + H))
+          .filter(col("t1") > col("t0"))
+        seg
+          .select(col("event_type"), col("value"), col("t0"), col("t1"),
+            explode(expr(s"sequence(t0 div $H, (t1 - 1) div $H)")).as("h"))
+          .select(col("event_type"), col("value"), col("h"),
+            greatest(col("t0"), col("h") * H).as("c0"),
+            least(col("t1"), (col("h") + 1) * H).as("c1"))
+          .groupBy(col("event_type"), col("h").as("hour_id"))
+          .agg(
+            sum(col("c1") - col("c0")).cast("long").as("covered_us"),
+            round(
+              sum(col("value").cast("decimal(16,6)")
+                * (col("c1") - col("c0")).cast("decimal(12,0)"))
+                .cast("string").cast("double")
+                / sum(col("c1") - col("c0")), 6).as("twap"))
+          .orderBy("event_type", "hour_id")
+      },
+      Some("""
+        WITH obs AS (
+          SELECT event_type, event_id, value,
+            EPOCH_US(CAST(ts AS TIMESTAMP)) AS t0,
+            LEAD(EPOCH_US(CAST(ts AS TIMESTAMP))) OVER
+              (PARTITION BY event_type ORDER BY ts, event_id) AS t1
+          FROM events),
+        seg AS (
+          SELECT event_type, value, t0,
+            LEAST(COALESCE(t1, t0 + 3600000000), t0 + 3600000000) AS t1
+          FROM obs),
+        hx AS (
+          SELECT event_type, value, t0, t1,
+            UNNEST(RANGE(t0 // 3600000000, (t1 - 1) // 3600000000 + 1)) AS h
+          FROM seg WHERE t1 > t0),
+        clipped AS (
+          SELECT event_type, value, h,
+            GREATEST(t0, h * 3600000000) AS c0,
+            LEAST(t1, (h + 1) * 3600000000) AS c1
+          FROM hx)
+        SELECT event_type, CAST(h AS BIGINT) AS hour_id,
+          CAST(SUM(c1 - c0) AS BIGINT) AS covered_us,
+          ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(16,6))
+            * CAST(c1 - c0 AS DECIMAL(12,0))) AS VARCHAR) AS DOUBLE)
+            / SUM(c1 - c0), 6) AS twap
+        FROM clipped
+        GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }

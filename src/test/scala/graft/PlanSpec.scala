@@ -766,6 +766,14 @@ class PlanSpec extends AnyFunSuite {
       "the hashing trick's point is vocabulary-free featurization")
   }
 
+  test("q199: boundary clipping is join-free — segments explode locally") {
+    val p = plan("q199_twap")
+    assert(!p.contains("Join"),
+      "the 1h cap bounds segments to ≤2 hours; no hour-spine join")
+    assert(!p.contains("Exchange SinglePartition"),
+      "the lead window partitions on event_type")
+  }
+
   test("q196: both candidate and truth sides are equi joins — no all-pairs") {
     val p = plan("q196_minhash_eval")
     assert(!p.contains("CartesianProduct"),

@@ -297,6 +297,42 @@ class ResolutionOpsSpec extends AnyFunSuite {
     assert(total <= 1.0 - math.pow(0.5, 20) + 1e-9)
   }
 
+  test("q199: TWAP bounds hold and covered time conserves across hour clips") {
+    val rows = Catalog.byName("q199_twap").run(spark, d).collect()
+    assert(rows.nonEmpty)
+    val (lo, hi) = {
+      val v = graft.tables.Tables.load(spark, d, "events")
+        .agg(min("value"), max("value")).head()
+      (v.getDouble(0), v.getDouble(1))
+    }
+    rows.foreach { r =>
+      val tw = r.getAs[Double]("twap")
+      assert(tw >= lo - 1e-9 && tw <= hi + 1e-9,
+        "a weighted average cannot leave the value range")
+      val cov = r.getAs[Long]("covered_us")
+      assert(cov > 0 && cov <= 3600000000L,
+        "per-hour coverage is bounded by the hour")
+    }
+    // conservation: Σ covered_us over all hours = Σ capped segment
+    // durations (clipping splits, never creates or destroys, time)
+    val totalCovered = rows.map(_.getAs[Long]("covered_us")).sum
+    val segTotal = {
+      import org.apache.spark.sql.expressions.Window
+      val H = 3600000000L
+      val ord = Window.partitionBy("event_type")
+        .orderBy(col("ts"), col("event_id"))
+      graft.tables.Tables.load(spark, d, "events")
+        .select(col("event_type"), col("event_id"), col("ts"))
+        .withColumn("t0", expr("unix_micros(ts)"))
+        .withColumn("dur",
+          least(coalesce(lead(col("t0"), 1).over(ord) - col("t0"),
+            lit(H)), lit(H)))
+        .filter(col("dur") > 0)
+        .agg(sum("dur")).head().getLong(0)
+    }
+    assert(totalCovered === segTotal, "clipping must conserve total time")
+  }
+
   test("q188: epoch profiles partition the stream; flags match their counts") {
     val rows = Catalog.byName("q188_snapshot_drift").run(spark, d).collect()
     val totals = graft.tables.Tables.load(spark, d, "events")
