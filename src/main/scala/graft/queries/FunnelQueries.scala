@@ -336,6 +336,43 @@ object FunnelQueries {
           ROUND(QUANTILE_CONT(lat_s, 0.5), 6) AS p50_s,
           ROUND(QUANTILE_CONT(lat_s, 0.9), 6) AS p90_s,
           CAST(MAX(lat_s) AS BIGINT) AS max_s
-        FROM lat"""))
+        FROM lat""")),
+
+    // PATH MINING — top event trigram paths (a→b→c): the sequence
+    // extension of q116's single-step transition matrix, the "what do
+    // users actually do" report behind any funnel redesign. TWO lead()
+    // columns over ONE user partitioning (the q144 device — never a
+    // per-user history array), a map-side-combined path aggregation
+    // whose cardinality is bounded by |event_types|³, and the global
+    // top-10 lowers to TakeOrderedAndProject (the q52 device —
+    // k-bounded per partition before a single k-row merge). Total
+    // deterministic order: count desc, then the path lexicographically.
+    Q("q200_path_trigrams",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        t(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type").as("a"))
+          .withColumn("b", lead(col("a"), 1).over(w))
+          .withColumn("c", lead(col("a"), 2).over(w))
+          .filter(col("b").isNotNull && col("c").isNotNull)
+          .groupBy("a", "b", "c").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("a"), col("b"), col("c"))
+          .limit(10)
+      },
+      Some("""
+        WITH seq AS (
+          SELECT user_id, event_type AS a,
+            LEAD(event_type, 1) OVER w AS b,
+            LEAD(event_type, 2) OVER w AS c
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        paths AS (
+          SELECT a, b, c, COUNT(*) AS n
+          FROM seq WHERE b IS NOT NULL AND c IS NOT NULL
+          GROUP BY 1, 2, 3)
+        SELECT a, b, c, n FROM paths
+        ORDER BY n DESC, a, b, c LIMIT 10"""))
   )
 }

@@ -198,4 +198,90 @@ object StatsProperties extends Properties("graft.stats") {
       val changed = digest(ids.updated(0, ids.head + 1000L), p1)
       (base == shuffled) && (changed != base)
     }
+
+  // the q182 device: islands from the running max of PRIOR ends must
+  // reproduce a driver-side interval union on arbitrary (possibly
+  // touching, nested, duplicated) intervals under any partitioning
+  private val ivGen = for {
+    s <- Gen.choose(0L, 500L)
+    len <- Gen.choose(0L, 80L)
+  } yield (s, s + 1 + len)
+
+  property("gaps-and-islands covered time equals brute-force union") =
+    Prop.forAll(Gen.nonEmptyListOf(ivGen), Gen.choose(1, 7)) { (ivs, parts) =>
+      val sp = spark
+      import sp.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val df = ivs.zipWithIndex.map { case ((s, e), i) => (s, e, i.toLong) }
+        .toDF("s", "e", "id").repartition(parts)
+      val ord = Window.orderBy("s", "e", "id")
+      val prevMax = max(col("e")).over(
+        ord.rowsBetween(Window.unboundedPreceding, -1))
+      val got = df
+        .withColumn("ni",
+          when(prevMax.isNull || col("s") > prevMax, 1).otherwise(0))
+        .withColumn("isl",
+          sum(col("ni")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("isl").agg(min("s").as("is_"), max("e").as("ie"))
+        .agg(sum(col("ie") - col("is_"))).head.getLong(0)
+      val sorted = ivs.sorted
+      var covered = 0L; var cs = Long.MinValue; var ce = Long.MinValue
+      sorted.foreach { case (s, e) =>
+        if (s > ce) { if (ce != Long.MinValue) covered += ce - cs; cs = s; ce = e }
+        else if (e > ce) ce = e
+      }
+      covered += ce - cs
+      got == covered
+    }
+
+  // the q186 contract: rendezvous routing's minimal-disruption property —
+  // removing one shard reassigns ONLY that shard's keys
+  property("HRW: removing a shard moves only that shard's keys") =
+    Prop.forAll(Gen.listOfN(40, Gen.choose(0L, 100000L)), Gen.choose(0, 7)) {
+      (rawIds, removed) =>
+        val sp = spark
+        import sp.implicits._
+        val ids = rawIds.distinct
+        def route(shards: Seq[Int]): Map[Long, Int] = {
+          val arr = shards.mkString("array(", ", ", ")")
+          ids.toDF("doc_id")
+            .select(col("doc_id"), expr(
+              s"""transform($arr, s ->
+                 |  named_struct('wt', cast(conv(substring(md5(concat(
+                 |    cast(doc_id as string), '#', cast(s as string))),
+                 |    1, 13), 16, 10) as bigint), 'sh', s))"""
+                .stripMargin).as("ws"))
+            .select(col("doc_id"),
+              expr("array_max(ws).sh").as("shard"))
+            .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+        }
+        val full = route(0 to 7)
+        val dropped = route((0 to 7).filterNot(_ == removed))
+        ids.forall { id =>
+          if (full(id) != removed) dropped(id) == full(id)
+          else dropped(id) != removed
+        }
+    }
+
+  // the q198 identity: RBO of a ranking against itself is Σ 2^-d — the
+  // exact dyadic ceiling the spec bounds against
+  property("RBO self-comparison hits the exact dyadic ceiling") =
+    Prop.forAll(Gen.choose(20, 60)) { n =>
+      val sp = spark
+      import sp.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val peru = (1 to n).map(i => (i.toLong, i * 3.0 + 1)).toDF("u", "x")
+      val r = peru.select(col("u"),
+        row_number().over(Window.orderBy(col("x").desc, col("u"))).as("ra"))
+        .withColumn("rb", col("ra")) // identical ranking
+        .select(greatest(col("ra"), col("rb")).as("m"))
+      val depths = sp.range(1, 21).select(col("id").cast("int").as("d"))
+      val total = depths.join(r, col("m") <= col("d"), "left")
+        .groupBy("d").agg(count(col("m")).as("inter"))
+        .select(sum((col("inter").cast("double") / col("d"))
+          * pow(lit(0.5), col("d"))).as("rbo"))
+        .head.getDouble(0)
+      // with n ≥ 20 every depth d has inter = d, so rbo = 1 − 2⁻²⁰ EXACTLY
+      total == 1.0 - math.pow(0.5, 20)
+    }
 }
