@@ -856,6 +856,75 @@ object StatsQueries {
           ROUND((CAST(COUNT(m.m) AS DOUBLE) / depth) * POWER(0.5, depth), 9)
             AS contrib
         FROM depths LEFT JOIN m ON m.m <= depth
-        GROUP BY depth ORDER BY depth"""))
+        GROUP BY depth ORDER BY depth""")),
+
+    // CORRELATION MATRIX — pairwise Pearson between the event types'
+    // hourly series: the metric-interaction scan a monitoring consumer
+    // (or feature-engineering pass) runs before trusting any one
+    // signal. The q112 exact-moments device generalized to all pairs
+    // WITHOUT a pivot: the calendar-bounded hourly resample (one
+    // map-side-combined pass over raw events — the q117 shape)
+    // self-joins on the hour with ta < tb, so missing hours drop out
+    // per pair (complete-case semantics) and the pair frame is
+    // |hours|×|types|² at most. Moments accumulate in
+    // decimal(18,6)² = (37,12) — exact, no engine hits the
+    // precision-overflow path — and Pearson's one IEEE tail
+    // (n·Σxy − ΣxΣy)/(√(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²)) is mirrored
+    // term-for-term.
+    Q("q201_correlation_matrix",
+      (s, d) => {
+        val hourly = t(s, d, "events")
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+          .agg(round(decSum(col("value")), 6).as("v"))
+        val pairs = hourly.select(col("event_type").as("ta"),
+            col("h"), col("v").as("x"))
+          .join(hourly.select(col("event_type").as("tb"),
+            col("h"), col("v").as("y")), "h")
+          .filter(col("ta") < col("tb"))
+        def m2(a: String, b: String) =
+          sum(col(a).cast("decimal(18,6)") * col(b).cast("decimal(18,6)"))
+            .cast("string").cast("double")
+        val mom = pairs.groupBy("ta", "tb")
+          .agg(count(lit(1)).as("n"),
+            decSum(col("x")).as("sx"), decSum(col("y")).as("sy"),
+            m2("x", "y").as("sxy"), m2("x", "x").as("sxx"),
+            m2("y", "y").as("syy"))
+        mom.select(col("ta"), col("tb"), col("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy"))
+            / (sqrt(col("n") * col("sxx") - col("sx") * col("sx"))
+              * sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+            .as("r"))
+          .orderBy("ta", "tb")
+      },
+      Some("""
+        WITH hourly AS (
+          SELECT event_type, DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS h,
+            ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS VARCHAR)
+              AS DOUBLE), 6) AS v
+          FROM events GROUP BY 1, 2),
+        pairs AS (
+          SELECT a.event_type AS ta, b.event_type AS tb, a.v AS x, b.v AS y
+          FROM hourly a JOIN hourly b
+            ON a.h = b.h AND a.event_type < b.event_type),
+        mom AS (
+          SELECT ta, tb, COUNT(*) AS n,
+            CAST(CAST(SUM(CAST(x AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)
+              AS sx,
+            CAST(CAST(SUM(CAST(y AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)
+              AS sy,
+            -- DECIMAL(28,6) operands force int128 storage (the q112
+            -- device): hourly sums reach ~2e9 at sf0.1 and their
+            -- products overflow DuckDB's int64-backed DECIMAL(18)
+            CAST(CAST(SUM(CAST(x AS DECIMAL(28,6)) * CAST(y AS DECIMAL(28,6)))
+              AS VARCHAR) AS DOUBLE) AS sxy,
+            CAST(CAST(SUM(CAST(x AS DECIMAL(28,6)) * CAST(x AS DECIMAL(28,6)))
+              AS VARCHAR) AS DOUBLE) AS sxx,
+            CAST(CAST(SUM(CAST(y AS DECIMAL(28,6)) * CAST(y AS DECIMAL(28,6)))
+              AS VARCHAR) AS DOUBLE) AS syy
+          FROM pairs GROUP BY 1, 2)
+        SELECT ta, tb, n,
+          ROUND((n * sxy - sx * sy) /
+            (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6) AS r
+        FROM mom ORDER BY ta, tb"""))
   )
 }

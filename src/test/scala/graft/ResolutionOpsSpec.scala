@@ -333,6 +333,20 @@ class ResolutionOpsSpec extends AnyFunSuite {
     assert(totalCovered === segTotal, "clipping must conserve total time")
   }
 
+  test("q201: correlations are bounded, canonical, and one per type pair") {
+    val rows = Catalog.byName("q201_correlation_matrix").run(spark, d).collect()
+    val types = graft.tables.Tables.load(spark, d, "events")
+      .select("event_type").distinct().count().toInt
+    assert(rows.length === types * (types - 1) / 2,
+      "exactly one row per unordered type pair")
+    rows.foreach { r =>
+      assert(r.getAs[String]("ta") < r.getAs[String]("tb"))
+      val c = r.getAs[Double]("r")
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+      assert(r.getAs[Long]("n") > 0)
+    }
+  }
+
   test("q188: epoch profiles partition the stream; flags match their counts") {
     val rows = Catalog.byName("q188_snapshot_drift").run(spark, d).collect()
     val totals = graft.tables.Tables.load(spark, d, "events")
