@@ -579,6 +579,103 @@ object CurationQueries {
           FROM multi GROUP BY blk)
         SELECT g.blk, g.n_members, g.canonical_doc, g.canonical_source,
           g.canonical_chars, m.n_sources, m.total_chars, m.first_doc
-        FROM golden g JOIN merged m USING (blk) ORDER BY g.blk"""))
+        FROM golden g JOIN merged m USING (blk) ORDER BY g.blk""")),
+
+    // BPE MERGE APPLICATION — the other half of q129: that query
+    // computes pair statistics; this one runs the tokenizer-training
+    // INNER LOOP, two rounds of "pick the most frequent adjacent pair,
+    // rewrite the whole corpus merging it". Each round is one pair
+    // aggregation (dictionary-sized output, top-1 via a 1-row sorted
+    // limit) broadcast back into a corpus-wide scan→regexp_replace
+    // rewrite — the corpus is touched once per round, exactly the
+    // production BPE shape where round count (vocab size) is the knob.
+    // Cross-engine determinism: pair counts come from lead() over the
+    // same tokenization; the rewrite is leftmost non-overlapping global
+    // replace in BOTH regex engines (Java replaceAll ≡ RE2 'g'), the
+    // space-padded pattern keeps matches token-aligned, and the picked
+    // tokens are regex-safe by the explicit [a-z_]+ filter (part of the
+    // operator's contract, mirrored in the oracle).
+    Q("q202_bpe_merge_rounds",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        def pairsOf(df: DataFrame, charset: String): DataFrame = {
+          val w = Window.partitionBy("doc_id").orderBy("i")
+          df.select(col("doc_id"),
+              posexplode(split(trim(col("t")), " ")).as(Seq("i", "a")))
+            .withColumn("b", lead(col("a"), 1).over(w))
+            .filter(col("b").isNotNull &&
+              col("a").rlike(charset) && col("b").rlike(charset))
+            .groupBy(concat(col("a"), lit(" "), col("b")).as("pat"),
+              concat(col("a"), lit("_"), col("b")).as("rep"))
+            .agg(count(lit(1)).as("cnt"))
+            .orderBy(col("cnt").desc, col("pat")).limit(1)
+        }
+        def applyMerge(df: DataFrame, p: DataFrame): DataFrame =
+          df.crossJoin(broadcast(p))
+            .select(col("doc_id"),
+              regexp_replace(col("t"),
+                concat(lit(" "), col("pat"), lit(" ")),
+                concat(lit(" "), col("rep"), lit(" "))).as("t"))
+        // token counts stay IN-PLAN (1-row aggregates cross-joined onto
+        // the 1-row pair picks) — no driver-side scalar extraction
+        def tokensOf(df: DataFrame): DataFrame =
+          df.agg(sum(size(split(trim(col("t")), " "))).cast("long")
+            .as("tokens_after"))
+        val r0 = t(s, d, "documents")
+          .select(col("doc_id"),
+            concat(lit(" "), col("text"), lit(" ")).as("t"))
+        val p1 = pairsOf(r0, "^[a-z]+$")
+        val r1 = applyMerge(r0, p1)
+        val p2 = pairsOf(r1, "^[a-z_]+$")
+        val r2 = applyMerge(r1, p2)
+        val row1 = p1.crossJoin(tokensOf(r1))
+          .select(lit(1).as("round"), col("pat").as("merged"),
+            col("cnt").as("pair_count"), col("tokens_after"))
+        val row2 = p2.crossJoin(tokensOf(r2))
+          .select(lit(2).as("round"), col("pat").as("merged"),
+            col("cnt").as("pair_count"), col("tokens_after"))
+        row1.union(row2).orderBy("round")
+      },
+      Some("""
+        WITH r0 AS (SELECT doc_id, ' ' || text || ' ' AS t FROM documents),
+        p1 AS (
+          SELECT a || ' ' || b AS pat, a || '_' || b AS rep, COUNT(*) AS cnt
+          FROM (
+            SELECT doc_id, w AS a,
+              LEAD(w) OVER (PARTITION BY doc_id ORDER BY i) AS b
+            FROM (SELECT doc_id, UNNEST(STRING_SPLIT(TRIM(t), ' ')) AS w,
+                    UNNEST(RANGE(1, LEN(STRING_SPLIT(TRIM(t), ' ')) + 1)) AS i
+                  FROM r0))
+          WHERE b IS NOT NULL AND REGEXP_MATCHES(a, '^[a-z]+$')
+            AND REGEXP_MATCHES(b, '^[a-z]+$')
+          GROUP BY 1, 2 ORDER BY cnt DESC, pat LIMIT 1),
+        r1 AS (
+          SELECT doc_id,
+            REGEXP_REPLACE(t, ' ' || pat || ' ', ' ' || rep || ' ', 'g') AS t
+          FROM r0 CROSS JOIN p1),
+        p2 AS (
+          SELECT a || ' ' || b AS pat, a || '_' || b AS rep, COUNT(*) AS cnt
+          FROM (
+            SELECT doc_id, w AS a,
+              LEAD(w) OVER (PARTITION BY doc_id ORDER BY i) AS b
+            FROM (SELECT doc_id, UNNEST(STRING_SPLIT(TRIM(t), ' ')) AS w,
+                    UNNEST(RANGE(1, LEN(STRING_SPLIT(TRIM(t), ' ')) + 1)) AS i
+                  FROM r1))
+          WHERE b IS NOT NULL AND REGEXP_MATCHES(a, '^[a-z_]+$')
+            AND REGEXP_MATCHES(b, '^[a-z_]+$')
+          GROUP BY 1, 2 ORDER BY cnt DESC, pat LIMIT 1),
+        r2 AS (
+          SELECT doc_id,
+            REGEXP_REPLACE(t, ' ' || pat || ' ', ' ' || rep || ' ', 'g') AS t
+          FROM r1 CROSS JOIN p2)
+        SELECT 1 AS round, (SELECT pat FROM p1) AS merged,
+          (SELECT cnt FROM p1) AS pair_count,
+          (SELECT CAST(SUM(LEN(STRING_SPLIT(TRIM(t), ' '))) AS BIGINT)
+           FROM r1) AS tokens_after
+        UNION ALL
+        SELECT 2, (SELECT pat FROM p2), (SELECT cnt FROM p2),
+          (SELECT CAST(SUM(LEN(STRING_SPLIT(TRIM(t), ' '))) AS BIGINT)
+           FROM r2)
+        ORDER BY round"""))
   )
 }

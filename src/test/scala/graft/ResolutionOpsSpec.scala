@@ -347,6 +347,24 @@ class ResolutionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q202: each merge round shrinks the corpus by its pair count bound") {
+    val rows = Catalog.byName("q202_bpe_merge_rounds").run(spark, d)
+      .orderBy("round").collect()
+    assert(rows.map(_.getAs[Int]("round")).toSeq === Seq(1, 2))
+    val baseTokens = graft.tables.Tables.load(spark, d, "documents")
+      .agg(sum(size(split(col("text"), " ")))).head().getLong(0)
+    val Array(r1, r2) = rows
+    // merging k non-overlapping occurrences removes exactly k tokens;
+    // overlaps can only make the realized shrink smaller
+    assert(r1.getAs[Long]("tokens_after") >=
+      baseTokens - r1.getAs[Long]("pair_count"))
+    assert(r1.getAs[Long]("tokens_after") < baseTokens,
+      "round 1 must merge something")
+    assert(r2.getAs[Long]("tokens_after") < r1.getAs[Long]("tokens_after"),
+      "round 2 must merge something on the rewritten corpus")
+    assert(r1.getAs[String]("merged").contains(" "))
+  }
+
   test("q188: epoch profiles partition the stream; flags match their counts") {
     val rows = Catalog.byName("q188_snapshot_drift").run(spark, d).collect()
     val totals = graft.tables.Tables.load(spark, d, "events")
