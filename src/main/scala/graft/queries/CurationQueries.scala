@@ -625,7 +625,13 @@ object CurationQueries {
           .select(col("doc_id"),
             concat(lit(" "), col("text"), lit(" ")).as("t"))
         val p1 = pairsOf(r0, "^[a-z]+$")
-        val r1 = applyMerge(r0, p1)
+        // the round-1 rewrite feeds three consumers (round-2 pair
+        // stats, the round-2 rewrite, its own token count) and is an
+        // expensive derivation (corpus-wide regexp rewrite), so it is
+        // cached per the q128 convention — this is what makes "one
+        // corpus pass per round" a contract rather than a hope (the
+        // uncached plan re-ran the rewrite per consumer; PlanAudit)
+        val r1 = applyMerge(r0, p1).cache()
         val p2 = pairsOf(r1, "^[a-z_]+$")
         val r2 = applyMerge(r1, p2)
         val row1 = p1.crossJoin(tokensOf(r1))

@@ -45,7 +45,10 @@ object PlanAudit {
       "q191_linear_attribution", // binned as-of probe, residual bound
       "q193_degree_histogram", // agg-only, bit-length buckets
       "q194_feature_hashing", // vocabulary-free featurizer, zero joins
-      "q196_minhash_eval") // band + gram equi joins, no all-pairs
+      "q196_minhash_eval", // band + gram equi joins, no all-pairs
+      "q199_twap", // join-free hour clipping, type-partitioned lead
+      "q201_correlation_matrix", // hour self-join over the resample
+      "q202_bpe_merge_rounds") // per-round dictionary agg + one rewrite scan
     interesting.foreach { name =>
       val df = graft.queries.Catalog.byName(name).run(spark, d)
       // drive THIS df's own query execution to completion (count() would
