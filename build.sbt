@@ -34,7 +34,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 240 MB JIT code cache; when it fills the JVM silently stops
   // JIT-compiling and interpreted execution inflates CPU-bound queries
   // 5-10× late in a run (measured: the full bench fell 85 s → 60 s
-  // with this flag). Production Spark drivers/executors size this the
-  // same way.
-  "-XX:ReservedCodeCacheSize=512m",
+  // with 512m at ~110 queries; at 200 queries the r10 driver bench
+  // showed the same exhaustion pattern against 512m, so 1g + the
+  // sharded bench protocol in Bench.scala). Production Spark
+  // drivers/executors size this the same way.
+  "-XX:ReservedCodeCacheSize=1g",
 )

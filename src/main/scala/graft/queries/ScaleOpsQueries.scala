@@ -512,10 +512,11 @@ object ScaleOpsQueries {
         val hil = hilbertSteps.foldLeft(base) { case (df, (name, e)) =>
           df.withColumn(name, expr(e))
         }
-        hil
-          .withColumn("bucket",
-            ntile(16).over(Window.orderBy(col("d8"), col("event_id")))
-              .cast("long")) // DuckDB NTILE is BIGINT — match it
+        // CDF-device bucket cuts (see q107): d8 is 16-bit, so the only
+        // global window runs over a ≤65536-row frequency frame — never
+        // the fact rows (the round-10 `weak` flag on this query).
+        graft.ops.Relational
+          .ntileByCdf(hil, col("d8"), col("event_id"), 16)
           .groupBy("bucket")
           .agg(count(lit(1)).as("n"),
             min(col("x0")).as("u_min"), max(col("x0")).as("u_max"),

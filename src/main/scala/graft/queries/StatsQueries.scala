@@ -768,8 +768,15 @@ object StatsQueries {
           .select(col("decile"), col("n_docs"), col("positives"),
             round(col("positives").cast("double") / col("n_docs"), 6)
               .as("rate"),
-            round((col("positives").cast("double") / col("n_docs"))
-              / (col("pos").cast("double") / col("n")), 6).as("lift"),
+            // zero-positive guard (ADVICE r10): a slice with no 'en'
+            // docs makes the base rate 0 — Spark would emit
+            // Infinity/NaN while DuckDB's division diverges, a
+            // data-dependent gate break. NULL lift is the graceful
+            // degenerate row, mirrored by the oracle CASE.
+            when(col("pos") > 0,
+              round((col("positives").cast("double") / col("n_docs"))
+                / (col("pos").cast("double") / col("n")), 6))
+              .otherwise(lit(null).cast("double")).as("lift"),
             (col("positives") * col("n") > col("n_docs") * col("pos"))
               .as("above_base"))
           .orderBy("decile")
@@ -791,8 +798,10 @@ object StatsQueries {
             AS positives,
           ROUND(CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
             / COUNT(*), 6) AS rate,
-          ROUND((CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
-            / COUNT(*)) / (CAST(MAX(pos) AS DOUBLE) / MAX(n)), 6) AS lift,
+          CASE WHEN MAX(pos) > 0 THEN
+            ROUND((CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+              / COUNT(*)) / (CAST(MAX(pos) AS DOUBLE) / MAX(n)), 6)
+          ELSE NULL END AS lift,
           (SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * MAX(n))
             > (COUNT(*) * MAX(pos)) AS above_base
         FROM dec GROUP BY 1 ORDER BY 1""")),
@@ -881,9 +890,18 @@ object StatsQueries {
           .join(hourly.select(col("event_type").as("tb"),
             col("h"), col("v").as("y")), "h")
           .filter(col("ta") < col("tb"))
+        // Overflow guard (ADVICE r10): decimal(18,6) holds |v| < 1e12;
+        // beyond that Spark's non-ANSI cast yields NULL and the
+        // correlation would silently null out where DuckDB errors
+        // loudly. Fail loudly like the oracle instead — the guard rides
+        // inside the used aggregate so column pruning can't drop it.
+        def guarded(a: String) =
+          when(abs(col(a)) < lit(1e12), col(a).cast("decimal(18,6)"))
+            .otherwise(raise_error(
+              lit("q201: hourly sum exceeds decimal(18,6) range"))
+              .cast("decimal(18,6)"))
         def m2(a: String, b: String) =
-          sum(col(a).cast("decimal(18,6)") * col(b).cast("decimal(18,6)"))
-            .cast("string").cast("double")
+          sum(guarded(a) * guarded(b)).cast("string").cast("double")
         val mom = pairs.groupBy("ta", "tb")
           .agg(count(lit(1)).as("n"),
             decSum(col("x")).as("sx"), decSum(col("y")).as("sy"),

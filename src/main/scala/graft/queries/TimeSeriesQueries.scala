@@ -287,11 +287,16 @@ object TimeSeriesQueries {
     Q("q182_interval_coverage",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
+        // Duration clamp (ADVICE r10): value < -6 would invert the
+        // interval (e < s) and produce negative covered seconds that
+        // the brute-force spec (same formula) could never catch —
+        // greatest(0, dur) keeps every interval well-formed, mirrored
+        // in the oracle.
         val iv = t(s, d, "events").select(
           col("user_id"),
           unix_timestamp(col("ts")).as("s"),
-          (unix_timestamp(col("ts")) + lit(60L) +
-            floor(col("value") * 10).cast("long")).as("e"),
+          (unix_timestamp(col("ts")) + greatest(lit(0L), lit(60L) +
+            floor(col("value") * 10).cast("long"))).as("e"),
           col("event_id"))
         val ord = Window.partitionBy("user_id")
           .orderBy("s", "e", "event_id")
@@ -315,8 +320,8 @@ object TimeSeriesQueries {
         WITH iv AS (
           SELECT user_id,
             CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS s,
-            CAST(FLOOR(EPOCH(ts)) AS BIGINT) + 60
-              + CAST(FLOOR(value * 10) AS BIGINT) AS e,
+            CAST(FLOOR(EPOCH(ts)) AS BIGINT) + GREATEST(0, 60
+              + CAST(FLOOR(value * 10) AS BIGINT)) AS e,
             event_id
           FROM events),
         marked AS (

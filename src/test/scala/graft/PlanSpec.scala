@@ -640,8 +640,16 @@ class PlanSpec extends AnyFunSuite {
     val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(hashEx <= 3,
       s"replica sums + CI collect + point stats, got $hashEx exchanges")
-    assert(p.contains("partial_sum") || p.contains("partial_"),
-      "lane weights must combine map-side before the shuffle")
+    // pin the SHAPE, not the vocabulary (ADVICE r10: every hash-agg
+    // plan contains "partial_" somewhere): the tree prints parents
+    // above children, so the segment after the LOWEST exchange is the
+    // scan-side branch — the lane-weight partial aggregate must sit
+    // there, i.e. map-side combine happens before the first shuffle
+    // off the events scan, not after some later exchange.
+    val belowLowestExchange = p.substring(p.lastIndexOf("Exchange"))
+    assert(belowLowestExchange.contains("partial_sum"),
+      "lane weights must partial-aggregate below the lowest exchange " +
+        "(map-side combine on the scan branch)")
     assert(!p.contains("CartesianProduct"))
   }
 
@@ -661,9 +669,16 @@ class PlanSpec extends AnyFunSuite {
       "candidates must reduce to k per map task before shuffling")
   }
 
-  test("q167: Hilbert index is pure projection — no join in the plan") {
+  test("q167: Hilbert index is row-local; bucketing joins only the CDF frames") {
     val p = plan("q167_hilbert_layout")
-    assert(!p.contains("Join"), "the unrolled curve is row-local arithmetic")
+    // the unrolled curve itself is row-local arithmetic; the CDF-device
+    // bucketing (round 11, de-weaking the global ntile sort) adds
+    // exactly two bounded joins — the below-count equi join on the
+    // ≤65536-key frequency frame and the broadcast cross of the 1-row
+    // total — and nothing else
+    assert(!p.contains("CartesianProduct"))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      "only the 1-row total frame may ride a nested-loop cross")
   }
 
   test("q171: PMI pair generation is an equi join on doc_id, not doc×doc") {
@@ -722,8 +737,13 @@ class PlanSpec extends AnyFunSuite {
   test("q186: rendezvous routing has no join — row-local argmax only") {
     val p = plan("q186_rendezvous_shard")
     assert(!p.contains("Join"), "HRW hashing is coordination-free")
-    assert(p.contains("partial_count") || p.contains("partial_"),
-      "shard stats must combine map-side")
+    // same shape pin as q158: the partial aggregate must sit BELOW the
+    // lowest exchange (the scan-side branch), proving shard stats
+    // combine map-side before any shuffle — "contains partial_"
+    // anywhere is vacuously true of every hash-agg plan.
+    val belowLowestExchange = p.substring(p.lastIndexOf("Exchange"))
+    assert(belowLowestExchange.contains("partial_count"),
+      "shard stats must partial-aggregate below the lowest exchange")
   }
 
   test("q188: drift profile is one pass — the epoch split is a grouping key") {
@@ -794,5 +814,53 @@ class PlanSpec extends AnyFunSuite {
       .getOrElse(fail("no lineitem scan found"))
     assert(!scan.contains("l_comment") && !scan.contains("l_shipdate"),
       s"unneeded columns read: $scan")
+  }
+
+  /** A WindowExec with an empty partitionSpec moves EVERY input row to
+    * one partition — fatal if the input is fact-sized, fine if the
+    * frame was already bounded by an aggregation or a limit below it.
+    * `true` = every leafward path from `n` hits an aggregate/limit
+    * before reaching a file scan. */
+  private def boundedBelow(n: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+    val cls = n.getClass.getSimpleName
+    if (cls.contains("Aggregate") || cls.contains("Limit") ||
+        cls.contains("TakeOrdered") || cls.contains("LocalTableScan")) true
+    else if (cls.contains("FileSourceScan") || cls.contains("BatchScan") ||
+             cls.contains("RowDataSourceScan")) false
+    else if (n.children.isEmpty) true
+    else n.children.forall(boundedBelow)
+  }
+
+  test("suite-wide: no single-partition WindowExec over a fact-sized frame") {
+    // the round-10 q107/q167 lesson as a standing guard: a global-order
+    // window is only admissible above a frame some aggregation or limit
+    // has already bounded (the CDF device's frequency frame, a top-k's
+    // limited frame) — NEVER directly over a scanned fact table.
+    // Streaming queries are excluded (their run() executes streams and
+    // their result frame is a sink read-back, not the streaming plan).
+    import org.apache.spark.sql.execution.window.WindowExec
+    val streaming = Bench.streamingNames
+    val offenders = Catalog.all
+      .filterNot(q => streaming(q.name))
+      .flatMap { q =>
+        val sp = q.run(spark, d).queryExecution.sparkPlan
+        val bad = sp.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty && !boundedBelow(w.child) => w
+        }
+        if (bad.nonEmpty) Some(q.name) else None
+      }
+    assert(offenders.isEmpty,
+      s"single-partition WindowExec over an unbounded frame in: $offenders")
+  }
+
+  test("q107/q167: the only global window runs over the CDF frequency frame") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (q <- Seq("q107_zorder_layout", "q167_hilbert_layout")) {
+      val sp = Catalog.byName(q).run(spark, d).queryExecution.sparkPlan
+      val globals = sp.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      assert(globals.size === 1, s"$q: expected exactly the CDF running sum")
+      assert(boundedBelow(globals.head.child),
+        s"$q: the global window must sit above the |distinct key| aggregate")
+    }
   }
 }
