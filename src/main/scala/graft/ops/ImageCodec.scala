@@ -1,0 +1,196 @@
+package graft.ops
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+/** Pure-JVM image codecs for the multimodal surface (SURVEY.md §7.6).
+  *
+  * Two REAL codecs, no native deps:
+  *  - BMP (24-bit BI_RGB): hand-rolled BITMAPFILEHEADER/BITMAPINFOHEADER
+  *    writer and parser — every field read from the actual little-endian
+  *    byte layout, including bottom-up row order and 4-byte row padding.
+  *  - PNG: the JDK's built-in `javax.imageio` codec (real DEFLATE
+  *    compression, lossless 24-bit round trip) — present in every full
+  *    JDK, headless-safe.
+  *
+  * The reference treats media as opaque blobs next to typed metadata
+  * (zeta-etl stores payload pointers, never decodes in-pipeline); here
+  * the decode IS in-pipeline, which is the training-data-curation shape:
+  * width/height/channel stats, pixel sums, corrupt-payload detection.
+  *
+  * Decoded pixel content is exposed in LOGICAL order — row-major,
+  * top-down, R,G,B per pixel — regardless of the container's storage
+  * order, so payload stats are format-independent (a BMP and a PNG of
+  * the same image produce identical pixel stats).
+  */
+object ImageCodec {
+
+  /** Parsed image: logical-order pixel channels (row-major top-down,
+    * RGB interleaved). */
+  final case class Decoded(format: String, width: Int, height: Int,
+                           channels: Array[Byte])
+
+  // ---- deterministic test-content generator --------------------------
+
+  /** The i-th logical channel byte of seed's synthetic image:
+    * `(seed*7 + i*13) mod 256`. Deliberately closed-form in 64-bit-safe
+    * arithmetic so a SQL oracle can reproduce pixel sums/histograms with
+    * GENERATE_SERIES — the gate then verifies the full
+    * encode → parquet → decode round trip, not just the happy path. */
+  def contentByte(seed: Long, i: Long): Int =
+    (((seed % 256) * 7 + (i % 256) * 13) % 256).toInt
+
+  /** Synthetic logical-content array for (seed, w, h). */
+  def content(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < out.length) { out(i) = contentByte(seed, i).toByte; i += 1 }
+    out
+  }
+
+  // ---- BMP ------------------------------------------------------------
+
+  private def putIntLE(a: Array[Byte], off: Int, v: Int): Unit = {
+    a(off) = v.toByte; a(off + 1) = (v >>> 8).toByte
+    a(off + 2) = (v >>> 16).toByte; a(off + 3) = (v >>> 24).toByte
+  }
+  private def putShortLE(a: Array[Byte], off: Int, v: Int): Unit = {
+    a(off) = v.toByte; a(off + 1) = (v >>> 8).toByte
+  }
+  private def getIntLE(a: Array[Byte], off: Int): Int =
+    (a(off) & 0xFF) | ((a(off + 1) & 0xFF) << 8) |
+      ((a(off + 2) & 0xFF) << 16) | ((a(off + 3) & 0xFF) << 24)
+  private def getShortLE(a: Array[Byte], off: Int): Int =
+    (a(off) & 0xFF) | ((a(off + 1) & 0xFF) << 8)
+
+  /** Row stride of a 24bpp BMP: 3 bytes/pixel rounded up to 4. */
+  def bmpRowSize(w: Int): Int = ((3 * w + 3) / 4) * 4
+
+  /** Total file size of a 24bpp BI_RGB BMP — the closed form the oracle
+    * mirrors: `54 + ((3w+3)//4)*4 * h`. */
+  def bmpFileSize(w: Int, h: Int): Int = 54 + bmpRowSize(w) * h
+
+  /** Encode logical RGB content as a real 24-bit BMP (bottom-up rows,
+    * padded, full headers). */
+  def encodeBmp(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3, "content must be w*h*3 channel bytes")
+    val rowSize = bmpRowSize(w)
+    val fileSize = bmpFileSize(w, h)
+    val out = new Array[Byte](fileSize)
+    out(0) = 'B'; out(1) = 'M'
+    putIntLE(out, 2, fileSize)
+    putIntLE(out, 10, 54) // pixel data offset
+    putIntLE(out, 14, 40) // BITMAPINFOHEADER size
+    putIntLE(out, 18, w)
+    putIntLE(out, 22, h) // positive height = bottom-up storage
+    putShortLE(out, 26, 1) // planes
+    putShortLE(out, 28, 24) // bits per pixel
+    putIntLE(out, 30, 0) // BI_RGB, uncompressed
+    putIntLE(out, 34, rowSize * h)
+    putIntLE(out, 38, 2835); putIntLE(out, 42, 2835) // 72 DPI
+    var y = 0
+    while (y < h) {
+      val srcRow = y // logical top-down row
+      val dstOff = 54 + (h - 1 - y) * rowSize // stored bottom-up
+      var x = 0
+      while (x < w) {
+        val p = (srcRow * w + x) * 3
+        out(dstOff + x * 3) = rgb(p + 2) // B
+        out(dstOff + x * 3 + 1) = rgb(p + 1) // G
+        out(dstOff + x * 3 + 2) = rgb(p) // R
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Parse a 24-bit BI_RGB BMP back to logical-order content. Returns
+    * None for anything that is not a well-formed payload this parser
+    * understands (truncated, wrong magic, compressed, non-24bpp) — the
+    * corrupt-payload path is a first-class outcome, not an exception. */
+  def decodeBmp(bytes: Array[Byte]): Option[Decoded] = {
+    if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+    val dataOff = getIntLE(bytes, 10)
+    val w = getIntLE(bytes, 18)
+    val h = getIntLE(bytes, 22)
+    val bpp = getShortLE(bytes, 28)
+    val compression = getIntLE(bytes, 30)
+    if (w <= 0 || h <= 0 || bpp != 24 || compression != 0) return None
+    val rowSize = bmpRowSize(w)
+    if (bytes.length < dataOff + rowSize * h) return None
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val srcOff = dataOff + (h - 1 - y) * rowSize
+      var x = 0
+      while (x < w) {
+        val p = (y * w + x) * 3
+        rgb(p) = bytes(srcOff + x * 3 + 2) // R
+        rgb(p + 1) = bytes(srcOff + x * 3 + 1) // G
+        rgb(p + 2) = bytes(srcOff + x * 3) // B
+        x += 1
+      }
+      y += 1
+    }
+    Some(Decoded("bmp", w, h, rgb))
+  }
+
+  // ---- PNG (JDK ImageIO) ---------------------------------------------
+
+  /** Encode logical RGB content as a PNG via the JDK codec (real
+    * DEFLATE; byte-for-byte output may vary by JDK build, but the
+    * DECODED pixels are exact — round-trip stats are the contract). */
+  def encodePng(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3, "content must be w*h*3 channel bytes")
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = (y * w + x) * 3
+        img.setRGB(x, y, ((rgb(p) & 0xFF) << 16) |
+          ((rgb(p + 1) & 0xFF) << 8) | (rgb(p + 2) & 0xFF))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private val PNG_MAGIC = Array[Byte](0x89.toByte, 'P', 'N', 'G')
+
+  /** Decode a PNG payload via the JDK codec; None on malformed input. */
+  def decodePng(bytes: Array[Byte]): Option[Decoded] = {
+    if (bytes.length < 8 ||
+      !PNG_MAGIC.indices.forall(i => bytes(i) == PNG_MAGIC(i))) return None
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) return None
+    val w = img.getWidth; val h = img.getHeight
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val px = img.getRGB(x, y)
+        val p = (y * w + x) * 3
+        rgb(p) = ((px >>> 16) & 0xFF).toByte
+        rgb(p + 1) = ((px >>> 8) & 0xFF).toByte
+        rgb(p + 2) = (px & 0xFF).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Some(Decoded("png", w, h, rgb))
+  }
+
+  /** Magic-byte dispatch: BMP, PNG, or None for unrecognized payloads. */
+  def decode(bytes: Array[Byte]): Option[Decoded] =
+    if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
+    else decodePng(bytes)
+}

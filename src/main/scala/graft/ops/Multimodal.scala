@@ -9,12 +9,113 @@ import org.apache.spark.sql.types._
   * `mapInPandas`, where a decoder amortizes its (expensive) setup once
   * per partition and streams through the rows.
   *
-  * The actual decode (image/audio libs are not in this container) is
-  * STUBBED as a deterministic feature extractor; the Spark-side contract
-  * — schema, batch shape, partition-level setup, feature vector column —
-  * is real and tested.
+  * Since round 11 the decode is REAL: [[ImageCodec]] parses actual BMP
+  * headers byte-by-byte and drives the JDK's built-in PNG codec — no
+  * native deps, verified end-to-end by the q203–q205 oracles and the
+  * MB-payload OpsScaleSpec cases. [[stubDecoder]] remains only as the
+  * stand-in for model-embedding extraction (no inference runtime in
+  * this container), clearly marked where used.
   */
 object Multimodal {
+
+  /** Output schema of [[decodeImageMeta]]: scalar metadata + pixel
+    * stats per payload. `ok=false` rows are unparseable payloads — a
+    * first-class outcome (corrupt-blob detection is half the point of
+    * running decoders in a curation pipeline), with null metadata. */
+  val imageMetaSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("ok", BooleanType, nullable = false),
+    StructField("format", StringType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("pixel_sum", LongType, nullable = true)))
+
+  /** Real per-partition image decode over a binary column: BMP headers
+    * parsed field-by-field, PNG via the JDK codec (see [[ImageCodec]]).
+    * One streaming pass per partition — no payload is ever held beyond
+    * its own row, so executor memory is bounded by the largest single
+    * payload, not the partition (use [[batchedDecode]] when a
+    * vectorized decoder needs size-budgeted batches).
+    */
+  def decodeImageMeta(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val input = df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+    input.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        ImageCodec.decode(bytes) match {
+          case Some(dec) =>
+            var s = 0L
+            var i = 0
+            while (i < dec.channels.length) { s += dec.channels(i) & 0xFF; i += 1 }
+            Row(r.getLong(0), bytes.length, true, dec.format,
+              dec.width, dec.height, s)
+          case None =>
+            Row(r.getLong(0), bytes.length, false, null, null, null, null)
+        }
+      }
+    }(Encoders.row(imageMetaSchema))
+  }
+
+  /** Size-budgeted batched decode: rows are grouped into batches whose
+    * summed payload bytes never exceed `budgetBytes` (a single payload
+    * larger than the budget forms its own batch — it must be decodable
+    * to be processed at all), and `decodeBatch` sees one batch at a
+    * time. This is the per-partition memory contract a vectorized
+    * decoder (GPU image batch, audio frontend) needs: peak buffered
+    * payload bytes ≤ max(budget, largest single payload), regardless of
+    * partition size. The emitted `batch_seq` is the batch ordinal
+    * within the partition, so tests can audit the bound from the
+    * output alone.
+    */
+  def batchedDecode(df: DataFrame, idCol: String, binCol: String,
+                    budgetBytes: Long)(
+      decodeBatch: Seq[Array[Byte]] => Seq[Array[Float]]): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("n_bytes", IntegerType, nullable = false),
+      StructField("batch_seq", IntegerType, nullable = false),
+      StructField("features", ArrayType(FloatType, containsNull = false),
+        nullable = true)))
+    val input = df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+    input.mapPartitions { rows =>
+      val buf = rows.buffered
+      var batchSeq = -1
+      new Iterator[Row] {
+        private var out: Iterator[Row] = Iterator.empty
+        private def fill(): Unit = {
+          if (!buf.hasNext) return
+          val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+          val payloads = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+          var bytes = 0L
+          // peek the next payload's size BEFORE taking it: the batch
+          // closes when adding the row would cross the budget, so
+          // "sum ≤ budget OR the batch is a single over-budget row"
+          // holds as a strict invariant
+          var more = true
+          while (more && buf.hasNext) {
+            val next = buf.head.getAs[Array[Byte]](1)
+            if (payloads.nonEmpty && bytes + next.length > budgetBytes)
+              more = false
+            else {
+              val r = buf.next()
+              ids += r.getLong(0)
+              payloads += next
+              bytes += next.length
+            }
+          }
+          batchSeq += 1
+          val feats = decodeBatch(payloads.toSeq)
+          out = ids.indices.iterator.map { i =>
+            Row(ids(i), payloads(i).length, batchSeq,
+              if (i < feats.length) feats(i).toSeq else null)
+          }
+        }
+        def hasNext: Boolean = { if (!out.hasNext) fill(); out.hasNext }
+        def next(): Row = { if (!out.hasNext) fill(); out.next() }
+      }
+    }(Encoders.row(schema))
+  }
 
   /** Output schema of [[extractFeatures]]: id + payload metadata + a
     * fixed-dim float feature vector. */

