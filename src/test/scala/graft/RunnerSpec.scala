@@ -4,7 +4,7 @@ import java.nio.file.Files
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.graph.{Mode, Registry, Runner, TableDef, WriteMode}
+import graft.graph.{ManifestStore, Mode, Registry, Runner, TableDef, WriteMode}
 import graft.pipelines.EventsPipeline
 
 /** Streaming-vs-batch equivalence of the whole medallion DAG: the same
@@ -106,20 +106,29 @@ class RunnerSpec extends AnyFunSuite {
         writeMode = WriteMode.Upsert(Seq("k"), "seq")))
       r
     }
-    def filesOf(bucket: Int): Set[String] = {
-      val dir = java.nio.file.Path.of(s"$out/latest/bucket=$bucket")
-      val s = Files.list(dir)
-      try s.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.endsWith(".parquet")).toSet
-      finally s.close()
-    }
+    // manifest layout (round 11): the table's files live under committed
+    // generation dirs; "untouched" is now provable from the manifest
+    // itself (the entry still points into the OLD generation) AND from
+    // the physical file listing of that directory
+    def fsOf = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(sp.sessionState.newHadoopConf())
+    def entryOf(bucket: Int): String =
+      ManifestStore.readManifest(fsOf, s"$out/latest").get
+        .entries(s"bucket=$bucket")
+    def filesOf(entry: String): Set[String] =
+      fsOf.listStatus(new org.apache.hadoop.fs.Path(s"$out/latest/$entry"))
+        .map(_.getPath.getName).filter(_.endsWith(".parquet")).toSet
     Runner.runBatch(reg(Seq((1L, 1L, "a"), (2L, 1L, "b"), (4L, 1L, "d"))), out)
-    val evenFilesBefore = filesOf(0)
+    val evenEntryBefore = entryOf(0)
+    val evenFilesBefore = filesOf(evenEntryBefore)
     // second batch touches only odd keys → only bucket=1 rewrites
     Runner.runBatch(reg(Seq((1L, 5L, "A"), (3L, 1L, "c"))), out)
-    assert(filesOf(0) === evenFilesBefore,
-      "bucket=0 was not in the batch — its files must be untouched")
-    val got = sp.read.parquet(s"$out/latest")
+    assert(entryOf(0) === evenEntryBefore,
+      "bucket=0 was not in the batch — it must carry forward by reference")
+    assert(filesOf(evenEntryBefore) === evenFilesBefore,
+      "bucket=0's physical files must be untouched")
+    assert(entryOf(1) !== evenEntryBefore.replace("bucket=0", "bucket=1"))
+    val got = ManifestStore.read(sp, s"$out/latest")
       .select("k", "v").as[(Long, String)].collect().toSet
     assert(got === Set(1L -> "A", 2L -> "b", 3L -> "c", 4L -> "d"))
   }
@@ -171,19 +180,20 @@ class RunnerSpec extends AnyFunSuite {
 
   // Pruned rewrite + schema evolution: a batch missing a column that
   // exists on disk must not erase that column from untouched keys in the
-  // partitions it rewrites.
+  // partitions it rewrites. (Partitioned upserts publish through the
+  // manifest store since round 11 — readers resolve the manifest.)
   test("pruned upsert keeps on-disk columns absent from the batch") {
     val sp = spark
     import sp.implicits._
     val out = Files.createTempDirectory("runner_upsert_evo").toString
     val path = s"$out/latest"
-    Runner.upsertParquetPruned(path, Seq("k"), "seq", Nil, Seq("bucket"))(
+    ManifestStore.upsert(path, Seq("k"), "seq", Nil, Seq("bucket"))(
       Seq((1L, 1L, "a", "x1", 0), (3L, 1L, "c", "x3", 0))
         .toDF("k", "seq", "v", "extra", "bucket"))
     // later producer drops 'extra'; batch touches bucket 0 via key 1 only
-    Runner.upsertParquetPruned(path, Seq("k"), "seq", Nil, Seq("bucket"))(
+    ManifestStore.upsert(path, Seq("k"), "seq", Nil, Seq("bucket"))(
       Seq((1L, 5L, "A", 0)).toDF("k", "seq", "v", "bucket"))
-    val rows = sp.read.parquet(path)
+    val rows = ManifestStore.read(sp, path)
       .select("k", "v", "extra").collect()
       .map(r => r.getLong(0) -> (r.getString(1),
         if (r.isNullAt(2)) null else r.getString(2))).toMap

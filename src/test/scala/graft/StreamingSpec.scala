@@ -268,4 +268,91 @@ class StreamingSpec extends AnyFunSuite {
       "run 2 must join the new purchase against the RESTORED click state" +
         " and must not re-emit or reprocess run 1's files")
   }
+
+  // The scheduled-trigger mode (transactions:926 — hourly cluster,
+  // watermark sized to cluster-start lag): two simulated hours, each a
+  // full runScheduled tick. Hour 2's landing includes an event for hour
+  // 1's bucket that is LATE ACROSS THE TRIGGER BOUNDARY but inside the
+  // watermark budget (must land in the old bucket) and one OLDER than
+  // the budget (must be dropped exactly as mid-stream lateness would
+  // be). The final table must equal the watermark-aware batch recompute.
+  test("runScheduled: out-of-order data across trigger boundaries follows the watermark budget") {
+    import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
+    import graft.graph.{Mode, Registry, Runner, TableDef, WriteMode}
+    val sp = spark
+    val staged = JFiles.createTempDirectory("sched_src_").toString
+    val out = JFiles.createTempDirectory("sched_out_").toString
+    var mtime = 1700000000000L
+    def land(rows: Seq[(String, Double)], name: String): Unit = {
+      val tmp = JFiles.createTempDirectory("sched_slice_").toString
+      sp.createDataFrame(rows).toDF("ts0", "value")
+        .select(col("ts0").cast("timestamp").as("ts"), col("value"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = JFiles.list(Paths.get(tmp)).toArray.map(_.toString)
+        .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS")).head
+      val dst = Paths.get(staged, name)
+      JFiles.move(Paths.get(part), dst, StandardCopyOption.REPLACE_EXISTING)
+      mtime += 60000L
+      JFiles.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val ddl = "ts timestamp, value double"
+    val reg = new Registry(sp)
+    reg.source("feed", () => sp.read.schema(ddl).parquet(staged))
+    // window() aggregation, NOT date_trunc: only a window key carries
+    // the event-time watermark metadata that makes Spark DROP rows
+    // older than the budget (a date_trunc key accepts any ancient row
+    // and keeps its state forever — fine for the reference's
+    // always-fresh feeds, wrong for proving budget enforcement). The
+    // drop rule is "window end < watermark".
+    reg.register(TableDef("hourly", Seq("feed"), { case Seq(f) =>
+      f.withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(28,6)")).cast("string")
+            .cast("double").as("s"))
+        .select(col("window.start").as("hour_ts"), col("n"), col("s"))
+    }, mode = Mode.Incremental,
+      // update-mode re-emissions merge by bucket; the running count is
+      // monotone per bucket, so it is the upsert sequence column
+      writeMode = WriteMode.Upsert(Seq("hour_ts"), "n")))
+    val feed = () => sp.readStream.schema(ddl)
+      .option("maxFilesPerTrigger", "1").parquet(staged)
+
+    Runner.runScheduled(sp, reg, Map("feed" -> feed), out, ticks = 2) {
+      case 1 =>
+        land(Seq(("2024-01-01 10:05:00", 1.0), ("2024-01-01 10:45:00", 2.0)),
+          "h10.parquet")
+        land(Seq(("2024-01-01 11:20:00", 4.0)), "h11.parquet")
+        // tick-1 watermark commits at 11:20 − 2h = 09:20
+      case 2 =>
+        // late across the boundary, inside the budget (10:30 ≥ 09:20):
+        // must merge into hour 10's bucket
+        land(Seq(("2024-01-01 10:30:00", 8.0)), "late_ok.parquet")
+        // beyond the budget (hour-window [08:00,09:00) ends before the
+        // 09:20 watermark): dropped, exactly as a mid-stream too-late
+        // row would be
+        land(Seq(("2024-01-01 08:30:00", 100.0)), "late_dropped.parquet")
+        land(Seq(("2024-01-01 12:10:00", 16.0)), "h12.parquet")
+    }
+
+    val got = sp.read.parquet(s"$out/hourly")
+      .select(hour(col("hour_ts")).as("h"), col("n"), col("s")).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got === Map(
+      10 -> (3L, 11.0), // 1 + 2 + the late-but-in-budget 8
+      11 -> (1L, 4.0),
+      12 -> (1L, 16.0)),
+      "hour 10 must absorb the cross-tick late event; 08:30 must be dropped")
+    // watermark-aware batch recompute: same result when the batch side
+    // applies the same lateness rule (keep rows whose hour-window end
+    // exceeds the tick-1 watermark of 09:20 ⇔ ts ≥ 09:00)
+    val batch = sp.read.schema(ddl).parquet(staged)
+      .filter(col("ts") >= lit("2024-01-01 09:00:00"))
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(count(lit(1)).as("n"), sum("value").as("s"))
+      .select(hour(col("hour_ts")).as("h"), col("n"), col("s")).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got === batch, "scheduled streaming ≡ watermark-aware batch")
+  }
 }
