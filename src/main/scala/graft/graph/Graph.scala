@@ -81,6 +81,11 @@ final class Registry(spark: SparkSession) {
 
   def tableNames: Seq[String] = defs.keys.toSeq
 
+  /** Names of registered source feeds (no TableDef) — the other half of
+    * the DAG's vocabulary; CrosswalkSpec audits reference parity over
+    * tableNames ∪ sourceNames. */
+  def sourceNames: Seq[String] = sources.keys.toSeq
+
   /** The registered source loaders — so a runner can carry static
     * (non-streamed) sources into a derived registry: the stream-static
     * pattern, where an incremental table joins a batch dim. */
