@@ -1,0 +1,112 @@
+package graft.ops
+
+/** Pure-JVM WAV/PCM audio codec — the audio leg of the multimodal
+  * surface (SURVEY.md §7.6), same design as [[ImageCodec]]: a REAL
+  * container format written and parsed byte-by-byte (canonical 44-byte
+  * RIFF/WAVE header + 16-bit little-endian PCM mono), with synthetic
+  * sample content chosen closed-form so a SQL oracle can re-derive
+  * every decoded statistic. The parser walks the chunk list properly
+  * (fmt / data discovered by id, unknown chunks skipped by their
+  * declared size), so WAVs from other writers — extra LIST/INFO
+  * chunks — decode too; anything malformed returns None, never throws.
+  */
+object AudioCodec {
+
+  /** Decoded PCM payload: mono 16-bit samples in order. */
+  final case class DecodedAudio(sampleRate: Int, samples: Array[Short])
+
+  /** The i-th synthetic sample for `seed`:
+    * `((seed*11 + i*17) mod 65536) − 32768` — full int16 range, exact
+    * in int64 SQL arithmetic. */
+  def contentSample(seed: Long, i: Long): Int =
+    ((((seed % 65536) * 11 + (i % 65536) * 17) % 65536) - 32768).toInt
+
+  def content(seed: Long, n: Int): Array[Short] = {
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) { out(i) = contentSample(seed, i).toShort; i += 1 }
+    out
+  }
+
+  private def putIntLE(a: Array[Byte], off: Int, v: Int): Unit = {
+    a(off) = v.toByte; a(off + 1) = (v >>> 8).toByte
+    a(off + 2) = (v >>> 16).toByte; a(off + 3) = (v >>> 24).toByte
+  }
+  private def putShortLE(a: Array[Byte], off: Int, v: Int): Unit = {
+    a(off) = v.toByte; a(off + 1) = (v >>> 8).toByte
+  }
+  private def getIntLE(a: Array[Byte], off: Int): Int =
+    (a(off) & 0xFF) | ((a(off + 1) & 0xFF) << 8) |
+      ((a(off + 2) & 0xFF) << 16) | ((a(off + 3) & 0xFF) << 24)
+  private def getShortLE(a: Array[Byte], off: Int): Int =
+    (a(off) & 0xFF) | ((a(off + 1) & 0xFF) << 8)
+
+  private def putTag(a: Array[Byte], off: Int, tag: String): Unit =
+    tag.getBytes("US-ASCII").copyToArray(a, off)
+  private def tagAt(a: Array[Byte], off: Int): String =
+    new String(a, off, 4, "US-ASCII")
+
+  /** Total file size of a canonical mono-16-bit WAV: 44-byte header +
+    * 2 bytes per sample — the closed form the oracle mirrors. */
+  def wavFileSize(nSamples: Int): Int = 44 + 2 * nSamples
+
+  /** Encode mono 16-bit PCM as a canonical RIFF/WAVE file. */
+  def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    putTag(out, 0, "RIFF"); putIntLE(out, 4, 36 + dataLen)
+    putTag(out, 8, "WAVE")
+    putTag(out, 12, "fmt "); putIntLE(out, 16, 16)
+    putShortLE(out, 20, 1) // PCM
+    putShortLE(out, 22, 1) // mono
+    putIntLE(out, 24, sampleRate)
+    putIntLE(out, 28, sampleRate * 2) // byte rate
+    putShortLE(out, 32, 2) // block align
+    putShortLE(out, 34, 16) // bits per sample
+    putTag(out, 36, "data"); putIntLE(out, 40, dataLen)
+    var i = 0
+    while (i < samples.length) {
+      putShortLE(out, 44 + 2 * i, samples(i) & 0xFFFF); i += 1
+    }
+    out
+  }
+
+  /** Parse a WAV payload: RIFF/WAVE magic, then the chunk walk — fmt
+    * must declare PCM mono 16-bit before data is accepted. None for
+    * anything truncated, non-PCM, multi-channel, or with a data chunk
+    * shorter than declared. */
+  def decodeWav(bytes: Array[Byte]): Option[DecodedAudio] = {
+    if (bytes.length < 44 || tagAt(bytes, 0) != "RIFF" ||
+      tagAt(bytes, 8) != "WAVE") return None
+    var off = 12
+    var sampleRate = -1
+    var fmtOk = false
+    while (off + 8 <= bytes.length) {
+      val tag = tagAt(bytes, off)
+      val size = getIntLE(bytes, off + 4)
+      if (size < 0 || off + 8 + size > bytes.length) return None
+      tag match {
+        case "fmt " =>
+          if (size < 16) return None
+          val audioFormat = getShortLE(bytes, off + 8)
+          val channels = getShortLE(bytes, off + 10)
+          val bits = getShortLE(bytes, off + 22)
+          if (audioFormat != 1 || channels != 1 || bits != 16) return None
+          sampleRate = getIntLE(bytes, off + 12)
+          fmtOk = true
+        case "data" =>
+          if (!fmtOk) return None // data before fmt: malformed
+          val n = size / 2
+          val samples = new Array[Short](n)
+          var i = 0
+          while (i < n) {
+            samples(i) = getShortLE(bytes, off + 8 + 2 * i).toShort; i += 1
+          }
+          return Some(DecodedAudio(sampleRate, samples))
+        case _ => () // unknown chunk (LIST, INFO, ...): skip by size
+      }
+      off += 8 + size + (size & 1) // RIFF chunks are 2-byte aligned
+    }
+    None
+  }
+}

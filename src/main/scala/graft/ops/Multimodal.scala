@@ -57,6 +57,89 @@ object Multimodal {
     }(Encoders.row(imageMetaSchema))
   }
 
+  /** Output schema of [[decodeAudioMeta]]: scalar audio metadata +
+    * exact integer sample stats per payload. */
+  val audioMetaSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("ok", BooleanType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("n_samples", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true),
+    StructField("peak_abs", IntegerType, nullable = true),
+    StructField("sum_sq", LongType, nullable = true)))
+
+  /** Real per-partition WAV decode over a binary column: RIFF chunk
+    * walk via [[AudioCodec]], exact integer stats (peak |sample|,
+    * Σ sample² — the energy) so the oracle compares whole numbers,
+    * never float audio features. Same streaming shape as
+    * [[decodeImageMeta]]. */
+  def decodeAudioMeta(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val input = df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+    input.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        AudioCodec.decodeWav(bytes) match {
+          case Some(dec) =>
+            var peak = 0; var sq = 0L
+            var i = 0
+            while (i < dec.samples.length) {
+              val s = dec.samples(i).toInt
+              val a = if (s < 0) -s else s
+              if (a > peak) peak = a
+              sq += s.toLong * s
+              i += 1
+            }
+            Row(r.getLong(0), bytes.length, true, dec.sampleRate,
+              dec.samples.length,
+              dec.samples.length.toLong * 1000L / dec.sampleRate, peak, sq)
+          case None =>
+            Row(r.getLong(0), bytes.length, false, null, null, null, null, null)
+        }
+      }
+    }(Encoders.row(audioMetaSchema))
+  }
+
+  /** Output schema of [[decodeMediaMeta]]: format-dispatched scalar
+    * stats — `content_stat` is the pixel-byte sum for images and the
+    * sample energy Σs² for audio, each exact in int64. */
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("ok", BooleanType, nullable = false),
+    StructField("format", StringType, nullable = true),
+    StructField("content_stat", LongType, nullable = true)))
+
+  /** Mixed-media catalog pass: ONE decoder dispatching on magic bytes
+    * across every format the engine understands (BMP, PNG, WAV) — the
+    * access pattern of a heterogeneous landing zone where a single scan
+    * must classify and summarize whatever producers dropped in. */
+  def decodeMediaMeta(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val input = df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+    input.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val isWav = bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
+          bytes(2) == 'F' && bytes(3) == 'F'
+        if (isWav) AudioCodec.decodeWav(bytes) match {
+          case Some(dec) =>
+            var sq = 0L; var i = 0
+            while (i < dec.samples.length) {
+              val s = dec.samples(i).toLong; sq += s * s; i += 1
+            }
+            Row(r.getLong(0), bytes.length, true, "wav", sq)
+          case None => Row(r.getLong(0), bytes.length, false, null, null)
+        } else ImageCodec.decode(bytes) match {
+          case Some(dec) =>
+            var s = 0L; var i = 0
+            while (i < dec.channels.length) { s += dec.channels(i) & 0xFF; i += 1 }
+            Row(r.getLong(0), bytes.length, true, dec.format, s)
+          case None => Row(r.getLong(0), bytes.length, false, null, null)
+        }
+      }
+    }(Encoders.row(mediaMetaSchema))
+  }
+
   /** Size-budgeted batched decode: rows are grouped into batches whose
     * summed payload bytes never exceed `budgetBytes` (a single payload
     * larger than the budget forms its own batch — it must be decodable

@@ -263,7 +263,18 @@ object Relational {
   def ntileByCdf(df: DataFrame, key: Column, tie: Column, k: Int,
                  bucketName: String = "bucket"): DataFrame = {
     require(k > 0, "ntileByCdf: k must be positive")
-    val keyed = df.withColumn("__k", key)
+    // The repartition on the freshly-computed key is load-bearing twice
+    // over: (1) it MATERIALIZES `key` behind one exchange, so an
+    // expensive key expression (q167's 40-step unrolled Hilbert chain)
+    // is evaluated once in the map stage instead of being re-inlined
+    // into the frequency aggregate, the join keys, and the window sort
+    // — without it the generated code repeats the full chain per
+    // operator and Janino compile time dominates (measured: q167
+    // 22 s → sub-second, the q158 lesson again); (2) the frequency
+    // aggregate, the below-count join, and the within-key window all
+    // consume this same hash partitioning, so the fact frame shuffles
+    // exactly once.
+    val keyed = df.withColumn("__k", key).repartition(col("__k"))
     val freq = keyed.groupBy(col("__k")).agg(count(lit(1)).as("__c"))
     val below = freq
       .withColumn("__below", coalesce(

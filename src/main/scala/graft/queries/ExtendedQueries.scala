@@ -924,6 +924,13 @@ object ExtendedQueries {
           .withColumn("b",
             datediff(to_date(col("ts")), lit("2024-01-01")).cast("long"))
           .withColumn("zval", expr(z))
+          // lineage fence before the CDF join — the q167 lesson (the
+          // join planner substitutes the curve expression through
+          // projects when tracking the key's lineage; materializing
+          // the 4 narrow columns once is what a layout write job does
+          // anyway)
+          .select(col("event_id"), col("a"), col("b"), col("zval"))
+          .localCheckpoint(false)
         graft.ops.Relational
           .ntileByCdf(zed, col("zval"), col("event_id"), 16)
           // ntileByCdf emits BIGINT buckets — same as DuckDB NTILE

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.ops.{ImageCodec, Multimodal}
+import graft.ops.{AudioCodec, ImageCodec, Multimodal}
 import QH._
 
 /** Multimodal columns: opaque binary payloads with typed metadata.
@@ -197,6 +197,103 @@ object MultimodalQueries {
           CAST(SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_corrupt,
           CAST(SUM(n_bytes) AS BIGINT) AS bytes_total,
           CAST(SUM(pixel_sum) AS BIGINT) AS pixel_sum_ok
-        FROM m GROUP BY lang ORDER BY lang"""))
+        FROM m GROUP BY lang ORDER BY lang""")),
+
+    // REAL WAV/PCM ROUND TRIP — the audio leg: canonical RIFF/WAVE
+    // header + 16-bit mono PCM written and chunk-walk-parsed by
+    // graft.ops.AudioCodec, stats all-integer (peak |sample|, energy
+    // Σs², integer-division duration) so the oracle compares whole
+    // numbers. Same two-streaming-pass shape as q203.
+    Q("q206_wav_roundtrip",
+      (s, d) => {
+        val dims = spread(s, col("doc_id"))(t(s, d, "documents").select(
+          col("doc_id").cast("long").as("doc_id"),
+          (lit(8000) + pmod(col("doc_id"), lit(3)).cast("int") * lit(4000))
+            .cast("int").as("rate"),
+          (lit(400) + pmod(col("n_chars"), lit(512))).cast("int").as("n")))
+        val payloads = dims.mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0)
+            Row(id, AudioCodec.encodeWav(r.getInt(1),
+              AudioCodec.content(id, r.getInt(2))))
+          }
+        }(Encoders.row(payloadSchema))
+        Multimodal.decodeAudioMeta(payloads, "doc_id", "payload")
+          .select(col("id").as("doc_id"), col("sample_rate"),
+            col("n_samples"), col("n_bytes"), col("duration_ms"),
+            col("peak_abs"), col("sum_sq"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, 8000 + (doc_id % 3) * 4000 AS rate,
+                          400 + n_chars % 512 AS n FROM documents),
+        sm AS (
+          SELECT d.doc_id,
+            MAX(ABS(((d.doc_id % 65536) * 11 + (i % 65536) * 17) % 65536 - 32768)) AS peak_abs,
+            SUM(((((d.doc_id % 65536) * 11 + (i % 65536) * 17) % 65536 - 32768)) *
+                ((((d.doc_id % 65536) * 11 + (i % 65536) * 17) % 65536 - 32768))) AS sum_sq
+          FROM d, LATERAL (SELECT UNNEST(GENERATE_SERIES(0, d.n - 1)) AS i)
+          GROUP BY d.doc_id)
+        SELECT d.doc_id, CAST(d.rate AS INTEGER) AS sample_rate,
+          CAST(d.n AS INTEGER) AS n_samples,
+          CAST(44 + 2 * d.n AS INTEGER) AS n_bytes,
+          CAST(d.n * 1000 // d.rate AS BIGINT) AS duration_ms,
+          CAST(sm.peak_abs AS INTEGER) AS peak_abs,
+          CAST(sm.sum_sq AS BIGINT) AS sum_sq
+        FROM d JOIN sm USING (doc_id) ORDER BY d.doc_id""")),
+
+    // MIXED-MEDIA CATALOG — the heterogeneous-landing-zone pass: one
+    // scan, one magic-byte-dispatched decoder (BMP / PNG / WAV), one
+    // per-format rollup. `content_stat` is the per-format exact
+    // integer invariant (pixel-byte sum for images, Σs² energy for
+    // audio); a PNG and a BMP of the same logical content contribute
+    // the SAME stat — the format-independence contract, now across
+    // modalities in a single query.
+    Q("q207_media_catalog",
+      (s, d) => {
+        val dims = spread(s, col("doc_id"))(t(s, d, "documents").select(
+          col("doc_id").cast("long").as("doc_id"),
+          (lit(8) + pmod(col("doc_id"), lit(24))).cast("int").as("w"),
+          (lit(8) + pmod(col("n_chars"), lit(16))).cast("int").as("h"),
+          (lit(400) + pmod(col("n_chars"), lit(512))).cast("int").as("n")))
+        val payloads = dims.mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0)
+            val payload = (id % 3) match {
+              case 0 => ImageCodec.encodeBmp(r.getInt(1), r.getInt(2),
+                ImageCodec.content(id, r.getInt(1), r.getInt(2)))
+              case 1 => ImageCodec.encodePng(r.getInt(1), r.getInt(2),
+                ImageCodec.content(id, r.getInt(1), r.getInt(2)))
+              case _ => AudioCodec.encodeWav(8000,
+                AudioCodec.content(id, r.getInt(3)))
+            }
+            Row(id, payload)
+          }
+        }(Encoders.row(payloadSchema))
+        Multimodal.decodeMediaMeta(payloads, "doc_id", "payload")
+          .groupBy("format")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("content_stat")).as("stat_total"))
+          .orderBy("format")
+      },
+      Some("""
+        WITH d AS (SELECT doc_id,
+            CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' ELSE 'wav' END AS fmt,
+            8 + doc_id % 24 AS w, 8 + n_chars % 16 AS h,
+            400 + n_chars % 512 AS n FROM documents),
+        st AS (
+          SELECT d.doc_id, d.fmt,
+            CASE WHEN d.fmt = 'wav' THEN
+              (SELECT SUM((((d.doc_id % 65536) * 11 + (i % 65536) * 17) % 65536 - 32768) *
+                          (((d.doc_id % 65536) * 11 + (i % 65536) * 17) % 65536 - 32768))
+               FROM (SELECT UNNEST(GENERATE_SERIES(0, d.n - 1)) AS i))
+            ELSE
+              (SELECT SUM(((d.doc_id % 256) * 7 + (i % 256) * 13) % 256)
+               FROM (SELECT UNNEST(GENERATE_SERIES(0, 3 * d.w * d.h - 1)) AS i))
+            END AS stat
+          FROM d)
+        SELECT fmt AS format, COUNT(*) AS n_docs,
+          CAST(SUM(stat) AS BIGINT) AS stat_total
+        FROM st GROUP BY fmt ORDER BY fmt"""))
   )
 }

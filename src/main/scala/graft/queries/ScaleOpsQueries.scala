@@ -512,11 +512,23 @@ object ScaleOpsQueries {
         val hil = hilbertSteps.foldLeft(base) { case (df, (name, e)) =>
           df.withColumn(name, expr(e))
         }
+        // Lineage fence (measured, round 11): the CDF device joins on
+        // d8, and join-planning rules (PartitionPruning,
+        // InjectRuntimeFilter) track a join key's lineage by
+        // SUBSTITUTING through projects — the 8-step chain references
+        // each prior column 2–3×, so substitution expands the tree
+        // exponentially and the two rules alone burned 18.6 s of pure
+        // driver planning (0 effective runs). A lazy localCheckpoint
+        // materializes the curve column once — which is also what a
+        // real layout-assignment write job does — and planning drops
+        // to <0.5 s. The fenced frame is 4 narrow columns.
+        val fenced = hil.select(col("event_id"), col("x0"), col("y0"),
+          col("d8")).localCheckpoint(false)
         // CDF-device bucket cuts (see q107): d8 is 16-bit, so the only
         // global window runs over a ≤65536-row frequency frame — never
         // the fact rows (the round-10 `weak` flag on this query).
         graft.ops.Relational
-          .ntileByCdf(hil, col("d8"), col("event_id"), 16)
+          .ntileByCdf(fenced, col("d8"), col("event_id"), 16)
           .groupBy("bucket")
           .agg(count(lit(1)).as("n"),
             min(col("x0")).as("u_min"), max(col("x0")).as("u_max"),

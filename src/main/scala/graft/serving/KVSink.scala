@@ -51,4 +51,40 @@ final class ParquetKVSink(baseDir: String) extends KVSink {
       .write.mode("overwrite")
       .parquet(s"$baseDir/$table")
   }
+
+  /** Spec-driven write — the data plane of [[KVTableSpec]]: validates
+    * the spec against the frame, writes the main table, then
+    * materializes every index as its physical analog. An LSI shares the
+    * table hash key, so it is the SAME partitioning re-sorted by its
+    * range key (DynamoDB's item-collection locality — no data moves
+    * between partitions to maintain it); a GSI has its own hash key, so
+    * it is a full re-partition of the projection-pruned columns (a GSI
+    * is a second table the base writes fan out to — which is why GSIs
+    * carry their own throughput). Index datasets land at
+    * `<table>__lsi_<name>` / `<table>__gsi_<name>`. Returns the
+    * rendered create-table params for the control-plane client. */
+  def writeWithSpec(df: DataFrame, spec: KVTableSpec): String = {
+    val params = spec.createTableParams(df.schema) // validates too
+    write(df, spec.table, spec.hashKey, spec.rangeKey)
+    val all = df.columns.toSeq
+    spec.lsis.foreach { l =>
+      val cols = spec.projectedColumns(Seq(l.rangeKey), l.projection, all)
+      df.select(cols.map(col): _*)
+        .repartition(col(spec.hashKey))
+        .sortWithinPartitions(col(spec.hashKey), col(l.rangeKey))
+        .write.mode("overwrite")
+        .parquet(s"$baseDir/${spec.table}__lsi_${l.indexName}")
+    }
+    spec.gsis.foreach { g =>
+      val cols = spec.projectedColumns(Seq(g.hashKey) ++ g.rangeKey,
+        g.projection, all)
+      val keys = (g.hashKey +: g.rangeKey.toSeq).map(col)
+      df.select(cols.map(col): _*)
+        .repartition(col(g.hashKey))
+        .sortWithinPartitions(keys: _*)
+        .write.mode("overwrite")
+        .parquet(s"$baseDir/${spec.table}__gsi_${g.indexName}")
+    }
+    params
+  }
 }

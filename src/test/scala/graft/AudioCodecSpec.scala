@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.AudioCodec
+
+/** Byte-level contract of the WAV/PCM codec: canonical header layout,
+  * exact round trip, a proper RIFF chunk walk (not offset-44
+  * assumptions), and None-never-throw on malformed payloads. */
+class AudioCodecSpec extends AnyFunSuite {
+
+  test("canonical 44-byte PCM header matches the RIFF layout") {
+    val bytes = AudioCodec.encodeWav(8000, AudioCodec.content(3L, 10))
+    def u16(o: Int) = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+    def u32(o: Int) = u16(o) | (u16(o + 2) << 16)
+    assert(new String(bytes, 0, 4, "US-ASCII") === "RIFF")
+    assert(u32(4) === bytes.length - 8, "RIFF size field")
+    assert(new String(bytes, 8, 4, "US-ASCII") === "WAVE")
+    assert(new String(bytes, 12, 4, "US-ASCII") === "fmt ")
+    assert(u32(16) === 16 && u16(20) === 1 && u16(22) === 1, "PCM mono")
+    assert(u32(24) === 8000 && u32(28) === 16000, "rate / byte rate")
+    assert(u16(32) === 2 && u16(34) === 16, "block align / bits")
+    assert(new String(bytes, 36, 4, "US-ASCII") === "data")
+    assert(u32(40) === 20, "data chunk size = 2 bytes x 10 samples")
+    assert(bytes.length === AudioCodec.wavFileSize(10))
+  }
+
+  test("round trip is sample-exact, including int16 extremes") {
+    for (n <- Seq(1, 2, 255, 1024)) {
+      val content = AudioCodec.content(n * 7L, n)
+      val dec = AudioCodec.decodeWav(AudioCodec.encodeWav(44100, content))
+        .getOrElse(fail(s"decode failed at n=$n"))
+      assert(dec.sampleRate === 44100)
+      assert(dec.samples.toSeq === content.toSeq)
+    }
+    // explicit extremes survive the sign handling
+    val edge = Array[Short](Short.MinValue, Short.MaxValue, 0, -1)
+    val dec = AudioCodec.decodeWav(AudioCodec.encodeWav(8000, edge)).get
+    assert(dec.samples.toSeq === edge.toSeq)
+  }
+
+  test("chunk walk skips unknown chunks a foreign writer inserted") {
+    val base = AudioCodec.encodeWav(8000, AudioCodec.content(5L, 8))
+    // splice a LIST chunk (odd size → tests the 2-byte alignment rule)
+    // between fmt and data
+    val listBody = Array[Byte]('I', 'N', 'F', 'O', 7)
+    val buf = new java.io.ByteArrayOutputStream()
+    buf.write(base, 0, 36) // RIFF..fmt chunk end
+    buf.write("LIST".getBytes("US-ASCII"))
+    buf.write(Array[Byte](listBody.length.toByte, 0, 0, 0))
+    buf.write(listBody)
+    buf.write(0) // alignment pad for the odd-sized chunk
+    buf.write(base, 36, base.length - 36) // data chunk
+    val spliced = buf.toByteArray
+    // fix the RIFF size field
+    val riffSize = spliced.length - 8
+    spliced(4) = riffSize.toByte; spliced(5) = (riffSize >> 8).toByte
+    spliced(6) = (riffSize >> 16).toByte; spliced(7) = (riffSize >> 24).toByte
+    val dec = AudioCodec.decodeWav(spliced)
+      .getOrElse(fail("decoder must skip the LIST chunk"))
+    assert(dec.samples.toSeq === AudioCodec.content(5L, 8).toSeq)
+  }
+
+  test("malformed payloads decode to None, never throw") {
+    val good = AudioCodec.encodeWav(8000, AudioCodec.content(1L, 16))
+    assert(AudioCodec.decodeWav(java.util.Arrays.copyOf(good, 30)).isEmpty,
+      "truncated mid-header")
+    assert(AudioCodec.decodeWav(java.util.Arrays.copyOf(good, 50)).isEmpty,
+      "data chunk shorter than declared")
+    assert(AudioCodec.decodeWav(Array.fill[Byte](16)(0x42)).isEmpty,
+      "not RIFF at all")
+    val stereo = good.clone(); stereo(22) = 2
+    assert(AudioCodec.decodeWav(stereo).isEmpty, "stereo unsupported")
+    val notPcm = good.clone(); notPcm(20) = 3
+    assert(AudioCodec.decodeWav(notPcm).isEmpty, "non-PCM format code")
+    assert(AudioCodec.decodeWav(Array.empty[Byte]).isEmpty, "empty payload")
+  }
+
+  test("contentSample is SQL-mirrorable closed-form arithmetic") {
+    for (seed <- Seq(0L, 1L, 65535L, 65536L, 4999L); i <- Seq(0L, 1L, 65535L, 70000L))
+      assert(AudioCodec.contentSample(seed, i) ===
+        ((((seed % 65536) * 11 + (i % 65536) * 17) % 65536) - 32768).toInt)
+  }
+}

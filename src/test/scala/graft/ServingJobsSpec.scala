@@ -175,4 +175,90 @@ class ServingJobsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("totalVolume") === 455316870.8536678 + 15.0)
     assert(r.getAs[Long]("totalCount") === 200325L)
   }
+
+  // ---- KV control plane (KVTableSpec — zetadex-serving.py:40–175) ----
+
+  test("KVTableSpec renders the reference create-table request shape") {
+    val sp = spark
+    import sp.implicits._
+    import graft.serving.KVTableSpec
+    import graft.serving.KVTableSpec._
+    val df = Seq((1L, 100L, "a", 5L, 1.5))
+      .toDF("id", "timestamp", "gsi_hash_key", "lsi_range_key", "v")
+    val spec = KVTableSpec("served", hashKey = "id",
+      rangeKey = Some("timestamp"),
+      lsis = Seq(Lsi("LSIName", "lsi_range_key")),
+      gsis = Seq(Gsi("GSIName", "gsi_hash_key", Some("timestamp"),
+        readCapacityUnits = Some(5), writeCapacityUnits = Some(5))),
+      ttlAttribute = Some("timestamp"))
+    val json = spec.createTableParams(df.schema)
+    // attribute types derive from the ACTUAL schema; definitions are
+    // deduplicated in first-reference order (the reference assembles
+    // the same list imperatively, zetadex-serving.py:63–139)
+    assert(json.contains(
+      """"AttributeDefinitions":[{"AttributeName":"id","AttributeType":"N"},""" +
+        """{"AttributeName":"timestamp","AttributeType":"N"},""" +
+        """{"AttributeName":"lsi_range_key","AttributeType":"N"},""" +
+        """{"AttributeName":"gsi_hash_key","AttributeType":"S"}]"""))
+    assert(json.contains(
+      """"KeySchema":[{"AttributeName":"id","KeyType":"HASH"},{"AttributeName":"timestamp","KeyType":"RANGE"}]"""))
+    assert(json.contains(""""BillingMode":"PAY_PER_REQUEST""""))
+    assert(json.contains(""""IndexName":"LSIName""""))
+    assert(json.contains(
+      """"ProvisionedThroughput":{"ReadCapacityUnits":5,"WriteCapacityUnits":5}"""))
+    assert(json.contains(
+      """"TimeToLiveSpecification":{"AttributeName":"timestamp","Enabled":true}"""))
+  }
+
+  test("KVTableSpec validation fails fast on bad key schemas") {
+    val sp = spark
+    import sp.implicits._
+    import graft.serving.KVTableSpec
+    import graft.serving.KVTableSpec._
+    val df = Seq((1L, ts("2024-01-01 00:00:00"), Seq(1, 2)))
+      .toDF("id", "observed_at", "tags")
+    // missing column
+    assertThrows[IllegalArgumentException](
+      KVTableSpec("t", "nope").validate(df.schema))
+    // raw temporal key: must go through servingProjection first
+    assertThrows[IllegalArgumentException](
+      KVTableSpec("t", "id", rangeKey = Some("observed_at"))
+        .validate(df.schema))
+    // non-scalar key
+    assertThrows[IllegalArgumentException](
+      KVTableSpec("t", "tags").validate(df.schema))
+    // INCLUDE without attributes — the reference raises KeyError here
+    assertThrows[IllegalArgumentException](
+      KVTableSpec("t", "id",
+        gsis = Seq(Gsi("g", "id", projection = ProjectInclude(Nil))))
+        .validate(df.schema))
+    // ...and after servingProjection the temporal key becomes valid
+    val projected = new ParquetKVSink("/tmp/unused").servingProjection(df)
+    KVTableSpec("t", "id", rangeKey = Some("observed_at"))
+      .validate(projected.schema)
+  }
+
+  test("writeWithSpec materializes the table and every index dataset") {
+    val sp = spark
+    import sp.implicits._
+    import graft.serving.KVTableSpec
+    import graft.serving.KVTableSpec._
+    val base = Files.createTempDirectory("kvspec").toString
+    val df = Seq(
+      (1L, 10L, "us", 5L, 1.5), (1L, 20L, "eu", 3L, 2.5),
+      (2L, 10L, "us", 9L, 3.5)).toDF("id", "timestamp", "region", "score", "v")
+    val spec = KVTableSpec("served", "id", Some("timestamp"),
+      lsis = Seq(Lsi("byScore", "score", ProjectKeysOnly)),
+      gsis = Seq(Gsi("byRegion", "region", Some("timestamp"),
+        ProjectInclude(Seq("v")))))
+    new ParquetKVSink(base).writeWithSpec(df, spec)
+    assert(sp.read.parquet(s"$base/served").count() === 3)
+    // LSI: keys-only projection = table keys + index range key
+    val lsi = sp.read.parquet(s"$base/served__lsi_byScore")
+    assert(lsi.columns.toSet === Set("id", "timestamp", "score"))
+    // GSI: INCLUDE projection = table keys + index keys + named attrs
+    val gsi = sp.read.parquet(s"$base/served__gsi_byRegion")
+    assert(gsi.columns.toSet === Set("id", "timestamp", "region", "v"))
+    assert(gsi.count() === 3)
+  }
 }
