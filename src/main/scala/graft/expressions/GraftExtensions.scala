@@ -116,6 +116,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("graft_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "graft_normalize"),
+      (children: Seq[Expression]) => children match {
+        case Seq(s) => UnicodeNormalize(s, "NFC")
+        case Seq(s, Literal(f, org.apache.spark.sql.types.StringType)) =>
+          UnicodeNormalize(s, f.toString)
+        case _ => throw new IllegalArgumentException(
+          "graft_normalize(str[, form]) — form must be a string literal")
+      }))
+
+    ext.injectFunction((
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
       (children: Seq[Expression]) => children match {

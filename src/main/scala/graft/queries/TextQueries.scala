@@ -882,6 +882,39 @@ object TextQueries {
           COUNT(DISTINCT w) AS vocab_in_bucket,
           CAST(SUM(signed_c) AS BIGINT) AS total_signed,
           CAST(SUM(ABS(signed_c)) AS BIGINT) AS total_mass
-        FROM feat GROUP BY 1 ORDER BY 1"""))
+        FROM feat GROUP BY 1 ORDER BY 1""")),
+
+    // UNICODE NORMALIZATION — the canonicalization pass in front of
+    // exact dedup / gram keys / token counts: web corpora mix
+    // precomposed ("é", U+00E9) and combining-mark ("e"+U+0301)
+    // encodings of identical text, which fractures every
+    // byte-equality-based operator. The denormalized corpus is
+    // CONSTRUCTED deterministically (every 'e' gains a combining acute
+    // — same replace in both engines), then normalized back through
+    // `graft_normalize` (graft.expressions.UnicodeNormalize — a native
+    // codegen'd expression, NOT a UDF; mirrored by DuckDB's
+    // nfc_normalize). Lengths are code-point counts in both engines;
+    // `changed` proves the normalizer actually fired per document.
+    Q("q208_unicode_normalize",
+      (s, d) => {
+        val combining = "e\u0301" // e + COMBINING ACUTE ACCENT (escape, not precomposed U+00E9)
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            regexp_replace(col("text"), "e", combining).as("t"))
+          .select(col("doc_id"),
+            length(col("t")).cast("long").as("n_raw"),
+            length(expr("graft_normalize(t, 'NFC')")).cast("long")
+              .as("n_nfc"),
+            expr("graft_normalize(t, 'NFC') <> t").as("changed"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH dn AS (
+          SELECT doc_id, replace(text, 'e', 'e' || chr(769)) AS t
+          FROM documents)
+        SELECT doc_id, CAST(length(t) AS BIGINT) AS n_raw,
+          CAST(length(nfc_normalize(t)) AS BIGINT) AS n_nfc,
+          nfc_normalize(t) <> t AS changed
+        FROM dn ORDER BY doc_id"""))
   )
 }

@@ -48,7 +48,11 @@ object PlanAudit {
       "q196_minhash_eval", // band + gram equi joins, no all-pairs
       "q199_twap", // join-free hour clipping, type-partitioned lead
       "q201_correlation_matrix", // hour self-join over the resample
-      "q202_bpe_merge_rounds") // per-round dictionary agg + one rewrite scan
+      "q202_bpe_merge_rounds", // per-round dictionary agg + one rewrite scan
+      "q107_zorder_layout", // CDF-device buckets, fenced curve key (r11)
+      "q203_bmp_roundtrip", // streaming encode/decode mapPartitions passes
+      "q207_media_catalog", // magic-dispatch decode, one scan
+      "q208_unicode_normalize") // native codegen'd normalizer, no UDF
     interesting.foreach { name =>
       val df = graft.queries.Catalog.byName(name).run(spark, d)
       // drive THIS df's own query execution to completion (count() would

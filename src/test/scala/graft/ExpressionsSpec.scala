@@ -178,4 +178,40 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(binned === naive)
     assert(naive.size === 3)
   }
+
+  test("graft_normalize matches java.text.Normalizer across all four forms") {
+    val sp = spark
+    import sp.implicits._
+    import java.text.Normalizer
+    val samples = Seq(
+      "plain ascii",
+      "e\u0301 combining acute", // NFC -> precomposed \u00E9
+      "\u00E9 precomposed",      // NFD -> e + \u0301
+      "\uFB01le ligature",       // NFKC -> "file"
+      "\u2460 circled one",      // NFKC -> "1"
+      "mixed \u00E9 e\u0301 \uFB01",
+      "")
+    val df = samples.toDF("s")
+    for (form <- Seq("NFC", "NFD", "NFKC", "NFKD")) {
+      val got = df.selectExpr(s"graft_normalize(s, '$form') AS n")
+        .collect().map(_.getString(0)).toSeq
+      val want = samples.map(
+        Normalizer.normalize(_, Normalizer.Form.valueOf(form)))
+      assert(got === want, s"form $form")
+      // idempotence: normalize ∘ normalize = normalize
+      val twice = df.selectExpr(
+        s"graft_normalize(graft_normalize(s, '$form'), '$form') AS n")
+        .collect().map(_.getString(0)).toSeq
+      assert(twice === want, s"$form not idempotent")
+    }
+    // default form is NFC; nulls pass through
+    assert(Seq[String](null).toDF("s")
+      .selectExpr("graft_normalize(s)").head().isNullAt(0))
+    assert(df.selectExpr("graft_normalize(s)").collect().map(_.getString(0)).toSeq
+      === samples.map(Normalizer.normalize(_, Normalizer.Form.NFC)))
+    // NFC collapses the combining pair to ONE code point (what q208's
+    // length columns measure)
+    assert(Seq("é").toDF("s")
+      .selectExpr("length(graft_normalize(s)) AS n").head().getInt(0) === 1)
+  }
 }
