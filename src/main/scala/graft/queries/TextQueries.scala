@@ -915,6 +915,61 @@ object TextQueries {
         SELECT doc_id, CAST(length(t) AS BIGINT) AS n_raw,
           CAST(length(nfc_normalize(t)) AS BIGINT) AS n_nfc,
           nfc_normalize(t) <> t AS changed
-        FROM dn ORDER BY doc_id"""))
+        FROM dn ORDER BY doc_id""")),
+
+    // CONTENT-DEFINED CHUNKING (graft.ops.Chunking — the FastCDC idea
+    // at word granularity): boundaries fall after hash-criterion words,
+    // so an edit reshapes only its own chunk (spec-verified property;
+    // fixed-size chunking would shift every downstream chunk). The
+    // corpus rollup is the dedup-planning number: how many chunks
+    // repeat, and how many bytes a chunk-store would save. All
+    // dictionary-shaped after the per-doc window — the only windows
+    // partition on doc_id.
+    Q("q209_cdc_chunking",
+      (s, d) => {
+        val ch = graft.ops.Chunking.cdcChunks(
+          QH.spread(s, col("doc_id"))(t(s, d, "documents")),
+          col("doc_id"), col("text"), mod = 8)
+        val stats = ch.agg(
+          count(lit(1)).as("n_chunks"),
+          countDistinct(md5(col("chunk"))).as("n_distinct_chunks"),
+          sum(length(col("chunk"))).cast("long").as("bytes_total"),
+          max(col("n_words")).as("max_chunk_words"))
+        val distinctBytes = ch
+          .groupBy(md5(col("chunk")).as("h"))
+          .agg(min(length(col("chunk"))).as("l"))
+          .agg(sum(col("l")).cast("long").as("bytes_distinct"))
+        stats.crossJoin(distinctBytes)
+          .select(col("n_chunks"), col("n_distinct_chunks"),
+            col("bytes_total"), col("bytes_distinct"),
+            col("max_chunk_words"))
+      },
+      Some("""
+        WITH ws AS (SELECT doc_id, SPLIT(text, ' ') AS words FROM documents),
+        w AS (
+          SELECT ws.doc_id, ws.words[i] AS w, i
+          FROM ws, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(ws.words))) AS i)),
+        b AS (
+          SELECT doc_id, w, i,
+            CASE WHEN CAST(CONCAT('0x', SUBSTRING(MD5(w), 1, 8)) AS BIGINT) % 8 = 0
+                 THEN 1 ELSE 0 END AS brk
+          FROM w),
+        c AS (
+          SELECT doc_id, w, i,
+            COALESCE(SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+          FROM b),
+        ch AS (
+          SELECT doc_id, chunk_id, STRING_AGG(w, ' ' ORDER BY i) AS chunk,
+            COUNT(*) AS n_words
+          FROM c GROUP BY doc_id, chunk_id)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_chunks,
+          CAST(COUNT(DISTINCT MD5(chunk)) AS BIGINT) AS n_distinct_chunks,
+          CAST(SUM(LENGTH(chunk)) AS BIGINT) AS bytes_total,
+          CAST((SELECT SUM(l) FROM
+            (SELECT MIN(LENGTH(chunk)) AS l FROM ch GROUP BY MD5(chunk)))
+            AS BIGINT) AS bytes_distinct,
+          CAST(MAX(n_words) AS BIGINT) AS max_chunk_words
+        FROM ch"""))
   )
 }

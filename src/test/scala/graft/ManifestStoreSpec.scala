@@ -122,6 +122,61 @@ class ManifestStoreSpec extends AnyFunSuite {
     assert(snapshot(root) === Map(1L -> (3L, "v3")))
   }
 
+  // Streaming foreachBatch upserts publish through the manifest too:
+  // each micro-batch commits one generation, a second catch-up run
+  // resumes from the checkpoint and keeps merging, and readers always
+  // resolve one complete snapshot. This is the WriteMode.Upsert +
+  // partitionCols streaming branch of Runner.runStreamingThenFull.
+  test("streaming partitioned upsert commits one generation per micro-batch") {
+    import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
+    import org.apache.spark.sql.functions.col
+    val sp = spark
+    val staged = JFiles.createTempDirectory("mstore_stream_src").toString
+    val out = JFiles.createTempDirectory("mstore_stream_out").toString
+    var mtime = 1700000000000L
+    def land(rows: Seq[(Long, Long, String, Int)], name: String): Unit = {
+      val tmp = JFiles.createTempDirectory("mstore_slice").toString
+      sp.createDataFrame(rows).toDF("k", "seq", "v", "bucket")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = JFiles.list(Paths.get(tmp)).toArray.map(_.toString)
+        .filter(p => p.endsWith(".parquet")).head
+      val dst = Paths.get(staged, name)
+      JFiles.move(Paths.get(part), dst, StandardCopyOption.REPLACE_EXISTING)
+      mtime += 60000L
+      JFiles.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val ddl = "k bigint, seq bigint, v string, bucket int"
+    def runOnce(): Unit = {
+      val reg = new Registry(sp)
+      reg.source("feed", () => sp.read.schema(ddl).parquet(staged))
+      reg.register(TableDef("latest", Seq("feed"), { case Seq(f) => f },
+        mode = Mode.Incremental, partitionCols = Seq("bucket"),
+        writeMode = WriteMode.Upsert(Seq("k"), "seq")))
+      Runner.runStreamingThenFull(sp, reg,
+        Map("feed" -> (() => sp.readStream.schema(ddl)
+          .option("maxFilesPerTrigger", "1").parquet(staged))),
+        out)
+    }
+    land(Seq((1L, 1L, "a", 0), (2L, 1L, "b", 1)), "s1.parquet")
+    land(Seq((1L, 5L, "A", 0)), "s2.parquet") // second micro-batch, bucket 0 only
+    runOnce()
+    val root = s"$out/latest"
+    assert(snapshot(root) === Map(1L -> (5L, "A"), 2L -> (1L, "b")))
+    val m1 = ManifestStore.readManifest(fs(root), root).get
+    assert(m1.version === 2L, "two micro-batches = two committed generations")
+    assert(m1.entries("bucket=1").startsWith("_gen/g00000001/"),
+      "bucket 1 untouched by batch 2 — carried forward by reference")
+    // catch-up run 2: new file lands AFTER run 1 terminated; the merge
+    // must resume from the checkpoint (only the new file processed)
+    land(Seq((2L, 9L, "B2", 1), (3L, 1L, "c", 0)), "s3.parquet")
+    runOnce()
+    assert(snapshot(root) ===
+      Map(1L -> (5L, "A"), 2L -> (9L, "B2"), 3L -> (1L, "c")))
+    assert(ManifestStore.readManifest(fs(root), root).get.version === 3L,
+      "run 2 processed exactly the one new file = one more generation")
+  }
+
   // End-to-end through the DAG runner: a partitioned Upsert table is
   // published via the manifest and its downstream consumer reads the
   // committed snapshot through the shadow loader.

@@ -264,6 +264,36 @@ class OpsScaleSpec extends AnyFunSuite {
     one.foreach(r => assert(r.getSeq[Float](3).head === r.getInt(1).toFloat))
   }
 
+  // THE content-defined-chunking property — why CDC beats fixed-size
+  // chunking for dedup: an edit near the front of a document reshapes
+  // only the chunks up to the first boundary after the edit; every
+  // later chunk re-aligns byte-identically. Fixed-size chunking would
+  // shift all downstream chunks by the insertion length and share
+  // nothing.
+  test("cdcChunks: an inserted word changes only the chunk containing it") {
+    val sp = spark
+    import sp.implicits._
+    val text = (1 to 400).map(i => s"w${i % 97}tok$i").mkString(" ")
+    val edited = "INSERTED " + text
+    val df = Seq((1L, text), (2L, edited)).toDF("doc_id", "text")
+    val chunks = graft.ops.Chunking.cdcChunks(df, col("doc_id"), col("text"))
+      .select(col("doc"), col("chunk_id"), col("chunk")).collect()
+    val orig = chunks.filter(_.getLong(0) == 1L)
+      .map(r => r.getLong(1) -> r.getString(2)).sortBy(_._1)
+    val ed = chunks.filter(_.getLong(0) == 2L)
+      .map(r => r.getLong(1) -> r.getString(2)).sortBy(_._1)
+    assert(orig.length > 10, "the gear divisor must actually cut chunks")
+    // all chunks after the first boundary are byte-identical: the edited
+    // doc's chunk k+offset equals the original's chunk k for every k ≥ 1
+    val origTail = orig.drop(1).map(_._2)
+    val edTail = ed.drop(ed.length - origTail.length).map(_._2)
+    assert(edTail.toSeq === origTail.toSeq,
+      "downstream chunks must re-align after a front insertion")
+    // and the damage is bounded: at most the head chunk differs
+    assert(ed.length - orig.length <= 1,
+      "a single-word insertion may split at most one extra chunk")
+  }
+
   test("kmeansCentroids seeds the k smallest ids even on sparse id spaces") {
     val sp = spark
     import sp.implicits._
