@@ -288,6 +288,94 @@ object JoinQueries {
         SELECT user_id, CAST(SUM(pts) AS BIGINT) AS score,
           COUNT(*) AS n_events
         FROM events e JOIN rates r USING (event_type)
-        GROUP BY user_id ORDER BY user_id"""))
+        GROUP BY user_id ORDER BY user_id""")),
+
+    // J6 completion — NEAREST as-of (pandas merge_asof direction=
+    // 'nearest'): each purchase pairs with whichever view is closest in
+    // time, looking BOTH ways; ties at equal distance resolve backward
+    // (the causal side). Same union+window device as q25, run in both
+    // frame directions over ONE user_id partitioning — still a single
+    // shuffle, no theta join; the nearest choice is row-local CASE
+    // arithmetic on the two candidates, integer microseconds
+    // throughout. (At equal timestamps views sort before purchases, so
+    // an equal-ts view is a 0-delta BACKWARD candidate and the forward
+    // frame starts strictly after — mirrored by the oracle's <= / >
+    // bounds.)
+    Q("q210_asof_nearest",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .filter(col("event_type").isin("view", "purchase"))
+        val ord = Window.partitionBy("user_id")
+          .orderBy(col("ts"),
+            when(col("event_type") === "view", 0).otherwise(1),
+            col("event_id"))
+        val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val vTs = when(col("event_type") === "view", col("ts"))
+        val vId = when(col("event_type") === "view", col("event_id"))
+        val cand = ev
+          .withColumn("b_ts", last(vTs, ignoreNulls = true).over(back))
+          .withColumn("b_id", last(vId, ignoreNulls = true).over(back))
+          .withColumn("f_ts", first(vTs, ignoreNulls = true).over(fwd))
+          .withColumn("f_id", first(vId, ignoreNulls = true).over(fwd))
+          .filter(col("event_type") === "purchase")
+        val bd = unix_micros(col("ts")) - unix_micros(col("b_ts"))
+        val fd = unix_micros(col("f_ts")) - unix_micros(col("ts"))
+        cand.select(
+          col("event_id").as("purchase_id"), col("user_id"),
+          when(col("b_id").isNull && col("f_id").isNull, lit(null))
+            .when(col("f_id").isNull, col("b_id"))
+            .when(col("b_id").isNull, col("f_id"))
+            .when(fd < bd, col("f_id")).otherwise(col("b_id")).as("view_id"),
+          when(col("b_id").isNull && col("f_id").isNull,
+            lit(null).cast("string"))
+            .when(col("f_id").isNull, lit("backward"))
+            .when(col("b_id").isNull, lit("forward"))
+            .when(fd < bd, lit("forward")).otherwise(lit("backward"))
+            .as("direction"),
+          when(col("b_id").isNull && col("f_id").isNull,
+            lit(null).cast("long"))
+            .when(col("f_id").isNull, bd)
+            .when(col("b_id").isNull, fd)
+            .otherwise(least(bd, fd)).as("delta_us"))
+          .orderBy("purchase_id")
+      },
+      Some("""
+        SELECT p.event_id AS purchase_id, p.user_id,
+          CASE
+            WHEN b.event_id IS NULL AND f.event_id IS NULL THEN NULL
+            WHEN f.event_id IS NULL THEN b.event_id
+            WHEN b.event_id IS NULL THEN f.event_id
+            WHEN EPOCH_US(f.ts) - EPOCH_US(CAST(p.ts AS TIMESTAMP))
+                 < EPOCH_US(CAST(p.ts AS TIMESTAMP)) - EPOCH_US(b.ts) THEN f.event_id
+            ELSE b.event_id END AS view_id,
+          CASE
+            WHEN b.event_id IS NULL AND f.event_id IS NULL THEN NULL
+            WHEN f.event_id IS NULL THEN 'backward'
+            WHEN b.event_id IS NULL THEN 'forward'
+            WHEN EPOCH_US(f.ts) - EPOCH_US(CAST(p.ts AS TIMESTAMP))
+                 < EPOCH_US(CAST(p.ts AS TIMESTAMP)) - EPOCH_US(b.ts) THEN 'forward'
+            ELSE 'backward' END AS direction,
+          CASE
+            WHEN b.event_id IS NULL AND f.event_id IS NULL THEN NULL
+            WHEN f.event_id IS NULL THEN
+              EPOCH_US(CAST(p.ts AS TIMESTAMP)) - EPOCH_US(b.ts)
+            WHEN b.event_id IS NULL THEN
+              EPOCH_US(f.ts) - EPOCH_US(CAST(p.ts AS TIMESTAMP))
+            ELSE LEAST(EPOCH_US(CAST(p.ts AS TIMESTAMP)) - EPOCH_US(b.ts),
+                       EPOCH_US(f.ts) - EPOCH_US(CAST(p.ts AS TIMESTAMP)))
+            END AS delta_us
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN LATERAL (
+          SELECT CAST(e.ts AS TIMESTAMP) AS ts, e.event_id FROM events e
+          WHERE e.user_id = p.user_id AND e.event_type = 'view'
+            AND e.ts <= p.ts
+          ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) b ON TRUE
+        LEFT JOIN LATERAL (
+          SELECT CAST(e.ts AS TIMESTAMP) AS ts, e.event_id FROM events e
+          WHERE e.user_id = p.user_id AND e.event_type = 'view'
+            AND e.ts > p.ts
+          ORDER BY e.ts ASC, e.event_id ASC LIMIT 1) f ON TRUE
+        ORDER BY purchase_id"""))
   )
 }

@@ -673,6 +673,63 @@ object SimilarityQueries {
         SELECT query_id, neighbor_id, sim, CAST(rk AS INTEGER) AS rk
         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                 ORDER BY sim DESC, neighbor_id) AS rk FROM pairs)
-        WHERE rk <= 5 ORDER BY query_id, rk"""))
+        WHERE rk <= 5 ORDER BY query_id, rk""")),
+
+    // INT8 SCALAR QUANTIZATION — the other standard embedding
+    // compression next to q106's product quantization: per-DIMENSION
+    // affine quantization to 0..255 (the faiss SQ8 / ONNX
+    // per-channel shape, 4× memory cut before any index is built).
+    // Everything runs on the 2⁻²⁰ dyadic integer grid (the q134/q142
+    // device), so scale, codes, and reconstruction errors are EXACT
+    // INTEGER arithmetic — identical in both engines, no IEEE division
+    // anywhere: code q = ⌊(2·255·(x−lo) + span) / (2·span)⌋ (half-up),
+    // error in 1/255-of-span units = |255·(x−lo) − q·span|. Scale
+    // shape: posexplode is row-local; per-dim min/max is one map-side-
+    // combined aggregation to a 64-row frame broadcast back; codes and
+    // errors are row-local; the report re-aggregates per dim.
+    Q("q211_int8_quantize",
+      (s, d) => {
+        val x = t(s, d, "embeddings")
+          .select(col("vec_id"), posexplode(expr(
+            "transform(embedding, v -> cast(round(cast(v AS double) * 1048576) AS bigint))"))
+            .as(Seq("dim", "xi")))
+        val mm = x.groupBy("dim")
+          .agg(min(col("xi")).as("lo"), max(col("xi")).as("hi"))
+        x.join(broadcast(mm), "dim")
+          .withColumn("span", col("hi") - col("lo"))
+          .withColumn("qv", when(col("span") === 0, lit(0L)).otherwise(
+            expr("(2 * 255 * (xi - lo) + span) div (2 * span)")))
+          .withColumn("errn", when(col("span") === 0, lit(0L)).otherwise(
+            abs(lit(255L) * (col("xi") - col("lo")) - col("qv") * col("span"))))
+          .groupBy("dim")
+          .agg(max(col("span")).as("span"),
+            min(col("qv")).as("q_min"), max(col("qv")).as("q_max"),
+            max(col("errn")).as("max_err_num"),
+            sum(col("errn")).as("sum_err_num"))
+          .orderBy("dim")
+      },
+      Some("""
+        WITH x AS (
+          SELECT e.vec_id, i AS dim,
+            CAST(ROUND(CAST(e.embedding[i + 1] AS DOUBLE) * 1048576) AS BIGINT) AS xi
+          FROM embeddings e, LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 63)) AS i)),
+        mm AS (SELECT dim, MIN(xi) AS lo, MAX(xi) AS hi FROM x GROUP BY dim),
+        q AS (
+          SELECT x.dim, x.xi, mm.lo, mm.hi, mm.hi - mm.lo AS span,
+            CASE WHEN mm.hi = mm.lo THEN 0
+              ELSE (2 * 255 * (x.xi - mm.lo) + (mm.hi - mm.lo))
+                   // (2 * (mm.hi - mm.lo))
+            END AS qv
+          FROM x JOIN mm USING (dim)),
+        e AS (
+          SELECT dim, span, qv,
+            CASE WHEN span = 0 THEN 0
+              ELSE ABS(255 * (xi - lo) - qv * span) END AS errn
+          FROM q)
+        SELECT CAST(dim AS INTEGER) AS dim, CAST(MAX(span) AS BIGINT) AS span,
+          CAST(MIN(qv) AS BIGINT) AS q_min, CAST(MAX(qv) AS BIGINT) AS q_max,
+          CAST(MAX(errn) AS BIGINT) AS max_err_num,
+          CAST(SUM(errn) AS BIGINT) AS sum_err_num
+        FROM e GROUP BY dim ORDER BY dim"""))
   )
 }

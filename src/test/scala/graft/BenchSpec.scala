@@ -50,4 +50,26 @@ class BenchSpec extends AnyFunSuite {
         "q105_incremental_neardup", "q149_streaming_expectations"))
       assert(s(q), s"$q missing from the streaming watch set")
   }
+
+  test("shard assignment partitions the suite exactly, round-robin") {
+    // sharded bench (round 11): every query runs in exactly one child
+    // JVM, and consecutive sorted names land in different shards so the
+    // heavy late-alphabet families spread instead of stacking
+    val n = graft.queries.Catalog.all.size
+    for (shards <- Seq(2, 4)) {
+      val assign = (0 until n).map(Bench.shardOf(_, shards))
+      assert(assign.toSet === (0 until shards).toSet)
+      val sizes = assign.groupBy(identity).values.map(_.size)
+      assert(sizes.max - sizes.min <= 1, "round-robin must balance ±1")
+      assert(assign.sliding(2).forall(p => p(0) != p(1)),
+        "adjacent sorted queries must land in different shards")
+    }
+  }
+
+  test("code-cache instrumentation reads the JIT pools of this JVM") {
+    val (peak, max) = Bench.codeCacheMb()
+    assert(peak > 0, "a warmed JVM has compiled code")
+    assert(max >= peak, "peak usage cannot exceed the reserved cache")
+    assert(max >= 200, "ReservedCodeCacheSize should be ≥ the JVM default")
+  }
 }

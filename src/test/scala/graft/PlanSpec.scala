@@ -853,6 +853,23 @@ class PlanSpec extends AnyFunSuite {
       s"single-partition WindowExec over an unbounded frame in: $offenders")
   }
 
+  test("q210: nearest as-of is window-based — no join, one user partitioning") {
+    val p = plan("q210_asof_nearest")
+    assert(!p.contains("Join"),
+      "both as-of directions ride the union+window merge, never a theta join")
+    assert(!p.contains("Exchange SinglePartition"),
+      "windows partition on user_id")
+    val ex = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(ex <= 1, s"backward+forward frames must share ONE shuffle, got $ex")
+  }
+
+  test("q211: per-dim quantization stats broadcast back — no shuffle join") {
+    val p = plan("q211_int8_quantize")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 64-row min/max frame must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("q107/q167: the only global window runs over the CDF frequency frame") {
     import org.apache.spark.sql.execution.window.WindowExec
     for (q <- Seq("q107_zorder_layout", "q167_hilbert_layout")) {
