@@ -77,15 +77,26 @@ object ManifestStore {
   }
 
   def readManifest(fs: FileSystem, root: String): Option[Manifest] =
-    currentVersion(fs, root).map { v =>
-      val in = fs.open(new HPath(s"$root/$MDIR/v$v.json"))
+    currentVersion(fs, root).flatMap(v => readManifestAt(fs, root, v))
+
+  /** A SPECIFIC retained version — time travel within the GC grace
+    * window (current + previous; older versions are collected). The
+    * grace window is exactly what a concurrent reader of the
+    * just-replaced snapshot holds, so this is also its API. */
+  def readManifestAt(fs: FileSystem, root: String, version: Long)
+      : Option[Manifest] = {
+    val p = new HPath(s"$root/$MDIR/v$version.json")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
       val tree = try mapper.readTree(in) finally in.close()
       val entries = scala.collection.mutable.Map.empty[String, String]
       tree.get("entries").fields().forEachRemaining { e =>
         entries += e.getKey -> e.getValue.asText()
       }
-      Manifest(tree.get("version").asLong(), entries.toMap)
+      Some(Manifest(tree.get("version").asLong(), entries.toMap))
     }
+  }
 
   /** Canonical partition key: `col=escapedValue/...`, identical to the
     * hive directory path Spark writes for the tuple. */
@@ -108,6 +119,21 @@ object ManifestStore {
            schema: Option[StructType] = None): DataFrame = {
     val m = readManifest(fsOf(spark, root), root).getOrElse(
       throw new IllegalStateException(s"no committed manifest under $root"))
+    readSnapshot(spark, root, m, schema)
+  }
+
+  /** Read a retained version (see [[readManifestAt]]); throws if it has
+    * been GC'd. */
+  def readVersion(spark: SparkSession, root: String, version: Long,
+                  schema: Option[StructType] = None): DataFrame = {
+    val m = readManifestAt(fsOf(spark, root), root, version).getOrElse(
+      throw new IllegalStateException(
+        s"version $version of $root is not retained (GC keeps current + previous)"))
+    readSnapshot(spark, root, m, schema)
+  }
+
+  private def readSnapshot(spark: SparkSession, root: String, m: Manifest,
+                           schema: Option[StructType]): DataFrame = {
     require(m.entries.nonEmpty, s"manifest v${m.version} of $root is empty")
     val byGen = m.entries.values.toSeq
       .groupBy(rel => rel.split('/').take(2).mkString("/"))
@@ -118,6 +144,31 @@ object ManifestStore {
       schema.fold(r)(r.schema)
         .parquet(dirs.sorted.map(d => s"$root/$d"): _*)
     }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Maintenance compaction — the OPTIMIZE of this mini table format:
+    * after many pruned upserts a snapshot's partitions are scattered
+    * across many old generations (each holding a few surviving
+    * partition dirs and their small files). Compaction rewrites the
+    * ENTIRE current snapshot into one fresh generation and publishes it
+    * with the same manifest-last atomic rename — readers flip from the
+    * scattered snapshot to the compact one in one commit, crash-safe at
+    * every point like any other write. O(table) by design (that is what
+    * compaction is); run it on maintenance cadence, not per batch. The
+    * next publish's GC then collects the scattered generations. */
+  def compact(root: String, partitionCols: Seq[String])(
+      spark: SparkSession): Unit = {
+    val fs = fsOf(spark, root)
+    val prev = readManifest(fs, root).getOrElse(
+      throw new IllegalStateException(s"nothing to compact under $root"))
+    val current = readSnapshot(spark, root, prev, None)
+    val version = prev.version + 1
+    val entries = stageGeneration(root, partitionCols, current, version)
+    if (entries.keySet != prev.entries.keySet)
+      throw new IllegalStateException(
+        s"compaction changed the partition set of $root: " +
+          s"${entries.keySet} vs ${prev.entries.keySet}")
+    publish(spark, root, version, entries, Some(prev))
   }
 
   /** Stage generation `version`: write `merged` (which must contain

@@ -122,6 +122,54 @@ class ManifestStoreSpec extends AnyFunSuite {
     assert(snapshot(root) === Map(1L -> (3L, "v3")))
   }
 
+  test("readVersion time-travels within the GC grace window") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("mstore_tt").toString
+    ManifestStore.upsert(root, Seq("k"), "seq", Nil, Seq("bucket"))(
+      Seq((1L, 1L, "old", 0)).toDF("k", "seq", "v", "bucket"))
+    ManifestStore.upsert(root, Seq("k"), "seq", Nil, Seq("bucket"))(
+      Seq((1L, 5L, "new", 0)).toDF("k", "seq", "v", "bucket"))
+    // previous version still readable (the concurrent-reader guarantee)
+    val v1 = ManifestStore.readVersion(sp, root, 1L)
+      .select("v").head().getString(0)
+    assert(v1 === "old")
+    assert(ManifestStore.read(sp, root).select("v").head().getString(0) === "new")
+    // a third commit GCs version 1
+    ManifestStore.upsert(root, Seq("k"), "seq", Nil, Seq("bucket"))(
+      Seq((1L, 9L, "newest", 0)).toDF("k", "seq", "v", "bucket"))
+    assertThrows[IllegalStateException](
+      ManifestStore.readVersion(sp, root, 1L))
+    assert(ManifestStore.readVersion(sp, root, 2L)
+      .select("v").head().getString(0) === "new")
+  }
+
+  test("compact folds a scattered snapshot into one generation, atomically") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("mstore_compact").toString
+    // three upserts each touching ONE bucket → snapshot scattered
+    // across three generations
+    for ((b, seq) <- Seq((0, 1L), (1, 2L), (2, 3L)))
+      ManifestStore.upsert(root, Seq("k"), "seq", Nil, Seq("bucket"))(
+        Seq((b.toLong * 10, seq, s"v$b", b)).toDF("k", "seq", "v", "bucket"))
+    val before = ManifestStore.readManifest(fs(root), root).get
+    assert(before.entries.values.map(_.split('/')(1)).toSet.size === 3,
+      "each bucket still lives in the generation that wrote it — " +
+        "referenced generations are never GC'd, so the snapshot scatters")
+    val snapBefore = ManifestStore.read(sp, root)
+      .select("k", "v").collect().map(r => r.getLong(0) -> r.getString(1)).toSet
+    ManifestStore.compact(root, Seq("bucket"))(sp)
+    val after = ManifestStore.readManifest(fs(root), root).get
+    assert(after.version === before.version + 1)
+    assert(after.entries.values.map(_.split('/')(1)).toSet.size === 1,
+      "every partition must live in the single compacted generation")
+    assert(after.entries.keySet === before.entries.keySet)
+    val snapAfter = ManifestStore.read(sp, root)
+      .select("k", "v").collect().map(r => r.getLong(0) -> r.getString(1)).toSet
+    assert(snapAfter === snapBefore, "compaction must not change the data")
+  }
+
   // Streaming foreachBatch upserts publish through the manifest too:
   // each micro-batch commits one generation, a second catch-up run
   // resumes from the checkpoint and keeps merging, and readers always
