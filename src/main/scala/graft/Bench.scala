@@ -209,8 +209,13 @@ object Bench {
       pb.redirectErrorStream(true)
       System.err.println(s"[bench] shard $i/$nShards starting (log: $log)")
       val rc = pb.start().waitFor()
-      if (rc != 0)
-        System.err.println(s"[bench] shard $i exited rc=$rc — see $log")
+      // a crashed shard must fail the WHOLE bench loudly (rc + log
+      // path), not surface later as a cryptic parse error on a missing
+      // record file — a partial merge would under-report the suite
+      // total and silently flatter the round
+      if (rc != 0 || !java.nio.file.Files.exists(out))
+        throw new IllegalStateException(
+          s"bench shard $i/$nShards failed (rc=$rc) — log: $log")
       i -> mapper.readTree(java.nio.file.Files.readString(out))
     }
   }

@@ -42,7 +42,9 @@ object Multimodal {
     val input = df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
     input.mapPartitions { rows =>
       rows.map { r =>
-        val bytes = r.getAs[Array[Byte]](1)
+        // a null payload is a corrupt row, not a crash
+        val bytes = if (r.isNullAt(1)) Array.empty[Byte]
+          else r.getAs[Array[Byte]](1)
         ImageCodec.decode(bytes) match {
           case Some(dec) =>
             var s = 0L
@@ -78,7 +80,8 @@ object Multimodal {
     val input = df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
     input.mapPartitions { rows =>
       rows.map { r =>
-        val bytes = r.getAs[Array[Byte]](1)
+        val bytes = if (r.isNullAt(1)) Array.empty[Byte]
+          else r.getAs[Array[Byte]](1)
         AudioCodec.decodeWav(bytes) match {
           case Some(dec) =>
             var peak = 0; var sq = 0L
@@ -118,7 +121,8 @@ object Multimodal {
     val input = df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
     input.mapPartitions { rows =>
       rows.map { r =>
-        val bytes = r.getAs[Array[Byte]](1)
+        val bytes = if (r.isNullAt(1)) Array.empty[Byte]
+          else r.getAs[Array[Byte]](1)
         val isWav = bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
           bytes(2) == 'F' && bytes(3) == 'F'
         if (isWav) AudioCodec.decodeWav(bytes) match {
@@ -177,7 +181,8 @@ object Multimodal {
           // holds as a strict invariant
           var more = true
           while (more && buf.hasNext) {
-            val next = buf.head.getAs[Array[Byte]](1)
+            val next = if (buf.head.isNullAt(1)) Array.empty[Byte]
+              else buf.head.getAs[Array[Byte]](1)
             if (payloads.nonEmpty && bytes + next.length > budgetBytes)
               more = false
             else {

@@ -231,6 +231,29 @@ class OpsScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("decoders classify null payloads as corrupt instead of crashing") {
+    val sp = spark
+    import sp.implicits._
+    import graft.ops.ImageCodec
+    val df = Seq(
+      (1L, ImageCodec.encodeBmp(4, 4, ImageCodec.content(1L, 4, 4))),
+      (2L, null.asInstanceOf[Array[Byte]])).toDF("id", "payload")
+    val img = Multimodal.decodeImageMeta(df, "id", "payload")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(img === Map(1L -> true, 2L -> false))
+    val media = Multimodal.decodeMediaMeta(df, "id", "payload")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(media === Map(1L -> true, 2L -> false))
+    val audio = Multimodal.decodeAudioMeta(df, "id", "payload")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(audio === Map(1L -> false, 2L -> false))
+    // batchedDecode treats the null as a zero-byte payload
+    val out = Multimodal.batchedDecode(df, "id", "payload", 1000L)(
+      b => b.map(x => Array(x.length.toFloat))).collect()
+    assert(out.map(r => r.getLong(0) -> r.getInt(1)).toMap ===
+      Map(1L -> ImageCodec.bmpFileSize(4, 4), 2L -> 0))
+  }
+
   // The batchedDecode memory contract: peak buffered payload bytes per
   // batch ≤ max(budget, largest single payload) — audited from the
   // emitted (n_bytes, batch_seq) alone, which is why batch_seq exists.
