@@ -3,7 +3,7 @@ package graft.graph
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{broadcast, col}
 import org.apache.spark.sql.types.StructType
 
 /** Manifest-last atomic publish for partitioned upsert tables — the
@@ -144,6 +144,54 @@ object ManifestStore {
       schema.fold(r)(r.schema)
         .parquet(dirs.sorted.map(d => s"$root/$d"): _*)
     }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Deletion propagation at the table-format level — the
+    * right-to-be-forgotten write (the storage half of q152's deletion
+    * AUDIT): remove every row whose key tuple appears in `keys`
+    * (a frame carrying `keyCols` AND `partitionCols` — partition
+    * columns are functionally dependent on the keys by the table's
+    * contract, so the caller knows them). Only the partitions
+    * containing deleted keys are read (manifest-pruned) and rewritten
+    * as an anti join; a partition whose rewrite comes back EMPTY is
+    * REMOVED from the manifest entirely. Published with the same
+    * manifest-last atomic rename — a crash leaves readers on the
+    * pre-delete snapshot, and the retry converges (anti join is
+    * idempotent). Note the grace window: the PREVIOUS generation still
+    * holds the deleted bytes until the next commit's GC — a compliance
+    * pipeline runs one follow-up commit (or [[compact]]) to physically
+    * drop them, then verifies with the q152 audit. */
+  def deleteKeys(root: String, keyCols: Seq[String],
+                 partitionCols: Seq[String])(keys: DataFrame): Unit = {
+    require(partitionCols.nonEmpty, "deleteKeys needs partition columns")
+    val spark = keys.sparkSession
+    val fs = fsOf(spark, root)
+    val prev = readManifest(fs, root).getOrElse(
+      throw new IllegalStateException(s"no table to delete from at $root"))
+    val touched = keys.select(partitionCols.map(col): _*).distinct().collect()
+    val touchedKeys = touched.map(r => partKey(partitionCols, r.toSeq)).toSet
+      .intersect(prev.entries.keySet)
+    if (touchedKeys.isEmpty) return // nothing stored for these keys
+    val byGen = prev.entries.view.filterKeys(touchedKeys).values.toSeq
+      .groupBy(rel => rel.split('/').take(2).mkString("/"))
+    val existing = byGen.toSeq.sortBy(_._1).map { case (genRel, dirs) =>
+      spark.read.option("basePath", s"$root/$genRel")
+        .option("mergeSchema", "true")
+        .parquet(dirs.sorted.map(d => s"$root/$d"): _*)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+    val remaining = existing.join(
+      broadcast(keys.select(keyCols.map(col): _*).distinct()),
+      keyCols, "left_anti")
+    val version = prev.version + 1
+    val staged = stageGeneration(root, partitionCols, remaining, version)
+    // staged ⊆ touched: a fully-deleted partition writes no directory
+    // and drops out of the manifest
+    if (!staged.keySet.subsetOf(touchedKeys))
+      throw new IllegalStateException(
+        s"delete rewrite produced unexpected partitions at $root: " +
+          s"${staged.keySet -- touchedKeys}")
+    publish(spark, root, version,
+      (prev.entries -- touchedKeys) ++ staged, Some(prev))
   }
 
   /** Maintenance compaction — the OPTIMIZE of this mini table format:

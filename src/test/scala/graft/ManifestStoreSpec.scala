@@ -144,6 +144,37 @@ class ManifestStoreSpec extends AnyFunSuite {
       .select("v").head().getString(0) === "new")
   }
 
+  test("deleteKeys rewrites only touched partitions and drops emptied ones") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("mstore_del").toString
+    ManifestStore.upsert(root, Seq("k"), "seq", Nil, Seq("bucket"))(
+      Seq((1L, 1L, "a", 0), (2L, 1L, "b", 0), (3L, 1L, "c", 1),
+        (4L, 1L, "d", 2)).toDF("k", "seq", "v", "bucket"))
+    val entryB2 = ManifestStore.readManifest(fs(root), root).get
+      .entries("bucket=2")
+    // delete key 1 (partial bucket 0) and key 3 (ALL of bucket 1);
+    // bucket 2 untouched
+    ManifestStore.deleteKeys(root, Seq("k"), Seq("bucket"))(
+      Seq((1L, 0), (3L, 1)).toDF("k", "bucket"))
+    assert(snapshot(root) === Map(2L -> (1L, "b"), 4L -> (1L, "d")))
+    val m = ManifestStore.readManifest(fs(root), root).get
+    assert(!m.entries.contains("bucket=1"),
+      "a fully-deleted partition must leave the manifest")
+    assert(m.entries("bucket=0").startsWith("_gen/g00000002/"),
+      "the partially-deleted partition was rewritten")
+    assert(m.entries("bucket=2") === entryB2,
+      "the untouched partition carries forward by reference")
+    // idempotent replay (the crash-retry path)
+    ManifestStore.deleteKeys(root, Seq("k"), Seq("bucket"))(
+      Seq((1L, 0), (3L, 1)).toDF("k", "bucket"))
+    assert(snapshot(root) === Map(2L -> (1L, "b"), 4L -> (1L, "d")))
+    // deleting keys that were never stored is a no-op
+    ManifestStore.deleteKeys(root, Seq("k"), Seq("bucket"))(
+      Seq((99L, 7)).toDF("k", "bucket"))
+    assert(snapshot(root) === Map(2L -> (1L, "b"), 4L -> (1L, "d")))
+  }
+
   test("compact folds a scattered snapshot into one generation, atomically") {
     val sp = spark
     import sp.implicits._
