@@ -47,7 +47,7 @@ object Bench {
   private[graft] val HEADLINE = Set(
     "q01", "q06", "q11", "q19", "q26", "q28", "q30", "q52", "q70", "q77",
     "q87", "q88", "q92", "q97", "q105", "q110", "q120", "q127", "q128",
-    "q131")
+    "q131", "q203", "q209") // r11: image-codec + CDC-chunking families
 
   private[graft] def isHeadline(name: String): Boolean =
     HEADLINE(name.takeWhile(_ != '_'))
