@@ -730,6 +730,100 @@ object SimilarityQueries {
           CAST(MIN(qv) AS BIGINT) AS q_min, CAST(MAX(qv) AS BIGINT) AS q_max,
           CAST(MAX(errn) AS BIGINT) AS max_err_num,
           CAST(SUM(errn) AS BIGINT) AS sum_err_num
-        FROM e GROUP BY dim ORDER BY dim"""))
+        FROM e GROUP BY dim ORDER BY dim""")),
+
+    // nDCG@10 — THE standard graded ranking metric, completing the
+    // retrieval-evaluation family next to recall@k (q150) and RBO
+    // (q198): score the cosine-ranked top-10 per query against
+    // label-match relevance grades, normalized by the IDEAL DCG over
+    // the full candidate pool (min(10, #relevant) perfect hits).
+    // Portability discipline: each 1/log2 term is rounded to 6 dp
+    // FIRST (coarse enough to absorb any libm last-ulp difference
+    // between engines), then summed decimal-exact (decSum), so the
+    // gate hashes whole numbers of millionths; the final dcg/idcg is
+    // one mirrored IEEE division. A query with zero relevant docs
+    // yields NULL nDCG (the q190 degenerate-row convention). NOTE the
+    // sequence guard: Spark's sequence(1, 0) infers a NEGATIVE step
+    // and yields [1, 0] — the empty-relevant case must short-circuit
+    // to an empty array explicitly.
+    Q("q212_ndcg",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = t(s, d, "embeddings").select(col("vec_id"), col("label"),
+          expr("transform(embedding, x -> cast(x AS double))").as("v"))
+        val queries = emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+            col("v").as("qv"))
+        val pairs = emb.crossJoin(broadcast(queries))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("qlabel"),
+            col("vec_id").as("doc_id"), col("label"),
+            expr("graft_cosine(qv, v)").as("sim"))
+        val ranked = pairs
+          .withColumn("rk", row_number().over(Window.partitionBy("query_id")
+            .orderBy(col("sim").desc, col("doc_id"))))
+          .filter(col("rk") <= 10)
+          .withColumn("rel",
+            when(col("label") === col("qlabel"), 2).otherwise(0))
+          .withColumn("term",
+            round(col("rel") / log2(col("rk") + 1), 6))
+        val dcg = ranked.groupBy("query_id")
+          .agg(round(decSum(col("term")), 6).as("dcg"))
+        val idcg = pairs.groupBy("query_id")
+          .agg(sum(when(col("label") === col("qlabel"), 1).otherwise(0))
+            .as("cnt"))
+          .select(col("query_id"), explode_outer(
+            when(col("cnt") > 0, expr("sequence(1, int(least(10L, cnt)))"))
+              .otherwise(expr("array()"))).as("i"))
+          .withColumn("iterm", round(lit(2.0) / log2(col("i") + 1), 6))
+          .groupBy("query_id")
+          .agg(round(decSum(coalesce(col("iterm"), lit(0.0))), 6).as("idcg"))
+        dcg.join(idcg, "query_id")
+          .select(col("query_id"), col("dcg"), col("idcg"),
+            when(col("idcg") > 0, round(col("dcg") / col("idcg"), 6))
+              .otherwise(lit(null).cast("double")).as("ndcg"))
+          .orderBy("query_id")
+      },
+      Some("""
+        WITH n AS (
+          SELECT vec_id, label,
+            LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v,
+            SQRT(LIST_SUM(LIST_TRANSFORM(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+          FROM embeddings),
+        pairs AS (
+          SELECT q.vec_id AS query_id, q.label AS qlabel,
+            e.vec_id AS doc_id, e.label AS dlabel,
+            LIST_DOT_PRODUCT(q.v, e.v) / (q.nrm * e.nrm) AS sim
+          FROM n q JOIN n e ON q.vec_id < 20 AND e.vec_id <> q.vec_id),
+        ranked AS (
+          SELECT query_id,
+            CASE WHEN dlabel = qlabel THEN 2 ELSE 0 END AS rel,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY sim DESC, doc_id) AS rk
+          FROM pairs),
+        dcg AS (
+          SELECT query_id, ROUND(CAST(CAST(SUM(CAST(
+              ROUND(rel / LOG2(rk + 1), 6) AS DECIMAL(28,6)))
+            AS VARCHAR) AS DOUBLE), 6) AS dcg
+          FROM ranked WHERE rk <= 10 GROUP BY query_id),
+        cnt AS (
+          SELECT query_id,
+            SUM(CASE WHEN dlabel = qlabel THEN 1 ELSE 0 END) AS cnt
+          FROM pairs GROUP BY query_id),
+        iterm AS (
+          SELECT c.query_id, ROUND(2.0 / LOG2(i + 1), 6) AS iterm
+          FROM cnt c, LATERAL (SELECT UNNEST(
+            GENERATE_SERIES(1, CAST(LEAST(10, c.cnt) AS BIGINT))) AS i)),
+        idcg AS (
+          SELECT c.query_id, COALESCE(ROUND(CAST(CAST(SUM(CAST(
+              it.iterm AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE), 6), 0.0)
+            AS idcg
+          FROM cnt c LEFT JOIN iterm it USING (query_id)
+          GROUP BY c.query_id)
+        SELECT d.query_id, d.dcg, i.idcg,
+          CASE WHEN i.idcg > 0 THEN ROUND(d.dcg / i.idcg, 6)
+            ELSE NULL END AS ndcg
+        FROM dcg d JOIN idcg i USING (query_id) ORDER BY d.query_id"""))
   )
 }
