@@ -239,6 +239,49 @@ object Relational {
       .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+  /** 2-D skyline (Pareto frontier): rows not dominated by any other —
+    * dominance = `minCol` ≤ and `maxCol` ≥ with at least one strict.
+    * Equal (minCol, maxCol) pairs all survive (neither dominates).
+    *
+    * Scale shape (no all-pairs join, no fact-frame global sort): the
+    * DISTINCT-minCol dictionary is bucketed monotonically via
+    * [[ntileByCdf]] (equal values share a bucket, so a lower bucket is
+    * a strictly smaller value); per (bucket, value) group-max of
+    * `maxCol`; a bucket-PARTITIONED running max covers same-bucket
+    * strictly-smaller values and a `buckets`-row prefix frame, broadcast
+    * back, covers lower buckets. A row is on the frontier iff it holds
+    * its value's group max and beats the combined strictly-lower-value
+    * max. Frontier size of random data is O(log n) — metadata-scale
+    * output from any input. `minCol`/`maxCol` must be column names.
+    */
+  def paretoFrontier2d(df: DataFrame, minCol: String, maxCol: String,
+                       buckets: Int = 32): DataFrame = {
+    val vals = df.select(col(minCol).as("__v")).distinct()
+    val bucketedVals = ntileByCdf(vals, col("__v"), col("__v"), buckets,
+      "__bkt")
+    val keyed = df.withColumn("__v", col(minCol))
+      .join(broadcast(bucketedVals), "__v")
+    val g = keyed.groupBy(col("__bkt"), col("__v"))
+      .agg(max(col(maxCol)).as("__gmax"))
+    val inPrev = Window.partitionBy("__bkt").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val gg = g.withColumn("__inprev", max(col("__gmax")).over(inPrev))
+    val bPrev = g.groupBy(col("__bkt")).agg(max(col("__gmax")).as("__bmax"))
+      // `buckets`-row frame: the only unpartitioned window
+      .withColumn("__crossmax", max(col("__bmax")).over(
+        Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("__bkt"), col("__crossmax"))
+    val dom = gg.join(broadcast(bPrev), "__bkt")
+      .withColumn("__prevmax",
+        greatest(coalesce(col("__inprev"), lit(Long.MinValue)),
+          coalesce(col("__crossmax"), lit(Long.MinValue))))
+      .select(col("__bkt"), col("__v"), col("__gmax"), col("__prevmax"))
+    keyed.join(broadcast(dom), Seq("__bkt", "__v"))
+      .filter(col(maxCol) === col("__gmax") &&
+        col(maxCol) > col("__prevmax"))
+      .drop("__v", "__bkt", "__gmax", "__prevmax")
+  }
+
   /** Exact `NTILE(k) OVER (ORDER BY key, tie)` WITHOUT a global sort of
     * the fact frame — the scale-safe replacement for
     * `ntile(k).over(Window.orderBy(...))`, whose executed plan moves

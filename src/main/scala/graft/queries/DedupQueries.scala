@@ -499,7 +499,63 @@ object DedupQueries {
         JOIN sizes sb ON doc_hist = sb.doc_id
         WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.6
         ORDER BY doc_new, doc_hist"""))
-  ) :+ q29 :+ q92 :+ q196
+  ) :+ q29 :+ q92 :+ q196 :+ q213
+
+  // PPJOIN-STYLE PREFIX-FILTERED EXACT SIMILARITY JOIN — the seventh
+  // candidate-generation modality, and the one that is EXACT at scale:
+  // q27's ground-truth join explodes on hot shingles (every co-shingled
+  // pair is a candidate) and q28's MinHash-LSH trades a (negligible but
+  // nonzero) miss probability for boundedness. Prefix filtering keeps
+  // both properties: order every doc's shingles by one global rarity
+  // total-order (document frequency asc, shingle asc), keep only the
+  // first |x| − ⌈t·|x|⌉ + 1 of them, and self-join the PREFIXES — any
+  // pair with Jaccard ≥ t provably shares a prefix token (if A∩B misses
+  // prefix(A), the overlap fits inside A's suffix of ⌈t·|A|⌉ − 1 tokens,
+  // contradicting J ≥ t ⟹ |A∩B| ≥ ⌈t·|A|⌉), so the candidate set is a
+  // superset of the truth and the exact-Jaccard verify makes the result
+  // identical to q27's. The 100 TB shape: candidates now come only from
+  // RARE-token collisions — a stop-shingle shared by a million docs
+  // falls outside every large doc's prefix instead of generating 10¹²
+  // pairs — plus the length filter (J ≥ 3/5 forces 5·min ≥ 3·max of the
+  // set sizes) prunes cross-size pairs before the verify. Every
+  // threshold comparison is integral (t = 3/5 exactly: prefix bound via
+  // (3·sz + 4) div 5), so the filter never inherits a float-rounding
+  // hazard. PPJoinSpec pins losslessness against the unfiltered join on
+  // randomized corpora.
+  private lazy val q213: Q = Q("q213_ppjoin",
+    (s, d) => jaccardPairs(s, d,
+      Some(prefixFilterCandidates(shingles(s, d), 3, 5))),
+    Some(jaccardOracle))
+
+  /** Prefix-filtered candidate pairs for an exact Jaccard ≥ tNum/tDen
+    * similarity join over a (doc_id, shingle) frame — distinct shingles
+    * per doc. All bounds are integral in (tNum, tDen); see q213's
+    * derivation. Returns (doc_a, doc_b), doc_a < doc_b, a provable
+    * superset of every pair meeting the threshold. */
+  private[graft] def prefixFilterCandidates(sh: DataFrame,
+                                            tNum: Int, tDen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tNum > 0 && tDen >= tNum, s"threshold $tNum/$tDen not in (0,1]")
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    // minimum overlap for a doc of size sz: ceil(tNum·sz/tDen); prefix
+    // keeps sz − that + 1 rarest shingles
+    val minOv = (col("sz") * tNum + lit(tDen - 1)).cast("long") // numer
+    val prefix = sh.join(dfreq, "shingle")
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))))
+      .filter(col("rk") <= col("sz") - floor(minOv / tDen).cast("long") + 1)
+      .select(col("doc_id"), col("sz"), col("shingle"))
+    prefix
+      .select(col("doc_id").as("doc_a"), col("sz").as("sa"), col("shingle"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("sz").as("sb"),
+        col("shingle")), "shingle")
+      .filter(col("doc_a") < col("doc_b"))
+      // length filter: J ≥ t forces tDen·min(|a|,|b|) ≥ tNum·max(|a|,|b|)
+      .filter(least(col("sa"), col("sb")) * tDen >=
+        greatest(col("sa"), col("sb")) * tNum)
+      .select("doc_a", "doc_b").distinct()
+  }
 
   /** MinHash + LSH verified near-dup pairs (the q28 body, reused by the
     * q77 clustering and the q80 curation composition): returns

@@ -350,6 +350,71 @@ object QualityQueries {
             / COUNT(*), 6) AS en_share,
           ROUND(CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS DOUBLE)
             / COUNT(*), 6) AS mean_tokens
-        FROM documents"""))
+        FROM documents""")),
+
+    // EXACT ROC-AUC BY RANK-SUM — the classifier-evaluation metric for
+    // every quality/langid/dedup scorer in the corpus: per source, how
+    // well does document length separate English from the rest?
+    // AUC = P(score_pos > score_neg) + ½·P(tie), computed exactly via
+    // the Mann–Whitney rank-sum with MIDRANKS for ties — and the scale
+    // device is the same dictionary-CDF shape as q138/q190: group to
+    // the per-(source, score) frequency frame first, take running
+    // below-counts over that bounded dictionary (PARTITIONED by source
+    // — no global window), and assemble 2·ΣR⁺ = Σ cp·(2·below + c + 1)
+    // in integer arithmetic (decimal-accumulated: at 10¹² rows the sum
+    // passes 2⁶³). The fact table is touched by exactly one map-side-
+    // combined aggregate; everything after is dictionary-sized. One
+    // mirrored IEEE division at the end; a source with no positives or
+    // no negatives yields NULL (the q190 degenerate-row convention).
+    Q("q216_auc",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, d, "documents").select(col("source"),
+          col("n_chars").as("score"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+        val g = docs.groupBy("source", "score")
+          .agg(sum(col("y")).as("cp"), count(lit(1)).as("c"))
+        val r = g.withColumn("below", coalesce(sum(col("c")).over(
+          Window.partitionBy("source").orderBy("score")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        r.groupBy("source").agg(
+            sum((col("cp") * (col("below") * 2 + col("c") + 1))
+              .cast("decimal(38,0)")).as("two_r"),
+            sum(col("cp")).as("np"),
+            sum(col("c")).as("n"))
+          .select(col("source"), col("np"),
+            (col("n") - col("np")).as("nn"),
+            when(col("np") > 0 && col("n") > col("np"),
+              round((col("two_r").cast("double")
+                  - col("np").cast("double") * (col("np") + 1))
+                / (col("np").cast("double") * (col("n") - col("np")) * 2),
+                6))
+              .otherwise(lit(null).cast("double")).as("auc"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH s AS (
+          SELECT source, n_chars AS score,
+            CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+          FROM documents),
+        g AS (
+          SELECT source, score, SUM(y) AS cp, COUNT(*) AS c
+          FROM s GROUP BY 1, 2),
+        r AS (
+          SELECT source, cp, c,
+            COALESCE(SUM(c) OVER (PARTITION BY source ORDER BY score
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+          FROM g),
+        a AS (
+          SELECT source, SUM(cp * (2 * below + c + 1)) AS two_r,
+            SUM(cp) AS np, SUM(c) AS n
+          FROM r GROUP BY 1)
+        SELECT source, CAST(np AS BIGINT) AS np,
+          CAST(n - np AS BIGINT) AS nn,
+          CASE WHEN np > 0 AND n > np THEN
+            ROUND((CAST(two_r AS DOUBLE) - CAST(np AS DOUBLE) * (np + 1))
+              / (CAST(np AS DOUBLE) * (n - np) * 2), 6)
+          ELSE NULL END AS auc
+        FROM a ORDER BY source"""))
   )
 }

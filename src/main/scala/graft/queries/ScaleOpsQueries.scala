@@ -1486,7 +1486,41 @@ object ScaleOpsQueries {
             AS n_shared,
           ROUND(CAST(CAST(SUM(CAST(CAST(1.0 AS DOUBLE) / n_touch
             AS DECIMAL(28,18))) AS VARCHAR) AS DOUBLE), 6) AS credit
-        FROM credit GROUP BY 1 ORDER BY 1"""))
+        FROM credit GROUP BY 1 ORDER BY 1""")),
+
+    // SKYLINE / PARETO FRONTIER — the multi-objective selection
+    // primitive (cheapest part at every size level: minimize
+    // p_retailprice, maximize p_size; a part survives iff nothing is
+    // simultaneously ≤ price and ≥ size with one strict). The naive
+    // formulation is an all-pairs dominance NOT EXISTS (the oracle,
+    // which stays independent brute force) — no 100 TB shape. The scale
+    // device composes two existing ones: (1) bucket the DISTINCT-price
+    // dictionary into 32 monotone range buckets via ntileByCdf (equal
+    // prices always share a bucket, so bucket(q) < bucket(r) ⟹
+    // q.price < r.price strictly); (2) per (bucket, price) group-max of
+    // size, then a PARTITIONED running max inside each bucket plus a
+    // 32-row bucket-prefix frame broadcast back. A row is on the
+    // frontier iff it holds its price's max size AND beats the combined
+    // strictly-lower-price max — every window is bucket-local or
+    // 32-row, the fact frame never globally sorts, and cross-bucket
+    // dominance is a broadcast join. Frontier rows of random data are
+    // O(log n): the output is metadata-sized however large the input.
+    Q("q214_skyline",
+      (s, d) => graft.ops.Relational.paretoFrontier2d(
+          t(s, d, "part")
+            .select(col("p_partkey"), col("p_size"), col("p_retailprice")),
+          "p_retailprice", "p_size")
+        .select("p_partkey", "p_size", "p_retailprice")
+        .orderBy("p_partkey"),
+      Some("""
+        SELECT r.p_partkey, r.p_size, r.p_retailprice
+        FROM part r
+        WHERE NOT EXISTS (
+          SELECT 1 FROM part q
+          WHERE q.p_retailprice <= r.p_retailprice
+            AND q.p_size >= r.p_size
+            AND (q.p_retailprice < r.p_retailprice OR q.p_size > r.p_size))
+        ORDER BY r.p_partkey"""))
   )
 
   /** Canonical Hilbert xy2d (order 8, 256×256 grid) unrolled to named

@@ -469,6 +469,49 @@ object TimeSeriesQueries {
             * CAST(c1 - c0 AS DECIMAL(12,0))) AS VARCHAR) AS DOUBLE)
             / SUM(c1 - c0), 6) AS twap
         FROM clipped
-        GROUP BY 1, 2 ORDER BY 1, 2"""))
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // OHLC CANDLESTICK BARS — the canonical finance resample the
+    // reference's DEX domain implies everywhere but never names: per
+    // (instrument, hour), the first / max / min / last tick value plus
+    // tick count. One hash aggregate, fully map-side combined: open and
+    // close ride Spark's min_by/max_by with a (ts, event_id) STRUCT
+    // ordering key, so first/last are total-ordered and deterministic
+    // under any shuffle arrival (the partial aggregates keep the
+    // arg-struct and merge exactly like min/max). No window, no sort,
+    // no second pass — at 100 TB this is a single shuffle whose reduce
+    // side is |instruments|×|hours| rows. All outputs are raw tick
+    // doubles or counts (no accumulation), so the gate needs no decimal
+    // discipline. Oracle mirrors first/last via ROW_NUMBER at both
+    // ends, the engine-neutral spelling of arg-min/max with composite
+    // tie-break.
+    Q("q215_ohlc_bars",
+      (s, d) => t(s, d, "events")
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("bar_ts"))
+        .agg(
+          min_by(col("value"), struct(col("ts"), col("event_id")))
+            .as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"), struct(col("ts"), col("event_id")))
+            .as("close"),
+          count(lit(1)).as("n_ticks"))
+        .orderBy("event_type", "bar_ts"),
+      Some("""
+        WITH e AS (
+          SELECT event_type, DATE_TRUNC('hour', ts) AS bar_ts, value,
+            ROW_NUMBER() OVER (PARTITION BY event_type, DATE_TRUNC('hour', ts)
+              ORDER BY ts, event_id) AS rn_a,
+            ROW_NUMBER() OVER (PARTITION BY event_type, DATE_TRUNC('hour', ts)
+              ORDER BY ts DESC, event_id DESC) AS rn_z
+          FROM events)
+        SELECT event_type, bar_ts,
+          MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+          MAX(value) AS high,
+          MIN(value) AS low,
+          MAX(CASE WHEN rn_z = 1 THEN value END) AS close,
+          CAST(COUNT(*) AS BIGINT) AS n_ticks
+        FROM e GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }

@@ -52,7 +52,11 @@ object PlanAudit {
       "q107_zorder_layout", // CDF-device buckets, fenced curve key (r11)
       "q203_bmp_roundtrip", // streaming encode/decode mapPartitions passes
       "q207_media_catalog", // magic-dispatch decode, one scan
-      "q208_unicode_normalize") // native codegen'd normalizer, no UDF
+      "q208_unicode_normalize", // native codegen'd normalizer, no UDF
+      "q213_ppjoin", // rare-prefix candidates, no hot-token blowup (r11)
+      "q214_skyline", // dictionary-CDF buckets, broadcast dominance (r11)
+      "q215_ohlc_bars", // single map-side-combined min_by/max_by agg (r11)
+      "q216_auc") // dictionary rank-sum, source-partitioned window (r11)
     interesting.foreach { name =>
       val df = graft.queries.Catalog.byName(name).run(spark, d)
       // drive THIS df's own query execution to completion (count() would

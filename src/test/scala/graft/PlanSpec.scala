@@ -870,6 +870,47 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("q213: prefix-filtered join stays equi-shaped — no all-pairs fallback") {
+    val p = plan("q213_ppjoin")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"),
+      "candidate generation and verify must both be shingle equi joins")
+    // both windows (doc size, rarity rank) partition on doc_id
+    assert(!p.contains("Exchange SinglePartition"),
+      "no stage may collapse the shingle frame to one partition")
+  }
+
+  test("q214: skyline dominance frames broadcast — fact frame never sorts") {
+    val p = plan("q214_skyline")
+    assert(p.contains("BroadcastHashJoin"),
+      "bucket map and dominance thresholds are broadcast-sized")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "no shuffle or all-pairs join anywhere in the frontier plan")
+  }
+
+  test("q215: OHLC bars are ONE map-side-combined aggregate") {
+    val p = plan("q215_ohlc_bars")
+    assert(!p.contains("Join"), "no join: min_by/max_by carry open/close")
+    assert(!p.contains("WindowExec") && !p.contains("Window "),
+      "no window: first/last tick ride the aggregate's arg-struct")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"one shuffle to the (type, hour) groups, got $hashEx")
+    assert(p.contains("partial_min_by") || p.contains("partial_"),
+      "open/close partials must combine map-side")
+  }
+
+  test("q216: AUC rank-sum touches the fact table once, windows partitioned") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val sp = Catalog.byName("q216_auc").run(spark, d)
+      .queryExecution.sparkPlan
+    val scans = sp.collect {
+      case s if s.getClass.getSimpleName.contains("FileSourceScan") => s }
+    assert(scans.size == 1, s"one documents scan, got ${scans.size}")
+    val globals = sp.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w }
+    assert(globals.isEmpty, "the below-count window partitions on source")
+  }
+
   test("q107/q167: the only global window runs over the CDF frequency frame") {
     import org.apache.spark.sql.execution.window.WindowExec
     for (q <- Seq("q107_zorder_layout", "q167_hilbert_layout")) {
