@@ -415,6 +415,96 @@ object QualityQueries {
             ROUND((CAST(two_r AS DOUBLE) - CAST(np AS DOUBLE) * (np + 1))
               / (CAST(np AS DOUBLE) * (n - np) * 2), 6)
           ELSE NULL END AS auc
-        FROM a ORDER BY source"""))
+        FROM a ORDER BY source""")),
+
+    // CALIBRATION BINS — q216's AUC measures ranking; this measures
+    // whether the scores MEAN what they say (the reliability diagram +
+    // expected calibration error, the standard pair for any quality /
+    // langid / dedup classifier before its threshold is trusted). The
+    // synthetic "predicted probability" is exact thousandths
+    // ((n_chars mod 1000)/1000), so bin assignment is pure integer
+    // arithmetic ((n_chars mod 1000) div 100) and mean confidence per
+    // bin is a decimal-exact ratio — no transcendental anywhere, the
+    // gate hashes exact sextodecimal... exact 6-dp values. Scale shape:
+    // ONE map-side-combined aggregate to 10 bins; ECE is assembled from
+    // the bin frame (a 10-row broadcast), never a second corpus pass.
+    Q("q217_calibration",
+      (s, d) => {
+        val docs = t(s, d, "documents").select(
+          (col("n_chars") % 1000).as("mille"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+        val bins = docs
+          .groupBy(((col("mille")) / lit(100)).cast("long").as("bin"))
+          .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"),
+            sum(col("mille")).as("conf_sum"))
+        val total = bins.agg(sum(col("n")).as("n_total"))
+        // every ratio is one IEEE division of two EXACT integers (the
+        // corpus's mirrored-division convention — decimal division has
+        // engine-specific result scales, integer→double does not)
+        bins.crossJoin(broadcast(total))
+          .select(col("bin"), col("n"), col("pos"),
+            round(col("conf_sum").cast("double") / (col("n") * 1000), 6)
+              .as("conf"),
+            round(col("pos").cast("double") / col("n"), 6).as("acc"),
+            round(abs(col("pos") * 1000 - col("conf_sum")).cast("double")
+              / (col("n") * 1000), 6).as("gap"),
+            round(col("n").cast("double") / col("n_total"), 6)
+              .as("weight"))
+          .orderBy("bin")
+      },
+      Some("""
+        WITH s AS (
+          SELECT n_chars % 1000 AS mille,
+            CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+          FROM documents),
+        b AS (
+          SELECT mille // 100 AS bin, COUNT(*) AS n, SUM(y) AS pos,
+            SUM(mille) AS conf_sum
+          FROM s GROUP BY 1),
+        tot AS (SELECT SUM(n) AS n_total FROM b)
+        SELECT CAST(bin AS BIGINT) AS bin, n, CAST(pos AS BIGINT) AS pos,
+          ROUND(CAST(conf_sum AS DOUBLE) / (n * 1000), 6) AS conf,
+          ROUND(CAST(pos AS DOUBLE) / n, 6) AS acc,
+          ROUND(CAST(ABS(pos * 1000 - conf_sum) AS DOUBLE) / (n * 1000), 6)
+            AS gap,
+          ROUND(CAST(n AS DOUBLE) / n_total, 6) AS weight
+        FROM b, tot ORDER BY bin""")),
+
+    // K-ANONYMITY AUDIT — the privacy complement of the deletion audit
+    // (q152): how re-identifiable is a release keyed by quasi-
+    // identifiers? Group by the QI tuple (lang, source, length band),
+    // then roll the GROUP-SIZE distribution into k bands: singleton
+    // cells are unique individuals, cells below k=5 fail the classic
+    // disclosure threshold. Both levels are map-side-combined
+    // aggregates; the second operates on the cell frame (|QI
+    // dictionary| rows), so the fact table is scanned once however
+    // large the release. All-integer output — nothing for the gate to
+    // drift on.
+    Q("q218_k_anonymity",
+      (s, d) => {
+        val cells = t(s, d, "documents")
+          .groupBy(col("lang"), col("source"),
+            (col("n_chars") / lit(100)).cast("long").as("len_band"))
+          .agg(count(lit(1)).as("k"))
+        cells
+          .groupBy(when(col("k") === 1, "k=1")
+            .when(col("k") <= 4, "k=2-4")
+            .when(col("k") <= 9, "k=5-9")
+            .otherwise("k>=10").as("k_band"))
+          .agg(count(lit(1)).as("n_cells"),
+            sum(col("k")).as("n_records"),
+            min(col("k")).as("k_min"),
+            max(col("k")).as("k_max"))
+          .orderBy("k_band")
+      },
+      Some("""
+        WITH cells AS (
+          SELECT lang, source, n_chars // 100 AS len_band, COUNT(*) AS k
+          FROM documents GROUP BY 1, 2, 3)
+        SELECT CASE WHEN k = 1 THEN 'k=1' WHEN k <= 4 THEN 'k=2-4'
+            WHEN k <= 9 THEN 'k=5-9' ELSE 'k>=10' END AS k_band,
+          COUNT(*) AS n_cells, CAST(SUM(k) AS BIGINT) AS n_records,
+          CAST(MIN(k) AS BIGINT) AS k_min, CAST(MAX(k) AS BIGINT) AS k_max
+        FROM cells GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -512,6 +512,75 @@ object TimeSeriesQueries {
           MIN(value) AS low,
           MAX(CASE WHEN rn_z = 1 THEN value END) AS close,
           CAST(COUNT(*) AS BIGINT) AS n_ticks
-        FROM e GROUP BY 1, 2 ORDER BY 1, 2"""))
+        FROM e GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // CUSUM CHANGE-POINT DETECTION — the sequential drift detector q118's
+    // rolling z-score cannot be: a rolling window forgets, CUSUM
+    // accumulates. The recursion s_i = max(0, s_{i−1} + (x_i − μ)) looks
+    // window-hostile, but it has a closed form: s_i = P_i − min_{j≤i} P_j
+    // where P is the prefix sum of deviations — so the whole detector is
+    // ONE prefix sum and ONE running min over the per-type HOURLY frame
+    // (dictionary-sized after the q70-style resample; both windows
+    // partition on event_type). Exactness: hourly sums are integer cents,
+    // and μ = S/n is kept RATIONAL by scaling every prefix by n
+    // (Q_i = n·ΣX_{≤i} − i·S), so flags fire on the integer comparison
+    // 2·(Q_i − min Q) > n·S_mean-threshold — zero float anywhere until
+    // the reported score's final mirrored division. At 10¹² rows the
+    // scaled products pass 2⁶³, hence decimal(38,0) accumulation
+    // (HUGEINT on the oracle side, native); the REPORTED scaled stat is
+    // surfaced as bigint (≤1.1e17 at gate scale — the 100 TB surface
+    // would keep it decimal).
+    Q("q219_cusum",
+      (s, d) => {
+        val hourly = t(s, d, "events")
+          .groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).as("h"))
+          .agg(sum(expr("cast(round(value * 100) as long)")).as("xc"))
+        val w = Window.partitionBy("event_type").orderBy("h")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val byType = Window.partitionBy("event_type")
+        val p = hourly
+          .withColumn("i", row_number().over(
+            Window.partitionBy("event_type").orderBy("h")))
+          .withColumn("cum", sum(col("xc").cast("decimal(38,0)")).over(w))
+          .withColumn("n", count(lit(1)).over(byType))
+          .withColumn("s", sum(col("xc").cast("decimal(38,0)")).over(byType))
+          // Q_i = n·cum_i − i·S: prefix deviation sum scaled by n
+          .withColumn("q", col("n") * col("cum") - col("i") * col("s"))
+          .withColumn("qmin", min(col("q")).over(w))
+        p.select(col("event_type"), col("h"),
+            (col("q") - col("qmin")).cast("long").as("cusum_scaled"),
+            // alarm at h = μ/2 per accumulated unit: 2(Q−minQ) > |S|
+            (((col("q") - col("qmin")) * 2) > abs(col("s"))).as("alarm"),
+            round((col("q") - col("qmin")).cast("double")
+              / (col("n").cast("double") * 100), 6).as("cusum_value"))
+          .orderBy("event_type", "h")
+      },
+      Some("""
+        WITH hourly AS (
+          SELECT event_type, DATE_TRUNC('hour', ts) AS h,
+            SUM(CAST(ROUND(value * 100) AS BIGINT)) AS xc
+          FROM events GROUP BY 1, 2),
+        p AS (
+          SELECT event_type, h,
+            ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS i,
+            SUM(xc) OVER (PARTITION BY event_type ORDER BY h
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            COUNT(*) OVER (PARTITION BY event_type) AS n,
+            SUM(xc) OVER (PARTITION BY event_type) AS s
+          FROM hourly),
+        q AS (
+          SELECT event_type, h, n, s, n * cum - i * s AS qv FROM p),
+        m AS (
+          SELECT event_type, h, n, s, qv,
+            MIN(qv) OVER (PARTITION BY event_type ORDER BY h
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS qmin
+          FROM q)
+        SELECT event_type, h,
+          CAST(qv - qmin AS BIGINT) AS cusum_scaled,
+          (qv - qmin) * 2 > ABS(s) AS alarm,
+          ROUND(CAST(qv - qmin AS DOUBLE) / (CAST(n AS DOUBLE) * 100), 6)
+            AS cusum_value
+        FROM m ORDER BY event_type, h"""))
   )
 }

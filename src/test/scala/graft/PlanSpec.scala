@@ -911,6 +911,25 @@ class PlanSpec extends AnyFunSuite {
     assert(globals.isEmpty, "the below-count window partitions on source")
   }
 
+  test("q217/q218: audit rollups are pure aggregates — no window, no join beyond the 1-row total") {
+    val p17 = plan("q217_calibration")
+    assert(!p17.contains("WindowExec"), "bins come from ONE aggregate")
+    val p18 = plan("q218_k_anonymity")
+    assert(!p18.contains("Join") && !p18.contains("WindowExec"),
+      "cell sizes then k-bands: two stacked aggregates, nothing else")
+  }
+
+  test("q219: CUSUM windows all partition on event_type over the hourly frame") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val sp = Catalog.byName("q219_cusum").run(spark, d).queryExecution.sparkPlan
+    val globals = sp.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w }
+    assert(globals.isEmpty, "no global window anywhere in the detector")
+    val scans = sp.collect {
+      case s if s.getClass.getSimpleName.contains("FileSourceScan") => s }
+    assert(scans.size == 1, s"one events scan (the resample), got ${scans.size}")
+  }
+
   test("q107/q167: the only global window runs over the CDF frequency frame") {
     import org.apache.spark.sql.execution.window.WindowExec
     for (q <- Seq("q107_zorder_layout", "q167_hilbert_layout")) {
