@@ -146,6 +146,52 @@ object ManifestStore {
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** Decode a manifest partition key (`col=escapedValue/...`) back into
+    * column → raw string value (null for the hive default dir) — the
+    * inverse of [[partKey]], used for manifest-level pruning. */
+  private[graft] def decodeKey(key: String): Map[String, String] =
+    key.split('/').map { seg =>
+      val i = seg.indexOf('=')
+      val c = seg.substring(0, i)
+      val v = seg.substring(i + 1)
+      c -> (if (v == NULL_DIR) null
+            else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .unescapePathName(v))
+    }.toMap
+
+  /** Partition-pruned snapshot read: `keep` filters on the DECODED
+    * partition values of each manifest entry, so pruning happens at the
+    * MANIFEST — a driver-side scan of |partitions| map entries — before
+    * any filesystem listing or file-index build. This is the read path a
+    * date-bounded consumer wants at 100 TB: a table with 10⁵ partitions
+    * resolves a one-day read to its handful of directories without
+    * listing the other 99.99 %. Catalyst partition pruning on the hive
+    * dirs still applies inside whatever is kept (basePath recovers the
+    * partition columns), so a residual predicate costs nothing extra.
+    * A `keep` that matches nothing returns an EMPTY frame with the
+    * plan schema (`schema` is required in that case — there are no
+    * files to infer one from). */
+  def readWhere(spark: SparkSession, root: String,
+                schema: Option[StructType] = None,
+                version: Option[Long] = None)
+               (keep: Map[String, String] => Boolean): DataFrame = {
+    val fs = fsOf(spark, root)
+    val m = version match {
+      case Some(v) => readManifestAt(fs, root, v).getOrElse(
+        throw new IllegalStateException(
+          s"version $v of $root is not retained (GC keeps current + previous)"))
+      case None => readManifest(fs, root).getOrElse(
+        throw new IllegalStateException(s"no committed manifest under $root"))
+    }
+    val kept = m.entries.filter { case (k, _) => keep(decodeKey(k)) }
+    if (kept.isEmpty) {
+      val sch = schema.getOrElse(throw new IllegalArgumentException(
+        s"readWhere matched no partitions of $root and has no schema " +
+          "to shape the empty result"))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+    } else readSnapshot(spark, root, Manifest(m.version, kept), schema)
+  }
+
   /** Deletion propagation at the table-format level — the
     * right-to-be-forgotten write (the storage half of q152's deletion
     * AUDIT): remove every row whose key tuple appears in `keys`

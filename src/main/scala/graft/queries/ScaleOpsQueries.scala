@@ -1520,7 +1520,75 @@ object ScaleOpsQueries {
           WHERE q.p_retailprice <= r.p_retailprice
             AND q.p_size >= r.p_size
             AND (q.p_retailprice < r.p_retailprice OR q.p_size > r.p_size))
-        ORDER BY r.p_partkey"""))
+        ORDER BY r.p_partkey""")),
+
+    // SKETCHED SOURCE OVERLAP — the mergeable-HLL scale path of q177's
+    // exact vocabulary overlap, and the operation that shows WHY
+    // sketches must merge: per-source HLL sketches are built in ONE
+    // dictionary pass, then every pairwise union/intersection estimate
+    // is hll_union of two BINARY registers on the |sources|² frame — no
+    // token re-scan per pair, which is what makes all-pairs overlap
+    // feasible when sources are corpora of 10¹⁰ tokens each.
+    // Intersection rides inclusion–exclusion (î = â + b̂ − û). Gate
+    // discipline is q169's: HLL register merges are order-free max()es
+    // so the estimates are deterministic, but only the EXACT counts and
+    // the error-contract booleans are surfaced (|î − i| ≤ 15 % of the
+    // size sum — triple the three compounded 5 % rsd's); a real
+    // deployment deletes the exact columns and keeps the sketches.
+    Q("q220_sketch_overlap",
+      (s, d) => {
+        val st = t(s, d, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+          .distinct()
+          .cache() // sketch build + exact evidence read the same frame
+        val sk = st.groupBy("source").agg(
+          hll_sketch_agg(col("tok"), lit(14)).as("sk"),
+          count(lit(1)).as("v")) // st is distinct: count == exact distinct
+        val pairs = sk.alias("a").crossJoin(broadcast(sk.alias("b")))
+          .filter(col("a.source") < col("b.source"))
+          .select(col("a.source").as("src1"), col("b.source").as("src2"),
+            col("a.v").as("v1"), col("b.v").as("v2"),
+            hll_sketch_estimate(col("a.sk")).as("e1"),
+            hll_sketch_estimate(col("b.sk")).as("e2"),
+            hll_sketch_estimate(hll_union(col("a.sk"), col("b.sk")))
+              .as("eu"))
+        val exact = st.alias("x").join(st.alias("y"), Seq("tok"))
+          .filter(col("x.source") < col("y.source"))
+          .groupBy(col("x.source").as("src1"), col("y.source").as("src2"))
+          .agg(count(lit(1)).as("inter"))
+        pairs.join(exact, Seq("src1", "src2"), "left")
+          .select(col("src1"), col("src2"),
+            coalesce(col("inter"), lit(0L)).as("inter"),
+            (col("v1") + col("v2") - coalesce(col("inter"), lit(0L)))
+              .as("un"),
+            (abs(col("e1") + col("e2") - col("eu")
+                - coalesce(col("inter"), lit(0L)).cast("double"))
+              <= (col("v1") + col("v2")).cast("double") * lit(0.15d))
+              .as("inter_ok"),
+            (abs(col("eu") - (col("v1") + col("v2")
+                - coalesce(col("inter"), lit(0L))).cast("double"))
+              <= (col("v1") + col("v2")).cast("double") * lit(0.15d))
+              .as("union_ok"))
+          .orderBy("src1", "src2")
+      },
+      Some("""
+        WITH st AS (
+          SELECT DISTINCT source, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+          FROM documents),
+        sizes AS (SELECT source, COUNT(*) AS v FROM st GROUP BY source),
+        inter AS (
+          SELECT a.source AS src1, b.source AS src2, COUNT(*) AS inter
+          FROM st a JOIN st b USING (tok)
+          WHERE a.source < b.source GROUP BY 1, 2),
+        pairs AS (
+          SELECT sa.source AS src1, sb.source AS src2, sa.v AS v1,
+            sb.v AS v2, COALESCE(i.inter, 0) AS inter
+          FROM sizes sa JOIN sizes sb ON sa.source < sb.source
+          LEFT JOIN inter i ON i.src1 = sa.source AND i.src2 = sb.source)
+        SELECT src1, src2, CAST(inter AS BIGINT) AS inter,
+          CAST(v1 + v2 - inter AS BIGINT) AS un,
+          TRUE AS inter_ok, TRUE AS union_ok
+        FROM pairs ORDER BY src1, src2"""))
   )
 
   /** Canonical Hilbert xy2d (order 8, 256×256 grid) unrolled to named

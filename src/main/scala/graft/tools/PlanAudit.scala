@@ -56,7 +56,9 @@ object PlanAudit {
       "q213_ppjoin", // rare-prefix candidates, no hot-token blowup (r11)
       "q214_skyline", // dictionary-CDF buckets, broadcast dominance (r11)
       "q215_ohlc_bars", // single map-side-combined min_by/max_by agg (r11)
-      "q216_auc") // dictionary rank-sum, source-partitioned window (r11)
+      "q216_auc", // dictionary rank-sum, source-partitioned window (r11)
+      "q219_cusum", // two type-partitioned windows over the hourly frame
+      "q220_sketch_overlap") // binary-sketch pair merges, one dict pass
     interesting.foreach { name =>
       val df = graft.queries.Catalog.byName(name).run(spark, d)
       // drive THIS df's own query execution to completion (count() would

@@ -41,6 +41,43 @@ class ManifestStoreSpec extends AnyFunSuite {
       "touched partition must point at the new generation")
   }
 
+  test("readWhere prunes at the manifest: only kept directories are opened") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("mstore_rw").toString
+    ManifestStore.upsert(root, Seq("k"), "seq", Nil, Seq("bucket"))(
+      Seq((1L, 1L, "a", 0), (2L, 1L, "b", 1), (3L, 1L, "c", 2), (4L, 1L, "d", 2))
+        .toDF("k", "seq", "v", "bucket"))
+    // second generation rewrites bucket 0 only — the pruned read must
+    // resolve bucket 2 through the OLD generation's directory
+    ManifestStore.upsert(root, Seq("k"), "seq", Nil, Seq("bucket"))(
+      Seq((1L, 5L, "A", 0)).toDF("k", "seq", "v", "bucket"))
+    val pruned = ManifestStore.readWhere(spark, root)(
+      pv => pv("bucket") == "2")
+    assert(pruned.select("k").collect().map(_.getLong(0)).toSet ===
+      Set(3L, 4L))
+    // structural proof of pruning: every input file of the pruned plan
+    // lives under bucket=2 — the other partitions' directories are not
+    // even part of the scan's file index
+    val files = pruned.inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("bucket=2")),
+      s"pruned read must only index bucket=2 files, got: ${files.toSeq}")
+    // cross-generation pruning: bucket 0 resolves via generation 2
+    val b0 = ManifestStore.readWhere(spark, root)(_("bucket") == "0")
+    assert(b0.select("k", "v").collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSet === Set((1L, "A")))
+    assert(b0.inputFiles.forall(f =>
+      f.contains("_gen/g00000002/") && f.contains("bucket=0")))
+    // nothing kept: empty frame with the supplied schema, no files
+    val none = ManifestStore.readWhere(spark, root,
+      Some(pruned.schema))(_ => false)
+    assert(none.isEmpty && none.schema === pruned.schema)
+    // nothing kept and no schema to shape the result: loud
+    intercept[IllegalArgumentException] {
+      ManifestStore.readWhere(spark, root)(_ => false)
+    }
+  }
+
   // THE crash test the old dynamic-overwrite upsert could not pass: the
   // writer dies after staging some (or all) of the new generation's
   // partition directories but before the manifest commit. In the old
