@@ -825,5 +825,75 @@ object SimilarityQueries {
           CASE WHEN i.idcg > 0 THEN ROUND(d.dcg / i.idcg, 6)
             ELSE NULL END AS ndcg
         FROM dcg d JOIN idcg i USING (query_id) ORDER BY d.query_id"""))
+,
+    // MRR@10 / PRECISION@10 / HIT@10 — the binary-relevance companions
+    // of q212's graded nDCG, completing the standard retrieval-eval
+    // triple (recall@k already measured by q150). Same ranking device:
+    // cosine top-10 per query over the broadcast query set, relevance =
+    // label match. Precision is an exact tenths fraction; the
+    // reciprocal rank is ONE IEEE division 1.0/rk mirrored verbatim, so
+    // even the float columns hash-match. Queries with no relevant doc
+    // in the top 10 surface NULL first_rel/rr and hit 0 (the q190
+    // degenerate-row convention) — a macro-average would hide exactly
+    // the queries an index regression hurts.
+    Q("q222_retrieval_metrics",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = t(s, d, "embeddings").select(col("vec_id"), col("label"),
+          expr("transform(embedding, x -> cast(x AS double))").as("v"))
+        val queries = emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+            col("v").as("qv"))
+        val ranked = emb.crossJoin(broadcast(queries))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"),
+            when(col("label") === col("qlabel"), 1L).otherwise(0L).as("rel"),
+            row_number().over(Window.partitionBy("query_id")
+              .orderBy(expr("graft_cosine(qv, v)").desc, col("vec_id")))
+              .as("rk"))
+        ranked.groupBy("query_id")
+          .agg(
+            sum(when(col("rk") <= 10, col("rel")).otherwise(0L))
+              .as("rel_at_10"),
+            round(sum(when(col("rk") <= 10, col("rel")).otherwise(0L))
+              / lit(10.0), 6).as("p_at_10"),
+            min(when(col("rel") === 1 && col("rk") <= 10, col("rk")))
+              .cast("long").as("first_rel"),
+            round(lit(1.0) / min(when(col("rel") === 1 && col("rk") <= 10,
+              col("rk"))), 6).as("rr"),
+            (sum(when(col("rk") <= 10, col("rel")).otherwise(0L)) > 0)
+              .cast("long").as("hit_at_10"))
+          .orderBy("query_id")
+      },
+      Some("""
+        WITH n AS (
+          SELECT vec_id, label,
+            LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v,
+            SQRT(LIST_SUM(LIST_TRANSFORM(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+          FROM embeddings),
+        pairs AS (
+          SELECT q.vec_id AS query_id, q.label AS qlabel,
+            e.vec_id AS doc_id, e.label AS dlabel,
+            LIST_DOT_PRODUCT(q.v, e.v) / (q.nrm * e.nrm) AS sim
+          FROM n q JOIN n e ON q.vec_id < 20 AND e.vec_id <> q.vec_id),
+        ranked AS (
+          SELECT query_id,
+            CASE WHEN dlabel = qlabel THEN 1 ELSE 0 END AS rel,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY sim DESC, doc_id) AS rk
+          FROM pairs)
+        SELECT query_id,
+          CAST(SUM(CASE WHEN rk <= 10 THEN rel ELSE 0 END) AS BIGINT)
+            AS rel_at_10,
+          ROUND(SUM(CASE WHEN rk <= 10 THEN rel ELSE 0 END) / 10.0, 6)
+            AS p_at_10,
+          CAST(MIN(CASE WHEN rel = 1 AND rk <= 10 THEN rk END) AS BIGINT)
+            AS first_rel,
+          ROUND(1.0 / MIN(CASE WHEN rel = 1 AND rk <= 10 THEN rk END), 6)
+            AS rr,
+          CAST(CASE WHEN SUM(CASE WHEN rk <= 10 THEN rel ELSE 0 END) > 0
+            THEN 1 ELSE 0 END AS BIGINT) AS hit_at_10
+        FROM ranked GROUP BY query_id ORDER BY query_id"""))
   )
 }

@@ -944,5 +944,63 @@ object StatsQueries {
           ROUND((n * sxy - sx * sy) /
             (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6) AS r
         FROM mom ORDER BY ta, tb"""))
+,
+    // COHEN'S KAPPA — inter-annotator agreement, the measurement that
+    // decides whether a labeling rubric (or a pair of quality
+    // classifiers) is trustworthy enough to train on. Two deterministic
+    // raters over every document (a char-length rule and a token-count
+    // rule — correlated but not identical, so the 2×2 table has real
+    // off-diagonal mass), reduced to FOUR integer cells per language in
+    // one map-side-combined pass. Kappa's (p_o − p_e)/(1 − p_e) is
+    // algebraically cleared to the integer form
+    // (n·(n11+n00) − E) / (n² − E), E = (n11+n10)(n11+n01) +
+    // (n01+n00)(n10+n00): exact 64-bit products until ONE mirrored IEEE
+    // division. Degenerate chance-agreement (n² = E) yields NULL rather
+    // than a division blowup (ADVICE-r10 q190 convention).
+    Q("q223_cohens_kappa",
+      (s, d) => {
+        val rated = t(s, d, "documents").select(col("lang"),
+          (col("n_chars") >= 300).cast("long").as("ra"),
+          (size(split(col("text"), " ")) >= 55).cast("long").as("rb"))
+        val cnt = rated.groupBy("lang").agg(
+          count(lit(1)).as("n"),
+          sum(col("ra") * col("rb")).as("n11"),
+          sum(col("ra") * (lit(1L) - col("rb"))).as("n10"),
+          sum((lit(1L) - col("ra")) * col("rb")).as("n01"),
+          sum((lit(1L) - col("ra")) * (lit(1L) - col("rb"))).as("n00"))
+        val e = (col("n11") + col("n10")) * (col("n11") + col("n01")) +
+          (col("n01") + col("n00")) * (col("n10") + col("n00"))
+        cnt.select(col("lang"), col("n"), col("n11"), col("n10"),
+            col("n01"), col("n00"),
+            when(col("n") * col("n") =!= e,
+              round((col("n") * (col("n11") + col("n00")) - e)
+                .cast("double") /
+                (col("n") * col("n") - e).cast("double"), 6))
+              .otherwise(lit(null).cast("double")).as("kappa"))
+          .orderBy("lang")
+      },
+      Some("""
+        WITH rated AS (
+          SELECT lang,
+            CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS ra,
+            CASE WHEN LEN(STRING_SPLIT(text, ' ')) >= 55 THEN 1 ELSE 0 END
+              AS rb
+          FROM documents),
+        cnt AS (
+          SELECT lang, COUNT(*) AS n,
+            CAST(SUM(ra * rb) AS BIGINT) AS n11,
+            CAST(SUM(ra * (1 - rb)) AS BIGINT) AS n10,
+            CAST(SUM((1 - ra) * rb) AS BIGINT) AS n01,
+            CAST(SUM((1 - ra) * (1 - rb)) AS BIGINT) AS n00
+          FROM rated GROUP BY lang)
+        SELECT lang, n, n11, n10, n01, n00,
+          CASE WHEN n * n <> (n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)
+            THEN ROUND(
+              CAST(n * (n11 + n00) -
+                ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)) AS DOUBLE) /
+              CAST(n * n -
+                ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)) AS DOUBLE), 6)
+            ELSE NULL END AS kappa
+        FROM cnt ORDER BY lang"""))
   )
 }

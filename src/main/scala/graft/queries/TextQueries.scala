@@ -970,6 +970,100 @@ object TextQueries {
             (SELECT MIN(LENGTH(chunk)) AS l FROM ch GROUP BY MD5(chunk)))
             AS BIGINT) AS bytes_distinct,
           CAST(MAX(n_words) AS BIGINT) AS max_chunk_words
-        FROM ch"""))
+        FROM ch""")),
+
+    // PII DETECTION & REDACTION — the cleaning op every training-data
+    // pipeline runs before text ships: find personal identifiers, mask
+    // them with TYPED placeholders (so downstream filters can count
+    // what was removed), and prove the rewrite byte-identical across
+    // engines. The corpus text is synthetic word soup, so the PII is
+    // INJECTED deterministically first (doc_id-seeded email / phone /
+    // IPv4 fragments on coprime moduli 3/11/7 — both engines build the
+    // identical fixture row-locally). Everything is per-row regex work
+    // — one scan, no shuffle except the final per-source rollup — and
+    // the gate hashes an order-free md5-prefix digest of the REDACTED
+    // text (the q180 device), so a single byte of redaction drift
+    // anywhere in the corpus breaks the gate. Redaction order matters
+    // and is pinned: emails first (the host part would otherwise
+    // survive as an IP-shaped dotted token), then phones, then IPs.
+    Q("q221_pii_redact",
+      (s, d) => {
+        val emailRe = "[a-z0-9]+@[a-z0-9.]+\\.[a-z]{2,}"
+        val phoneRe = "\\b555-\\d{4}\\b"
+        val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+        val aug = t(s, d, "documents").select(col("doc_id"), col("source"),
+          concat(col("text"),
+            when(col("doc_id") % 3 === 0,
+              concat(lit(" reach user"), col("doc_id").cast("string"),
+                lit("@example.com now"))).otherwise(lit("")),
+            when(col("doc_id") % 11 === 0,
+              concat(lit(" call 555-"),
+                lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+              .otherwise(lit("")),
+            when(col("doc_id") % 7 === 0,
+              concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+                lit(".0."), (col("doc_id") % 100).cast("string")))
+              .otherwise(lit(""))).as("txt"))
+        val det = aug.select(col("doc_id"), col("source"),
+          regexp_count(col("txt"), lit(emailRe)).cast("long").as("n_email"),
+          regexp_count(col("txt"), lit(phoneRe)).cast("long").as("n_phone"),
+          regexp_count(col("txt"), lit(ipRe)).cast("long").as("n_ip"),
+          regexp_replace(regexp_replace(regexp_replace(col("txt"),
+            emailRe, "<EMAIL>"), phoneRe, "<PHONE>"), ipRe, "<IP>")
+            .as("red"))
+        det.select(col("source"), col("n_email"), col("n_phone"),
+            col("n_ip"),
+            expr("cast(conv(substring(md5(concat_ws('|', " +
+              "cast(doc_id as string), red)), 1, 13), 16, 10) " +
+              "as decimal(38,0))").as("f"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("docs"),
+            sum((col("n_email") + col("n_phone") + col("n_ip") > 0)
+              .cast("long")).as("docs_with_pii"),
+            sum("n_email").as("n_email"),
+            sum("n_phone").as("n_phone"),
+            sum("n_ip").as("n_ip"),
+            sum(col("f")).cast("decimal(38,0)").cast("string").as("digest"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH aug AS (
+          SELECT doc_id, source,
+            text ||
+            CASE WHEN doc_id % 3 = 0 THEN ' reach user' ||
+              CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END ||
+            CASE WHEN doc_id % 11 = 0 THEN ' call 555-' ||
+              LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+            CASE WHEN doc_id % 7 = 0 THEN ' from 10.' ||
+              CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+              CAST(doc_id % 100 AS VARCHAR) ELSE '' END AS txt
+          FROM documents),
+        det AS (
+          SELECT doc_id, source,
+            LEN(REGEXP_EXTRACT_ALL(txt, '[a-z0-9]+@[a-z0-9.]+\.[a-z]{2,}'))
+              AS n_email,
+            LEN(REGEXP_EXTRACT_ALL(txt, '\b555-\d{4}\b')) AS n_phone,
+            LEN(REGEXP_EXTRACT_ALL(txt,
+              '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+            REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(txt,
+              '[a-z0-9]+@[a-z0-9.]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+              '\b555-\d{4}\b', '<PHONE>', 'g'),
+              '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS red
+          FROM aug),
+        fp AS (
+          SELECT source, n_email, n_phone, n_ip,
+            LIST_REDUCE(LIST_TRANSFORM(SPLIT(SUBSTRING(MD5(
+              CAST(doc_id AS VARCHAR) || '|' || red), 1, 13), ''),
+              c -> CAST(POSITION(c IN '0123456789abcdef') - 1 AS HUGEINT)),
+              (a, x) -> a * 16 + x) AS f
+          FROM det)
+        SELECT source, COUNT(*) AS docs,
+          CAST(SUM(CASE WHEN n_email + n_phone + n_ip > 0
+            THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+          CAST(SUM(n_email) AS BIGINT) AS n_email,
+          CAST(SUM(n_phone) AS BIGINT) AS n_phone,
+          CAST(SUM(n_ip) AS BIGINT) AS n_ip,
+          CAST(SUM(f) AS VARCHAR) AS digest
+        FROM fp GROUP BY source ORDER BY source"""))
   )
 }
