@@ -53,7 +53,16 @@ import org.apache.spark.sql.types.StructType
   */
 object ManifestStore {
 
-  final case class Manifest(version: Long, entries: Map[String, String])
+  /** `entries`: partition key → generation-relative directory.
+    * `stats`: partition key → column → (min, max) recorded at write
+    * time — the zone-map layer of the format (see [[readSkipping]]).
+    * Values are the column values' canonical string form; the reader's
+    * predicate parses them back with its knowledge of the schema.
+    * Partitions written before stats were requested simply have no
+    * entry — skipping predicates must treat absent stats as "keep". */
+  final case class Manifest(version: Long, entries: Map[String, String],
+                            stats: Map[String, Map[String, (String, String)]]
+                              = Map.empty)
 
   private val MDIR = "_manifest"
   private val GDIR = "_gen"
@@ -94,7 +103,18 @@ object ManifestStore {
       tree.get("entries").fields().forEachRemaining { e =>
         entries += e.getKey -> e.getValue.asText()
       }
-      Some(Manifest(tree.get("version").asLong(), entries.toMap))
+      val stats =
+        scala.collection.mutable.Map.empty[String, Map[String, (String, String)]]
+      val statsNode = tree.get("stats")
+      if (statsNode != null) statsNode.fields().forEachRemaining { p =>
+        val cols = scala.collection.mutable.Map.empty[String, (String, String)]
+        p.getValue.fields().forEachRemaining { c =>
+          cols += c.getKey ->
+            (c.getValue.get(0).asText(), c.getValue.get(1).asText())
+        }
+        stats += p.getKey -> cols.toMap
+      }
+      Some(Manifest(tree.get("version").asLong(), entries.toMap, stats.toMap))
     }
   }
 
@@ -192,6 +212,74 @@ object ManifestStore {
     } else readSnapshot(spark, root, Manifest(m.version, kept), schema)
   }
 
+  /** Zone-map read: like [[readWhere]], but the keep predicate also
+    * sees the partition's recorded column stats (min, max as canonical
+    * strings — parse with your schema knowledge), so a read can skip
+    * partitions whose VALUE RANGE excludes the predicate even when the
+    * partition COLUMNS can't express it — the `WHERE ts BETWEEN …` read
+    * of a table partitioned by something else. This is the manifest's
+    * data-skipping layer (what Delta's per-file stats / parquet zone
+    * maps do), resolved driver-side before any file listing. Stats are
+    * recorded by `upsert(statsCols = …)`; partitions without stats
+    * arrive as an EMPTY map and a correct skipping predicate must KEEP
+    * them (bounds you don't have can't exclude anything). After
+    * [[deleteKeys]] the carried bounds may be stale-wide — a safe
+    * superset, so skipping stays correct, merely less sharp until the
+    * next stats-bearing rewrite. */
+  def readSkipping(spark: SparkSession, root: String,
+                   schema: Option[StructType] = None,
+                   version: Option[Long] = None)
+                  (keep: (Map[String, String],
+                          Map[String, (String, String)]) => Boolean)
+      : DataFrame = {
+    val fs = fsOf(spark, root)
+    val m = version match {
+      case Some(v) => readManifestAt(fs, root, v).getOrElse(
+        throw new IllegalStateException(
+          s"version $v of $root is not retained (GC keeps current + previous)"))
+      case None => readManifest(fs, root).getOrElse(
+        throw new IllegalStateException(s"no committed manifest under $root"))
+    }
+    val kept = m.entries.filter { case (k, _) =>
+      keep(decodeKey(k), m.stats.getOrElse(k, Map.empty))
+    }
+    if (kept.isEmpty) {
+      val sch = schema.getOrElse(throw new IllegalArgumentException(
+        s"readSkipping matched no partitions of $root and has no schema " +
+          "to shape the empty result"))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+    } else readSnapshot(spark, root, Manifest(m.version, kept), schema)
+  }
+
+  /** Per-partition (min, max) of `statsCols`, computed by reading BACK
+    * the just-staged generation's parquet (columnar scan of only the
+    * stats columns over only the new files — never a recompute of the
+    * merge plan). All-null columns are omitted from their partition's
+    * map. */
+  private def collectStats(spark: SparkSession, root: String, genRel: String,
+                           partitionCols: Seq[String],
+                           statsCols: Seq[String]): Map[String, Map[String, (String, String)]] = {
+    import org.apache.spark.sql.functions.{max => smax, min => smin}
+    val staged = spark.read.option("basePath", s"$root/$genRel")
+      .parquet(s"$root/$genRel")
+    val aggs = statsCols.flatMap(c =>
+      Seq(smin(col(c)).as(s"__min_$c"), smax(col(c)).as(s"__max_$c")))
+    staged.groupBy(partitionCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { r =>
+        val key = partKey(partitionCols,
+          partitionCols.map(c => r.get(r.fieldIndex(c))))
+        val cols = statsCols.flatMap { c =>
+          val lo = r.get(r.fieldIndex(s"__min_$c"))
+          val hi = r.get(r.fieldIndex(s"__max_$c"))
+          if (lo == null || hi == null) None
+          else Some(c -> (lo.toString, hi.toString))
+        }.toMap
+        key -> cols
+      }.toMap
+  }
+
   /** Deletion propagation at the table-format level — the
     * right-to-be-forgotten write (the storage half of q152's deletion
     * AUDIT): remove every row whose key tuple appears in `keys`
@@ -236,8 +324,12 @@ object ManifestStore {
       throw new IllegalStateException(
         s"delete rewrite produced unexpected partitions at $root: " +
           s"${staged.keySet -- touchedKeys}")
+    // stats carry forward: bounds computed before the delete remain
+    // valid SUPERSETS of the surviving rows' range — skipping stays
+    // correct (conservative), and publish drops entries for partitions
+    // that vanished entirely
     publish(spark, root, version,
-      (prev.entries -- touchedKeys) ++ staged, Some(prev))
+      (prev.entries -- touchedKeys) ++ staged, Some(prev), prev.stats)
   }
 
   /** Maintenance compaction — the OPTIMIZE of this mini table format:
@@ -262,7 +354,8 @@ object ManifestStore {
       throw new IllegalStateException(
         s"compaction changed the partition set of $root: " +
           s"${entries.keySet} vs ${prev.entries.keySet}")
-    publish(spark, root, version, entries, Some(prev))
+    // same rows, same partitions — recorded bounds stay exact
+    publish(spark, root, version, entries, Some(prev), prev.stats)
   }
 
   /** Stage generation `version`: write `merged` (which must contain
@@ -299,12 +392,26 @@ object ManifestStore {
     * retained as the concurrent-reader grace window). */
   private[graft] def publish(spark: SparkSession, root: String, version: Long,
                              entries: Map[String, String],
-                             prev: Option[Manifest]): Unit = {
+                             prev: Option[Manifest],
+                             stats: Map[String, Map[String, (String, String)]]
+                               = Map.empty): Unit = {
     val fs = fsOf(spark, root)
     val node = mapper.createObjectNode()
     node.put("version", version)
     val e = node.putObject("entries")
     entries.toSeq.sortBy(_._1).foreach { case (k, v) => e.put(k, v) }
+    // invariant: stats only for live partitions (a dropped partition's
+    // stale bounds must not outlive its entry)
+    val liveStats = stats.view.filterKeys(entries.contains).toMap
+    if (liveStats.nonEmpty) {
+      val sn = node.putObject("stats")
+      liveStats.toSeq.sortBy(_._1).foreach { case (k, cols) =>
+        val cn = sn.putObject(k)
+        cols.toSeq.sortBy(_._1).foreach { case (c, (lo, hi)) =>
+          val arr = cn.putArray(c); arr.add(lo); arr.add(hi)
+        }
+      }
+    }
     val tmp = new HPath(s"$root/$MDIR/.tmp-v$version.json")
     val out = fs.create(tmp, true)
     try {
@@ -347,7 +454,8 @@ object ManifestStore {
     */
   def upsert(root: String, keys: Seq[String], seqCol: String,
              tieBreak: Seq[String], partitionCols: Seq[String],
-             checkEmpty: Boolean = true)(batch: DataFrame): Unit = {
+             checkEmpty: Boolean = true,
+             statsCols: Seq[String] = Nil)(batch: DataFrame): Unit = {
     require(partitionCols.nonEmpty,
       "ManifestStore.upsert needs partition columns; use Runner.upsertParquet for unpartitioned tables")
     if (checkEmpty && batch.isEmpty) return
@@ -384,7 +492,18 @@ object ManifestStore {
       throw new IllegalStateException(
         s"partition key encoding drift at $root: staged=${newEntries.keySet} " +
           s"computed=$touchedKeys")
+    // zone-map stats for the rewritten partitions, read back off the
+    // staged files; untouched partitions keep their recorded bounds
+    val newStats =
+      if (statsCols.isEmpty) Map.empty[String, Map[String, (String, String)]]
+      else collectStats(spark, root, f"$GDIR/g$version%08d",
+        partitionCols, statsCols)
+    // touched partitions either get FRESH bounds or none at all — a
+    // stats-less rewrite must not carry the old bounds forward (the new
+    // rows could lie outside them, and stale-NARROW bounds would make
+    // skipping silently wrong; stale-WIDE, as after deletes, is safe)
     publish(spark, root, version,
-      prev.map(_.entries).getOrElse(Map.empty) ++ newEntries, prev)
+      prev.map(_.entries).getOrElse(Map.empty) ++ newEntries, prev,
+      (prev.map(_.stats).getOrElse(Map.empty) -- touchedKeys) ++ newStats)
   }
 }

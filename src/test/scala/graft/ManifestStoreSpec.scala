@@ -41,6 +41,61 @@ class ManifestStoreSpec extends AnyFunSuite {
       "touched partition must point at the new generation")
   }
 
+  test("readSkipping: zone-map stats skip by value range, stay safe under " +
+    "rewrites and deletes") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("mstore_zm").toString
+    // bucket 0 holds seq 1-2, bucket 1 holds seq 10-11
+    ManifestStore.upsert(root, Seq("k"), "seq", Nil, Seq("bucket"),
+      statsCols = Seq("seq"))(
+      Seq((1L, 1L, "a", 0), (2L, 2L, "b", 0), (3L, 10L, "c", 1),
+        (4L, 11L, "d", 1)).toDF("k", "seq", "v", "bucket"))
+    val m1 = ManifestStore.readManifest(fs(root), root).get
+    assert(m1.stats("bucket=0")("seq") === ("1", "2"))
+    assert(m1.stats("bucket=1")("seq") === ("10", "11"))
+    // a seq >= 5 read resolves to bucket 1 ONLY — driver-side, via the
+    // recorded bounds, though `bucket` itself says nothing about seq;
+    // the same predicate re-applies as the row-level residual (zone
+    // maps prune PARTITIONS, the engine still filters rows)
+    def bySeqAtLeast(lo: Long) =
+      ManifestStore.readSkipping(spark, root) { (_, st) =>
+        st.get("seq").forall { case (_, hi) => hi.toLong >= lo }
+      }.filter(org.apache.spark.sql.functions.col("seq") >= lo)
+    assert(bySeqAtLeast(5).select("k").collect().map(_.getLong(0)).toSet
+      === Set(3L, 4L))
+    assert(bySeqAtLeast(5).inputFiles.forall(_.contains("bucket=1")))
+    // rewriting bucket 0 with a row OUTSIDE its old bounds refreshes
+    // them — the skipping read must now include bucket 0
+    ManifestStore.upsert(root, Seq("k"), "seq", Nil, Seq("bucket"),
+      statsCols = Seq("seq"))(
+      Seq((1L, 99L, "A", 0)).toDF("k", "seq", "v", "bucket"))
+    val m2 = ManifestStore.readManifest(fs(root), root).get
+    assert(m2.stats("bucket=0")("seq") === ("2", "99"),
+      "rewritten partition must carry FRESH bounds")
+    assert(m2.stats("bucket=1")("seq") === ("10", "11"),
+      "untouched partition keeps its recorded bounds")
+    assert(bySeqAtLeast(50).select("k").collect().map(_.getLong(0)).toSet
+      === Set(1L))
+    // a stats-less rewrite DROPS the touched partition's bounds (stale-
+    // narrow bounds would skip wrongly); absent stats = always kept
+    ManifestStore.upsert(root, Seq("k"), "seq", Nil, Seq("bucket"))(
+      Seq((5L, 1000L, "e", 1)).toDF("k", "seq", "v", "bucket"))
+    val m3 = ManifestStore.readManifest(fs(root), root).get
+    assert(!m3.stats.contains("bucket=1"),
+      "stats-less rewrite must not carry old bounds forward")
+    assert(bySeqAtLeast(500).select("k").collect().map(_.getLong(0)).toSet
+      === Set(5L), "stat-less partition must be kept by the range read")
+    // deletes carry stale-WIDE bounds (a safe superset)
+    ManifestStore.deleteKeys(root, Seq("k"), Seq("bucket"))(
+      Seq((1L, 0)).toDF("k", "bucket"))
+    val m4 = ManifestStore.readManifest(fs(root), root).get
+    assert(m4.stats("bucket=0")("seq") === ("2", "99"),
+      "post-delete bounds stay as recorded (superset, still safe)")
+    assert(bySeqAtLeast(5).select("k").collect().map(_.getLong(0)).toSet
+      === Set(3L, 4L, 5L))
+  }
+
   test("readWhere prunes at the manifest: only kept directories are opened") {
     val sp = spark
     import sp.implicits._
