@@ -294,6 +294,146 @@ object MultimodalQueries {
           FROM d)
         SELECT fmt AS format, COUNT(*) AS n_docs,
           CAST(SUM(stat) AS BIGINT) AS stat_total
-        FROM st GROUP BY fmt ORDER BY fmt"""))
+        FROM st GROUP BY fmt ORDER BY fmt""")),
+
+    // IMAGE NEAR-DUPLICATE DETECTION BY PERCEPTUAL HASH — the visual
+    // twin of MinHash text dedup, and the query that makes the codec
+    // surface earn its keep: every image is REALLY encoded (24-bit BMP,
+    // group-seeded content + one per-doc perturbed byte so groups form
+    // genuine near-dup families), carried through a binary column,
+    // REALLY decoded, and reduced to a 64-bit dHash — 18×16 pixels →
+    // 9×8 grid of 2×2-cell brightness SUMS (sums, not means: comparing
+    // sums of equal-size cells is the same order, and stays integer-
+    // exact), one bit per horizontally-adjacent cell comparison. The
+    // hash is born as FOUR 16-bit bands: Hamming ≤ 3 can disturb at
+    // most 3 of them, so band-equality candidate generation is an
+    // EXACT pigeonhole (the q29/q92 SimHash device) — candidates come
+    // from an equi join, never an all-pairs scan, and positive 16-bit
+    // band values sidestep every engine's 64-bit shift/sign pitfall.
+    // Exact Hamming (sum of four bit_count(xor)) then filters
+    // candidates; the gate pins the full (group × group × distance)
+    // pair-count distribution, where near-seeded groups surface as
+    // genuine cross-family perceptual collisions. The oracle rebuilds
+    // pixels → cells → bits → bands closed-form in SQL.
+    Q("q224_phash_neardup",
+      (s, d) => {
+        val W = 18; val H = 16; val N = 3 * W * H
+        val docs = spread(s, col("doc_id"))(
+          t(s, d, "documents")
+            .select(col("doc_id").cast("long").as("doc_id")))
+        val payloads = docs.mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0)
+            val arr = ImageCodec.content(id % 12, W, H)
+            val p = ((id * 37) % N).toInt
+            arr(p) = (((arr(p) & 0xFF) + (id % 200) + 17) % 256).toByte
+            Row(id, ImageCodec.encodeBmp(W, H, arr))
+          }
+        }(Encoders.row(payloadSchema))
+        val hashSchema = StructType(Seq(
+          StructField("doc_id", LongType, nullable = false),
+          StructField("g", LongType, nullable = false),
+          StructField("h0", LongType, nullable = false),
+          StructField("h1", LongType, nullable = false),
+          StructField("h2", LongType, nullable = false),
+          StructField("h3", LongType, nullable = false)))
+        val hashed = payloads.mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0)
+            val dec = ImageCodec.decode(r.getAs[Array[Byte]](1)).get
+            val cell = Array.ofDim[Int](8, 9)
+            var y = 0
+            while (y < H) {
+              var x = 0
+              while (x < W) {
+                val p0 = (y * W + x) * 3
+                cell(y / 2)(x / 2) += (dec.channels(p0) & 0xFF) +
+                  (dec.channels(p0 + 1) & 0xFF) +
+                  (dec.channels(p0 + 2) & 0xFF)
+                x += 1
+              }
+              y += 1
+            }
+            val bands = new Array[Long](4)
+            var rr = 0
+            while (rr < 8) {
+              var c = 0
+              while (c < 8) {
+                if (cell(rr)(c) < cell(rr)(c + 1))
+                  bands(rr / 2) |= 1L << (8 * (rr % 2) + c)
+                c += 1
+              }
+              rr += 1
+            }
+            Row(id, id % 12, bands(0), bands(1), bands(2), bands(3))
+          }
+        }(Encoders.row(hashSchema))
+        val bands = hashed.select(col("doc_id"), col("g"), col("h0"),
+          col("h1"), col("h2"), col("h3"),
+          posexplode(array(col("h0"), col("h1"), col("h2"), col("h3"))))
+          .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
+        val cand = bands.alias("a").join(bands.alias("b"),
+            col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
+              && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+            col("a.g").as("ga"), col("b.g").as("gb"),
+            (bit_count(col("a.h0").bitwiseXOR(col("b.h0"))) +
+              bit_count(col("a.h1").bitwiseXOR(col("b.h1"))) +
+              bit_count(col("a.h2").bitwiseXOR(col("b.h2"))) +
+              bit_count(col("a.h3").bitwiseXOR(col("b.h3"))))
+              .cast("long").as("hamming"))
+          .dropDuplicates("da", "db")
+        cand.filter(col("hamming") <= 3)
+          .groupBy("ga", "gb", "hamming")
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("ga", "gb", "hamming")
+      },
+      Some("""
+        WITH doc AS (
+          SELECT doc_id, doc_id % 12 AS g, (doc_id * 37) % 864 AS p,
+            (doc_id % 200) + 17 AS delta
+          FROM documents),
+        ch AS (
+          SELECT doc_id, g,
+            CASE WHEN i = p
+              THEN ((g*7 + (i%256)*13) % 256 + delta) % 256
+              ELSE (g*7 + (i%256)*13) % 256 END AS v,
+            (i // 3) // 18 AS y, (i // 3) % 18 AS x
+          FROM doc, LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 863)) AS i)),
+        cell AS (
+          SELECT doc_id, g, y // 2 AS r, x // 2 AS c, SUM(v) AS s
+          FROM ch GROUP BY 1, 2, 3, 4),
+        bits AS (
+          SELECT l.doc_id, l.g, l.r, l.c,
+            CASE WHEN l.s < rr.s THEN 1 ELSE 0 END AS b
+          FROM cell l JOIN cell rr ON rr.doc_id = l.doc_id
+            AND rr.r = l.r AND rr.c = l.c + 1
+          WHERE l.c < 8),
+        bands AS (
+          SELECT doc_id, g, r // 2 AS band,
+            CAST(SUM(b * (1 << (8 * (r % 2) + c))) AS BIGINT) AS bv
+          FROM bits GROUP BY 1, 2, 3),
+        hv AS (
+          SELECT doc_id, g,
+            MAX(CASE WHEN band = 0 THEN bv END) AS h0,
+            MAX(CASE WHEN band = 1 THEN bv END) AS h1,
+            MAX(CASE WHEN band = 2 THEN bv END) AS h2,
+            MAX(CASE WHEN band = 3 THEN bv END) AS h3
+          FROM bands GROUP BY 1, 2),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+          FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+            AND a.doc_id < b.doc_id),
+        ham AS (
+          SELECT x.g AS ga, y.g AS gb,
+            BIT_COUNT(XOR(x.h0, y.h0)) + BIT_COUNT(XOR(x.h1, y.h1)) +
+            BIT_COUNT(XOR(x.h2, y.h2)) + BIT_COUNT(XOR(x.h3, y.h3))
+              AS hamming
+          FROM cand c JOIN hv x ON x.doc_id = c.da
+            JOIN hv y ON y.doc_id = c.db)
+        SELECT ga, gb, CAST(hamming AS BIGINT) AS hamming,
+          COUNT(*) AS n_pairs
+        FROM ham WHERE hamming <= 3
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
   )
 }
