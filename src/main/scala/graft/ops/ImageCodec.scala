@@ -193,4 +193,47 @@ object ImageCodec {
   def decode(bytes: Array[Byte]): Option[Decoded] =
     if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
     else decodePng(bytes)
+
+  // ---- perceptual hash (dHash) ---------------------------------------
+
+  /** 64-bit difference hash over logical RGB content, returned as FOUR
+    * positive 16-bit band values (the LSH-ready shape — see
+    * q224_phash_neardup): the image is reduced to a 9×8 grid of
+    * 2×2-pixel-cell brightness SUMS (sums of equal-size cells order the
+    * same as means and stay integer-exact), and bit (r, c) of the hash
+    * is `cell(r,c) < cell(r,c+1)`. Band `r/2` packs rows 2r and 2r+1.
+    * Requires w = 18, h = 16 (the canonical pre-hash resize target —
+    * a production pipeline resizes first; the synthetic corpus is
+    * GENERATED at target size). Hamming distance between two hashes =
+    * Σ bit_count(band XOR band); ≤ 3 bit flips can disturb at most 3
+    * of the 4 bands, so band equality is an exact pigeonhole candidate
+    * filter. */
+  def dHashBands(dec: Decoded): Array[Long] = {
+    require(dec.width == 18 && dec.height == 16,
+      s"dHash expects the 18x16 resize target, got ${dec.width}x${dec.height}")
+    val cell = Array.ofDim[Int](8, 9)
+    var y = 0
+    while (y < 16) {
+      var x = 0
+      while (x < 18) {
+        val p0 = (y * 18 + x) * 3
+        cell(y / 2)(x / 2) += (dec.channels(p0) & 0xFF) +
+          (dec.channels(p0 + 1) & 0xFF) + (dec.channels(p0 + 2) & 0xFF)
+        x += 1
+      }
+      y += 1
+    }
+    val bands = new Array[Long](4)
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (cell(r)(c) < cell(r)(c + 1))
+          bands(r / 2) |= 1L << (8 * (r % 2) + c)
+        c += 1
+      }
+      r += 1
+    }
+    bands
+  }
 }

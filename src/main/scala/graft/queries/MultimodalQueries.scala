@@ -341,30 +341,7 @@ object MultimodalQueries {
           rows.map { r =>
             val id = r.getLong(0)
             val dec = ImageCodec.decode(r.getAs[Array[Byte]](1)).get
-            val cell = Array.ofDim[Int](8, 9)
-            var y = 0
-            while (y < H) {
-              var x = 0
-              while (x < W) {
-                val p0 = (y * W + x) * 3
-                cell(y / 2)(x / 2) += (dec.channels(p0) & 0xFF) +
-                  (dec.channels(p0 + 1) & 0xFF) +
-                  (dec.channels(p0 + 2) & 0xFF)
-                x += 1
-              }
-              y += 1
-            }
-            val bands = new Array[Long](4)
-            var rr = 0
-            while (rr < 8) {
-              var c = 0
-              while (c < 8) {
-                if (cell(rr)(c) < cell(rr)(c + 1))
-                  bands(rr / 2) |= 1L << (8 * (rr % 2) + c)
-                c += 1
-              }
-              rr += 1
-            }
+            val bands = ImageCodec.dHashBands(dec)
             Row(id, id % 12, bands(0), bands(1), bands(2), bands(3))
           }
         }(Encoders.row(hashSchema))

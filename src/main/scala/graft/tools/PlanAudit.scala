@@ -58,7 +58,9 @@ object PlanAudit {
       "q215_ohlc_bars", // single map-side-combined min_by/max_by agg (r11)
       "q216_auc", // dictionary rank-sum, source-partitioned window (r11)
       "q219_cusum", // two type-partitioned windows over the hourly frame
-      "q220_sketch_overlap") // binary-sketch pair merges, one dict pass
+      "q220_sketch_overlap", // binary-sketch pair merges, one dict pass
+      "q221_pii_redact", // one regex scan + per-source rollup (r11)
+      "q224_phash_neardup") // codec passes + band equi join, no all-pairs
     interesting.foreach { name =>
       val df = graft.queries.Catalog.byName(name).run(spark, d)
       // drive THIS df's own query execution to completion (count() would
