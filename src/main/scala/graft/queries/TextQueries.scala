@@ -1064,6 +1064,80 @@ object TextQueries {
           CAST(SUM(n_phone) AS BIGINT) AS n_phone,
           CAST(SUM(n_ip) AS BIGINT) AS n_ip,
           CAST(SUM(f) AS VARCHAR) AS digest
-        FROM fp GROUP BY source ORDER BY source"""))
+        FROM fp GROUP BY source ORDER BY source""")),
+
+    // HEAPS-LAW VOCABULARY GROWTH — the corpus-acquisition planning
+    // curve: how many NEW types does each additional slice of corpus
+    // buy? (The empirical basis for "more data vs more dedup"
+    // decisions, and the datacard companion of q197.) Types are word
+    // TRIGRAMS (the unigram vocabulary of this synthetic corpus
+    // saturates in the first slice — trigram space is where growth
+    // lives). Scale shape: NO checkpoint cross join — every document
+    // and every dictionary type is assigned its first decile ROW-
+    // LOCALLY ((id*10) DIV (maxid+1), the q100 bucketing device), so
+    // the plan is two dictionary-shaped aggregations plus windows over
+    // the bounded 10-row decile frame. The only window runs on 10
+    // rows; the corpus is touched once for grams, once for lengths.
+    Q("q225_heaps_vocab_growth",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, d, "documents")
+        val tri = docs
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .select(col("doc_id"), explode(when(size(col("ws")) >= 3,
+            expr("transform(sequence(0, size(ws) - 3), " +
+              "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
+            .otherwise(expr("array()"))).as("gram"))
+        val dict = tri.groupBy("gram").agg(min("doc_id").as("first_doc"))
+        val mx = docs.agg(max("doc_id").as("maxid"))
+        val pd = docs.crossJoin(broadcast(mx))
+          .select(expr("(doc_id * 10) DIV (maxid + 1) + 1").as("bd"),
+            greatest(size(split(col("text"), " ")) - 2, lit(0))
+              .cast("long").as("ng"))
+          .groupBy("bd").agg(count(lit(1)).as("nd"), sum("ng").as("ng"))
+        val db = dict.crossJoin(broadcast(mx))
+          .select(expr("(first_doc * 10) DIV (maxid + 1) + 1").as("bt"))
+          .groupBy("bt").agg(count(lit(1)).as("nt"))
+        val win = Window.orderBy("decile")
+        s.range(1, 11).select(col("id").as("decile"))
+          .join(pd, col("decile") === col("bd"), "left")
+          .join(db, col("decile") === col("bt"), "left")
+          .select(col("decile"),
+            sum(coalesce(col("nd"), lit(0L))).over(win).as("cum_docs"),
+            sum(coalesce(col("ng"), lit(0L))).over(win).as("cum_grams"),
+            sum(coalesce(col("nt"), lit(0L))).over(win).as("types"),
+            coalesce(col("nt"), lit(0L)).as("new_types"))
+          .orderBy("decile")
+      },
+      Some("""
+        WITH w AS (
+          SELECT doc_id, ws[i + 1] AS w1, ws[i + 2] AS w2, ws[i + 3] AS w3
+          FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws
+                FROM documents),
+            LATERAL (SELECT UNNEST(GENERATE_SERIES(0, LEN(ws) - 3)) AS i)),
+        dict AS (
+          SELECT w1 || ' ' || w2 || ' ' || w3 AS gram,
+            MIN(doc_id) AS first_doc
+          FROM w GROUP BY 1),
+        mx AS (SELECT MAX(doc_id) AS maxid FROM documents),
+        pd AS (
+          SELECT (doc_id * 10) // (maxid + 1) + 1 AS b, COUNT(*) AS nd,
+            CAST(SUM(GREATEST(LEN(STRING_SPLIT(text, ' ')) - 2, 0))
+              AS BIGINT) AS ng
+          FROM documents, mx GROUP BY 1),
+        db AS (
+          SELECT (first_doc * 10) // (maxid + 1) + 1 AS b, COUNT(*) AS nt
+          FROM dict, mx GROUP BY 1),
+        cp AS (SELECT i FROM (SELECT UNNEST(GENERATE_SERIES(1, 10)) AS i))
+        SELECT cp.i AS decile,
+          CAST(SUM(COALESCE(pd.nd, 0)) OVER (ORDER BY cp.i) AS BIGINT)
+            AS cum_docs,
+          CAST(SUM(COALESCE(pd.ng, 0)) OVER (ORDER BY cp.i) AS BIGINT)
+            AS cum_grams,
+          CAST(SUM(COALESCE(db.nt, 0)) OVER (ORDER BY cp.i) AS BIGINT)
+            AS types,
+          CAST(COALESCE(db.nt, 0) AS BIGINT) AS new_types
+        FROM cp LEFT JOIN pd ON pd.b = cp.i LEFT JOIN db ON db.b = cp.i
+        ORDER BY decile"""))
   )
 }
