@@ -411,6 +411,121 @@ object MultimodalQueries {
         SELECT ga, gb, CAST(hamming AS BIGINT) AS hamming,
           COUNT(*) AS n_pairs
         FROM ham WHERE hamming <= 3
-        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
+    // AUDIO ACTIVITY SEGMENTATION — the voice-activity-detection shape:
+    // real WAVs (quadratic-phase test tone — the q206 linear sawtooth
+    // has near-constant window energy and almost no zero crossings, so
+    // segmentation over it is vacuous) are decoded back to samples,
+    // reduced per 64-sample window to an integer energy (Σ|s|), and the
+    // active windows (e > 1.05e6, ≈ the signal's median) are run-
+    // length-grouped into segments with the gaps-and-islands device
+    // (w − row_number over the per-doc window order — audio's
+    // sessionization). Per clip: windows, active windows, segment
+    // count, longest run, and the zero-crossing count from the decode
+    // pass. The decode emits one row per WINDOW (≤ n/64 per clip),
+    // never per sample — the frame Spark sees is 64× smaller than the
+    // audio; the oracle pays the per-sample series to prove it.
+    Q("q226_audio_activity",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val dims = spread(s, col("doc_id"))(t(s, d, "documents").select(
+          col("doc_id").cast("long").as("doc_id"),
+          (lit(400) + pmod(col("n_chars"), lit(512))).cast("int").as("n")))
+        val payloads = dims.mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0); val n = r.getInt(1)
+            val smp = new Array[Short](n)
+            var i = 0
+            while (i < n) {
+              smp(i) = ((((id % 65536) * 11 +
+                ((i.toLong * i) % 65536) * 17) % 65536) - 32768).toShort
+              i += 1
+            }
+            Row(id, AudioCodec.encodeWav(8000, smp))
+          }
+        }(Encoders.row(payloadSchema))
+        val winSchema = StructType(Seq(
+          StructField("doc_id", LongType, nullable = false),
+          StructField("w", LongType, nullable = false),
+          StructField("e", LongType, nullable = false),
+          StructField("zcr", LongType, nullable = false)))
+        val wins = payloads.mapPartitions { rows =>
+          rows.flatMap { r =>
+            val id = r.getLong(0)
+            val dec = AudioCodec.decodeWav(r.getAs[Array[Byte]](1)).get
+            val smp = dec.samples
+            var zcr = 0L
+            var i = 1
+            while (i < smp.length) {
+              if (smp(i - 1).toLong * smp(i) < 0) zcr += 1
+              i += 1
+            }
+            (0 until smp.length / 64).map { w =>
+              var e = 0L
+              var j = w * 64
+              while (j < (w + 1) * 64) { e += math.abs(smp(j).toLong); j += 1 }
+              Row(id, w.toLong, e, zcr)
+            }
+          }
+        }(Encoders.row(winSchema))
+        val act = wins.withColumn("active",
+          (col("e") > 1050000L).cast("long"))
+        val agg = act.groupBy("doc_id").agg(
+          count(lit(1)).as("n_windows"), sum("active").as("n_active"),
+          first("zcr").as("zcr"))
+        val isl = act.filter(col("active") === 1)
+          .withColumn("grp", col("w") - row_number()
+            .over(Window.partitionBy("doc_id").orderBy("w")))
+        val seg = isl.groupBy("doc_id", "grp")
+          .agg(count(lit(1)).as("len"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_segments"), max("len").as("longest_run"))
+        agg.join(seg, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_windows"), col("n_active"),
+            coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+            coalesce(col("longest_run"), lit(0L)).as("longest_run"),
+            col("zcr"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, 400 + n_chars % 512 AS n FROM documents),
+        sm AS (
+          SELECT d.doc_id, i,
+            ((d.doc_id % 65536) * 11 + ((i * i) % 65536) * 17) % 65536
+              - 32768 AS s
+          FROM d, LATERAL (SELECT UNNEST(GENERATE_SERIES(0, d.n - 1)) AS i)),
+        zc AS (
+          SELECT doc_id,
+            CAST(SUM(CASE WHEN s * prev < 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS zcr
+          FROM (SELECT doc_id, s,
+                  LAG(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+                FROM sm)
+          GROUP BY doc_id),
+        w AS (
+          SELECT doc_id, i // 64 AS w, SUM(ABS(s)) AS e, COUNT(*) AS cnt
+          FROM sm GROUP BY 1, 2),
+        act AS (
+          SELECT doc_id, w, CASE WHEN e > 1050000 THEN 1 ELSE 0 END AS active
+          FROM w WHERE cnt = 64),
+        isl AS (
+          SELECT doc_id,
+            w - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY w) AS grp
+          FROM act WHERE active = 1),
+        seg AS (
+          SELECT doc_id, COUNT(*) AS n_segments, MAX(len) AS longest_run
+          FROM (SELECT doc_id, grp, COUNT(*) AS len FROM isl GROUP BY 1, 2)
+          GROUP BY doc_id),
+        agg AS (
+          SELECT doc_id, COUNT(*) AS n_windows,
+            CAST(SUM(active) AS BIGINT) AS n_active
+          FROM act GROUP BY doc_id)
+        SELECT a.doc_id, a.n_windows, a.n_active,
+          CAST(COALESCE(s.n_segments, 0) AS BIGINT) AS n_segments,
+          CAST(COALESCE(s.longest_run, 0) AS BIGINT) AS longest_run,
+          z.zcr
+        FROM agg a LEFT JOIN seg s USING (doc_id) JOIN zc z USING (doc_id)
+        ORDER BY a.doc_id"""))
   )
 }
