@@ -1588,7 +1588,82 @@ object ScaleOpsQueries {
         SELECT src1, src2, CAST(inter AS BIGINT) AS inter,
           CAST(v1 + v2 - inter AS BIGINT) AS un,
           TRUE AS inter_ok, TRUE AS union_ok
-        FROM pairs ORDER BY src1, src2"""))
+        FROM pairs ORDER BY src1, src2""")),
+
+    // DICTIONARY-ENCODING PLANNER — the choose-your-column-encoding
+    // decision every columnar layout job makes (parquet/ORC dictionary
+    // pages, warehouse ENCODE clauses): for each candidate string
+    // column, ONE unpivoted scan builds the value-frequency dictionary,
+    // and the per-column verdict is closed-form integer arithmetic —
+    // raw bytes vs (distinct-value bytes + n·⌈log₂ distinct⌉ bits of
+    // codes). ⌈log₂⌉ is computed portably as LENGTH(BIN(distinct−1))
+    // (no engine's float log touches the gate). The four arms are
+    // chosen to exercise both verdicts: low-cardinality event_type
+    // (dict wins big), mid-cardinality props/user_id, and a unique
+    // event key (dict LOSES — the distinct pages cost more than they
+    // save). Scale shape: the fact table is read once; everything
+    // after the (col, val) dictionary is |columns|-bounded. At 100 TB
+    // the exact distinct swaps for the q169 HLL profile; the gate
+    // keeps the exact form.
+    Q("q227_dict_encoding_plan",
+      (s, d) => {
+        val unp = t(s, d, "events").select(expr(
+          "stack(4, 'event_type', event_type, 'props', props, " +
+            "'user_id_str', cast(user_id as string), " +
+            "'event_key', concat(cast(event_id as string), ':', event_type)) " +
+            "as (col_name, val)"))
+          .filter(col("val").isNotNull)
+        val vf = unp.groupBy("col_name", "val")
+          .agg(count(lit(1)).as("cnt"))
+          .select(col("col_name"), col("cnt"),
+            octet_length(col("val")).cast("long").as("len"))
+        val prof = vf.groupBy("col_name").agg(
+          sum("cnt").as("n_rows"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("len") * col("cnt")).as("raw_bytes"),
+          sum("len").as("distinct_bytes"))
+        prof
+          .withColumn("code_bits",
+            when(col("n_distinct") <= 1, lit(1L))
+              .otherwise(length(bin(col("n_distinct") - 1)).cast("long")))
+          .withColumn("dict_bytes", col("distinct_bytes") +
+            expr("(n_rows * code_bits + 7) DIV 8"))
+          .select(col("col_name"), col("n_rows"), col("n_distinct"),
+            col("raw_bytes"), col("code_bits"), col("dict_bytes"),
+            (col("dict_bytes") < col("raw_bytes")).as("dict_wins"))
+          .orderBy("col_name")
+      },
+      Some("""
+        WITH unp AS (
+          SELECT 'event_type' AS col_name, event_type AS val FROM events
+          UNION ALL
+          SELECT 'props', props FROM events
+          UNION ALL
+          SELECT 'user_id_str', CAST(user_id AS VARCHAR) FROM events
+          UNION ALL
+          SELECT 'event_key',
+            CAST(event_id AS VARCHAR) || ':' || event_type FROM events),
+        vf AS (
+          SELECT col_name, val, COUNT(*) AS cnt, STRLEN(val) AS len
+          FROM unp WHERE val IS NOT NULL
+          GROUP BY col_name, val, STRLEN(val)),
+        prof AS (
+          SELECT col_name,
+            CAST(SUM(cnt) AS BIGINT) AS n_rows,
+            COUNT(*) AS n_distinct,
+            CAST(SUM(len * cnt) AS BIGINT) AS raw_bytes,
+            CAST(SUM(len) AS BIGINT) AS distinct_bytes
+          FROM vf GROUP BY 1),
+        bits AS (
+          SELECT *, CAST(CASE WHEN n_distinct <= 1 THEN 1
+            ELSE LENGTH(BIN(n_distinct - 1)) END AS BIGINT) AS code_bits
+          FROM prof)
+        SELECT col_name, n_rows, n_distinct, raw_bytes, code_bits,
+          CAST(distinct_bytes + (n_rows * code_bits + 7) // 8 AS BIGINT)
+            AS dict_bytes,
+          (distinct_bytes + (n_rows * code_bits + 7) // 8) < raw_bytes
+            AS dict_wins
+        FROM bits ORDER BY col_name"""))
   )
 
   /** Canonical Hilbert xy2d (order 8, 256×256 grid) unrolled to named
