@@ -60,8 +60,17 @@ object ManifestStore {
     * predicate parses them back with its knowledge of the schema.
     * Partitions written before stats were requested simply have no
     * entry — skipping predicates must treat absent stats as "keep". */
+  /** `fileStats`: partition key → generation-relative FILE path →
+    * column → (min, max) — the per-file zone maps beneath the
+    * per-partition `stats`. Present only for partitions whose latest
+    * stats-bearing write produced them; a rewrite without stats (or a
+    * delete/compact rewrite) drops them, because file lists change and
+    * stale file bounds — unlike stale-wide PARTITION bounds — point at
+    * files that no longer exist. */
   final case class Manifest(version: Long, entries: Map[String, String],
                             stats: Map[String, Map[String, (String, String)]]
+                              = Map.empty,
+                            fileStats: Map[String, Map[String, Map[String, (String, String)]]]
                               = Map.empty)
 
   private val MDIR = "_manifest"
@@ -103,18 +112,34 @@ object ManifestStore {
       tree.get("entries").fields().forEachRemaining { e =>
         entries += e.getKey -> e.getValue.asText()
       }
+      def colRanges(node: com.fasterxml.jackson.databind.JsonNode)
+          : Map[String, (String, String)] = {
+        val cols = scala.collection.mutable.Map.empty[String, (String, String)]
+        node.fields().forEachRemaining { c =>
+          cols += c.getKey ->
+            (c.getValue.get(0).asText(), c.getValue.get(1).asText())
+        }
+        cols.toMap
+      }
       val stats =
         scala.collection.mutable.Map.empty[String, Map[String, (String, String)]]
       val statsNode = tree.get("stats")
       if (statsNode != null) statsNode.fields().forEachRemaining { p =>
-        val cols = scala.collection.mutable.Map.empty[String, (String, String)]
-        p.getValue.fields().forEachRemaining { c =>
-          cols += c.getKey ->
-            (c.getValue.get(0).asText(), c.getValue.get(1).asText())
-        }
-        stats += p.getKey -> cols.toMap
+        stats += p.getKey -> colRanges(p.getValue)
       }
-      Some(Manifest(tree.get("version").asLong(), entries.toMap, stats.toMap))
+      val fileStats = scala.collection.mutable
+        .Map.empty[String, Map[String, Map[String, (String, String)]]]
+      val fsNode = tree.get("fileStats")
+      if (fsNode != null) fsNode.fields().forEachRemaining { p =>
+        val files =
+          scala.collection.mutable.Map.empty[String, Map[String, (String, String)]]
+        p.getValue.fields().forEachRemaining { f =>
+          files += f.getKey -> colRanges(f.getValue)
+        }
+        fileStats += p.getKey -> files.toMap
+      }
+      Some(Manifest(tree.get("version").asLong(), entries.toMap, stats.toMap,
+        fileStats.toMap))
     }
   }
 
@@ -155,14 +180,23 @@ object ManifestStore {
   private def readSnapshot(spark: SparkSession, root: String, m: Manifest,
                            schema: Option[StructType]): DataFrame = {
     require(m.entries.nonEmpty, s"manifest v${m.version} of $root is empty")
-    val byGen = m.entries.values.toSeq
-      .groupBy(rel => rel.split('/').take(2).mkString("/"))
-    byGen.toSeq.sortBy(_._1).map { case (genRel, dirs) =>
+    readPaths(spark, root, m.entries.values.toSeq, schema)
+  }
+
+  /** Read a set of generation-relative paths — partition DIRECTORIES or
+    * individual FILES interchangeably (the file form is the zone-map
+    * read's file-skipping path). Paths are grouped per generation so
+    * each group's `basePath` recovers its partition columns. */
+  private def readPaths(spark: SparkSession, root: String,
+                        rels: Seq[String],
+                        schema: Option[StructType]): DataFrame = {
+    val byGen = rels.groupBy(rel => rel.split('/').take(2).mkString("/"))
+    byGen.toSeq.sortBy(_._1).map { case (genRel, paths) =>
       val r = spark.read
         .option("basePath", s"$root/$genRel")
         .option("mergeSchema", schema.isEmpty.toString)
       schema.fold(r)(r.schema)
-        .parquet(dirs.sorted.map(d => s"$root/$d"): _*)
+        .parquet(paths.sorted.map(p => s"$root/$p"): _*)
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
@@ -243,41 +277,82 @@ object ManifestStore {
     val kept = m.entries.filter { case (k, _) =>
       keep(decodeKey(k), m.stats.getOrElse(k, Map.empty))
     }
-    if (kept.isEmpty) {
+    // file-level zone maps: within a kept partition that carries
+    // per-file bounds, the SAME predicate re-evaluates per file and the
+    // read lists only the surviving files — intra-partition skipping,
+    // the payoff of a range-clustered `layout` at write time. A kept
+    // partition without file stats contributes its whole directory.
+    val paths = kept.toSeq.flatMap { case (k, dir) =>
+      m.fileStats.get(k) match {
+        case Some(files) if files.nonEmpty =>
+          files.toSeq.collect {
+            case (f, st) if keep(decodeKey(k), st) => f
+          }
+        case _ => Seq(dir)
+      }
+    }
+    if (paths.isEmpty) {
       val sch = schema.getOrElse(throw new IllegalArgumentException(
         s"readSkipping matched no partitions of $root and has no schema " +
           "to shape the empty result"))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
-    } else readSnapshot(spark, root, Manifest(m.version, kept), schema)
+    } else readPaths(spark, root, paths, schema)
   }
 
-  /** Per-partition (min, max) of `statsCols`, computed by reading BACK
-    * the just-staged generation's parquet (columnar scan of only the
-    * stats columns over only the new files — never a recompute of the
-    * merge plan). All-null columns are omitted from their partition's
-    * map. */
+  /** Per-partition AND per-file (min, max) of `statsCols`, computed by
+    * reading BACK the just-staged generation's parquet (columnar scan
+    * of only the stats columns over only the new files — never a
+    * recompute of the merge plan). One aggregation at file grain; the
+    * partition-level bounds reduce from the typed per-file bounds in
+    * the driver (metadata-scale), so both grains agree by
+    * construction. All-null columns are omitted. */
   private def collectStats(spark: SparkSession, root: String, genRel: String,
                            partitionCols: Seq[String],
-                           statsCols: Seq[String]): Map[String, Map[String, (String, String)]] = {
-    import org.apache.spark.sql.functions.{max => smax, min => smin}
+                           statsCols: Seq[String])
+      : (Map[String, Map[String, (String, String)]],
+         Map[String, Map[String, Map[String, (String, String)]]]) = {
+    import org.apache.spark.sql.functions.{input_file_name, max => smax, min => smin}
     val staged = spark.read.option("basePath", s"$root/$genRel")
       .parquet(s"$root/$genRel")
     val aggs = statsCols.flatMap(c =>
       Seq(smin(col(c)).as(s"__min_$c"), smax(col(c)).as(s"__max_$c")))
-    staged.groupBy(partitionCols.map(col): _*)
+    val perFile = staged
+      .groupBy((partitionCols.map(col) :+ input_file_name().as("__file")): _*)
       .agg(aggs.head, aggs.tail: _*)
       .collect()
       .map { r =>
         val key = partKey(partitionCols,
           partitionCols.map(c => r.get(r.fieldIndex(c))))
+        // generation-relative file path: strip everything before genRel
+        // (input_file_name is a fully-qualified URI)
+        val uri = r.getString(r.fieldIndex("__file"))
+        val rel = uri.substring(uri.indexOf(genRel))
         val cols = statsCols.flatMap { c =>
           val lo = r.get(r.fieldIndex(s"__min_$c"))
           val hi = r.get(r.fieldIndex(s"__max_$c"))
-          if (lo == null || hi == null) None
-          else Some(c -> (lo.toString, hi.toString))
+          if (lo == null || hi == null) None else Some(c -> (lo, hi))
         }.toMap
-        key -> cols
+        (key, rel, cols)
+      }
+    def cmp(a: Any, b: Any): Int =
+      a.asInstanceOf[Comparable[Any]].compareTo(b)
+    val partStats = perFile.groupBy(_._1).map { case (key, files) =>
+      val cols = statsCols.flatMap { c =>
+        val ranges = files.flatMap(_._3.get(c))
+        if (ranges.isEmpty) None
+        else Some(c -> (ranges.map(_._1).reduce((a, b) =>
+            if (cmp(a, b) <= 0) a else b).toString,
+          ranges.map(_._2).reduce((a, b) =>
+            if (cmp(a, b) >= 0) a else b).toString))
       }.toMap
+      key -> cols
+    }
+    val fileStats = perFile.groupBy(_._1).map { case (key, files) =>
+      key -> files.map { case (_, rel, cols) =>
+        rel -> cols.map { case (c, (lo, hi)) => c -> (lo.toString, hi.toString) }
+      }.toMap
+    }
+    (partStats, fileStats)
   }
 
   /** Deletion propagation at the table-format level — the
@@ -324,12 +399,14 @@ object ManifestStore {
       throw new IllegalStateException(
         s"delete rewrite produced unexpected partitions at $root: " +
           s"${staged.keySet -- touchedKeys}")
-    // stats carry forward: bounds computed before the delete remain
-    // valid SUPERSETS of the surviving rows' range — skipping stays
-    // correct (conservative), and publish drops entries for partitions
-    // that vanished entirely
+    // partition stats carry forward: bounds computed before the delete
+    // remain valid SUPERSETS of the surviving rows' range — skipping
+    // stays correct (conservative), and publish drops entries for
+    // partitions that vanished entirely. FILE stats for the rewritten
+    // partitions are dropped — their file lists changed.
     publish(spark, root, version,
-      (prev.entries -- touchedKeys) ++ staged, Some(prev), prev.stats)
+      (prev.entries -- touchedKeys) ++ staged, Some(prev), prev.stats,
+      prev.fileStats -- touchedKeys)
   }
 
   /** Maintenance compaction — the OPTIMIZE of this mini table format:
@@ -354,7 +431,8 @@ object ManifestStore {
       throw new IllegalStateException(
         s"compaction changed the partition set of $root: " +
           s"${entries.keySet} vs ${prev.entries.keySet}")
-    // same rows, same partitions — recorded bounds stay exact
+    // same rows, same partitions — recorded PARTITION bounds stay
+    // exact; file stats drop (every file was rewritten)
     publish(spark, root, version, entries, Some(prev), prev.stats)
   }
 
@@ -394,21 +472,35 @@ object ManifestStore {
                              entries: Map[String, String],
                              prev: Option[Manifest],
                              stats: Map[String, Map[String, (String, String)]]
+                               = Map.empty,
+                             fileStats: Map[String, Map[String, Map[String, (String, String)]]]
                                = Map.empty): Unit = {
     val fs = fsOf(spark, root)
     val node = mapper.createObjectNode()
     node.put("version", version)
     val e = node.putObject("entries")
     entries.toSeq.sortBy(_._1).foreach { case (k, v) => e.put(k, v) }
+    def writeRanges(into: com.fasterxml.jackson.databind.node.ObjectNode,
+                    cols: Map[String, (String, String)]): Unit =
+      cols.toSeq.sortBy(_._1).foreach { case (c, (lo, hi)) =>
+        val arr = into.putArray(c); arr.add(lo); arr.add(hi)
+      }
     // invariant: stats only for live partitions (a dropped partition's
     // stale bounds must not outlive its entry)
     val liveStats = stats.view.filterKeys(entries.contains).toMap
     if (liveStats.nonEmpty) {
       val sn = node.putObject("stats")
       liveStats.toSeq.sortBy(_._1).foreach { case (k, cols) =>
-        val cn = sn.putObject(k)
-        cols.toSeq.sortBy(_._1).foreach { case (c, (lo, hi)) =>
-          val arr = cn.putArray(c); arr.add(lo); arr.add(hi)
+        writeRanges(sn.putObject(k), cols)
+      }
+    }
+    val liveFileStats = fileStats.view.filterKeys(entries.contains).toMap
+    if (liveFileStats.nonEmpty) {
+      val fn = node.putObject("fileStats")
+      liveFileStats.toSeq.sortBy(_._1).foreach { case (k, files) =>
+        val pn = fn.putObject(k)
+        files.toSeq.sortBy(_._1).foreach { case (f, cols) =>
+          writeRanges(pn.putObject(f), cols)
         }
       }
     }
@@ -455,7 +547,8 @@ object ManifestStore {
   def upsert(root: String, keys: Seq[String], seqCol: String,
              tieBreak: Seq[String], partitionCols: Seq[String],
              checkEmpty: Boolean = true,
-             statsCols: Seq[String] = Nil)(batch: DataFrame): Unit = {
+             statsCols: Seq[String] = Nil,
+             layout: DataFrame => DataFrame = identity)(batch: DataFrame): Unit = {
     require(partitionCols.nonEmpty,
       "ManifestStore.upsert needs partition columns; use Runner.upsertParquet for unpartitioned tables")
     if (checkEmpty && batch.isEmpty) return
@@ -483,7 +576,11 @@ object ManifestStore {
           merge(existing.unionByName(batch, allowMissingColumns = true))
         }
     }
-    val newEntries = stageGeneration(root, partitionCols, merged, version)
+    // `layout` is the write-clustering hook (repartitionByRange +
+    // sortWithinPartitions on the stats column is the canonical one):
+    // it shapes how the merge result lands in FILES, which is what
+    // makes the per-file zone maps below sharp instead of vacuous
+    val newEntries = stageGeneration(root, partitionCols, layout(merged), version)
     // encoding cross-check: the keys computed from batch tuples must be
     // exactly the directories Spark wrote — any partition-value type
     // whose toString drifts from hive-dir encoding fails HERE, loudly,
@@ -494,8 +591,10 @@ object ManifestStore {
           s"computed=$touchedKeys")
     // zone-map stats for the rewritten partitions, read back off the
     // staged files; untouched partitions keep their recorded bounds
-    val newStats =
-      if (statsCols.isEmpty) Map.empty[String, Map[String, (String, String)]]
+    val (newStats, newFileStats) =
+      if (statsCols.isEmpty)
+        (Map.empty[String, Map[String, (String, String)]],
+          Map.empty[String, Map[String, Map[String, (String, String)]]])
       else collectStats(spark, root, f"$GDIR/g$version%08d",
         partitionCols, statsCols)
     // touched partitions either get FRESH bounds or none at all — a
@@ -504,6 +603,7 @@ object ManifestStore {
     // skipping silently wrong; stale-WIDE, as after deletes, is safe)
     publish(spark, root, version,
       prev.map(_.entries).getOrElse(Map.empty) ++ newEntries, prev,
-      (prev.map(_.stats).getOrElse(Map.empty) -- touchedKeys) ++ newStats)
+      (prev.map(_.stats).getOrElse(Map.empty) -- touchedKeys) ++ newStats,
+      (prev.map(_.fileStats).getOrElse(Map.empty) -- touchedKeys) ++ newFileStats)
   }
 }

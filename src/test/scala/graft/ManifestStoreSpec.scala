@@ -96,6 +96,55 @@ class ManifestStoreSpec extends AnyFunSuite {
       === Set(3L, 4L, 5L))
   }
 
+  test("file-level zone maps: clustered layout + per-file bounds skip " +
+    "files inside a partition") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("mstore_fzm").toString
+    // one partition, 30 keys, range-clustered into 3 files of ~10 seqs
+    ManifestStore.upsert(root, Seq("k"), "seq", Nil, Seq("bucket"),
+      statsCols = Seq("seq"),
+      layout = df => df.repartitionByRange(3, col("seq"))
+        .sortWithinPartitions("seq"))(
+      (1L to 30L).map(i => (i, i, s"v$i", 0)).toDF("k", "seq", "v", "bucket"))
+    val m = ManifestStore.readManifest(fs(root), root).get
+    val files = m.fileStats("bucket=0")
+    assert(files.size === 3, s"expected 3 clustered files, got $files")
+    // per-file bounds cover disjoint ranges and agree with the
+    // partition-level bounds at the envelope
+    val ranges = files.values.map(_("seq")).map {
+      case (lo, hi) => (lo.toLong, hi.toLong) }.toSeq.sortBy(_._1)
+    assert(ranges.sliding(2).forall {
+      case Seq((_, h1), (l2, _)) => h1 < l2; case _ => true },
+      s"clustered files must cover disjoint seq ranges: $ranges")
+    assert(m.stats("bucket=0")("seq") === ("1", "30"))
+    // a seq >= 25 read keeps the partition but lists ONLY the top file
+    val pruned = ManifestStore.readSkipping(spark, root) { (_, st) =>
+      st.get("seq").forall { case (_, hi) => hi.toLong >= 25 }
+    }.filter(col("seq") >= 25)
+    assert(pruned.select("k").collect().map(_.getLong(0)).toSet ===
+      (25L to 30L).toSet)
+    val allFiles = files.keySet
+    val readFiles = pruned.inputFiles.map(f =>
+      f.substring(f.indexOf("_gen/"))).toSet
+    assert(readFiles.subsetOf(allFiles) && readFiles.size < allFiles.size,
+      s"file-level skipping must read a strict subset: $readFiles")
+    // a delete rewrite drops the (now-invalid) file stats but keeps
+    // the partition bounds; the ranged read still answers correctly
+    ManifestStore.deleteKeys(root, Seq("k"), Seq("bucket"))(
+      Seq((30L, 0)).toDF("k", "bucket"))
+    val m2 = ManifestStore.readManifest(fs(root), root).get
+    assert(!m2.fileStats.contains("bucket=0"),
+      "rewritten partition must not carry stale file stats")
+    assert(m2.stats("bucket=0")("seq") === ("1", "30"))
+    val after = ManifestStore.readSkipping(spark, root) { (_, st) =>
+      st.get("seq").forall { case (_, hi) => hi.toLong >= 25 }
+    }.filter(col("seq") >= 25)
+    assert(after.select("k").collect().map(_.getLong(0)).toSet ===
+      (25L to 29L).toSet)
+  }
+
   test("readWhere prunes at the manifest: only kept directories are opened") {
     val sp = spark
     import sp.implicits._
