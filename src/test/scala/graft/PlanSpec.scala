@@ -940,4 +940,32 @@ class PlanSpec extends AnyFunSuite {
         s"$q: the global window must sit above the |distinct key| aggregate")
     }
   }
+
+  test("q224: perceptual-hash candidates come from an equi band join, never all-pairs") {
+    val p = plan("q224_phash_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "band pigeonhole must plan as an equi join — an all-pairs fallback " +
+        "destroys the whole point of banding")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "expected a hash/merge equi join")
+  }
+
+  test("q221/q226: the media/regex scans stay single-pass with aggregate rollups") {
+    // q221: one documents scan (regex work is row-local), no join at all
+    val p221 = Catalog.byName("q221_pii_redact").run(spark, d)
+      .queryExecution.sparkPlan
+    assert(p221.collect {
+      case s if s.getClass.getSimpleName.contains("FileSourceScan") => s
+    }.size === 1, "PII redaction must read the corpus exactly once")
+    assert(!p221.toString.contains("Join"), "no join anywhere in q221")
+    // q226: the decode emits per-window rows; segmentation windows are
+    // per-doc partitioned (gaps-and-islands), never global
+    import org.apache.spark.sql.execution.window.WindowExec
+    val p226 = Catalog.byName("q226_audio_activity").run(spark, d)
+      .queryExecution.sparkPlan
+    val globals = p226.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w }
+    assert(globals.isEmpty, "q226 windows must all partition by doc_id")
+  }
 }
