@@ -1001,6 +1001,51 @@ object StatsQueries {
               CAST(n * n -
                 ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)) AS DOUBLE), 6)
             ELSE NULL END AS kappa
-        FROM cnt ORDER BY lang"""))
+        FROM cnt ORDER BY lang""")),
+
+    // RECENCY-DECAYED ENGAGEMENT — the time-decay feature every
+    // ranking/churn model wants: each event's contribution halves per
+    // 7-day age bucket relative to the corpus watermark. The decay
+    // weights are LITERAL powers of two (1, 0.5, …, 0.0625, then 0):
+    // scaling a double by 2⁻ᵏ only changes its exponent, so every term
+    // is IEEE-EXACT in both engines and no libm pow() — whose rounding
+    // is NOT portable — ever runs. Terms round to 6dp (already exact:
+    // 2-decimal values × 2⁻⁴ is 6 decimals) and decimal-accumulate
+    // (the q212 device), so the gate hashes the scores bit-for-bit.
+    // One scan, one map-side-combined per-user aggregate; the anchor
+    // is a broadcast 1-row frame.
+    Q("q228_recency_decay",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val anchor = ev.agg(max(to_date(col("ts"))).as("anchor"))
+        ev.crossJoin(broadcast(anchor))
+          .select(col("user_id"), col("value"),
+            expr("datediff(anchor, to_date(ts)) DIV 7").as("k"))
+          .select(col("user_id"), col("value"),
+            when(col("k") === 0, 1.0).when(col("k") === 1, 0.5)
+              .when(col("k") === 2, 0.25).when(col("k") === 3, 0.125)
+              .when(col("k") === 4, 0.0625).otherwise(0.0).as("w"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            round(decSum(col("value")), 6).as("raw_sum"),
+            round(decSum(round(col("value") * col("w"), 6)), 6)
+              .as("decayed_sum"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH anchor AS (
+          SELECT MAX(CAST(ts AS DATE)) AS anchor FROM events),
+        wk AS (
+          SELECT user_id, value,
+            CASE DATEDIFF('day', CAST(ts AS DATE), anchor) // 7
+              WHEN 0 THEN 1.0 WHEN 1 THEN 0.5 WHEN 2 THEN 0.25
+              WHEN 3 THEN 0.125 WHEN 4 THEN 0.0625 ELSE 0.0 END AS w
+          FROM events, anchor)
+        SELECT user_id, COUNT(*) AS n_events,
+          ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS VARCHAR)
+            AS DOUBLE), 6) AS raw_sum,
+          ROUND(CAST(CAST(SUM(CAST(ROUND(value * w, 6) AS DECIMAL(28,6)))
+            AS VARCHAR) AS DOUBLE), 6) AS decayed_sum
+        FROM wk GROUP BY user_id ORDER BY user_id"""))
   )
 }
