@@ -633,6 +633,93 @@ object StreamingQueries {
           null_user_violations
         FROM hourly, wm
         WHERE hour_ts + INTERVAL 1 HOUR <= w
-        ORDER BY hour_ts"""))
+        ORDER BY hour_ts""")),
+
+    // STREAMING PER-KEY RATE LIMITER — admission control as a stateful
+    // operator (the dynamic cousin of the reference's fixed KV
+    // throughput knobs): a token bucket per user, capacity 2 tokens,
+    // refill 1 token / 6 h of EVENT time, 1 token per event, all in
+    // exact integer µs-units. The operator semantics are the new thing
+    // here: admission is ORDER-SENSITIVE (unlike sessions' commutative
+    // interval merge), so StreamingOps.rateLimit buffers events across
+    // micro-batches and folds them through the bucket only below the
+    // watermark — a buffering SORTER in state, the pattern every
+    // event-time-ordered recursion (CDC conflation, order-book replay)
+    // needs. The feed is staged as three TIME-RANGE files streamed
+    // with maxFilesPerTrigger=1, so finalization genuinely crosses
+    // micro-batch boundaries (batch N's events are decided while batch
+    // N+1 runs). Oracle: the same integer recursion as a recursive CTE
+    // under the same watermark cutoff — NOT list_reduce, whose DuckDB
+    // 1.0 lambda gives wrong folds when multiple groups share a
+    // vectorized batch (measured: user 0 folds to 48/9 alone but 49/9
+    // grouped; the recursive form matches a hand fold exactly).
+    Q("q229_streaming_rate_limit",
+      (s, d) => {
+        val staged = Files.createTempDirectory("graft_q229_src_").toString
+        graft.tables.Tables.events(s, d)
+          .withColumn("batch_", least(lit(2), greatest(lit(0),
+            floor(datediff(to_date(col("ts")),
+              lit("2024-01-01").cast("date")) / 10))).cast("int"))
+          .repartition(1)
+          .write.mode("overwrite").partitionBy("batch_").parquet(staged)
+        val schema = s.read.parquet(staged).schema
+        val reg = new Registry(s)
+        reg.source("events_feed", () => graft.tables.Tables.events(s, d))
+        reg.register(TableDef("admission_log", Seq("events_feed"), {
+          case Seq(ev) =>
+            import s.implicits._
+            graft.streaming.StreamingOps.rateLimit(
+              capUnits = 43200000000L, costUnits = 21600000000L,
+              lateness = "5 minutes")(
+              ev.select(col("user_id"), col("ts"), col("event_id"))
+                .as[graft.streaming.RateEvent]).toDF()
+        }, mode = Mode.Incremental))
+        val out = Files.createTempDirectory("graft_q229_").toString
+        withStatePartitions(s, 4) {
+          graft.graph.Runner.runStreamingThenFull(s, reg,
+            Map("events_feed" -> (() => s.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(staged))),
+            out)
+        }
+        s.read.parquet(s"$out/admission_log")
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("admitted").cast("long")).as("n_admitted"),
+            sum((!col("admitted")).cast("long")).as("n_rejected"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH RECURSIVE wm AS (
+          SELECT DATE_TRUNC('milliseconds', MAX(CAST(ts AS TIMESTAMP)))
+            - INTERVAL 5 MINUTE AS w FROM events),
+        e AS (
+          SELECT user_id, EPOCH_US(CAST(ts AS TIMESTAMP)) AS us,
+            ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS rn
+          FROM events, wm WHERE CAST(ts AS TIMESTAMP) < wm.w),
+        step(user_id, rn, us, tok, adm, rej) AS (
+          SELECT user_id, rn, us,
+            CAST(43200000000 - 21600000000 AS BIGINT),
+            CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+          FROM e WHERE rn = 1
+          UNION ALL
+          SELECT e.user_id, e.rn, e.us,
+            CASE WHEN LEAST(43200000000, s.tok + (e.us - s.us))
+                >= 21600000000
+              THEN LEAST(43200000000, s.tok + (e.us - s.us)) - 21600000000
+              ELSE LEAST(43200000000, s.tok + (e.us - s.us)) END,
+            s.adm + CASE WHEN LEAST(43200000000, s.tok + (e.us - s.us))
+              >= 21600000000 THEN 1 ELSE 0 END,
+            s.rej + CASE WHEN LEAST(43200000000, s.tok + (e.us - s.us))
+              < 21600000000 THEN 1 ELSE 0 END
+          FROM step s JOIN e ON e.user_id = s.user_id AND e.rn = s.rn + 1),
+        fin AS (
+          SELECT user_id, MAX(rn) AS n_events,
+            MAX_BY(adm, rn) AS n_admitted, MAX_BY(rej, rn) AS n_rejected
+          FROM step GROUP BY user_id)
+        SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+          CAST(n_admitted AS BIGINT) AS n_admitted,
+          CAST(n_rejected AS BIGINT) AS n_rejected
+        FROM fin ORDER BY user_id"""))
   )
 }

@@ -28,6 +28,23 @@ case class SessionRow(user_id: Long, session_start: Timestamp,
                       session_end: Timestamp, n_events: Long,
                       total_value: Double)
 
+/** One event for the streaming rate limiter. */
+case class RateEvent(user_id: Long, ts: Timestamp, event_id: Long)
+
+/** One buffered (not yet watermark-finalized) event. */
+case class PendEv(us: Long, id: Long)
+
+/** Per-user limiter state: the event-time-sorted pending buffer plus
+  * the bucket registers. `tok` is in MICROSECOND-UNITS (1 unit of
+  * token accrues per µs of event time), so the whole recursion is
+  * exact 64-bit integer arithmetic — bit-identical to the oracle's
+  * recursive CTE. */
+case class BucketState(pending: List[PendEv], tok: Long, lastUs: Long,
+                       started: Boolean)
+
+/** One finalized admission decision. */
+case class DecisionRow(user_id: Long, event_id: Long, admitted: Boolean)
+
 /** Streaming re-expressions of the reference's incremental semantics
   * (SURVEY.md §2.11). The batch transforms in [[graft.ops.Relational]] and
   * [[graft.queries]] are plan-identical in streaming mode — the reference
@@ -182,6 +199,64 @@ object StreamingOps {
       .withWatermark("ts", lateness)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[UserSessions, SessionRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** Streaming per-key token-bucket rate limiter — the admission-control
+    * operator in front of a serving/ingest tier (the reference's KV
+    * throughput knobs are the static cousin): each user's bucket holds
+    * up to `capUnits` and refills 1 unit per MICROSECOND of event time;
+    * an event is admitted iff the refilled level covers `costUnits`.
+    *
+    * Unlike sessionization (whose interval merge is ORDER-INSENSITIVE,
+    * so state can fold events as they arrive), admission is order-
+    * SENSITIVE: deciding event n requires every earlier event first.
+    * The state is therefore a BUFFERING SORTER — events accumulate in
+    * the per-user buffer across micro-batches and are folded through
+    * the bucket registers in (event-time, event_id) order only once
+    * the watermark guarantees nothing earlier can still arrive
+    * (`us < watermark`, strict). Decisions for the final lateness
+    * window are never emitted — mirrored by the oracle's watermark
+    * cutoff, exactly like the q91 session contract. Per-user state is
+    * the O(disorder-window) buffer plus three registers. */
+  def rateLimit(capUnits: Long, costUnits: Long, lateness: String)(
+      events: Dataset[RateEvent]): Dataset[DecisionRow] = {
+    val sp = events.sparkSession
+    import sp.implicits._
+
+    def microsOf(t: Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+    def update(user: Long, batch: Iterator[RateEvent],
+               state: GroupState[BucketState]): Iterator[DecisionRow] = {
+      val prev = state.getOption.getOrElse(
+        BucketState(Nil, 0L, 0L, started = false))
+      val pending = (prev.pending ++ batch.map(e =>
+        PendEv(microsOf(e.ts), e.event_id))).sortBy(p => (p.us, p.id))
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val (ripe, hold) = pending.partition(_.us < wmUs)
+      var tok = prev.tok; var lastUs = prev.lastUs
+      var started = prev.started
+      val out = ripe.map { p =>
+        if (!started) { started = true; tok = capUnits; lastUs = p.us }
+        tok = math.min(capUnits, tok + (p.us - lastUs)); lastUs = p.us
+        val admit = tok >= costUnits
+        if (admit) tok -= costUnits
+        DecisionRow(user, p.id, admit)
+      }
+      state.update(BucketState(hold, tok, lastUs, started))
+      // wake on the next watermark advance while events are buffered;
+      // the registers outlive the buffer (the bucket has memory), so
+      // the state itself is never removed mid-stream
+      if (hold.nonEmpty)
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1L)
+      out.iterator
+    }
+
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[BucketState, DecisionRow](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 }
