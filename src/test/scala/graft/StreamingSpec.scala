@@ -269,6 +269,71 @@ class StreamingSpec extends AnyFunSuite {
         " and must not re-emit or reprocess run 1's files")
   }
 
+  test("rateLimit: bucket registers and pending buffer survive a restart") {
+    // The order-sensitive counterpart of the join-restart test: e3's
+    // REJECTION is only possible if run 2 restored the bucket level
+    // left by run 1's e1 (a fresh bucket at e2 would admit all three).
+    // cap = 2 tokens, cost = 1 token, refill 1 token / 6 h — e1..e3
+    // land within 10 minutes, so only the restored level decides.
+    import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
+    import graft.graph.{Mode, Registry, TableDef}
+    val sp = spark
+    val staged = JFiles.createTempDirectory("rl_restart_src_").toString
+    val out = JFiles.createTempDirectory("rl_restart_out_").toString
+
+    def writeSlice(rows: Seq[(String, Long, Long)], name: String,
+                   mtime: Long): Unit = {
+      val tmp = JFiles.createTempDirectory("rl_slice_").toString
+      sp.createDataFrame(rows).toDF("ts0", "user_id", "event_id")
+        .select(col("ts0").cast("timestamp").as("ts"), col("user_id"),
+          col("event_id"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = JFiles.list(Paths.get(tmp)).toArray.map(_.toString)
+        .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS")).head
+      val dst = Paths.get(staged, name)
+      JFiles.move(Paths.get(part), dst, StandardCopyOption.REPLACE_EXISTING)
+      JFiles.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+
+    def runOnce(): Unit = {
+      val schema = sp.read.parquet(staged).schema
+      val reg = new Registry(sp)
+      reg.source("feed", () => sp.read.parquet(staged))
+      reg.register(TableDef("decisions", Seq("feed"), {
+        case Seq(ev) =>
+          import sp.implicits._
+          graft.streaming.StreamingOps.rateLimit(
+            capUnits = 43200000000L, costUnits = 21600000000L,
+            lateness = "5 minutes")(
+            ev.select(col("user_id"), col("ts"), col("event_id"))
+              .as[graft.streaming.RateEvent]).toDF()
+      }, mode = Mode.Incremental))
+      graft.graph.Runner.runStreamingThenFull(sp, reg,
+        Map("feed" -> (() => sp.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(staged))), out)
+    }
+
+    writeSlice(Seq(("2024-01-01 10:00:00", 1L, 1L),
+      ("2024-01-01 10:05:00", 1L, 2L), ("2024-01-01 10:10:00", 1L, 3L)),
+      "s1.parquet", 1700000000000L)
+    runOnce()
+    val run1 = sp.read.parquet(s"$out/decisions")
+      .collect().map(r => r.getLong(1) -> r.getBoolean(2)).toMap
+    assert(run1 === Map(1L -> true),
+      s"run 1 finalizes only e1 (watermark 10:05), got $run1")
+
+    // a later event lands AFTER run 1 terminated; its watermark advance
+    // finalizes e2/e3 against the RESTORED registers and buffer
+    writeSlice(Seq(("2024-01-01 23:00:00", 1L, 4L)),
+      "s2.parquet", 1700000060000L)
+    runOnce()
+    val run2 = sp.read.parquet(s"$out/decisions")
+      .collect().map(r => r.getLong(1) -> r.getBoolean(2)).toMap
+    assert(run2 === Map(1L -> true, 2L -> true, 3L -> false),
+      s"e3 must be REJECTED by the restored bucket level, got $run2")
+  }
+
   // The scheduled-trigger mode (transactions:926 — hourly cluster,
   // watermark sized to cluster-start lag): two simulated hours, each a
   // full runScheduled tick. Hour 2's landing includes an event for hour
