@@ -1663,7 +1663,54 @@ object ScaleOpsQueries {
             AS dict_bytes,
           (distinct_bytes + (n_rows * code_bits + 7) // 8) < raw_bytes
             AS dict_wins
-        FROM bits ORDER BY col_name"""))
+        FROM bits ORDER BY col_name""")),
+
+    // INCREMENTAL JOIN MAINTENANCE — q174's IVM device extended from
+    // aggregates to JOINS: a materialized join view V = F ⋈ D absorbs
+    // new data via the delta algebra ΔV = ΔF⋈D ∪ F⋈ΔD ∪ ΔF⋈ΔD — the
+    // base view is NEVER re-joined or re-scanned; only its aggregate
+    // partials merge with the three delta terms' partials (partials
+    // stay DECIMAL until the final surface cast, so re-aggregation is
+    // exact). At scale the deltas are batch-sized: ΔF⋈D shuffles only
+    // the delta, F⋈ΔD broadcasts ΔD, ΔF⋈ΔD is tiny. The oracle is the
+    // FLAT recompute over everything, so the hash gate IS the proof
+    // that the delta algebra loses and duplicates nothing (the
+    // maintenance-≡-recompute contract).
+    Q("q230_incremental_join",
+      (s, d) => {
+        val L = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice"))
+        val O = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"))
+        val lOld = L.filter(col("l_orderkey") % 5 =!= 0)
+        val lNew = L.filter(col("l_orderkey") % 5 === 0)
+        val oOld = O.filter(col("o_orderkey") % 7 =!= 0)
+        val oNew = O.filter(col("o_orderkey") % 7 === 0)
+        def part(lf: org.apache.spark.sql.DataFrame,
+                 of: org.apache.spark.sql.DataFrame, bcast: Boolean) = {
+          val j = if (bcast) lf.join(broadcast(of),
+              col("l_orderkey") === col("o_orderkey"))
+            else lf.join(of, col("l_orderkey") === col("o_orderkey"))
+          j.groupBy("o_orderpriority")
+            .agg(count(lit(1)).as("n"),
+              sum(col("l_extendedprice").cast(DEC)).as("rev"))
+        }
+        part(lOld, oOld, bcast = false)
+          .unionByName(part(lNew, oOld, bcast = false))
+          .unionByName(part(lOld, oNew, bcast = true))
+          .unionByName(part(lNew, oNew, bcast = true))
+          .groupBy("o_orderpriority")
+          .agg(sum("n").as("n_items"),
+            sum("rev").cast(DEC).cast("string").cast("double")
+              .as("revenue"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority, COUNT(*) AS n_items,
+          CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6)))
+            AS VARCHAR) AS DOUBLE) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 
   /** Canonical Hilbert xy2d (order 8, 256×256 grid) unrolled to named
