@@ -228,23 +228,11 @@ object ManifestStore {
   def readWhere(spark: SparkSession, root: String,
                 schema: Option[StructType] = None,
                 version: Option[Long] = None)
-               (keep: Map[String, String] => Boolean): DataFrame = {
-    val fs = fsOf(spark, root)
-    val m = version match {
-      case Some(v) => readManifestAt(fs, root, v).getOrElse(
-        throw new IllegalStateException(
-          s"version $v of $root is not retained (GC keeps current + previous)"))
-      case None => readManifest(fs, root).getOrElse(
-        throw new IllegalStateException(s"no committed manifest under $root"))
-    }
-    val kept = m.entries.filter { case (k, _) => keep(decodeKey(k)) }
-    if (kept.isEmpty) {
-      val sch = schema.getOrElse(throw new IllegalArgumentException(
-        s"readWhere matched no partitions of $root and has no schema " +
-          "to shape the empty result"))
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
-    } else readSnapshot(spark, root, Manifest(m.version, kept), schema)
-  }
+               (keep: Map[String, String] => Boolean): DataFrame =
+    // the stats-blind special case of readSkipping: a value-only keep
+    // accepts every file of a kept partition, so the file-level pass is
+    // a no-op and whole directories are listed
+    readSkipping(spark, root, schema, version)((pv, _) => keep(pv))
 
   /** Zone-map read: like [[readWhere]], but the keep predicate also
     * sees the partition's recorded column stats (min, max as canonical
@@ -323,10 +311,16 @@ object ManifestStore {
       .map { r =>
         val key = partKey(partitionCols,
           partitionCols.map(c => r.get(r.fieldIndex(c))))
-        // generation-relative file path: strip everything before genRel
-        // (input_file_name is a fully-qualified URI)
+        // generation-relative file path: input_file_name() is a
+        // fully-qualified URI whose path segment is PERCENT-ENCODED —
+        // decode it back to the on-disk name before stripping the
+        // prefix, or a partition value with a space/escape would store
+        // a key that no filesystem read can resolve
         val uri = r.getString(r.fieldIndex("__file"))
-        val rel = uri.substring(uri.indexOf(genRel))
+        val decoded =
+          try new java.net.URI(uri).getPath
+          catch { case _: java.net.URISyntaxException => uri }
+        val rel = decoded.substring(decoded.indexOf(genRel))
         val cols = statsCols.flatMap { c =>
           val lo = r.get(r.fieldIndex(s"__min_$c"))
           val hi = r.get(r.fieldIndex(s"__max_$c"))

@@ -662,6 +662,23 @@ object StreamingQueries {
               lit("2024-01-01").cast("date")) / 10))).cast("int"))
           .repartition(1)
           .write.mode("overwrite").partitionBy("batch_").parquet(staged)
+        // FileStreamSource replays in (mtime, path) order; all three
+        // slices commit within the same ms, so stamp mtimes explicitly
+        // (the q97 staging convention) — a time-REVERSED replay would
+        // late-drop earlier slices and break the order-sensitive fold
+        for (b <- 0 to 2) {
+          val dir = java.nio.file.Paths.get(staged, s"batch_=$b")
+          if (java.nio.file.Files.isDirectory(dir)) {
+            val it = java.nio.file.Files.list(dir).iterator()
+            while (it.hasNext) {
+              val p = it.next()
+              if (p.toString.endsWith(".parquet"))
+                java.nio.file.Files.setLastModifiedTime(p,
+                  java.nio.file.attribute.FileTime
+                    .fromMillis(1700000000000L + b * 60000L))
+            }
+          }
+        }
         val schema = s.read.parquet(staged).schema
         val reg = new Registry(s)
         reg.source("events_feed", () => graft.tables.Tables.events(s, d))

@@ -231,8 +231,24 @@ object StreamingOps {
                state: GroupState[BucketState]): Iterator[DecisionRow] = {
       val prev = state.getOption.getOrElse(
         BucketState(Nil, 0L, 0L, started = false))
-      val pending = (prev.pending ++ batch.map(e =>
-        PendEv(microsOf(e.ts), e.event_id))).sortBy(p => (p.us, p.id))
+      // prev.pending is stored sorted (it is the hold remainder of the
+      // last invocation) — sort only the new batch and MERGE, instead
+      // of re-sorting the whole buffer every micro-batch
+      val incoming = batch.map(e => PendEv(microsOf(e.ts), e.event_id))
+        .toList.sortBy(p => (p.us, p.id))
+      val pending = {
+        val out = List.newBuilder[PendEv]
+        var a = prev.pending; var b = incoming
+        while (a.nonEmpty && b.nonEmpty) {
+          val aFirst =
+            if (a.head.us != b.head.us) a.head.us < b.head.us
+            else a.head.id <= b.head.id
+          if (aFirst) { out += a.head; a = a.tail }
+          else { out += b.head; b = b.tail }
+        }
+        out ++= a; out ++= b
+        out.result()
+      }
       val wmUs = state.getCurrentWatermarkMs() * 1000L
       val (ripe, hold) = pending.partition(_.us < wmUs)
       var tok = prev.tok; var lastUs = prev.lastUs

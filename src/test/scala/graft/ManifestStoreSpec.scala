@@ -145,6 +145,29 @@ class ManifestStoreSpec extends AnyFunSuite {
       (25L to 29L).toSet)
   }
 
+  test("file zone maps survive partition values that URI-encode (spaces)") {
+    // input_file_name() returns a percent-encoded URI; the stored file
+    // key must be the DECODED on-disk path or no read can resolve it
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("mstore_uri").toString
+    ManifestStore.upsert(root, Seq("k"), "seq", Nil, Seq("bucket"),
+      statsCols = Seq("seq"))(
+      Seq((1L, 1L, "a b"), (2L, 9L, "a b"), (3L, 5L, "plain"))
+        .toDF("k", "seq", "bucket"))
+    val m = ManifestStore.readManifest(fs(root), root).get
+    val spacedKey = m.entries.keys.find(_.contains("a b")).getOrElse(
+      fail(s"expected a decoded 'bucket=a b' entry, got ${m.entries.keys}"))
+    assert(m.fileStats(spacedKey).keys.forall(f =>
+      f.contains("bucket=a b") && !f.contains("%20")),
+      s"file keys must be decoded paths: ${m.fileStats(spacedKey).keys}")
+    val pruned = ManifestStore.readSkipping(spark, root) { (_, st) =>
+      st.get("seq").forall { case (_, hi) => hi.toLong >= 8 }
+    }.filter(col("seq") >= 8)
+    assert(pruned.select("k").collect().map(_.getLong(0)).toSet === Set(2L))
+  }
+
   test("readWhere prunes at the manifest: only kept directories are opened") {
     val sp = spark
     import sp.implicits._
