@@ -16,9 +16,12 @@ import QH._
   * columns, decodes them back, and the oracle independently derives
   * every scalar the decoder must reproduce — so the gate verifies the
   * full encode → binary column → parse round trip, including the
-  * corrupt-payload path (q205). Only model-embedding extraction remains
-  * stubbed (no inference runtime in this container), in
-  * [[graft.ops.Multimodal.stubDecoder]].
+  * corrupt-payload path (q205). Embedding extraction is implemented as a
+  * fixed deterministic linear encoder (q231 — the ViT patch-embedding
+  * shape with a weight table in place of learned weights); only a
+  * LEARNED weight table is absent (no inference runtime in this
+  * container). [[graft.ops.Multimodal.stubDecoder]] remains as the
+  * pluggable seam a real model drops into.
   */
 object MultimodalQueries {
 
@@ -526,6 +529,101 @@ object MultimodalQueries {
           CAST(COALESCE(s.longest_run, 0) AS BIGINT) AS longest_run,
           z.zcr
         FROM agg a LEFT JOIN seg s USING (doc_id) JOIN zc z USING (doc_id)
-        ORDER BY a.doc_id"""))
+        ORDER BY a.doc_id""")),
+
+    // IMAGE → EMBEDDING EXTRACTION + RETRIEVAL — the last multimodal
+    // seam made real: decoded pixels project through a FIXED linear
+    // encoder (weight(i,j) = ((i·(j+3)) mod 11) − 5 — the exact shape
+    // of a ViT patch-embedding layer with a deterministic weight table
+    // instead of learned weights; swapping in trained weights is a
+    // constant-table change, not a pipeline change) into an 8-dim
+    // integer embedding, and retrieval runs over the EXTRACTED
+    // embeddings: per query image, top-3 neighbors by exact integer
+    // dot product (zip_with + aggregate — codegen'd, no UDF). The
+    // q224 near-dup fixture means the gate also checks retrieval
+    // QUALITY structurally: a query's top neighbors are its content
+    // family. Decode+project is one streaming mapPartitions pass; the
+    // payload never outlives its row and Spark only ever shuffles
+    // 8-long embeddings, never pixels.
+    Q("q231_image_embedding",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val W = 18; val H = 16; val N = 3 * W * H
+        val docs = spread(s, col("doc_id"))(
+          t(s, d, "documents")
+            .select(col("doc_id").cast("long").as("doc_id")))
+        val payloads = docs.mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0)
+            val arr = ImageCodec.content(id % 12, W, H)
+            val p = ((id * 37) % N).toInt
+            arr(p) = (((arr(p) & 0xFF) + (id % 200) + 17) % 256).toByte
+            Row(id, ImageCodec.encodeBmp(W, H, arr))
+          }
+        }(Encoders.row(payloadSchema))
+        val embSchema = StructType(Seq(
+          StructField("doc_id", LongType, nullable = false),
+          StructField("emb", ArrayType(LongType, containsNull = false),
+            nullable = false)))
+        val embDf = payloads.mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0)
+            val dec = ImageCodec.decode(r.getAs[Array[Byte]](1)).get
+            val e = new Array[Long](8)
+            var i = 0
+            while (i < N) {
+              val v = dec.channels(i) & 0xFF
+              var j = 0
+              while (j < 8) {
+                e(j) += v.toLong * (((i.toLong * (j + 3)) % 11) - 5)
+                j += 1
+              }
+              i += 1
+            }
+            Row(id, e.toSeq)
+          }
+        }(Encoders.row(embSchema))
+        val queries = embDf.filter(col("doc_id") < 10)
+          .select(col("doc_id").as("query_id"), col("emb").as("qe"))
+        embDf.crossJoin(broadcast(queries))
+          .filter(col("doc_id") =!= col("query_id"))
+          .select(col("query_id"), col("doc_id").as("neighbor_id"),
+            expr("aggregate(zip_with(qe, emb, (x, y) -> x * y), 0L, " +
+              "(a, x) -> a + x)").as("dot"))
+          .withColumn("rk", row_number().over(Window.partitionBy("query_id")
+            .orderBy(col("dot").desc, col("neighbor_id"))).cast("long"))
+          .filter(col("rk") <= 3)
+          .select(col("query_id"), col("rk"), col("neighbor_id"), col("dot"))
+          .orderBy("query_id", "rk")
+      },
+      Some("""
+        WITH doc AS (
+          SELECT doc_id, doc_id % 12 AS g, (doc_id * 37) % 864 AS p,
+            (doc_id % 200) + 17 AS delta
+          FROM documents),
+        ch AS (
+          SELECT doc_id, i,
+            CASE WHEN i = p
+              THEN ((g*7 + (i%256)*13) % 256 + delta) % 256
+              ELSE (g*7 + (i%256)*13) % 256 END AS v
+          FROM doc, LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 863)) AS i)),
+        emb AS (
+          SELECT doc_id, j,
+            CAST(SUM(v * (((i * (j + 3)) % 11) - 5)) AS BIGINT) AS e
+          FROM ch, LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 7)) AS j)
+          GROUP BY doc_id, j),
+        dots AS (
+          SELECT q.doc_id AS query_id, d.doc_id AS neighbor_id,
+            CAST(SUM(q.e * d.e) AS BIGINT) AS dot
+          FROM emb q JOIN emb d ON q.j = d.j AND q.doc_id < 10
+            AND d.doc_id <> q.doc_id
+          GROUP BY 1, 2),
+        ranked AS (
+          SELECT query_id, neighbor_id, dot,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY dot DESC, neighbor_id) AS rk
+          FROM dots)
+        SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id, dot
+        FROM ranked WHERE rk <= 3 ORDER BY query_id, rk"""))
   )
 }
