@@ -143,6 +143,11 @@ object ManifestStore {
     }
   }
 
+  /** Test seam: [[partKey]] for the decodeKey round-trip property. */
+  private[graft] def encodeKeyForTest(cols: Seq[String],
+                                      values: Seq[Any]): String =
+    partKey(cols, values)
+
   /** Canonical partition key: `col=escapedValue/...`, identical to the
     * hive directory path Spark writes for the tuple. */
   private def partKey(cols: Seq[String], values: Seq[Any]): String = {
