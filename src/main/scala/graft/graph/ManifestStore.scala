@@ -267,8 +267,10 @@ object ManifestStore {
       case None => readManifest(fs, root).getOrElse(
         throw new IllegalStateException(s"no committed manifest under $root"))
     }
+    val decoded = m.entries.keysIterator
+      .map(k => k -> decodeKey(k)).toMap
     val kept = m.entries.filter { case (k, _) =>
-      keep(decodeKey(k), m.stats.getOrElse(k, Map.empty))
+      keep(decoded(k), m.stats.getOrElse(k, Map.empty))
     }
     // file-level zone maps: within a kept partition that carries
     // per-file bounds, the SAME predicate re-evaluates per file and the
@@ -278,9 +280,8 @@ object ManifestStore {
     val paths = kept.toSeq.flatMap { case (k, dir) =>
       m.fileStats.get(k) match {
         case Some(files) if files.nonEmpty =>
-          files.toSeq.collect {
-            case (f, st) if keep(decodeKey(k), st) => f
-          }
+          val pv = decoded(k)
+          files.toSeq.collect { case (f, st) if keep(pv, st) => f }
         case _ => Seq(dir)
       }
     }
@@ -295,27 +296,42 @@ object ManifestStore {
   /** Per-partition AND per-file (min, max) of `statsCols`, computed by
     * reading BACK the just-staged generation's parquet (columnar scan
     * of only the stats columns over only the new files — never a
-    * recompute of the merge plan). One aggregation at file grain; the
-    * partition-level bounds reduce from the typed per-file bounds in
-    * the driver (metadata-scale), so both grains agree by
-    * construction. All-null columns are omitted. */
+    * recompute of the merge plan). The read PINS `schema` (the write
+    * plan's schema, the Runner shadow-read convention) so partition-
+    * column type inference can never re-type directory names (string
+    * "00" → int 0) and produce keys that miss the manifest — the trap
+    * Runner.scala documents. Both grains come from Spark's own min/max
+    * (one aggregation each, file grain grouped by input_file_name), so
+    * their orderings agree with each other AND with what a Spark
+    * filter would compute; string bounds therefore follow Spark's
+    * UTF8 binary collation. All-null columns are omitted. */
   private def collectStats(spark: SparkSession, root: String, genRel: String,
                            partitionCols: Seq[String],
-                           statsCols: Seq[String])
+                           statsCols: Seq[String], schema: StructType)
       : (Map[String, Map[String, (String, String)]],
          Map[String, Map[String, Map[String, (String, String)]]]) = {
     import org.apache.spark.sql.functions.{input_file_name, max => smax, min => smin}
     val staged = spark.read.option("basePath", s"$root/$genRel")
-      .parquet(s"$root/$genRel")
+      .schema(schema).parquet(s"$root/$genRel")
     val aggs = statsCols.flatMap(c =>
       Seq(smin(col(c)).as(s"__min_$c"), smax(col(c)).as(s"__max_$c")))
-    val perFile = staged
+    def ranges(r: org.apache.spark.sql.Row): Map[String, (String, String)] =
+      statsCols.flatMap { c =>
+        val lo = r.get(r.fieldIndex(s"__min_$c"))
+        val hi = r.get(r.fieldIndex(s"__max_$c"))
+        if (lo == null || hi == null) None
+        else Some(c -> (lo.toString, hi.toString))
+      }.toMap
+    def keyOf(r: org.apache.spark.sql.Row): String =
+      partKey(partitionCols, partitionCols.map(c => r.get(r.fieldIndex(c))))
+    val partStats = staged.groupBy(partitionCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().map(r => keyOf(r) -> ranges(r)).toMap
+    val fileStats = staged
       .groupBy((partitionCols.map(col) :+ input_file_name().as("__file")): _*)
       .agg(aggs.head, aggs.tail: _*)
       .collect()
       .map { r =>
-        val key = partKey(partitionCols,
-          partitionCols.map(c => r.get(r.fieldIndex(c))))
         // generation-relative file path: input_file_name() is a
         // fully-qualified URI whose path segment is PERCENT-ENCODED —
         // decode it back to the on-disk name before stripping the
@@ -325,32 +341,11 @@ object ManifestStore {
         val decoded =
           try new java.net.URI(uri).getPath
           catch { case _: java.net.URISyntaxException => uri }
-        val rel = decoded.substring(decoded.indexOf(genRel))
-        val cols = statsCols.flatMap { c =>
-          val lo = r.get(r.fieldIndex(s"__min_$c"))
-          val hi = r.get(r.fieldIndex(s"__max_$c"))
-          if (lo == null || hi == null) None else Some(c -> (lo, hi))
-        }.toMap
-        (key, rel, cols)
+        (keyOf(r), decoded.substring(decoded.indexOf(genRel)), ranges(r))
       }
-    def cmp(a: Any, b: Any): Int =
-      a.asInstanceOf[Comparable[Any]].compareTo(b)
-    val partStats = perFile.groupBy(_._1).map { case (key, files) =>
-      val cols = statsCols.flatMap { c =>
-        val ranges = files.flatMap(_._3.get(c))
-        if (ranges.isEmpty) None
-        else Some(c -> (ranges.map(_._1).reduce((a, b) =>
-            if (cmp(a, b) <= 0) a else b).toString,
-          ranges.map(_._2).reduce((a, b) =>
-            if (cmp(a, b) >= 0) a else b).toString))
-      }.toMap
-      key -> cols
-    }
-    val fileStats = perFile.groupBy(_._1).map { case (key, files) =>
-      key -> files.map { case (_, rel, cols) =>
-        rel -> cols.map { case (c, (lo, hi)) => c -> (lo.toString, hi.toString) }
-      }.toMap
-    }
+      .groupBy(_._1).map { case (key, files) =>
+        key -> files.map { case (_, rel, cols) => rel -> cols }.toMap
+      }
     (partStats, fileStats)
   }
 
@@ -380,13 +375,8 @@ object ManifestStore {
     val touchedKeys = touched.map(r => partKey(partitionCols, r.toSeq)).toSet
       .intersect(prev.entries.keySet)
     if (touchedKeys.isEmpty) return // nothing stored for these keys
-    val byGen = prev.entries.view.filterKeys(touchedKeys).values.toSeq
-      .groupBy(rel => rel.split('/').take(2).mkString("/"))
-    val existing = byGen.toSeq.sortBy(_._1).map { case (genRel, dirs) =>
-      spark.read.option("basePath", s"$root/$genRel")
-        .option("mergeSchema", "true")
-        .parquet(dirs.sorted.map(d => s"$root/$d"): _*)
-    }.reduce(_.unionByName(_, allowMissingColumns = true))
+    val existing = readPaths(spark, root,
+      prev.entries.view.filterKeys(touchedKeys).values.toSeq, None)
     val remaining = existing.join(
       broadcast(keys.select(keyCols.map(col): _*).distinct()),
       keyCols, "left_anti")
@@ -564,16 +554,8 @@ object ManifestStore {
       case Some(m) =>
         val oldTouched = m.entries.view.filterKeys(touchedKeys).values.toSeq
         if (oldTouched.isEmpty) merge(batch)
-        else {
-          val byGen = oldTouched
-            .groupBy(rel => rel.split('/').take(2).mkString("/"))
-          val existing = byGen.toSeq.sortBy(_._1).map { case (genRel, dirs) =>
-            spark.read.option("basePath", s"$root/$genRel")
-              .option("mergeSchema", "true") // schema-evolved old files
-              .parquet(dirs.sorted.map(d => s"$root/$d"): _*)
-          }.reduce(_.unionByName(_, allowMissingColumns = true))
-          merge(existing.unionByName(batch, allowMissingColumns = true))
-        }
+        else merge(readPaths(spark, root, oldTouched, None)
+          .unionByName(batch, allowMissingColumns = true))
     }
     // `layout` is the write-clustering hook (repartitionByRange +
     // sortWithinPartitions on the stats column is the canonical one):
@@ -589,13 +571,19 @@ object ManifestStore {
         s"partition key encoding drift at $root: staged=${newEntries.keySet} " +
           s"computed=$touchedKeys")
     // zone-map stats for the rewritten partitions, read back off the
-    // staged files; untouched partitions keep their recorded bounds
+    // staged files; untouched partitions keep their recorded bounds.
+    // An empty staged generation (checkEmpty=false path) has no files
+    // to scan — and nothing to record.
     val (newStats, newFileStats) =
-      if (statsCols.isEmpty)
+      if (statsCols.isEmpty || newEntries.isEmpty)
         (Map.empty[String, Map[String, (String, String)]],
           Map.empty[String, Map[String, Map[String, (String, String)]]])
       else collectStats(spark, root, f"$GDIR/g$version%08d",
-        partitionCols, statsCols)
+        partitionCols, statsCols, merged.schema)
+    if (!newStats.keySet.subsetOf(newEntries.keySet))
+      throw new IllegalStateException(
+        s"zone-map stats keys drifted from staged partitions at $root: " +
+          s"${newStats.keySet -- newEntries.keySet}")
     // touched partitions either get FRESH bounds or none at all — a
     // stats-less rewrite must not carry the old bounds forward (the new
     // rows could lie outside them, and stale-NARROW bounds would make

@@ -168,6 +168,24 @@ class ManifestStoreSpec extends AnyFunSuite {
     assert(pruned.select("k").collect().map(_.getLong(0)).toSet === Set(2L))
   }
 
+  test("stats read pins the schema: string partitions '0' and '00' stay distinct") {
+    // the unpinned-read trap Runner documents: type inference would
+    // re-type both dirs to int 0, collapse their stats keys, and either
+    // drop stats silently or misattribute file lists across partitions
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("mstore_pin").toString
+    ManifestStore.upsert(root, Seq("k"), "seq", Nil, Seq("bucket"),
+      statsCols = Seq("seq"))(
+      Seq((1L, 10L, "0"), (2L, 20L, "00")).toDF("k", "seq", "bucket"))
+    val m = ManifestStore.readManifest(fs(root), root).get
+    assert(m.stats.keySet === Set("bucket=0", "bucket=00"))
+    assert(m.stats("bucket=0")("seq") === ("10", "10"))
+    assert(m.stats("bucket=00")("seq") === ("20", "20"))
+    assert(m.fileStats("bucket=0").keys.forall(_.contains("bucket=0/")))
+    assert(m.fileStats("bucket=00").keys.forall(_.contains("bucket=00/")))
+  }
+
   test("readWhere prunes at the manifest: only kept directories are opened") {
     val sp = spark
     import sp.implicits._
