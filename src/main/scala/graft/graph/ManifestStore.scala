@@ -67,11 +67,25 @@ object ManifestStore {
     * delete/compact rewrite) drops them, because file lists change and
     * stale file bounds — unlike stale-wide PARTITION bounds — point at
     * files that no longer exist. */
+  /** `schemaJson`: the TABLE SCHEMA as of this commit (the merge
+    * target's schema — a superset of every live generation's columns,
+    * since evolution only ever widens via unionByName). Recording it in
+    * the commit log is what lets every internal read PIN types instead
+    * of inferring them from directory names (the string-"00"→int-0
+    * trap), and what makes a fully-purged table still READABLE (an
+    * empty manifest still knows its shape). Absent only on manifests
+    * written before this field existed — readers then fall back to
+    * mergeSchema inference. */
   final case class Manifest(version: Long, entries: Map[String, String],
                             stats: Map[String, Map[String, (String, String)]]
                               = Map.empty,
                             fileStats: Map[String, Map[String, Map[String, (String, String)]]]
-                              = Map.empty)
+                              = Map.empty,
+                            schemaJson: Option[String] = None) {
+    def schema: Option[StructType] = schemaJson.map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[StructType])
+  }
 
   private val MDIR = "_manifest"
   private val GDIR = "_gen"
@@ -138,8 +152,9 @@ object ManifestStore {
         }
         fileStats += p.getKey -> files.toMap
       }
+      val schemaJson = Option(tree.get("schema")).map(_.asText())
       Some(Manifest(tree.get("version").asLong(), entries.toMap, stats.toMap,
-        fileStats.toMap))
+        fileStats.toMap, schemaJson))
     }
   }
 
@@ -184,8 +199,15 @@ object ManifestStore {
 
   private def readSnapshot(spark: SparkSession, root: String, m: Manifest,
                            schema: Option[StructType]): DataFrame = {
-    require(m.entries.nonEmpty, s"manifest v${m.version} of $root is empty")
-    readPaths(spark, root, m.entries.values.toSeq, schema)
+    val pin = schema.orElse(m.schema)
+    if (m.entries.isEmpty) {
+      // a fully-purged table is EMPTY, not broken — its manifest still
+      // records the shape (pre-schema manifests can't, and stay loud)
+      val sch = pin.getOrElse(throw new IllegalStateException(
+        s"manifest v${m.version} of $root is empty and records no schema"))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+    } else readPaths(spark, root, m.entries.values.toSeq, pin)
   }
 
   /** Read a set of generation-relative paths — partition DIRECTORIES or
@@ -286,7 +308,8 @@ object ManifestStore {
       }
     }
     if (paths.isEmpty) {
-      val sch = schema.getOrElse(throw new IllegalArgumentException(
+      val sch = schema.orElse(m.schema)
+        .getOrElse(throw new IllegalArgumentException(
         s"readSkipping matched no partitions of $root and has no schema " +
           "to shape the empty result"))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
@@ -376,7 +399,7 @@ object ManifestStore {
       .intersect(prev.entries.keySet)
     if (touchedKeys.isEmpty) return // nothing stored for these keys
     val existing = readPaths(spark, root,
-      prev.entries.view.filterKeys(touchedKeys).values.toSeq, None)
+      prev.entries.view.filterKeys(touchedKeys).values.toSeq, prev.schema)
     val remaining = existing.join(
       broadcast(keys.select(keyCols.map(col): _*).distinct()),
       keyCols, "left_anti")
@@ -395,7 +418,7 @@ object ManifestStore {
     // partitions are dropped — their file lists changed.
     publish(spark, root, version,
       (prev.entries -- touchedKeys) ++ staged, Some(prev), prev.stats,
-      prev.fileStats -- touchedKeys)
+      prev.fileStats -- touchedKeys, prev.schemaJson)
   }
 
   /** Maintenance compaction — the OPTIMIZE of this mini table format:
@@ -422,7 +445,8 @@ object ManifestStore {
           s"${entries.keySet} vs ${prev.entries.keySet}")
     // same rows, same partitions — recorded PARTITION bounds stay
     // exact; file stats drop (every file was rewritten)
-    publish(spark, root, version, entries, Some(prev), prev.stats)
+    publish(spark, root, version, entries, Some(prev), prev.stats,
+      schemaJson = prev.schemaJson)
   }
 
   /** Stage generation `version`: write `merged` (which must contain
@@ -442,7 +466,11 @@ object ManifestStore {
     def walk(p: HPath, depth: Int): Seq[HPath] =
       if (depth == 0) Seq(p)
       else fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
-        .filterNot(d => d.getName.startsWith("_") && d.getName != NULL_DIR)
+        // hive partition dirs are always `col=value`; metadata dirs
+        // (_SUCCESS, _temporary, …) never are — filtering on the '='
+        // keeps underscore-PREFIXED partition COLUMN names stageable
+        // (`_region=eu` is legal Spark) while still skipping metadata
+        .filter(_.getName.contains("="))
         .flatMap(walk(_, depth - 1)).toSeq
     walk(new HPath(genDir), partitionCols.length).map { d =>
       // key = the partition sub-path relative to the generation dir —
@@ -463,10 +491,12 @@ object ManifestStore {
                              stats: Map[String, Map[String, (String, String)]]
                                = Map.empty,
                              fileStats: Map[String, Map[String, Map[String, (String, String)]]]
-                               = Map.empty): Unit = {
+                               = Map.empty,
+                             schemaJson: Option[String] = None): Unit = {
     val fs = fsOf(spark, root)
     val node = mapper.createObjectNode()
     node.put("version", version)
+    schemaJson.foreach(node.put("schema", _))
     val e = node.putObject("entries")
     entries.toSeq.sortBy(_._1).foreach { case (k, v) => e.put(k, v) }
     def writeRanges(into: com.fasterxml.jackson.databind.node.ObjectNode,
@@ -554,7 +584,7 @@ object ManifestStore {
       case Some(m) =>
         val oldTouched = m.entries.view.filterKeys(touchedKeys).values.toSeq
         if (oldTouched.isEmpty) merge(batch)
-        else merge(readPaths(spark, root, oldTouched, None)
+        else merge(readPaths(spark, root, oldTouched, m.schema)
           .unionByName(batch, allowMissingColumns = true))
     }
     // `layout` is the write-clustering hook (repartitionByRange +
@@ -591,6 +621,7 @@ object ManifestStore {
     publish(spark, root, version,
       prev.map(_.entries).getOrElse(Map.empty) ++ newEntries, prev,
       (prev.map(_.stats).getOrElse(Map.empty) -- touchedKeys) ++ newStats,
-      (prev.map(_.fileStats).getOrElse(Map.empty) -- touchedKeys) ++ newFileStats)
+      (prev.map(_.fileStats).getOrElse(Map.empty) -- touchedKeys) ++ newFileStats,
+      Some(merged.schema.json))
   }
 }

@@ -28,18 +28,14 @@ object AudioCodec {
     out
   }
 
-  private def putIntLE(a: Array[Byte], off: Int, v: Int): Unit = {
-    a(off) = v.toByte; a(off + 1) = (v >>> 8).toByte
-    a(off + 2) = (v >>> 16).toByte; a(off + 3) = (v >>> 24).toByte
-  }
-  private def putShortLE(a: Array[Byte], off: Int, v: Int): Unit = {
-    a(off) = v.toByte; a(off + 1) = (v >>> 8).toByte
-  }
+  private def putIntLE(a: Array[Byte], off: Int, v: Int): Unit =
+    LittleEndian.putInt(a, off, v)
+  private def putShortLE(a: Array[Byte], off: Int, v: Int): Unit =
+    LittleEndian.putShort(a, off, v)
   private def getIntLE(a: Array[Byte], off: Int): Int =
-    (a(off) & 0xFF) | ((a(off + 1) & 0xFF) << 8) |
-      ((a(off + 2) & 0xFF) << 16) | ((a(off + 3) & 0xFF) << 24)
+    LittleEndian.getInt(a, off)
   private def getShortLE(a: Array[Byte], off: Int): Int =
-    (a(off) & 0xFF) | ((a(off + 1) & 0xFF) << 8)
+    LittleEndian.getShort(a, off)
 
   private def putTag(a: Array[Byte], off: Int, tag: String): Unit =
     tag.getBytes("US-ASCII").copyToArray(a, off)
@@ -84,7 +80,10 @@ object AudioCodec {
     while (off + 8 <= bytes.length) {
       val tag = tagAt(bytes, off)
       val size = getIntLE(bytes, off + 4)
-      if (size < 0 || off + 8 + size > bytes.length) return None
+      // 64-bit bounds: a declared size near Int.MaxValue would wrap the
+      // int sum negative, pass this guard, and crash the walk instead
+      // of returning the promised None
+      if (size < 0 || off.toLong + 8L + size > bytes.length) return None
       tag match {
         case "fmt " =>
           if (size < 16) return None
@@ -93,6 +92,9 @@ object AudioCodec {
           val bits = getShortLE(bytes, off + 22)
           if (audioFormat != 1 || channels != 1 || bits != 16) return None
           sampleRate = getIntLE(bytes, off + 12)
+          // a zero/negative rate is malformed, and downstream derives
+          // duration by dividing by it — classify, don't crash later
+          if (sampleRate <= 0) return None
           fmtOk = true
         case "data" =>
           if (!fmtOk) return None // data before fmt: malformed

@@ -51,18 +51,14 @@ object ImageCodec {
 
   // ---- BMP ------------------------------------------------------------
 
-  private def putIntLE(a: Array[Byte], off: Int, v: Int): Unit = {
-    a(off) = v.toByte; a(off + 1) = (v >>> 8).toByte
-    a(off + 2) = (v >>> 16).toByte; a(off + 3) = (v >>> 24).toByte
-  }
-  private def putShortLE(a: Array[Byte], off: Int, v: Int): Unit = {
-    a(off) = v.toByte; a(off + 1) = (v >>> 8).toByte
-  }
+  private def putIntLE(a: Array[Byte], off: Int, v: Int): Unit =
+    LittleEndian.putInt(a, off, v)
+  private def putShortLE(a: Array[Byte], off: Int, v: Int): Unit =
+    LittleEndian.putShort(a, off, v)
   private def getIntLE(a: Array[Byte], off: Int): Int =
-    (a(off) & 0xFF) | ((a(off + 1) & 0xFF) << 8) |
-      ((a(off + 2) & 0xFF) << 16) | ((a(off + 3) & 0xFF) << 24)
+    LittleEndian.getInt(a, off)
   private def getShortLE(a: Array[Byte], off: Int): Int =
-    (a(off) & 0xFF) | ((a(off + 1) & 0xFF) << 8)
+    LittleEndian.getShort(a, off)
 
   /** Row stride of a 24bpp BMP: 3 bytes/pixel rounded up to 4. */
   def bmpRowSize(w: Int): Int = ((3 * w + 3) / 4) * 4
@@ -118,8 +114,13 @@ object ImageCodec {
     val bpp = getShortLE(bytes, 28)
     val compression = getIntLE(bytes, 30)
     if (w <= 0 || h <= 0 || bpp != 24 || compression != 0) return None
-    val rowSize = bmpRowSize(w)
-    if (bytes.length < dataOff + rowSize * h) return None
+    // all size math in 64-bit: crafted headers with dims near 2^16
+    // would overflow the int products, slip past the bounds check, and
+    // turn the promised None into an out-of-bounds crash
+    if (dataOff < 54 || dataOff > bytes.length) return None
+    val rowSizeL = ((3L * w + 3) / 4) * 4
+    if (bytes.length < dataOff.toLong + rowSizeL * h) return None
+    val rowSize = rowSizeL.toInt // <= bytes.length, int-safe
     val rgb = new Array[Byte](w * h * 3)
     var y = 0
     while (y < h) {

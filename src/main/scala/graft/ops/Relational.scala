@@ -338,11 +338,15 @@ object Relational {
       fdiv(rank - 1, qv + lit(1L)) + lit(1L))
       .otherwise(rem + fdiv(rank - lit(1L) - rem * (qv + lit(1L)), qv)
         + lit(1L))
+    // null-SAFE equi join: a nullable key's null group must keep its
+    // rows (SQL NTILE ranks nulls first; a plain equi join would
+    // silently drop them and shrink n)
+    val below2 = below.withColumnRenamed("__k", "__k2")
     keyed
-      .join(below, "__k")
+      .join(below2, col("__k") <=> col("__k2"))
       .crossJoin(broadcast(total))
       .withColumn(bucketName, bucket)
-      .drop("__k", "__below", "__n")
+      .drop("__k", "__k2", "__below", "__n")
   }
 
   /** Connected components over an undirected edge list by iterative

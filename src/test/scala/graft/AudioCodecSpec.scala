@@ -75,6 +75,26 @@ class AudioCodecSpec extends AnyFunSuite {
     assert(AudioCodec.decodeWav(Array.empty[Byte]).isEmpty, "empty payload")
   }
 
+  test("crafted chunk sizes and zero sample rates classify as None, never crash") {
+    val good = AudioCodec.encodeWav(8000, AudioCodec.content(1L, 100))
+    def putIntLE(a: Array[Byte], off: Int, v: Int): Unit = {
+      a(off) = v.toByte; a(off + 1) = (v >>> 8).toByte
+      a(off + 2) = (v >>> 16).toByte; a(off + 3) = (v >>> 24).toByte
+    }
+    // a declared chunk size near Int.MaxValue wraps the int bounds sum
+    // negative — the 64-bit guard must return None, not walk off the end
+    val hugeChunk = good.clone()
+    putIntLE(hugeChunk, 16, Int.MaxValue - 4) // fmt chunk claims ~2GB
+    assert(AudioCodec.decodeWav(hugeChunk).isEmpty, "overflowing chunk size")
+    // sampleRate = 0 would make downstream duration math divide by zero
+    val zeroRate = good.clone()
+    putIntLE(zeroRate, 24, 0)
+    assert(AudioCodec.decodeWav(zeroRate).isEmpty, "zero sample rate")
+    val negRate = good.clone()
+    putIntLE(negRate, 24, -8000)
+    assert(AudioCodec.decodeWav(negRate).isEmpty, "negative sample rate")
+  }
+
   test("contentSample is SQL-mirrorable closed-form arithmetic") {
     for (seed <- Seq(0L, 1L, 65535L, 65536L, 4999L); i <- Seq(0L, 1L, 65535L, 70000L))
       assert(AudioCodec.contentSample(seed, i) ===

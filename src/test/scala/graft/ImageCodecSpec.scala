@@ -87,6 +87,25 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(ImageCodec.decode(truncPng).isEmpty, "truncated PNG")
   }
 
+  test("crafted headers with overflowing size math classify as None, never crash") {
+    // dims near 2^16 overflow int products (rowSize*h, w*h*3) — the
+    // 64-bit bounds check must reject them instead of AIOOBE/OOM
+    val bomb = ImageCodec.encodeBmp(8, 8, ImageCodec.content(1L, 8, 8))
+    def putIntLE(a: Array[Byte], off: Int, v: Int): Unit = {
+      a(off) = v.toByte; a(off + 1) = (v >>> 8).toByte
+      a(off + 2) = (v >>> 16).toByte; a(off + 3) = (v >>> 24).toByte
+    }
+    val hugeDims = bomb.clone()
+    putIntLE(hugeDims, 18, 65536); putIntLE(hugeDims, 22, 65536)
+    assert(ImageCodec.decode(hugeDims).isEmpty, "overflowing dims")
+    val negOff = bomb.clone()
+    putIntLE(negOff, 10, -100)
+    assert(ImageCodec.decode(negOff).isEmpty, "negative data offset")
+    val hugeOff = bomb.clone()
+    putIntLE(hugeOff, 10, Int.MaxValue - 4)
+    assert(ImageCodec.decode(hugeOff).isEmpty, "offset past the payload")
+  }
+
   test("contentByte is SQL-mirrorable closed-form arithmetic") {
     // the exact expression the DuckDB oracles replay per pixel
     for (seed <- Seq(0L, 1L, 255L, 256L, 4999L); i <- Seq(0L, 1L, 255L, 256L, 3000L))

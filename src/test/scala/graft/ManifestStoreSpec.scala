@@ -186,6 +186,42 @@ class ManifestStoreSpec extends AnyFunSuite {
     assert(m.fileStats("bucket=00").keys.forall(_.contains("bucket=00/")))
   }
 
+  test("schema in the manifest: repeat upserts on '00'-style string " +
+    "partitions, and a full purge leaves a readable empty table") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("mstore_sch").toString
+    // batch 1 writes dirs bucket=00/bucket=7; batch 2 TOUCHES bucket=00,
+    // so the merge re-reads the old generation — unpinned inference
+    // would re-type '00' to int 0 and the staged-key drift check would
+    // throw, bricking the table (the pre-schema-manifest regression)
+    ManifestStore.upsert(root, Seq("k"), "seq", Nil, Seq("bucket"))(
+      Seq((1L, 1L, "00"), (2L, 1L, "7")).toDF("k", "seq", "bucket"))
+    ManifestStore.upsert(root, Seq("k"), "seq", Nil, Seq("bucket"))(
+      Seq((1L, 5L, "00")).toDF("k", "seq", "bucket"))
+    val m = ManifestStore.readManifest(fs(root), root).get
+    assert(m.entries.keySet === Set("bucket=00", "bucket=7"))
+    assert(ManifestStore.read(spark, root).select("k", "seq").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 5L), (2L, 1L)))
+    // the read pins the recorded schema: bucket stays a STRING
+    assert(ManifestStore.read(spark, root).schema("bucket").dataType
+      === org.apache.spark.sql.types.StringType)
+    // full right-to-be-forgotten purge: the table becomes EMPTY, not
+    // broken — read and compact still work off the recorded schema
+    ManifestStore.deleteKeys(root, Seq("k"), Seq("bucket"))(
+      Seq((1L, "00"), (2L, "7")).toDF("k", "bucket"))
+    val purged = ManifestStore.read(spark, root)
+    assert(purged.isEmpty &&
+      purged.schema.fieldNames.toSet === Set("k", "seq", "bucket"))
+    // and the table repopulates normally afterwards
+    ManifestStore.upsert(root, Seq("k"), "seq", Nil, Seq("bucket"))(
+      Seq((9L, 1L, "7")).toDF("k", "seq", "bucket"))
+    assert(ManifestStore.read(spark, root).select("k").collect()
+      .map(_.getLong(0)).toSet === Set(9L))
+  }
+
   test("readWhere prunes at the manifest: only kept directories are opened") {
     val sp = spark
     import sp.implicits._
@@ -217,10 +253,11 @@ class ManifestStoreSpec extends AnyFunSuite {
     val none = ManifestStore.readWhere(spark, root,
       Some(pruned.schema))(_ => false)
     assert(none.isEmpty && none.schema === pruned.schema)
-    // nothing kept and no schema to shape the result: loud
-    intercept[IllegalArgumentException] {
-      ManifestStore.readWhere(spark, root)(_ => false)
-    }
+    // nothing kept, no caller schema: the MANIFEST's recorded schema
+    // shapes the empty result (the commit log knows the table's shape)
+    val none2 = ManifestStore.readWhere(spark, root)(_ => false)
+    assert(none2.isEmpty && none2.schema.fieldNames.toSet ===
+      Set("k", "seq", "v", "bucket"))
   }
 
   // THE crash test the old dynamic-overwrite upsert could not pass: the
