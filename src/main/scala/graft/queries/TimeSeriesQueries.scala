@@ -581,6 +581,92 @@ object TimeSeriesQueries {
           (qv - qmin) * 2 > ABS(s) AS alarm,
           ROUND(CAST(qv - qmin AS DOUBLE) / (CAST(n AS DOUBLE) * 100), 6)
             AS cusum_value
-        FROM m ORDER BY event_type, h"""))
+        FROM m ORDER BY event_type, h""")),
+
+    // ROW-PATTERN MATCHING (MATCH_RECOGNIZE / CEP-lite) — SQL:2016's
+    // missing-from-Spark operator family, lowered to the relational
+    // devices the engine already owns: detect V-SHAPES (a strict-down
+    // run immediately followed by a strict-up run, drop ≥ 100) in each
+    // user's value sequence. The lowering is the general recipe for
+    // DOWN+ UP+ patterns: (1) classify per-row direction with one
+    // lag(); (2) gaps-and-islands the direction runs (the q226/q79
+    // device); (3) reduce each run to its (dir, first, last) summary —
+    // min_by/max_by on the (ts, event_id) struct, exact and
+    // order-free; (4) match adjacent run pairs with ONE lead() over
+    // the runs frame — rows shrink from events to runs before the
+    // pattern join, so the match phase is dictionary-sized. Everything
+    // partitions by user; no window ever sees the global frame, and a
+    // streaming form would be the q229 buffering sorter feeding the
+    // same run automaton. Drop/rise amounts decimal-accumulate.
+    Q("q232_pattern_vshape",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val dirs = t(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+          .withColumn("dir", signum(col("value") - lag("value", 1).over(w)))
+          .filter(col("dir").isNotNull)
+        val runs = dirs
+          .withColumn("brk",
+            when(!(col("dir") <=> lag("dir", 1).over(w)), 1L).otherwise(0L))
+          .withColumn("run_id", sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val agg = runs.groupBy("user_id", "run_id").agg(
+          max("dir").as("dir"),
+          expr("min_by(value, struct(ts, event_id))").as("v_first"),
+          expr("max_by(value, struct(ts, event_id))").as("v_last"))
+        val w2 = Window.partitionBy("user_id").orderBy("run_id")
+        val matches = agg
+          .withColumn("next_dir", lead("dir", 1).over(w2))
+          .withColumn("next_last", lead("v_last", 1).over(w2))
+          .filter(col("dir") === -1 && col("next_dir") === 1 &&
+            col("v_first") - col("v_last") >= 100)
+          .select(col("user_id"),
+            round((col("v_first") - col("v_last")).cast(DEC), 6).as("drop"),
+            round((col("next_last") - col("v_last")).cast(DEC), 6).as("rise"))
+        matches.groupBy("user_id").agg(
+            count(lit(1)).as("n_v"),
+            round(decSum(col("drop")), 6).as("total_drop"),
+            round(decSum(col("rise")), 6).as("total_rise"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH d AS (
+          SELECT user_id, ts, event_id, value,
+            SIGN(value - LAG(value) OVER w) AS dir
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        flagged AS (
+          SELECT user_id, ts, event_id, value, dir,
+            CASE WHEN dir IS DISTINCT FROM LAG(dir) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id)
+              THEN 1 ELSE 0 END AS brk
+          FROM d WHERE dir IS NOT NULL),
+        runs AS (
+          SELECT user_id, ts, event_id, value, dir,
+            SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS run_id
+          FROM flagged),
+        agg AS (
+          SELECT user_id, run_id, ANY_VALUE(dir) AS dir,
+            FIRST(value ORDER BY ts, event_id) AS v_first,
+            LAST(value ORDER BY ts, event_id) AS v_last
+          FROM runs GROUP BY user_id, run_id),
+        adj AS (
+          SELECT user_id, dir, v_first, v_last,
+            LEAD(dir) OVER w2 AS next_dir,
+            LEAD(v_last) OVER w2 AS next_last
+          FROM agg WINDOW w2 AS (PARTITION BY user_id ORDER BY run_id)),
+        matches AS (
+          SELECT user_id,
+            ROUND(CAST(v_first - v_last AS DECIMAL(28,6)), 6) AS drop,
+            ROUND(CAST(next_last - v_last AS DECIMAL(28,6)), 6) AS rise
+          FROM adj
+          WHERE dir = -1 AND next_dir = 1 AND v_first - v_last >= 100)
+        SELECT user_id, COUNT(*) AS n_v,
+          ROUND(CAST(CAST(SUM(CAST(drop AS DECIMAL(28,6))) AS VARCHAR)
+            AS DOUBLE), 6) AS total_drop,
+          ROUND(CAST(CAST(SUM(CAST(rise AS DECIMAL(28,6))) AS VARCHAR)
+            AS DOUBLE), 6) AS total_rise
+        FROM matches GROUP BY user_id ORDER BY user_id"""))
   )
 }
