@@ -442,4 +442,49 @@ object Relational {
     when(row_number().over(wOrd) === 1, lit(null))
       .otherwise(sum(value).over(wCum) - first(value).over(wCum))
   }
+
+  /** Row-pattern matching (MATCH_RECOGNIZE / CEP-lite, q232): detect
+    * every DOWN+ UP+ "V-shape" per key — a maximal strictly-falling run
+    * immediately followed by a strictly-rising run, with total drop ≥
+    * `minDrop`. Expects columns (key, ts, id, value); returns one row
+    * per match: (key, drop, rise) with drop = down-run first − last and
+    * rise = up-run last − the V's bottom. The lowering is the general
+    * DOWN+ UP+ recipe: direction classify (one lag) → gaps-and-islands
+    * run ids → per-run (dir, first, last) summaries via min_by/max_by
+    * on the (ts, id) struct → ONE lead() adjacency over the runs frame.
+    * Rows shrink from events to RUNS before the pattern phase, and
+    * every window partitions by key — nothing global, nothing
+    * quadratic. */
+  def vshapeMatches(df: DataFrame, key: String, ts: String, id: String,
+                    value: String, minDrop: Double): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ts, id)
+    // each row carries its PRE-delta value too: a run's rows are the
+    // rows AFTER its deltas, so the run's true starting value (the
+    // peak before the first falling step) lives in the first row's
+    // `__prev`, not in any row's `value` — summarizing from `value`
+    // alone under-measures every drop by its first step (caught by
+    // PatternProperties' reference automaton)
+    val dirs = df.select(col(key), col(ts), col(id), col(value))
+      .withColumn("__prev", lag(value, 1).over(w))
+      .withColumn("__dir", signum(col(value) - col("__prev")))
+      .filter(col("__dir").isNotNull)
+    val runs = dirs
+      .withColumn("__brk",
+        when(!(col("__dir") <=> lag("__dir", 1).over(w)), 1L).otherwise(0L))
+      .withColumn("__run", sum("__brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val agg = runs.groupBy(col(key), col("__run")).agg(
+      max("__dir").as("__d"),
+      expr(s"min_by(__prev, struct($ts, $id))").as("__vf"),
+      expr(s"max_by($value, struct($ts, $id))").as("__vl"))
+    val w2 = Window.partitionBy(key).orderBy("__run")
+    agg
+      .withColumn("__nd", lead("__d", 1).over(w2))
+      .withColumn("__nl", lead("__vl", 1).over(w2))
+      .filter(col("__d") === -1 && col("__nd") === 1 &&
+        col("__vf") - col("__vl") >= minDrop)
+      .select(col(key),
+        (col("__vf") - col("__vl")).as("drop"),
+        (col("__nl") - col("__vl")).as("rise"))
+  }
 }

@@ -600,30 +600,12 @@ object TimeSeriesQueries {
     // same run automaton. Drop/rise amounts decimal-accumulate.
     Q("q232_pattern_vshape",
       (s, d) => {
-        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        val dirs = t(s, d, "events")
-          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
-          .withColumn("dir", signum(col("value") - lag("value", 1).over(w)))
-          .filter(col("dir").isNotNull)
-        val runs = dirs
-          .withColumn("brk",
-            when(!(col("dir") <=> lag("dir", 1).over(w)), 1L).otherwise(0L))
-          .withColumn("run_id", sum("brk").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        val agg = runs.groupBy("user_id", "run_id").agg(
-          max("dir").as("dir"),
-          expr("min_by(value, struct(ts, event_id))").as("v_first"),
-          expr("max_by(value, struct(ts, event_id))").as("v_last"))
-        val w2 = Window.partitionBy("user_id").orderBy("run_id")
-        val matches = agg
-          .withColumn("next_dir", lead("dir", 1).over(w2))
-          .withColumn("next_last", lead("v_last", 1).over(w2))
-          .filter(col("dir") === -1 && col("next_dir") === 1 &&
-            col("v_first") - col("v_last") >= 100)
+        graft.ops.Relational.vshapeMatches(
+            t(s, d, "events"), "user_id", "ts", "event_id", "value", 100)
           .select(col("user_id"),
-            round((col("v_first") - col("v_last")).cast(DEC), 6).as("drop"),
-            round((col("next_last") - col("v_last")).cast(DEC), 6).as("rise"))
-        matches.groupBy("user_id").agg(
+            round(col("drop").cast(DEC), 6).as("drop"),
+            round(col("rise").cast(DEC), 6).as("rise"))
+          .groupBy("user_id").agg(
             count(lit(1)).as("n_v"),
             round(decSum(col("drop")), 6).as("total_drop"),
             round(decSum(col("rise")), 6).as("total_rise"))
@@ -632,23 +614,24 @@ object TimeSeriesQueries {
       Some("""
         WITH d AS (
           SELECT user_id, ts, event_id, value,
+            LAG(value) OVER w AS prev,
             SIGN(value - LAG(value) OVER w) AS dir
           FROM events
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         flagged AS (
-          SELECT user_id, ts, event_id, value, dir,
+          SELECT user_id, ts, event_id, value, prev, dir,
             CASE WHEN dir IS DISTINCT FROM LAG(dir) OVER
               (PARTITION BY user_id ORDER BY ts, event_id)
               THEN 1 ELSE 0 END AS brk
           FROM d WHERE dir IS NOT NULL),
         runs AS (
-          SELECT user_id, ts, event_id, value, dir,
+          SELECT user_id, ts, event_id, value, prev, dir,
             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
               ROWS UNBOUNDED PRECEDING) AS run_id
           FROM flagged),
         agg AS (
           SELECT user_id, run_id, ANY_VALUE(dir) AS dir,
-            FIRST(value ORDER BY ts, event_id) AS v_first,
+            FIRST(prev ORDER BY ts, event_id) AS v_first,
             LAST(value ORDER BY ts, event_id) AS v_last
           FROM runs GROUP BY user_id, run_id),
         adj AS (
