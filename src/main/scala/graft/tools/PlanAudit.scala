@@ -61,7 +61,8 @@ object PlanAudit {
       "q220_sketch_overlap", // binary-sketch pair merges, one dict pass
       "q221_pii_redact", // one regex scan + per-source rollup (r11)
       "q224_phash_neardup", // codec passes + band equi join, no all-pairs
-      "q230_incremental_join") // delta joins broadcast, partials re-agg
+      "q230_incremental_join", // delta joins broadcast, partials re-agg
+      "q232_pattern_vshape") // CEP lowering: all windows user-partitioned
     interesting.foreach { name =>
       val df = graft.queries.Catalog.byName(name).run(spark, d)
       // drive THIS df's own query execution to completion (count() would
