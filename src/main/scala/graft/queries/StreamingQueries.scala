@@ -737,6 +737,117 @@ object StreamingQueries {
         SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
           CAST(n_admitted AS BIGINT) AS n_admitted,
           CAST(n_rejected AS BIGINT) AS n_rejected
-        FROM fin ORDER BY user_id"""))
+        FROM fin ORDER BY user_id""")),
+
+    // STREAMING ROW-PATTERN MATCHING — q232's MATCH_RECOGNIZE lowering
+    // moved onto the live feed (Flink-CEP territory): the q229
+    // buffering sorter feeds a RUN AUTOMATON held in three state
+    // registers per user (last value, open run, previous closed run),
+    // and a V-shape emits exactly when its up-run is CLOSED BY
+    // EVIDENCE — the first finalized delta that breaks it. The batch
+    // oracle is q232's adjacency chain under the same watermark cutoff
+    // PLUS the closure condition (LEAD(dir, 2) IS NOT NULL: a
+    // successor run exists ⟺ the stream saw the closing delta), so
+    // the hash gate proves batch ≡ final-streaming-state for a
+    // genuinely order-sensitive CEP operator across real micro-batch
+    // boundaries. All match arithmetic is the same IEEE subtractions
+    // the batch device runs, decimal-rounded on emission.
+    Q("q233_streaming_pattern",
+      (s, d) => {
+        val staged = Files.createTempDirectory("graft_q233_src_").toString
+        graft.tables.Tables.events(s, d)
+          .withColumn("batch_", least(lit(2), greatest(lit(0),
+            floor(datediff(to_date(col("ts")),
+              lit("2024-01-01").cast("date")) / 10))).cast("int"))
+          .repartition(1)
+          .write.mode("overwrite").partitionBy("batch_").parquet(staged)
+        for (b <- 0 to 2) {
+          val dir = java.nio.file.Paths.get(staged, s"batch_=$b")
+          if (java.nio.file.Files.isDirectory(dir)) {
+            val it = java.nio.file.Files.list(dir).iterator()
+            while (it.hasNext) {
+              val p = it.next()
+              if (p.toString.endsWith(".parquet"))
+                java.nio.file.Files.setLastModifiedTime(p,
+                  java.nio.file.attribute.FileTime
+                    .fromMillis(1700000000000L + b * 60000L))
+            }
+          }
+        }
+        val schema = s.read.parquet(staged).schema
+        val reg = new Registry(s)
+        reg.source("events_feed", () => graft.tables.Tables.events(s, d))
+        reg.register(TableDef("vshape_matches", Seq("events_feed"), {
+          case Seq(ev) =>
+            import s.implicits._
+            graft.streaming.StreamingOps.streamingVshape(
+              minDrop = 100, lateness = "5 minutes")(
+              ev.select(col("user_id"), col("ts"), col("event_id"),
+                col("value")).as[graft.streaming.RateEvent2]).toDF()
+        }, mode = Mode.Incremental))
+        val out = Files.createTempDirectory("graft_q233_").toString
+        withStatePartitions(s, 4) {
+          graft.graph.Runner.runStreamingThenFull(s, reg,
+            Map("events_feed" -> (() => s.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(staged))),
+            out)
+        }
+        s.read.parquet(s"$out/vshape_matches")
+          .select(col("user_id"),
+            round(col("drop").cast(DEC), 6).as("drop"),
+            round(col("rise").cast(DEC), 6).as("rise"))
+          .groupBy("user_id").agg(
+            count(lit(1)).as("n_v"),
+            round(decSum(col("drop")), 6).as("total_drop"),
+            round(decSum(col("rise")), 6).as("total_rise"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH wm AS (
+          SELECT DATE_TRUNC('milliseconds', MAX(CAST(ts AS TIMESTAMP)))
+            - INTERVAL 5 MINUTE AS w FROM events),
+        e AS (
+          SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+          FROM events, wm WHERE CAST(ts AS TIMESTAMP) < wm.w),
+        d AS (
+          SELECT user_id, ts, event_id, value,
+            LAG(value) OVER w AS prev,
+            SIGN(value - LAG(value) OVER w) AS dir
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        flagged AS (
+          SELECT user_id, ts, event_id, value, prev, dir,
+            CASE WHEN dir IS DISTINCT FROM LAG(dir) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id)
+              THEN 1 ELSE 0 END AS brk
+          FROM d WHERE dir IS NOT NULL),
+        runs AS (
+          SELECT user_id, ts, event_id, value, prev, dir,
+            SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS run_id
+          FROM flagged),
+        agg AS (
+          SELECT user_id, run_id, ANY_VALUE(dir) AS dir,
+            FIRST(prev ORDER BY ts, event_id) AS v_first,
+            LAST(value ORDER BY ts, event_id) AS v_last
+          FROM runs GROUP BY user_id, run_id),
+        adj AS (
+          SELECT user_id, dir, v_first, v_last,
+            LEAD(dir) OVER w2 AS next_dir,
+            LEAD(v_last) OVER w2 AS next_last,
+            LEAD(dir, 2) OVER w2 AS next2_dir
+          FROM agg WINDOW w2 AS (PARTITION BY user_id ORDER BY run_id)),
+        matches AS (
+          SELECT user_id,
+            ROUND(CAST(v_first - v_last AS DECIMAL(28,6)), 6) AS drop,
+            ROUND(CAST(next_last - v_last AS DECIMAL(28,6)), 6) AS rise
+          FROM adj
+          WHERE dir = -1 AND next_dir = 1 AND next2_dir IS NOT NULL
+            AND v_first - v_last >= 100)
+        SELECT user_id, COUNT(*) AS n_v,
+          ROUND(CAST(CAST(SUM(CAST(drop AS DECIMAL(28,6))) AS VARCHAR)
+            AS DOUBLE), 6) AS total_drop,
+          ROUND(CAST(CAST(SUM(CAST(rise AS DECIMAL(28,6))) AS VARCHAR)
+            AS DOUBLE), 6) AS total_rise
+        FROM matches GROUP BY user_id ORDER BY user_id"""))
   )
 }

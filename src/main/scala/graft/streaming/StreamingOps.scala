@@ -45,6 +45,26 @@ case class BucketState(pending: List[PendEv], tok: Long, lastUs: Long,
 /** One finalized admission decision. */
 case class DecisionRow(user_id: Long, event_id: Long, admitted: Boolean)
 
+/** One valued event for the streaming pattern matcher. */
+case class RateEvent2(user_id: Long, ts: Timestamp, event_id: Long,
+                      value: Double)
+
+/** One buffered valued event for the streaming pattern matcher. */
+case class PendVal(us: Long, id: Long, v: Double)
+
+/** One maximal direction run (dir ∈ {-1, 0, 1}; values are the run's
+  * true endpoints — vFirst is the value BEFORE its first delta). */
+case class RunIv(dir: Int, vFirst: Double, vLast: Double)
+
+/** Per-key CEP state: the event-time sorter plus the run automaton's
+  * registers — previous closed run, current open run, last value. */
+case class PatternState(pending: List[PendVal], haveLast: Boolean,
+                        lastVal: Double, prevRun: Option[RunIv],
+                        curRun: Option[RunIv])
+
+/** One emitted V-shape match. */
+case class VMatch(user_id: Long, drop: Double, rise: Double)
+
 /** Streaming re-expressions of the reference's incremental semantics
   * (SURVEY.md §2.11). The batch transforms in [[graft.ops.Relational]] and
   * [[graft.queries]] are plan-identical in streaming mode — the reference
@@ -273,6 +293,90 @@ object StreamingOps {
       .withWatermark("ts", lateness)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[BucketState, DecisionRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** Streaming row-pattern matching (CEP — the live form of q232's
+    * MATCH_RECOGNIZE lowering, Flink-CEP territory): detect DOWN+ UP+
+    * V-shapes per key on the feed. The state is the q229 buffering
+    * SORTER feeding a RUN AUTOMATON — three registers (last value,
+    * current open run, previous closed run) process each watermark-
+    * finalized event in (ts, id) order: a direction change closes the
+    * open run, and a closing UP run whose predecessor was a DOWN run
+    * with drop ≥ `minDrop` emits a match. A V is therefore emitted
+    * exactly when its up-run is CLOSED BY EVIDENCE (the first later
+    * delta) — the batch mirror is q232's adjacency with the additional
+    * "a successor run exists" condition, and the oracle applies the
+    * same watermark cutoff. Per-key state is the disorder-window
+    * buffer plus three registers — O(1) beyond the sorter. */
+  def streamingVshape(minDrop: Double, lateness: String)(
+      events: Dataset[RateEvent2]): Dataset[VMatch] = {
+    val sp = events.sparkSession
+    import sp.implicits._
+
+    def microsOf(t: Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+    def update(user: Long, batch: Iterator[RateEvent2],
+               state: GroupState[PatternState]): Iterator[VMatch] = {
+      val prev = state.getOption.getOrElse(
+        PatternState(Nil, haveLast = false, 0.0, None, None))
+      val incoming = batch.map(e =>
+        PendVal(microsOf(e.ts), e.event_id, e.value))
+        .toList.sortBy(p => (p.us, p.id))
+      val pending = {
+        val out = List.newBuilder[PendVal]
+        var a = prev.pending; var b = incoming
+        while (a.nonEmpty && b.nonEmpty) {
+          val aFirst =
+            if (a.head.us != b.head.us) a.head.us < b.head.us
+            else a.head.id <= b.head.id
+          if (aFirst) { out += a.head; a = a.tail }
+          else { out += b.head; b = b.tail }
+        }
+        out ++= a; out ++= b
+        out.result()
+      }
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val (ripe, hold) = pending.partition(_.us < wmUs)
+      var haveLast = prev.haveLast; var lastVal = prev.lastVal
+      var prevRun = prev.prevRun; var curRun = prev.curRun
+      val out = List.newBuilder[VMatch]
+      ripe.foreach { p =>
+        if (!haveLast) { haveLast = true; lastVal = p.v }
+        else {
+          val d = math.signum(p.v - lastVal).toInt
+          curRun match {
+            case Some(r) if r.dir == d =>
+              curRun = Some(r.copy(vLast = p.v))
+            case Some(r) =>
+              // run closes: an UP run after a deep-enough DOWN run IS
+              // the pattern
+              prevRun match {
+                case Some(dn) if dn.dir == -1 && r.dir == 1 &&
+                  dn.vFirst - dn.vLast >= minDrop =>
+                  out += VMatch(user, dn.vFirst - dn.vLast,
+                    r.vLast - dn.vLast)
+                case _ => ()
+              }
+              prevRun = Some(r)
+              curRun = Some(RunIv(d, lastVal, p.v))
+            case None =>
+              curRun = Some(RunIv(d, lastVal, p.v))
+          }
+          lastVal = p.v
+        }
+      }
+      state.update(PatternState(hold, haveLast, lastVal, prevRun, curRun))
+      if (hold.nonEmpty)
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1L)
+      out.result().iterator
+    }
+
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[PatternState, VMatch](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 }
