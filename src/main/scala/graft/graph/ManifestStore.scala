@@ -313,7 +313,7 @@ object ManifestStore {
         s"readSkipping matched no partitions of $root and has no schema " +
           "to shape the empty result"))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
-    } else readPaths(spark, root, paths, schema)
+    } else readPaths(spark, root, paths, schema.orElse(m.schema))
   }
 
   /** Per-partition AND per-file (min, max) of `statsCols`, computed by
@@ -347,12 +347,21 @@ object ManifestStore {
       }.toMap
     def keyOf(r: org.apache.spark.sql.Row): String =
       partKey(partitionCols, partitionCols.map(c => r.get(r.fieldIndex(c))))
-    val partStats = staged.groupBy(partitionCols.map(col): _*)
-      .agg(aggs.head, aggs.tail: _*)
-      .collect().map(r => keyOf(r) -> ranges(r)).toMap
-    val fileStats = staged
+    // ONE data scan: the file-grain aggregate is cached (it is
+    // metadata-sized — one row per staged file) and the partition
+    // grain re-aggregates from it with Spark's own min/max, so both
+    // grains share one pass AND one ordering
+    val fileAgg = staged
       .groupBy((partitionCols.map(col) :+ input_file_name().as("__file")): _*)
       .agg(aggs.head, aggs.tail: _*)
+      .persist()
+    val partAggs = statsCols.flatMap(c => Seq(
+      smin(col(s"__min_$c")).as(s"__min_$c"),
+      smax(col(s"__max_$c")).as(s"__max_$c")))
+    val partStats = fileAgg.groupBy(partitionCols.map(col): _*)
+      .agg(partAggs.head, partAggs.tail: _*)
+      .collect().map(r => keyOf(r) -> ranges(r)).toMap
+    val fileStats = fileAgg
       .collect()
       .map { r =>
         // generation-relative file path: input_file_name() is a
@@ -369,6 +378,7 @@ object ManifestStore {
       .groupBy(_._1).map { case (key, files) =>
         key -> files.map { case (_, rel, cols) => rel -> cols }.toMap
       }
+    fileAgg.unpersist()
     (partStats, fileStats)
   }
 
@@ -622,6 +632,23 @@ object ManifestStore {
       prev.map(_.entries).getOrElse(Map.empty) ++ newEntries, prev,
       (prev.map(_.stats).getOrElse(Map.empty) -- touchedKeys) ++ newStats,
       (prev.map(_.fileStats).getOrElse(Map.empty) -- touchedKeys) ++ newFileStats,
-      Some(merged.schema.json))
+      // the recorded schema must stay a SUPERSET of every live
+      // generation's columns: a narrower batch that only touches NEW
+      // partitions would otherwise narrow the log, and the next pinned
+      // rewrite of an old partition would silently drop the missing
+      // columns — union with the previous record, batch types winning
+      // on name collisions (the evolution convention)
+      Some(unionSchema(prev.flatMap(_.schema), merged.schema).json))
   }
+
+  /** Field-name union of the previously recorded schema and the new
+    * write's schema; `next` wins on collisions. */
+  private def unionSchema(prevSchema: Option[StructType],
+                          next: StructType): StructType =
+    prevSchema match {
+      case None => next
+      case Some(p) =>
+        val have = next.fieldNames.toSet
+        StructType(next.fields ++ p.fields.filterNot(f => have(f.name)))
+    }
 }

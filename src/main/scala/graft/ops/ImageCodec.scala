@@ -119,6 +119,11 @@ object ImageCodec {
     // turn the promised None into an out-of-bounds crash
     if (dataOff < 54 || dataOff > bytes.length) return None
     val rowSizeL = ((3L * w + 3) / 4) * 4
+    // reject each dimension against the payload length BEFORE the
+    // product — rowSizeL * h itself overflows Long for w, h both near
+    // Int.MaxValue; after this guard both factors are <= bytes.length
+    // so the product stays below 2^62
+    if (rowSizeL > bytes.length || h > bytes.length) return None
     if (bytes.length < dataOff.toLong + rowSizeL * h) return None
     val rowSize = rowSizeL.toInt // <= bytes.length, int-safe
     val rgb = new Array[Byte](w * h * 3)
@@ -209,6 +214,27 @@ object ImageCodec {
     * Σ bit_count(band XOR band); ≤ 3 bit flips can disturb at most 3
     * of the 4 bands, so band equality is an exact pigeonhole candidate
     * filter. */
+  /** The q231 fixed linear encoder: project logical channel bytes
+    * through the deterministic weight table w(i, j) = ((i·(j+3)) mod
+    * 11) − 5 into an 8-dim integer embedding — the ViT patch-embedding
+    * shape with a constant table in place of learned weights. ONE
+    * implementation for the query and the MediaPipeline stage (a
+    * weight-table change must never have to be applied twice). */
+  def linearEmbedding(dec: Decoded): Array[Long] = {
+    val e = new Array[Long](8)
+    var i = 0
+    while (i < dec.channels.length) {
+      val v = dec.channels(i) & 0xFF
+      var j = 0
+      while (j < 8) {
+        e(j) += v.toLong * (((i.toLong * (j + 3)) % 11) - 5)
+        j += 1
+      }
+      i += 1
+    }
+    e
+  }
+
   def dHashBands(dec: Decoded): Array[Long] = {
     require(dec.width == 18 && dec.height == 16,
       s"dHash expects the 18x16 resize target, got ${dec.width}x${dec.height}")

@@ -339,8 +339,12 @@ object Relational {
       .otherwise(rem + fdiv(rank - lit(1L) - rem * (qv + lit(1L)), qv)
         + lit(1L))
     // null-SAFE equi join: a nullable key's null group must keep its
-    // rows (SQL NTILE ranks nulls first; a plain equi join would
-    // silently drop them and shrink n)
+    // rows (a plain equi join would silently drop them and shrink n).
+    // Null PLACEMENT follows Spark's ascending default — NULLS FIRST,
+    // bucket 1 — which differs from DuckDB/Postgres NTILE's default
+    // NULLS LAST; a gated query over a nullable key must ORDER BY
+    // key NULLS FIRST in its oracle (no current gated caller has
+    // nullable keys)
     val below2 = below.withColumnRenamed("__k", "__k2")
     keyed
       .join(below2, col("__k") <=> col("__k2"))

@@ -55,10 +55,15 @@ object MediaPipeline {
         raw.select(col("doc_id").cast("long"), col("payload").cast("binary"))
           .mapPartitions { rows =>
             rows.map { r =>
-              val id = r.getLong(0)
+              // a null id is a malformed landing-zone row — classify
+              // it (keyed as -1), never NPE the stage
+              val id = if (r.isNullAt(0)) -1L else r.getLong(0)
               val bytes = if (r.isNullAt(1)) Array.empty[Byte]
                 else r.getAs[Array[Byte]](1)
-              ImageCodec.decode(bytes) match {
+              if (r.isNullAt(0))
+                Row(id, false, "null_id", null, null,
+                  null, null, null, null, null)
+              else ImageCodec.decode(bytes) match {
                 case None =>
                   Row(id, false, "undecodable", null, null,
                     null, null, null, null, null)
@@ -67,21 +72,14 @@ object MediaPipeline {
                     null, null, null, null, null)
                 case Some(dec) =>
                   var ps = 0L
-                  val e = new Array[Long](8)
                   var i = 0
                   while (i < dec.channels.length) {
-                    val v = dec.channels(i) & 0xFF
-                    ps += v
-                    var j = 0
-                    while (j < 8) {
-                      e(j) += v.toLong * (((i.toLong * (j + 3)) % 11) - 5)
-                      j += 1
-                    }
-                    i += 1
+                    ps += dec.channels(i) & 0xFF; i += 1
                   }
                   val bands = ImageCodec.dHashBands(dec)
                   Row(id, true, null, dec.format, ps,
-                    bands(0), bands(1), bands(2), bands(3), e.toSeq)
+                    bands(0), bands(1), bands(2), bands(3),
+                    ImageCodec.linearEmbedding(dec).toSeq)
               }
             }
           }(Encoders.row(featSchema))

@@ -569,18 +569,7 @@ object MultimodalQueries {
           rows.map { r =>
             val id = r.getLong(0)
             val dec = ImageCodec.decode(r.getAs[Array[Byte]](1)).get
-            val e = new Array[Long](8)
-            var i = 0
-            while (i < N) {
-              val v = dec.channels(i) & 0xFF
-              var j = 0
-              while (j < 8) {
-                e(j) += v.toLong * (((i.toLong * (j + 3)) % 11) - 5)
-                j += 1
-              }
-              i += 1
-            }
-            Row(id, e.toSeq)
+            Row(id, ImageCodec.linearEmbedding(dec).toSeq)
           }
         }(Encoders.row(embSchema))
         val queries = embDf.filter(col("doc_id") < 10)

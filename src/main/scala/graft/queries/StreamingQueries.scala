@@ -45,6 +45,38 @@ object StreamingQueries {
     try body finally s.conf.set(key, prev)
   }
 
+  /** Stage the events feed as three TIME-RANGE parquet slices with
+    * explicitly stamped, strictly increasing mtimes — FileStreamSource
+    * replays in (mtime, path) order, so this makes `maxFilesPerTrigger
+    * = 1` deliver genuinely time-ordered micro-batches (the
+    * order-sensitive operators q229/q233 depend on it; same-ms writes
+    * would leave slice order unstable). Returns the staged dir. */
+  private def stageTimeSliced(s: org.apache.spark.sql.SparkSession,
+                              d: String, prefix: String): String = {
+    val staged = Files.createTempDirectory(prefix).toString
+    graft.tables.Tables.events(s, d)
+      .withColumn("batch_", least(lit(2), greatest(lit(0),
+        floor(datediff(to_date(col("ts")),
+          lit("2024-01-01").cast("date")) / 10))).cast("int"))
+      .repartition(1)
+      .write.mode("overwrite").partitionBy("batch_").parquet(staged)
+    for (b <- 0 to 2) {
+      val dir = java.nio.file.Paths.get(staged, s"batch_=$b")
+      if (java.nio.file.Files.isDirectory(dir)) {
+        val ls = java.nio.file.Files.list(dir)
+        try {
+          ls.iterator().forEachRemaining { p =>
+            if (p.toString.endsWith(".parquet"))
+              java.nio.file.Files.setLastModifiedTime(p,
+                java.nio.file.attribute.FileTime
+                  .fromMillis(1700000000000L + b * 60000L))
+          }
+        } finally ls.close()
+      }
+    }
+    staged
+  }
+
   /** ONE oracle for BOTH sessionizers — q87 (`session_window`) and q91
     * (`flatMapGroupsWithState`): the whole point of the twin gate is
     * identical semantics, so the SQL must be literally shared, not
@@ -655,30 +687,7 @@ object StreamingQueries {
     // grouped; the recursive form matches a hand fold exactly).
     Q("q229_streaming_rate_limit",
       (s, d) => {
-        val staged = Files.createTempDirectory("graft_q229_src_").toString
-        graft.tables.Tables.events(s, d)
-          .withColumn("batch_", least(lit(2), greatest(lit(0),
-            floor(datediff(to_date(col("ts")),
-              lit("2024-01-01").cast("date")) / 10))).cast("int"))
-          .repartition(1)
-          .write.mode("overwrite").partitionBy("batch_").parquet(staged)
-        // FileStreamSource replays in (mtime, path) order; all three
-        // slices commit within the same ms, so stamp mtimes explicitly
-        // (the q97 staging convention) — a time-REVERSED replay would
-        // late-drop earlier slices and break the order-sensitive fold
-        for (b <- 0 to 2) {
-          val dir = java.nio.file.Paths.get(staged, s"batch_=$b")
-          if (java.nio.file.Files.isDirectory(dir)) {
-            val it = java.nio.file.Files.list(dir).iterator()
-            while (it.hasNext) {
-              val p = it.next()
-              if (p.toString.endsWith(".parquet"))
-                java.nio.file.Files.setLastModifiedTime(p,
-                  java.nio.file.attribute.FileTime
-                    .fromMillis(1700000000000L + b * 60000L))
-            }
-          }
-        }
+        val staged = stageTimeSliced(s, d, "graft_q229_src_")
         val schema = s.read.parquet(staged).schema
         val reg = new Registry(s)
         reg.source("events_feed", () => graft.tables.Tables.events(s, d))
@@ -754,26 +763,7 @@ object StreamingQueries {
     // the batch device runs, decimal-rounded on emission.
     Q("q233_streaming_pattern",
       (s, d) => {
-        val staged = Files.createTempDirectory("graft_q233_src_").toString
-        graft.tables.Tables.events(s, d)
-          .withColumn("batch_", least(lit(2), greatest(lit(0),
-            floor(datediff(to_date(col("ts")),
-              lit("2024-01-01").cast("date")) / 10))).cast("int"))
-          .repartition(1)
-          .write.mode("overwrite").partitionBy("batch_").parquet(staged)
-        for (b <- 0 to 2) {
-          val dir = java.nio.file.Paths.get(staged, s"batch_=$b")
-          if (java.nio.file.Files.isDirectory(dir)) {
-            val it = java.nio.file.Files.list(dir).iterator()
-            while (it.hasNext) {
-              val p = it.next()
-              if (p.toString.endsWith(".parquet"))
-                java.nio.file.Files.setLastModifiedTime(p,
-                  java.nio.file.attribute.FileTime
-                    .fromMillis(1700000000000L + b * 60000L))
-            }
-          }
-        }
+        val staged = stageTimeSliced(s, d, "graft_q233_src_")
         val schema = s.read.parquet(staged).schema
         val reg = new Registry(s)
         reg.source("events_feed", () => graft.tables.Tables.events(s, d))

@@ -222,6 +222,30 @@ class ManifestStoreSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSet === Set(9L))
   }
 
+  test("a narrower batch touching only NEW partitions must not narrow " +
+    "the recorded schema") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("mstore_sw").toString
+    ManifestStore.upsert(root, Seq("k"), "seq", Nil, Seq("bucket"))(
+      Seq((1L, 1L, "val1", 0)).toDF("k", "seq", "v", "bucket"))
+    // batch without column v, landing ONLY in new bucket 1 — the merge
+    // never reads bucket 0, so only the schema-union keeps v in the log
+    ManifestStore.upsert(root, Seq("k"), "seq", Nil, Seq("bucket"))(
+      Seq((2L, 1L, 1)).toDF("k", "seq", "bucket"))
+    val m = ManifestStore.readManifest(fs(root), root).get
+    assert(m.schema.get.fieldNames.contains("v"),
+      "recorded schema must stay a superset (column v)")
+    // a rewrite of bucket 0 (pinned to the recorded schema) keeps v
+    ManifestStore.upsert(root, Seq("k"), "seq", Nil, Seq("bucket"))(
+      Seq((3L, 1L, "val3", 0)).toDF("k", "seq", "v", "bucket"))
+    val rows = ManifestStore.read(spark, root)
+      .select("k", "v").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(rows === Map(1L -> Some("val1"), 2L -> None, 3L -> Some("val3")),
+      s"column v must survive the narrow batch, got $rows")
+  }
+
   test("readWhere prunes at the manifest: only kept directories are opened") {
     val sp = spark
     import sp.implicits._
