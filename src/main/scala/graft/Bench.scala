@@ -17,6 +17,16 @@ import org.apache.spark.sql.SparkSession
   * code-cache peak occupancy is recorded so exhaustion is a measurement
   * (`code_cache_peak_mb` ~= `code_cache_max_mb` means the cache filled)
   * rather than a hypothesis.
+  *
+  * Contention-robust timing (round-12): each query is timed
+  * min-of-`reps` (default 3) after the untimed warm-up — round-11's
+  * time-once protocol let a single host-load spike (load_avg 14 on a
+  * 32-cpu multi-tenant box) permanently record an 87× straggler on a
+  * 0.24 s broadcast anti join. The min across reps is the steady-state
+  * plan cost by definition (contention only ever adds time); the
+  * discarded wall-clock and the per-shard load_avg start/end brackets
+  * go into the record so residual environmental noise is attributable,
+  * not mysterious.
   */
 object Bench {
   /** Names that run a real checkpointed Structured Streaming query (temp
@@ -88,47 +98,82 @@ object Bench {
     spark
   }
 
+  /** Timed repetitions per query AFTER the untimed warm-up run. The
+    * recorded per-query number is the MIN across reps: steady-state plan
+    * cost is the min by definition — external host contention (another
+    * tenant's load spike, a GC storm elsewhere on the box) only ever
+    * ADDS time, so one polluted rep cannot pollute the record the way
+    * the round-9..11 time-once protocol let it (r11 forensics: an anti
+    * join that costs 0.24 s clean was recorded at 20.7 s because the one
+    * timed run landed on a load_avg-14 host spike). Overridable via
+    * SPARK_GRAFT_BENCH_REPS for dev iteration. */
+  private[graft] val DEFAULT_REPS = 3
+
+  /** min-of-N with contention accounting: returns the per-query min plus
+    * suite-level straggler stats (how much time the min discarded), so a
+    * run on a loaded host shows HOW loaded in the record itself. */
+  private[graft] def minOfReps(times: Seq[Double]): Double = times.min
+
   /** Warm+timed protocol for one query set, in THIS JVM. Per-query
     * warm-up (JIT, codegen compile, parquet footer/page caches), clear
-    * cached plans, then time the second run — steady-state numbers are
-    * what a long-lived cluster sees and they stop the gate flapping on
-    * first-run jitter. */
+    * cached plans, then time `reps` further runs and keep the MIN —
+    * steady-state numbers are what a long-lived cluster sees, and the
+    * min is robust to host-contention spikes that inflate any single
+    * run (see DEFAULT_REPS). Also returns the total wall-clock the min
+    * discarded (`sum(rep) - sum(min)`), a direct contention gauge. */
   private def runSuite(spark: SparkSession, sfDir: String,
-                       selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]): Seq[(String, Double)] =
-    selected.map { case (name, fn) =>
+                       selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
+                       reps: Int): (Seq[(String, Double)], Double) = {
+    var discarded = 0.0
+    val results = selected.map { case (name, fn) =>
+      def sweep(): Unit = {
+        spark.catalog.clearCache() // don't let cached barriers leak memory
+        // sweep blocks pinned by the query's FINAL localCheckpoint (the
+        // iterative ops release their intermediates themselves, but the
+        // returned table's checkpoint outlives the query) — across 200+
+        // query runs in one JVM these otherwise stack into memory
+        // pressure that inflates later queries' times with eviction and
+        // GC, which is measurement pollution, not plan cost
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache() // don't let cached barriers leak memory
-      // sweep blocks pinned by the query's FINAL localCheckpoint (the
-      // iterative ops release their intermediates themselves, but the
-      // returned table's checkpoint outlives the query) — across 200+
-      // query runs in one JVM these otherwise stack into memory
-      // pressure that inflates later queries' times with eviction and
-      // GC, which is measurement pollution, not plan cost
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      name -> dt
+      sweep()
+      val times = (1 to math.max(1, reps)).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        sweep()
+        dt
+      }
+      val best = minOfReps(times)
+      discarded += times.sum - best * times.size
+      name -> best
     }
+    (results, discarded)
+  }
 
   private def qJson(rs: Seq[(String, Double)]): String =
     rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
 
   /** Measurement conditions, embedded so every recorded bench line is
-    * self-documenting (BASELINE.md "Bench method"): wall-clock here is
-    * only comparable across runs at similar env values — loadAvg >> 0
-    * at start means the box was already contended and per-query times
-    * include straggler tails that are not plan cost. */
-  private def envJson(cpus: String, gcSec: Double, loadAvg: Double,
+    * self-documenting (BASELINE.md "Bench method"): the per-query values
+    * are min-of-`reps` (plan cost), `load_avg_start`/`load_avg_end`
+    * bracket the run so a contended host is visible in the record, and
+    * `discarded_sec` is the wall-clock the min rejected — a direct
+    * measure of how much contention the protocol absorbed. */
+  private def envJson(cpus: String, gcSec: Double,
+                      loadStart: Double, loadEnd: Double,
                       suspect: Seq[String], shards: Int,
-                      cachePeakMb: Long, cacheMaxMb: Long): String = {
+                      cachePeakMb: Long, cacheMaxMb: Long,
+                      reps: Int, discardedSec: Double): String = {
     import java.lang.management.ManagementFactory
     val os = ManagementFactory.getOperatingSystemMXBean
     val suspectJson = suspect.map("\"" + _ + "\"").mkString("[", ",", "]")
     s""""cpus":$cpus,"host_cpus":${os.getAvailableProcessors},""" +
-      s""""load_avg":$loadAvg,""" +
+      s""""load_avg":$loadStart,""" +
+      s""""load_avg_start":$loadStart,"load_avg_end":$loadEnd,""" +
+      s""""reps":$reps,"discarded_sec":${f"$discardedSec%.1f"},""" +
       s""""heap_max_mb":${Runtime.getRuntime.maxMemory / (1024 * 1024)},""" +
       s""""gc_total_sec":$gcSec,""" +
       s""""shards":$shards,""" +
@@ -155,14 +200,18 @@ object Bench {
   private def runShardChild(shardSpec: String, sfDir: String, cpus: String,
                             out: String): Unit = {
     val Array(i, n) = shardSpec.split("/").map(_.toInt)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS",
+      DEFAULT_REPS.toString).toInt
     val spark = newSession(cpus)
     warmup(spark, sfDir)
+    val loadStart = loadAvg()
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex
       .collect { case ((name, fn), idx) if shardOf(idx, n) == i => (name, fn) }
-    val results = runSuite(spark, sfDir, selected)
+    val (results, discarded) = runSuite(spark, sfDir, selected, reps)
     val (ccPeak, ccMax) = codeCacheMb()
     val suspect = streamingSuspects(results, streamingNames, STREAMING_FLOOR_SEC)
-    val env = envJson(cpus, gcSec(), loadAvg(), suspect, 1, ccPeak, ccMax)
+    val env = envJson(cpus, gcSec(), loadStart, loadAvg(), suspect, 1,
+      ccPeak, ccMax, reps, discarded)
     val line =
       s"""{"metric":"shard","shard":$i,"value":${results.map(_._2).sum},"unit":"sec","n_queries":${results.size},""" +
         s""""queries":${qJson(results)},"sf":"$sfDir",$env}"""
@@ -240,14 +289,18 @@ object Bench {
       else sys.env.getOrElse("SPARK_GRAFT_BENCH_SHARDS", "4").toInt
 
     if (nShards <= 1) {
+      val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS",
+        DEFAULT_REPS.toString).toInt
       val spark = newSession(cpus)
       warmup(spark, sfDir)
+      val loadStart = loadAvg()
       val selected = SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
-      val results = runSuite(spark, sfDir, selected)
+      val (results, discarded) = runSuite(spark, sfDir, selected, reps)
       val (ccPeak, ccMax) = codeCacheMb()
       val suspect = streamingSuspects(results, streamingNames, STREAMING_FLOOR_SEC)
-      val env = envJson(cpus, gcSec(), loadAvg(), suspect, 1, ccPeak, ccMax)
+      val env = envJson(cpus, gcSec(), loadStart, loadAvg(), suspect, 1,
+        ccPeak, ccMax, reps, discarded)
       val total = results.map(_._2).sum
       def line(rs: Seq[(String, Double)]) =
         s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
@@ -267,15 +320,23 @@ object Bench {
     }.sortBy(_._1)
     val total = results.map(_._2).sum
     val gcTotal = shardRecords.map(_._2.get("gc_total_sec").asDouble()).sum
-    val maxLoad = shardRecords.map(_._2.get("load_avg").asDouble()).max
+    val loadStarts = shardRecords.map(_._2.get("load_avg_start").asDouble())
+    val loadEnds = shardRecords.map(_._2.get("load_avg_end").asDouble())
     val ccPeak = shardRecords.map(_._2.get("code_cache_peak_mb").asLong()).max
     val ccMax = shardRecords.map(_._2.get("code_cache_max_mb").asLong()).max
+    val reps = shardRecords.map(_._2.get("reps").asInt()).max
+    val discarded = shardRecords.map(_._2.get("discarded_sec").asDouble()).sum
     val suspect = shardRecords.flatMap(
       _._2.get("streaming_suspect").elements().asScala.map(_.asText()).toSeq)
-    val env = envJson(cpus, gcTotal, maxLoad, suspect, nShards, ccPeak, ccMax)
+    val env = envJson(cpus, gcTotal, loadStarts.head, loadEnds.last, suspect,
+      nShards, ccPeak, ccMax, reps, discarded)
+    // per-shard load brackets so a contention spike is attributable to
+    // the specific slice of wall-clock it hit
+    val shardLoads = loadStarts.zip(loadEnds)
+      .map { case (s, e) => s"[$s,$e]" }.mkString("[", ",", "]")
     def line(rs: Seq[(String, Double)]) =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
-        s""""queries":${qJson(rs)},"sf":"$sfDir",$env}"""
+        s""""queries":${qJson(rs)},"sf":"$sfDir","shard_loads":$shardLoads,$env}"""
     // printed record: headline subset only — MUST fit the driver's
     // bounded stdout-tail capture in one parseable line
     println(line(results.filter { case (n, _) => isHeadline(n) }))

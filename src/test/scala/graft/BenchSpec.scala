@@ -17,9 +17,10 @@ class BenchSpec extends AnyFunSuite {
       s"headline subset drifted to ${headline.size} queries")
     val line = headline
       .map(n => "\"" + n + "\":123.456789012345678").mkString(",")
-    // ~350 bytes of envelope fields + the sbt [success] trailer must
-    // also fit inside the ~2000-byte capture window
-    assert(line.length + 400 < 1900,
+    // ~500 bytes of envelope fields (incl. r12's shard_loads + reps +
+    // discarded_sec) + the sbt [success] trailer must also fit inside
+    // the ~2000-byte capture window
+    assert(line.length + 550 < 1900,
       s"printed headline line (${line.length} B + envelope) risks " +
         "truncation in the driver's stdout-tail capture")
   }
@@ -64,6 +65,15 @@ class BenchSpec extends AnyFunSuite {
       assert(assign.sliding(2).forall(p => p(0) != p(1)),
         "adjacent sorted queries must land in different shards")
     }
+  }
+
+  test("min-of-reps discards contention spikes, keeps plan cost") {
+    // round-12 protocol: a host-load spike inflates one rep; the min is
+    // the steady-state plan cost (contention only ever adds time)
+    assert(Bench.minOfReps(Seq(20.7, 0.24, 0.26)) === 0.24)
+    assert(Bench.minOfReps(Seq(1.5)) === 1.5)
+    assert(Bench.DEFAULT_REPS >= 2 && Bench.DEFAULT_REPS <= 3,
+      "verdict-r11 mandated N=2–3 timed reps per query")
   }
 
   test("code-cache instrumentation reads the JIT pools of this JVM") {
