@@ -100,8 +100,11 @@ object ManifestStore {
     val dir = new HPath(s"$root/$MDIR")
     if (!fs.exists(dir)) None
     else {
+      // strict `v<digits>.json` match: a foreign or corrupted file in
+      // _manifest/ (`vbackup.json`, editor droppings) must be IGNORED,
+      // not throw NumberFormatException and brick the whole table
       val vs = fs.listStatus(dir).map(_.getPath.getName).collect {
-        case n if n.startsWith("v") && n.endsWith(".json") =>
+        case n if n.matches("v\\d+\\.json") =>
           n.stripPrefix("v").stripSuffix(".json").toLong
       }
       if (vs.isEmpty) None else Some(vs.max)
@@ -373,7 +376,11 @@ object ManifestStore {
         val decoded =
           try new java.net.URI(uri).getPath
           catch { case _: java.net.URISyntaxException => uri }
-        (keyOf(r), decoded.substring(decoded.indexOf(genRel)), ranges(r))
+        val at = decoded.indexOf(genRel)
+        if (at < 0) // exotic URI normalization: fail NAMING the path,
+          throw new IllegalStateException( // not mid-commit StringIndexOOB
+            s"staged file '$decoded' does not contain generation dir '$genRel'")
+        (keyOf(r), decoded.substring(at), ranges(r))
       }
       .groupBy(_._1).map { case (key, files) =>
         key -> files.map { case (_, rel, cols) => rel -> cols }.toMap
@@ -468,7 +475,16 @@ object ManifestStore {
   private[graft] def stageGeneration(root: String, partitionCols: Seq[String],
                                      merged: DataFrame, version: Long)
       : Map[String, String] = {
-    val genRel = f"$GDIR/g$version%08d"
+    // writer-unique staging dir: two accidental writers staging the same
+    // next version must not clobber each other's bytes BEFORE the OCC
+    // check at publish can referee — with a shared `g%08d` name the
+    // loser's stage would silently overwrite the winner's committed
+    // files, leaving "winner's manifest, loser's data". The nonce makes
+    // each stage private; the losing generation is unreferenced and the
+    // winner's next publish GC collects it. (A crashed writer's replay
+    // likewise stages fresh and orphans the old attempt — same GC path.)
+    val genRel =
+      f"$GDIR/g$version%08d-${java.util.UUID.randomUUID().toString.take(8)}"
     val genDir = s"$root/$genRel"
     merged.write.mode("overwrite")
       .partitionBy(partitionCols: _*).parquet(genDir)
@@ -494,7 +510,22 @@ object ManifestStore {
   /** Commit: write manifest `version` under a temp name, rename into
     * place (the atomic commit point), then GC generations and manifests
     * no longer referenced by the current or previous version (previous
-    * retained as the concurrent-reader grace window). */
+    * retained as the concurrent-reader grace window).
+    *
+    * OCC lost-update DETECTION (round-12): the table is single-writer
+    * by design (one pipeline owns a table, matching the reference's
+    * ownership model), but an ACCIDENTAL second writer used to lose
+    * silently — both stage against the same head, last rename wins,
+    * first writer's rows vanish with no error anywhere. `publish` now
+    * re-reads the head version immediately before the commit rename and
+    * throws [[ConcurrentModificationException]] if it moved past the
+    * version this write staged against (`prev`), cleaning up its temp
+    * manifest. This is detection, not prevention: a writer that loses
+    * the race AFTER the check can still win the rename on a
+    * POSIX-overwriting filesystem, but the exists-check on the
+    * destination narrows that window to the rename syscall itself, and
+    * any realistic accidental-concurrency pattern (two schedulers, a
+    * human replay) spans seconds, not microseconds. */
   private[graft] def publish(spark: SparkSession, root: String, version: Long,
                              entries: Map[String, String],
                              prev: Option[Manifest],
@@ -540,7 +571,20 @@ object ManifestStore {
         .writeValueAsBytes(node))
       out.hsync() // manifest bytes durable BEFORE the commit rename
     } finally out.close()
+    // OCC check-and-commit: the head must still be the version this
+    // write staged against. A moved head means another writer committed
+    // since we read `prev` — merging on top of it would silently drop
+    // that writer's rows, so fail loudly and leave ITS commit intact.
     val dst = new HPath(s"$root/$MDIR/v$version.json")
+    val head = currentVersion(fs, root)
+    if (head != prev.map(_.version) || fs.exists(dst)) {
+      fs.delete(tmp, false) // our staged manifest; the generation dir is
+      // left for the winner's next publish GC (it's unreferenced)
+      throw new java.util.ConcurrentModificationException(
+        s"lost-update detected publishing $root v$version: staged against " +
+          s"head ${prev.map(_.version)} but head is now $head — this table " +
+          "has a second writer; serialize the pipelines that own it")
+    }
     if (!fs.rename(tmp, dst))
       throw new java.io.IOException(s"manifest commit failed for $root v$version")
     // GC: keep generations referenced by this or the previous manifest
@@ -555,8 +599,8 @@ object ManifestStore {
     val graceFloor = prev.map(_.version).getOrElse(version)
     fs.listStatus(new HPath(s"$root/$MDIR")).map(_.getPath)
       .filter { p =>
-        val n = p.getName
-        n.startsWith("v") && n.endsWith(".json") &&
+        val n = p.getName // strict match — never parse foreign files
+        n.matches("v\\d+\\.json") &&
           n.stripPrefix("v").stripSuffix(".json").toLong < graceFloor
       }.foreach(fs.delete(_, false))
   }
@@ -618,7 +662,10 @@ object ManifestStore {
       if (statsCols.isEmpty || newEntries.isEmpty)
         (Map.empty[String, Map[String, (String, String)]],
           Map.empty[String, Map[String, Map[String, (String, String)]]])
-      else collectStats(spark, root, f"$GDIR/g$version%08d",
+      else collectStats(spark, root,
+        // the staged generation's ACTUAL dir (nonce included) — derive
+        // it from the entries stageGeneration returned, don't recompute
+        newEntries.values.head.split('/').take(2).mkString("/"),
         partitionCols, statsCols, merged.schema)
     if (!newStats.keySet.subsetOf(newEntries.keySet))
       throw new IllegalStateException(

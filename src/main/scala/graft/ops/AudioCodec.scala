@@ -98,6 +98,10 @@ object AudioCodec {
           fmtOk = true
         case "data" =>
           if (!fmtOk) return None // data before fmt: malformed
+          // an ODD byte count cannot be whole 16-bit PCM frames —
+          // classify as malformed rather than silently truncating the
+          // trailing byte (the "None for anything truncated" contract)
+          if ((size & 1) != 0) return None
           val n = size / 2
           val samples = new Array[Short](n)
           var i = 0

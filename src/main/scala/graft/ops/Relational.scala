@@ -259,8 +259,14 @@ object Relational {
     val vals = df.select(col(minCol).as("__v")).distinct()
     val bucketedVals = ntileByCdf(vals, col("__v"), col("__v"), buckets,
       "__bkt")
+    // NO broadcast hint on the dictionary joins: for a CONTINUOUS
+    // high-cardinality minCol the distinct-value frame is ~fact-sized
+    // and a forced broadcast would OOM the driver at real scale — let
+    // AQE size-gate the strategy at runtime (it picks broadcast when
+    // the dictionary is actually small, the common case). Only `bPrev`
+    // below is hint-broadcast: it is ≤ `buckets` rows by construction.
     val keyed = df.withColumn("__v", col(minCol))
-      .join(broadcast(bucketedVals), "__v")
+      .join(bucketedVals, "__v")
     val g = keyed.groupBy(col("__bkt"), col("__v"))
       .agg(max(col(maxCol)).as("__gmax"))
     val inPrev = Window.partitionBy("__bkt").orderBy("__v")
@@ -276,7 +282,7 @@ object Relational {
         greatest(coalesce(col("__inprev"), lit(Long.MinValue)),
           coalesce(col("__crossmax"), lit(Long.MinValue))))
       .select(col("__bkt"), col("__v"), col("__gmax"), col("__prevmax"))
-    keyed.join(broadcast(dom), Seq("__bkt", "__v"))
+    keyed.join(dom, Seq("__bkt", "__v"))
       .filter(col(maxCol) === col("__gmax") &&
         col(maxCol) > col("__prevmax"))
       .drop("__v", "__bkt", "__gmax", "__prevmax")

@@ -30,7 +30,11 @@ object MediaPipeline {
   private val W = 18; private val H = 16
 
   private val featSchema = StructType(Seq(
-    StructField("doc_id", LongType, nullable = false),
+    // nullable: a malformed landing-zone row KEEPS its null id in the
+    // quarantine (was a -1 sentinel pre-r12, which collapsed all
+    // malformed rows onto one key and could collide with a legitimate
+    // doc_id of -1, losing row-level traceability)
+    StructField("doc_id", LongType, nullable = true),
     StructField("ok", BooleanType, nullable = false),
     StructField("reason", StringType, nullable = true),
     StructField("format", StringType, nullable = true),
@@ -55,31 +59,33 @@ object MediaPipeline {
         raw.select(col("doc_id").cast("long"), col("payload").cast("binary"))
           .mapPartitions { rows =>
             rows.map { r =>
-              // a null id is a malformed landing-zone row — classify
-              // it (keyed as -1), never NPE the stage
-              val id = if (r.isNullAt(0)) -1L else r.getLong(0)
+              // a null id is a malformed landing-zone row — classify it
+              // with its id kept NULL (quarantine-traceable), never NPE
               val bytes = if (r.isNullAt(1)) Array.empty[Byte]
                 else r.getAs[Array[Byte]](1)
               if (r.isNullAt(0))
-                Row(id, false, "null_id", null, null,
+                Row(null, false, "null_id", null, null,
                   null, null, null, null, null)
-              else ImageCodec.decode(bytes) match {
-                case None =>
-                  Row(id, false, "undecodable", null, null,
-                    null, null, null, null, null)
-                case Some(dec) if dec.width != W || dec.height != H =>
-                  Row(id, false, "wrong_dims", dec.format, null,
-                    null, null, null, null, null)
-                case Some(dec) =>
-                  var ps = 0L
-                  var i = 0
-                  while (i < dec.channels.length) {
-                    ps += dec.channels(i) & 0xFF; i += 1
-                  }
-                  val bands = ImageCodec.dHashBands(dec)
-                  Row(id, true, null, dec.format, ps,
-                    bands(0), bands(1), bands(2), bands(3),
-                    ImageCodec.linearEmbedding(dec).toSeq)
+              else {
+                val id = r.getLong(0)
+                ImageCodec.decode(bytes) match {
+                  case None =>
+                    Row(id, false, "undecodable", null, null,
+                      null, null, null, null, null)
+                  case Some(dec) if dec.width != W || dec.height != H =>
+                    Row(id, false, "wrong_dims", dec.format, null,
+                      null, null, null, null, null)
+                  case Some(dec) =>
+                    var ps = 0L
+                    var i = 0
+                    while (i < dec.channels.length) {
+                      ps += dec.channels(i) & 0xFF; i += 1
+                    }
+                    val bands = ImageCodec.dHashBands(dec)
+                    Row(id, true, null, dec.format, ps,
+                      bands(0), bands(1), bands(2), bands(3),
+                      ImageCodec.linearEmbedding(dec).toSeq)
+                }
               }
             }
           }(Encoders.row(featSchema))

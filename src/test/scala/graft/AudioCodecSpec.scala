@@ -73,6 +73,18 @@ class AudioCodecSpec extends AnyFunSuite {
     val notPcm = good.clone(); notPcm(20) = 3
     assert(AudioCodec.decodeWav(notPcm).isEmpty, "non-PCM format code")
     assert(AudioCodec.decodeWav(Array.empty[Byte]).isEmpty, "empty payload")
+    // an odd data-chunk byte count can't be whole 16-bit frames: the
+    // trailing byte means a truncated sample — classify, don't trim.
+    // Shrink the declared size by 1 (buffer keeps the byte, so bounds
+    // pass and ONLY the oddness is under test)
+    val odd = good.clone()
+    putIntLE3(odd, 40, 16 * 2 - 1)
+    assert(AudioCodec.decodeWav(odd).isEmpty, "odd-sized PCM-16 data chunk")
+  }
+
+  private def putIntLE3(a: Array[Byte], off: Int, v: Int): Unit = {
+    a(off) = v.toByte; a(off + 1) = (v >>> 8).toByte
+    a(off + 2) = (v >>> 16).toByte; a(off + 3) = (v >>> 24).toByte
   }
 
   test("crafted chunk sizes and zero sample rates classify as None, never crash") {

@@ -35,9 +35,9 @@ class ManifestStoreSpec extends AnyFunSuite {
       Map(1L -> (1L, "a"), 2L -> (5L, "B"), 3L -> (1L, "c")))
     val m = ManifestStore.readManifest(fs(root), root).get
     assert(m.version === 2L)
-    assert(m.entries("bucket=1").startsWith("_gen/g00000001/"),
+    assert(m.entries("bucket=1").startsWith("_gen/g00000001-"),
       "untouched partition must still point at the old generation")
-    assert(m.entries("bucket=0").startsWith("_gen/g00000002/"),
+    assert(m.entries("bucket=0").startsWith("_gen/g00000002-"),
       "touched partition must point at the new generation")
   }
 
@@ -272,7 +272,7 @@ class ManifestStoreSpec extends AnyFunSuite {
     assert(b0.select("k", "v").collect().map(r =>
       (r.getLong(0), r.getString(1))).toSet === Set((1L, "A")))
     assert(b0.inputFiles.forall(f =>
-      f.contains("_gen/g00000002/") && f.contains("bucket=0")))
+      f.contains("_gen/g00000002-") && f.contains("bucket=0")))
     // nothing kept: empty frame with the supplied schema, no files
     val none = ManifestStore.readWhere(spark, root,
       Some(pruned.schema))(_ => false)
@@ -345,6 +345,66 @@ class ManifestStoreSpec extends AnyFunSuite {
       "the manifest rename flips EVERY partition at once")
   }
 
+  test("OCC: two writers race the same head — exactly one wins, the " +
+      "loser throws, no mixed state") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("mstore_occ").toString
+    ManifestStore.upsert(root, Seq("k"), "seq", Nil, Seq("bucket"))(
+      Seq((1L, 1L, "a", 0), (2L, 1L, "b", 1)).toDF("k", "seq", "v", "bucket"))
+    // writers A and B both read head v1 and stage their own v2 — the
+    // accidental-second-writer pattern (two schedulers on one table)
+    val prev = ManifestStore.readManifest(fs(root), root)
+    val stagedA = ManifestStore.stageGeneration(root, Seq("bucket"),
+      Seq((1L, 7L, "A", 0), (2L, 7L, "A", 1)).toDF("k", "seq", "v", "bucket"),
+      version = 2L)
+    val stagedB = ManifestStore.stageGeneration(root, Seq("bucket"),
+      Seq((1L, 8L, "B", 0), (2L, 8L, "B", 1)).toDF("k", "seq", "v", "bucket"),
+      version = 2L)
+    // nonce'd staging dirs: B's stage must NOT have clobbered A's bytes
+    assert(stagedA.values.toSet.intersect(stagedB.values.toSet).isEmpty,
+      "concurrent stagings must land in disjoint generation dirs")
+    // A commits first and wins
+    ManifestStore.publish(spark, root, 2L, prev.get.entries ++ stagedA, prev)
+    assert(snapshot(root) === Map(1L -> (7L, "A"), 2L -> (7L, "A")))
+    // B commits against the stale head and must FAIL LOUDLY
+    val e = intercept[java.util.ConcurrentModificationException] {
+      ManifestStore.publish(spark, root, 2L, prev.get.entries ++ stagedB, prev)
+    }
+    assert(e.getMessage.contains("second writer"))
+    // winner's state intact — B's bytes never became visible
+    assert(snapshot(root) === Map(1L -> (7L, "A"), 2L -> (7L, "A")),
+      "the losing writer must not perturb the winner's committed state")
+    assert(ManifestStore.readManifest(fs(root), root).get.version === 2L)
+    // B's orphaned generation is unreferenced; the NEXT commit's GC
+    // collects it (same path as a crashed writer's staging orphan)
+    ManifestStore.upsert(root, Seq("k"), "seq", Nil, Seq("bucket"))(
+      Seq((1L, 9L, "c", 0)).toDF("k", "seq", "v", "bucket"))
+    val live = fs(root).listStatus(new HPath(s"$root/_gen"))
+      .map(_.getPath.getName).toSet
+    assert(!live.exists(g => stagedB.values.exists(_.contains(g))),
+      s"loser's staging dir must be GC'd at the next commit, got $live")
+    assert(snapshot(root) === Map(1L -> (9L, "c"), 2L -> (7L, "A")))
+  }
+
+  test("foreign files in _manifest/ are ignored, not fatal") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("mstore_foreign").toString
+    ManifestStore.upsert(root, Seq("k"), "seq", Nil, Seq("bucket"))(
+      Seq((1L, 1L, "a", 0)).toDF("k", "seq", "v", "bucket"))
+    // a stray non-conforming file (backup, editor dropping) must not
+    // brick the table with NumberFormatException
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(root, "_manifest", "vbackup.json"), "{}")
+    assert(ManifestStore.currentVersion(fs(root), root) === Some(1L))
+    assert(snapshot(root) === Map(1L -> (1L, "a")))
+    // and a subsequent commit (whose GC walks _manifest/) still works
+    ManifestStore.upsert(root, Seq("k"), "seq", Nil, Seq("bucket"))(
+      Seq((1L, 2L, "b", 0)).toDF("k", "seq", "v", "bucket"))
+    assert(snapshot(root) === Map(1L -> (2L, "b")))
+  }
+
   test("GC keeps the previous generation as reader grace, then collects it") {
     val sp = spark
     import sp.implicits._
@@ -357,10 +417,11 @@ class ManifestStoreSpec extends AnyFunSuite {
       root, Seq("k"), "seq", Nil, Seq("bucket"))(
       Seq((1L, seq, s"v$seq", 0)).toDF("k", "seq", "v", "bucket"))
     batch(1); batch(2)
-    assert(gens() === Set("g00000001", "g00000002"),
+    // dir names carry a writer nonce (r12) — compare the version prefix
+    assert(gens().map(_.take(9)) === Set("g00000001", "g00000002"),
       "previous generation retained for concurrent readers")
     batch(3)
-    assert(gens() === Set("g00000002", "g00000003"),
+    assert(gens().map(_.take(9)) === Set("g00000002", "g00000003"),
       "two-generations-old data collected")
     assert(snapshot(root) === Map(1L -> (3L, "v3")))
   }
@@ -404,7 +465,7 @@ class ManifestStoreSpec extends AnyFunSuite {
     val m = ManifestStore.readManifest(fs(root), root).get
     assert(!m.entries.contains("bucket=1"),
       "a fully-deleted partition must leave the manifest")
-    assert(m.entries("bucket=0").startsWith("_gen/g00000002/"),
+    assert(m.entries("bucket=0").startsWith("_gen/g00000002-"),
       "the partially-deleted partition was rewritten")
     assert(m.entries("bucket=2") === entryB2,
       "the untouched partition carries forward by reference")
@@ -487,7 +548,7 @@ class ManifestStoreSpec extends AnyFunSuite {
     assert(snapshot(root) === Map(1L -> (5L, "A"), 2L -> (1L, "b")))
     val m1 = ManifestStore.readManifest(fs(root), root).get
     assert(m1.version === 2L, "two micro-batches = two committed generations")
-    assert(m1.entries("bucket=1").startsWith("_gen/g00000001/"),
+    assert(m1.entries("bucket=1").startsWith("_gen/g00000001-"),
       "bucket 1 untouched by batch 2 — carried forward by reference")
     // catch-up run 2: new file lands AFTER run 1 terminated; the merge
     // must resume from the checkpoint (only the new file processed)

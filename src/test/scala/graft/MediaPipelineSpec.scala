@@ -27,6 +27,28 @@ class MediaPipelineSpec extends AnyFunSuite {
     ).toDF("doc_id", "payload")
   }
 
+  test("null-id landing rows quarantine with their id kept NULL") {
+    val sp = spark
+    import sp.implicits._
+    // two malformed rows with null ids, plus a legitimate doc_id of -1:
+    // pre-r12 all three would have collapsed onto the -1 sentinel
+    val rows = fixture.unionByName(Seq(
+      (Option.empty[Long], Some(Array.fill[Byte](8)(1))),
+      (Option.empty[Long], Option.empty[Array[Byte]]),
+      (Some(-1L), Some(ImageCodec.encodeBmp(18, 16, ImageCodec.content(7L, 18, 16))))
+    ).toDF("doc_id", "payload"))
+    val reg = MediaPipeline.build(spark, () => rows)
+    val quar = reg.resolve("media_quarantine").collect()
+    val nullIdReasons = quar.filter(_.isNullAt(0)).map(_.getString(1)).toSeq
+    assert(nullIdReasons === Seq("null_id", "null_id"),
+      "each malformed row stays a distinct quarantine row with a NULL id")
+    assert(!quar.exists(r => !r.isNullAt(0) && r.getLong(0) === -1L),
+      "the legitimate doc_id -1 must NOT land in quarantine")
+    val clean = reg.resolve("media_clean").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(clean.contains(-1L), "doc_id -1 is a valid image and stays clean")
+  }
+
   test("media DAG: one decode pass, quality split, phash dedup, embeddings") {
     val reg = MediaPipeline.build(spark, () => fixture)
 

@@ -880,12 +880,31 @@ class PlanSpec extends AnyFunSuite {
       "no stage may collapse the shingle frame to one partition")
   }
 
-  test("q214: skyline dominance frames broadcast — fact frame never sorts") {
-    val p = plan("q214_skyline")
+  test("q214: skyline dictionary joins AQE-broadcast at runtime, " +
+      "never hint-forced") {
+    // r12: the distinct-minCol dictionary joins carry NO broadcast hint
+    // (a continuous minCol makes the dictionary fact-sized — a forced
+    // broadcast would OOM the driver at real scale). The contract is
+    // that AQE picks broadcast AT RUNTIME when the dictionary is
+    // actually small — so assert on the FINAL adaptive plan, post-run.
+    val df = Catalog.byName("q214_skyline").run(spark, d)
+    df.collect()
+    val whole = df.queryExecution.executedPlan.toString
+    assert(whole.contains("isFinalPlan=true"))
+    // toString shows BOTH the final and the initial plan — assert on the
+    // final section only (the initial plan legitimately shows the SMJ
+    // that AQE then converts)
+    val p = whole.split("== Initial Plan ==").head
     assert(p.contains("BroadcastHashJoin"),
-      "bucket map and dominance thresholds are broadcast-sized")
+      "AQE must convert the small dictionary joins to broadcast")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
-      "no shuffle or all-pairs join anywhere in the frontier plan")
+      "no residual shuffle or all-pairs join in the executed frontier plan")
+    // the remaining forced hints are the two BOUNDED frames only
+    // (ntileByCdf's 1-row total; the ≤buckets-row prefix-max frame) —
+    // counting them in the logical plan is unreliable (shared subtrees
+    // duplicate hint nodes), so the contract is held by the source
+    // (Relational.paretoFrontier2d carries no dictionary hints) and the
+    // final-plan assertions above
   }
 
   test("q215: OHLC bars are ONE map-side-combined aggregate") {
