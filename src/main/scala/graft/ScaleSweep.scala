@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf1 spot-sweep (round-12 verdict stretch item): the 2×-at-sf0.1 gate
+  * cannot see an O(n log n) → O(n²) cliff; one decade of scale can.
+  * This main DERIVES an sf1 dataset from the driver's sf0.1 tables
+  * (10 key-shifted shards — see [[deriveSf1]] for why content is
+  * perturbed, not cloned), times the most expensive clean-record
+  * queries at both scales in one JVM, and writes
+  * `BENCH_sf1_subset.json` with per-query ratios. Gate: no query
+  * super-linear beyond 12× (data is 10×; the 1.2 allows log factors
+  * and fixed-cost noise on sub-second queries).
+  *
+  * The testdata dirs are read-only; the derived shards land under
+  * /tmp and are rebuilt on demand (SPARK_GRAFT_SF1_DIR overrides).
+  */
+object ScaleSweep {
+
+  /** The 15 most expensive queries of the round-11 clean record
+    * (bench_full_r11.json, descending) — the set the sweep watches. */
+  val TOP15: Seq[String] = Seq(
+    "q120_pagerank", "q104_stream_outer_join", "q97_stream_stream_join",
+    "q128_sparse_cosine", "q105_incremental_neardup", "q196_minhash_eval",
+    "q184_equidepth_histogram", "q88_streaming_apply_changes",
+    "q229_streaming_rate_limit", "q173_triangle_count",
+    "q80_corpus_curation", "q131_bucketed_join", "q213_ppjoin",
+    "q77_neardup_clusters", "q87_streaming_sessions")
+
+  /** Derive sf1 from sf0.1 as 10 key-shifted shards (shard 0 = the
+    * original rows). Key spaces scale like TPC-H's: fact and dimension
+    * keys shift per shard so join fan-outs grow linearly; nation/region
+    * stay fixed (they are fixed in TPC-H too). CONTENT perturbation
+    * matters for the similarity/dedup queries: a naive 10× clone of
+    * `documents` would give every doc 9 exact twins and blow candidate
+    * pairs up ~100×, benchmarking a pathology instead of scale — so
+    * each shard's text is word-rotated with a shard marker prepended
+    * (cross-shard docs stop being near-dups; within-shard structure is
+    * preserved exactly), and each embedding is cyclically rotated
+    * (norms and pairwise-distance DISTRIBUTION preserved, neighbor
+    * sets changed). */
+  def deriveSf1(spark: SparkSession, srcDir: String, dstDir: String): Unit = {
+    val shards = 10
+    def src(t: String) = spark.read.parquet(s"$srcDir/$t.parquet")
+    def writeOut(t: String)(df: DataFrame): Unit =
+      df.write.mode("overwrite").parquet(s"$dstDir/$t.parquet")
+
+    // one shard column crossed in, then per-table key shifts; all
+    // expressions stay in codegen (this is a 6M-row ETL job, not a
+    // driver loop)
+    val shardDf = spark.range(shards.toLong).select(col("id").as("__shard"))
+    def sharded(t: String): DataFrame = src(t).crossJoin(shardDf)
+    def shift(c: String, step: Long) =
+      (col(c) + col("__shard") * lit(step)).as(c)
+
+    writeOut("region")(src("region"))
+    writeOut("nation")(src("nation"))
+    writeOut("customer")(sharded("customer").select(
+      shift("c_custkey", 1000000L), col("c_name"), col("c_nationkey"),
+      col("c_acctbal"), col("c_mktsegment")))
+    writeOut("supplier")(sharded("supplier").select(
+      shift("s_suppkey", 100000L), col("s_name"), col("s_nationkey"),
+      col("s_acctbal")))
+    writeOut("part")(sharded("part").select(
+      shift("p_partkey", 1000000L), col("p_name"), col("p_brand"),
+      col("p_type"), col("p_size"), col("p_retailprice")))
+    writeOut("orders")(sharded("orders").select(
+      shift("o_orderkey", 10000000L), shift("o_custkey", 1000000L),
+      col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+      col("o_orderpriority")))
+    writeOut("lineitem")(sharded("lineitem").select(
+      shift("l_orderkey", 10000000L), shift("l_partkey", 1000000L),
+      shift("l_suppkey", 100000L), col("l_linenumber"), col("l_quantity"),
+      col("l_extendedprice"), col("l_discount"), col("l_tax"),
+      col("l_returnflag"), col("l_linestatus"), col("l_shipdate")))
+    writeOut("events")(sharded("events").select(
+      shift("event_id", 100000000L), col("ts"),
+      shift("user_id", 10000000L), col("event_type"), col("value"),
+      col("props")))
+    // documents: shard 0 verbatim; shard k>0 word-rotated by k with a
+    // shard marker token in front (kills cross-shard near-dup pairs
+    // under both shingle- and token-level similarity)
+    val words = split(col("text"), " ")
+    val k = pmod(col("__shard"), lit(7)) + lit(1) // rotation distance
+    val rotated = concat_ws(" ",
+      concat(
+        array(concat(lit("shard"), col("__shard").cast("string"))),
+        slice(words, (k + 1).cast("int"), greatest(size(words) - k, lit(0)).cast("int")),
+        slice(words, lit(1), k.cast("int"))))
+    writeOut("documents")(sharded("documents").select(
+      shift("doc_id", 10000000L),
+      when(col("__shard") === 0, col("text")).otherwise(rotated).as("text"),
+      col("lang"), col("source"),
+      when(col("__shard") === 0, col("n_chars"))
+        .otherwise(length(rotated).cast("long")).as("n_chars")))
+    // embeddings: cyclic rotation by shard (norm-preserving)
+    val dim = size(col("embedding"))
+    val rot = pmod(col("__shard"), dim.cast("long"))
+    val rotVec = concat(
+      slice(col("embedding"), (rot + 1).cast("int"), (dim - rot).cast("int")),
+      slice(col("embedding"), lit(1), rot.cast("int")))
+    writeOut("embeddings")(sharded("embeddings").select(
+      shift("vec_id", 10000000L),
+      when(col("__shard") === 0, col("embedding")).otherwise(rotVec)
+        .as("embedding"),
+      col("label")))
+  }
+
+  private def time(fn: => Unit): Double = {
+    val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sf01 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sf1 = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SWEEP_OUT",
+      "/root/repo/BENCH_sf1_subset.json")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.core.GraftSession.local(cpus.toInt)
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Path.of(s"$sf1/lineitem.parquet"))) {
+      System.err.println(s"[sweep] deriving sf1 into $sf1 ...")
+      deriveSf1(spark, sf01, sf1)
+    }
+
+    val results = TOP15.map { name =>
+      val fn = SparkEntry.queries(name)
+      def run(dir: String): Unit = { fn(spark, dir).count(); () }
+      def sweepCaches(): Unit = {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
+      run(sf01); sweepCaches() // warm (JIT + codegen, shared by both scales)
+      val t01 = Seq(time { run(sf01) }, { sweepCaches(); time { run(sf01) } }).min
+      sweepCaches()
+      val t1 = time { run(sf1) }
+      sweepCaches()
+      val ratio = t1 / t01
+      System.err.println(f"[sweep] $name%-32s sf0.1 $t01%7.2fs  sf1 $t1%7.2fs  ratio ${ratio}%5.1f×")
+      (name, t01, t1, ratio)
+    }
+    val qJson = results.map { case (n, a, b, r) =>
+      f""""$n":{"sf01_sec":$a%.3f,"sf1_sec":$b%.3f,"ratio":$r%.2f}"""
+    }.mkString("{", ",", "}")
+    val worst = results.maxBy(_._4)
+    val line =
+      s"""{"metric":"sf1_subset","n_queries":${results.size},""" +
+        s""""sf01_total":${results.map(_._2).sum},"sf1_total":${results.map(_._3).sum},""" +
+        f""""worst_ratio":${worst._4}%.2f,"worst_query":"${worst._1}",""" +
+        s""""gate_max_ratio":12.0,"queries":$qJson}"""
+    println(line)
+    java.nio.file.Files.writeString(java.nio.file.Path.of(out), line + "\n")
+    spark.stop()
+  }
+}

@@ -200,6 +200,32 @@ object ImageCodec {
     if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
     else decodePng(bytes)
 
+  /** Real pixel-space resize (nearest neighbor) over decoded logical
+    * channels — the decode → RESIZE → re-encode middle stage of a media
+    * pipeline normalizing arbitrary-geometry inputs to the 18×16
+    * hash/embedding target. Integer source-index math (`y·srcH/dstH`,
+    * `x·srcW/dstW`) so the mapping is exactly reproducible in SQL. */
+  def resizeNearest(dec: Decoded, dstW: Int, dstH: Int): Decoded = {
+    require(dstW > 0 && dstH > 0, "resize target must be positive")
+    val out = new Array[Byte](3 * dstW * dstH)
+    var y = 0
+    while (y < dstH) {
+      val sy = (y.toLong * dec.height / dstH).toInt
+      var x = 0
+      while (x < dstW) {
+        val sx = (x.toLong * dec.width / dstW).toInt
+        val s = 3 * (sy * dec.width + sx)
+        val t = 3 * (y * dstW + x)
+        out(t) = dec.channels(s)
+        out(t + 1) = dec.channels(s + 1)
+        out(t + 2) = dec.channels(s + 2)
+        x += 1
+      }
+      y += 1
+    }
+    Decoded(dec.format, dstW, dstH, out)
+  }
+
   // ---- perceptual hash (dHash) ---------------------------------------
 
   /** 64-bit difference hash over logical RGB content, returned as FOUR

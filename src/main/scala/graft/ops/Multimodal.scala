@@ -12,9 +12,12 @@ import org.apache.spark.sql.types._
   * Since round 11 the decode is REAL: [[ImageCodec]] parses actual BMP
   * headers byte-by-byte and drives the JDK's built-in PNG codec — no
   * native deps, verified end-to-end by the q203–q205 oracles and the
-  * MB-payload OpsScaleSpec cases. [[stubDecoder]] remains only as the
-  * stand-in for model-embedding extraction (no inference runtime in
-  * this container), clearly marked where used.
+  * MB-payload OpsScaleSpec cases. Embedding extraction takes its model
+  * through the `decoderSetup` seam: [[loadWeightsF32LE]] loads an
+  * exported checkpoint (float32 LE tensor) once per partition and
+  * [[linearImageDecoder]] projects decoded channels through it —
+  * proven with a committed binary weight fixture in
+  * ImageEmbeddingSpec; [[hashDecoder]] is the model-free default.
   */
 object Multimodal {
 
@@ -218,7 +221,7 @@ object Multimodal {
     * a real pipeline) and yields the per-row decode function.
     */
   def extractFeatures(df: DataFrame, idCol: String, binCol: String, dim: Int)(
-      decoderSetup: () => Array[Byte] => Array[Float] = () => stubDecoder(dim))
+      decoderSetup: () => Array[Byte] => Array[Float] = () => hashDecoder(dim))
       : DataFrame = {
     val schema = featureSchema(dim)
     val input = df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
@@ -232,11 +235,14 @@ object Multimodal {
   }
 
   /** Per-partition batched payload "resize": re-encode each binary
-    * payload to a target size (a real pipeline would decode → rescale →
-    * re-encode an image here; the container has no codecs, so the
-    * transcode is STUBBED as deterministic byte sampling/padding —
-    * schema and batching are the real contract). Output schema:
-    * (id long, payload binary, n_bytes int). */
+    * payload to a target size by deterministic nearest-byte resampling —
+    * the payload-plumbing contract (schema, per-partition streaming,
+    * bounded memory) of a decode → rescale → re-encode stage. For a REAL
+    * pixel-space resize over the formats this engine decodes, compose
+    * [[ImageCodec.decode]] → [[ImageCodec.resizeNearest]] →
+    * [[ImageCodec.encodeBmp]] in the same mapPartitions shape (that path
+    * is oracle-gated via the q224/q231 18×16 resize-target contract).
+    * Output schema: (id long, payload binary, n_bytes int). */
   def resizePayloads(df: DataFrame, idCol: String, binCol: String,
                      targetBytes: Int): DataFrame = {
     val schema = StructType(Seq(
@@ -256,9 +262,13 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
-  /** Deterministic stand-in for a real decoder: hash-derived features in
-    * [-1, 1). Stable across partitionings and retries. */
-  def stubDecoder(dim: Int): Array[Byte] => Array[Float] = { bytes =>
+  /** Deterministic content-hash featurizer — the DEFAULT decoder when no
+    * model is injected: hash-derived features in [-1, 1), stable across
+    * partitionings and retries. Useful as a cheap content fingerprint
+    * and as the test default; a real deployment injects a model decoder
+    * through `decoderSetup` (see [[loadWeightsF32LE]] +
+    * [[linearImageDecoder]] for the external-weights path). */
+  def hashDecoder(dim: Int): Array[Byte] => Array[Float] = { bytes =>
     var h = 1125899906842597L // FNV-ish rolling hash of the payload
     var i = 0
     while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
@@ -266,6 +276,68 @@ object Multimodal {
       val x = h ^ (j.toLong * 0x9E3779B97F4A7C15L)
       val mixed = x ^ (x >>> 33)
       ((mixed & 0xFFFF).toFloat / 32768.0f) - 1.0f
+    }
+  }
+
+  /** Load a dense float32 little-endian weight matrix from a binary
+    * fixture — the external-model half of the `decoderSetup` seam: a
+    * trained checkpoint exported as a flat f32le tensor loads here,
+    * ONCE PER PARTITION (call it inside `decoderSetup`, exactly where a
+    * real pipeline loads its model), and drives [[linearImageDecoder]].
+    * Layout: `dim` rows × `inputLen` columns, row-major. Fails loudly
+    * on a size mismatch — a silently reshaped weight matrix produces
+    * garbage embeddings with no error anywhere downstream. */
+  def loadWeightsF32LE(path: String, dim: Int, inputLen: Int): Array[Float] = {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Path.of(path))
+    val expected = dim * inputLen * 4
+    if (bytes.length != expected)
+      throw new IllegalArgumentException(
+        s"weight fixture $path is ${bytes.length} B, expected $expected " +
+          s"($dim×$inputLen float32)")
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).asFloatBuffer()
+    val out = new Array[Float](dim * inputLen)
+    buf.get(out)
+    out
+  }
+
+  /** Linear patch-encoder over DECODED image channels with an injected
+    * (externally loaded) weight matrix: payload → [[ImageCodec.decode]]
+    * → `emb[j] = Σ_i w[j·inputLen + i] · channel[i]` — the same
+    * projection shape as q231's closed-form encoder, but with the
+    * weights supplied from outside (a checkpoint fixture via
+    * [[loadWeightsF32LE]], a broadcast variable, anything). Undecodable
+    * or wrong-geometry payloads yield null features upstream semantics:
+    * here they throw, because a FEATURE-extraction stage runs after the
+    * quality gate has already quarantined undecodables — feeding it
+    * garbage is a pipeline-order bug worth failing on. */
+  def linearImageDecoder(weights: Array[Float], dim: Int)
+      : Array[Byte] => Array[Float] = {
+    require(weights.length % dim == 0,
+      s"weight length ${weights.length} is not a multiple of dim $dim")
+    val inputLen = weights.length / dim
+    bytes => {
+      val dec = ImageCodec.decode(bytes).getOrElse(
+        throw new IllegalArgumentException(
+          "undecodable payload reached feature extraction — quality-gate " +
+            "(quarantine) must run before embedding"))
+      if (dec.channels.length != inputLen)
+        throw new IllegalArgumentException(
+          s"decoded ${dec.channels.length} channels, weights expect $inputLen")
+      val out = new Array[Float](dim)
+      var j = 0
+      while (j < dim) {
+        var acc = 0.0f
+        val base = j * inputLen
+        var i = 0
+        while (i < inputLen) {
+          acc += weights(base + i) * (dec.channels(i) & 0xFF)
+          i += 1
+        }
+        out(j) = acc
+        j += 1
+      }
+      out
     }
   }
 }

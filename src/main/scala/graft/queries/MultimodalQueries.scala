@@ -18,10 +18,12 @@ import QH._
   * full encode → binary column → parse round trip, including the
   * corrupt-payload path (q205). Embedding extraction is implemented as a
   * fixed deterministic linear encoder (q231 — the ViT patch-embedding
-  * shape with a weight table in place of learned weights); only a
-  * LEARNED weight table is absent (no inference runtime in this
-  * container). [[graft.ops.Multimodal.stubDecoder]] remains as the
-  * pluggable seam a real model drops into.
+  * shape with a weight table in place of learned weights, so the oracle
+  * stays closed-form in SQL); the SAME projection also runs with
+  * EXTERNALLY LOADED weights through the `decoderSetup` seam
+  * ([[graft.ops.Multimodal.loadWeightsF32LE]] +
+  * [[graft.ops.Multimodal.linearImageDecoder]], gated by
+  * ImageEmbeddingSpec against a committed binary checkpoint fixture).
   */
 object MultimodalQueries {
 
@@ -49,7 +51,7 @@ object MultimodalQueries {
       |  GROUP BY d.doc_id)""".stripMargin
 
   val qs: Seq[Q] = Seq(
-    // Binary payload metadata: byte length + content digest ("decode" stub).
+    // Binary payload metadata: byte length + content digest (no decode).
     Q("q40_binary_meta",
       (s, d) =>
         t(s, d, "events")

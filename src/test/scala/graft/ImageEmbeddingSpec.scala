@@ -1,0 +1,143 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ops.{ImageCodec, Multimodal}
+
+/** The external-weights seam, proven end to end (round-12 verdict item
+  * 4): a weight matrix loaded from a COMMITTED binary checkpoint
+  * fixture (not a formula) flows through `decoderSetup` — loaded once
+  * per partition, exactly where a real pipeline loads its model — and
+  * the resulting embeddings gate both numerically (independent
+  * driver-side matrix product) and behaviorally (retrieval: a
+  * perturbed image's nearest neighbor is its source image).
+  */
+class ImageEmbeddingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val W = 18; private val H = 16; private val DIM = 8
+  private val fixturePath =
+    getClass.getResource("/fixtures/patch_encoder_8x864.f32le").getPath
+
+  private val payloadSchema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = false)))
+
+  /** 12 images in 6 near-dup pairs: image 2k+1 is image 2k with one
+    * channel nudged. */
+  private def payloads = {
+    val rows = (0 until 6).flatMap { k =>
+      val base = ImageCodec.content(k.toLong * 31 + 7, W, H)
+      val near = base.clone()
+      near(5 * k + 3) = (((near(5 * k + 3) & 0xFF) + 40) % 256).toByte
+      Seq(
+        Row(2L * k, ImageCodec.encodeBmp(W, H, base)),
+        Row(2L * k + 1, ImageCodec.encodeBmp(W, H, near)))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 3), payloadSchema)
+  }
+
+  test("fixture-loaded weights drive extractFeatures through decoderSetup") {
+    val path = fixturePath // serializable capture, not `this`
+    val dim = DIM
+    val out = Multimodal.extractFeatures(payloads, "id", "payload", dim)(
+      decoderSetup = () => {
+        // once-per-partition model load — the seam a trained
+        // checkpoint drops into
+        val w = Multimodal.loadWeightsF32LE(path, dim, 3 * 18 * 16)
+        Multimodal.linearImageDecoder(w, dim)
+      })
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    assert(out.size === 12)
+
+    // independent gate: driver-side matrix product over the SAME
+    // fixture bytes must reproduce every embedding exactly (float
+    // addition order is identical: ascending i)
+    val w = Multimodal.loadWeightsF32LE(fixturePath, DIM, 3 * W * H)
+    payloads.collect().foreach { r =>
+      val dec = ImageCodec.decode(r.getAs[Array[Byte]](1)).get
+      val expected = (0 until DIM).map { j =>
+        var acc = 0.0f
+        var i = 0
+        while (i < dec.channels.length) {
+          acc += w(j * dec.channels.length + i) * (dec.channels(i) & 0xFF)
+          i += 1
+        }
+        acc
+      }
+      assert(out(r.getLong(0)) === expected,
+        s"embedding mismatch for image ${r.getLong(0)}")
+    }
+  }
+
+  test("retrieval over fixture-weight embeddings: nearest neighbor of a " +
+      "perturbed image is its source") {
+    val path = fixturePath
+    val dim = DIM
+    val emb = Multimodal.extractFeatures(payloads, "id", "payload", dim)(
+      decoderSetup = () => Multimodal.linearImageDecoder(
+        Multimodal.loadWeightsF32LE(path, dim, 3 * 18 * 16), dim))
+      .select(col("id"), col("features"))
+    // brute-force cosine top-1 (the q30 baseline shape) over 12 vectors
+    val q = emb.select(col("id").as("qid"), col("features").as("qf"))
+    val top1 = emb.crossJoin(q).filter(col("id") =!= col("qid"))
+      .withColumn("cos",
+        expr("aggregate(zip_with(qf, features, (x, y) -> CAST(x*y AS DOUBLE))," +
+          " 0D, (a, x) -> a + x)") /
+          (sqrt(expr("aggregate(qf, 0D, (a, x) -> a + CAST(x*x AS DOUBLE))")) *
+            sqrt(expr(
+              "aggregate(features, 0D, (a, x) -> a + CAST(x*x AS DOUBLE))"))))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("cos").desc, col("id"))))
+      .filter(col("rk") === 1)
+      .select("qid", "id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 6).foreach { k =>
+      assert(top1(2L * k) === 2L * k + 1,
+        s"image ${2 * k}'s nearest must be its perturbed twin")
+      assert(top1(2L * k + 1) === 2L * k,
+        s"image ${2 * k + 1}'s nearest must be its source")
+    }
+  }
+
+  test("weight loading fails loudly on size mismatch; feature extraction " +
+      "rejects pre-quality-gate garbage") {
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.loadWeightsF32LE(fixturePath, DIM, 100)
+    }
+    assert(e.getMessage.contains("expected"))
+    val w = Multimodal.loadWeightsF32LE(fixturePath, DIM, 3 * W * H)
+    val dec = Multimodal.linearImageDecoder(w, DIM)
+    intercept[IllegalArgumentException] { dec(Array.fill[Byte](16)(0x42)) }
+    // wrong geometry = wrong channel count → named error, not garbage
+    val small = ImageCodec.encodeBmp(8, 8, ImageCodec.content(1L, 8, 8))
+    intercept[IllegalArgumentException] { dec(small) }
+  }
+
+  test("resizeNearest normalizes arbitrary geometry to the 18x16 target; " +
+      "identity at target size") {
+    val src = ImageCodec.decode(
+      ImageCodec.encodeBmp(30, 20, ImageCodec.content(9L, 30, 20))).get
+    val rs = ImageCodec.resizeNearest(src, W, H)
+    assert(rs.width === W && rs.height === H &&
+      rs.channels.length === 3 * W * H)
+    // nearest-neighbor: every target pixel equals its integer-mapped
+    // source pixel
+    for (y <- Seq(0, 7, 15); x <- Seq(0, 9, 17); c <- 0 until 3) {
+      val sy = y * 20 / H; val sx = x * 30 / W
+      assert(rs.channels(3 * (y * W + x) + c) ===
+        src.channels(3 * (sy * 30 + sx) + c))
+    }
+    // resize at source geometry is the identity
+    val same = ImageCodec.resizeNearest(src, 30, 20)
+    assert(same.channels.toSeq === src.channels.toSeq)
+    // and the resized image re-encodes + round-trips through the codec
+    val re = ImageCodec.decode(
+      ImageCodec.encodeBmp(W, H, rs.channels)).get
+    assert(re.channels.toSeq === rs.channels.toSeq)
+  }
+}

@@ -111,7 +111,7 @@ class OpsScaleSpec extends AnyFunSuite {
       .repartition(4)
     Multimodal.extractFeatures(df, "id", "bin", dim = 4)(() => {
       setups.add(1)
-      bytes => { rowsDecoded.add(1); Multimodal.stubDecoder(4)(bytes) }
+      bytes => { rowsDecoded.add(1); Multimodal.hashDecoder(4)(bytes) }
     }).count()
     assert(rowsDecoded.value === 100)
     assert(setups.value <= 4)

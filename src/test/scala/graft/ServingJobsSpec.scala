@@ -261,4 +261,93 @@ class ServingJobsSpec extends AnyFunSuite {
     assert(gsi.columns.toSet === Set("id", "timestamp", "region", "v"))
     assert(gsi.count() === 3)
   }
+
+  // ---- Embedded KV data plane (round-12: the last unexercised
+  // reference surface — a real store shape behind the sink) ----
+
+  test("embedded KV: batch-25 chunking — write count is ceil(n/25)") {
+    val sp = spark
+    import sp.implicits._
+    import graft.serving.{EmbeddedKVSink, EmbeddedKVStore}
+    val id = "kv_batch25"
+    EmbeddedKVStore.remove(id)
+    // ONE hash key → one task writes all rows → request count is
+    // exactly ceil(103/25) = 5 (multi-key writes chunk per task)
+    val n = 103
+    val df = (1 to n).map(i => ("acct", i.toLong, i * 1.5))
+      .toDF("account", "seq", "value")
+    new EmbeddedKVSink(id).write(df, "pnl", "account", Some("seq"))
+    val store = EmbeddedKVStore(id)
+    assert(store.itemCount("pnl") === n.toLong)
+    assert(store.itemWriteCount("pnl") === n.toLong)
+    assert(store.batchWriteCount("pnl") === ((n + 24) / 25).toLong,
+      "bulk push must chunk at the BatchWriteItem limit of 25")
+    // the store itself enforces the limit (the client must chunk)
+    val over = (1 to 26).map(i => Map[String, Any](
+      "account" -> "x", "seq" -> i.toLong)).toSeq
+    val e = intercept[IllegalArgumentException] {
+      store.batchWrite("pnl", over)
+    }
+    assert(e.getMessage.contains("25"))
+  }
+
+  test("embedded KV: point lookup by (hash, range) round-trips a " +
+      "served table; query(hash) sorts numerically by range key") {
+    val sp = spark
+    import sp.implicits._
+    import graft.serving.{EmbeddedKVSink, EmbeddedKVStore}
+    val id = "kv_serve_gate"
+    EmbeddedKVStore.remove(id)
+    val gold = Seq(
+      (ts("2024-01-30 10:00:00"), "SOL", 100.0, 10.0),
+      (ts("2024-01-30 10:00:00"), "ETH", 50.0, 5.0),
+      (ts("2024-01-30 09:00:00"), "SOL", 999.0, 99.0)) // wrong hour
+      .toDF("timestamp", "asset", "volume", "fees")
+    val conf = Conf(Instant.parse("2024-01-30T12:00:00Z"))
+    val sink = new EmbeddedKVSink(id)
+    val served = ServingJobs.serveSnapshot(gold, "timestamp", "asset",
+      Seq("volume", "fees"), conf, sink, "leaderboard")
+    val store = EmbeddedKVStore(id)
+    assert(store.itemCount("leaderboard") === 6L)
+    // EVERY served row must read back by its full primary key with its
+    // payload intact — the SV:190–234 point-lookup contract
+    served.collect().foreach { r =>
+      val item = store.get("leaderboard", r.getAs[String]("metric"),
+        Some(r.getAs[String]("sortKey"))).getOrElse(
+        fail(s"point lookup missed ${r.getAs[String]("sortKey")}"))
+      assert(item("value") === r.getAs[Double]("value"))
+      assert(item("asset") === r.getAs[String]("asset"))
+    }
+    assert(store.get("leaderboard", "volume", Some("no#such#key")).isEmpty)
+    // item collection: one hash key, range-sorted — with a NUMERIC
+    // range key, 2 must sort before 10 (a string sort would invert)
+    EmbeddedKVStore.remove("kv_numsort")
+    val numSink = new EmbeddedKVSink("kv_numsort")
+    numSink.write(Seq(("acct", 10L, "late"), ("acct", 2L, "early"))
+      .toDF("account", "seq", "tag"), "hist", "account", Some("seq"))
+    val hist = EmbeddedKVStore("kv_numsort").query("hist", "acct")
+    assert(hist.map(_("tag")) === Seq("early", "late"),
+      "number range keys must sort numerically, not lexicographically")
+  }
+
+  test("embedded KV: PutItem upsert is last-write-wins; lookups " +
+      "validate the key schema") {
+    val sp = spark
+    import sp.implicits._
+    import graft.serving.{EmbeddedKVSink, EmbeddedKVStore}
+    val id = "kv_upsert"
+    EmbeddedKVStore.remove(id)
+    val store = EmbeddedKVStore(id)
+    val df = Seq(("a", 1L, "v1")).toDF("h", "r", "payload")
+    new EmbeddedKVSink(id).write(df, "t", "h", Some("r"))
+    store.batchWrite("t", Seq(Map("h" -> "a", "r" -> 1L, "payload" -> "v2")))
+    assert(store.get("t", "a", Some(1L)).get("payload") === "v2",
+      "re-putting a key must replace the item")
+    assert(store.itemCount("t") === 1L)
+    // key-schema discipline: a (hash,range) table rejects hash-only gets
+    intercept[IllegalArgumentException] { store.get("t", "a") }
+    intercept[IllegalStateException] { store.get("nope", "a", Some(1L)) }
+    // int 1 and long 1 are the same NUMBER key, like DynamoDB's N type
+    assert(store.get("t", "a", Some(1)).isDefined)
+  }
 }

@@ -420,4 +420,71 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(got === batch, "scheduled streaming ≡ watermark-aware batch")
   }
+
+  // ---- round-12 soak: bounded state under a ProcessingTime trigger ----
+  // AvailableNow proves catch-up semantics but not the claim a
+  // PRODUCTION streaming deployment watches first: that state-store
+  // rows stay O(active keys × lateness horizon) as micro-batches keep
+  // coming (reference cadence note, transactions:926). Run the
+  // sessionizer under ProcessingTime with continuous input across many
+  // micro-batches and read the bound off lastProgress.stateOperators.
+  test("soak: sessionizer state stays bounded over 10+ ProcessingTime " +
+      "micro-batches of continuous input") {
+    import graft.streaming.SessionEvent
+    import org.apache.spark.sql.streaming.Trigger
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val activeKeys = 4
+    val out = StreamingOps.statefulSessions(
+      gapMinutes = 30, lateness = "10 minutes")(mem.toDS())
+    val ckpt = java.nio.file.Files.createTempDirectory("soak_ckpt").toString
+    val q = out.writeStream.format("memory").queryName("soak_sessions")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    val rounds = 12
+    try {
+      // each round advances event time by 1h: every user opens a fresh
+      // session and the moving watermark closes + EVICTS the previous
+      // one — input grows linearly, live state must not
+      (0 until rounds).foreach { b =>
+        val base = ts("2024-01-01 00:00:00").getTime + b * 3600L * 1000
+        mem.addData((1 to activeKeys).flatMap { u =>
+          Seq(SessionEvent(u.toLong, new Timestamp(base), 1.0),
+            SessionEvent(u.toLong, new Timestamp(base + 5 * 60 * 1000), 2.0))
+        }: _*)
+        q.processAllAvailable()
+      }
+      val progresses = q.recentProgress.filter(_.stateOperators.nonEmpty)
+      assert(progresses.map(_.batchId).distinct.length >= 10,
+        s"soak must span ≥10 micro-batches, got " +
+          s"${progresses.map(_.batchId).distinct.length}")
+      assert(progresses.map(_.numInputRows).sum ===
+        (rounds * activeKeys * 2).toLong, "every input row processed")
+      // THE bound: live state ≤ active keys × small horizon factor (the
+      // open session per key plus the previous not-yet-evicted one) —
+      // NEVER proportional to micro-batch count. A leak shows up here
+      // as ~rounds×activeKeys.
+      val finalState = progresses.last.stateOperators(0).numRowsTotal
+      assert(finalState <= (activeKeys * 3).toLong,
+        s"state rows grew to $finalState — leak: expected ≤ ${activeKeys * 3}")
+      // and the bound held THROUGHOUT the run, not just at the end
+      val peak = progresses.map(_.stateOperators(0).numRowsTotal).max
+      assert(peak <= (activeKeys * 3).toLong,
+        s"peak state $peak exceeded the active-keys×horizon bound")
+      // eviction is real: ~one session per key per round was CREATED
+      // (the memory sink shows them emitted), yet live state never
+      // exceeded the horizon bound — closed sessions left the store.
+      // (flatMapGroupsWithState does not report numRowsRemoved, so the
+      // proof is emitted-count vs live-state, not the removal metric.)
+      val emitted = sp.sql("SELECT COUNT(*) FROM soak_sessions").head().getLong(0)
+      assert(emitted >= (rounds - 2).toLong * activeKeys,
+        s"sessions must close and emit as the watermark advances, got $emitted")
+      assert(emitted > peak,
+        "emitted sessions exceed peak live state — state is evicted, not accumulated")
+    } finally q.stop()
+  }
 }
