@@ -43,8 +43,28 @@ object ScaleSweep {
   def deriveSf1(spark: SparkSession, srcDir: String, dstDir: String): Unit = {
     val shards = 10
     def src(t: String) = spark.read.parquet(s"$srcDir/$t.parquet")
-    def writeOut(t: String)(df: DataFrame): Unit =
-      df.write.mode("overwrite").parquet(s"$dstDir/$t.parquet")
+    // single-FILE layout, exactly like the driver's testdata: several
+    // queries stage/stream `<dir>/<t>.parquet` with file-glob options
+    // that a directory-of-parts layout would break
+    def writeOut(t: String)(df: DataFrame): Unit = {
+      val tmp = s"$dstDir/.tmp_$t"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val tmpDir = java.nio.file.Path.of(tmp)
+      val part = java.nio.file.Files.list(tmpDir).iterator()
+      var found: java.nio.file.Path = null
+      while (part.hasNext) {
+        val p = part.next()
+        if (p.getFileName.toString.endsWith(".parquet")) found = p
+      }
+      require(found != null, s"no part file written for $t")
+      val dst = java.nio.file.Path.of(s"$dstDir/$t.parquet")
+      java.nio.file.Files.deleteIfExists(dst)
+      java.nio.file.Files.move(found, dst)
+      // clean the temp dir (crc/_SUCCESS files)
+      java.nio.file.Files.walk(tmpDir).sorted(
+        java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    }
 
     // one shard column crossed in, then per-table key shifts; all
     // expressions stay in codegen (this is a 6M-row ETL job, not a
@@ -78,22 +98,24 @@ object ScaleSweep {
       shift("event_id", 100000000L), col("ts"),
       shift("user_id", 10000000L), col("event_type"), col("value"),
       col("props")))
-    // documents: shard 0 verbatim; shard k>0 word-rotated by k with a
-    // shard marker token in front (kills cross-shard near-dup pairs
-    // under both shingle- and token-level similarity)
-    val words = split(col("text"), " ")
-    val k = pmod(col("__shard"), lit(7)) + lit(1) // rotation distance
-    val rotated = concat_ws(" ",
-      concat(
-        array(concat(lit("shard"), col("__shard").cast("string"))),
-        slice(words, (k + 1).cast("int"), greatest(size(words) - k, lit(0)).cast("int")),
-        slice(words, lit(1), k.cast("int"))))
+    // documents: shard 0 verbatim; shard k>0 suffixes a shard-varying
+    // ~60% of words (selected by word hash + shard). This kills
+    // cross-shard TOKEN-SET similarity (shared fraction ≈ 0.4² ≈ 0.16 →
+    // Jaccard ≈ 0.09, far below every near-dup threshold) — a pure
+    // word ROTATION does not (token multisets stay identical and the
+    // clone pathology survives for MinHash/PPJoin-style measures, the
+    // exact blowup this derivation must avoid) — while keeping ~40% of
+    // words verbatim so stopword/vocabulary statistics (quality
+    // scoring, language ID) stay realistic within every shard.
+    val suffixed = concat_ws(" ", transform(split(col("text"), " "),
+      w => when(pmod(xxhash64(w) + col("__shard"), lit(5)) < 3,
+        concat(w, lit("~"), col("__shard").cast("string"))).otherwise(w)))
     writeOut("documents")(sharded("documents").select(
       shift("doc_id", 10000000L),
-      when(col("__shard") === 0, col("text")).otherwise(rotated).as("text"),
+      when(col("__shard") === 0, col("text")).otherwise(suffixed).as("text"),
       col("lang"), col("source"),
       when(col("__shard") === 0, col("n_chars"))
-        .otherwise(length(rotated).cast("long")).as("n_chars")))
+        .otherwise(length(suffixed).cast("long")).as("n_chars")))
     // embeddings: cyclic rotation by shard (norm-preserving)
     val dim = size(col("embedding"))
     val rot = pmod(col("__shard"), dim.cast("long"))
@@ -125,8 +147,9 @@ object ScaleSweep {
       System.err.println(s"[sweep] deriving sf1 into $sf1 ...")
       deriveSf1(spark, sf01, sf1)
     }
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
 
-    val results = TOP15.map { name =>
+    val results = TOP15.flatMap { name =>
       val fn = SparkEntry.queries(name)
       def run(dir: String): Unit = { fn(spark, dir).count(); () }
       def sweepCaches(): Unit = {
@@ -134,24 +157,34 @@ object ScaleSweep {
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
       }
-      run(sf01); sweepCaches() // warm (JIT + codegen, shared by both scales)
-      val t01 = Seq(time { run(sf01) }, { sweepCaches(); time { run(sf01) } }).min
-      sweepCaches()
-      val t1 = time { run(sf1) }
-      sweepCaches()
-      val ratio = t1 / t01
-      System.err.println(f"[sweep] $name%-32s sf0.1 $t01%7.2fs  sf1 $t1%7.2fs  ratio ${ratio}%5.1f×")
-      (name, t01, t1, ratio)
+      try {
+        run(sf01); sweepCaches() // warm (JIT + codegen, shared by both scales)
+        val t01 = Seq(time { run(sf01) }, { sweepCaches(); time { run(sf01) } }).min
+        sweepCaches()
+        val t1 = time { run(sf1) }
+        sweepCaches()
+        val ratio = t1 / t01
+        System.err.println(f"[sweep] $name%-32s sf0.1 $t01%7.2fs  sf1 $t1%7.2fs  ratio ${ratio}%5.1f x")
+        Some((name, t01, t1, ratio))
+      } catch {
+        case e: Throwable =>
+          // one broken query must not lose the whole record — but it
+          // must be LOUD in it (the merge below records the names)
+          System.err.println(s"[sweep] $name FAILED: ${e.getMessage}")
+          failed += name
+          None
+      }
     }
     val qJson = results.map { case (n, a, b, r) =>
       f""""$n":{"sf01_sec":$a%.3f,"sf1_sec":$b%.3f,"ratio":$r%.2f}"""
     }.mkString("{", ",", "}")
     val worst = results.maxBy(_._4)
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
       s"""{"metric":"sf1_subset","n_queries":${results.size},""" +
         s""""sf01_total":${results.map(_._2).sum},"sf1_total":${results.map(_._3).sum},""" +
         f""""worst_ratio":${worst._4}%.2f,"worst_query":"${worst._1}",""" +
-        s""""gate_max_ratio":12.0,"queries":$qJson}"""
+        s""""gate_max_ratio":12.0,"failed":$failedJson,"queries":$qJson}"""
     println(line)
     java.nio.file.Files.writeString(java.nio.file.Path.of(out), line + "\n")
     spark.stop()
