@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.ops.{AudioCodec, ImageCodec, Multimodal}
+import graft.ops.{AudioCodec, ImageCodec, Multimodal, VideoCodec}
 import QH._
 
 /** Multimodal columns: opaque binary payloads with typed metadata.
@@ -615,6 +615,88 @@ object MultimodalQueries {
               ORDER BY dot DESC, neighbor_id) AS rk
           FROM dots)
         SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id, dot
-        FROM ranked WHERE rk <= 3 ORDER BY query_id, rk"""))
+        FROM ranked WHERE rk <= 3 ORDER BY query_id, rk""")),
+
+    // VIDEO FRAME-SAMPLE + KEYFRAME/SCENE DETECTION — the last
+    // multimodal leg (decode / feature-extract / resize / frame-sample):
+    // a REAL raw-video container (ops/VideoCodec "GVID": header +
+    // concatenated 24-bit RGB frames, strict 64-bit-bounds parse) is
+    // encoded per document, pushed through a binary column, decoded
+    // back, and the engine runs the temporal ops a video curation
+    // pipeline needs — stride sampling (every 4th frame) and
+    // scene-change keyframes by consecutive-frame L1 distance, which
+    // doubles as temporal dedup (consecutive near-identical frames
+    // collapse onto their scene's keyframe). Content is closed-form:
+    // doc d has F = 6 + d%7 frames of 16×12; docs with d%5 = 0 are
+    // single-scene (every frame identical); all others cut to a second
+    // scene at frame f0 = 1 + d%(F−1). The oracle re-derives frame
+    // pixel sums from the content formula and the keyframe/sample
+    // counts from the scene structure.
+    Q("q234_video_keyframes",
+      (s, d) => {
+        val W = 16; val H = 12
+        val docs = spread(s, col("doc_id"))(
+          t(s, d, "documents").select(col("doc_id").cast("long").as("doc_id")))
+        val payloads = docs.mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0)
+            val f = (6 + id % 7).toInt
+            val f0 = (1 + id % (f - 1)).toInt
+            val seedA = id % 50
+            val seedB = if (id % 5 == 0) seedA else seedA + 1
+            val sceneA = ImageCodec.content(seedA, W, H)
+            val sceneB = ImageCodec.content(seedB, W, H)
+            val frames = (0 until f).map(i => if (i < f0) sceneA else sceneB)
+            Row(id, VideoCodec.encode(W, H, 24, frames))
+          }
+        }(Encoders.row(payloadSchema))
+        val outSchema = StructType(Seq(
+          StructField("doc_id", LongType, nullable = false),
+          StructField("n_frames", LongType, nullable = false),
+          StructField("n_keyframes", LongType, nullable = false),
+          StructField("scene_frame", LongType, nullable = true),
+          StructField("pixel_sum_first", LongType, nullable = false),
+          StructField("pixel_sum_last", LongType, nullable = false),
+          StructField("n_sampled", LongType, nullable = false)))
+        payloads.mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0)
+            val v = VideoCodec.decode(r.getAs[Array[Byte]](1)).get
+            val kf = VideoCodec.keyframes(v, minDiff = 1L)
+            Row(id, v.nFrames.toLong, kf.length.toLong,
+              if (kf.length > 1) kf(1).toLong else null,
+              VideoCodec.frameSum(v, 0),
+              VideoCodec.frameSum(v, v.nFrames - 1),
+              VideoCodec.sampleIndices(v.nFrames, 4).length.toLong)
+          }
+        }(Encoders.row(outSchema)).orderBy("doc_id")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, doc_id % 50 AS sa, 6 + doc_id % 7 AS f,
+            1 + doc_id % (5 + doc_id % 7) AS f0,
+            doc_id % 5 = 0 AS single_scene
+          FROM documents),
+        seeds AS (
+          SELECT DISTINCT sa AS seed FROM d
+          UNION SELECT DISTINCT sa + 1 FROM d),
+        ps AS (
+          SELECT seed,
+            SUM(((seed % 256) * 7 + (i % 256) * 13) % 256) AS s
+          FROM seeds, LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 575)) AS i)
+          GROUP BY seed)
+        SELECT d.doc_id, CAST(d.f AS BIGINT) AS n_frames,
+          CAST(CASE WHEN d.single_scene THEN 1 ELSE 2 END AS BIGINT)
+            AS n_keyframes,
+          CASE WHEN d.single_scene THEN NULL
+            ELSE CAST(d.f0 AS BIGINT) END AS scene_frame,
+          CAST(pa.s AS BIGINT) AS pixel_sum_first,
+          CAST(CASE WHEN d.single_scene THEN pa.s ELSE pb.s END AS BIGINT)
+            AS pixel_sum_last,
+          CAST((d.f + 3) // 4 AS BIGINT) AS n_sampled
+        FROM d
+          JOIN ps pa ON pa.seed = d.sa
+          JOIN ps pb ON pb.seed = d.sa + 1
+        ORDER BY d.doc_id"""))
   )
 }
