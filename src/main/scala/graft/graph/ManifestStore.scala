@@ -76,12 +76,23 @@ object ManifestStore {
     * empty manifest still knows its shape). Absent only on manifests
     * written before this field existed — readers then fall back to
     * mergeSchema inference. */
+  /** `blooms`: partition key → column → packed bloom filter
+    * ("m:k:base64(bit words)") over the partition's DISTINCT values of
+    * that column — the point-lookup skipping layer ABOVE the (min, max)
+    * zone maps: a range can't exclude a needle that falls inside it,
+    * a bloom usually can (m=8192, k=4 → ~2% false keeps at 1k distinct
+    * values/partition). Recorded by `upsert(bloomCols = …)`; absent
+    * blooms must KEEP (same safety rule as stats). After deleteKeys the
+    * carried bloom is stale-WIDE (may still claim deleted keys —
+    * false positives are the bloom contract, so reads stay correct). */
   final case class Manifest(version: Long, entries: Map[String, String],
                             stats: Map[String, Map[String, (String, String)]]
                               = Map.empty,
                             fileStats: Map[String, Map[String, Map[String, (String, String)]]]
                               = Map.empty,
-                            schemaJson: Option[String] = None) {
+                            schemaJson: Option[String] = None,
+                            blooms: Map[String, Map[String, String]]
+                              = Map.empty) {
     def schema: Option[StructType] = schemaJson.map(j =>
       org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[StructType])
@@ -156,8 +167,18 @@ object ManifestStore {
         fileStats += p.getKey -> files.toMap
       }
       val schemaJson = Option(tree.get("schema")).map(_.asText())
+      val blooms = scala.collection.mutable
+        .Map.empty[String, Map[String, String]]
+      val bloomNode = tree.get("blooms")
+      if (bloomNode != null) bloomNode.fields().forEachRemaining { p =>
+        val cols = scala.collection.mutable.Map.empty[String, String]
+        p.getValue.fields().forEachRemaining { c =>
+          cols += c.getKey -> c.getValue.asText()
+        }
+        blooms += p.getKey -> cols.toMap
+      }
       Some(Manifest(tree.get("version").asLong(), entries.toMap, stats.toMap,
-        fileStats.toMap, schemaJson))
+        fileStats.toMap, schemaJson, blooms.toMap))
     }
   }
 
@@ -389,6 +410,81 @@ object ManifestStore {
     (partStats, fileStats)
   }
 
+  /** Compact per-partition bloom filter construction over the staged
+    * generation — the POINT-LOOKUP skipping layer above the (min, max)
+    * zone maps (a needle inside every partition's range is invisible to
+    * range skipping; a bloom excludes ~98% of non-containing partitions
+    * at the default sizing). Pure DataFrame job, same one-scan
+    * discipline as [[collectStats]]: the k bit positions per value are
+    * codegen'd xxhash64 expressions, `collect_set` caps each group's
+    * driver payload at the bloom WIDTH (8192 positions), never the
+    * value count — metadata-scale by construction. Null values carry no
+    * bits (an equality lookup is never null). */
+  private def collectBlooms(spark: SparkSession, root: String, genRel: String,
+                            partitionCols: Seq[String],
+                            bloomCols: Seq[String], schema: StructType)
+      : Map[String, Map[String, String]] = {
+    import org.apache.spark.sql.functions.{array, collect_set, explode}
+    val staged = spark.read.option("basePath", s"$root/$genRel")
+      .schema(schema).parquet(s"$root/$genRel")
+    def keyOf(r: org.apache.spark.sql.Row): String =
+      partKey(partitionCols, partitionCols.map(c => r.get(r.fieldIndex(c))))
+    val perCol = bloomCols.map { c =>
+      staged.filter(col(c).isNotNull)
+        .select((partitionCols.map(col) :+
+          explode(array(BloomSkip.positionExprs(col(c)): _*)).as("__p")): _*)
+        .groupBy(partitionCols.map(col): _*)
+        .agg(collect_set(col("__p")).as("__ps"))
+        .collect()
+        .map(r => keyOf(r) ->
+          BloomSkip.pack(r.getSeq[Int](r.fieldIndex("__ps"))))
+        .toMap
+        .map { case (k, enc) => k -> (c -> enc) }
+    }
+    perCol.flatten.groupBy(_._1)
+      .view.mapValues(_.map(_._2).toMap).toMap
+  }
+
+  /** Bloom point-lookup read: keep only partitions whose bloom for
+    * `keyCol` might contain `value` (absent bloom = keep, the stats
+    * safety rule), then filter exactly. The lookup value is CAST to the
+    * recorded schema's column type before hashing — bit positions were
+    * computed from typed column values, and an int-vs-long literal
+    * would hash differently and miss everything. This is the
+    * needle-in-100TB read: partition pruning happens driver-side in the
+    * manifest map; only maybe-containing directories are listed. */
+  def readBloomEquals(spark: SparkSession, root: String, keyCol: String,
+                      value: Any, schema: Option[StructType] = None)
+      : DataFrame = {
+    val fs = fsOf(spark, root)
+    val m = readManifest(fs, root).getOrElse(
+      throw new IllegalStateException(s"no committed manifest under $root"))
+    import org.apache.spark.sql.functions.lit
+    val dt = m.schema.flatMap(_.fields.find(_.name == keyCol)).map(_.dataType)
+    val litv = dt.fold(lit(value))(t => lit(value).cast(t))
+    // hash parity with the build side: evaluate the SAME codegen'd
+    // expressions on a 1-row frame rather than reimplementing xxhash64
+    val posRow = spark.range(1)
+      .select(BloomSkip.positionExprs(litv): _*).head()
+    val positions = (0 until BloomSkip.HASHES).map(posRow.getInt)
+    val kept = m.entries.filter { case (k, _) =>
+      m.blooms.get(k).flatMap(_.get(keyCol)) match {
+        case Some(enc) => BloomSkip.mightContain(enc, positions)
+        case None => true // no bloom recorded: cannot exclude
+      }
+    }
+    val out =
+      if (kept.isEmpty) {
+        val sch = schema.orElse(m.schema).getOrElse(
+          throw new IllegalArgumentException(
+            s"bloom lookup matched no partitions of $root and has no " +
+              "schema to shape the empty result"))
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+      } else readPaths(spark, root, kept.values.toSeq, schema.orElse(m.schema))
+    out.filter(col(keyCol) === litv)
+  }
+
   /** Deletion propagation at the table-format level — the
     * right-to-be-forgotten write (the storage half of q152's deletion
     * AUDIT): remove every row whose key tuple appears in `keys`
@@ -432,10 +528,12 @@ object ManifestStore {
     // remain valid SUPERSETS of the surviving rows' range — skipping
     // stays correct (conservative), and publish drops entries for
     // partitions that vanished entirely. FILE stats for the rewritten
-    // partitions are dropped — their file lists changed.
+    // partitions are dropped — their file lists changed. Blooms carry
+    // forward stale-WIDE (deletion only removes keys; false positives
+    // are within the bloom contract).
     publish(spark, root, version,
       (prev.entries -- touchedKeys) ++ staged, Some(prev), prev.stats,
-      prev.fileStats -- touchedKeys, prev.schemaJson)
+      prev.fileStats -- touchedKeys, prev.schemaJson, prev.blooms)
   }
 
   /** Maintenance compaction — the OPTIMIZE of this mini table format:
@@ -461,9 +559,10 @@ object ManifestStore {
         s"compaction changed the partition set of $root: " +
           s"${entries.keySet} vs ${prev.entries.keySet}")
     // same rows, same partitions — recorded PARTITION bounds stay
-    // exact; file stats drop (every file was rewritten)
+    // exact (and blooms stay EXACT, not merely safe); file stats drop
+    // (every file was rewritten)
     publish(spark, root, version, entries, Some(prev), prev.stats,
-      schemaJson = prev.schemaJson)
+      schemaJson = prev.schemaJson, blooms = prev.blooms)
   }
 
   /** Stage generation `version`: write `merged` (which must contain
@@ -533,7 +632,9 @@ object ManifestStore {
                                = Map.empty,
                              fileStats: Map[String, Map[String, Map[String, (String, String)]]]
                                = Map.empty,
-                             schemaJson: Option[String] = None): Unit = {
+                             schemaJson: Option[String] = None,
+                             blooms: Map[String, Map[String, String]]
+                               = Map.empty): Unit = {
     val fs = fsOf(spark, root)
     val node = mapper.createObjectNode()
     node.put("version", version)
@@ -562,6 +663,15 @@ object ManifestStore {
         files.toSeq.sortBy(_._1).foreach { case (f, cols) =>
           writeRanges(pn.putObject(f), cols)
         }
+      }
+    }
+    // same liveness invariant as stats: blooms only for live partitions
+    val liveBlooms = blooms.view.filterKeys(entries.contains).toMap
+    if (liveBlooms.nonEmpty) {
+      val bn = node.putObject("blooms")
+      liveBlooms.toSeq.sortBy(_._1).foreach { case (k, cols) =>
+        val pn = bn.putObject(k)
+        cols.toSeq.sortBy(_._1).foreach { case (c, enc) => pn.put(c, enc) }
       }
     }
     val tmp = new HPath(s"$root/$MDIR/.tmp-v$version.json")
@@ -621,6 +731,7 @@ object ManifestStore {
              tieBreak: Seq[String], partitionCols: Seq[String],
              checkEmpty: Boolean = true,
              statsCols: Seq[String] = Nil,
+             bloomCols: Seq[String] = Nil,
              layout: DataFrame => DataFrame = identity)(batch: DataFrame): Unit = {
     require(partitionCols.nonEmpty,
       "ManifestStore.upsert needs partition columns; use Runner.upsertParquet for unpartitioned tables")
@@ -671,10 +782,19 @@ object ManifestStore {
       throw new IllegalStateException(
         s"zone-map stats keys drifted from staged partitions at $root: " +
           s"${newStats.keySet -- newEntries.keySet}")
+    val newBlooms =
+      if (bloomCols.isEmpty || newEntries.isEmpty)
+        Map.empty[String, Map[String, String]]
+      else collectBlooms(spark, root,
+        newEntries.values.head.split('/').take(2).mkString("/"),
+        partitionCols, bloomCols, merged.schema)
     // touched partitions either get FRESH bounds or none at all — a
     // stats-less rewrite must not carry the old bounds forward (the new
     // rows could lie outside them, and stale-NARROW bounds would make
-    // skipping silently wrong; stale-WIDE, as after deletes, is safe)
+    // skipping silently wrong; stale-WIDE, as after deletes, is safe).
+    // Blooms follow the same rule: a bloom-less rewrite DROPS the
+    // touched partitions' blooms — new rows could carry keys the old
+    // bloom doesn't claim, and a stale-NARROW bloom skips wrongly.
     publish(spark, root, version,
       prev.map(_.entries).getOrElse(Map.empty) ++ newEntries, prev,
       (prev.map(_.stats).getOrElse(Map.empty) -- touchedKeys) ++ newStats,
@@ -685,7 +805,8 @@ object ManifestStore {
       // rewrite of an old partition would silently drop the missing
       // columns — union with the previous record, batch types winning
       // on name collisions (the evolution convention)
-      Some(unionSchema(prev.flatMap(_.schema), merged.schema).json))
+      Some(unionSchema(prev.flatMap(_.schema), merged.schema).json),
+      (prev.map(_.blooms).getOrElse(Map.empty) -- touchedKeys) ++ newBlooms)
   }
 
   /** Field-name union of the previously recorded schema and the new
@@ -698,4 +819,54 @@ object ManifestStore {
         val have = next.fieldNames.toSet
         StructType(next.fields ++ p.fields.filterNot(f => have(f.name)))
     }
+}
+
+/** Bloom filter encoding shared by the manifest's build and lookup
+  * sides: m = 8192 bits (1 KiB per partition per column in the
+  * manifest, before base64), k = 4 xxhash64-derived positions. The
+  * positions are SPARK EXPRESSIONS (`pmod(xxhash64(v, i), m)`) on both
+  * sides, so build/lookup hash parity is by construction, not by a
+  * hand-rolled reimplementation that could drift. */
+object BloomSkip {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+
+  val BITS = 8192
+  val HASHES = 4
+
+  /** The k bit positions of one value, as codegen'd columns. */
+  def positionExprs(value: Column): Seq[Column] =
+    (0 until HASHES).map(i =>
+      pmod(xxhash64(value, lit(i)), lit(BITS.toLong)).cast("int"))
+
+  /** Pack set bit positions into the manifest encoding "m:k:base64". */
+  def pack(positions: Iterable[Int]): String = {
+    val words = new Array[Long](BITS / 64)
+    positions.foreach { p =>
+      require(p >= 0 && p < BITS, s"bit position $p out of range")
+      words(p >>> 6) |= 1L << (p & 63)
+    }
+    val bytes = java.nio.ByteBuffer.allocate(words.length * 8)
+    words.foreach(bytes.putLong)
+    s"$BITS:$HASHES:" +
+      java.util.Base64.getEncoder.encodeToString(bytes.array())
+  }
+
+  /** True unless some position's bit is unset (definite absence). A
+    * malformed encoding keeps (same safety direction as absent stats). */
+  def mightContain(encoded: String, positions: Seq[Int]): Boolean = {
+    val parts = encoded.split(":", 3)
+    if (parts.length != 3) return true
+    val bits = try java.util.Base64.getDecoder.decode(parts(2))
+      catch { case _: IllegalArgumentException => return true }
+    val m = try parts(0).toInt catch { case _: NumberFormatException => return true }
+    if (bits.length * 8 != m) return true
+    val buf = java.nio.ByteBuffer.wrap(bits)
+    val words = new Array[Long](bits.length / 8)
+    var i = 0
+    while (i < words.length) { words(i) = buf.getLong(); i += 1 }
+    positions.forall { p =>
+      p >= 0 && p < m && (words(p >>> 6) & (1L << (p & 63))) != 0
+    }
+  }
 }

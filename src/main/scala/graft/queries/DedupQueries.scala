@@ -499,7 +499,7 @@ object DedupQueries {
         JOIN sizes sb ON doc_hist = sb.doc_id
         WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.6
         ORDER BY doc_new, doc_hist"""))
-  ) :+ q29 :+ q92 :+ q196 :+ q213
+  ) :+ q29 :+ q92 :+ q196 :+ q213 :+ q235
 
   // PPJOIN-STYLE PREFIX-FILTERED EXACT SIMILARITY JOIN — the seventh
   // candidate-generation modality, and the one that is EXACT at scale:
@@ -844,4 +844,96 @@ object DedupQueries {
           ROUND(CAST(n_hit AS DOUBLE) / n_cand, 6) AS precision_,
           ROUND(CAST(n_hit AS DOUBLE) / n_truth, 6) AS recall_
         FROM counts"""))
+
+  // TYPO DEDUP — SymSpell's deletion-neighborhood join, the vocabulary
+  // half of fuzzy dedup (MinHash/SimHash dedup DOCUMENTS; a text
+  // pipeline also dedups its TOKEN space: OCR noise, user typos,
+  // tokenizer variants). The pigeonhole: two strings within edit
+  // distance 1 share a member of each other's {identity ∪ 1-deletion}
+  // neighborhoods, so candidates come from ONE equi self-join on
+  // neighborhood variants (|v| ≤ len+1 per word — linear blowup, no
+  // all-pairs) and exact `levenshtein ≤ 1` verifies. Handles are
+  // synthesized closed-form per doc (base word + deterministic
+  // delete/substitute/insert typo) so the DuckDB oracle can rebuild
+  // the same vocabulary and brute-force-verify with ITS levenshtein —
+  // the oracle is quadratic on |vocab| (exact), the engine is linear
+  // in variants: the same exact-vs-scale-path split as q27/q28.
+  private val q235: Q =
+    Q("q235_typo_dedup",
+      (s, d) => {
+        val handles = spread(s, col("doc_id"))(
+          t(s, d, "documents").select(col("doc_id").cast("long").as("doc_id")))
+          .selectExpr(
+            """CASE doc_id % 20
+                 WHEN 0 THEN 'table'   WHEN 1 THEN 'batch'
+                 WHEN 2 THEN 'query'   WHEN 3 THEN 'window'
+                 WHEN 4 THEN 'stream'  WHEN 5 THEN 'filter'
+                 WHEN 6 THEN 'column'  WHEN 7 THEN 'value'
+                 WHEN 8 THEN 'vector'  WHEN 9 THEN 'customer'
+                 WHEN 10 THEN 'merge'  WHEN 11 THEN 'scan'
+                 WHEN 12 THEN 'sort'   WHEN 13 THEN 'group'
+                 WHEN 14 THEN 'spark'  WHEN 15 THEN 'order'
+                 WHEN 16 THEN 'line'   WHEN 17 THEN 'data'
+                 WHEN 18 THEN 'hash'   ELSE 'join' END AS base""",
+            "doc_id")
+          .selectExpr("base",
+            "CAST(doc_id % length(base) AS INT) AS p",
+            "chr(97 + doc_id % 26) AS c",
+            "doc_id % 4 AS mode")
+          .selectExpr(
+            """CASE mode
+                 WHEN 0 THEN base
+                 WHEN 1 THEN substr(base, 1, p) || substr(base, p + 2)
+                 WHEN 2 THEN substr(base, 1, p) || c || substr(base, p + 2)
+                 ELSE substr(base, 1, p) || c || substr(base, p + 1)
+               END AS word""")
+          .distinct()
+        handles.cache() // feeds variants AND the verify join
+        // {identity ∪ all 1-deletions} neighborhood, one row per variant
+        val variants = handles.selectExpr("word",
+          """explode(array_union(
+               array(word),
+               transform(sequence(0, length(word) - 1),
+                 i -> concat(substr(word, 1, i), substr(word, i + 2))))
+             ) AS variant""")
+        val pairs = variants.alias("a").join(variants.alias("b"),
+            col("a.variant") === col("b.variant") &&
+              col("a.word") < col("b.word"))
+          .select(col("a.word").as("word_a"), col("b.word").as("word_b"))
+          .distinct()
+          .filter(levenshtein(col("word_a"), col("word_b")) <= 1)
+        pairs.orderBy("word_a", "word_b")
+      },
+      Some("""
+        WITH h AS (
+          SELECT doc_id,
+            CASE doc_id % 20
+              WHEN 0 THEN 'table'   WHEN 1 THEN 'batch'
+              WHEN 2 THEN 'query'   WHEN 3 THEN 'window'
+              WHEN 4 THEN 'stream'  WHEN 5 THEN 'filter'
+              WHEN 6 THEN 'column'  WHEN 7 THEN 'value'
+              WHEN 8 THEN 'vector'  WHEN 9 THEN 'customer'
+              WHEN 10 THEN 'merge'  WHEN 11 THEN 'scan'
+              WHEN 12 THEN 'sort'   WHEN 13 THEN 'group'
+              WHEN 14 THEN 'spark'  WHEN 15 THEN 'order'
+              WHEN 16 THEN 'line'   WHEN 17 THEN 'data'
+              WHEN 18 THEN 'hash'   ELSE 'join' END AS base
+          FROM documents),
+        t AS (
+          SELECT base, CAST(doc_id % length(base) AS INT) AS p,
+            chr(97 + CAST(doc_id % 26 AS INT)) AS c, doc_id % 4 AS mode
+          FROM h),
+        vocab AS (
+          SELECT DISTINCT CASE mode
+            WHEN 0 THEN base
+            WHEN 1 THEN substr(base, 1, p) || substr(base, p + 2)
+            WHEN 2 THEN substr(base, 1, p) || c || substr(base, p + 2)
+            ELSE substr(base, 1, p) || c || substr(base, p + 1)
+          END AS word FROM t)
+        SELECT a.word AS word_a, b.word AS word_b
+        FROM vocab a JOIN vocab b
+          ON a.word < b.word
+            AND abs(length(a.word) - length(b.word)) <= 1
+        WHERE levenshtein(a.word, b.word) <= 1
+        ORDER BY word_a, word_b"""))
 }

@@ -387,6 +387,63 @@ class ManifestStoreSpec extends AnyFunSuite {
     assert(snapshot(root) === Map(1L -> (9L, "c"), 2L -> (7L, "A")))
   }
 
+  test("bloom skipping: point lookups list only maybe-containing " +
+      "partitions; rewrites refresh, bloom-less rewrites drop") {
+    val sp = spark
+    import sp.implicits._
+    import graft.graph.BloomSkip
+    val root = Files.createTempDirectory("mstore_bloom").toString
+    // 8 partitions × 40 distinct keys each, keys globally unique —
+    // range stats CANNOT skip (every partition spans the key range by
+    // bucket construction k%8), only the bloom can
+    val rows = (0 until 320).map(i => (i.toLong * 7 + 1, 1L, s"v$i", i % 8))
+    ManifestStore.upsert(root, Seq("k"), "seq", Nil, Seq("bucket"),
+      bloomCols = Seq("k"))(rows.toDF("k", "seq", "v", "bucket"))
+    val m = ManifestStore.readManifest(fs(root), root).get
+    assert(m.blooms.size === 8 && m.blooms.values.forall(_.contains("k")))
+
+    // point lookup: the needle's row comes back, and the scan listed
+    // only ONE partition directory (its own; false-positive partitions
+    // are possible but 7/7 passing would be a broken bloom)
+    val needle = 5L * 7 + 1 // k of i=5, lives in bucket 5
+    val hit = ManifestStore.readBloomEquals(spark, root, "k", needle)
+    assert(hit.select("v").collect().map(_.getString(0)).toSeq === Seq("v5"))
+    val listed = hit.inputFiles.map(f =>
+      f.split('/').find(_.startsWith("bucket=")).get).toSet
+    assert(listed.contains("bucket=5"))
+    assert(listed.size <= 2,
+      s"bloom must prune most partitions, listed $listed")
+    // absent key: usually ZERO partitions listed (false keeps allowed)
+    val miss = ManifestStore.readBloomEquals(spark, root, "k", 999999L)
+    assert(miss.isEmpty)
+
+    // rewrite bucket 0 WITH blooms: the new key must be findable (the
+    // bloom was refreshed, not carried stale-narrow)
+    ManifestStore.upsert(root, Seq("k"), "seq", Nil, Seq("bucket"),
+      bloomCols = Seq("k"))(Seq((500000L, 2L, "new", 0))
+      .toDF("k", "seq", "v", "bucket"))
+    assert(ManifestStore.readBloomEquals(spark, root, "k", 500000L)
+      .select("v").head().getString(0) === "new")
+
+    // rewrite bucket 1 WITHOUT blooms: its bloom must be DROPPED (a
+    // stale bloom would claim the new key absent → wrong skip), and the
+    // new key must still be findable via the keep-on-absent rule
+    ManifestStore.upsert(root, Seq("k"), "seq", Nil, Seq("bucket"))(
+      Seq((600000L, 2L, "nb", 1)).toDF("k", "seq", "v", "bucket"))
+    val m2 = ManifestStore.readManifest(fs(root), root).get
+    assert(!m2.blooms.contains("bucket=1"),
+      "bloom-less rewrite must drop the partition's bloom")
+    assert(ManifestStore.readBloomEquals(spark, root, "k", 600000L)
+      .select("v").head().getString(0) === "nb")
+
+    // encoding round trip + definite-absence semantics
+    val enc = BloomSkip.pack(Seq(0, 63, 64, 8191))
+    assert(BloomSkip.mightContain(enc, Seq(0, 63, 64, 8191)))
+    assert(!BloomSkip.mightContain(enc, Seq(0, 1)))
+    assert(BloomSkip.mightContain("garbage", Seq(1)),
+      "malformed encoding must KEEP (stats safety direction)")
+  }
+
   test("foreign files in _manifest/ are ignored, not fatal") {
     val sp = spark
     import sp.implicits._
