@@ -970,6 +970,31 @@ class PlanSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), "expected a hash/merge equi join")
   }
 
+  test("q234: video decode is a pure per-partition pipeline — no join, " +
+      "no shuffle of frame bytes") {
+    val p = plan("q234_video_keyframes")
+    assert(!p.contains("Join"), "keyframe stats are row-local per video")
+    // the only exchange is the final presentation sort; frame payloads
+    // never shuffle (encode→decode happen inside one mapPartitions
+    // chain, so the rangepartitioning exchange moves ONLY the 7-column
+    // stat rows)
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"frame bytes must not shuffle, got $exchanges")
+  }
+
+  test("q235: SymSpell candidates come from the variant equi join, " +
+      "never all-pairs; verify is codegen'd levenshtein") {
+    val p = plan("q235_typo_dedup")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "deletion-neighborhood join must be an equi join on variants")
+    assert(p.contains("levenshtein"),
+      "exact edit-distance verification must survive in the plan")
+    assert(p.contains("InMemoryTableScan"),
+      "the distinct-vocabulary frame feeds variants AND verify; cache " +
+        "is the contract (recomputing the dictionary doubles the scan)")
+  }
+
   test("q221/q226: the media/regex scans stay single-pass with aggregate rollups") {
     // q221: one documents scan (regex work is row-local), no join at all
     val p221 = Catalog.byName("q221_pii_redact").run(spark, d)
