@@ -139,14 +139,28 @@ object Bench {
       }
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       sweep()
-      val times = (1 to math.max(1, reps)).map { _ =>
+      // a FAILED rep must not enter the min: an exception that fires
+      // fast (transient OOM, temp-dir churn) would otherwise record its
+      // 50 ms as the query's "steady-state plan cost" and silently
+      // flatter the gate — min-of-N selects the fastest failure by
+      // construction. Failed reps are timed but excluded; if EVERY rep
+      // failed, fall back to the min of the failures (the pre-r12
+      // behavior: a broken query still shows a duration, and its
+      // brokenness shows up in the correctness gate, not here).
+      val timed = (1 to math.max(1, reps)).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
         sweep()
-        dt
+        (dt, ok)
       }
-      val best = minOfReps(times)
+      val succeeded = timed.collect { case (dt, true) => dt }
+      val best =
+        if (succeeded.nonEmpty) minOfReps(succeeded)
+        else minOfReps(timed.map(_._1))
+      val times = timed.map(_._1)
       discarded += times.sum - best * times.size
       name -> best
     }
@@ -173,7 +187,9 @@ object Bench {
     s""""cpus":$cpus,"host_cpus":${os.getAvailableProcessors},""" +
       s""""load_avg":$loadStart,""" +
       s""""load_avg_start":$loadStart,"load_avg_end":$loadEnd,""" +
-      s""""reps":$reps,"discarded_sec":${f"$discardedSec%.1f"},""" +
+      // Locale.ROOT: a comma-decimal default locale (fr_FR) would
+      // render f"%.1f" as "12,3" and corrupt the JSON record
+      s""""reps":$reps,"discarded_sec":${String.format(java.util.Locale.ROOT, "%.1f", Double.box(discardedSec))},""" +
       s""""heap_max_mb":${Runtime.getRuntime.maxMemory / (1024 * 1024)},""" +
       s""""gc_total_sec":$gcSec,""" +
       s""""shards":$shards,""" +

@@ -424,25 +424,36 @@ object ManifestStore {
                             partitionCols: Seq[String],
                             bloomCols: Seq[String], schema: StructType)
       : Map[String, Map[String, String]] = {
-    import org.apache.spark.sql.functions.{array, collect_set, explode}
+    import org.apache.spark.sql.functions.{array, collect_set, explode,
+      flatten, lit, struct, when}
     val staged = spark.read.option("basePath", s"$root/$genRel")
       .schema(schema).parquet(s"$root/$genRel")
     def keyOf(r: org.apache.spark.sql.Row): String =
       partKey(partitionCols, partitionCols.map(c => r.get(r.fieldIndex(c))))
-    val perCol = bloomCols.map { c =>
-      staged.filter(col(c).isNotNull)
-        .select((partitionCols.map(col) :+
-          explode(array(BloomSkip.positionExprs(col(c)): _*)).as("__p")): _*)
-        .groupBy(partitionCols.map(col): _*)
-        .agg(collect_set(col("__p")).as("__ps"))
-        .collect()
-        .map(r => keyOf(r) ->
-          BloomSkip.pack(r.getSeq[Int](r.fieldIndex("__ps"))))
-        .toMap
-        .map { case (k, enc) => k -> (c -> enc) }
+    // ONE scan for every bloom column (the collectStats discipline):
+    // each row contributes (colIdx, position) structs for all non-null
+    // bloom columns, flattened and exploded together, then one grouped
+    // collect_set per (partition, column) — still capped at the bloom
+    // width, never the row count
+    val emptyPos = array().cast("array<struct<ci:int,p:int>>")
+    val perColPositions = bloomCols.zipWithIndex.map { case (c, i) =>
+      when(col(c).isNotNull,
+        array(BloomSkip.positionExprs(col(c)).map(p =>
+          struct(lit(i).as("ci"), p.as("p"))): _*))
+        .otherwise(emptyPos)
     }
-    perCol.flatten.groupBy(_._1)
-      .view.mapValues(_.map(_._2).toMap).toMap
+    staged
+      .select((partitionCols.map(col) :+
+        explode(flatten(array(perColPositions: _*))).as("__cp")): _*)
+      .groupBy((partitionCols.map(col) :+ col("__cp.ci").as("__ci")): _*)
+      .agg(collect_set(col("__cp.p")).as("__ps"))
+      .collect()
+      .map { r =>
+        (keyOf(r), bloomCols(r.getInt(r.fieldIndex("__ci"))),
+          BloomSkip.pack(r.getSeq[Int](r.fieldIndex("__ps"))))
+      }
+      .groupBy(_._1)
+      .view.mapValues(_.map { case (_, c, enc) => c -> enc }.toMap).toMap
   }
 
   /** Bloom point-lookup read: keep only partitions whose bloom for
@@ -788,6 +799,13 @@ object ManifestStore {
       else collectBlooms(spark, root,
         newEntries.values.head.split('/').take(2).mkString("/"),
         partitionCols, bloomCols, merged.schema)
+    // the recorded schema must stay a SUPERSET of every live
+    // generation's columns: a narrower batch that only touches NEW
+    // partitions would otherwise narrow the log, and the next pinned
+    // rewrite of an old partition would silently drop the missing
+    // columns — union with the previous record, batch types winning
+    // on name collisions (the evolution convention)
+    val recordedSchema = unionSchema(prev.flatMap(_.schema), merged.schema)
     // touched partitions either get FRESH bounds or none at all — a
     // stats-less rewrite must not carry the old bounds forward (the new
     // rows could lie outside them, and stale-NARROW bounds would make
@@ -795,18 +813,32 @@ object ManifestStore {
     // Blooms follow the same rule: a bloom-less rewrite DROPS the
     // touched partitions' blooms — new rows could carry keys the old
     // bloom doesn't claim, and a stale-NARROW bloom skips wrongly.
+    // SCHEMA EVOLUTION drops carried blooms per COLUMN: if this commit
+    // re-types a column (batch types win), old partitions' blooms hold
+    // positions hashed under the OLD type while lookups will hash the
+    // new one (Spark xxhash64 of Int ≠ of Long) — a stale-TYPED bloom
+    // is stale-narrow in disguise and would silently lose rows.
+    val retyped: Set[String] = prev.flatMap(_.schema) match {
+      case None => Set.empty
+      case Some(old) =>
+        val newTypes = recordedSchema.fields.map(f => f.name -> f.dataType).toMap
+        old.fields.collect {
+          case f if newTypes.get(f.name).exists(_ != f.dataType) => f.name
+        }.toSet
+    }
+    val carriedBlooms = {
+      val base = prev.map(_.blooms).getOrElse(Map.empty) -- touchedKeys
+      if (retyped.isEmpty) base
+      else base.view
+        .mapValues(_.view.filterKeys(c => !retyped(c)).toMap)
+        .filter(_._2.nonEmpty).toMap
+    }
     publish(spark, root, version,
       prev.map(_.entries).getOrElse(Map.empty) ++ newEntries, prev,
       (prev.map(_.stats).getOrElse(Map.empty) -- touchedKeys) ++ newStats,
       (prev.map(_.fileStats).getOrElse(Map.empty) -- touchedKeys) ++ newFileStats,
-      // the recorded schema must stay a SUPERSET of every live
-      // generation's columns: a narrower batch that only touches NEW
-      // partitions would otherwise narrow the log, and the next pinned
-      // rewrite of an old partition would silently drop the missing
-      // columns — union with the previous record, batch types winning
-      // on name collisions (the evolution convention)
-      Some(unionSchema(prev.flatMap(_.schema), merged.schema).json),
-      (prev.map(_.blooms).getOrElse(Map.empty) -- touchedKeys) ++ newBlooms)
+      Some(recordedSchema.json),
+      carriedBlooms ++ newBlooms)
   }
 
   /** Field-name union of the previously recorded schema and the new
@@ -852,21 +884,31 @@ object BloomSkip {
       java.util.Base64.getEncoder.encodeToString(bytes.array())
   }
 
-  /** True unless some position's bit is unset (definite absence). A
-    * malformed encoding keeps (same safety direction as absent stats). */
+  /** True unless some position's bit is unset (definite absence).
+    * ANY deviation from this build's sizing KEEPS: lookup positions are
+    * always computed mod the compiled-in BITS with HASHES probes, so a
+    * bloom recorded under different parameters (older build, foreign
+    * writer) is uncheckable — treating it as checkable would turn a
+    * parameter mismatch into silent row loss (`p < m` against a smaller
+    * recorded m fails every probe → definite-absence verdicts from
+    * garbage). Malformed encodings keep for the same reason — the
+    * stats safety direction throughout. */
   def mightContain(encoded: String, positions: Seq[Int]): Boolean = {
     val parts = encoded.split(":", 3)
     if (parts.length != 3) return true
+    val sized =
+      try parts(0).toInt == BITS && parts(1).toInt == HASHES
+      catch { case _: NumberFormatException => false }
+    if (!sized) return true
     val bits = try java.util.Base64.getDecoder.decode(parts(2))
       catch { case _: IllegalArgumentException => return true }
-    val m = try parts(0).toInt catch { case _: NumberFormatException => return true }
-    if (bits.length * 8 != m) return true
+    if (bits.length * 8 != BITS) return true
     val buf = java.nio.ByteBuffer.wrap(bits)
     val words = new Array[Long](bits.length / 8)
     var i = 0
     while (i < words.length) { words(i) = buf.getLong(); i += 1 }
     positions.forall { p =>
-      p >= 0 && p < m && (words(p >>> 6) & (1L << (p & 63))) != 0
+      p >= 0 && p < BITS && (words(p >>> 6) & (1L << (p & 63))) != 0
     }
   }
 }

@@ -121,6 +121,8 @@ object EmbeddedKVStore {
       itemKeyOrdering)
     val batchWrites = new AtomicLong(0)
     val itemWrites = new AtomicLong(0)
+    /** Idempotency tokens of batches already counted — see batchWrite. */
+    val seenTokens = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   }
 }
 
@@ -157,16 +159,24 @@ final class EmbeddedKVStore private[serving] () {
   }
 
   /** Data plane: one BatchWriteItem request — at most [[EmbeddedKVStore.MAX_BATCH]]
-    * items, PutItem upsert semantics per item. */
-  def batchWrite(table: String, items: Seq[Map[String, Any]]): Unit = {
+    * items, PutItem upsert semantics per item. `token`, when supplied,
+    * makes the request-COUNTING idempotent: a Spark task retry or
+    * speculative duplicate re-issues the same batches (the puts
+    * themselves are upserts, harmlessly re-applied), and without the
+    * token the WCU-accounting counters would over-report — breaking the
+    * very ceil(n/25) arithmetic these counters exist to measure. */
+  def batchWrite(table: String, items: Seq[Map[String, Any]],
+                 token: Option[String] = None): Unit = {
     if (items.size > MAX_BATCH)
       throw new IllegalArgumentException(
         s"batchWrite accepts at most $MAX_BATCH items, got ${items.size}")
     if (items.isEmpty) return
     val t = state(table)
     items.foreach { it => t.items.put(keyOf(t.spec, it), it) }
-    t.batchWrites.incrementAndGet()
-    t.itemWrites.addAndGet(items.size.toLong)
+    if (token.forall(t.seenTokens.add)) {
+      t.batchWrites.incrementAndGet()
+      t.itemWrites.addAndGet(items.size.toLong)
+    }
   }
 
   /** Point lookup by full primary key. */
@@ -227,13 +237,18 @@ final class EmbeddedKVSink(storeId: String) extends KVSink {
     df.repartition(col(spec.hashKey)).foreachPartition {
       (rows: Iterator[Row]) =>
         val client = EmbeddedKVStore(id) // executor-side client handle
-        rows.grouped(EmbeddedKVStore.MAX_BATCH).foreach { chunk =>
-          client.batchWrite(spec.table, chunk.map { r =>
-            names.iterator.zipWithIndex.map { case (n, i) =>
-              n -> r.get(i)
-            }.toMap
-          })
-        }
+        // (partition, chunk ordinal) is stable across task retries and
+        // speculative duplicates — the idempotency token that keeps the
+        // store's request counters exact under re-execution
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        rows.grouped(EmbeddedKVStore.MAX_BATCH).zipWithIndex
+          .foreach { case (chunk, ci) =>
+            client.batchWrite(spec.table, chunk.map { r =>
+              names.iterator.zipWithIndex.map { case (n, i) =>
+                n -> r.get(i)
+              }.toMap
+            }, token = Some(s"$pid:$ci"))
+          }
     }
     params
   }

@@ -442,6 +442,40 @@ class ManifestStoreSpec extends AnyFunSuite {
     assert(!BloomSkip.mightContain(enc, Seq(0, 1)))
     assert(BloomSkip.mightContain("garbage", Seq(1)),
       "malformed encoding must KEEP (stats safety direction)")
+    // a bloom recorded under DIFFERENT sizing is uncheckable — keep,
+    // never verdict (positions are mod this build's BITS; `p < m`
+    // against a smaller recorded m would read definite absence from
+    // garbage and silently lose rows)
+    val foreign = "4096:4:" + enc.split(":", 3)(2).take(100)
+    assert(BloomSkip.mightContain(foreign, Seq(5000)),
+      "parameter-mismatched bloom must KEEP, not exclude")
+  }
+
+  test("bloom survives schema evolution: re-typed column drops carried " +
+      "blooms instead of skipping with stale-typed hashes") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("mstore_bloom_evo").toString
+    // k recorded as INT, blooms built from int-hashed positions
+    ManifestStore.upsert(root, Seq("k"), "seq", Nil, Seq("bucket"),
+      bloomCols = Seq("k"))(
+      Seq((7, 1L, "old", 0)).toDF("k", "seq", "v", "bucket"))
+    assert(ManifestStore.readManifest(fs(root), root).get
+      .blooms("bucket=0").contains("k"))
+    // a new batch re-types k to LONG, touching only a NEW partition —
+    // the old partition's bloom was built under the old type and must
+    // be DROPPED (xxhash64(int 7) != xxhash64(long 7): a carried bloom
+    // would claim "definitely absent" for a key the partition holds)
+    ManifestStore.upsert(root, Seq("k"), "seq", Nil, Seq("bucket"),
+      bloomCols = Seq("k"))(
+      Seq((8L, 1L, "new", 1)).toDF("k", "seq", "v", "bucket"))
+    val m = ManifestStore.readManifest(fs(root), root).get
+    assert(!m.blooms.get("bucket=0").exists(_.contains("k")),
+      "re-typed column must drop the stale-typed carried bloom")
+    assert(m.blooms("bucket=1").contains("k"))
+    // and the old key is still FOUND via the keep-on-absent rule
+    assert(ManifestStore.readBloomEquals(spark, root, "k", 7)
+      .select("v").collect().map(_.getString(0)).toSeq === Seq("old"))
   }
 
   test("foreign files in _manifest/ are ignored, not fatal") {

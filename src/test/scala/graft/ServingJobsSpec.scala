@@ -350,4 +350,28 @@ class ServingJobsSpec extends AnyFunSuite {
     // int 1 and long 1 are the same NUMBER key, like DynamoDB's N type
     assert(store.get("t", "a", Some(1)).isDefined)
   }
+
+  test("embedded KV: task-retry replays with the same token count once") {
+    import graft.serving.{EmbeddedKVSink, EmbeddedKVStore}
+    val sp = spark
+    import sp.implicits._
+    val id = "kv_retry"
+    EmbeddedKVStore.remove(id)
+    new EmbeddedKVSink(id).write(
+      Seq(("a", 1L, "v")).toDF("h", "r", "p"), "t", "h", Some("r"))
+    val store = EmbeddedKVStore(id)
+    val before = store.batchWriteCount("t")
+    // a retried/speculative task re-issues the SAME (partition, chunk)
+    // token: puts re-apply (idempotent upserts) but the WCU counters
+    // must not inflate — they exist to measure ceil(n/25)
+    val item = Map[String, Any]("h" -> "b", "r" -> 2L, "p" -> "w")
+    store.batchWrite("t", Seq(item), token = Some("9:0"))
+    store.batchWrite("t", Seq(item), token = Some("9:0")) // the retry
+    assert(store.batchWriteCount("t") === before + 1,
+      "same-token replay must not double-count requests")
+    assert(store.get("t", "b", Some(2L)).isDefined)
+    // tokenless calls (ad-hoc client writes) always count
+    store.batchWrite("t", Seq(item))
+    assert(store.batchWriteCount("t") === before + 2)
+  }
 }
