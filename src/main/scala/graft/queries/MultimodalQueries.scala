@@ -697,6 +697,101 @@ object MultimodalQueries {
         FROM d
           JOIN ps pa ON pa.seed = d.sa
           JOIN ps pb ON pb.seed = d.sa + 1
-        ORDER BY d.doc_id"""))
+        ORDER BY d.doc_id""")),
+
+    // VIDEO-LEVEL DEDUP — the full video-curation composition: decode
+    // container → extract scene KEYFRAMES (q234's temporal reduction)
+    // → per-keyframe perceptual dHash born as 4 LSH bands (q224's
+    // device) → band equi self-join generates candidate keyframe pairs
+    // (never all-pairs) → EXACT content-digest verification → videos
+    // sharing identical scenes pair up. Output is the shared-scene
+    // histogram (n_pairs per shared-scene count), which stays
+    // metadata-sized at any corpus scale while the intermediate pair
+    // frame scales with true duplication. Videos are synthesized at the
+    // 18×16 hash geometry with scene seeds drawn mod 400, so the oracle
+    // re-derives pairs purely from seed arithmetic: same seed ⟺
+    // byte-identical frame (content(s) is injective in s mod 256 at
+    // pixel 0 via 7s mod 256... seeds are mod 400 — distinct seeds s1
+    // ≠ s2 with s1 ≡ s2 (mod 256) DO collide in content, which the
+    // oracle mirrors by keying scenes on seed%256, the true content
+    // class).
+    Q("q236_video_scene_dedup",
+      (s, d) => {
+        val W = 18; val H = 16
+        val docs = spread(s, col("doc_id"))(
+          t(s, d, "documents").select(col("doc_id").cast("long").as("doc_id")))
+        val payloads = docs.mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0)
+            val f = (4 + id % 4).toInt
+            val f0 = (1 + id % (f - 1)).toInt
+            val sA = id % 400
+            val sB = (id * 7 + 3) % 400
+            val single = id % 3 == 0
+            val sceneA = ImageCodec.content(sA, W, H)
+            val sceneB = if (single) sceneA else ImageCodec.content(sB, W, H)
+            val frames = (0 until f).map(i => if (i < f0) sceneA else sceneB)
+            Row(id, VideoCodec.encode(W, H, 24, frames))
+          }
+        }(Encoders.row(payloadSchema))
+        val kfSchema = StructType(Seq(
+          StructField("doc_id", LongType, nullable = false),
+          StructField("b0", LongType, nullable = false),
+          StructField("b1", LongType, nullable = false),
+          StructField("b2", LongType, nullable = false),
+          StructField("b3", LongType, nullable = false),
+          StructField("digest", StringType, nullable = false)))
+        val kf = payloads.mapPartitions { rows =>
+          rows.flatMap { r =>
+            val id = r.getLong(0)
+            val v = VideoCodec.decode(r.getAs[Array[Byte]](1)).get
+            VideoCodec.keyframes(v, minDiff = 1L).map { f =>
+              val frame = java.util.Arrays.copyOfRange(
+                v.data, f * v.frameLen, (f + 1) * v.frameLen)
+              val dec = ImageCodec.Decoded("raw", v.width, v.height, frame)
+              val bands = ImageCodec.dHashBands(dec)
+              val md = java.security.MessageDigest.getInstance("MD5")
+              Row(id, bands(0), bands(1), bands(2), bands(3),
+                md.digest(frame).map("%02x".format(_)).mkString)
+            }
+          }
+        }(Encoders.row(kfSchema)).cache()
+        val bands = kf.select(col("doc_id"), col("digest"),
+          posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
+          .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
+        val shared = bands.alias("a").join(bands.alias("b"),
+            col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
+              && col("a.doc_id") < col("b.doc_id"))
+          .filter(col("a.digest") === col("b.digest")) // exact verify
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            col("a.digest").as("digest"))
+          .distinct()
+          .groupBy("doc_a", "doc_b")
+          .agg(count(lit(1)).as("n_shared"))
+        shared.groupBy("n_shared")
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("n_shared")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, 4 + doc_id % 4 AS f,
+            doc_id % 400 AS sa, (doc_id * 7 + 3) % 400 AS sb,
+            doc_id % 3 = 0 AS single_scene
+          FROM documents),
+        scenes AS (
+          SELECT DISTINCT doc_id, seed % 256 AS content_class
+          FROM (
+            SELECT doc_id, sa AS seed FROM d
+            UNION ALL
+            SELECT doc_id, sb AS seed FROM d WHERE NOT single_scene)),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            COUNT(DISTINCT a.content_class) AS n_shared
+          FROM scenes a JOIN scenes b
+            ON a.content_class = b.content_class AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT CAST(n_shared AS BIGINT) AS n_shared,
+          COUNT(*) AS n_pairs
+        FROM pairs GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -995,6 +995,17 @@ class PlanSpec extends AnyFunSuite {
         "is the contract (recomputing the dictionary doubles the scan)")
   }
 
+  test("q236: video scene-dedup candidates come from the keyframe band " +
+      "equi join, never all-pairs; keyframe frame is cached") {
+    val p = plan("q236_video_scene_dedup")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "keyframe pigeonhole must plan as an equi join")
+    assert(p.contains("InMemoryTableScan"),
+      "the decoded keyframe frame feeds both join sides; one decode pass " +
+        "is the contract")
+  }
+
   test("q221/q226: the media/regex scans stay single-pass with aggregate rollups") {
     // q221: one documents scan (regex work is row-local), no join at all
     val p221 = Catalog.byName("q221_pii_redact").run(spark, d)
