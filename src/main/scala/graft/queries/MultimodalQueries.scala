@@ -742,6 +742,10 @@ object MultimodalQueries {
           StructField("b3", LongType, nullable = false),
           StructField("digest", StringType, nullable = false)))
         val kf = payloads.mapPartitions { rows =>
+          // one digest instance per PARTITION (digest() resets it) — a
+          // per-keyframe getInstance would do a synchronized JCA
+          // provider lookup per row in the hot decode loop
+          val md = java.security.MessageDigest.getInstance("MD5")
           rows.flatMap { r =>
             val id = r.getLong(0)
             val v = VideoCodec.decode(r.getAs[Array[Byte]](1)).get
@@ -750,7 +754,6 @@ object MultimodalQueries {
                 v.data, f * v.frameLen, (f + 1) * v.frameLen)
               val dec = ImageCodec.Decoded("raw", v.width, v.height, frame)
               val bands = ImageCodec.dHashBands(dec)
-              val md = java.security.MessageDigest.getInstance("MD5")
               Row(id, bands(0), bands(1), bands(2), bands(3),
                 md.digest(frame).map("%02x".format(_)).mkString)
             }

@@ -64,7 +64,8 @@ object PlanAudit {
       "q230_incremental_join", // delta joins broadcast, partials re-agg
       "q232_pattern_vshape", // CEP lowering: all windows user-partitioned
       "q234_video_keyframes", // per-partition codec pipeline, no frame shuffle (r12)
-      "q235_typo_dedup") // deletion-variant equi join + cached vocab (r12)
+      "q235_typo_dedup", // deletion-variant equi join + cached vocab (r12)
+      "q236_video_scene_dedup") // keyframe band equi join, cached kf frame (r12)
     interesting.foreach { name =>
       val df = graft.queries.Catalog.byName(name).run(spark, d)
       // drive THIS df's own query execution to completion (count() would
