@@ -907,8 +907,11 @@ object BloomSkip {
     val words = new Array[Long](bits.length / 8)
     var i = 0
     while (i < words.length) { words(i) = buf.getLong(); i += 1 }
+    // an out-of-range probe position can only mean corruption upstream
+    // (real lookups compute mod BITS) — uncheckable, so KEEP rather
+    // than hand down a definite-absence verdict from garbage
     positions.forall { p =>
-      p >= 0 && p < BITS && (words(p >>> 6) & (1L << (p & 63))) != 0
+      p < 0 || p >= BITS || (words(p >>> 6) & (1L << (p & 63))) != 0
     }
   }
 }
