@@ -114,6 +114,15 @@ object Bench {
     * run on a loaded host shows HOW loaded in the record itself. */
   private[graft] def minOfReps(times: Seq[Double]): Double = times.min
 
+  /** Contention gauge for one query, over SUCCEEDED reps only: a
+    * fast-failing rep (50 ms exception) is neither steady-state nor
+    * contention, and `allTimes.sum - best*n` would let it push the
+    * product past the sum and SUBTRACT from the suite-level gauge.
+    * Clamped at 0 for the all-failed fallback (best is then a failure
+    * min and no rep was discardable contention). */
+  private[graft] def repDiscard(succeeded: Seq[Double], best: Double): Double =
+    math.max(0.0, succeeded.sum - best * succeeded.size)
+
   /** Warm+timed protocol for one query set, in THIS JVM. Per-query
     * warm-up (JIT, codegen compile, parquet footer/page caches), clear
     * cached plans, then time `reps` further runs and keep the MIN —
@@ -160,8 +169,7 @@ object Bench {
       val best =
         if (succeeded.nonEmpty) minOfReps(succeeded)
         else minOfReps(timed.map(_._1))
-      val times = timed.map(_._1)
-      discarded += times.sum - best * times.size
+      discarded += repDiscard(succeeded, best)
       name -> best
     }
     (results, discarded)

@@ -630,12 +630,52 @@ object ManifestStore {
     * re-reads the head version immediately before the commit rename and
     * throws [[ConcurrentModificationException]] if it moved past the
     * version this write staged against (`prev`), cleaning up its temp
-    * manifest. This is detection, not prevention: a writer that loses
-    * the race AFTER the check can still win the rename on a
-    * POSIX-overwriting filesystem, but the exists-check on the
-    * destination narrows that window to the rename syscall itself, and
-    * any realistic accidental-concurrency pattern (two schedulers, a
-    * human replay) spans seconds, not microseconds. */
+    * manifest. The commit itself is then made EXCLUSIVE (round-13):
+    * the rename goes through [[commitRename]] — `FileContext.rename`
+    * with `Options.Rename.NONE`, whose contract is fail-on-existing-
+    * destination — so two writers that both pass the head re-read
+    * inside the same window cannot both land; `FileSystem.rename` on
+    * RawLocalFileSystem would silently overwrite the first winner's
+    * manifest. The loser's failed rename surfaces as the same
+    * [[ConcurrentModificationException]] the head check throws. */
+  /** Drift guard shared by the zone-map-stats and bloom layers: keys
+    * computed by a collector (from batch partition tuples) must be a
+    * subset of the keys stageGeneration derived from the directories
+    * Spark actually wrote. A key-convention mismatch would otherwise be
+    * SILENTLY dropped by publish's live-keys filter — reads stay
+    * correct (absent stats/bloom = keep) but the skipping layer goes
+    * dark with no signal, so fail loudly at the upsert instead. */
+  private[graft] def requireKeysSubset(kind: String, got: Set[String],
+                                       staged: Set[String],
+                                       root: String): Unit =
+    if (!got.subsetOf(staged))
+      throw new IllegalStateException(
+        s"$kind keys drifted from staged partitions at $root: " +
+          s"${got -- staged}")
+
+  /** The exclusive commit point: rename that FAILS if `dst` exists.
+    * `FileSystem.rename` overwrites an existing destination on
+    * RawLocalFileSystem, so a racing writer could silently replace an
+    * already-committed manifest; `FileContext.rename` without
+    * `Options.Rename.OVERWRITE` refuses an existing destination, which
+    * is the semantics an OCC commit needs. An existing destination is
+    * a concurrent winner → [[ConcurrentModificationException]], temp
+    * manifest cleaned up. */
+  private[graft] def commitRename(fs: FileSystem, tmp: HPath, dst: HPath,
+                                  what: String): Unit = {
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.getUri, fs.getConf)
+    try fc.rename(fs.makeQualified(tmp), fs.makeQualified(dst))
+    catch {
+      case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
+                _: java.nio.file.FileAlreadyExistsException) =>
+        fs.delete(tmp, false)
+        throw new java.util.ConcurrentModificationException(
+          s"lost-update detected committing $what: destination already " +
+            s"exists — a concurrent writer won the commit (${e.getMessage})")
+    }
+  }
+
   private[graft] def publish(spark: SparkSession, root: String, version: Long,
                              entries: Map[String, String],
                              prev: Option[Manifest],
@@ -706,8 +746,7 @@ object ManifestStore {
           s"head ${prev.map(_.version)} but head is now $head — this table " +
           "has a second writer; serialize the pipelines that own it")
     }
-    if (!fs.rename(tmp, dst))
-      throw new java.io.IOException(s"manifest commit failed for $root v$version")
+    commitRename(fs, tmp, dst, s"$root v$version")
     // GC: keep generations referenced by this or the previous manifest
     val keep = (entries.values ++ prev.toSeq.flatMap(_.entries.values))
       .map(_.split('/').take(2).mkString("/")).toSet
@@ -789,16 +828,21 @@ object ManifestStore {
         // it from the entries stageGeneration returned, don't recompute
         newEntries.values.head.split('/').take(2).mkString("/"),
         partitionCols, statsCols, merged.schema)
-    if (!newStats.keySet.subsetOf(newEntries.keySet))
-      throw new IllegalStateException(
-        s"zone-map stats keys drifted from staged partitions at $root: " +
-          s"${newStats.keySet -- newEntries.keySet}")
-    val newBlooms =
+    requireKeysSubset("zone-map stats", newStats.keySet, newEntries.keySet,
+      root)
+    val newBlooms0 =
       if (bloomCols.isEmpty || newEntries.isEmpty)
         Map.empty[String, Map[String, String]]
       else collectBlooms(spark, root,
         newEntries.values.head.split('/').take(2).mkString("/"),
         partitionCols, bloomCols, merged.schema)
+    // mirror the stats drift check for blooms: a partKey-convention
+    // mismatch between collectBlooms' keyOf and the staged directory
+    // keys would otherwise be silently dropped by publish's liveBlooms
+    // filter — reads stay correct (absent bloom = keep) but the whole
+    // point-lookup skipping layer goes dark with no signal. Fail loudly.
+    requireKeysSubset("bloom", newBlooms0.keySet, newEntries.keySet, root)
+    val newBlooms = newBlooms0
     // the recorded schema must stay a SUPERSET of every live
     // generation's columns: a narrower batch that only touches NEW
     // partitions would otherwise narrow the log, and the next pinned

@@ -76,6 +76,19 @@ class BenchSpec extends AnyFunSuite {
       "verdict-r11 mandated N=2–3 timed reps per query")
   }
 
+  test("repDiscard: succeeded-only, never negative") {
+    // normal: two reps at 1.0 over a 0.5 best discard 1.0s of contention
+    assert(Bench.repDiscard(Seq(0.5, 1.0, 1.0), 0.5) === 1.0)
+    // a 50ms failed rep is EXCLUDED from `succeeded`; the gauge must not
+    // see it (the old allTimes.sum - best*allTimes.size went NEGATIVE
+    // here: (0.05+2.0+2.1) - 2.0*3 = -1.85)
+    assert(math.abs(Bench.repDiscard(Seq(2.0, 2.1), 2.0) - 0.1) < 1e-9)
+    // all reps failed → best is a failure min, nothing discardable
+    assert(Bench.repDiscard(Nil, 0.05) === 0.0)
+    // float jitter must clamp at zero, not undercut the suite sum
+    assert(Bench.repDiscard(Seq(1.0), 1.0 + 1e-12) >= 0.0)
+  }
+
   test("code-cache instrumentation reads the JIT pools of this JVM") {
     val (peak, max) = Bench.codeCacheMb()
     assert(peak > 0, "a warmed JVM has compiled code")

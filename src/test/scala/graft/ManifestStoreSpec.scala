@@ -387,6 +387,53 @@ class ManifestStoreSpec extends AnyFunSuite {
     assert(snapshot(root) === Map(1L -> (9L, "c"), 2L -> (7L, "A")))
   }
 
+  test("commitRename is exclusive: an existing destination loses the " +
+      "race loudly and keeps the winner's bytes") {
+    val root = Files.createTempDirectory("mstore_cr").toString
+    val f = fs(root)
+    def write(p: HPath, s: String): Unit = {
+      val o = f.create(p, true); try o.write(s.getBytes("UTF-8")) finally o.close()
+    }
+    def slurp(p: HPath): String = {
+      val in = f.open(p)
+      try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    }
+    val dst = new HPath(s"$root/v2.json")
+    // success path: destination absent → rename lands
+    write(new HPath(s"$root/.tmp-a.json"), "winner")
+    ManifestStore.commitRename(f, new HPath(s"$root/.tmp-a.json"), dst, "t v2")
+    assert(slurp(dst) === "winner")
+    // race path: a second writer passed the head check in the same
+    // window and staged its own v2 — FileSystem.rename on the local FS
+    // would silently OVERWRITE the winner; the FileContext commit must
+    // refuse, throw the OCC exception, and clean its temp file
+    write(new HPath(s"$root/.tmp-b.json"), "loser")
+    val e = intercept[java.util.ConcurrentModificationException] {
+      ManifestStore.commitRename(f, new HPath(s"$root/.tmp-b.json"), dst,
+        "t v2")
+    }
+    assert(e.getMessage.contains("concurrent writer"))
+    assert(slurp(dst) === "winner",
+      "the loser's rename must not replace the committed manifest")
+    assert(!f.exists(new HPath(s"$root/.tmp-b.json")),
+      "the loser's temp manifest must be cleaned up")
+  }
+
+  test("stats/bloom key drift fails the upsert loudly instead of " +
+      "silently disabling the skipping layer") {
+    // reads stay correct with an absent bloom (= keep), so a
+    // key-convention regression between the collectors and
+    // stageGeneration would otherwise disable skipping with no signal
+    ManifestStore.requireKeysSubset("bloom",
+      Set("bucket=0"), Set("bucket=0", "bucket=1"), "t") // subset: fine
+    val e = intercept[IllegalStateException] {
+      ManifestStore.requireKeysSubset("bloom",
+        Set("bucket=0", "bucket=00"), Set("bucket=0"), "t")
+    }
+    assert(e.getMessage.contains("bucket=00") &&
+      e.getMessage.contains("drifted"))
+  }
+
   test("bloom skipping: point lookups list only maybe-containing " +
       "partitions; rewrites refresh, bloom-less rewrites drop") {
     val sp = spark
