@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.ops.{AudioCodec, ImageCodec, Multimodal, VideoCodec}
+import graft.ops.{AudioCodec, ImageCodec, MjpegAvi, Multimodal, VideoCodec}
 import QH._
 
 /** Multimodal columns: opaque binary payloads with typed metadata.
@@ -792,6 +792,200 @@ object MultimodalQueries {
             COUNT(DISTINCT a.content_class) AS n_shared
           FROM scenes a JOIN scenes b
             ON a.content_class = b.content_class AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT CAST(n_shared AS BIGINT) AS n_shared,
+          COUNT(*) AS n_pairs
+        FROM pairs GROUP BY 1 ORDER BY 1""")),
+
+    // REAL-CODEC video keyframes — q234's pipeline over an actual
+    // standard container and an actual lossy codec: MJPEG inside AVI
+    // (ops/MjpegAvi — RIFF hdrl/movi/idx1 mux + strict demux, frames
+    // JPEG-compressed by the JDK ImageIO codec; what ffmpeg's
+    // `-c:v mjpeg out.avi` and webcams produce). Scenes are SOLID
+    // grays 80 levels apart because that is what makes a LOSSY gate
+    // honest: a solid frame is DC-only, so JPEG reproduces it
+    // near-exactly (measured error 0 at q0.85), within-scene
+    // consecutive frames encode to identical bytes (L1 = 0 decoded)
+    // and a scene cut decodes to ~80·frameLen — the keyframe
+    // threshold (16·frameLen) sits mid-gap with 5× margin on either
+    // side. gray_first/gray_last quantize the decoded mean to the
+    // nearest 16 (content grays are multiples of 16), proving the
+    // demux→JPEG-decode path reproduces PIXELS, not just structure;
+    // fps gates the strh rate/scale parse. The oracle re-derives
+    // everything from the generating formula.
+    Q("q237_mjpeg_keyframes",
+      (s, d) => {
+        val W = 48; val H = 32
+        val docs = spread(s, col("doc_id"))(
+          t(s, d, "documents").select(col("doc_id").cast("long").as("doc_id")))
+        val payloads = docs.mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0)
+            val f = (4 + id % 5).toInt
+            val f0 = (1 + id % (f - 1)).toInt
+            val gA = (32 + (id % 7) * 16).toInt
+            val gB = gA + 80
+            val fps = (12 + (id % 3) * 6).toInt
+            val single = id % 5 == 0
+            def solid(g: Int) = Array.fill(W * H * 3)(g.toByte)
+            val sceneA = solid(gA)
+            val sceneB = if (single) sceneA else solid(gB)
+            val frames = (0 until f).map(i => if (i < f0) sceneA else sceneB)
+            Row(id, MjpegAvi.encode(W, H, fps, frames))
+          }
+        }(Encoders.row(payloadSchema))
+        val outSchema = StructType(Seq(
+          StructField("doc_id", LongType, nullable = false),
+          StructField("fps", LongType, nullable = false),
+          StructField("n_frames", LongType, nullable = false),
+          StructField("n_keyframes", LongType, nullable = false),
+          StructField("scene_frame", LongType, nullable = true),
+          StructField("n_sampled", LongType, nullable = false),
+          StructField("gray_first", LongType, nullable = false),
+          StructField("gray_last", LongType, nullable = false)))
+        payloads.mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0)
+            val v = MjpegAvi.decode(r.getAs[Array[Byte]](1)).get
+            val len = v.frameLen.toLong
+            val kf = VideoCodec.keyframes(v, minDiff = 16L * len)
+            def gray16(f: Int): Long =
+              (VideoCodec.frameSum(v, f) + 8 * len) / (16 * len) * 16
+            Row(id, v.fps.toLong, v.nFrames.toLong, kf.length.toLong,
+              if (kf.length > 1) kf(1).toLong else null,
+              VideoCodec.sampleIndices(v.nFrames, 3).length.toLong,
+              gray16(0), gray16(v.nFrames - 1))
+          }
+        }(Encoders.row(outSchema)).orderBy("doc_id")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, 4 + doc_id % 5 AS f,
+            1 + doc_id % (3 + doc_id % 5) AS f0,
+            doc_id % 5 = 0 AS single_scene,
+            32 + (doc_id % 7) * 16 AS ga,
+            12 + (doc_id % 3) * 6 AS fps
+          FROM documents)
+        SELECT doc_id, CAST(fps AS BIGINT) AS fps,
+          CAST(f AS BIGINT) AS n_frames,
+          CAST(CASE WHEN single_scene THEN 1 ELSE 2 END AS BIGINT)
+            AS n_keyframes,
+          CASE WHEN single_scene THEN NULL
+            ELSE CAST(f0 AS BIGINT) END AS scene_frame,
+          CAST((f + 2) // 3 AS BIGINT) AS n_sampled,
+          CAST(ga AS BIGINT) AS gray_first,
+          CAST(CASE WHEN single_scene THEN ga ELSE ga + 80 END AS BIGINT)
+            AS gray_last
+        FROM d ORDER BY doc_id""")),
+
+    // LOSSY-PATH video scene dedup — q236's composition with the exact
+    // raw container swapped for real MJPEG/AVI, which forces the one
+    // semantic change the lossy path demands: the verify stage is
+    // PERCEPTUAL (dHash Hamming distance ≤ 4 over the decoded,
+    // resized keyframe), not an exact content digest — two videos of
+    // the same scene do not share bytes once a per-doc watermark (a
+    // +(id%9) corner block, amplitude ≤ 8) rides on the JPEG noise.
+    // Scene content is MjpegAvi.rampContent, whose dHash equals the
+    // 8-bit seed replicated per row — exhaustively JPEG-stable — so
+    // intra-class Hamming is 0, inter-class is ≥ 8 (one seed bit
+    // flips a whole 8-bit hash row), and the ≤4 threshold separates
+    // cleanly. Candidates come from the 4×16-bit band equi self-join
+    // (pigeonhole: ≤4 flips leave ≥1 band intact — never all-pairs);
+    // the oracle reasons purely in seed arithmetic.
+    Q("q238_mjpeg_scene_dedup",
+      (s, d) => {
+        val W = 36; val H = 32
+        val docs = spread(s, col("doc_id"))(
+          t(s, d, "documents").select(col("doc_id").cast("long").as("doc_id")))
+        val payloads = docs.mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0)
+            val f = (3 + id % 3).toInt
+            val f0 = (1 + id % (f - 1)).toInt
+            val sA = (id % 256).toInt
+            val sB = ((id * 5 + 7) % 256).toInt
+            val single = id % 3 == 0
+            def scene(seed: Int): Array[Byte] = {
+              val c = MjpegAvi.rampContent(W, H, seed)
+              val amp = (id % 9).toInt // per-doc watermark, 0..8
+              var y = 28
+              while (y < 32) {
+                var x = 32
+                while (x < 36) {
+                  val p = (y * W + x) * 3
+                  var k = 0
+                  while (k < 3) {
+                    c(p + k) = math.min(255, (c(p + k) & 0xFF) + amp).toByte
+                    k += 1
+                  }
+                  x += 1
+                }
+                y += 1
+              }
+              c
+            }
+            val sceneA = scene(sA)
+            val sceneB = if (single) sceneA else scene(sB)
+            val frames = (0 until f).map(i => if (i < f0) sceneA else sceneB)
+            Row(id, MjpegAvi.encode(W, H, 12, frames))
+          }
+        }(Encoders.row(payloadSchema))
+        val kfSchema = StructType(Seq(
+          StructField("doc_id", LongType, nullable = false),
+          StructField("b0", LongType, nullable = false),
+          StructField("b1", LongType, nullable = false),
+          StructField("b2", LongType, nullable = false),
+          StructField("b3", LongType, nullable = false)))
+        val kf = payloads.mapPartitions { rows =>
+          rows.flatMap { r =>
+            val id = r.getLong(0)
+            val v = MjpegAvi.decode(r.getAs[Array[Byte]](1)).get
+            VideoCodec.keyframes(v, minDiff = 5000L).map { f =>
+              val frame = java.util.Arrays.copyOfRange(
+                v.data, f * v.frameLen, (f + 1) * v.frameLen)
+              val small = ImageCodec.resizeNearest(
+                ImageCodec.Decoded("jpeg", v.width, v.height, frame), 18, 16)
+              val bands = ImageCodec.dHashBands(small)
+              Row(id, bands(0), bands(1), bands(2), bands(3))
+            }
+          }
+        }(Encoders.row(kfSchema)).cache()
+        val bands = kf.select(col("doc_id"),
+          col("b0"), col("b1"), col("b2"), col("b3"),
+          posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
+          .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
+        val ham = (0 until 4).map(i =>
+          bit_count(col(s"a.b$i").bitwiseXOR(col(s"b.b$i"))))
+          .reduce(_ + _)
+        val shared = bands.alias("a").join(bands.alias("b"),
+            col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
+              && col("a.doc_id") < col("b.doc_id"))
+          .filter(ham <= 4) // PERCEPTUAL verify — the lossy-path rule
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            col("a.b0").as("h0"), col("a.b1").as("h1"),
+            col("a.b2").as("h2"), col("a.b3").as("h3"))
+          .distinct()
+          .groupBy("doc_a", "doc_b")
+          .agg(count(lit(1)).as("n_shared"))
+        shared.groupBy("n_shared")
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("n_shared")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, doc_id % 256 AS sa, (doc_id * 5 + 7) % 256 AS sb,
+            doc_id % 3 = 0 AS single_scene
+          FROM documents),
+        scenes AS (
+          SELECT DISTINCT doc_id, seed FROM (
+            SELECT doc_id, sa AS seed FROM d
+            UNION ALL
+            SELECT doc_id, sb AS seed FROM d WHERE NOT single_scene)),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            COUNT(DISTINCT a.seed) AS n_shared
+          FROM scenes a JOIN scenes b
+            ON a.seed = b.seed AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
         SELECT CAST(n_shared AS BIGINT) AS n_shared,
           COUNT(*) AS n_pairs

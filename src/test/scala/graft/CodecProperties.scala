@@ -70,6 +70,32 @@ object CodecProperties extends Properties("graft.r11") {
       dec.sampleRate == rate && dec.samples.toSeq == samples.toSeq
     }
 
+  private val mjpegMutationGen = for {
+    nFrames <- Gen.choose(1, 3)
+    grays <- Gen.listOfN(nFrames, Gen.choose(16, 224))
+    // mutate: truncate anywhere, flip any byte, or inflate the tail
+    op <- Gen.oneOf("truncate", "flip", "inflate")
+    at <- Gen.choose(0, 4096)
+    b <- Gen.choose(-128, 127)
+  } yield (grays, op, at, b.toByte)
+
+  property("MJPEG/AVI decode never throws on arbitrary mutations: " +
+    "None or a well-formed video") =
+    Prop.forAll(mjpegMutationGen) { case (grays, op, at, b) =>
+      import graft.ops.MjpegAvi
+      val frames = grays.map(g => Array.fill(24 * 16 * 3)(g.toByte))
+      val good = MjpegAvi.encode(24, 16, 12, frames)
+      val mutated = op match {
+        case "truncate" => java.util.Arrays.copyOf(good, at % good.length)
+        case "inflate"  => good ++ Array.fill(1 + at % 7)(b)
+        case _ =>
+          val m = good.clone(); m(at % m.length) = b; m
+      }
+      val out = MjpegAvi.decode(mutated) // must not throw
+      out.forall(v => v.width > 0 && v.height > 0 && v.fps > 0 &&
+        v.nFrames > 0 && v.data.length == v.frameLen * v.nFrames)
+    }
+
   private val chunkGen = for {
     n <- Gen.choose(1, 200)
     words <- Gen.listOfN(n, Gen.oneOf(
