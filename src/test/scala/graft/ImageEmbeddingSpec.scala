@@ -104,6 +104,77 @@ class ImageEmbeddingSpec extends AnyFunSuite {
     }
   }
 
+  private val fittedPath = getClass
+    .getResource("/fixtures/patch_encoder_fitted_8x864.f32le").getPath
+
+  test("FITTED tensor retrieves: recall@5 of the data-derived PCA " +
+      "embedding vs brute-force pixel-space ground truth") {
+    // the round-13 upgrade of the seam proof: the committed fixture is
+    // no longer formula bytes but the top-8 principal components of
+    // 500 patches rendered from the REAL test documents
+    // (PatchEncoderFitTool — deterministic closed-form power-iteration
+    // solve; re-running the tool reproduces the committed bytes).
+    // Evaluation is on a HELD-OUT corpus (synthetic doc texts the fit
+    // never saw) from the same renderer. Distances are Euclidean:
+    // linearImageDecoder has no bias term, so centering contributes a
+    // constant offset Wμ that Euclidean ranking cancels exactly.
+    val n = 80
+    val texts = (0 until n).map(i => s"held-out document $i " + ("x" * (i % 13)))
+    val pixels = texts.map(DocPatchRenderer.render)
+    val rows = pixels.zipWithIndex.map { case (p, i) =>
+      Row(i.toLong, ImageCodec.encodeBmp(W, H, p))
+    }
+    val corpus = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), payloadSchema)
+
+    // ground truth: brute-force Euclidean top-5 in 864-dim pixel space
+    def top5(dist: (Int, Int) => Double): Map[Int, Set[Int]] =
+      (0 until n).map { a =>
+        a -> (0 until n).filter(_ != a).sortBy(b => (dist(a, b), b))
+          .take(5).toSet
+      }.toMap
+    val pixelTruth = top5 { (a, b) =>
+      var s = 0.0
+      var i = 0
+      while (i < pixels(a).length) {
+        val d = (pixels(a)(i) & 0xFF) - (pixels(b)(i) & 0xFF)
+        s += d.toDouble * d; i += 1
+      }
+      s
+    }
+
+    def recallOf(setup: () => Array[Byte] => Array[Float]): Double = {
+      val emb = Multimodal.extractFeatures(corpus, "id", "payload", DIM)(
+        decoderSetup = setup)
+        .collect().map(r => r.getLong(0).toInt -> r.getSeq[Float](2).toArray)
+        .toMap
+      val embTop = top5 { (a, b) =>
+        var s = 0.0
+        var i = 0
+        while (i < DIM) {
+          val d = emb(a)(i) - emb(b)(i); s += d.toDouble * d; i += 1
+        }
+        s
+      }
+      (0 until n).map(a =>
+        (embTop(a) & pixelTruth(a)).size / 5.0).sum / n
+    }
+
+    val path = fittedPath
+    val dim = DIM
+    val fittedRecall = recallOf(() => Multimodal.linearImageDecoder(
+      Multimodal.loadWeightsF32LE(path, dim, 3 * 18 * 16), dim))
+    // contrast: the model-free content-hash default cannot retrieve —
+    // any neighbor structure it shows is chance (~5/79)
+    val hashRecall = recallOf(() => Multimodal.hashDecoder(dim))
+    assert(fittedRecall >= 0.60,
+      f"fitted-tensor recall@5 $fittedRecall%.3f below gate 0.60")
+    assert(hashRecall <= 0.30,
+      f"hash-decoder recall@5 $hashRecall%.3f should be near chance")
+    assert(fittedRecall > hashRecall + 0.25,
+      "the fit must beat the model-free default decisively")
+  }
+
   test("weight loading fails loudly on size mismatch; feature extraction " +
       "rejects pre-quality-gate garbage") {
     val e = intercept[IllegalArgumentException] {
