@@ -158,7 +158,17 @@ object ScaleSweep {
     }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
 
-    val results = TOP15.flatMap { name =>
+    // SPARK_GRAFT_SWEEP_NAMES overrides the watched set — the
+    // full-suite sweep (round-12 verdict item 6) drives this main once
+    // per shard of query names in separate JVMs (the Bench sharding
+    // lesson: 200+ codegen'd queries × 6 executions in one JVM
+    // exhausts the JIT code cache and the tail queries pay for it) and
+    // merges the shard records into BENCH_sf1_full.json.
+    val names = sys.env.get("SPARK_GRAFT_SWEEP_NAMES")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(TOP15)
+
+    val results = names.flatMap { name =>
       def sweepCaches(): Unit = {
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
@@ -167,6 +177,22 @@ object ScaleSweep {
       try {
         // inside the try: a renamed TOP15 entry must cost ONE record
         // row, not the whole sweep
+        //
+        // Bucketed queries (q131) split into LAYOUT and JOIN phases
+        // (round-12 verdict item 5): the one-time bucketed write scales
+        // with data rewritten by construction — folding it into the
+        // timed region makes the record misrepresent the steady-state
+        // exchange-free join the 12× gate actually watches. The layout
+        // is timed ONCE per scale (it is a one-time cost by definition;
+        // min-of-N would be dishonest for a write that in production
+        // happens exactly once), the join min-of-2 like every other
+        // query, and the gated ratio is the JOIN's.
+        val phased: Option[(String => Double, String => () => Unit)] =
+          if (name == "q131_bucketed_join")
+            Some((
+              (dir: String) => time { graft.queries.Q131.layout(spark, dir) },
+              (_: String) => () => { graft.queries.Q131.join(spark).count(); () }))
+          else None
         val fn = SparkEntry.queries(name)
         def run(dir: String): Unit = { fn(spark, dir).count(); () }
         // SYMMETRIC protocol at both scales: untimed warm run (JIT,
@@ -174,17 +200,28 @@ object ScaleSweep {
         // first-read noise into exactly the ratio this sweep gates on),
         // then min-of-2 timed runs (the Bench min-of-reps rationale:
         // contention only ever adds)
-        def minOf2(dir: String): Double = {
-          run(dir); sweepCaches()
-          val a = time { run(dir) }; sweepCaches()
-          val b = time { run(dir) }; sweepCaches()
+        def minOf2Of(body: () => Unit): Double = {
+          body(); sweepCaches()
+          val a = time { body() }; sweepCaches()
+          val b = time { body() }; sweepCaches()
           math.min(a, b)
         }
-        val t01 = minOf2(sf01)
-        val t1 = minOf2(sf1)
+        def minOf2(dir: String): Double = minOf2Of(() => run(dir))
+        val (t01, t1, layout01, layout1) = phased match {
+          case Some((layoutTime, joinBody)) =>
+            val l01 = layoutTime(sf01)
+            val j01 = minOf2Of(joinBody(sf01))
+            val l1 = layoutTime(sf1)
+            val j1 = minOf2Of(joinBody(sf1))
+            (j01, j1, Some(l01), Some(l1))
+          case None =>
+            (minOf2(sf01), minOf2(sf1), None, None)
+        }
         val ratio = t1 / t01
-        System.err.println(f"[sweep] $name%-32s sf0.1 $t01%7.2fs  sf1 $t1%7.2fs  ratio ${ratio}%5.1f x")
-        Some((name, t01, t1, ratio))
+        val layoutNote = layout01.fold("")(l =>
+          f" (layout sf0.1 $l%.2fs, sf1 ${layout1.get}%.2fs)")
+        System.err.println(f"[sweep] $name%-32s sf0.1 $t01%7.2fs  sf1 $t1%7.2fs  ratio ${ratio}%5.1f x$layoutNote")
+        Some((name, t01, t1, ratio, layout01, layout1))
       } catch {
         case e: Throwable =>
           // one broken query must not lose the whole record — but it
@@ -197,8 +234,13 @@ object ScaleSweep {
     // Locale.ROOT: comma-decimal locales would corrupt the JSON record
     def num(v: Double, digits: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
-    val qJson = results.map { case (n, a, b, r) =>
-      s""""$n":{"sf01_sec":${num(a, 3)},"sf1_sec":${num(b, 3)},"ratio":${num(r, 2)}}"""
+    val qJson = results.map { case (n, a, b, r, l01, l1) =>
+      val layout = (l01, l1) match {
+        case (Some(x), Some(y)) =>
+          s""","layout_sf01_sec":${num(x, 3)},"layout_sf1_sec":${num(y, 3)},"join_sf01_sec":${num(a, 3)},"join_sf1_sec":${num(b, 3)}"""
+        case _ => ""
+      }
+      s""""$n":{"sf01_sec":${num(a, 3)},"sf1_sec":${num(b, 3)},"ratio":${num(r, 2)}$layout}"""
     }.mkString("{", ",", "}")
     // an all-failed sweep must still write its (loudly empty) record —
     // maxBy on an empty seq would lose even the failure list

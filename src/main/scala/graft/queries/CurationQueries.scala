@@ -262,24 +262,7 @@ object CurationQueries {
     // plain join the oracle runs). At 100 TB this converts the dominant
     // hourly cost — reshuffling the fact pair — into a one-time layout.
     Q("q131_bucketed_join",
-      (s, d) => {
-        graft.tables.Bucketing.writeBucketed(
-          t(s, d, "lineitem").select("l_orderkey", "l_quantity",
-            "l_extendedprice"),
-          "g131_lineitem", "l_orderkey", 8, sortCols = Seq("l_orderkey"))
-        graft.tables.Bucketing.writeBucketed(
-          t(s, d, "orders").select("o_orderkey", "o_orderpriority"),
-          "g131_orders", "o_orderkey", 8, sortCols = Seq("o_orderkey"))
-        s.table("g131_lineitem")
-          .join(s.table("g131_orders"),
-            col("l_orderkey") === col("o_orderkey"))
-          .groupBy("o_orderpriority")
-          .agg(
-            count(lit(1)).as("n_items"),
-            decSum(col("l_quantity")).as("sum_qty"),
-            decSum(col("l_extendedprice")).as("sum_price"))
-          .orderBy("o_orderpriority")
-      },
+      (s, d) => { Q131.layout(s, d); Q131.join(s) },
       Some("""
         SELECT o_orderpriority, COUNT(*) AS n_items,
           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sum_qty,
@@ -684,4 +667,38 @@ object CurationQueries {
            FROM r2)
         ORDER BY round"""))
   )
+}
+
+/** q131's two phases, exposed separately so the scale sweep can time
+  * them apart (round-12 verdict item 5): [[layout]] is the ONE-TIME
+  * bucketed write (write-once cost, scales with data rewritten) and
+  * [[join]] is the steady-state exchange-free SMB join the layout
+  * buys (the cost every later run pays — the number the 12× scale
+  * gate is actually about). The q131 query entry composes both, which
+  * is the end-to-end correctness contract; BucketingSpec pins the
+  * exchange-free plan shape of the join half. */
+object Q131 {
+  import org.apache.spark.sql.functions._
+  import QH._
+
+  def layout(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    graft.tables.Bucketing.writeBucketed(
+      t(s, d, "lineitem").select("l_orderkey", "l_quantity",
+        "l_extendedprice"),
+      "g131_lineitem", "l_orderkey", 8, sortCols = Seq("l_orderkey"))
+    graft.tables.Bucketing.writeBucketed(
+      t(s, d, "orders").select("o_orderkey", "o_orderpriority"),
+      "g131_orders", "o_orderkey", 8, sortCols = Seq("o_orderkey"))
+  }
+
+  def join(s: org.apache.spark.sql.SparkSession): DataFrame =
+    s.table("g131_lineitem")
+      .join(s.table("g131_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_items"),
+        decSum(col("l_quantity")).as("sum_qty"),
+        decSum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("o_orderpriority")
 }
