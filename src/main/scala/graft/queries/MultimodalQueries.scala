@@ -989,6 +989,85 @@ object MultimodalQueries {
           GROUP BY 1, 2)
         SELECT CAST(n_shared AS BIGINT) AS n_shared,
           COUNT(*) AS n_pairs
-        FROM pairs GROUP BY 1 ORDER BY 1"""))
+        FROM pairs GROUP BY 1 ORDER BY 1""")),
+
+    // LOSSY AUDIO round trip — the audio sibling of the MJPEG leg:
+    // G.711 µ-law inside a real WAV container (format code 7, what
+    // `ffmpeg -c:a pcm_mulaw` / telephony gear produce), implemented
+    // from the spec's closed forms (ops/AudioCodec sign + 3-bit
+    // segment + 4-bit mantissa, bias 132, ones-complemented wire
+    // byte). Unlike JPEG, this lossy codec is EXACTLY mirrorable in
+    // SQL — the quantization is pure integer arithmetic — so the
+    // oracle re-derives the decoded (expanded) sample values
+    // themselves: an 8-branch CASE ladder for the segment, shifts for
+    // the mantissa, and the gate hash-compares the decoded energy sum
+    // AND the total companding error, byte-for-byte of the real
+    // encode → WAV container → chunk-walk decode → expand path.
+    Q("q239_mulaw_roundtrip",
+      (s, d) => {
+        val docs = spread(s, col("doc_id"))(
+          t(s, d, "documents").select(col("doc_id").cast("long").as("doc_id")))
+        val payloads = docs.mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0)
+            val n = (120 + (id % 5) * 40).toInt
+            Row(id, AudioCodec.encodeWavMulaw(8000, AudioCodec.content(id, n)))
+          }
+        }(Encoders.row(payloadSchema))
+        val outSchema = StructType(Seq(
+          StructField("doc_id", LongType, nullable = false),
+          StructField("codec", StringType, nullable = false),
+          StructField("n_samples", LongType, nullable = false),
+          StructField("sample_rate", LongType, nullable = false),
+          StructField("n_bytes", LongType, nullable = false),
+          StructField("sum_decoded", LongType, nullable = false),
+          StructField("sum_abs_err", LongType, nullable = false)))
+        payloads.mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0)
+            val bytes = r.getAs[Array[Byte]](1)
+            val a = AudioCodec.decodeWav(bytes).get
+            val orig = AudioCodec.content(id, a.samples.length)
+            var sumY = 0L; var sumErr = 0L
+            var i = 0
+            while (i < a.samples.length) {
+              val y = a.samples(i).toLong
+              sumY += y
+              sumErr += math.abs(y - orig(i).toLong)
+              i += 1
+            }
+            Row(id, a.codec, a.samples.length.toLong, a.sampleRate.toLong,
+              bytes.length.toLong, sumY, sumErr)
+          }
+        }(Encoders.row(outSchema)).orderBy("doc_id")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, 120 + (doc_id % 5) * 40 AS n FROM documents),
+        s AS (
+          SELECT d.doc_id, d.n,
+            ((d.doc_id % 65536) * 11 + (i % 65536) * 17) % 65536 - 32768 AS x
+          FROM d, LATERAL (SELECT UNNEST(GENERATE_SERIES(0, d.n - 1)) AS i)),
+        q AS (
+          SELECT doc_id, n, x, LEAST(ABS(x), 32635) + 132 AS xb FROM s),
+        e AS (
+          SELECT doc_id, n, x, xb,
+            CASE WHEN xb >= 16384 THEN 7 WHEN xb >= 8192 THEN 6
+                 WHEN xb >= 4096 THEN 5 WHEN xb >= 2048 THEN 4
+                 WHEN xb >= 1024 THEN 3 WHEN xb >= 512 THEN 2
+                 WHEN xb >= 256 THEN 1 ELSE 0 END AS ex
+          FROM q),
+        dec AS (
+          SELECT doc_id, n, x,
+            (CASE WHEN x < 0 THEN -1 ELSE 1 END) *
+              ((((xb >> (ex + 3)) & 15) * 8 + 132) * (1 << ex) - 132) AS y
+          FROM e)
+        SELECT doc_id, 'mulaw' AS codec,
+          CAST(MAX(n) AS BIGINT) AS n_samples,
+          CAST(8000 AS BIGINT) AS sample_rate,
+          CAST(44 + MAX(n) + (MAX(n) & 1) AS BIGINT) AS n_bytes,
+          CAST(SUM(y) AS BIGINT) AS sum_decoded,
+          CAST(SUM(ABS(y - x)) AS BIGINT) AS sum_abs_err
+        FROM dec GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

@@ -112,4 +112,59 @@ class AudioCodecSpec extends AnyFunSuite {
       assert(AudioCodec.contentSample(seed, i) ===
         ((((seed % 65536) * 11 + (i % 65536) * 17) % 65536) - 32768).toInt)
   }
+
+  test("mu-law: exhaustive companding laws over the full int16 range") {
+    // G.711's defining properties, checked against the spec's closed
+    // forms for EVERY 16-bit sample: (1) quantization error bounded by
+    // half the segment step; (2) re-encoding a decoded sample is a
+    // fixed point (enc . dec . enc == enc); (3) monotone: companding
+    // preserves sample order on magnitudes
+    var x = -32768
+    var prevDec = Int.MinValue
+    while (x <= 32767) {
+      val b = AudioCodec.mulawEncodeSample(x)
+      assert((b & ~0xFF) == 0, s"byte range for $x")
+      val y = AudioCodec.mulawDecodeSample(b)
+      val xb = math.min(math.abs(x), 32635) + 132
+      val seg = 31 - Integer.numberOfLeadingZeros(xb) - 7
+      val step = 1 << (seg + 3)
+      assert(math.abs(y - (if (math.abs(x) > 32635) math.signum(x) * 32635 else x)) <= step,
+        s"error bound for $x: dec=$y step=$step")
+      // fixed point, modulo G.711's one alias: byte 0x7F is "negative
+      // zero" — it decodes to 0, which re-encodes as positive zero 0xFF
+      if (!(y == 0 && b == 0x7F))
+        assert(AudioCodec.mulawEncodeSample(y) === b, s"fixed point for $x")
+      assert(y >= prevDec, s"monotonicity broken at $x")
+      prevDec = y
+      x += 1
+    }
+    // wire-format anchors from the G.711 tables
+    assert(AudioCodec.mulawEncodeSample(0) === 0xFF)
+    assert(AudioCodec.mulawEncodeSample(32767) === 0x80)
+    assert(AudioCodec.mulawEncodeSample(-32768) === 0x00)
+    assert(AudioCodec.mulawDecodeSample(0xFF) === 0)
+  }
+
+  test("mu-law WAV: format-7 container round trip and strictness") {
+    val samples = AudioCodec.content(7L, 101) // odd count: pad exercised
+    val bytes = AudioCodec.encodeWavMulaw(8000, samples)
+    assert(bytes.length === AudioCodec.wavMulawFileSize(101))
+    val dec = AudioCodec.decodeWav(bytes).getOrElse(fail("must decode"))
+    assert(dec.codec === "mulaw" && dec.sampleRate === 8000 &&
+      dec.samples.length === 101)
+    // decoded samples are the codec's own expansion of each byte
+    samples.indices.foreach { i =>
+      assert(dec.samples(i).toInt ===
+        AudioCodec.mulawDecodeSample(
+          AudioCodec.mulawEncodeSample(samples(i).toInt)), s"sample $i")
+    }
+    // format 7 with 16 bits (or stereo) is malformed, not guessed at
+    val bad16 = bytes.clone(); bad16(34) = 16
+    assert(AudioCodec.decodeWav(bad16).isEmpty, "mulaw must be 8-bit")
+    val stereo = bytes.clone(); stereo(22) = 2
+    assert(AudioCodec.decodeWav(stereo).isEmpty, "mono only")
+    assert(AudioCodec.decodeWav(
+      java.util.Arrays.copyOf(bytes, bytes.length - 20)).isEmpty,
+      "truncated data chunk")
+  }
 }

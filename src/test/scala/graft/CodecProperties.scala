@@ -70,6 +70,27 @@ object CodecProperties extends Properties("graft.r11") {
       dec.sampleRate == rate && dec.samples.toSeq == samples.toSeq
     }
 
+  private val mulawGen = for {
+    n <- Gen.choose(1, 300)
+    rate <- Gen.oneOf(8000, 16000)
+    samples <- Gen.listOfN(n,
+      Gen.choose(Short.MinValue.toInt, Short.MaxValue.toInt))
+  } yield (rate, samples.map(_.toShort).toArray)
+
+  property("mu-law WAV round-trips arbitrary PCM through the G.711 " +
+    "quantizer (container exact, samples codec-quantized)") =
+    Prop.forAll(mulawGen) { case (rate, samples) =>
+      import graft.ops.AudioCodec
+      val dec = AudioCodec.decodeWav(
+        AudioCodec.encodeWavMulaw(rate, samples)).get
+      dec.codec == "mulaw" && dec.sampleRate == rate &&
+        dec.samples.length == samples.length &&
+        samples.indices.forall { i =>
+          dec.samples(i).toInt == AudioCodec.mulawDecodeSample(
+            AudioCodec.mulawEncodeSample(samples(i).toInt))
+        }
+    }
+
   private val mjpegMutationGen = for {
     nFrames <- Gen.choose(1, 3)
     grays <- Gen.listOfN(nFrames, Gen.choose(16, 224))
