@@ -116,23 +116,46 @@ object ScaleSweep {
     val suffixed = concat_ws(" ", transform(split(col("text"), " "),
       w => when(pmod(xxhash64(w) + col("__shard"), lit(5)) < 3,
         concat(w, lit("~"), col("__shard").cast("string"))).otherwise(w)))
+    // doc_id shift step is PRIME (not a power of ten): the multimodal
+    // queries synthesize image/video content keyed on doc_id mod small
+    // constants (256 scene seeds, 400 in q236), and a shift step that
+    // is 0 or 128 mod 256 would land every shard's docs in the SAME
+    // content classes — 10× docs per class ⇒ up to 100× candidate
+    // pairs in the perceptual-dedup band joins, the exact clone
+    // pathology the text suffixing avoids for token sets. An odd prime
+    // step rotates the classes per shard, so duplication density stays
+    // constant and pair counts grow linearly like a real 10× corpus.
     writeOut("documents")(sharded("documents").select(
-      shift("doc_id", 10000000L),
+      shift("doc_id", 10000019L),
       when(col("__shard") === 0, col("text")).otherwise(suffixed).as("text"),
       col("lang"), col("source"),
       when(col("__shard") === 0, col("n_chars"))
         .otherwise(length(suffixed).cast("long")).as("n_chars")))
-    // embeddings: cyclic rotation by shard (norm-preserving)
+    // embeddings: cyclic rotation + per-(shard, coordinate) SIGN FLIPS.
+    // Both are isometries, so within-shard pairwise distances (and all
+    // norms) are preserved exactly — each shard is a faithful replica
+    // of the sf0.1 geometry. The sign flips are the load-bearing half
+    // (round-13 lesson): these embeddings are SMOOTH across dims, so a
+    // bare cyclic shift stays highly correlated with the original —
+    // cos(v, rot(v)) ≈ 0.9 — and every vector acquired 9 cross-shard
+    // near-duplicates, a 34× candidate blowup in the near-dup queries
+    // that no real 10× corpus has. A ±1 mask keyed by (shard, dim)
+    // decorrelates cross-shard copies (the correlation becomes a
+    // random ± walk ≈ 0) while changing nothing within a shard.
     val dim = size(col("embedding"))
     val rot = pmod(col("__shard"), dim.cast("long"))
     val rotVec = concat(
       slice(col("embedding"), (rot + 1).cast("int"), (dim - rot).cast("int")),
       slice(col("embedding"), lit(1), rot.cast("int")))
-    writeOut("embeddings")(sharded("embeddings").select(
-      shift("vec_id", 10000000L),
-      when(col("__shard") === 0, col("embedding")).otherwise(rotVec)
-        .as("embedding"),
-      col("label")))
+    val signed = expr(
+      "transform(__rot_emb, (x, j) -> x * cast(1 - 2 * pmod(xxhash64(__shard, j), 2) as int))")
+    writeOut("embeddings")(sharded("embeddings")
+      .withColumn("__rot_emb", rotVec)
+      .select(
+        shift("vec_id", 10000000L),
+        when(col("__shard") === 0, col("embedding")).otherwise(signed)
+          .as("embedding"),
+        col("label")))
   }
 
   private def time(fn: => Unit): Double = {

@@ -163,7 +163,17 @@ object ImageCodec {
       y += 1
     }
     val bos = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", bos)
+    // memory-cached stream: ImageIO.write's convenience path wraps the
+    // OutputStream in a temp-FILE-backed cache by default — one disk
+    // file per image, which dominates per-payload codec work at corpus
+    // scale (same fix as MjpegAvi.encodeJpegFrame)
+    val writer = ImageIO.getImageWritersByFormatName("png").next()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(img)
+      ios.flush()
+    } finally { ios.close(); writer.dispose() }
     bos.toByteArray
   }
 
@@ -174,8 +184,15 @@ object ImageCodec {
     if (bytes.length < 8 ||
       !PNG_MAGIC.indices.forall(i => bytes(i) == PNG_MAGIC(i))) return None
     val img =
-      try ImageIO.read(new ByteArrayInputStream(bytes))
-      catch { case _: Exception => null }
+      try {
+        // explicit reader + memory-cached stream (ImageIO.read defaults
+        // to a temp-file-backed stream cache — see encodePng)
+        val reader = ImageIO.getImageReadersByFormatName("png").next()
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new ByteArrayInputStream(bytes))
+        try { reader.setInput(iis); reader.read(0) }
+        finally { iis.close(); reader.dispose() }
+      } catch { case _: Exception => null }
     if (img == null) return None
     val w = img.getWidth; val h = img.getHeight
     val rgb = new Array[Byte](w * h * 3)

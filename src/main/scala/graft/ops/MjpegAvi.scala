@@ -79,10 +79,15 @@ object MjpegAvi {
     param.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
     param.setCompressionQuality(quality)
     val bos = new ByteArrayOutputStream()
-    val ios = ImageIO.createImageOutputStream(bos)
+    // memory-cached stream, NOT ImageIO.createImageOutputStream: the
+    // convenience factory defaults to a temp-FILE-backed cache — one
+    // disk file create/write/delete per frame, which dominates a
+    // per-frame codec at corpus scale
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
     try {
       writer.setOutput(ios)
       writer.write(null, new IIOImage(img, null, null), param)
+      ios.flush()
     } finally { ios.close(); writer.dispose() }
     bos.toByteArray
   }
@@ -92,9 +97,16 @@ object MjpegAvi {
     // JFIF sanity before handing to ImageIO: SOI marker leads, EOI ends
     if (bytes.length < 4 || bytes(0) != 0xFF.toByte ||
       bytes(1) != 0xD8.toByte) return None
+    // explicit reader + memory-cached stream (ImageIO.read's stream
+    // factory defaults to a temp-file cache — see encodeJpegFrame)
     val img =
-      try ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case _: Exception => null }
+      try {
+        val reader = ImageIO.getImageReadersByFormatName("jpeg").next()
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try { reader.setInput(iis); reader.read(0) }
+        finally { iis.close(); reader.dispose() }
+      } catch { case _: Exception => null }
     if (img == null) return None
     val w = img.getWidth; val h = img.getHeight
     val rgb = new Array[Byte](w * h * 3)

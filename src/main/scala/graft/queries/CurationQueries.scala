@@ -685,10 +685,14 @@ object Q131 {
     graft.tables.Bucketing.writeBucketed(
       t(s, d, "lineitem").select("l_orderkey", "l_quantity",
         "l_extendedprice"),
-      "g131_lineitem", "l_orderkey", 8, sortCols = Seq("l_orderkey"))
+      // 32 buckets = one per core of the target session: bucket count
+      // caps join parallelism (each SMB join task reads one co-located
+      // bucket pair), so 8 buckets left 3/4 of the machine idle and
+      // made the steady-state join scale with data/8, not data/cores
+      "g131_lineitem", "l_orderkey", 32, sortCols = Seq("l_orderkey"))
     graft.tables.Bucketing.writeBucketed(
       t(s, d, "orders").select("o_orderkey", "o_orderpriority"),
-      "g131_orders", "o_orderkey", 8, sortCols = Seq("o_orderkey"))
+      "g131_orders", "o_orderkey", 32, sortCols = Seq("o_orderkey"))
   }
 
   def join(s: org.apache.spark.sql.SparkSession): DataFrame =

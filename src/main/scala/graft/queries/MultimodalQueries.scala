@@ -819,6 +819,13 @@ object MultimodalQueries {
         val docs = spread(s, col("doc_id"))(
           t(s, d, "documents").select(col("doc_id").cast("long").as("doc_id")))
         val payloads = docs.mapPartitions { rows =>
+          // synthesis cache: the payload depends on id only through
+          // (f, f0, gA, fps, single) — ≤ 5·7·7·3·2 combos — while JPEG
+          // encoding is ~1 ms/frame; without the cache the TEST-RIG
+          // synthesis (not the decode path under test, which still
+          // runs per document) dominates the query at 10⁵ docs
+          val cache = scala.collection.mutable
+            .HashMap.empty[(Int, Int, Int, Int, Boolean), Array[Byte]]
           rows.map { r =>
             val id = r.getLong(0)
             val f = (4 + id % 5).toInt
@@ -827,11 +834,14 @@ object MultimodalQueries {
             val gB = gA + 80
             val fps = (12 + (id % 3) * 6).toInt
             val single = id % 5 == 0
-            def solid(g: Int) = Array.fill(W * H * 3)(g.toByte)
-            val sceneA = solid(gA)
-            val sceneB = if (single) sceneA else solid(gB)
-            val frames = (0 until f).map(i => if (i < f0) sceneA else sceneB)
-            Row(id, MjpegAvi.encode(W, H, fps, frames))
+            val payload = cache.getOrElseUpdate((f, f0, gA, fps, single), {
+              def solid(g: Int) = Array.fill(W * H * 3)(g.toByte)
+              val sceneA = solid(gA)
+              val sceneB = if (single) sceneA else solid(gB)
+              val frames = (0 until f).map(i => if (i < f0) sceneA else sceneB)
+              MjpegAvi.encode(W, H, fps, frames)
+            })
+            Row(id, payload)
           }
         }(Encoders.row(payloadSchema))
         val outSchema = StructType(Seq(
