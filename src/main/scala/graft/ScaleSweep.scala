@@ -217,7 +217,8 @@ object ScaleSweep {
               (_: String) => () => { graft.queries.Q131.join(spark).count(); () }))
           else None
         val fn = SparkEntry.queries(name)
-        def run(dir: String): Unit = { fn(spark, dir).count(); () }
+        val outRows = scala.collection.mutable.Map.empty[String, Long]
+        def run(dir: String): Unit = { outRows(dir) = fn(spark, dir).count() }
         // SYMMETRIC protocol at both scales: untimed warm run (JIT,
         // codegen, parquet footers — a cold single sf1 run would fold
         // first-read noise into exactly the ratio this sweep gates on),
@@ -243,8 +244,14 @@ object ScaleSweep {
         val ratio = t1 / t01
         val layoutNote = layout01.fold("")(l =>
           f" (layout sf0.1 $l%.2fs, sf1 ${layout1.get}%.2fs)")
-        System.err.println(f"[sweep] $name%-32s sf0.1 $t01%7.2fs  sf1 $t1%7.2fs  ratio ${ratio}%5.1f x$layoutNote")
-        Some((name, t01, t1, ratio, layout01, layout1))
+        // output row counts at both scales: a query whose RESULT grows
+        // super-linearly (constant-duplication-density corpora make
+        // near-dup pair lists quadratic) is doing more WORK, not
+        // planning worse — the record carries the exoneration itself
+        val r01 = outRows.getOrElse(sf01, -1L)
+        val r1 = outRows.getOrElse(sf1, -1L)
+        System.err.println(f"[sweep] $name%-32s sf0.1 $t01%7.2fs  sf1 $t1%7.2fs  ratio ${ratio}%5.1f x$layoutNote rows $r01->$r1")
+        Some((name, t01, t1, ratio, layout01, layout1, r01, r1))
       } catch {
         case e: Throwable =>
           // one broken query must not lose the whole record — but it
@@ -257,13 +264,13 @@ object ScaleSweep {
     // Locale.ROOT: comma-decimal locales would corrupt the JSON record
     def num(v: Double, digits: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
-    val qJson = results.map { case (n, a, b, r, l01, l1) =>
+    val qJson = results.map { case (n, a, b, r, l01, l1, r01, r1) =>
       val layout = (l01, l1) match {
         case (Some(x), Some(y)) =>
           s""","layout_sf01_sec":${num(x, 3)},"layout_sf1_sec":${num(y, 3)},"join_sf01_sec":${num(a, 3)},"join_sf1_sec":${num(b, 3)}"""
         case _ => ""
       }
-      s""""$n":{"sf01_sec":${num(a, 3)},"sf1_sec":${num(b, 3)},"ratio":${num(r, 2)}$layout}"""
+      s""""$n":{"sf01_sec":${num(a, 3)},"sf1_sec":${num(b, 3)},"ratio":${num(r, 2)},"rows_sf01":$r01,"rows_sf1":$r1$layout}"""
     }.mkString("{", ",", "}")
     // an all-failed sweep must still write its (loudly empty) record —
     // maxBy on an empty seq would lose even the failure list

@@ -323,13 +323,22 @@ object MultimodalQueries {
     Q("q224_phash_neardup",
       (s, d) => {
         val W = 18; val H = 16; val N = 3 * W * H
+        // class space scales with the corpus (density anchor: 12
+        // classes at the 5000-doc reference) — a fixed class count
+        // means duplication DENSITY stays constant as the corpus
+        // grows, i.e. candidate pairs grow QUADRATICALLY, a workload
+        // no real 10× corpus has (a real corpus gains mostly NEW
+        // images, constant dups per doc). Below the anchor the count
+        // is unchanged, so sf0.01/sf0.1 results are bit-identical.
+        val classes = math.max(12L,
+          t(s, d, "documents").count() * 12L / 5000L)
         val docs = spread(s, col("doc_id"))(
           t(s, d, "documents")
             .select(col("doc_id").cast("long").as("doc_id")))
         val payloads = docs.mapPartitions { rows =>
           rows.map { r =>
             val id = r.getLong(0)
-            val arr = ImageCodec.content(id % 12, W, H)
+            val arr = ImageCodec.content(id % classes, W, H)
             val p = ((id * 37) % N).toInt
             arr(p) = (((arr(p) & 0xFF) + (id % 200) + 17) % 256).toByte
             Row(id, ImageCodec.encodeBmp(W, H, arr))
@@ -347,7 +356,7 @@ object MultimodalQueries {
             val id = r.getLong(0)
             val dec = ImageCodec.decode(r.getAs[Array[Byte]](1)).get
             val bands = ImageCodec.dHashBands(dec)
-            Row(id, id % 12, bands(0), bands(1), bands(2), bands(3))
+            Row(id, id % classes, bands(0), bands(1), bands(2), bands(3))
           }
         }(Encoders.row(hashSchema))
         val bands = hashed.select(col("doc_id"), col("g"), col("h0"),
@@ -372,7 +381,10 @@ object MultimodalQueries {
       },
       Some("""
         WITH doc AS (
-          SELECT doc_id, doc_id % 12 AS g, (doc_id * 37) % 864 AS p,
+          SELECT doc_id,
+            doc_id % (SELECT GREATEST(12, COUNT(*) * 12 // 5000)
+                      FROM documents) AS g,
+            (doc_id * 37) % 864 AS p,
             (doc_id % 200) + 17 AS delta
           FROM documents),
         ch AS (
@@ -589,7 +601,10 @@ object MultimodalQueries {
       },
       Some("""
         WITH doc AS (
-          SELECT doc_id, doc_id % 12 AS g, (doc_id * 37) % 864 AS p,
+          SELECT doc_id,
+            doc_id % (SELECT GREATEST(12, COUNT(*) * 12 // 5000)
+                      FROM documents) AS g,
+            (doc_id * 37) % 864 AS p,
             (doc_id % 200) + 17 AS delta
           FROM documents),
         ch AS (

@@ -65,7 +65,11 @@ object PlanAudit {
       "q232_pattern_vshape", // CEP lowering: all windows user-partitioned
       "q234_video_keyframes", // per-partition codec pipeline, no frame shuffle (r12)
       "q235_typo_dedup", // deletion-variant equi join + cached vocab (r12)
-      "q236_video_scene_dedup") // keyframe band equi join, cached kf frame (r12)
+      "q236_video_scene_dedup", // keyframe band equi join, cached kf frame (r12)
+      "q128_sparse_cosine", // df-capped gram equi join, cached tf frame (r13)
+      "q237_mjpeg_keyframes", // real-codec demux/decode mapPartitions, no shuffle (r13)
+      "q238_mjpeg_scene_dedup", // band equi join + perceptual Hamming verify (r13)
+      "q239_mulaw_roundtrip") // per-partition compander round trip, scan→project (r13)
     interesting.foreach { name =>
       val df = graft.queries.Catalog.byName(name).run(spark, d)
       // drive THIS df's own query execution to completion (count() would
