@@ -1093,6 +1093,138 @@ object MultimodalQueries {
           CAST(44 + MAX(n) + (MAX(n) & 1) AS BIGINT) AS n_bytes,
           CAST(SUM(y) AS BIGINT) AS sum_decoded,
           CAST(SUM(ABS(y - x)) AS BIGINT) AS sum_abs_err
-        FROM dec GROUP BY doc_id ORDER BY doc_id"""))
+        FROM dec GROUP BY doc_id ORDER BY doc_id""")),
+
+    // INCREMENTAL VIDEO DEDUP — q105's stream-static composition on
+    // the media leg, closing the loop between the streaming and
+    // multimodal surfaces: the corpus's scene keyframe index (doc →
+    // keyframe dHash bands, maintained as a materialized table in
+    // production) is the STATIC side; newly ingested MJPEG videos
+    // arrive as a STREAM, each micro-batch demuxes + decodes its own
+    // payloads (per-row codec work — no window, no aggregate, legal
+    // on a stream), and candidate generation is a stateless
+    // stream-static band equi join followed by the lossy path's
+    // perceptual Hamming verify (q238's rule). Per-micro-batch cost
+    // is O(increment × matched bands); no state store, no corpus
+    // recompute. History and increment split on an md5 nibble of
+    // doc_id (the q105 convention), scenes in seed arithmetic so the
+    // oracle is closed-form.
+    Q("q240_incremental_video_dedup",
+      (s, d) => {
+        val W = 36; val H = 32
+        val nib = substring(md5(col("doc_id").cast("string")), 1, 1)
+        val allDocs = t(s, d, "documents")
+          .select(col("doc_id").cast("long").as("doc_id"))
+        val histDocs = allDocs.filter(nib < "c")
+        val incrDocs = allDocs.filter(nib >= "c")
+
+        // doSpread only on the batch (history) side: the increment is a
+        // STREAM — small per micro-batch by definition, and an extra
+        // repartition would shuffle every batch for nothing
+        def synth(docs: org.apache.spark.sql.DataFrame,
+                  doSpread: Boolean = true) =
+          (if (doSpread) spread(s, col("doc_id"))(docs) else docs)
+            .mapPartitions { rows =>
+            rows.map { r =>
+              val id = r.getLong(0)
+              val f = (3 + id % 3).toInt
+              val f0 = (1 + id % (f - 1)).toInt
+              val sA = (id % 256).toInt
+              val sB = ((id * 11 + 5) % 256).toInt
+              val single = id % 4 == 0
+              val sceneA = MjpegAvi.rampContent(W, H, sA)
+              val sceneB =
+                if (single) sceneA else MjpegAvi.rampContent(W, H, sB)
+              val frames = (0 until f).map(i => if (i < f0) sceneA else sceneB)
+              Row(id, MjpegAvi.encode(W, H, 12, frames))
+            }
+          }(Encoders.row(payloadSchema))
+
+        val kfSchema = StructType(Seq(
+          StructField("doc_id", LongType, nullable = false),
+          StructField("b0", LongType, nullable = false),
+          StructField("b1", LongType, nullable = false),
+          StructField("b2", LongType, nullable = false),
+          StructField("b3", LongType, nullable = false)))
+        def keyframeBands(payloads: org.apache.spark.sql.DataFrame) =
+          payloads.mapPartitions { rows =>
+            rows.flatMap { r =>
+              val id = r.getLong(0)
+              val v = MjpegAvi.decode(r.getAs[Array[Byte]](1)).get
+              VideoCodec.keyframes(v, minDiff = 5000L).map { f =>
+                val frame = java.util.Arrays.copyOfRange(
+                  v.data, f * v.frameLen, (f + 1) * v.frameLen)
+                val small = ImageCodec.resizeNearest(
+                  ImageCodec.Decoded("jpeg", v.width, v.height, frame),
+                  18, 16)
+                val bands = ImageCodec.dHashBands(small)
+                Row(id, bands(0), bands(1), bands(2), bands(3))
+              }
+            }
+          }(Encoders.row(kfSchema))
+
+        // the increment arrives as files — stage it (memoization-free:
+        // this staging is the q105 shape, a plain parquet dump)
+        val staged = java.nio.file.Files
+          .createTempDirectory("graft_q240_src_").toString
+        incrDocs.write.mode("overwrite").parquet(staged)
+        val schema = s.read.parquet(staged).schema
+
+        val reg = new graft.graph.Registry(s)
+        reg.source("video_history", () => histDocs)
+        reg.source("video_feed", () => incrDocs)
+        reg.register(graft.graph.TableDef("video_incr_matches",
+          Seq("video_feed", "video_history"), {
+            case Seq(in, hist) =>
+              val histKf = keyframeBands(synth(hist))
+              val inPayloads = synth(in, doSpread = false)
+              val histBands = histKf.select(col("doc_id").as("doc_hist"),
+                col("b0").as("hb0"), col("b1").as("hb1"),
+                col("b2").as("hb2"), col("b3").as("hb3"),
+                posexplode(array(col("b0"), col("b1"), col("b2"),
+                  col("b3"))))
+                .withColumnRenamed("pos", "band")
+                .withColumnRenamed("col", "bv")
+              val inKf = keyframeBands(inPayloads)
+              val inBands = inKf.select(col("doc_id").as("doc_new"),
+                col("b0"), col("b1"), col("b2"), col("b3"),
+                posexplode(array(col("b0"), col("b1"), col("b2"),
+                  col("b3"))))
+                .withColumnRenamed("pos", "band")
+                .withColumnRenamed("col", "bv")
+              val ham = (0 until 4).map(i =>
+                bit_count(col(s"b$i").bitwiseXOR(col(s"hb$i"))))
+                .reduce(_ + _)
+              inBands.join(histBands, Seq("band", "bv"))
+                .filter(ham <= 4) // perceptual verify — lossy path rule
+                .select("doc_new", "doc_hist")
+          }, mode = graft.graph.Mode.Incremental))
+        reg.register(graft.graph.TableDef("video_incr_dups",
+          Seq("video_incr_matches"),
+          { case Seq(m) => m.distinct() }, mode = graft.graph.Mode.Full))
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_q240_").toString
+        graft.graph.Runner.runStreamingThenFull(s, reg,
+          Map("video_feed" -> (() =>
+            s.readStream.schema(schema).parquet(staged))),
+          out)
+        s.read.parquet(s"$out/video_incr_dups")
+          .orderBy("doc_new", "doc_hist")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, doc_id % 256 AS sa, (doc_id * 11 + 5) % 256 AS sb,
+            doc_id % 4 = 0 AS single_scene,
+            SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 1) >= 'c' AS is_incr
+          FROM documents),
+        scenes AS (
+          SELECT DISTINCT doc_id, is_incr, seed FROM (
+            SELECT doc_id, is_incr, sa AS seed FROM d
+            UNION ALL
+            SELECT doc_id, is_incr, sb AS seed FROM d WHERE NOT single_scene))
+        SELECT DISTINCT n.doc_id AS doc_new, h.doc_id AS doc_hist
+        FROM scenes n JOIN scenes h ON n.seed = h.seed
+        WHERE n.is_incr AND NOT h.is_incr
+        ORDER BY doc_new, doc_hist"""))
   )
 }
