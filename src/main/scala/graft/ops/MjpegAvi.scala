@@ -157,6 +157,84 @@ object MjpegAvi {
     out
   }
 
+  /** 16-BIT scene content, JPEG-stable like [[rampContent]] but with a
+    * content space that can SCALE WITH THE CORPUS — the fix for the
+    * quadratic candidate cliff an 8-bit scene vocabulary hits (with 256
+    * possible scenes, same-scene classes grow linearly with corpus size
+    * and candidate pairs quadratically; a real growing corpus gains
+    * mostly NEW scenes). Encoding: the frame is an 8×9 grid of FLAT
+    * blocks (each h/8 px tall × w/9 px wide — flat blocks are
+    * DC-dominant, the most JPEG-robust content there is). Hash row `r`
+    * carries byte `(seed >>> 8*(r%2)) & 0xFF` — low byte on even rows,
+    * high on odd — via a level WALK: block 0 sits at level index
+    * `zeros(byte)`, and each step goes +1 if the row-byte's bit `c` is
+    * set, else −1, so dHash bit (r,c) = [cell(r,c) < cell(r,c+1)] =
+    * bit c of the row byte. Starting at `zeros(byte)` pins the walk to
+    * [0,8] (downs ≤ zeros, ups ≤ ones), so 9 luminance levels at a
+    * 28-step (14..238) suffice — adjacent blocks always differ by a
+    * full step, far above JPEG ringing at q0.85 (verified across seeds
+    * in MjpegAviSpec). Consequences the dedup queries lean on:
+    * each 16-bit band of [[ImageCodec.dHashBands]] spans one even and
+    * one odd row = ALL 16 seed bits, so distinct seeds agree on NO
+    * band, equal seeds on ALL four — band-equality candidate
+    * generation is exact; and two seeds differing in one bit sit at
+    * Hamming 4 (4 row replicas), so a perceptual verify at ≤3 cleanly
+    * separates while still absorbing single-bit JPEG upsets via the
+    * 3-intact-band pigeonhole. */
+  def blockContent(w: Int, h: Int, seed: Int): Array[Byte] = {
+    require(w % 9 == 0, "block columns must divide into the 9 dHash cells")
+    require(h % 8 == 0, "block rows must divide into the 8 dHash cell rows")
+    require(seed >= 0 && seed < 65536, "seed is 16-bit")
+    val out = new Array[Byte](w * h * 3)
+    val bw = w / 9
+    val rowH = h / 8
+    // per-row-byte level walk, precomputed once per 8 rows
+    val levels = Array.ofDim[Int](8, 9)
+    var r = 0
+    while (r < 8) {
+      val b = (seed >>> (8 * (r % 2))) & 0xFF
+      var wk = 8 - Integer.bitCount(b) // zeros(byte): pins walk to [0,8]
+      levels(r)(0) = 14 + 28 * wk
+      var c = 0
+      while (c < 8) {
+        wk += (if (((b >> c) & 1) == 1) 1 else -1)
+        levels(r)(c + 1) = 14 + 28 * wk
+        c += 1
+      }
+      r += 1
+    }
+    var y = 0
+    while (y < h) {
+      val row = levels(y / rowH)
+      var x = 0
+      while (x < w) {
+        val l = row(x / bw).toByte
+        val p = (y * w + x) * 3
+        out(p) = l; out(p + 1) = l; out(p + 2) = l
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** The dHash band values [[blockContent]] produces for `seed`, closed
+    * form — what the oracle and the specs reason against. */
+  def blockContentBands(seed: Int): Array[Long] = {
+    val bands = new Array[Long](4)
+    var r = 0
+    while (r < 8) {
+      val b = (seed >>> (8 * (r % 2))) & 0xFF
+      var c = 0
+      while (c < 8) {
+        if (((b >> c) & 1) == 1) bands(r / 2) |= 1L << (8 * (r % 2) + c)
+        c += 1
+      }
+      r += 1
+    }
+    bands
+  }
+
   // ---- AVI muxer ------------------------------------------------------
 
   private val AVIF_HASINDEX = 0x10

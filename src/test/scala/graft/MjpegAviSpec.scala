@@ -60,6 +60,66 @@ class MjpegAviSpec extends AnyFunSuite {
     }
   }
 
+  private def hashOf(rgb: Array[Byte]): Seq[Long] = {
+    val v = MjpegAvi.decode(MjpegAvi.encode(36, 32, 12, Seq(rgb))).get
+    val small = ImageCodec.resizeNearest(
+      ImageCodec.Decoded("jpeg", 36, 32,
+        java.util.Arrays.copyOfRange(v.data, 0, v.frameLen)), 18, 16)
+    ImageCodec.dHashBands(small).toSeq
+  }
+
+  test("blockContent dHash equals the closed-form 16-bit seed mapping " +
+      "after JPEG + resize — the corpus-scaling scene vocabulary's " +
+      "load-bearing fact (q238/q240 oracles reason in seed arithmetic)") {
+    // rows interact vertically inside shared 8×8 DCT blocks (each DCT
+    // block spans two 4-px content rows), so the sample must cover
+    // byte PAIRS, not just bytes: all 256 uniform seeds (b|b<<8), all
+    // 256 complement pairs (b | ~b<<8) — the max-contrast vertical
+    // neighbor — and an LCG sweep of the mixed space.
+    def check(seed: Int): Unit =
+      assert(hashOf(MjpegAvi.blockContent(36, 32, seed)) ===
+        MjpegAvi.blockContentBands(seed).toSeq, s"seed $seed hash drift")
+    for (b <- 0 until 256) { check(b | (b << 8)); check(b | ((b ^ 0xFF) << 8)) }
+    var x = 12345
+    for (_ <- 0 until 512) {
+      x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+      check(x & 0xFFFF)
+    }
+    // the single-bit frontier: every pair of seeds one bit apart must
+    // land at Hamming exactly 4 — the q238 ≤3 verify's separation
+    for (k <- 0 until 16) {
+      val a = MjpegAvi.blockContentBands(0)
+      val b = MjpegAvi.blockContentBands(1 << k)
+      val ham = (0 until 4).map(i => java.lang.Long.bitCount(a(i) ^ b(i))).sum
+      assert(ham === 4, s"bit $k inter-seed Hamming")
+    }
+  }
+
+  test("blockContent dHash is invariant under the q238 corner watermark") {
+    // per-doc watermark: +amp (amp ≤ 8) on the bottom-right 4×4 block —
+    // rides far below the 28-level step separating adjacent cells
+    for (seed <- Seq(0x0000, 0xFFFF, 0xA5C3, 0x5A3C, 0x8001);
+         amp <- Seq(1, 4, 8)) {
+      val c = MjpegAvi.blockContent(36, 32, seed)
+      var y = 28
+      while (y < 32) {
+        var x = 32
+        while (x < 36) {
+          val p = (y * 36 + x) * 3
+          var k = 0
+          while (k < 3) {
+            c(p + k) = math.min(255, (c(p + k) & 0xFF) + amp).toByte
+            k += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      assert(hashOf(c) === MjpegAvi.blockContentBands(seed).toSeq,
+        s"seed $seed amp $amp watermark flipped a hash bit")
+    }
+  }
+
   test("malformed payloads classify as None, never throw") {
     val good = MjpegAvi.encode(48, 32, 12, Seq(solid(48, 32, 64),
       solid(48, 32, 160)))
