@@ -85,6 +85,18 @@ object ManifestStore {
     * blooms must KEEP (same safety rule as stats). After deleteKeys the
     * carried bloom is stale-WIDE (may still claim deleted keys —
     * false positives are the bloom contract, so reads stay correct). */
+  /** `deletes`: partition key → generation-relative sidecar directory
+    * holding that partition's DELETION VECTOR — the key tuples deleted
+    * from it since its last rewrite (equality deletes, the
+    * Delta-deletion-vector / Iceberg-equality-delete device). This is
+    * the MERGE-ON-READ delete: [[deleteKeysVector]] writes only the
+    * tiny key sidecar and republishes the manifest — O(deleted keys),
+    * not O(touched partitions) like the copy-on-write [[deleteKeys]] —
+    * and every read anti-joins the vectors of the partitions it
+    * touches. Any operation that REWRITES a partition (upsert touch,
+    * COW delete, compact) applies its vector first and then clears it:
+    * the rewrite materializes the deletes. `deleteKeyCols` names the
+    * key tuple (one key set per table — the upsert key discipline). */
   final case class Manifest(version: Long, entries: Map[String, String],
                             stats: Map[String, Map[String, (String, String)]]
                               = Map.empty,
@@ -92,7 +104,9 @@ object ManifestStore {
                               = Map.empty,
                             schemaJson: Option[String] = None,
                             blooms: Map[String, Map[String, String]]
-                              = Map.empty) {
+                              = Map.empty,
+                            deletes: Map[String, String] = Map.empty,
+                            deleteKeyCols: Seq[String] = Nil) {
     def schema: Option[StructType] = schemaJson.map(j =>
       org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[StructType])
@@ -177,8 +191,19 @@ object ManifestStore {
         }
         blooms += p.getKey -> cols.toMap
       }
+      val deletes = scala.collection.mutable.Map.empty[String, String]
+      val delNode = tree.get("deletes")
+      if (delNode != null) delNode.fields().forEachRemaining { p =>
+        deletes += p.getKey -> p.getValue.asText()
+      }
+      val deleteKeyCols = Option(tree.get("deleteKeyCols")).map { n =>
+        val b = Seq.newBuilder[String]
+        n.elements().forEachRemaining(e => b += e.asText())
+        b.result()
+      }.getOrElse(Nil)
       Some(Manifest(tree.get("version").asLong(), entries.toMap, stats.toMap,
-        fileStats.toMap, schemaJson, blooms.toMap))
+        fileStats.toMap, schemaJson, blooms.toMap, deletes.toMap,
+        deleteKeyCols))
     }
   }
 
@@ -231,7 +256,32 @@ object ManifestStore {
         s"manifest v${m.version} of $root is empty and records no schema"))
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
-    } else readPaths(spark, root, m.entries.values.toSeq, pin)
+    } else applyDeletes(spark, root, m,
+      readPaths(spark, root, m.entries.values.toSeq, pin),
+      m.entries.keySet)
+  }
+
+  /** Merge-on-read: anti-join away the deletion vectors of the
+    * partitions a read touches. Vectors are deleted-KEY lists —
+    * GDPR/compliance-sized, tiny relative to the table — so the anti
+    * join broadcasts; a table whose vectors have grown large should
+    * [[compact]] (which materializes and clears them). Sidecar reads
+    * PIN the key columns' types from the table schema (the
+    * directory-name inference trap). */
+  private def applyDeletes(spark: SparkSession, root: String, m: Manifest,
+                           df: DataFrame,
+                           partKeys: Iterable[String]): DataFrame = {
+    if (m.deletes.isEmpty || m.deleteKeyCols.isEmpty) return df
+    val rels = partKeys.flatMap(m.deletes.get).toSeq
+    if (rels.isEmpty) return df
+    val keyFields = m.schema.map(s =>
+      StructType(s.fields.filter(f => m.deleteKeyCols.contains(f.name))))
+    require(keyFields.forall(_.length == m.deleteKeyCols.length),
+      s"table schema of $root is missing delete key columns " +
+        s"${m.deleteKeyCols}")
+    val vectors = readPaths(spark, root, rels, keyFields)
+      .select(m.deleteKeyCols.map(col): _*).distinct()
+    df.join(broadcast(vectors), m.deleteKeyCols, "left_anti")
   }
 
   /** Read a set of generation-relative paths — partition DIRECTORIES or
@@ -337,7 +387,8 @@ object ManifestStore {
         s"readSkipping matched no partitions of $root and has no schema " +
           "to shape the empty result"))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
-    } else readPaths(spark, root, paths, schema.orElse(m.schema))
+    } else applyDeletes(spark, root, m,
+      readPaths(spark, root, paths, schema.orElse(m.schema)), kept.keys)
   }
 
   /** Per-partition AND per-file (min, max) of `statsCols`, computed by
@@ -492,7 +543,9 @@ object ManifestStore {
               "schema to shape the empty result"))
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
-      } else readPaths(spark, root, kept.values.toSeq, schema.orElse(m.schema))
+      } else applyDeletes(spark, root, m,
+        readPaths(spark, root, kept.values.toSeq, schema.orElse(m.schema)),
+        kept.keys)
     out.filter(col(keyCol) === litv)
   }
 
@@ -522,8 +575,11 @@ object ManifestStore {
     val touchedKeys = touched.map(r => partKey(partitionCols, r.toSeq)).toSet
       .intersect(prev.entries.keySet)
     if (touchedKeys.isEmpty) return // nothing stored for these keys
-    val existing = readPaths(spark, root,
-      prev.entries.view.filterKeys(touchedKeys).values.toSeq, prev.schema)
+    // apply any standing deletion vectors first — the rewrite
+    // materializes them, so they clear below
+    val existing = applyDeletes(spark, root, prev, readPaths(spark, root,
+      prev.entries.view.filterKeys(touchedKeys).values.toSeq, prev.schema),
+      touchedKeys)
     val remaining = existing.join(
       broadcast(keys.select(keyCols.map(col): _*).distinct()),
       keyCols, "left_anti")
@@ -544,7 +600,72 @@ object ManifestStore {
     // are within the bloom contract).
     publish(spark, root, version,
       (prev.entries -- touchedKeys) ++ staged, Some(prev), prev.stats,
-      prev.fileStats -- touchedKeys, prev.schemaJson, prev.blooms)
+      prev.fileStats -- touchedKeys, prev.schemaJson, prev.blooms,
+      prev.deletes -- touchedKeys, prev.deleteKeyCols)
+  }
+
+  /** Merge-on-read delete — the DELETION-VECTOR write (what Delta's
+    * deletion vectors and Iceberg's equality deletes do): instead of
+    * rewriting every touched partition like [[deleteKeys]], write only
+    * a tiny per-partition sidecar of deleted key tuples and republish
+    * the manifest — O(deleted keys) I/O, the shape a steady drip of
+    * right-to-be-forgotten requests needs on a 100 TB table (a COW
+    * delete would rewrite the same hot partitions daily). Readers
+    * anti-join the vectors of the partitions they touch
+    * ([[applyDeletes]]); repeated vector deletes ACCUMULATE (the new
+    * sidecar is unioned with the partition's previous vector, and the
+    * old sidecar's generation is GC'd when unreferenced); any rewrite
+    * of a partition (upsert touch, COW delete, [[compact]]) applies
+    * its vector and clears it. Same caveats as COW delete, plus one:
+    * the deleted BYTES remain on storage until a rewrite — vector
+    * deletes hide rows, compaction forgets them; a compliance pipeline
+    * runs [[compact]] (or [[deleteKeys]]) on its purge deadline and
+    * verifies with the q152 audit. `keys` carries `keyCols` AND
+    * `partitionCols` (partition columns are functionally dependent on
+    * keys by the table contract). */
+  def deleteKeysVector(root: String, keyCols: Seq[String],
+                       partitionCols: Seq[String])(keys: DataFrame): Unit = {
+    require(partitionCols.nonEmpty, "deleteKeysVector needs partition columns")
+    val spark = keys.sparkSession
+    val fs = fsOf(spark, root)
+    val prev = readManifest(fs, root).getOrElse(
+      throw new IllegalStateException(s"no table to delete from at $root"))
+    require(prev.deleteKeyCols.isEmpty || prev.deleteKeyCols == keyCols,
+      s"table $root already carries deletion vectors keyed by " +
+        s"${prev.deleteKeyCols}; one key set per table")
+    val schema = prev.schema.getOrElse(throw new IllegalStateException(
+      s"deleteKeysVector needs the recorded table schema at $root " +
+        "(pre-schema manifests must use the copy-on-write deleteKeys)"))
+    val touched = keys.select(partitionCols.map(col): _*).distinct().collect()
+    val touchedKeys = touched.map(r => partKey(partitionCols, r.toSeq)).toSet
+      .intersect(prev.entries.keySet)
+    if (touchedKeys.isEmpty) return // nothing stored for these keys
+    val sidecarSchema = StructType(schema.fields.filter(f =>
+      keyCols.contains(f.name) || partitionCols.contains(f.name)))
+    require(sidecarSchema.length ==
+      (keyCols ++ partitionCols).distinct.length,
+      s"table schema of $root is missing delete key or partition columns")
+    val newKeys = keys
+      .select((keyCols ++ partitionCols).distinct.map(col): _*).distinct()
+    // accumulate: union the touched partitions' existing vectors so the
+    // staged sidecar REPLACES them (each partition has one live vector)
+    val prevVecRels = touchedKeys.toSeq.flatMap(prev.deletes.get)
+    val allKeys =
+      if (prevVecRels.isEmpty) newKeys
+      else newKeys.unionByName(
+        readPaths(spark, root, prevVecRels, Some(sidecarSchema)))
+        .distinct()
+    val version = prev.version + 1
+    val staged = stageGeneration(root, partitionCols, allKeys, version)
+    // keys for partitions the table doesn't hold stage harmlessly but
+    // must not be recorded (publish's live filter would drop them
+    // anyway; dropping here keeps the manifest an exact statement)
+    val stagedLive = staged.view.filterKeys(touchedKeys).toMap
+    // data entries unchanged; stats/blooms carry stale-WIDE (bounds
+    // remain supersets, bloom false-keeps are the bloom contract)
+    publish(spark, root, version, prev.entries, Some(prev), prev.stats,
+      prev.fileStats, prev.schemaJson, prev.blooms,
+      prev.deletes ++ stagedLive, keyCols)
   }
 
   /** Maintenance compaction — the OPTIMIZE of this mini table format:
@@ -565,13 +686,21 @@ object ManifestStore {
     val current = readSnapshot(spark, root, prev, None)
     val version = prev.version + 1
     val entries = stageGeneration(root, partitionCols, current, version)
-    if (entries.keySet != prev.entries.keySet)
+    // deletion vectors are MATERIALIZED by the rewrite (readSnapshot
+    // applied them), so they clear — and a partition whose vector
+    // deleted every row legitimately vanishes; absent vectors, the
+    // partition set must be exactly preserved
+    if (prev.deletes.isEmpty && entries.keySet != prev.entries.keySet)
       throw new IllegalStateException(
         s"compaction changed the partition set of $root: " +
           s"${entries.keySet} vs ${prev.entries.keySet}")
+    if (!entries.keySet.subsetOf(prev.entries.keySet))
+      throw new IllegalStateException(
+        s"compaction invented partitions at $root: " +
+          s"${entries.keySet -- prev.entries.keySet}")
     // same rows, same partitions — recorded PARTITION bounds stay
-    // exact (and blooms stay EXACT, not merely safe); file stats drop
-    // (every file was rewritten)
+    // exact when no vectors applied (stale-wide, still safe, when they
+    // did); file stats drop (every file was rewritten)
     publish(spark, root, version, entries, Some(prev), prev.stats,
       schemaJson = prev.schemaJson, blooms = prev.blooms)
   }
@@ -685,7 +814,9 @@ object ManifestStore {
                                = Map.empty,
                              schemaJson: Option[String] = None,
                              blooms: Map[String, Map[String, String]]
-                               = Map.empty): Unit = {
+                               = Map.empty,
+                             deletes: Map[String, String] = Map.empty,
+                             deleteKeyCols: Seq[String] = Nil): Unit = {
     val fs = fsOf(spark, root)
     val node = mapper.createObjectNode()
     node.put("version", version)
@@ -725,6 +856,17 @@ object ManifestStore {
         cols.toSeq.sortBy(_._1).foreach { case (c, enc) => pn.put(c, enc) }
       }
     }
+    // deletion vectors follow the liveness invariant too: a dropped
+    // partition's vector dies with its entry
+    val liveDeletes = deletes.view.filterKeys(entries.contains).toMap
+    if (liveDeletes.nonEmpty) {
+      require(deleteKeyCols.nonEmpty,
+        s"deletion vectors without recorded key columns at $root")
+      val dn = node.putObject("deletes")
+      liveDeletes.toSeq.sortBy(_._1).foreach { case (k, p) => dn.put(k, p) }
+      val kn = node.putArray("deleteKeyCols")
+      deleteKeyCols.foreach(kn.add)
+    }
     val tmp = new HPath(s"$root/$MDIR/.tmp-v$version.json")
     val out = fs.create(tmp, true)
     try {
@@ -747,8 +889,11 @@ object ManifestStore {
           "has a second writer; serialize the pipelines that own it")
     }
     commitRename(fs, tmp, dst, s"$root v$version")
-    // GC: keep generations referenced by this or the previous manifest
-    val keep = (entries.values ++ prev.toSeq.flatMap(_.entries.values))
+    // GC: keep generations referenced by this or the previous manifest —
+    // through data entries OR deletion-vector sidecars (a generation dir
+    // holding only live sidecars is still live)
+    val keep = (entries.values ++ liveDeletes.values ++
+      prev.toSeq.flatMap(p => p.entries.values ++ p.deletes.values))
       .map(_.split('/').take(2).mkString("/")).toSet
     val genRoot = new HPath(s"$root/$GDIR")
     if (fs.exists(genRoot))
@@ -799,7 +944,11 @@ object ManifestStore {
       case Some(m) =>
         val oldTouched = m.entries.view.filterKeys(touchedKeys).values.toSeq
         if (oldTouched.isEmpty) merge(batch)
-        else merge(readPaths(spark, root, oldTouched, m.schema)
+        // standing deletion vectors apply BEFORE the merge — a deleted
+        // key must not resurrect from the pre-delete bytes (the rewrite
+        // materializes the vector; it clears at publish below)
+        else merge(applyDeletes(spark, root, m,
+          readPaths(spark, root, oldTouched, m.schema), touchedKeys)
           .unionByName(batch, allowMissingColumns = true))
     }
     // `layout` is the write-clustering hook (repartitionByRange +
@@ -882,7 +1031,11 @@ object ManifestStore {
       (prev.map(_.stats).getOrElse(Map.empty) -- touchedKeys) ++ newStats,
       (prev.map(_.fileStats).getOrElse(Map.empty) -- touchedKeys) ++ newFileStats,
       Some(recordedSchema.json),
-      carriedBlooms ++ newBlooms)
+      carriedBlooms ++ newBlooms,
+      // rewritten partitions materialized their vectors; untouched ones
+      // keep theirs
+      prev.map(_.deletes).getOrElse(Map.empty) -- touchedKeys,
+      prev.map(_.deleteKeyCols).getOrElse(Nil))
   }
 
   /** Field-name union of the previously recorded schema and the new

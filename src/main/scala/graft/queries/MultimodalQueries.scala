@@ -1244,6 +1244,132 @@ object MultimodalQueries {
         SELECT DISTINCT n.doc_id AS doc_new, h.doc_id AS doc_hist
         FROM scenes n JOIN scenes h ON n.seed = h.seed
         WHERE n.is_incr AND NOT h.is_incr
-        ORDER BY doc_new, doc_hist"""))
+        ORDER BY doc_new, doc_hist""")),
+
+    // WEB-CORPUS INGEST — WARC (ISO 28500), the container the 100-TB
+    // training corpora actually arrive in (Common Crawl ships
+    // `.warc.gz`: per-record gzip members, each a WARC record whose
+    // `response` payload is a raw HTTP/1.1 message). Docs group into
+    // 16-record crawl files (plus a `warcinfo` lead record the demux
+    // must skip), each file REALLY muxed by ops/WarcCodec (multi-member
+    // gzip + strict WARC grammar), carried as a binary column, then
+    // demuxed back: gunzip → WARC walk → HTTP parse → HTML→text
+    // extraction (script/style subtrees dropped, tags stripped,
+    // entities decoded) → per-registered-domain corpus stats — the
+    // first aggregation every web-corpus curation run computes. The
+    // crawl reality is synthesized faithfully: 404s, binary (image)
+    // responses, and truncated transfers (declared Content-Length ≠
+    // entity) appear at fixed residues, and each lands in its own
+    // bucket — the HTTP layer fails per-record without failing the
+    // file. All codec work is row-local in mapPartitions; the two
+    // shuffles are the file groupBy and the domain agg. The oracle
+    // reasons in residue arithmetic.
+    Q("q241_warc_ingest",
+      (s, d) => {
+        import java.nio.charset.StandardCharsets.ISO_8859_1
+        import graft.ops.WarcCodec
+        import graft.ops.WarcCodec.WarcRecord
+        val docs = t(s, d, "documents")
+          .select(col("doc_id").cast("long").as("doc_id"),
+            expr("CAST(doc_id AS BIGINT) div 16").as("crawl_file"))
+        val files = spread(s, col("crawl_file"))(docs)
+          .groupBy("crawl_file").agg(collect_list(col("doc_id")).as("ids"))
+        val crawlSchema = StructType(Seq(
+          StructField("crawl_file", LongType, nullable = false),
+          StructField("payload", BinaryType, nullable = false)))
+        val date = "2026-01-01T00:00:00Z"
+        def rec(id: Long): WarcRecord = {
+          val uri = s"https://site${id % 97}.example/page/$id"
+          val rid = s"<urn:uuid:$id>"
+          if (id % 13 == 0)
+            WarcRecord("response", rid, Some(uri), date, httpOk = true,
+              404, "text/html",
+              "<html><body>not found</body></html>".getBytes(ISO_8859_1))
+          else if (id % 17 == 0)
+            WarcRecord("response", rid, Some(uri), date, httpOk = true,
+              200, "image/png",
+              Array.tabulate(32)(i => ((id + i) % 256).toByte))
+          else if (id % 19 == 0)
+            WarcRecord("response", rid, Some(uri), date, httpOk = true,
+              200, "text/html", Array.empty,
+              rawHttp = Some(("HTTP/1.1 200 OK\r\nContent-Type: text/html" +
+                "\r\nContent-Length: 999999\r\n\r\n<html>cut")
+                .getBytes(ISO_8859_1)))
+          else {
+            val nw = (5 + id % 7).toInt
+            val words = (0 until nw)
+              .map(j => s"tok${(id * 31 + j) % 1000}").mkString(" ")
+            val html = s"<html><head><title>Doc $id</title>" +
+              "<style>p{color:red}</style></head><body>" +
+              s"<p>$words</p><script>var x=1;</script></body></html>"
+            WarcRecord("response", rid, Some(uri), date, httpOk = true,
+              200, "text/html", html.getBytes(ISO_8859_1))
+          }
+        }
+        val payloads = files.mapPartitions { rows =>
+          rows.map { r =>
+            val fid = r.getLong(0)
+            val ids = r.getSeq[Long](1).sorted
+            val info = WarcRecord("warcinfo", s"<urn:uuid:info-$fid>",
+              None, date, httpOk = true, 0, "",
+              s"software: graft-crawler\r\nfile: $fid\r\n"
+                .getBytes(ISO_8859_1))
+            Row(fid, WarcCodec.encodeGz(info +: ids.map(rec)))
+          }
+        }(Encoders.row(crawlSchema))
+        val recSchema = StructType(Seq(
+          StructField("domain", StringType, nullable = false),
+          StructField("kind", StringType, nullable = false),
+          StructField("n_toks", LongType, nullable = false)))
+        val parsed = payloads.mapPartitions { rows =>
+          rows.flatMap { r =>
+            val recs = WarcCodec.decodeGz(r.getAs[Array[Byte]](1)).get
+            recs.filter(_.warcType == "response").map { w =>
+              val domain = w.targetUri.get.split("/")(2)
+              val kind =
+                if (!w.httpOk) "truncated"
+                else if (w.httpStatus != 200) "http_error"
+                else if (!w.contentType.startsWith("text/html")) "binary"
+                else "page"
+              val toks =
+                if (kind == "page")
+                  WarcCodec.extractText(new String(w.body, ISO_8859_1))
+                    .split(" ").count(_.nonEmpty).toLong
+                else 0L
+              Row(domain, kind, toks)
+            }
+          }
+        }(Encoders.row(recSchema))
+        parsed.groupBy("domain").agg(
+          sum(when(col("kind") === "page", 1L).otherwise(0L)).as("n_pages"),
+          sum(col("n_toks")).as("n_tokens"),
+          sum(when(col("kind") === "http_error", 1L).otherwise(0L))
+            .as("n_http_errors"),
+          sum(when(col("kind") === "binary", 1L).otherwise(0L))
+            .as("n_binary"),
+          sum(when(col("kind") === "truncated", 1L).otherwise(0L))
+            .as("n_truncated"))
+          .orderBy("domain")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, doc_id % 97 AS dom,
+            doc_id % 13 = 0 AS e404,
+            doc_id % 13 <> 0 AND doc_id % 17 = 0 AS bin,
+            doc_id % 13 <> 0 AND doc_id % 17 <> 0 AND doc_id % 19 = 0
+              AS trnc,
+            5 + doc_id % 7 AS nw
+          FROM documents)
+        SELECT 'site' || CAST(dom AS VARCHAR) || '.example' AS domain,
+          CAST(SUM(CASE WHEN NOT (e404 OR bin OR trnc) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_pages,
+          CAST(SUM(CASE WHEN NOT (e404 OR bin OR trnc) THEN nw + 2
+            ELSE 0 END) AS BIGINT) AS n_tokens,
+          CAST(SUM(CASE WHEN e404 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_http_errors,
+          CAST(SUM(CASE WHEN bin THEN 1 ELSE 0 END) AS BIGINT) AS n_binary,
+          CAST(SUM(CASE WHEN trnc THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_truncated
+        FROM d GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -617,6 +617,69 @@ class ManifestStoreSpec extends AnyFunSuite {
     assert(snapshot(root) === Map(2L -> (1L, "b"), 4L -> (1L, "d")))
   }
 
+  test("deletion vectors: merge-on-read hides rows without rewriting, " +
+      "accumulates, and every rewrite materializes + clears") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("mstore_dv").toString
+    ManifestStore.upsert(root, Seq("k"), "seq", Nil, Seq("bucket"))(
+      Seq((1L, 1L, "a", 0), (2L, 1L, "b", 0), (3L, 1L, "c", 1),
+        (4L, 1L, "d", 2)).toDF("k", "seq", "v", "bucket"))
+    val entries1 = ManifestStore.readManifest(fs(root), root).get.entries
+    // vector-delete key 1: NO data rewrite — entries unchanged, one
+    // sidecar recorded, reads hide the row
+    ManifestStore.deleteKeysVector(root, Seq("k"), Seq("bucket"))(
+      Seq((1L, 0)).toDF("k", "bucket"))
+    val m1 = ManifestStore.readManifest(fs(root), root).get
+    assert(m1.entries === entries1, "vector delete must not rewrite data")
+    assert(m1.deletes.keySet === Set("bucket=0") &&
+      m1.deleteKeyCols === Seq("k"))
+    assert(snapshot(root) ===
+      Map(2L -> (1L, "b"), 3L -> (1L, "c"), 4L -> (1L, "d")))
+    // readWhere / bloom reads apply the vector too
+    assert(ManifestStore.readWhere(sp, root)(pv => pv("bucket") == "0")
+      .select("k").collect().map(_.getLong(0)).toSet === Set(2L))
+    // accumulation: a second vector delete on the same partition unions
+    ManifestStore.deleteKeysVector(root, Seq("k"), Seq("bucket"))(
+      Seq((2L, 0), (3L, 1)).toDF("k", "bucket"))
+    val m2 = ManifestStore.readManifest(fs(root), root).get
+    assert(m2.deletes.keySet === Set("bucket=0", "bucket=1"))
+    assert(snapshot(root) === Map(4L -> (1L, "d")))
+    // unreferenced sidecar generations are GC'd after the grace window;
+    // the accumulated vector (both keys) survives in the NEW sidecar
+    assert(m2.deletes("bucket=0") !== m1.deletes("bucket=0"),
+      "accumulation replaces the partition's sidecar")
+    // vector deletes for keys never stored are a no-op commit
+    ManifestStore.deleteKeysVector(root, Seq("k"), Seq("bucket"))(
+      Seq((99L, 7)).toDF("k", "bucket"))
+    assert(ManifestStore.readManifest(fs(root), root).get.version ===
+      m2.version, "untouched key space must not burn a version")
+    // an upsert touching bucket=0 materializes its vector: the deleted
+    // keys must NOT resurrect from the pre-delete bytes, and the
+    // partition's vector clears; bucket=1 keeps its vector
+    ManifestStore.upsert(root, Seq("k"), "seq", Nil, Seq("bucket"))(
+      Seq((5L, 1L, "e", 0)).toDF("k", "seq", "v", "bucket"))
+    val m3 = ManifestStore.readManifest(fs(root), root).get
+    assert(m3.deletes.keySet === Set("bucket=1"),
+      "rewrite materializes and clears the touched partition's vector")
+    assert(snapshot(root) === Map(4L -> (1L, "d"), 5L -> (1L, "e")))
+    // compact materializes ALL vectors: bucket=1 (fully deleted)
+    // vanishes, no vectors remain, data identical
+    ManifestStore.compact(root, Seq("bucket"))(sp)
+    val m4 = ManifestStore.readManifest(fs(root), root).get
+    assert(m4.deletes.isEmpty, "compaction forgets the deleted bytes")
+    assert(!m4.entries.contains("bucket=1"),
+      "a partition fully deleted by its vector leaves the manifest")
+    assert(snapshot(root) === Map(4L -> (1L, "d"), 5L -> (1L, "e")))
+    // one key set per table
+    intercept[IllegalArgumentException] {
+      ManifestStore.deleteKeysVector(root, Seq("k"), Seq("bucket"))(
+        Seq((4L, 2)).toDF("k", "bucket"))
+      ManifestStore.deleteKeysVector(root, Seq("v"), Seq("bucket"))(
+        Seq(("d", 2)).toDF("v", "bucket"))
+    }
+  }
+
   test("compact folds a scattered snapshot into one generation, atomically") {
     val sp = spark
     import sp.implicits._
