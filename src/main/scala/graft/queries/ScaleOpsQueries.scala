@@ -1710,7 +1710,50 @@ object ScaleOpsQueries {
           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6)))
             AS VARCHAR) AS DOUBLE) AS revenue
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // DELETION-VECTOR READ — the merge-on-read delete exercised END TO
+    // END through the table format (the storage twin of q152's deletion
+    // audit): documents land in a manifest table partitioned by lang,
+    // two right-to-be-forgotten batches arrive as VECTOR deletes
+    // (doc_id % 7 = 0, then doc_id % 11 = 3 — the second ACCUMULATES
+    // onto partitions the first already touched), no data file is
+    // rewritten (O(deleted keys) I/O — the shape a daily GDPR drip
+    // needs at 100 TB), and the snapshot read anti-joins the sidecars
+    // per touched partition. The oracle states the post-delete table
+    // directly; the gate therefore proves hidden rows stay hidden
+    // across accumulated vectors. Compaction/upsert materialization is
+    // pinned by ManifestStoreSpec (resurrection, clearing, GC).
+    Q("q242_vector_delete_read",
+      (s, d) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_q242_").toString
+        val docs = t(s, d, "documents")
+          .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+            col("n_chars").cast("long").as("n_chars"), lit(1L).as("seq"))
+        graft.graph.ManifestStore.upsert(
+          root, Seq("doc_id"), "seq", Nil, Seq("lang"))(docs)
+        val keyCols = docs.select(col("doc_id"), col("lang"))
+        graft.graph.ManifestStore.deleteKeysVector(
+          root, Seq("doc_id"), Seq("lang"))(
+          keyCols.filter(col("doc_id") % 7 === 0))
+        graft.graph.ManifestStore.deleteKeysVector(
+          root, Seq("doc_id"), Seq("lang"))(
+          keyCols.filter(col("doc_id") % 11 === 3))
+        graft.graph.ManifestStore.read(s, root)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            min(col("doc_id")).as("min_doc"))
+          .orderBy("lang")
+      },
+      Some("""
+        SELECT lang, COUNT(*) AS n_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+          MIN(doc_id) AS min_doc
+        FROM documents
+        WHERE doc_id % 7 <> 0 AND doc_id % 11 <> 3
+        GROUP BY lang ORDER BY lang"""))
   )
 
   /** Canonical Hilbert xy2d (order 8, 256×256 grid) unrolled to named

@@ -173,6 +173,75 @@ object StreamingQueries {
         WHERE hour_ts + INTERVAL 1 HOUR <= w
         ORDER BY hour_ts, event_type""")),
 
+    // ROCKSDB STATE STORE — q70's stateful aggregation with its state
+    // moved OFF the JVM heap onto Spark's RocksDB provider (the ships-
+    // with-Spark rocksdbjni), which is what makes week-long watermarks
+    // and 10⁸-key session maps survivable at 100 TB: HDFS-backed
+    // in-memory state is bounded by executor heap and rebuilt from the
+    // full changelog on failure, RocksDB state spills to local SSD,
+    // snapshots incrementally, and bounds memory via block-cache
+    // config. Results must be IDENTICAL to the heap provider — the
+    // provider is an executor-local storage detail, invisible to the
+    // query semantics — so the oracle is q70's; the spec side
+    // (StreamingSpec) additionally proves RocksDB actually engaged by
+    // reading the provider's own metrics off lastProgress. The conf is
+    // set per-query and restored: provider choice pins into the
+    // CHECKPOINT at first start, so flipping it mid-lifetime on a real
+    // pipeline means a new checkpoint (or Spark's offline repartition
+    // tooling) — which is why it is a deploy-time decision, not a
+    // runtime toggle.
+    Q("q243_rocksdb_state_hourly",
+      (s, d) => {
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val reg = new Registry(s)
+        reg.source("events_feed", () => graft.tables.Tables.events(s, d))
+        reg.register(TableDef("events_hourly_rocks", Seq("events_feed"), {
+          case Seq(ev) =>
+            ev.withWatermark("ts", "5 minutes")
+              .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+              .agg(count(lit(1)).as("n"),
+                decSum(col("value")).as("total_value"))
+              .select(col("window.start").as("hour_ts"), col("event_type"),
+                col("n"), col("total_value"))
+        }, mode = Mode.Incremental))
+        val out = Files.createTempDirectory("graft_q243_").toString
+        val PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+        val prevProvider = s.conf.getOption(PROVIDER_KEY)
+        s.conf.set(PROVIDER_KEY,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try
+          withStatePartitions(s, 4) {
+            graft.graph.Runner.runStreamingThenFull(s, reg,
+              Map("events_feed" -> (() => graft.tables.Tables.normalize(
+                "events",
+                s.readStream.schema(schema)
+                  .option("pathGlobFilter", "events.parquet")
+                  .parquet(d)))),
+              out)
+          }
+        finally prevProvider match {
+          case Some(v) => s.conf.set(PROVIDER_KEY, v)
+          case None => s.conf.unset(PROVIDER_KEY)
+        }
+        s.read.parquet(s"$out/events_hourly_rocks")
+          .orderBy("hour_ts", "event_type")
+      },
+      Some("""
+        WITH hourly AS (
+          SELECT CAST(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+              AS hour_ts,
+            event_type, COUNT(*) AS n,
+            CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)
+              AS total_value
+          FROM events GROUP BY 1, 2),
+        wm AS (
+          SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 5 MINUTE AS w
+          FROM events)
+        SELECT hour_ts, event_type, n, total_value
+        FROM hourly, wm
+        WHERE hour_ts + INTERVAL 1 HOUR <= w
+        ORDER BY hour_ts, event_type""")),
+
     // S1 JSON landing-zone ingest under the hard gate: the events feed
     // is staged as hive-partitioned JSON (the bronze landing layout,
     // transactions:70–80), read back through [[graft.sources.JsonSource]]
