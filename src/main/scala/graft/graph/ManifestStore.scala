@@ -604,6 +604,71 @@ object ManifestStore {
       prev.deletes -- touchedKeys, prev.deleteKeyCols)
   }
 
+  /** CHANGE DATA FEED — row-level diff between two retained versions
+    * (current + grace-window previous, the [[readManifestAt]] window),
+    * what Delta's table_changes / Iceberg's changelog scan expose so
+    * downstream consumers can INCREMENTALLY follow a table instead of
+    * re-reading snapshots. The manifest makes this cheap at 100 TB:
+    * untouched partitions carry forward BY REFERENCE (identical entry
+    * path ⇒ identical bytes), so the diff reads ONLY partitions whose
+    * entry or deletion vector changed between the versions — a commit
+    * that touched 3 of 10⁵ partitions diffs 3 directories. Within the
+    * changed partitions, a full outer join on `keyCols` classifies
+    * rows: `insert` (new key, post-image), `delete` (gone key,
+    * pre-image), `update` (key present in both with any non-key column
+    * changed, post-image). Unchanged rows inside touched partitions
+    * produce nothing. Deletion vectors apply on both sides, so a
+    * vector delete surfaces as `delete` rows exactly like a COW
+    * delete. */
+  def changes(spark: SparkSession, root: String,
+              fromVersion: Long, toVersion: Long,
+              keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{lit, struct, when, xxhash64}
+    require(fromVersion < toVersion,
+      s"changes wants fromVersion < toVersion, got $fromVersion..$toVersion")
+    val fs = fsOf(spark, root)
+    def m(v: Long) = readManifestAt(fs, root, v).getOrElse(
+      throw new IllegalStateException(
+        s"version $v of $root is not retained (GC keeps current + previous)"))
+    val ma = m(fromVersion)
+    val mb = m(toVersion)
+    val schema = mb.schema.orElse(ma.schema).getOrElse(
+      throw new IllegalStateException(
+        s"changes needs a recorded schema at $root"))
+    require(keyCols.forall(schema.fieldNames.contains),
+      s"key columns $keyCols missing from the table schema of $root")
+    // the pruning that pays: only entries (or vectors) that moved
+    val changed = (ma.entries.keySet ++ mb.entries.keySet).filter(k =>
+      ma.entries.get(k) != mb.entries.get(k) ||
+        ma.deletes.get(k) != mb.deletes.get(k))
+    def side(mm: Manifest): DataFrame = {
+      val rels = mm.entries.view.filterKeys(changed).values.toSeq
+      if (rels.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else applyDeletes(spark, root, mm,
+        readPaths(spark, root, rels, Some(schema)), changed)
+    }
+    val dataCols = schema.fieldNames.filterNot(keyCols.contains).toSeq
+    def keyed(df: DataFrame, tag: String): DataFrame =
+      df.select(
+        keyCols.map(col) :+
+          xxhash64((keyCols ++ dataCols).map(col): _*).as(s"__h_$tag") :+
+          struct(schema.fieldNames.map(col): _*).as(s"__row_$tag"): _*)
+    val joined = keyed(side(ma), "a")
+      .join(keyed(side(mb), "b"), keyCols, "full_outer")
+    val changeType = when(col("__h_a").isNull, lit("insert"))
+      .when(col("__h_b").isNull, lit("delete"))
+      .when(col("__h_a") =!= col("__h_b"), lit("update"))
+    joined.withColumn("_change_type", changeType)
+      .filter(col("_change_type").isNotNull) // same-hash rows: no change
+      .withColumn("__row",
+        when(col("_change_type") === "delete", col("__row_a"))
+          .otherwise(col("__row_b"))) // insert/update emit the post-image
+      .select(col("__row.*"), col("_change_type"),
+        lit(toVersion).as("_commit_version"))
+  }
+
   /** Merge-on-read delete — the DELETION-VECTOR write (what Delta's
     * deletion vectors and Iceberg's equality deletes do): instead of
     * rewriting every touched partition like [[deleteKeys]], write only

@@ -1053,6 +1053,58 @@ object ExtendedQueries {
           ROUND(SQRT((sx2 - sx * sx / n) / (n - 1)), 6) AS std_v,
           ROUND((n * sxy - sx * sy) /
             SQRT((n * sx2 - sx * sx) * (n * sy2 - sy * sy)), 6) AS corr_vu
-        FROM m ORDER BY event_type"""))
+        FROM m ORDER BY event_type""")),
+
+    // VARIANT SHREDDING — Spark 4's open-ended semi-structured type, the
+    // engine answer to "the telemetry schema changes weekly": events
+    // carry a nested JSON payload (synthesized here from typed columns
+    // so the oracle can reason from the generators; fields go MISSING
+    // on a fixed residue, the way real telemetry does), `parse_json`
+    // turns it into a binary VARIANT once, and typed paths shred out
+    // via `variant_get` — `try_variant_get` absorbs the missing-field
+    // case as NULL instead of failing the batch. Unlike
+    // get_json_object (q42's device), VARIANT parses once per row and
+    // every extraction is a binary-offset walk — the difference between
+    // O(paths) JSON re-parses and one parse at 100 TB. The aggregate
+    // gates both the values and the missing-field accounting.
+    Q("q244_variant_shred",
+      (s, d) => {
+        val ev = t(s, d, "events").select(col("event_id"),
+          col("event_type"), col("value"))
+        val js = to_json(struct(
+          struct(
+            when(col("event_id") % 2 === 0, lit("android"))
+              .otherwise(lit("ios")).as("os"),
+            // missing on the %3 residue: to_json drops null fields
+            when(col("event_id") % 3 =!= 0,
+              (col("event_id") % 7 + 10).cast("int")).as("ver")
+          ).as("device"),
+          col("value").as("amount")))
+        ev.withColumn("v", parse_json(js))
+          .select(col("event_id"),
+            expr("variant_get(v, '$.device.os', 'string')").as("os"),
+            expr("try_variant_get(v, '$.device.ver', 'int')").as("ver"),
+            expr("variant_get(v, '$.amount', 'double')").as("amount"))
+          .groupBy("os")
+          .agg(count(lit(1)).as("n"),
+            sum(col("ver").isNull.cast("long")).as("n_missing_ver"),
+            sum(col("ver")).cast("long").as("sum_ver"),
+            decSum(col("amount")).as("total_amount"))
+          .orderBy("os")
+      },
+      Some("""
+        WITH e AS (
+          SELECT CASE WHEN event_id % 2 = 0 THEN 'android' ELSE 'ios' END
+              AS os,
+            CASE WHEN event_id % 3 <> 0 THEN event_id % 7 + 10 END AS ver,
+            value AS amount
+          FROM events)
+        SELECT os, COUNT(*) AS n,
+          CAST(SUM(CASE WHEN ver IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_missing_ver,
+          CAST(SUM(ver) AS BIGINT) AS sum_ver,
+          CAST(CAST(SUM(CAST(amount AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)
+            AS total_amount
+        FROM e GROUP BY os ORDER BY os"""))
   )
 }

@@ -1753,7 +1753,54 @@ object ScaleOpsQueries {
           MIN(doc_id) AS min_doc
         FROM documents
         WHERE doc_id % 7 <> 0 AND doc_id % 11 <> 3
-        GROUP BY lang ORDER BY lang"""))
+        GROUP BY lang ORDER BY lang""")),
+
+    // CHANGE DATA FEED — the table format's OUTPUT side of CDC (q38/q88
+    // APPLY the feed; this query PRODUCES one): commit v1 lands the
+    // corpus, commit v2 upserts a mixed batch (updates on the %5
+    // residue bump n_chars by 1000 and seq to 2; brand-new keys on the
+    // %50 residue insert at +10⁹), and ManifestStore.changes(v1, v2)
+    // diffs the two retained versions ROW-LEVEL — reading only
+    // partitions whose manifest entry moved (carry-forward by
+    // reference makes unchanged partitions free), full-outer-joining
+    // on the key within them, and classifying insert/update/delete
+    // with post-/pre-images. Unchanged rows inside rewritten
+    // partitions must produce NOTHING — that is the hash-compare the
+    // oracle pins, alongside the per-class row accounting.
+    Q("q245_change_data_feed",
+      (s, d) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_q245_").toString
+        val docs = t(s, d, "documents")
+          .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+            col("n_chars").cast("long").as("n_chars"), lit(1L).as("seq"))
+        graft.graph.ManifestStore.upsert(
+          root, Seq("doc_id"), "seq", Nil, Seq("lang"))(docs)
+        val updates = docs.filter(col("doc_id") % 5 === 0)
+          .withColumn("n_chars", col("n_chars") + 1000L)
+          .withColumn("seq", lit(2L))
+        val inserts = docs.filter(col("doc_id") % 50 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000000L)
+          .withColumn("n_chars", col("n_chars") + 7L)
+        graft.graph.ManifestStore.upsert(
+          root, Seq("doc_id"), "seq", Nil, Seq("lang"))(
+          updates.unionByName(inserts))
+        graft.graph.ManifestStore.changes(s, root, 1L, 2L, Seq("doc_id"))
+          .groupBy(col("_change_type").as("change_type"), col("lang"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("n_chars")).as("sum_chars"))
+          .orderBy("change_type", "lang")
+      },
+      Some("""
+        WITH feed AS (
+          SELECT 'update' AS change_type, lang, n_chars + 1000 AS n_chars
+          FROM documents WHERE doc_id % 5 = 0
+          UNION ALL
+          SELECT 'insert', lang, n_chars + 7
+          FROM documents WHERE doc_id % 50 = 0)
+        SELECT change_type, lang, COUNT(*) AS n,
+          CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM feed GROUP BY 1, 2 ORDER BY change_type, lang"""))
   )
 
   /** Canonical Hilbert xy2d (order 8, 256×256 grid) unrolled to named

@@ -680,6 +680,38 @@ class ManifestStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("change data feed: classifies insert/update/delete, emits nothing " +
+      "for unchanged rows, and reads only moved entries") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("mstore_cdf").toString
+    ManifestStore.upsert(root, Seq("k"), "seq", Nil, Seq("bucket"))(
+      Seq((1L, 1L, "a", 0), (2L, 1L, "b", 0), (3L, 1L, "c", 1),
+        (4L, 1L, "d", 2)).toDF("k", "seq", "v", "bucket"))
+    // v2: update k=1, insert k=9 — bucket 1 and 2 untouched
+    ManifestStore.upsert(root, Seq("k"), "seq", Nil, Seq("bucket"))(
+      Seq((1L, 2L, "A", 0), (9L, 1L, "i", 0)).toDF("k", "seq", "v", "bucket"))
+    val feed = ManifestStore.changes(sp, root, 1L, 2L, Seq("k"))
+      .select("k", "v", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(feed === Set((1L, "A", "update", 2L), (9L, "i", "insert", 2L)),
+      "post-images for update/insert; k=2 (unchanged, same rewritten " +
+        "partition) and buckets 1/2 (carried by reference) emit nothing")
+    // v3: a VECTOR delete must surface as delete rows with pre-images
+    ManifestStore.deleteKeysVector(root, Seq("k"), Seq("bucket"))(
+      Seq((2L, 0), (3L, 1)).toDF("k", "bucket"))
+    val feed2 = ManifestStore.changes(sp, root, 2L, 3L, Seq("k"))
+      .select("k", "v", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(feed2 === Set((2L, "b", "delete"), (3L, "c", "delete")),
+      "vector deletes are delete rows with pre-images")
+    // beyond the grace window → loud, never silently empty
+    intercept[IllegalStateException] {
+      ManifestStore.changes(sp, root, 1L, 3L, Seq("k"))
+    }
+  }
+
   test("compact folds a scattered snapshot into one generation, atomically") {
     val sp = spark
     import sp.implicits._
