@@ -1370,6 +1370,98 @@ object MultimodalQueries {
           CAST(SUM(CASE WHEN bin THEN 1 ELSE 0 END) AS BIGINT) AS n_binary,
           CAST(SUM(CASE WHEN trnc THEN 1 ELSE 0 END) AS BIGINT)
             AS n_truncated
-        FROM d GROUP BY 1 ORDER BY 1"""))
+        FROM d GROUP BY 1 ORDER BY 1""")),
+
+    // ANIMATED GIF — the LOSSLESS animated container (third media
+    // container: GVID raw-exact, MJPEG/AVI lossy, GIF palette-exact):
+    // because GIF frames are LZW-coded palette indices, the decode
+    // reproduces pixels byte-for-byte, so this query gates what the
+    // MJPEG leg structurally cannot — EXACT grays, EXACT color counts,
+    // and a scene-cut detector whose within-scene diff is EXACTLY zero.
+    // Each doc muxes a quadrant animation (scene A repeats f0 frames,
+    // scene B follows unless single-scene; every quadrant gray shifts
+    // between scenes since 7 ≠ 0 mod 13) with a per-doc GCE delay;
+    // demux recovers frames + delays, the shared VideoCodec temporal
+    // ops find the cut, and palette introspection counts first-frame
+    // colors = min(4, 3 + id%3) quadrant classes. Oracle in residue
+    // arithmetic.
+    Q("q246_gif_animation",
+      (s, d) => {
+        import graft.ops.GifCodec
+        val W = 24; val H = 16
+        val docs = spread(s, col("doc_id"))(
+          t(s, d, "documents").select(col("doc_id").cast("long").as("doc_id")))
+        def quad(id: Long, seed: Long): Array[Byte] = {
+          val k = (3 + id % 3).toInt
+          val out = new Array[Byte](W * H * 3)
+          var y = 0
+          while (y < H) {
+            var x = 0
+            while (x < W) {
+              val q = (if (y < H / 2) 0 else 2) + (if (x < W / 2) 0 else 1)
+              val g = (16 * (1 + (seed + q % k) % 13)).toByte
+              val p = (y * W + x) * 3
+              out(p) = g; out(p + 1) = g; out(p + 2) = g
+              x += 1
+            }
+            y += 1
+          }
+          out
+        }
+        val payloads = docs.mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0)
+            val f = (2 + id % 4).toInt
+            val f0 = (1 + id % (f - 1).max(1)).toInt
+            val delay = (4 + id % 6).toInt
+            val single = id % 5 == 0
+            val a = quad(id, id)
+            val b = if (single) a else quad(id, id + 7)
+            val frames = (0 until f).map(i => if (i < f0 || single) a else b)
+            Row(id, GifCodec.encode(W, H, delay, frames))
+          }
+        }(Encoders.row(payloadSchema))
+        val outSchema = StructType(Seq(
+          StructField("doc_id", LongType, nullable = false),
+          StructField("n_frames", LongType, nullable = false),
+          StructField("delay_cs", LongType, nullable = false),
+          StructField("n_keyframes", LongType, nullable = false),
+          StructField("scene_frame", LongType, nullable = true),
+          StructField("colors_first", LongType, nullable = false),
+          StructField("gray_tl", LongType, nullable = false)))
+        payloads.mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0)
+            val g = GifCodec.decode(r.getAs[Array[Byte]](1)).get
+            val v = VideoCodec.DecodedVideo(g.width, g.height, 10,
+              g.frames.length, g.frames.flatten.toArray)
+            val kf = VideoCodec.keyframes(v, minDiff = 8L * v.frameLen)
+            Row(id, g.frames.length.toLong, g.delaysCs.head.toLong,
+              kf.length.toLong,
+              if (kf.length > 1) kf(1).toLong else null,
+              GifCodec.colorCount(g.frames.head).toLong,
+              (g.frames.head(0) & 0xFF).toLong)
+          }
+        }(Encoders.row(outSchema)).orderBy("doc_id")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, 2 + doc_id % 4 AS f,
+            1 + doc_id % GREATEST(1 + doc_id % 4, 1) AS f0,
+            4 + doc_id % 6 AS delay,
+            doc_id % 5 = 0 AS single_scene,
+            3 + doc_id % 3 AS k
+          FROM documents)
+        SELECT doc_id, CAST(f AS BIGINT) AS n_frames,
+          CAST(delay AS BIGINT) AS delay_cs,
+          CAST(CASE WHEN single_scene OR f0 = f THEN 1 ELSE 2 END AS BIGINT)
+            AS n_keyframes,
+          CASE WHEN single_scene OR f0 = f THEN NULL
+            ELSE CAST(f0 AS BIGINT) END AS scene_frame,
+          CAST((SELECT COUNT(DISTINCT (doc_id + q % k) % 13)
+                FROM (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS q))
+            AS BIGINT) AS colors_first,
+          CAST(16 * (1 + doc_id % 13) AS BIGINT) AS gray_tl
+        FROM d ORDER BY doc_id"""))
   )
 }
