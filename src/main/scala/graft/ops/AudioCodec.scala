@@ -137,6 +137,25 @@ object AudioCodec {
     None
   }
 
+  /** Sample-rate conversion, the decimate-by-2 box form: each output
+    * sample is the FLOOR mean of its input pair ((a+b) >> 1 — the
+    * arithmetic shift floors, matching SQL `//`), halving the rate.
+    * This is the exact-integer member of the resampler family (a
+    * production polyphase FIR is a float pipeline and belongs behind a
+    * perceptual gate like q238's); the box prefilter is what makes the
+    * op oracle-gateable sample-for-sample. Odd trailing samples drop —
+    * a decimator emits ⌊n/2⌋ by definition. */
+  def downsample2(a: DecodedAudio): DecodedAudio = {
+    val m = a.samples.length / 2
+    val out = new Array[Short](m)
+    var i = 0
+    while (i < m) {
+      out(i) = ((a.samples(2 * i) + a.samples(2 * i + 1)) >> 1).toShort
+      i += 1
+    }
+    DecodedAudio(a.sampleRate / 2, out, a.codec)
+  }
+
   // ---- G.711 µ-law (WAVE_FORMAT_MULAW = 7) ---------------------------
   //
   // The standard lossy telephony codec, implemented from the G.711

@@ -1462,6 +1462,78 @@ object MultimodalQueries {
                 FROM (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS q))
             AS BIGINT) AS colors_first,
           CAST(16 * (1 + doc_id % 13) AS BIGINT) AS gray_tl
-        FROM d ORDER BY doc_id"""))
+        FROM d ORDER BY doc_id""")),
+
+    // AUDIO SAMPLE-RATE CONVERSION — the curation op every speech/audio
+    // training corpus runs before batching (models train at one rate;
+    // crawled audio arrives at many): decode 16 kHz PCM WAV, decimate
+    // by 2 through the exact-integer box resampler
+    // (AudioCodec.downsample2 — pair FLOOR means, the arithmetic-shift
+    // form SQL `//` mirrors exactly), re-encode at 8 kHz, decode AGAIN
+    // (the gate covers the full convert→re-container→read-back path),
+    // and emit per-doc integrity stats. The whole pipeline is
+    // row-local mapPartitions codec work; the oracle re-derives every
+    // output sample from the synth formula with a pairwise
+    // GENERATE_SERIES aggregation.
+    Q("q247_audio_resample",
+      (s, d) => {
+        val docs = spread(s, col("doc_id"))(
+          t(s, d, "documents").select(col("doc_id").cast("long").as("doc_id")))
+        val payloads = docs.mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0)
+            val n = (128 + (id % 5) * 64).toInt
+            Row(id, AudioCodec.encodeWav(16000, AudioCodec.content(id, n)))
+          }
+        }(Encoders.row(payloadSchema))
+        val outSchema = StructType(Seq(
+          StructField("doc_id", LongType, nullable = false),
+          StructField("n_in", LongType, nullable = false),
+          StructField("n_out", LongType, nullable = false),
+          StructField("rate_out", LongType, nullable = false),
+          StructField("energy_out", LongType, nullable = false),
+          StructField("first_out", LongType, nullable = false),
+          StructField("last_out", LongType, nullable = false)))
+        payloads.mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0)
+            val in = AudioCodec.decodeWav(r.getAs[Array[Byte]](1)).get
+            val down = AudioCodec.downsample2(in)
+            // re-container at the new rate, then decode back — the
+            // resample must survive its own file format round trip
+            val out = AudioCodec.decodeWav(
+              AudioCodec.encodeWav(down.sampleRate, down.samples)).get
+            var energy = 0L
+            out.samples.foreach(v => energy += math.abs(v.toLong))
+            Row(id, in.samples.length.toLong, out.samples.length.toLong,
+              out.sampleRate.toLong, energy,
+              out.samples.head.toLong, out.samples.last.toLong)
+          }
+        }(Encoders.row(outSchema)).orderBy("doc_id")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, 128 + (doc_id % 5) * 64 AS n FROM documents),
+        s AS (
+          SELECT d.doc_id, d.n, i // 2 AS j,
+            ((d.doc_id % 65536) * 11 + (i % 65536) * 17) % 65536 - 32768
+              AS v,
+            i % 2 AS half
+          FROM d, LATERAL (SELECT UNNEST(GENERATE_SERIES(0, d.n - 1)) AS i)),
+        o AS (
+          -- FLOOR, not //: DuckDB integer // truncates toward zero,
+          -- but the engine's arithmetic shift floors (odd negative
+          -- pair sums differ by 1); the sum is < 2^17 so the double
+          -- division is exact
+          SELECT doc_id, n, j, CAST(FLOOR(SUM(v) / 2) AS BIGINT) AS ov
+          FROM s GROUP BY doc_id, n, j)
+        SELECT doc_id, CAST(n AS BIGINT) AS n_in,
+          CAST(n // 2 AS BIGINT) AS n_out,
+          CAST(8000 AS BIGINT) AS rate_out,
+          CAST(SUM(ABS(ov)) AS BIGINT) AS energy_out,
+          CAST(MIN(CASE WHEN j = 0 THEN ov END) AS BIGINT) AS first_out,
+          CAST(MIN(CASE WHEN j = n // 2 - 1 THEN ov END) AS BIGINT)
+            AS last_out
+        FROM o GROUP BY doc_id, n ORDER BY doc_id"""))
   )
 }

@@ -69,7 +69,12 @@ object PlanAudit {
       "q128_sparse_cosine", // df-capped gram equi join, cached tf frame (r13)
       "q237_mjpeg_keyframes", // real-codec demux/decode mapPartitions, no shuffle (r13)
       "q238_mjpeg_scene_dedup", // band equi join + perceptual Hamming verify (r13)
-      "q239_mulaw_roundtrip") // per-partition compander round trip, scan→project (r13)
+      "q239_mulaw_roundtrip", // per-partition compander round trip, scan→project (r13)
+      "q241_warc_ingest", // crawl-file groupBy + row-local demux, domain agg (r13)
+      "q242_vector_delete_read", // broadcast anti-join of delete sidecars (r13)
+      "q244_variant_shred", // one parse_json, codegen'd variant_get walks (r13)
+      "q245_change_data_feed", // moved-entries-only diff, keyed outer join (r13)
+      "q246_gif_animation") // palette codec mapPartitions, no frame shuffle (r13)
     interesting.foreach { name =>
       val df = graft.queries.Catalog.byName(name).run(spark, d)
       // drive THIS df's own query execution to completion (count() would
