@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import QH._
+
+/** Round-13 ingest-format family: the landing-zone formats a real lake
+  * receives beyond q74's JSON — CSV with malformed-row quarantine (the
+  * PERMISSIVE + corrupt-record-column contract), Spark 4's native XML
+  * source, and ORC as the second columnar format. Each query stages
+  * REAL files of the format from table columns, reads them back through
+  * the production read path (declared schema, never inferred at scale),
+  * and gates the round trip against an oracle on the original parquet.
+  */
+object FormatQueries {
+
+  val qs: Seq[Q] = Seq(
+    // CSV LANDING ZONE WITH QUARANTINE — the oldest ETL contract there
+    // is: upstream drops CSV, a fixed residue of rows arrives malformed
+    // (a double field reading "12.3.4"), and the job must NEITHER fail
+    // the batch NOR silently null the damage. PERMISSIVE mode with
+    // columnNameOfCorruptRecord gives three-way row classification in
+    // ONE pass: clean rows aggregate, malformed rows keep their RAW
+    // LINE in the corrupt column for the quarantine table (the
+    // QualityPipeline split at the source layer). The staged lines are
+    // built explicitly (not via the CSV writer) so the malformation is
+    // byte-precise; doubles round-trip via Spark's shortest-roundtrip
+    // formatting, which the decimal-sum hash compare proves.
+    Q("q248_csv_quarantine",
+      (s, d) => {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_q248_").toString
+        t(s, d, "events")
+          .select(concat_ws(",",
+            col("event_id"), col("event_type"),
+            when(col("event_id") % 23 === 0, lit("12.3.4"))
+              .otherwise(col("value").cast("string"))).as("value"))
+          .write.mode("overwrite").text(out)
+        val ingested = s.read
+          .schema("event_id bigint, event_type string, value double, " +
+            "_corrupt_record string")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .csv(out)
+        ingested.groupBy("event_type").agg(
+          sum(col("_corrupt_record").isNull.cast("long")).as("n_clean"),
+          sum(col("_corrupt_record").isNotNull.cast("long"))
+            .as("n_quarantined"),
+          decSum(when(col("_corrupt_record").isNull, col("value"))
+            .otherwise(lit(null))).as("total_value"))
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type,
+          CAST(SUM(CASE WHEN event_id % 23 <> 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clean,
+          CAST(SUM(CASE WHEN event_id % 23 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_quarantined,
+          CAST(CAST(SUM(CASE WHEN event_id % 23 <> 0
+            THEN CAST(value AS DECIMAL(28,6)) END) AS VARCHAR) AS DOUBLE)
+            AS total_value
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // XML INGEST — Spark 4's NATIVE XML source (spark-xml folded into
+    // spark-sql; feeds, sitemaps, and legacy B2B drops still arrive as
+    // XML): documents staged as real <doc> row-tag XML, read back with
+    // a DECLARED schema (inference at 100 TB means a sampling pass) and
+    // aggregated per lang. String content survives XML escaping — the
+    // source column carries arbitrary text, so the round trip exercises
+    // entity encode/decode, pinned by the length sum.
+    Q("q249_xml_ingest",
+      (s, d) => {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_q249_").toString
+        t(s, d, "documents")
+          .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+            col("source"), col("n_chars").cast("long").as("n_chars"))
+          .write.mode("overwrite").format("xml")
+          .option("rowTag", "doc").save(out)
+        s.read.format("xml")
+          .schema("doc_id bigint, lang string, source string, n_chars bigint")
+          .option("rowTag", "doc").load(out)
+          .groupBy("lang").agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            sum(length(col("source"))).as("source_len"))
+          .orderBy("lang")
+      },
+      Some("""
+        SELECT lang, COUNT(*) AS n_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+          CAST(SUM(LENGTH(source)) AS BIGINT) AS source_len
+        FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // ORC ROUND TRIP — the second columnar format (native in Spark, the
+    // Hive-lineage sibling of parquet): lineitem staged as zstd ORC
+    // with per-column bloom filters (the write options a 100 TB table
+    // would carry), read back and aggregated. Format parity is the
+    // point: the SAME aggregate over the ORC copy must hash-match the
+    // oracle running on the parquet original — columnar formats are an
+    // encoding detail, never a semantics change.
+    Q("q250_orc_roundtrip",
+      (s, d) => {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_q250_").toString
+        t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_returnflag"),
+            col("l_quantity"), col("l_extendedprice"))
+          .write.mode("overwrite")
+          .option("compression", "zstd")
+          .option("orc.bloom.filter.columns", "l_orderkey")
+          .orc(out)
+        s.read.orc(out)
+          .filter(col("l_quantity") > 25)
+          .groupBy("l_returnflag").agg(
+            count(lit(1)).as("n"),
+            decSum(col("l_extendedprice")).as("revenue"))
+          .orderBy("l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag, COUNT(*) AS n,
+          CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS VARCHAR)
+            AS DOUBLE) AS revenue
+        FROM lineitem WHERE l_quantity > 25
+        GROUP BY l_returnflag ORDER BY l_returnflag"""))
+  )
+}

@@ -696,6 +696,56 @@ object StreamingQueries {
       },
       Some(sessionOracle)),
 
+    // THE THIRD SESSIONIZER — Spark 4's transformWithState, the
+    // arbitrary-stateful API that supersedes flatMapGroupsWithState
+    // (named typed state variables, multiple first-class event-time
+    // timers with a separate expiry callback, TTL). Running the SAME
+    // 30-minute-gap semantics through all three stateful surfaces —
+    // q87 session_window (declarative), q91 fMGWS (legacy custom
+    // state), q251 transformWithState (current custom state) — under
+    // ONE oracle is the strongest parity statement the streaming layer
+    // can make: the operator API is an implementation detail, the
+    // semantics are the contract. transformWithState requires the
+    // RocksDB provider (named state/timers live in column families),
+    // so this query also exercises q243's off-heap path under real
+    // custom state.
+    Q("q251_tws_sessions",
+      (s, d) => {
+        import s.implicits._
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val reg = new Registry(s)
+        reg.source("events_feed", () => graft.tables.Tables.events(s, d))
+        reg.register(TableDef("user_sessions_tws", Seq("events_feed"), {
+          case Seq(ev) =>
+            graft.streaming.StreamingOps.sessionsViaTransformWithState(
+              gapMinutes = 30, lateness = "5 minutes")(
+              ev.select(col("user_id"), col("ts"), col("value"))
+                .as[graft.streaming.SessionEvent]).toDF()
+        }, mode = Mode.Incremental))
+        val out = Files.createTempDirectory("graft_q251_").toString
+        val PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+        val prevProvider = s.conf.getOption(PROVIDER_KEY)
+        s.conf.set(PROVIDER_KEY,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try
+          withStatePartitions(s, 4) {
+            graft.graph.Runner.runStreamingThenFull(s, reg,
+              Map("events_feed" -> (() => graft.tables.Tables.normalize(
+                "events",
+                s.readStream.schema(schema)
+                  .option("pathGlobFilter", "events.parquet")
+                  .parquet(d)))),
+              out)
+          }
+        finally prevProvider match {
+          case Some(v) => s.conf.set(PROVIDER_KEY, v)
+          case None => s.conf.unset(PROVIDER_KEY)
+        }
+        s.read.parquet(s"$out/user_sessions_tws")
+          .orderBy("user_id", "session_start")
+      },
+      Some(sessionOracle)),
+
     // STREAMING EXPECTATIONS — the q147 constraint suite moved onto the
     // live feed: the streaming half of DLT's expect/expect_or_drop
     // surface (available to every reference notebook, though none uses

@@ -222,6 +222,109 @@ object StreamingOps {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** The [[statefulSessions]] semantics re-expressed on Spark 4's
+    * `transformWithState` — the arbitrary-stateful API that supersedes
+    * flatMapGroupsWithState: typed named state variables through a
+    * handle (instead of one opaque state blob), first-class MULTIPLE
+    * event-time timers with an expiry callback separated from input
+    * handling, and TTL support. It requires the RocksDB state store
+    * (multiple column families back the named-state/timer layout), so
+    * the caller sets the provider (q251 does; see q243 for why that is
+    * a deploy-time decision). Session semantics — inclusive interval
+    * merge, decimal-exact totals, `end + gap <= watermark` eviction —
+    * are byte-identical to the fMGWS form: both run under q87's
+    * session_window oracle. Timer discipline: one live timer per key
+    * (re-armed at the earliest open close time, the
+    * ceil-div/arm-one-early device statefulSessions documents);
+    * expiry re-checks the eviction predicate so an early fire is never
+    * an early emit. */
+  def sessionsViaTransformWithState(
+      gapMinutes: Int, lateness: String = "5 minutes")(
+      events: Dataset[SessionEvent]): Dataset[SessionRow] = {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.{Encoder, Encoders}
+    val sp = events.sparkSession
+    import sp.implicits._
+    val gapUs = gapMinutes * 60000000L
+
+    def microsOf(t: Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    def tsOf(us: Long): Timestamp = {
+      val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+
+    class SessionProcessor
+        extends StatefulProcessor[Long, SessionEvent, SessionRow] {
+      @transient private var sessions: ValueState[UserSessions] = _
+
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        sessions = getHandle.getValueState[UserSessions](
+          "sessions", Encoders.product[UserSessions], TTLConfig.NONE)
+
+      private def merge(existing: List[SessionIv],
+                        incoming: List[SessionIv]): List[SessionIv] =
+        (existing ++ incoming)
+          .sortBy(s => (s.start, s.end))
+          .foldLeft(List.empty[SessionIv]) {
+            case (h :: t, s) if s.start <= h.end + gapUs =>
+              SessionIv(h.start, math.max(h.end, s.end), h.n + s.n,
+                h.total + s.total) :: t
+            case (acc, s) => s :: acc
+          }.reverse
+
+      /** Emit watermark-closed sessions, persist the rest, keep exactly
+        * one live timer at the earliest open close time. */
+      private def evictAndArm(key: Long, merged: List[SessionIv],
+                              wmMs: Long): Iterator[SessionRow] = {
+        val wmUs = wmMs * 1000L
+        val (closed, open) = merged.partition(_.end + gapUs <= wmUs)
+        // one-timer discipline: clear stale timers before re-arming
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        if (open.isEmpty) sessions.clear()
+        else {
+          sessions.update(UserSessions(open))
+          val firstEvictableMs =
+            Math.floorDiv(open.map(_.end).min + gapUs + 999L, 1000L)
+          getHandle.registerTimer(math.max(wmMs + 1L, firstEvictableMs - 1L))
+        }
+        closed.iterator.map(s => SessionRow(key, tsOf(s.start),
+          tsOf(s.end + gapUs), s.n, s.total.toDouble))
+      }
+
+      override def handleInputRows(key: Long, rows: Iterator[SessionEvent],
+                                   timerValues: TimerValues)
+          : Iterator[SessionRow] = {
+        val incoming = rows.map { e =>
+          val v =
+            if (java.lang.Double.isFinite(e.value))
+              BigDecimal.decimal(e.value)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            else BigDecimal(0) // the statefulSessions non-finite rule
+          SessionIv(microsOf(e.ts), microsOf(e.ts), 1L, v)
+        }.toList
+        val existing =
+          if (sessions.exists()) sessions.get().sessions else Nil
+        evictAndArm(key, merge(existing, incoming),
+          timerValues.getCurrentWatermarkInMs())
+      }
+
+      override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+                                      expiredTimerInfo: ExpiredTimerInfo)
+          : Iterator[SessionRow] =
+        if (!sessions.exists()) Iterator.empty // spurious late timer
+        else evictAndArm(key, sessions.get().sessions,
+          timerValues.getCurrentWatermarkInMs())
+    }
+
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Streaming per-key token-bucket rate limiter — the admission-control
     * operator in front of a serving/ingest tier (the reference's KV
     * throughput knobs are the static cousin): each user's bucket holds
