@@ -51,7 +51,11 @@ object GifCodec {
       })
       i += 1
     }
-    val n = colors.size
+    // pad to the next power of two: GIF color tables are 2^n entries by
+    // format definition, and the JDK writer mis-encodes LZW minimum
+    // code sizes for odd-sized index models (rows after the first come
+    // back wrong — caught by the round-trip property on 6-color frames)
+    val n = math.max(2, Integer.highestOneBit(colors.size * 2 - 1))
     val r = new Array[Byte](n); val g = new Array[Byte](n)
     val b = new Array[Byte](n)
     colors.keysIterator.zipWithIndex.foreach { case (c, j) =>
@@ -77,6 +81,16 @@ object GifCodec {
       if (n != null) n.asInstanceOf[IIOMetadataNode]
       else { val c = new IIOMetadataNode(name); root.appendChild(c); c }
     }
+    // the default ImageDescriptor leaves interlace engaged, and the JDK
+    // writer's interlaced row reordering corrupts short images (h < 8:
+    // rows came back permuted with one lost — caught by the round-trip
+    // property); sequential row order is what this encoder means anyway
+    val desc = child("ImageDescriptor")
+    desc.setAttribute("imageLeftPosition", "0")
+    desc.setAttribute("imageTopPosition", "0")
+    desc.setAttribute("imageWidth", spec.getSampleModel.getWidth.toString)
+    desc.setAttribute("imageHeight", spec.getSampleModel.getHeight.toString)
+    desc.setAttribute("interlaceFlag", "FALSE")
     val gce = child("GraphicControlExtension")
     gce.setAttribute("disposalMethod", "none")
     gce.setAttribute("userInputFlag", "FALSE")
