@@ -121,6 +121,58 @@ object FormatQueries {
           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS VARCHAR)
             AS DOUBLE) AS revenue
         FROM lineitem WHERE l_quantity > 25
-        GROUP BY l_returnflag ORDER BY l_returnflag"""))
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // SCHEMA-EVOLUTION LANDING ZONE — the mixed-vintage directory every
+    // long-lived ingest accumulates: an upstream adds a column mid-year,
+    // so one table's files carry TWO schemas. Batch A (events up to the
+    // date cut) lands WITHOUT `quality_score`; batch B (after the cut)
+    // lands WITH it. One mergeSchema read resolves the union schema,
+    // old files surface the missing column as NULL, and the aggregate
+    // must account for exactly the B-vintage rows — NULL-vs-0 telling
+    // "absent by vintage" from "scored zero". (The manifest store
+    // handles this at the table-format layer — unionSchema in the
+    // commit log; this query gates the RAW-directory form a landing
+    // zone hits before any table format exists.)
+    Q("q252_schema_evolution",
+      (s, d) => {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_q252_").toString
+        val ev = t(s, d, "events")
+          .select(col("event_id"), col("event_type"), col("value"),
+            to_date(col("ts")).as("d_"))
+        val cut = "1995-06-15"
+        ev.filter(col("d_") <= lit(cut))
+          .select("event_id", "event_type", "value")
+          .write.mode("overwrite").parquet(s"$out/vintage=a")
+        ev.filter(col("d_") > lit(cut))
+          .withColumn("quality_score",
+            (col("event_id") % 100).cast("double") / 100.0)
+          .select("event_id", "event_type", "value", "quality_score")
+          .write.mode("overwrite").parquet(s"$out/vintage=b")
+        s.read.option("mergeSchema", "true")
+          .option("basePath", out).parquet(out)
+          .groupBy("event_type").agg(
+            count(lit(1)).as("n"),
+            sum(col("quality_score").isNull.cast("long")).as("n_unscored"),
+            decSum(col("quality_score")).as("total_score"),
+            decSum(col("value")).as("total_value"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, event_type, value,
+            CASE WHEN CAST(CAST(ts AS TIMESTAMP) AS DATE) > DATE '1995-06-15'
+              THEN CAST(event_id % 100 AS DOUBLE) / 100.0 END
+              AS quality_score
+          FROM events)
+        SELECT event_type, COUNT(*) AS n,
+          CAST(SUM(CASE WHEN quality_score IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_unscored,
+          CAST(CAST(SUM(CAST(quality_score AS DECIMAL(28,6))) AS VARCHAR)
+            AS DOUBLE) AS total_score,
+          CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)
+            AS total_value
+        FROM e GROUP BY event_type ORDER BY event_type"""))
   )
 }
