@@ -1800,7 +1800,110 @@ object ScaleOpsQueries {
           FROM documents WHERE doc_id % 50 = 0)
         SELECT change_type, lang, COUNT(*) AS n,
           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-        FROM feed GROUP BY 1, 2 ORDER BY change_type, lang"""))
+        FROM feed GROUP BY 1, 2 ORDER BY change_type, lang""")),
+
+    // INCREMENTAL VIEW MAINTENANCE OFF THE CHANGE FEED — what the feed
+    // is FOR: a downstream per-lang aggregate is maintained by applying
+    // q245's row-level deltas to the PREVIOUS materialization instead
+    // of rescanning the table — the q174/q230 incremental-maintenance
+    // algebra with the manifest's CDF as the delta source. Commit v2
+    // carries updates (%5: +1000 chars, including every %50 doc — the
+    // overlap the delta algebra must not double-count), inserts (new
+    // keys at +10⁹, +7 chars), and a COW delete (%9 non-%5 docs leave).
+    // Maintenance: old agg (from readVersion v1) + feed deltas, where
+    // an update contributes (post − pre) via the feed's post-image and
+    // the pre-image RECOVERED from the v1 snapshot by key — count
+    // unchanged, sum shifted. The gate proves maintained ≡ recompute:
+    // the oracle states the FINAL table directly, so any missed or
+    // double-counted delta class hash-fails.
+    Q("q254_incremental_view_maintenance",
+      (s, d) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_q254_").toString
+        val M = graft.graph.ManifestStore
+        val docs = t(s, d, "documents")
+          .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+            col("n_chars").cast("long").as("n_chars"), lit(1L).as("seq"))
+        M.upsert(root, Seq("doc_id"), "seq", Nil, Seq("lang"))(docs)
+        // v2: one upsert with updates + inserts …
+        val updates = docs.filter(col("doc_id") % 5 === 0)
+          .withColumn("n_chars", col("n_chars") + 1000L)
+          .withColumn("seq", lit(2L))
+        val inserts = docs.filter(col("doc_id") % 50 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000000L)
+          .withColumn("n_chars", col("n_chars") + 7L)
+        M.upsert(root, Seq("doc_id"), "seq", Nil, Seq("lang"))(
+          updates.unionByName(inserts))
+        // … then v3: a COW delete, so the feed window (v2, v3) would
+        // only see deletes — maintenance below consumes (v1, v2) FIRST,
+        // which is why it runs before the delete commit
+        val aggV1 = M.readVersion(s, root, 1L)
+          .groupBy("lang").agg(count(lit(1)).as("n"),
+            sum(col("n_chars")).as("chars"))
+        val feed12 = M.changes(s, root, 1L, 2L, Seq("doc_id")).cache()
+        val v1ByKey = M.readVersion(s, root, 1L)
+          .select(col("doc_id"), col("n_chars").as("pre_chars"))
+        // delta per lang from the feed: inserts add (1, chars); updates
+        // add (0, post − pre); deletes would add (−1, −pre)
+        val deltas = feed12
+          .join(v1ByKey, Seq("doc_id"), "left")
+          .groupBy("lang").agg(
+            sum(when(col("_change_type") === "insert", 1L)
+              .when(col("_change_type") === "delete", -1L)
+              .otherwise(0L)).as("dn"),
+            sum(when(col("_change_type") === "insert", col("n_chars"))
+              .when(col("_change_type") === "delete", -col("pre_chars"))
+              .otherwise(col("n_chars") - col("pre_chars"))).as("dchars"))
+        val maintained = aggV1.alias("a")
+          .join(deltas.alias("f"), Seq("lang"), "full_outer")
+          .select(col("lang"),
+            (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+              .as("n_docs"),
+            (coalesce(col("chars"), lit(0L)) +
+              coalesce(col("dchars"), lit(0L))).as("total_chars"))
+          // MATERIALIZE before the next commit: v1 leaves the GC grace
+          // window when v3 publishes (manifests and generations are
+          // retained current+previous only), so a lazy plan over the v1
+          // snapshot would read deleted files. This is the real
+          // operational rule of consuming a change feed: finish reading
+          // a version before the retention horizon passes it.
+          .localCheckpoint(true)
+        // now the v3 delete; maintain THROUGH it with the (v2, v3) feed
+        M.deleteKeys(root, Seq("doc_id"), Seq("lang"))(
+          docs.filter(col("doc_id") % 9 === 0 && col("doc_id") % 5 =!= 0)
+            .select("doc_id", "lang"))
+        val v2ByKey = M.readVersion(s, root, 2L)
+          .select(col("doc_id"), col("n_chars").as("pre_chars"))
+        val deltas23 = M.changes(s, root, 2L, 3L, Seq("doc_id"))
+          .join(v2ByKey, Seq("doc_id"), "left")
+          .groupBy("lang").agg(
+            sum(when(col("_change_type") === "insert", 1L)
+              .when(col("_change_type") === "delete", -1L)
+              .otherwise(0L)).as("dn"),
+            sum(when(col("_change_type") === "insert", col("n_chars"))
+              .when(col("_change_type") === "delete", -col("pre_chars"))
+              .otherwise(col("n_chars") - col("pre_chars"))).as("dchars"))
+        maintained.alias("m")
+          .join(deltas23.alias("g"), Seq("lang"), "full_outer")
+          .select(col("lang"),
+            (coalesce(col("n_docs"), lit(0L)) +
+              coalesce(col("dn"), lit(0L))).as("n_docs"),
+            (coalesce(col("total_chars"), lit(0L)) +
+              coalesce(col("dchars"), lit(0L))).as("total_chars"))
+          .orderBy("lang")
+      },
+      Some("""
+        WITH final_t AS (
+          SELECT lang,
+            CASE WHEN doc_id % 5 = 0 THEN n_chars + 1000 ELSE n_chars END
+              AS n_chars
+          FROM documents
+          WHERE NOT (doc_id % 9 = 0 AND doc_id % 5 <> 0)
+          UNION ALL
+          SELECT lang, n_chars + 7 FROM documents WHERE doc_id % 50 = 0)
+        SELECT lang, COUNT(*) AS n_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM final_t GROUP BY lang ORDER BY lang"""))
   )
 
   /** Canonical Hilbert xy2d (order 8, 256×256 grid) unrolled to named

@@ -1138,6 +1138,67 @@ object TextQueries {
             AS types,
           CAST(COALESCE(db.nt, 0) AS BIGINT) AS new_types
         FROM cp LEFT JOIN pd ON pd.b = cp.i LEFT JOIN db ON db.b = cp.i
-        ORDER BY decile"""))
+        ORDER BY decile""")),
+
+    // MAX REPEATED N-GRAM LENGTH — the self-repetition signal q89's
+    // repetition RATIO can't express: the longest word n-gram (capped
+    // at 12) a document repeats verbatim, the degenerate-generation /
+    // boilerplate-loop symptom corpus filters threshold on. Entirely
+    // ROW-LOCAL declarative array algebra — per n, the gram list is a
+    // transform over sequence offsets and duplication is
+    // size > size(array_distinct) — so the operator is a scan→project
+    // with zero joins, zero explodes, zero shuffles beyond the final
+    // sort: at 100 TB it costs one pass of per-row O(12·len) work that
+    // scales embarrassingly. The oracle rebuilds every gram with a
+    // lateral series and takes the same max.
+    Q("q253_max_repeated_ngram",
+      (s, d) => {
+        val maxN = 12
+        val toks = split(col("text"), " ")
+        def dupAt(n: Int) = {
+          val grams = expr(
+            s"transform(sequence(0, size(__toks) - $n), " +
+              s"i -> concat_ws(' ', slice(__toks, i + 1, $n)))")
+          when(size(col("__toks")) >= n,
+            size(grams) > size(array_distinct(grams))).otherwise(lit(false))
+        }
+        // ascending fold nests earlier ns deeper, so the OUTERMOST test
+        // is n=12 — the largest repeated length wins the when-chain
+        // (repetition is monotone in n, so any dup chain must be probed
+        // largest-first)
+        val maxRepN = (1 to maxN).foldLeft(lit(0): org.apache.spark.sql.Column) {
+          case (acc, n) => when(col(s"__dup$n"), lit(n)).otherwise(acc)
+        }
+        t(s, d, "documents")
+          .select(col("doc_id"), col("text"))
+          .withColumn("__toks", toks)
+          .select(Seq(col("doc_id"), size(col("__toks")).cast("long")
+            .as("n_tokens"), col("__toks")) ++
+            (1 to maxN).map(n => dupAt(n).as(s"__dup$n")): _*)
+          .select(col("doc_id"), col("n_tokens"),
+            maxRepN.cast("long").as("max_rep_n"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH w AS (
+          SELECT doc_id, STRING_SPLIT(text, ' ') AS toks,
+            LEN(STRING_SPLIT(text, ' ')) AS m
+          FROM documents),
+        g AS (
+          SELECT w.doc_id, n.n,
+            ARRAY_TO_STRING(w.toks[i.i + 1 : i.i + n.n], ' ') AS gram
+          FROM w,
+            LATERAL (SELECT UNNEST(GENERATE_SERIES(1, 12)) AS n) n,
+            LATERAL (SELECT UNNEST(GENERATE_SERIES(0, w.m - n.n)) AS i) i
+          WHERE w.m >= n.n),
+        dup AS (
+          SELECT doc_id, MAX(n) AS max_n FROM (
+            SELECT doc_id, n FROM g
+            GROUP BY doc_id, n, gram HAVING COUNT(*) > 1)
+          GROUP BY doc_id)
+        SELECT w.doc_id, CAST(w.m AS BIGINT) AS n_tokens,
+          CAST(COALESCE(dup.max_n, 0) AS BIGINT) AS max_rep_n
+        FROM w LEFT JOIN dup USING (doc_id)
+        ORDER BY doc_id"""))
   )
 }

@@ -74,7 +74,9 @@ object PlanAudit {
       "q242_vector_delete_read", // broadcast anti-join of delete sidecars (r13)
       "q244_variant_shred", // one parse_json, codegen'd variant_get walks (r13)
       "q245_change_data_feed", // moved-entries-only diff, keyed outer join (r13)
-      "q246_gif_animation") // palette codec mapPartitions, no frame shuffle (r13)
+      "q246_gif_animation", // palette codec mapPartitions, no frame shuffle (r13)
+      "q253_max_repeated_ngram", // row-local array algebra, zero joins (r13)
+      "q254_incremental_view_maintenance") // CDF deltas + keyed pre-image join (r13)
     interesting.foreach { name =>
       val df = graft.queries.Catalog.byName(name).run(spark, d)
       // drive THIS df's own query execution to completion (count() would
