@@ -712,6 +712,39 @@ class ManifestStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("change feed survives a fully-dropped partition and escaping " +
+      "partition values; vector deletes escape keys like the writer") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("mstore_cdf2").toString
+    // partition values with spaces/equals — the hive-escaping edge
+    ManifestStore.upsert(root, Seq("k"), "seq", Nil, Seq("bucket"))(
+      Seq((1L, 1L, "a", "has space"), (2L, 1L, "b", "has space"),
+        (3L, 1L, "c", "x=y")).toDF("k", "seq", "v", "bucket"))
+    // COW-delete ALL of 'x=y': its entry leaves the manifest entirely
+    ManifestStore.deleteKeys(root, Seq("k"), Seq("bucket"))(
+      Seq((3L, "x=y")).toDF("k", "bucket"))
+    val feed = ManifestStore.changes(sp, root, 1L, 2L, Seq("k"))
+      .select("k", "v", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(feed === Set((3L, "c", "delete")),
+      "a dropped-entry partition must surface its rows as deletes")
+    // vector delete against the escaping partition: the sidecar's
+    // hive dir must encode exactly like the data dir or the vector
+    // silently misses its partition
+    ManifestStore.deleteKeysVector(root, Seq("k"), Seq("bucket"))(
+      Seq((1L, "has space")).toDF("k", "bucket"))
+    val rows = ManifestStore.read(sp, root)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(rows === Set(2L), "escaped-partition vector must apply")
+    val m = ManifestStore.readManifest(fs(root), root).get
+    assert(m.deletes.keySet ===
+      Set(ManifestStore.encodeKeyForTest(Seq("bucket"), Seq("has space"))),
+      "vector key uses the same hive encoding as data entries")
+    assert(m.deletes.keySet.subsetOf(m.entries.keySet),
+      "vectors only for live partitions")
+  }
+
   test("compact folds a scattered snapshot into one generation, atomically") {
     val sp = spark
     import sp.implicits._
