@@ -195,8 +195,13 @@ object WarcCodec {
       val len = headers.get("content-length")
         .flatMap(_.toLongOption).getOrElse(return None)
       val bodyStart = hEnd + 4L
-      val bodyEnd = bodyStart + len // 64-bit: a hostile length cannot wrap
-      if (len < 0 || bodyEnd + 4 > a.length) return None
+      // reject the length BEFORE adding: a near-Long.MaxValue value
+      // would wrap bodyEnd negative and slip past the upper-bound check
+      // into a throwing array index — the 64-bit walk must stay in
+      // [0, a.length] at every step
+      if (len < 0 || len > a.length) return None
+      val bodyEnd = bodyStart + len
+      if (bodyEnd + 4 > a.length) return None
       if (a(bodyEnd.toInt) != '\r' || a(bodyEnd.toInt + 1) != '\n' ||
         a(bodyEnd.toInt + 2) != '\r' || a(bodyEnd.toInt + 3) != '\n')
         return None

@@ -84,6 +84,13 @@ class WarcCodecSpec extends AnyFunSuite {
       new String(a, ISO_8859_1).replaceFirst("WARC-Type", "WARCXType")
         .getBytes(ISO_8859_1)
     }.isEmpty, "mandatory header gone")
+    // hostile length near Long.MaxValue: must classify, never wrap the
+    // 64-bit walk into a throwing negative index
+    assert(regzTampered { a =>
+      val s = new String(a, ISO_8859_1)
+      s.replaceFirst("Content-Length: \\d+",
+        "Content-Length: 9223372036854775800").getBytes(ISO_8859_1)
+    }.isEmpty, "overflow-scale declared length")
   }
 
   test("HTTP-level damage flags the record, keeps the file") {
