@@ -665,7 +665,71 @@ object CurationQueries {
         SELECT 2, (SELECT pat FROM p2), (SELECT cnt FROM p2),
           (SELECT CAST(SUM(LEN(STRING_SPLIT(TRIM(t), ' '))) AS BIGINT)
            FROM r2)
-        ORDER BY round"""))
+        ORDER BY round""")),
+
+    // CRAWL-FRONTIER URL DEDUP — the normalization every crawler runs
+    // before "have we seen this URL?": the same page arrives as casing
+    // variants, default-port forms, fragment-bearing links, dot-segment
+    // relative paths, and permuted query strings. Canonicalization is
+    // fully DECLARATIVE (parse_url + lower + dot-segment regex +
+    // array_sort over query params — codegen'd string ops, no UDF, no
+    // mapPartitions), so the frontier dedup is a scan→project→agg that
+    // scales with the URL stream. Variants synthesize from residues
+    // (pages shared across ~7 docs create genuine duplicates); the
+    // oracle reasons in residue space, so the gate verifies the REAL
+    // parser produced exactly the canonical classes the residues
+    // predict — wrong dot-segment resolution or unsorted params split
+    // or fuse classes and hash-fail.
+    Q("q256_url_frontier_dedup",
+      (s, d) => {
+        val variant = col("doc_id") % 5
+        val dom = concat(lit("site"), (col("doc_id") % 53).cast("string"),
+          lit(".example"))
+        val page = (col("doc_id") / lit(7)).cast("long")
+        val raw = when(variant === 0,
+            concat(lit("https://"), dom, lit("/a/p"), page))
+          .when(variant === 1,
+            concat(lit("https://"), upper(dom), lit("/a/./x/../p"), page))
+          .when(variant === 2,
+            concat(lit("https://"), dom, lit(":443/a/p"), page))
+          .when(variant === 3,
+            concat(lit("https://"), dom, lit("/a/p"), page, lit("#sec2")))
+          .otherwise(
+            concat(lit("https://"), dom, lit("/a/p"), page,
+              lit("?b=2&a=1")))
+        val urls = t(s, d, "documents")
+          .select(col("doc_id").cast("long").as("doc_id"), raw.as("url"))
+        val host = lower(parse_url(col("url"), lit("HOST")))
+        // dot-segment resolution for the crawl grammar: "/./" collapses,
+        // "/seg/../" unwinds one level (applied to a fixed point for
+        // nested forms — two passes cover this corpus's single level)
+        val path0 = parse_url(col("url"), lit("PATH"))
+        val path = regexp_replace(regexp_replace(
+          regexp_replace(path0, lit("/\\./"), lit("/")),
+          lit("/[^/]+/\\.\\./"), lit("/")),
+          lit("/[^/]+/\\.\\./"), lit("/"))
+        val q0 = parse_url(col("url"), lit("QUERY"))
+        val query = when(q0.isNull || q0 === "", lit(""))
+          .otherwise(concat(lit("?"),
+            array_join(array_sort(split(q0, "&")), "&")))
+        val canon = concat(lit("https://"), host, path, query)
+        urls.withColumn("canonical", canon)
+          .withColumn("domain", host)
+          .groupBy("domain")
+          .agg(count(lit(1)).as("n_raw"),
+            countDistinct(col("canonical")).as("n_canonical"))
+          .orderBy("domain")
+      },
+      Some("""
+        WITH u AS (
+          SELECT doc_id,
+            'site' || CAST(doc_id % 53 AS VARCHAR) || '.example' AS domain,
+            doc_id // 7 AS page,
+            doc_id % 5 = 4 AS has_query
+          FROM documents)
+        SELECT domain, COUNT(*) AS n_raw,
+          COUNT(DISTINCT (page, has_query)) AS n_canonical
+        FROM u GROUP BY domain ORDER BY domain"""))
   )
 }
 

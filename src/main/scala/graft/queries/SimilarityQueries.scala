@@ -894,6 +894,58 @@ object SimilarityQueries {
             AS rr,
           CAST(CASE WHEN SUM(CASE WHEN rk <= 10 THEN rel ELSE 0 END) > 0
             THEN 1 ELSE 0 END AS BIGINT) AS hit_at_10
-        FROM ranked GROUP BY query_id ORDER BY query_id"""))
+        FROM ranked GROUP BY query_id ORDER BY query_id""")),
+
+    // SEMANTIC DECONTAMINATION — the embedding-level leak check n-gram
+    // decontamination (q83) cannot perform: a paraphrased eval item
+    // shares no 8-gram with its corpus twin but sits next to it in
+    // embedding space. The eval BENCHMARK is fixed (vec_id % 37 = 0
+    // within the first 500 ids — benchmarks do not grow with the
+    // corpus, which is what keeps this scan LINEAR: |corpus| × |eval|
+    // with a broadcast eval side, map-side max-combine per corpus id),
+    // every corpus vector gets its max cosine to any eval item via the
+    // codegen'd graft_cosine, and the output is the decontamination
+    // report: per-0.1-sim-bin counts plus the flagged total at the
+    // τ = 0.3 removal threshold. The oracle recomputes every cosine
+    // with DuckDB list algebra.
+    Q("q255_semantic_decontamination",
+      (s, d) => {
+        val all = vecs(s, d)
+        val eval_ = all.filter(col("vec_id") % 37 === 0 &&
+            col("vec_id") < 500)
+          .select(col("vec_id").as("eval_id"), col("v").as("qv"))
+        val corpus = all.filter(!(col("vec_id") % 37 === 0 &&
+          col("vec_id") < 500))
+        val maxSim = corpus.crossJoin(broadcast(eval_))
+          .groupBy("vec_id")
+          .agg(max(round(expr(dotExpr), 6)).as("max_sim"))
+        maxSim
+          .select(col("vec_id"), col("max_sim"),
+            floor(col("max_sim") * 10).cast("long").as("bin"),
+            (col("max_sim") >= 0.3).cast("long").as("flagged"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n_vectors"),
+            sum(col("flagged")).as("n_flagged"))
+          .orderBy("bin")
+      },
+      Some("""
+        WITH n AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+            SQRT(LIST_SUM(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]),
+              x -> x*x))) AS nrm
+          FROM embeddings),
+        ev AS (SELECT * FROM n WHERE vec_id % 37 = 0 AND vec_id < 500),
+        corpus AS (
+          SELECT * FROM n WHERE NOT (vec_id % 37 = 0 AND vec_id < 500)),
+        ms AS (
+          SELECT c.vec_id,
+            MAX(ROUND(LIST_DOT_PRODUCT(c.v, e.v) / (c.nrm * e.nrm), 6))
+              AS max_sim
+          FROM corpus c CROSS JOIN ev e GROUP BY c.vec_id)
+        SELECT CAST(FLOOR(max_sim * 10) AS BIGINT) AS bin,
+          COUNT(*) AS n_vectors,
+          CAST(SUM(CASE WHEN max_sim >= 0.3 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_flagged
+        FROM ms GROUP BY 1 ORDER BY bin"""))
   )
 }
