@@ -92,7 +92,10 @@ object WarcCodec {
     val out = new ByteArrayOutputStream()
     records.foreach { r =>
       val gz = new GZIPOutputStream(out)
-      gz.write(recordBytes(r)); gz.finish(); gz.flush()
+      // close() releases the native Deflater (finalization-only release
+      // leaks off-heap memory on long-lived executors); closing the
+      // wrapper is a no-op for the shared ByteArrayOutputStream
+      try { gz.write(recordBytes(r)); gz.finish() } finally gz.close()
     }
     out.toByteArray
   }
@@ -106,12 +109,15 @@ object WarcCodec {
       bytes(1) != 0x8B.toByte) return None
     try {
       val in = new GZIPInputStream(new ByteArrayInputStream(bytes), 8192)
-      val out = new ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-      in.close()
-      Some(out.toByteArray)
+      // finally, not success-path: corrupt members throw mid-read and
+      // the Inflater's native memory must still be released
+      try {
+        val out = new ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        Some(out.toByteArray)
+      } finally in.close()
     } catch { case _: Exception => None }
   }
 
@@ -237,10 +243,15 @@ object WarcCodec {
         else {
           val tag = html.substring(i + 1, close).toLowerCase
           if (skipUntil == null && (tag == "script" ||
-            tag.startsWith("script "))) skipUntil = "/script"
+            tag.startsWith("script "))) { skipUntil = "/script"; sb.append(' ') }
           else if (skipUntil == null && (tag == "style" ||
-            tag.startsWith("style "))) skipUntil = "/style"
-          else if (skipUntil != null && tag == skipUntil) skipUntil = null
+            tag.startsWith("style "))) { skipUntil = "/style"; sb.append(' ') }
+          else if (skipUntil != null && tag == skipUntil) {
+            skipUntil = null
+            // the close tag is a word boundary too — without it,
+            // foo<script>x</script>bar fuses to one token "foobar"
+            sb.append(' ')
+          }
           else if (skipUntil == null) sb.append(' ')
           i = close + 1
         }
@@ -249,9 +260,12 @@ object WarcCodec {
         i += 1
       }
     }
+    // &amp; decodes LAST: decoding it first double-decodes escaped
+    // entity text (&amp;lt; must yield the literal "&lt;", not "<")
     sb.toString
-      .replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&lt;", "<").replace("&gt;", ">")
       .replace("&quot;", "\"").replace("&nbsp;", " ")
+      .replace("&amp;", "&")
       .split("\\s+").filter(_.nonEmpty).mkString(" ")
   }
 }

@@ -1837,11 +1837,15 @@ object ScaleOpsQueries {
         // … then v3: a COW delete, so the feed window (v2, v3) would
         // only see deletes — maintenance below consumes (v1, v2) FIRST,
         // which is why it runs before the delete commit
-        val aggV1 = M.readVersion(s, root, 1L)
+        // ONE v1 read shared by the aggregate and the pre-image lookup
+        // (everything below folds into the localCheckpoint, so no
+        // .cache() — pinned blocks would outlive their single use)
+        val v1 = M.readVersion(s, root, 1L).cache()
+        val aggV1 = v1
           .groupBy("lang").agg(count(lit(1)).as("n"),
             sum(col("n_chars")).as("chars"))
-        val feed12 = M.changes(s, root, 1L, 2L, Seq("doc_id")).cache()
-        val v1ByKey = M.readVersion(s, root, 1L)
+        val feed12 = M.changes(s, root, 1L, 2L, Seq("doc_id"))
+        val v1ByKey = v1
           .select(col("doc_id"), col("n_chars").as("pre_chars"))
         // delta per lang from the feed: inserts add (1, chars); updates
         // add (0, post − pre); deletes would add (−1, −pre)
@@ -1868,6 +1872,7 @@ object ScaleOpsQueries {
           // operational rule of consuming a change feed: finish reading
           // a version before the retention horizon passes it.
           .localCheckpoint(true)
+        v1.unpersist(blocking = false) // folded into the checkpoint above
         // now the v3 delete; maintain THROUGH it with the (v2, v3) feed
         M.deleteKeys(root, Seq("doc_id"), Seq("lang"))(
           docs.filter(col("doc_id") % 9 === 0 && col("doc_id") % 5 =!= 0)

@@ -28,6 +28,67 @@ case class SessionRow(user_id: Long, session_start: Timestamp,
                       session_end: Timestamp, n_events: Long,
                       total_value: Double)
 
+/** The sessionizer core shared by BOTH custom-state forms
+  * (flatMapGroupsWithState in [[StreamingOps.statefulSessions]],
+  * transformWithState in
+  * [[StreamingOps.sessionsViaTransformWithState]]) — q87/q91/q251
+  * assert the two are semantics-identical to `session_window`, and
+  * that parity must hold by SHARED CODE, not by keeping two hand
+  * copies of the merge fold and the ceil-div timer arithmetic in sync.
+  * The micros/ts converters are also the file's single copy (the rate
+  * limiter uses them too). */
+private[streaming] object SessionCore {
+  def microsOf(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  def tsOf(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** One event as a unit interval. decimal(…,6) conversion mirrors the
+    * oracle's CAST(value AS DECIMAL(28,6)) so sums stay bit-comparable.
+    * Non-finite values contribute 0, mirroring how the declarative
+    * path's decimal cast NULLs them out of the SUM (the residual
+    * divergence — an all-non-finite session sums to 0 here vs NULL
+    * there — beats crashing the state function on the first NaN). */
+  def toIv(e: SessionEvent): SessionIv = {
+    val v =
+      if (java.lang.Double.isFinite(e.value))
+        BigDecimal.decimal(e.value)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      else BigDecimal(0)
+    SessionIv(microsOf(e.ts), microsOf(e.ts), 1L, v)
+  }
+
+  /** Interval merge over the given sessions, sorted: two sessions fuse
+    * when the later one starts inside [start, end + gap] — INCLUSIVE
+    * of the endpoint, matching session_window's adjacent-merge rule. */
+  def merge(gapUs: Long)(ivs: List[SessionIv]): List[SessionIv] =
+    ivs.sortBy(s => (s.start, s.end))
+      .foldLeft(List.empty[SessionIv]) {
+        case (h :: t, s) if s.start <= h.end + gapUs =>
+          SessionIv(h.start, math.max(h.end, s.end), h.n + s.n,
+            h.total + s.total) :: t
+        case (acc, s) => s :: acc
+      }.reverse
+
+  /** First millisecond at which the earliest open session becomes
+    * evictable. Timer APIs are millisecond-granular while event time is
+    * micros — the CEILING div arms one ms before the first millisecond
+    * at which the micros close time is evictable; a floor-div would
+    * fire one ms too early for sub-ms close times, fail the eviction
+    * check, and re-arm into the wm+1 clamp, widening the stranding
+    * corner documented at the call sites. */
+  def firstEvictableMs(open: List[SessionIv], gapUs: Long): Long =
+    Math.floorDiv(open.map(_.end).min + gapUs + 999L, 1000L)
+
+  def toRow(gapUs: Long)(user: Long, s: SessionIv): SessionRow =
+    SessionRow(user, tsOf(s.start), tsOf(s.end + gapUs), s.n,
+      s.total.toDouble)
+}
+
 /** One event for the streaming rate limiter. */
 case class RateEvent(user_id: Long, ts: Timestamp, event_id: Long)
 
@@ -140,46 +201,14 @@ object StreamingOps {
     import sp.implicits._
     val gapUs = gapMinutes * 60000000L
 
-    def microsOf(t: Timestamp): Long =
-      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
-    def tsOf(us: Long): Timestamp = {
-      val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
-      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
-      t
-    }
-
-    def toRow(user: Long, s: SessionIv): SessionRow =
-      SessionRow(user, tsOf(s.start), tsOf(s.end + gapUs),
-        s.n, s.total.toDouble)
-
     def update(user: Long, batch: Iterator[SessionEvent],
                state: GroupState[UserSessions]): Iterator[SessionRow] = {
       val existing = state.getOption.map(_.sessions).getOrElse(Nil)
-      // decimal(…,6) conversion mirrors the oracle's
-      // CAST(value AS DECIMAL(28,6)) so sums stay bit-comparable.
-      // Non-finite values contribute 0, mirroring how the declarative
-      // path's decimal cast NULLs them out of the SUM (the residual
-      // divergence — an all-non-finite session sums to 0 here vs NULL
-      // there — beats crashing the state function on the first NaN).
-      val incoming = batch.map { e =>
-        val v =
-          if (java.lang.Double.isFinite(e.value))
-            BigDecimal.decimal(e.value)
-              .setScale(6, BigDecimal.RoundingMode.HALF_UP)
-          else BigDecimal(0)
-        SessionIv(microsOf(e.ts), microsOf(e.ts), 1L, v)
-      }.toList
-      // interval merge over (state ∪ batch), sorted: two sessions fuse
-      // when the later one starts inside [start, end + gap] — INCLUSIVE
-      // of the endpoint, matching session_window's adjacent-merge rule
-      val merged = (existing ++ incoming)
-        .sortBy(s => (s.start, s.end))
-        .foldLeft(List.empty[SessionIv]) {
-          case (h :: t, s) if s.start <= h.end + gapUs =>
-            SessionIv(h.start, math.max(h.end, s.end), h.n + s.n,
-              h.total + s.total) :: t
-          case (acc, s) => s :: acc
-        }.reverse
+      // event→interval conversion and the interval merge are the
+      // SHARED sessionizer core (SessionCore — also the TWS form's):
+      // decimal-exact totals, non-finite→0, inclusive adjacent-merge
+      val incoming = batch.map(SessionCore.toIv).toList
+      val merged = SessionCore.merge(gapUs)(existing ++ incoming)
       // the engine watermark is millisecond-granular; event time is
       // micros — scale up for the eviction compare, exactly as Spark's
       // own stateful operators do
@@ -208,11 +237,10 @@ object StreamingOps {
         // — a floor-div would fire one ms too early for sub-ms close
         // times, fail the eviction check, and re-arm into the clamp,
         // widening the stranding corner.)
-        val firstEvictableMs =
-          Math.floorDiv(open.map(_.end).min + gapUs + 999L, 1000L)
-        state.setTimeoutTimestamp(math.max(wm + 1L, firstEvictableMs - 1L))
+        state.setTimeoutTimestamp(math.max(wm + 1L,
+          SessionCore.firstEvictableMs(open, gapUs) - 1L))
       }
-      closed.iterator.map(toRow(user, _))
+      closed.iterator.map(SessionCore.toRow(gapUs)(user, _))
     }
 
     events
@@ -232,12 +260,14 @@ object StreamingOps {
     * the caller sets the provider (q251 does; see q243 for why that is
     * a deploy-time decision). Session semantics — inclusive interval
     * merge, decimal-exact totals, `end + gap <= watermark` eviction —
-    * are byte-identical to the fMGWS form: both run under q87's
-    * session_window oracle. Timer discipline: one live timer per key
-    * (re-armed at the earliest open close time, the
-    * ceil-div/arm-one-early device statefulSessions documents);
-    * expiry re-checks the eviction predicate so an early fire is never
-    * an early emit. */
+    * are identical to the fMGWS form BY SHARED CODE ([[SessionCore]]
+    * holds the merge fold, event conversion, and the ceil-div timer
+    * arithmetic; both forms call it, so the q87/q91/q251 three-way
+    * parity cannot drift through a one-sided fix). Timer discipline:
+    * one live timer per key (re-armed at the earliest open close time,
+    * the arm-one-early device statefulSessions documents); expiry
+    * re-checks the eviction predicate so an early fire is never an
+    * early emit. */
   def sessionsViaTransformWithState(
       gapMinutes: Int, lateness: String = "5 minutes")(
       events: Dataset[SessionEvent]): Dataset[SessionRow] = {
@@ -247,14 +277,6 @@ object StreamingOps {
     import sp.implicits._
     val gapUs = gapMinutes * 60000000L
 
-    def microsOf(t: Timestamp): Long =
-      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
-    def tsOf(us: Long): Timestamp = {
-      val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
-      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
-      t
-    }
-
     class SessionProcessor
         extends StatefulProcessor[Long, SessionEvent, SessionRow] {
       @transient private var sessions: ValueState[UserSessions] = _
@@ -262,17 +284,6 @@ object StreamingOps {
       override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
         sessions = getHandle.getValueState[UserSessions](
           "sessions", Encoders.product[UserSessions], TTLConfig.NONE)
-
-      private def merge(existing: List[SessionIv],
-                        incoming: List[SessionIv]): List[SessionIv] =
-        (existing ++ incoming)
-          .sortBy(s => (s.start, s.end))
-          .foldLeft(List.empty[SessionIv]) {
-            case (h :: t, s) if s.start <= h.end + gapUs =>
-              SessionIv(h.start, math.max(h.end, s.end), h.n + s.n,
-                h.total + s.total) :: t
-            case (acc, s) => s :: acc
-          }.reverse
 
       /** Emit watermark-closed sessions, persist the rest, keep exactly
         * one live timer at the earliest open close time. */
@@ -285,28 +296,19 @@ object StreamingOps {
         if (open.isEmpty) sessions.clear()
         else {
           sessions.update(UserSessions(open))
-          val firstEvictableMs =
-            Math.floorDiv(open.map(_.end).min + gapUs + 999L, 1000L)
-          getHandle.registerTimer(math.max(wmMs + 1L, firstEvictableMs - 1L))
+          getHandle.registerTimer(math.max(wmMs + 1L,
+            SessionCore.firstEvictableMs(open, gapUs) - 1L))
         }
-        closed.iterator.map(s => SessionRow(key, tsOf(s.start),
-          tsOf(s.end + gapUs), s.n, s.total.toDouble))
+        closed.iterator.map(SessionCore.toRow(gapUs)(key, _))
       }
 
       override def handleInputRows(key: Long, rows: Iterator[SessionEvent],
                                    timerValues: TimerValues)
           : Iterator[SessionRow] = {
-        val incoming = rows.map { e =>
-          val v =
-            if (java.lang.Double.isFinite(e.value))
-              BigDecimal.decimal(e.value)
-                .setScale(6, BigDecimal.RoundingMode.HALF_UP)
-            else BigDecimal(0) // the statefulSessions non-finite rule
-          SessionIv(microsOf(e.ts), microsOf(e.ts), 1L, v)
-        }.toList
+        val incoming = rows.map(SessionCore.toIv).toList
         val existing =
           if (sessions.exists()) sessions.get().sessions else Nil
-        evictAndArm(key, merge(existing, incoming),
+        evictAndArm(key, SessionCore.merge(gapUs)(existing ++ incoming),
           timerValues.getCurrentWatermarkInMs())
       }
 
@@ -347,8 +349,7 @@ object StreamingOps {
     val sp = events.sparkSession
     import sp.implicits._
 
-    def microsOf(t: Timestamp): Long =
-      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    import SessionCore.microsOf
 
     def update(user: Long, batch: Iterator[RateEvent],
                state: GroupState[BucketState]): Iterator[DecisionRow] = {
@@ -417,8 +418,7 @@ object StreamingOps {
     val sp = events.sparkSession
     import sp.implicits._
 
-    def microsOf(t: Timestamp): Long =
-      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    import SessionCore.microsOf
 
     def update(user: Long, batch: Iterator[RateEvent2],
                state: GroupState[PatternState]): Iterator[VMatch] = {

@@ -671,10 +671,12 @@ class ManifestStoreSpec extends AnyFunSuite {
     assert(!m4.entries.contains("bucket=1"),
       "a partition fully deleted by its vector leaves the manifest")
     assert(snapshot(root) === Map(4L -> (1L, "d"), 5L -> (1L, "e")))
-    // one key set per table
+    // one key set per table: the k-keyed setup call must SUCCEED
+    // (outside the intercept — a failure there must fail the test, not
+    // satisfy it vacuously), then the v-keyed call must refuse
+    ManifestStore.deleteKeysVector(root, Seq("k"), Seq("bucket"))(
+      Seq((4L, 2)).toDF("k", "bucket"))
     intercept[IllegalArgumentException] {
-      ManifestStore.deleteKeysVector(root, Seq("k"), Seq("bucket"))(
-        Seq((4L, 2)).toDF("k", "bucket"))
       ManifestStore.deleteKeysVector(root, Seq("v"), Seq("bucket"))(
         Seq(("d", 2)).toDF("v", "bucket"))
     }

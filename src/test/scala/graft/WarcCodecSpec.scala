@@ -127,5 +127,12 @@ class WarcCodecSpec extends AnyFunSuite {
     // script with attributes still drops its subtree
     assert(WarcCodec.extractText(
       "<script type=\"module\">hidden</script>shown") === "shown")
+    // a dropped subtree is still a WORD BOUNDARY
+    assert(WarcCodec.extractText("foo<script>x=1</script>bar") ===
+      "foo bar")
+    // escaped entity text must not double-decode: &amp;lt; is the
+    // LITERAL four characters "&lt;"
+    assert(WarcCodec.extractText("<p>write &amp;lt;b&amp;gt; here</p>") ===
+      "write &lt;b&gt; here")
   }
 }
