@@ -1,7 +1,8 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.types._
 import QH._
 
 /** Round-9 corpus-curation operator families: retrieval-index builds,
@@ -729,7 +730,146 @@ object CurationQueries {
           FROM documents)
         SELECT domain, COUNT(*) AS n_raw,
           COUNT(DISTINCT (page, has_query)) AS n_canonical
-        FROM u GROUP BY domain ORDER BY domain"""))
+        FROM u GROUP BY domain ORDER BY domain""")),
+
+    // ROBOTS.TXT CRAWL FILTERING — the admission gate between q256's
+    // frontier and q241's fetch: every domain publishes a REAL
+    // robots.txt (comments, a distractor bot group, the `*` group,
+    // unknown directives), ops/RobotsTxt parses the RFC 9309 grammar
+    // once per DOMAIN (dictionary-sized next to the URL stream), and
+    // each URL is decided by the RFC's precedence — longest matching
+    // prefix governs, Allow wins ties — evaluated DECLARATIVELY as an
+    // aggregate() fold over the rules array column, so the per-URL hot
+    // path has no Scala in it. The residue design forces the
+    // precedence logic to matter: on dom%3=0 domains `Allow: /a/p`
+    // (len 4) overrides both `Disallow: /a/` (3) and, on dom%4=1
+    // domains, `Disallow: /` (1) — a parser that picks first-match or
+    // ignores Allow fuses whole residue classes and hash-fails.
+    Q("q257_robots_filtering",
+      (s, d) => {
+        import graft.ops.RobotsTxt
+        val urls = t(s, d, "documents")
+          .select(col("doc_id").cast("long").as("doc_id"),
+            (col("doc_id") % 53).cast("long").as("dom"),
+            when(col("doc_id") % 7 === 0,
+              concat(lit("/private/x"), col("doc_id")))
+              .otherwise(concat(lit("/a/p"),
+                (col("doc_id") / lit(7)).cast("long"))).as("path"))
+        val domains = urls.select("dom").distinct()
+        val rulesSchema = StructType(Seq(
+          StructField("dom", LongType, nullable = false),
+          StructField("rules", ArrayType(StructType(Seq(
+            StructField("prefix", StringType, nullable = false),
+            StructField("allow", BooleanType, nullable = false))),
+            containsNull = false), nullable = false)))
+        val parsed = domains.mapPartitions { rows =>
+          rows.map { r =>
+            val dom = r.getLong(0)
+            val txt = new StringBuilder()
+              .append(s"# crawl policy for site$dom.example\n")
+              .append("User-agent: other-bot\nDisallow: /\n\n")
+              .append("User-agent: *\n")
+              .append("Disallow: /private/\n")
+            if (dom % 3 == 0) txt.append("Disallow: /a/\nAllow: /a/p\n")
+            if (dom % 4 == 1) txt.append("Disallow: /\n")
+            txt.append("Crawl-delay: 10\n")
+            val rules = RobotsTxt.parse(txt.toString)
+            Row(dom, rules.map(ru => Row(ru.prefix, ru.allow)))
+          }
+        }(Encoders.row(rulesSchema))
+        urls.join(broadcast(parsed), Seq("dom"))
+          .withColumn("allowed", expr("""
+            aggregate(
+              filter(rules, r -> startswith(path, r.prefix)),
+              named_struct('len', -1, 'allow', true),
+              (acc, r) -> IF(length(r.prefix) > acc.len
+                  OR (length(r.prefix) = acc.len AND r.allow),
+                named_struct('len', length(r.prefix), 'allow', r.allow),
+                acc),
+              acc -> acc.allow)"""))
+          .groupBy("dom")
+          .agg(sum(col("allowed").cast("long")).as("n_allowed"),
+            sum((!col("allowed")).cast("long")).as("n_blocked"))
+          .orderBy("dom")
+      },
+      Some("""
+        WITH u AS (
+          SELECT doc_id, doc_id % 53 AS dom,
+            doc_id % 7 = 0 AS is_private
+          FROM documents),
+        dec AS (
+          SELECT dom,
+            -- RFC longest-match closed form for this rule synthesis:
+            -- /private/ paths always blocked; /a/pN allowed unless the
+            -- whole site is disallowed (dom%4=1) WITHOUT the longer
+            -- Allow /a/p present (dom%3=0)
+            CASE WHEN is_private THEN FALSE
+              WHEN dom % 4 = 1 AND dom % 3 <> 0 THEN FALSE
+              ELSE TRUE END AS allowed
+          FROM u)
+        SELECT dom, CAST(SUM(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_allowed,
+          CAST(SUM(CASE WHEN allowed THEN 0 ELSE 1 END) AS BIGINT)
+            AS n_blocked
+        FROM dec GROUP BY dom ORDER BY dom""")),
+
+    // CRAWL POLITENESS SCHEDULING — the per-domain rate plan the
+    // frontier (q256) feeds after robots admission (q257): fetches on
+    // one domain must be ≥ `delay` apart, so the schedule is the
+    // SEQUENTIAL recurrence fetch_i = max(arrival_i, fetch_{i−1} +
+    // delay). A driver loop (or per-key streaming state, q229's shape)
+    // would serialize it; the batch form SOLVES the recurrence
+    // algebraically — fetch_i = i·delay + max_{k≤i}(arrival_k −
+    // k·delay) — turning the dependency chain into ONE running max
+    // over a per-domain window: a single shuffle on domain, linear
+    // work, exact integer arithmetic. The oracle evaluates the same
+    // closed form, so a wrong unrolling (off-by-one in the index
+    // algebra) hash-fails on every domain.
+    Q("q258_crawl_scheduler",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val urls = t(s, d, "documents")
+          .select(col("doc_id").cast("long").as("doc_id"),
+            (col("doc_id") % 53).cast("long").as("dom"),
+            ((col("doc_id") * 37) % 1000).cast("long").as("arrival_s"),
+            (lit(2) + col("doc_id") % 53 % 5).cast("long").as("delay_s"))
+        val w = Window.partitionBy("dom")
+          .orderBy(col("arrival_s"), col("doc_id"))
+        val cum = Window.partitionBy("dom")
+          .orderBy(col("arrival_s"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val scheduled = urls
+          .withColumn("i", row_number().over(w).cast("long") - 1L)
+          .withColumn("base", col("arrival_s") - col("i") * col("delay_s"))
+          .withColumn("fetch_s",
+            col("i") * col("delay_s") + max(col("base")).over(cum))
+        scheduled.groupBy("dom").agg(
+          count(lit(1)).as("n_urls"),
+          (max(col("fetch_s")) - min(col("arrival_s"))).as("makespan_s"),
+          sum(col("fetch_s") - col("arrival_s")).as("total_wait_s"))
+          .orderBy("dom")
+      },
+      Some("""
+        WITH u AS (
+          SELECT doc_id, doc_id % 53 AS dom,
+            (doc_id * 37) % 1000 AS arrival_s,
+            2 + (doc_id % 53) % 5 AS delay_s
+          FROM documents),
+        r AS (
+          SELECT *, ROW_NUMBER() OVER
+              (PARTITION BY dom ORDER BY arrival_s, doc_id) - 1 AS i
+          FROM u),
+        f AS (
+          SELECT dom, arrival_s,
+            i * delay_s + MAX(arrival_s - i * delay_s) OVER
+              (PARTITION BY dom ORDER BY arrival_s, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS fetch_s
+          FROM r)
+        SELECT dom, COUNT(*) AS n_urls,
+          CAST(MAX(fetch_s) - MIN(arrival_s) AS BIGINT) AS makespan_s,
+          CAST(SUM(fetch_s - arrival_s) AS BIGINT) AS total_wait_s
+        FROM f GROUP BY dom ORDER BY dom"""))
   )
 }
 
