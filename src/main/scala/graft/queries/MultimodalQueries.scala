@@ -1534,6 +1534,104 @@ object MultimodalQueries {
           CAST(MIN(CASE WHEN j = 0 THEN ov END) AS BIGINT) AS first_out,
           CAST(MIN(CASE WHEN j = n // 2 - 1 THEN ov END) AS BIGINT)
             AS last_out
-        FROM o GROUP BY doc_id, n ORDER BY doc_id"""))
+        FROM o GROUP BY doc_id, n ORDER BY doc_id""")),
+
+    // WEBDATASET SHARDS — the container large multimodal training runs
+    // actually consume: POSIX tar archives (ops/TarCodec — strict
+    // ustar, real-`tar`-interoperable, spec-verified) whose members
+    // group into samples by BASENAME (`0017.img` + `0017.txt`), read
+    // sequentially per shard because random-accessing 10⁹ small files
+    // at 100 TB is an object-store death sentence. Eight docs mux into
+    // each shard; the %29 residue omits its caption — the incomplete-
+    // sample accounting every WebDataset loader needs. Demux is one
+    // row-local pass per shard: tar walk → basename grouping → BMP
+    // decode (pixel sum) + caption tokenization for COMPLETE pairs.
+    // The oracle rebuilds pixel sums with the per-pixel series device
+    // and token counts from the residues.
+    Q("q259_webdataset_shards",
+      (s, d) => {
+        import graft.ops.TarCodec
+        val W = 8; val H = 8
+        val docs = t(s, d, "documents")
+          .select(col("doc_id").cast("long").as("doc_id"),
+            expr("CAST(doc_id AS BIGINT) div 8").as("shard"))
+        val shards = spread(s, col("shard"))(docs)
+          .groupBy("shard").agg(collect_list(col("doc_id")).as("ids"))
+        val shardSchema = StructType(Seq(
+          StructField("shard", LongType, nullable = false),
+          StructField("payload", BinaryType, nullable = false)))
+        val payloads = shards.mapPartitions { rows =>
+          rows.map { r =>
+            val shard = r.getLong(0)
+            val ids = r.getSeq[Long](1).sorted
+            val members = ids.flatMap { id =>
+              val img = s"$id.img" -> ImageCodec.encodeBmp(W, H,
+                ImageCodec.content(id % 256, W, H))
+              val nw = (3 + id % 4).toInt
+              val cap = (0 until nw).map(j => s"w${(id * 13 + j) % 997}")
+                .mkString(" ")
+              if (id % 29 == 0) Seq(img)
+              else Seq(img, s"$id.txt" -> cap.getBytes("ISO-8859-1"))
+            }
+            Row(shard, TarCodec.encode(members))
+          }
+        }(Encoders.row(shardSchema))
+        val sampleSchema = StructType(Seq(
+          StructField("shard", LongType, nullable = false),
+          StructField("complete", BooleanType, nullable = false),
+          StructField("px_sum", LongType, nullable = false),
+          StructField("n_toks", LongType, nullable = false)))
+        val samples = payloads.mapPartitions { rows =>
+          rows.flatMap { r =>
+            val shard = r.getLong(0)
+            val members = TarCodec.decode(r.getAs[Array[Byte]](1)).get
+            members.groupBy(_._1.takeWhile(_ != '.')).map {
+              case (_, parts) =>
+                val byExt = parts.map { case (n, b) =>
+                  n.dropWhile(_ != '.') -> b
+                }.toMap
+                val complete = byExt.contains(".img") &&
+                  byExt.contains(".txt")
+                if (!complete) Row(shard, false, 0L, 0L)
+                else {
+                  val dec = ImageCodec.decode(byExt(".img")).get
+                  var px = 0L
+                  dec.channels.foreach(b => px += (b & 0xFF))
+                  val toks = new String(byExt(".txt"), "ISO-8859-1")
+                    .split(" ").count(_.nonEmpty).toLong
+                  Row(shard, true, px, toks)
+                }
+            }
+          }
+        }(Encoders.row(sampleSchema))
+        samples.groupBy("shard").agg(
+          sum(col("complete").cast("long")).as("n_complete"),
+          sum((!col("complete")).cast("long")).as("n_incomplete"),
+          sum(col("px_sum")).as("px_total"),
+          sum(col("n_toks")).as("tok_total"))
+          .orderBy("shard")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, doc_id // 8 AS shard,
+            doc_id % 29 <> 0 AS complete,
+            3 + doc_id % 4 AS nw
+          FROM documents),
+        px AS (
+          SELECT d.doc_id,
+            SUM(((d.doc_id % 256) * 7 + (i % 256) * 13) % 256) AS ps
+          FROM d, LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 191)) AS i)
+          WHERE d.complete
+          GROUP BY d.doc_id)
+        SELECT shard,
+          CAST(SUM(CASE WHEN complete THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_complete,
+          CAST(SUM(CASE WHEN complete THEN 0 ELSE 1 END) AS BIGINT)
+            AS n_incomplete,
+          CAST(SUM(COALESCE(px.ps, 0)) AS BIGINT) AS px_total,
+          CAST(SUM(CASE WHEN complete THEN nw ELSE 0 END) AS BIGINT)
+            AS tok_total
+        FROM d LEFT JOIN px USING (doc_id)
+        GROUP BY shard ORDER BY shard"""))
   )
 }
