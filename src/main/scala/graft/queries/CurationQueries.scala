@@ -869,7 +869,208 @@ object CurationQueries {
         SELECT dom, COUNT(*) AS n_urls,
           CAST(MAX(fetch_s) - MIN(arrival_s) AS BIGINT) AS makespan_s,
           CAST(SUM(fetch_s - arrival_s) AS BIGINT) AS total_wait_s
-        FROM f GROUP BY dom ORDER BY dom"""))
+        FROM f GROUP BY dom ORDER BY dom""")),
+
+    // LM-PERPLEXITY QUALITY FILTER — the CCNet-style gate (Wenzek et
+    // al. 2019) that buckets documents into head/middle/tail by how
+    // surprising an n-gram language model finds them: train a trigram
+    // model on the corpus, score each doc's cross-entropy, tier on
+    // bits-per-trigram. The float trap: true log-prob sums are
+    // accumulation-order- and libm-dependent (Spark computes log2 as
+    // ln(x)/ln(2), so even floor(log2(8)) can land on 2 via
+    // 2.9999999999999996 — engines would hash-mismatch). The exact
+    // form used here: per-trigram surprise in WHOLE BITS,
+    //   bits = floor(log2((c2 + V) div (c3 + 1)))
+    // where +1/+V is add-one smoothing, c2 = Σ_w3 c3(w1 w2 w3)
+    // guarantees the ratio ≥ 1, the division is INTEGER division, and
+    // floor(log2(k)) of an exact integer is its binary-string length
+    // minus 1 (conv(k,10,2) ↔ printf('%b',k)) — every quantity up to
+    // the final bits-per-trigram division is an integer, so the score
+    // is bit-equal under any partitioning and any libm.
+    // Scale shape: one map-side-combined groupBy collapses token
+    // volume to per-doc DISTINCT (big, tg) counts (the only pass over
+    // raw text); the trigram/bigram dictionaries are corpus-dict-sized
+    // and joined by hash EQUI joins on their own keys — NOT broadcast
+    // (a 100 TB corpus's trigram dictionary outgrows any executor);
+    // the only broadcast is the 1-row vocabulary scalar.
+    Q("q260_lm_perplexity_filter",
+      (s, d) => {
+        val tri = t(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .filter(size(col("w")) >= 3)
+          .select(col("doc_id"), explode(expr(
+            """transform(sequence(1, size(w) - 2), i -> named_struct(
+              'big', concat_ws(' ', element_at(w, i), element_at(w, i + 1)),
+              'tg', concat_ws(' ', element_at(w, i), element_at(w, i + 1),
+                              element_at(w, i + 2))))""")).as("g"))
+          .select(col("doc_id"), col("g.big").as("big"), col("g.tg").as("tg"))
+          .groupBy("doc_id", "big", "tg").agg(count(lit(1)).as("k"))
+          // feeds both dictionaries AND the scoring join: cache makes
+          // single-computation a contract (q137 convention)
+          .cache()
+        val d3 = tri.groupBy("tg").agg(sum(col("k")).as("c3"))
+        val d2 = tri.groupBy("big").agg(sum(col("k")).as("c2"))
+        // vocabulary = distinct continuations, derived from the trigram
+        // DICTIONARY (bounded by dict size, not corpus size)
+        val vv = d3.agg(
+          countDistinct(substring_index(col("tg"), " ", -1)).as("v"))
+        tri.join(d3, "tg").join(d2, "big").crossJoin(broadcast(vv))
+          .withColumn("q", expr("(c2 + v) div (c3 + 1)"))
+          .withColumn("bits", (length(conv(col("q"), 10, 2)) - 1).cast("long"))
+          .groupBy("doc_id")
+          .agg(sum(col("k")).as("n_trigrams"),
+            sum(col("k") * col("bits")).as("total_bits"))
+          .select(col("doc_id"), col("n_trigrams"), col("total_bits"),
+            // the one IEEE op: exact-integer / exact-integer
+            (col("total_bits").cast("double") /
+              col("n_trigrams").cast("double")).as("bits_per_trigram"),
+            // tier thresholds compared in INTEGER space (4 and 9
+            // bits/trigram), so the bucketing never touches a float
+            when(col("total_bits") <= col("n_trigrams") * 4, "head")
+              .when(col("total_bits") <= col("n_trigrams") * 9, "middle")
+              .otherwise("tail").as("tier"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents
+          WHERE LEN(STRING_SPLIT(text, ' ')) >= 3),
+        tri AS (
+          SELECT doc_id,
+            UNNEST(LIST_TRANSFORM(RANGE(1, LEN(w) - 1),
+              i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1]))
+              AS big,
+            UNNEST(LIST_TRANSFORM(RANGE(1, LEN(w) - 1),
+              i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1]
+                   || ' ' || w[CAST(i AS INT) + 2])) AS tg
+          FROM toks),
+        tc AS (SELECT doc_id, big, tg, COUNT(*) AS k FROM tri GROUP BY ALL),
+        d3 AS (SELECT tg, CAST(SUM(k) AS BIGINT) AS c3 FROM tc GROUP BY tg),
+        d2 AS (SELECT big, CAST(SUM(k) AS BIGINT) AS c2 FROM tc GROUP BY big),
+        vv AS (SELECT COUNT(DISTINCT STRING_SPLIT(tg, ' ')[3]) AS v FROM d3),
+        sc AS (
+          SELECT doc_id, k,
+            LENGTH(printf('%b', (c2 + v) // (c3 + 1))) - 1 AS bits
+          FROM tc JOIN d3 USING (tg) JOIN d2 USING (big), vv)
+        SELECT doc_id,
+          CAST(SUM(k) AS BIGINT) AS n_trigrams,
+          CAST(SUM(k * bits) AS BIGINT) AS total_bits,
+          CAST(CAST(SUM(k * bits) AS BIGINT) AS DOUBLE)
+            / CAST(CAST(SUM(k) AS BIGINT) AS DOUBLE) AS bits_per_trigram,
+          CASE WHEN SUM(k * bits) <= 4 * SUM(k) THEN 'head'
+               WHEN SUM(k * bits) <= 9 * SUM(k) THEN 'middle'
+               ELSE 'tail' END AS tier
+        FROM sc GROUP BY doc_id ORDER BY doc_id""")),
+
+    // DSIR IMPORTANCE RESAMPLING (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling") — select raw-corpus
+    // documents that look like a target domain by the likelihood ratio
+    // of two hashed-n-gram bag-of-words models: here target = the
+    // corpus's English documents, raw = everything, features = word
+    // bigrams hashed into B=1024 buckets (q194's portable-md5 bucket
+    // convention, so the featurizer needs NO vocabulary pass and runs
+    // identically on every shard with zero coordination). The same
+    // float trap as q260 — Σ k·(log p_t − log p_r) is libm/order-
+    // dependent — handled the same way: the per-bucket log-ratio of
+    // the two add-one-smoothed multinomials,
+    //   log2( ((c_t+1)/(N_t+B)) / ((c_r+1)/(N_r+B)) ),
+    // is approximated to ±1 by a DIFFERENCE OF BIT LENGTHS of the two
+    // cross-multiplied integers, so the per-doc score is an exact
+    // integer under any partitioning. Products stay < 2^63 while both
+    // corpus token counts are < ~3·10⁹ (true through sf1 by 10⁴×);
+    // the 100 TB path widens the two products to decimal(38,0) and
+    // takes bit length off the decimal's digit string. Selection is
+    // deterministic resampling-without-replacement per source: top-5
+    // by (score, doc_id) through an ordinary partitioned window.
+    Q("q261_dsir_importance_sampling",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val B = 1024
+        val kb = t(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("lang"),
+            split(col("text"), " ").as("w"))
+          .filter(size(col("w")) >= 2)
+          .select(col("doc_id"), col("source"), col("lang"),
+            explode(expr(
+              """transform(sequence(1, size(w) - 1),
+                 i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))"""))
+              .as("big"))
+          .withColumn("bucket", expr(
+            "cast(conv(substring(md5(big), 1, 13), 16, 10) as bigint) % 1024"))
+          .groupBy(col("doc_id"), col("source"), col("lang"), col("bucket"))
+          .agg(count(lit(1)).as("k"))
+          .cache() // feeds both models and the scoring join once
+        val raw = kb.groupBy("bucket").agg(sum(col("k")).as("cr"))
+        val tgt = kb.filter(col("lang") === "en")
+          .groupBy("bucket").agg(sum(col("k")).as("ct"))
+        // bucket dictionaries are ≤ B rows — the ONE structurally
+        // bounded broadcast (vs q260's corpus-sized trigram dict)
+        val model = raw.join(tgt, Seq("bucket"), "left")
+          .na.fill(0L, Seq("ct"))
+          .crossJoin(raw.agg(sum(col("cr")).as("nr")))
+          .crossJoin(tgt.agg(sum(col("ct")).as("nt")))
+          .withColumn("gain",
+            (length(conv(expr(s"(ct + 1) * (nr + $B)"), 10, 2)) -
+              length(conv(expr(s"(cr + 1) * (nt + $B)"), 10, 2)))
+              .cast("long"))
+          .select(col("bucket"), col("gain"))
+        val scored = kb.join(broadcast(model), "bucket")
+          .groupBy(col("doc_id"), col("source"))
+          .agg(sum(col("k")).as("n_feats"),
+            sum(col("k") * col("gain")).as("score"))
+        val w5 = Window.partitionBy("source")
+          .orderBy(col("score").desc, col("doc_id"))
+        scored
+          .withColumn("selected", row_number().over(w5) <= 5)
+          .select(col("doc_id"), col("source"), col("n_feats"),
+            col("score"), col("selected"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH docs AS (
+          SELECT doc_id, source, lang, STRING_SPLIT(text, ' ') AS w
+          FROM documents WHERE LEN(STRING_SPLIT(text, ' ')) >= 2),
+        bg AS (
+          SELECT doc_id, source, lang,
+            UNNEST(LIST_TRANSFORM(RANGE(1, LEN(w)),
+              i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1]))
+              AS big
+          FROM docs),
+        kb AS (
+          SELECT doc_id, source, lang,
+            CAST(LIST_REDUCE(
+              LIST_TRANSFORM(SPLIT(SUBSTRING(MD5(big), 1, 13), ''),
+                x -> CAST(POSITION(x IN '0123456789abcdef') - 1 AS BIGINT)),
+              (a, x) -> a * 16 + x) % 1024 AS BIGINT) AS bucket,
+            COUNT(*) AS k
+          FROM bg GROUP BY doc_id, source, lang, big
+          -- same (doc, bigram)->bucket granularity as Spark's groupBy:
+          -- collapse to (doc, bucket) below
+        ),
+        kbb AS (
+          SELECT doc_id, source, lang, bucket, CAST(SUM(k) AS BIGINT) AS k
+          FROM kb GROUP BY 1, 2, 3, 4),
+        raw AS (SELECT bucket, CAST(SUM(k) AS BIGINT) AS cr
+                FROM kbb GROUP BY bucket),
+        tgt AS (SELECT bucket, CAST(SUM(k) AS BIGINT) AS ct
+                FROM kbb WHERE lang = 'en' GROUP BY bucket),
+        nn AS (SELECT (SELECT CAST(SUM(cr) AS BIGINT) FROM raw) AS nr,
+                      (SELECT COALESCE(CAST(SUM(ct) AS BIGINT), 0) FROM tgt) AS nt),
+        model AS (
+          SELECT raw.bucket,
+            CAST(LENGTH(printf('%b', (COALESCE(ct, 0) + 1) * (nr + 1024)))
+               - LENGTH(printf('%b', (cr + 1) * (nt + 1024))) AS BIGINT)
+              AS gain
+          FROM raw LEFT JOIN tgt USING (bucket), nn),
+        scored AS (
+          SELECT doc_id, source,
+            CAST(SUM(k) AS BIGINT) AS n_feats,
+            CAST(SUM(k * gain) AS BIGINT) AS score
+          FROM kbb JOIN model USING (bucket) GROUP BY doc_id, source)
+        SELECT doc_id, source, n_feats, score,
+          ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY score DESC, doc_id) <= 5 AS selected
+        FROM scored ORDER BY doc_id"""))
   )
 }
 

@@ -76,7 +76,13 @@ object PlanAudit {
       "q245_change_data_feed", // moved-entries-only diff, keyed outer join (r13)
       "q246_gif_animation", // palette codec mapPartitions, no frame shuffle (r13)
       "q253_max_repeated_ngram", // row-local array algebra, zero joins (r13)
-      "q254_incremental_view_maintenance") // CDF deltas + keyed pre-image join (r13)
+      "q254_incremental_view_maintenance", // CDF deltas + keyed pre-image join (r13)
+      "q255_semantic_decontamination", // broadcast eval side, map-side max (r13)
+      "q256_url_frontier_dedup", // declarative canonicalization, one agg (r13)
+      "q257_robots_filtering", // dictionary parse + broadcast rules fold (r13)
+      "q259_webdataset_shards", // shard groupBy + row-local tar demux (r13)
+      "q260_lm_perplexity_filter", // hash-joined LM dicts, no corpus broadcast (r13)
+      "q261_dsir_importance_sampling") // ≤1024-row model broadcast, equi score join (r13)
     interesting.foreach { name =>
       val df = graft.queries.Catalog.byName(name).run(spark, d)
       // drive THIS df's own query execution to completion (count() would

@@ -1023,4 +1023,28 @@ class PlanSpec extends AnyFunSuite {
       case w: WindowExec if w.partitionSpec.isEmpty => w }
     assert(globals.isEmpty, "q226 windows must all partition by doc_id")
   }
+
+  test("q260/q261: LM dictionaries join by hash equi join; only the " +
+      "structurally bounded frames are force-broadcast") {
+    // q260's trigram/bigram dictionaries are corpus-sized — they must
+    // NOT carry a broadcast hint (at 100 TB they outgrow any executor);
+    // the one allowed hint is the 1-row vocabulary scalar
+    val l260 = logical("q260_lm_perplexity_filter")
+    assert("strategy=broadcast".r.findAllIn(l260).size <= 1,
+      "only the 1-row vocab scalar may be force-broadcast in q260")
+    val p260 = plan("q260_lm_perplexity_filter")
+    assert(!p260.contains("BroadcastNestedLoopJoin") ||
+      "BroadcastNestedLoopJoin".r.findAllIn(p260).size <= 1,
+      "q260: at most the scalar cross join may be a broadcast nest")
+    assert(p260.contains("InMemoryTableScan"),
+      "q260: the per-doc trigram frame feeds dicts AND scoring from one " +
+        "cached pass over raw text")
+    // q261's model is ≤1024 rows by construction (hashed buckets) — the
+    // broadcast hint is the POINT; the scoring join must be hash equi
+    val p261 = plan("q261_dsir_importance_sampling")
+    assert(p261.contains("BroadcastHashJoin"),
+      "q261: bucket-model scoring join should be a broadcast hash join")
+    assert(!p261.contains("CartesianProduct"),
+      "q261: no unbounded cross joins")
+  }
 }
