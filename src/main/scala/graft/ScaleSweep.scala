@@ -82,9 +82,25 @@ object ScaleSweep {
 
     writeOut("region")(src("region"))
     writeOut("nation")(src("nation"))
+    // customer identity columns track the SHIFTED key: a real 10×
+    // registry has 10× distinct names/balances — cloning them verbatim
+    // hands every identity-blocking key (q262's (nation, name-digits)
+    // and (segment, balance) passes) 10 cross-shard twins and turns
+    // linear candidate volume into the ×100 clone pathology this
+    // derivation exists to avoid. Shard 0 stays verbatim (the
+    // keep-sf0.1-bit-identical rule); shard k rewrites the name from
+    // its own shifted key and lands the balance on a shard-distinct
+    // cent value — both deterministic, so reruns are stable.
     writeOut("customer")(sharded("customer").select(
-      shift("c_custkey", 1000000L), col("c_name"), col("c_nationkey"),
-      col("c_acctbal"), col("c_mktsegment")))
+      shift("c_custkey", 1000000L),
+      when(col("__shard") === 0, col("c_name"))
+        .otherwise(format_string("Customer#%09d",
+          col("c_custkey") + col("__shard") * lit(1000000L))).as("c_name"),
+      col("c_nationkey"),
+      when(col("__shard") === 0, col("c_acctbal"))
+        .otherwise(col("c_acctbal") +
+          col("__shard").cast("double") * lit(0.01)).as("c_acctbal"),
+      col("c_mktsegment")))
     writeOut("supplier")(sharded("supplier").select(
       shift("s_suppkey", 100000L), col("s_name"), col("s_nationkey"),
       col("s_acctbal")))

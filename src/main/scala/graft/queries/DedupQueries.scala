@@ -499,7 +499,7 @@ object DedupQueries {
         JOIN sizes sb ON doc_hist = sb.doc_id
         WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.6
         ORDER BY doc_new, doc_hist"""))
-  ) :+ q29 :+ q92 :+ q196 :+ q213 :+ q235
+  ) :+ q29 :+ q92 :+ q196 :+ q213 :+ q235 :+ q262
 
   // PPJOIN-STYLE PREFIX-FILTERED EXACT SIMILARITY JOIN — the seventh
   // candidate-generation modality, and the one that is EXACT at scale:
@@ -936,4 +936,136 @@ object DedupQueries {
             AND abs(length(a.word) - length(b.word)) <= 1
         WHERE levenshtein(a.word, b.word) <= 1
         ORDER BY word_a, word_b"""))
+
+  // BLOCKED RECORD LINKAGE (Fellegi–Sunter shape) — entity resolution
+  // between two registries where no key survives intact: registry B is
+  // the customer table after deterministic field corruption (a middle
+  // name digit on the %3=0 residue, +0.01 on the balance on %3=1, a
+  // shifted nation on %5=0), so the oracle rebuilds B exactly and the
+  // gate checks the whole pipeline. Candidates come from MULTI-PASS
+  // BLOCKING — two equi joins whose keys fail independently: (nation,
+  // name digits 1–6) survives balance corruption, (segment, balance)
+  // survives name/nation corruption; a pair is missed only when BOTH
+  // passes break (%15=10: balance AND nation corrupted — real linkage
+  // has misses, and the oracle misses identically). Block sizes are
+  // STRUCTURALLY bounded (≤1000 ids share a 6-digit name prefix; exact
+  // balances are near-unique), so candidate volume stays linear in the
+  // corpus — the scale property an unblocked fuzzy join lacks.
+  // Scoring is frequency-based FS agreement weighting: a field
+  // agreement contributes the self-information of the SHARED value,
+  // floor(log2(N / freq)) — computed as binary-string length (the
+  // q260/q261 integer-bits discipline), so agreeing on a unique name
+  // carries ~log2 N bits while agreeing on one of 5 segments carries
+  // ~2, and the whole score is an exact integer. The link threshold is
+  // SCALE-AWARE: bitlen(N) = floor(log2 N)+1, one more bit than any
+  // single field agreement can carry — a link needs a high-information
+  // agreement PLUS corroboration at every corpus size (a constant
+  // would stop linking when the registry shrinks and the per-field
+  // weights shrink with it); is_true exposes the (deterministic, rare)
+  // balance-collision false links the threshold admits.
+  private val q262: Q =
+    Q("q262_record_linkage",
+      (s, d) => {
+        val a = t(s, d, "customer")
+          .select(col("c_custkey").cast("long").as("k"),
+            col("c_name").as("nm"), col("c_nationkey").as("nat"),
+            col("c_acctbal").as("bal"), col("c_mktsegment").as("seg"))
+          .cache() // base of registry B, four freq dicts, and the A side
+        val b = a.select(col("k").as("bk"),
+          when(col("k") % 3 === 0, concat(substring(col("nm"), 1, 15),
+            lit("X"), substring(col("nm"), 17, 2))).otherwise(col("nm"))
+            .as("bnm"),
+          when(col("k") % 5 === 0, ((col("nat") + 1) % 25).cast("int"))
+            .otherwise(col("nat")).as("bnat"),
+          when(col("k") % 3 === 1, col("bal") + lit(0.01))
+            .otherwise(col("bal")).as("bbal"),
+          col("seg").as("bseg"))
+        val n = a.agg(count(lit(1)).as("n"))
+        def freqW(keyCol: String, alias: String) = a
+          .groupBy(col(keyCol)).agg(count(lit(1)).as("f"))
+          .crossJoin(broadcast(n))
+          .select(col(keyCol),
+            (length(conv(expr("n div f"), 10, 2)) - 1).cast("long")
+              .as(alias))
+        // name/balance dictionaries are corpus-sized → hash equi joins
+        // on their own keys; nation/segment are bounded → broadcast
+        val aw = a
+          .join(freqW("nm", "w_nm"), "nm")
+          .join(freqW("bal", "w_bal"), "bal")
+          .join(broadcast(freqW("nat", "w_nat")), "nat")
+          .join(broadcast(freqW("seg", "w_seg")), "seg")
+          // feeds BOTH blocking passes: cache makes the weight
+          // attachment a single pass (q137/q260 convention)
+          .cache()
+        val c1 = aw.join(b,
+          aw("nat") === b("bnat") &&
+            substring(aw("nm"), 10, 6) === substring(b("bnm"), 10, 6))
+        val c2 = aw.join(b,
+          aw("seg") === b("bseg") && aw("bal") === b("bbal"))
+        val cols = aw.columns.map(aw(_)) ++ b.columns.map(b(_))
+        val thresh = n.select(
+          length(conv(col("n"), 10, 2)).cast("long").as("thresh"))
+        c1.select(cols: _*).unionByName(c2.select(cols: _*))
+          .dropDuplicates("k", "bk")
+          .crossJoin(broadcast(thresh))
+          .select(col("k").as("a_key"), col("bk").as("b_key"),
+            (when(col("nm") === col("bnm"), col("w_nm")).otherwise(0L) +
+              when(col("bal") === col("bbal"), col("w_bal")).otherwise(0L) +
+              when(col("nat") === col("bnat"), col("w_nat")).otherwise(0L) +
+              when(col("seg") === col("bseg"), col("w_seg")).otherwise(0L))
+              .as("score"),
+            (col("k") === col("bk")).as("is_true"), col("thresh"))
+          .filter(col("score") >= col("thresh"))
+          .drop("thresh")
+          .orderBy("a_key", "b_key")
+      },
+      Some("""
+        WITH a AS (
+          SELECT c_custkey AS k, c_name AS nm, c_nationkey AS nat,
+                 c_acctbal AS bal, c_mktsegment AS seg FROM customer),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM a),
+        b AS (
+          SELECT k,
+            CASE WHEN k % 3 = 0
+              THEN substr(nm, 1, 15) || 'X' || substr(nm, 17, 2)
+              ELSE nm END AS bnm,
+            CASE WHEN k % 5 = 0 THEN CAST((nat + 1) % 25 AS INTEGER)
+              ELSE nat END AS bnat,
+            CASE WHEN k % 3 = 1 THEN bal + CAST(0.01 AS DOUBLE)
+              ELSE bal END AS bbal,
+            seg AS bseg
+          FROM a),
+        fn AS (SELECT nm, COUNT(*) AS f FROM a GROUP BY nm),
+        fb AS (SELECT bal, COUNT(*) AS f FROM a GROUP BY bal),
+        ft AS (SELECT nat, COUNT(*) AS f FROM a GROUP BY nat),
+        fs AS (SELECT seg, COUNT(*) AS f FROM a GROUP BY seg),
+        aw AS (
+          SELECT a.*,
+            LENGTH(printf('%b', n // CAST(fn.f AS BIGINT))) - 1 AS w_nm,
+            LENGTH(printf('%b', n // CAST(fb.f AS BIGINT))) - 1 AS w_bal,
+            LENGTH(printf('%b', n // CAST(ft.f AS BIGINT))) - 1 AS w_nat,
+            LENGTH(printf('%b', n // CAST(fs.f AS BIGINT))) - 1 AS w_seg
+          FROM a JOIN fn USING (nm) JOIN fb USING (bal)
+                 JOIN ft USING (nat) JOIN fs USING (seg), n),
+        c1 AS (
+          SELECT aw.k AS ak, b.k AS bk FROM aw JOIN b
+            ON aw.nat = b.bnat
+               AND substr(aw.nm, 10, 6) = substr(b.bnm, 10, 6)),
+        c2 AS (
+          SELECT aw.k AS ak, b.k AS bk FROM aw JOIN b
+            ON aw.seg = b.bseg AND aw.bal = b.bbal),
+        cand AS (SELECT DISTINCT ak, bk
+                 FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2)),
+        sc AS (
+          SELECT cand.ak, cand.bk,
+            (CASE WHEN aw.nm = b.bnm THEN aw.w_nm ELSE 0 END
+             + CASE WHEN aw.bal = b.bbal THEN aw.w_bal ELSE 0 END
+             + CASE WHEN aw.nat = b.bnat THEN aw.w_nat ELSE 0 END
+             + CASE WHEN aw.seg = b.bseg THEN aw.w_seg ELSE 0 END)
+              AS score
+          FROM cand JOIN aw ON cand.ak = aw.k JOIN b ON cand.bk = b.k)
+        SELECT ak AS a_key, bk AS b_key, CAST(score AS BIGINT) AS score,
+          ak = bk AS is_true
+        FROM sc, n WHERE score >= LENGTH(printf('%b', n))
+        ORDER BY a_key, b_key"""))
 }
