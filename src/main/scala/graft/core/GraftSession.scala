@@ -28,6 +28,10 @@ object GraftSession {
       // session-UTC TIMESTAMP so batch and streaming see one type
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
+      // interval-overlap theta joins rewrite to binned equi joins
+      // (plans/RangeJoinRule); width near the data's typical span —
+      // rows explode to span/width + 1 bin copies
+      .config(graft.plans.RangeJoinRule.WIDTH_KEY, "1024")
       .config("spark.ui.enabled", "false")
 
   /** Local session for tests and ad-hoc runs. */

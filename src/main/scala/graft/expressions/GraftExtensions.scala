@@ -15,6 +15,11 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // optimizer rule: pure interval-overlap theta joins → binned equi
+    // joins (see graft.plans.RangeJoinRule; gated by
+    // spark.graft.rangeJoin.binWidth, default on via GraftSession)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
+
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),

@@ -376,6 +376,52 @@ object JoinQueries {
           WHERE e.user_id = p.user_id AND e.event_type = 'view'
             AND e.ts > p.ts
           ORDER BY e.ts ASC, e.event_id ASC LIMIT 1) f ON TRUE
-        ORDER BY purchase_id"""))
+        ORDER BY purchase_id""")),
+
+    // AUTOMATIC RANGE JOIN — the optimizer-extension path for interval
+    // overlap: the join below is written as the PLAIN declarative theta
+    // predicate `a.lo < b.hi AND b.lo < a.hi` (what a user migrating a
+    // SQL workload actually writes), and graft.plans.RangeJoinRule
+    // (injected via SparkSessionExtensions, gated by
+    // spark.graft.rangeJoin.binWidth) rewrites it into the binned equi
+    // join q59/q182 build BY HAND — bin explode on both sides, bin
+    // equality + one anchor bin per pair, residual predicate kept.
+    // Without the rule this plans as BroadcastNestedLoopJoin: O(n·m)
+    // predicate evaluations and a whole-side broadcast — no 100 TB
+    // shape. RangeJoinRuleSpec pins plan shape and result equivalence;
+    // RangeJoinProperties fuzzes the bin arithmetic at the corners.
+    // The interval families stretch with doc_id (lo ≈ 37·id), so
+    // overlap density per row is CONSTANT at every corpus size —
+    // output and candidates grow linearly, never quadratically.
+    Q("q263_auto_range_join",
+      (s, d) => {
+        val a = t(s, d, "documents").select(
+          col("doc_id").cast("long").as("a_id"),
+          (col("doc_id") * 37).as("lo"))
+          .withColumn("hi", col("lo") + 50L + col("a_id") % 500)
+        val b = t(s, d, "documents").select(
+          col("doc_id").cast("long").as("b_id"),
+          (col("doc_id") * 37 + 11).as("lo"),
+          (col("doc_id") * 37 + 41 + (col("doc_id") % 300)).as("hi"))
+        a.join(b, a("lo") < b("hi") && b("lo") < a("hi"))
+          .groupBy(col("a_id"))
+          .agg(count(lit(1)).as("n_overlap"),
+            min(col("b_id")).as("first_b"),
+            sum(b("hi") - b("lo")).as("sum_spans"))
+          .orderBy("a_id")
+      },
+      Some("""
+        WITH a AS (
+          SELECT doc_id AS a_id, doc_id * 37 AS lo,
+                 doc_id * 37 + 50 + doc_id % 500 AS hi
+          FROM documents),
+        b AS (
+          SELECT doc_id AS b_id, doc_id * 37 + 11 AS lo,
+                 doc_id * 37 + 41 + (doc_id % 300) AS hi
+          FROM documents)
+        SELECT a_id, COUNT(*) AS n_overlap, MIN(b_id) AS first_b,
+          CAST(SUM(b.hi - b.lo) AS BIGINT) AS sum_spans
+        FROM a JOIN b ON a.lo < b.hi AND b.lo < a.hi
+        GROUP BY a_id ORDER BY a_id"""))
   )
 }

@@ -1047,4 +1047,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p261.contains("CartesianProduct"),
       "q261: no unbounded cross joins")
   }
+
+  test("q263: the optimizer rewrites the declarative overlap join — " +
+      "bin Generates appear, the nested loop is gone") {
+    val p = plan("q263_auto_range_join")
+    assert(!p.contains("NestedLoopJoin") && !p.contains("Cartesian"),
+      "RangeJoinRule must remove the nested loop")
+    assert("Generate ".r.findAllIn(p).size >= 2,
+      "both sides must explode to bin copies")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"),
+      "the rewritten join must be an equi join on the bin key")
+  }
 }
