@@ -505,6 +505,103 @@ object QualityQueries {
             WHEN k <= 9 THEN 'k=5-9' ELSE 'k>=10' END AS k_band,
           COUNT(*) AS n_cells, CAST(SUM(k) AS BIGINT) AS n_records,
           CAST(MIN(k) AS BIGINT) AS k_min, CAST(MAX(k) AS BIGINT) AS k_max
-        FROM cells GROUP BY 1 ORDER BY 1"""))
+        FROM cells GROUP BY 1 ORDER BY 1""")),
+
+    // DIFFERENTIALLY-PRIVATE NOISY RELEASE — the perturbation side of
+    // the privacy toolbox (q218 is the suppression side; q221 the
+    // redaction side): publish per-(lang, source) corpus statistics
+    // with discrete-Laplace noise and a contribution bound, the
+    // mechanism shape of the standard DP aggregation libraries. The
+    // pieces, each exact and engine-portable:
+    //  * CONTRIBUTION BOUNDING: each document's token count is clamped
+    //    to C=100 before aggregation — the release's sensitivity is C
+    //    by construction, not by hoping documents are small.
+    //  * NOISE: two-sided geometric with alpha = 1/2 (the discrete
+    //    Laplace at eps = ln 2 per unit sensitivity), derived from the
+    //    TRAILING-ZERO COUNT of a seeded md5 integer: P(ntz = k) =
+    //    2^-(k+1) exactly, sign from the low bit — pure integer ops
+    //    (h & -h isolates the lowest set bit; its binary length - 1 is
+    //    the magnitude), no float inverse-CDF, bit-equal across
+    //    engines. A production release draws fresh randomness; the
+    //    seeded form is the TESTABLE core (same mechanism, pinned
+    //    coins) and doubles as the deterministic-replay mode a privacy
+    //    audit wants. The OR of 2^50 bounds the magnitude and removes
+    //    the h=0 edge.
+    //  * ACCOUNTING: two released stats per group at eps = ln 2 each;
+    //    the ledger column carries 2·ln 2 in exact micro-nat
+    //    fixed-point, summable downstream without float drift.
+    // True columns are retained ONLY for the oracle gate and the
+    // noise-audit spec — a production release projects them away.
+    Q("q264_dp_noisy_release",
+      (s, d) => {
+        def geom(tag: String) = {
+          val h = expr(
+            s"cast(conv(substring(md5(concat_ws('|', lang, source, " +
+              s"'graft-dp-v1', '$tag')), 1, 13), 16, 10) as bigint)")
+          val x = shiftright(h, 1).bitwiseOR(lit(1L << 50))
+          val lowestBit = x.bitwiseAND(lit(0L) - x)
+          val mag = (length(conv(lowestBit, 10, 2)) - 1).cast("long")
+          (lit(1L) - lit(2L) * h.bitwiseAND(lit(1L))) * mag
+        }
+        t(s, d, "documents")
+          .select(col("lang"), col("source"),
+            least(lit(100L), size(split(col("text"), " ")).cast("long"))
+              .as("tok_capped"))
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("tok_capped")).as("tok_sum"))
+          .select(col("lang"), col("source"),
+            col("n_docs"), col("tok_sum"),
+            geom("d").as("noise_docs"),
+            (geom("t") * 100L).as("noise_tok"))
+          .select(col("lang"), col("source"), col("n_docs"),
+            col("tok_sum"), col("noise_docs"), col("noise_tok"),
+            greatest(lit(0L), col("n_docs") + col("noise_docs"))
+              .as("released_docs"),
+            greatest(lit(0L), col("tok_sum") + col("noise_tok"))
+              .as("released_tok"),
+            lit(1386294L).as("eps_micronats"))
+          .orderBy("lang", "source")
+      },
+      Some("""
+        WITH g AS (
+          SELECT lang, source, COUNT(*) AS n_docs,
+            CAST(SUM(LEAST(100, LEN(STRING_SPLIT(text, ' ')))) AS BIGINT)
+              AS tok_sum
+          FROM documents GROUP BY 1, 2),
+        h AS (
+          SELECT *,
+            CAST(LIST_REDUCE(LIST_TRANSFORM(
+              SPLIT(SUBSTRING(MD5(CONCAT_WS('|', lang, source,
+                'graft-dp-v1', 'd')), 1, 13), ''),
+              x -> CAST(POSITION(x IN '0123456789abcdef') - 1 AS BIGINT)),
+              (a, x) -> a * 16 + x) AS BIGINT) AS hd,
+            CAST(LIST_REDUCE(LIST_TRANSFORM(
+              SPLIT(SUBSTRING(MD5(CONCAT_WS('|', lang, source,
+                'graft-dp-v1', 't')), 1, 13), ''),
+              x -> CAST(POSITION(x IN '0123456789abcdef') - 1 AS BIGINT)),
+              (a, x) -> a * 16 + x) AS BIGINT) AS ht
+          FROM g),
+        nz AS (
+          SELECT lang, source, n_docs, tok_sum,
+            (1 - 2 * (hd % 2)) *
+              (LENGTH(printf('%b',
+                ((hd // 2) | 1125899906842624)
+                & -((hd // 2) | 1125899906842624))) - 1) AS noise_docs,
+            (1 - 2 * (ht % 2)) *
+              (LENGTH(printf('%b',
+                ((ht // 2) | 1125899906842624)
+                & -((ht // 2) | 1125899906842624))) - 1) * 100
+              AS noise_tok
+          FROM h)
+        SELECT lang, source, CAST(n_docs AS BIGINT) AS n_docs, tok_sum,
+          CAST(noise_docs AS BIGINT) AS noise_docs,
+          CAST(noise_tok AS BIGINT) AS noise_tok,
+          CAST(GREATEST(0, n_docs + noise_docs) AS BIGINT)
+            AS released_docs,
+          CAST(GREATEST(0, tok_sum + noise_tok) AS BIGINT)
+            AS released_tok,
+          CAST(1386294 AS BIGINT) AS eps_micronats
+        FROM nz ORDER BY lang, source"""))
   )
 }
