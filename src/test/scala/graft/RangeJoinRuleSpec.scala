@@ -97,6 +97,25 @@ class RangeJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("point-in-interval containment (a degenerate overlap) also " +
+    "fires and matches the nested loop") {
+    // b.lo <= a.p < b.hi is overlap of [p, p] with [lo, hi): the left
+    // side explodes to exactly ONE bin — the rule needs no special case
+    val a = intervals(300, 7).select(col("id"), col("lo").as("p"))
+    val b = intervals(40, 11)
+    def joined = a.join(b, b("lo") <= a("p") && a("p") < b("hi"))
+      .select(a("id").as("a_id"), b("id").as("b_id"))
+    val naive = withWidth("0") {
+      joined.collect().map(r => (r.getLong(0), r.getLong(1))).toSet }
+    assert(naive.nonEmpty)
+    withWidth("64") {
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("NestedLoopJoin") && !plan.contains("Cartesian"))
+      val got = joined.collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length === got.toSet.size && got.toSet === naive)
+    }
+  }
+
   test("same-direction comparisons (skyline dominance shape) are " +
     "not an overlap and stay untouched") {
     val a = intervals(30, 7)
