@@ -20,6 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // spark.graft.rangeJoin.binWidth, default on via GraftSession)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
 
+    // planner strategy: the physical as-of join operator
+    // (plans/AsOfJoinPlan → AsOfJoinExec; built via ops/AsOf.joinAsOf)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),

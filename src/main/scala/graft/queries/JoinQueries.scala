@@ -422,6 +422,46 @@ object JoinQueries {
         SELECT a_id, COUNT(*) AS n_overlap, MIN(b_id) AS first_b,
           CAST(SUM(b.hi - b.lo) AS BIGINT) AS sum_spans
         FROM a JOIN b ON a.lo < b.hi AND b.lo < a.hi
-        GROUP BY a_id ORDER BY a_id"""))
+        GROUP BY a_id ORDER BY a_id""")),
+
+    // PHYSICAL AS-OF JOIN — q25's semantics executed by the custom
+    // operator (plans/AsOfJoinExec via ops/AsOf.joinAsOf): one shuffle
+    // per side on the key, (key, time) sort, then an O(|L|+|R|)
+    // merge-scan holding ONE candidate row — no window over the union,
+    // no inequality-join candidate blow-up before a top-1. The oracle
+    // is DuckDB's NATIVE `ASOF LEFT JOIN`, so the gate compares two
+    // independent implementations of the operator itself. The right
+    // side pre-aggregates to one row per (user, μs): duplicate
+    // timestamps inside a key would make "latest right row" sort-order
+    // ambiguous in ANY as-of engine — the dedup makes the contract
+    // total, for this engine and the oracle alike.
+    Q("q265_physical_asof",
+      (s, d) => {
+        val v = t(s, d, "events").filter(col("event_type") === "view")
+          .groupBy(col("user_id").as("v_user"),
+            unix_micros(col("ts")).as("vt"))
+          .agg(max(col("event_id")).as("prior_view_id"))
+        val p = t(s, d, "events").filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            unix_micros(col("ts")).as("pt"))
+        graft.ops.AsOf.joinAsOf(p, v,
+          Seq(p("user_id") -> v("v_user")), p("pt"), v("vt"))
+          .select(col("purchase_id"), col("user_id"),
+            (col("pt") - col("vt")).as("gap_us"), col("prior_view_id"))
+          .orderBy("purchase_id")
+      },
+      Some("""
+        WITH v AS (
+          SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS vt,
+                 MAX(event_id) AS prior_view_id
+          FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        p AS (
+          SELECT event_id AS purchase_id, user_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS pt
+          FROM events WHERE event_type = 'purchase')
+        SELECT purchase_id, p.user_id, pt - vt AS gap_us, prior_view_id
+        FROM p ASOF LEFT JOIN v
+          ON p.user_id = v.user_id AND v.vt <= p.pt
+        ORDER BY purchase_id"""))
   )
 }
