@@ -184,6 +184,71 @@ object GraphQueries {
           CAST(MIN(deg) AS BIGINT) AS min_deg,
           CAST(MAX(deg) AS BIGINT) AS max_deg,
           CAST(SUM(deg) AS BIGINT) AS sum_deg
-        FROM b GROUP BY 1 ORDER BY 1"""))
+        FROM b GROUP BY 1 ORDER BY 1""")),
+
+    // BFS HOP DISTANCE — the traversal member of the graph family
+    // (q120 ranks, q77/q173 cluster/count; this one answers "how far"):
+    // min-hop levels from a seed set over the bipartite
+    // customer↔supplier graph, frontier-at-a-time — each round is ONE
+    // equi join frontier×edges plus an anti join against the reached
+    // set, the textbook Pregel superstep as plain DataFrame algebra.
+    // Scale shape: the edge frame is checkpointed once (q120's
+    // discipline — without it round k re-derives edges from the raw
+    // fact scan k times); every round's frontier and the accumulated
+    // reached set are checkpointed too, so lineage stays O(1) across
+    // rounds instead of doubling (the classic iterative-plan blowup).
+    // Rounds are FIXED at 6: bounded-depth BFS is the production form
+    // (reachability queries cap hops), and a fixed bound keeps the
+    // plan count deterministic for the bench. The oracle is a DuckDB
+    // RECURSIVE CTE under UNION (not UNION ALL) semantics — the
+    // accumulated-dedup that makes the recursion enumerate (node,
+    // level) pairs instead of exponentially many paths — then MIN(lvl)
+    // per node: two independent BFS engines compared row-for-row.
+    Q("q266_bfs_reachability",
+      (s, d) => {
+        val pairs = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(concat(lit("c"), col("o_custkey")).as("c"),
+            concat(lit("s"), col("l_suppkey")).as("sp"),
+            col("o_custkey").as("ck"))
+          .distinct()
+        val edges = pairs.select(col("c").as("src"), col("sp").as("dst"))
+          .unionByName(pairs.select(col("sp").as("src"), col("c").as("dst")))
+          .distinct().localCheckpoint()
+        var reached = pairs.filter(col("ck") % 97 === 0)
+          .select(col("c").as("node")).distinct()
+          .select(col("node"), lit(0L).as("lvl")).localCheckpoint()
+        var frontier = reached
+        for (i <- 1 to 6) {
+          val next = frontier.join(edges,
+              frontier("node") === edges("src"))
+            .select(col("dst").as("node")).distinct()
+            .join(reached.select("node"), Seq("node"), "left_anti")
+            .select(col("node"), lit(i.toLong).as("lvl"))
+            .localCheckpoint()
+          reached = reached.unionByName(next).localCheckpoint()
+          frontier = next
+        }
+        reached.orderBy("node")
+      },
+      Some("""
+        WITH RECURSIVE
+        pairs AS (
+          SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        edges AS (
+          SELECT 'c' || ck AS src, 's' || sk AS dst FROM pairs
+          UNION
+          SELECT 's' || sk, 'c' || ck FROM pairs),
+        bfs AS (
+          SELECT DISTINCT 'c' || ck AS node, 0 AS lvl
+          FROM pairs WHERE ck % 97 = 0
+          UNION
+          SELECT e.dst, b.lvl + 1 FROM bfs b
+          JOIN edges e ON e.src = b.node WHERE b.lvl < 6)
+        SELECT node, CAST(MIN(lvl) AS BIGINT) AS lvl
+        FROM bfs GROUP BY node ORDER BY node"""))
   )
 }
