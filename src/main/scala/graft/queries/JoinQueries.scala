@@ -462,6 +462,63 @@ object JoinQueries {
         SELECT purchase_id, p.user_id, pt - vt AS gap_us, prior_view_id
         FROM p ASOF LEFT JOIN v
           ON p.user_id = v.user_id AND v.vt <= p.pt
-        ORDER BY purchase_id"""))
+        ORDER BY purchase_id""")),
+
+    // DYNAMIC PARTITION PRUNING — the scan-elimination feature a
+    // partitioned 100 TB fact table lives on: the fact is laid out
+    // partitioned by ship month (one-time layout, memoized per JVM à
+    // la q97/q104's staging — rig, not operator), the dim side is the
+    // filtered month set of 1996's URGENT orders, and the fact scan
+    // must be pruned AT RUNTIME by the broadcasted dim values
+    // (`dynamicpruningexpression` in the scan's PartitionFilters,
+    // pinned by PlanSpec) — reading ~12 of ~83 month partitions
+    // instead of all of them. Catalyst does the pruning; the query's
+    // job is to be SHAPED so it can (join on the partition column,
+    // selective broadcastable dim). The oracle states the same join
+    // over the unpartitioned table — layout must never change results.
+    Q("q267_dynamic_partition_pruning",
+      (s, d) => {
+        val dir = dppStaged.computeIfAbsent(d, _ => {
+          val out = java.nio.file.Files
+            .createTempDirectory("graft_q267_").toString
+          t(s, d, "lineitem")
+            .select(col("l_orderkey"), col("l_extendedprice"),
+              col("l_discount"),
+              date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+            .write.mode("overwrite").partitionBy("ship_month").parquet(out)
+          out
+        })
+        val fact = s.read.parquet(dir)
+        val months = t(s, d, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT" &&
+            year(col("o_orderdate")) === 1996)
+          .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+          .distinct()
+        fact.join(months, fact("ship_month") === months("month"))
+          .groupBy(col("ship_month"))
+          .agg(count(lit(1)).as("n_items"),
+            decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .as("revenue"))
+          .orderBy("ship_month")
+      },
+      Some("""
+        WITH months AS (
+          SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS month
+          FROM orders
+          WHERE o_orderpriority = '1-URGENT'
+            AND EXTRACT(year FROM o_orderdate) = 1996)
+        SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+          COUNT(*) AS n_items,
+          CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+            AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN months ON strftime(l_shipdate, '%Y-%m') = month
+        GROUP BY 1 ORDER BY 1"""))
   )
+
+  /** q267's one-time partitioned layout, per (sfDir) and JVM — same
+    * rationale as StreamingQueries.stagedOnce: the layout is rig, the
+    * pruned join is the operator under test. */
+  private val dppStaged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 }

@@ -87,7 +87,8 @@ object PlanAudit {
       "q263_auto_range_join", // RangeJoinRule: theta overlap → binned equi (r13)
       "q264_dp_noisy_release", // one scan→agg, row-local integer noise (r13)
       "q265_physical_asof", // AsOfJoinExec: 1 exchange/side, merge-scan (r13)
-      "q266_bfs_reachability") // 6 checkpointed frontier supersteps (r13)
+      "q266_bfs_reachability", // 6 checkpointed frontier supersteps (r13)
+      "q267_dynamic_partition_pruning") // runtime partition-filter scan (r13)
     interesting.foreach { name =>
       val df = graft.queries.Catalog.byName(name).run(spark, d)
       // drive THIS df's own query execution to completion (count() would

@@ -1048,6 +1048,15 @@ class PlanSpec extends AnyFunSuite {
       "q261: no unbounded cross joins")
   }
 
+  test("q267: the fact scan is dynamically pruned by the dim's months") {
+    val p = plan("q267_dynamic_partition_pruning")
+    assert(p.contains("dynamicpruning"),
+      "PartitionFilters must carry the runtime dim-value filter — " +
+        "without it the layout reads all ~83 month partitions")
+    assert(p.contains("BroadcastHashJoin"),
+      "the month dim must broadcast (it feeds the pruning subquery)")
+  }
+
   test("q263: the optimizer rewrites the declarative overlap join — " +
       "bin Generates appear, the nested loop is gone") {
     val p = plan("q263_auto_range_join")
