@@ -20,6 +20,7 @@ object Catalog {
   lazy val all: Seq[Q] =
     RelationalQueries.qs ++ WindowQueries.qs ++ JoinQueries.qs ++
       DedupQueries.qs ++ SimilarityQueries.qs ++ TextQueries.qs ++
+      TextQueries.fertility ++
       CdcQueries.qs ++ MultimodalQueries.qs ++ ExtendedQueries.qs ++
       NestedQueries.qs ++ AggPnlQueries.qs ++ StreamingQueries.qs ++
       ReferralQueries.qs ++ FunnelQueries.qs ++ TimeSeriesQueries.qs ++

@@ -602,6 +602,72 @@ object QualityQueries {
           CAST(GREATEST(0, tok_sum + noise_tok) AS BIGINT)
             AS released_tok,
           CAST(1386294 AS BIGINT) AS eps_micronats
-        FROM nz ORDER BY lang, source"""))
+        FROM nz ORDER BY lang, source""")),
+
+    // L-DIVERSITY AUDIT — the attribute-disclosure side of the privacy
+    // toolbox (q218 measures re-identification via cell size k; this
+    // measures what a matched cell REVEALS): per quasi-identifier cell
+    // (nation, account-balance band) over customers, how diverse is the
+    // sensitive attribute (market segment)? Two standard criteria, both
+    // exact-integer so the gate is bit-tight:
+    //  * DISTINCT l-diversity: number of distinct sensitive values in
+    //    the cell (l >= 3 required here).
+    //  * RECURSIVE (c,l)-diversity with c=2, l=3: the most common
+    //    sensitive value must not dominate — top frequency
+    //    < c * (sum of frequencies from rank l down). Pure integer
+    //    window ranks, no entropy logs (entropy l-diversity needs ln,
+    //    which is not bit-portable across engines; the recursive form
+    //    is the stronger criterion anyway).
+    // Scale shape: one hash agg to (cell, sensitive) counts — map-side
+    // combined, cardinality bounded by |nations|x|bands|x|segments| —
+    // then a window over each cell's <=5 segment rows. Nothing ever
+    // shuffles more than the distinct-cell frame.
+    Q("q268_l_diversity",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val freq = t(s, d, "customer")
+          .groupBy(col("c_nationkey").as("nation"),
+            floor(col("c_acctbal") / 2000).cast("long").as("bal_band"),
+            col("c_mktsegment").as("seg"))
+          .agg(count(lit(1)).as("f"))
+        val w = Window.partitionBy("nation", "bal_band")
+          .orderBy(desc("f"), col("seg"))
+        val ranked = freq.withColumn("rk", row_number().over(w))
+        ranked
+          .groupBy("nation", "bal_band")
+          .agg(sum(col("f")).as("k"),
+            count(lit(1)).as("l_distinct"),
+            max(when(col("rk") === 1, col("f"))).as("top_freq"),
+            sum(when(col("rk") >= 3, col("f"))).as("tail_sum"))
+          .select(col("nation"), col("bal_band"),
+            col("k").cast("long").as("k"),
+            col("l_distinct").cast("long").as("l_distinct"),
+            col("top_freq").cast("long").as("top_freq"),
+            coalesce(col("tail_sum"), lit(0L)).cast("long").as("tail_sum"),
+            (col("l_distinct") >= 3 &&
+              col("top_freq") < lit(2) * coalesce(col("tail_sum"), lit(0L)))
+              .as("rcl_ok"))
+          .orderBy("nation", "bal_band")
+      },
+      Some("""
+        WITH freq AS (
+          SELECT c_nationkey AS nation,
+            CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS bal_band,
+            c_mktsegment AS seg, COUNT(*) AS f
+          FROM customer GROUP BY 1, 2, 3),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY nation, bal_band
+            ORDER BY f DESC, seg) AS rk
+          FROM freq)
+        SELECT nation, bal_band, CAST(SUM(f) AS BIGINT) AS k,
+          CAST(COUNT(*) AS BIGINT) AS l_distinct,
+          CAST(MAX(CASE WHEN rk = 1 THEN f END) AS BIGINT) AS top_freq,
+          CAST(COALESCE(SUM(CASE WHEN rk >= 3 THEN f END), 0) AS BIGINT)
+            AS tail_sum,
+          COUNT(*) >= 3 AND
+            MAX(CASE WHEN rk = 1 THEN f END)
+              < 2 * COALESCE(SUM(CASE WHEN rk >= 3 THEN f END), 0) AS rcl_ok
+        FROM ranked GROUP BY nation, bal_band
+        ORDER BY nation, bal_band"""))
   )
 }

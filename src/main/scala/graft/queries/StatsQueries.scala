@@ -1046,6 +1046,88 @@ object StatsQueries {
             AS DOUBLE), 6) AS raw_sum,
           ROUND(CAST(CAST(SUM(CAST(ROUND(value * w, 6) AS DECIMAL(28,6)))
             AS VARCHAR) AS DOUBLE), 6) AS decayed_sum
-        FROM wk GROUP BY user_id ORDER BY user_id"""))
+        FROM wk GROUP BY user_id ORDER BY user_id""")),
+
+    // SPLIT-CONFORMAL PREDICTION INTERVALS — the distribution-free
+    // uncertainty wrapper every model-eval pipeline wants: given ANY
+    // point forecaster (here the naive last-value predictor, so the
+    // whole construction is closed-form and oracle-checkable), compute
+    // on a held-out calibration split the alpha=0.1 conformal quantile
+    // q_hat = the ceil((n_cal+1)*0.9)-th smallest absolute residual,
+    // then measure empirical coverage of [pred - q_hat, pred + q_hat]
+    // on the test split. Everything is exact: residuals are |x - lag x|
+    // (pure doubles, no accumulation), the quantile is an ORDER
+    // STATISTIC picked by row_number (no interpolating percentile —
+    // those disagree across engines), the split is a deterministic
+    // event_id hash, and coverage is an integer ratio surfaced through
+    // one IEEE division. Scale shape: one window pass for lags, one
+    // sort per event_type restricted to the calibration rows (the only
+    // sort in the job — at 100 TB this is the standard sample-or-sketch
+    // spot, but conformal needs the exact order statistic so the sort
+    // is the semantics), then a broadcast of |event_type| q_hat rows
+    // back over the test split.
+    Q("q270_conformal_interval",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val lagged = t(s, d, "events")
+          .withColumn("pred", lag(col("value"), 1).over(
+            Window.partitionBy("event_type").orderBy("ts", "event_id")))
+          .filter(col("pred").isNotNull)
+          .withColumn("resid", abs(col("value") - col("pred")))
+          .withColumn("is_cal", pmod(col("event_id"), lit(5)) =!= 0)
+        val cal = lagged.filter(col("is_cal"))
+        val n = cal.groupBy("event_type").agg(count(lit(1)).as("n_cal"))
+        val qhat = cal
+          .withColumn("rk", row_number().over(Window
+            .partitionBy("event_type").orderBy("resid", "event_id")))
+          .join(n, Seq("event_type"))
+          .filter(col("rk") === ceil((col("n_cal") + 1) * 0.9).cast("int"))
+          .select(col("event_type"), col("n_cal"),
+            col("resid").as("q_hat"))
+        lagged.filter(!col("is_cal"))
+          .join(qhat, Seq("event_type"))
+          .groupBy("event_type")
+          .agg(first("n_cal").as("n_cal"),
+            first("q_hat").as("q_hat"),
+            count(lit(1)).as("n_test"),
+            sum(when(col("resid") <= col("q_hat"), 1L).otherwise(0L))
+              .as("n_covered"))
+          .select(col("event_type"), col("n_cal"), col("q_hat"),
+            col("n_test"), col("n_covered"),
+            (col("n_covered").cast("double") / col("n_test").cast("double"))
+              .as("coverage"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH lagged AS (
+          SELECT event_type, event_id, value,
+            LAG(value) OVER (PARTITION BY event_type
+              ORDER BY ts, event_id) AS pred
+          FROM events),
+        r AS (
+          SELECT event_type, event_id, ABS(value - pred) AS resid,
+            event_id % 5 <> 0 AS is_cal
+          FROM lagged WHERE pred IS NOT NULL),
+        n AS (
+          SELECT event_type, COUNT(*) AS n_cal FROM r
+          WHERE is_cal GROUP BY 1),
+        rk AS (
+          SELECT event_type, resid, ROW_NUMBER() OVER (
+            PARTITION BY event_type ORDER BY resid, event_id) AS rk
+          FROM r WHERE is_cal),
+        q AS (
+          SELECT rk.event_type, n.n_cal, rk.resid AS q_hat
+          FROM rk JOIN n USING (event_type)
+          WHERE rk.rk = CAST(CEIL((n.n_cal + 1) * 0.9) AS INT))
+        SELECT r.event_type, q.n_cal, q.q_hat,
+          COUNT(*) AS n_test,
+          CAST(SUM(CASE WHEN r.resid <= q.q_hat THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_covered,
+          CAST(SUM(CASE WHEN r.resid <= q.q_hat THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS coverage
+        FROM r JOIN q USING (event_type)
+        WHERE NOT r.is_cal
+        GROUP BY r.event_type, q.n_cal, q.q_hat
+        ORDER BY r.event_type"""))
   )
 }

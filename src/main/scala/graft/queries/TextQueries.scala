@@ -1201,4 +1201,54 @@ object TextQueries {
         FROM w LEFT JOIN dup USING (doc_id)
         ORDER BY doc_id"""))
   )
+
+  // TOKENIZER FERTILITY BY LANGUAGE — the standard multilingual
+  // tokenizer-equity report (tokens per word / chars per token per
+  // language): a tokenizer that fragments one language 2x more than
+  // another silently halves that language's effective context window,
+  // so curation pipelines gate on this table before fixing a vocab.
+  // Tokens use q37's BPE-ish pre-tokenizer regex; words are
+  // whitespace-split. Fertility surfaces as an exact IEEE division of
+  // two BIGINT sums (bit-identical across engines — no decimal detour
+  // needed). Scale shape: one linear scan, two regex counts per row,
+  // one map-side-combined agg to |langs| rows.
+  val fertility: Seq[Q] = Seq(
+    Q("q269_token_fertility",
+      (s, d) =>
+        t(s, d, "documents")
+          .select(col("lang"),
+            expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
+              .cast("long").as("toks"),
+            size(split(col("text"), " ")).cast("long").as("words"),
+            col("n_chars"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("toks").as("n_tokens"),
+            sum("words").as("n_words"),
+            sum("n_chars").as("n_chars"))
+          .select(col("lang"), col("n_docs"), col("n_tokens"),
+            col("n_words"), col("n_chars"),
+            (col("n_tokens").cast("double") / col("n_words").cast("double"))
+              .as("fertility"),
+            (col("n_chars").cast("double") / col("n_tokens").cast("double"))
+              .as("chars_per_token"))
+          .orderBy("lang"),
+      Some("""
+        WITH per AS (
+          SELECT lang,
+            CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+              AS BIGINT) AS toks,
+            CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS words,
+            n_chars
+          FROM documents)
+        SELECT lang, COUNT(*) AS n_docs,
+          CAST(SUM(toks) AS BIGINT) AS n_tokens,
+          CAST(SUM(words) AS BIGINT) AS n_words,
+          CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+          CAST(SUM(toks) AS DOUBLE) / CAST(SUM(words) AS DOUBLE)
+            AS fertility,
+          CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(toks) AS DOUBLE)
+            AS chars_per_token
+        FROM per GROUP BY lang ORDER BY lang"""))
+  )
 }
