@@ -1632,6 +1632,70 @@ object MultimodalQueries {
           CAST(SUM(CASE WHEN complete THEN nw ELSE 0 END) AS BIGINT)
             AS tok_total
         FROM d LEFT JOIN px USING (doc_id)
-        GROUP BY shard ORDER BY shard"""))
+        GROUP BY shard ORDER BY shard""")),
+
+    // WALSH-HADAMARD BAND SPECTRUM — spectral analysis of the audio leg
+    // with EXACT-INTEGER arithmetic: the Walsh basis takes only the
+    // values +/-1 (sign = parity of bit_count(i & k)), so band
+    // coefficients are plain integer sums — the one orthogonal
+    // transform whose distributed computation needs no floats at all
+    // (a Fourier bin would hash-drift on cos/sin across libm
+    // implementations). Frames are the q226 deterministic PCM synth
+    // (same formula, fixed n = 256 so the basis is complete on the
+    // frame) and the whole transform is DECLARATIVE: explode the
+    // sample index, one codegen'd conditional-sum aggregation per band
+    // — no UDF, no codec, the plan is scan -> project -> hash-agg.
+    // The Bessel check (sum of squared coefficients over the probed
+    // 8-band subset <= n * signal energy) rides along as an
+    // exact-integer gate column: any sign/parity bug breaks it before
+    // it breaks the hash. 100 TB shape: 256x row inflation feeding a
+    // map-side-combined agg back to one row per document — the
+    // explode never shuffles, only the |docs| result frame does.
+    Q("q272_walsh_spectrum",
+      (s, d) => {
+        val bands = Seq(1, 3, 5, 15, 51, 85, 170, 255)
+        val sm = t(s, d, "documents")
+          .select(col("doc_id"))
+          .withColumn("i", explode(sequence(lit(0), lit(255))))
+          .withColumn("smp",
+            (pmod(pmod(col("doc_id"), lit(65536)) * 11 +
+              pmod(col("i").cast("long") * col("i"), lit(65536)) * 17,
+              lit(65536)) - 32768).cast("long"))
+        val coefs = bands.map { k =>
+          sum(col("smp") *
+            (lit(1) - lit(2) * pmod(bit_count(col("i").cast("long") bitwiseAND lit(k.toLong)), lit(2))))
+            .cast("long").as(s"w$k")
+        }
+        val energy = sum(col("smp") * col("smp")).cast("long").as("energy")
+        sm.groupBy("doc_id")
+          .agg(coefs.head, (coefs.tail :+ energy): _*)
+          .withColumn("bessel_ok",
+            bands.map(k => col(s"w$k") * col(s"w$k")).reduce(_ + _)
+              <= lit(256L) * col("energy"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH sm AS (
+          SELECT doc_id, i,
+            ((doc_id % 65536) * 11 + ((i * i) % 65536) * 17) % 65536
+              - 32768 AS smp
+          FROM documents,
+            LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 255)) AS i)),
+        c AS (
+          SELECT doc_id,
+            CAST(SUM(smp * (1 - 2 * (BIT_COUNT(i & 1) % 2))) AS BIGINT) AS w1,
+            CAST(SUM(smp * (1 - 2 * (BIT_COUNT(i & 3) % 2))) AS BIGINT) AS w3,
+            CAST(SUM(smp * (1 - 2 * (BIT_COUNT(i & 5) % 2))) AS BIGINT) AS w5,
+            CAST(SUM(smp * (1 - 2 * (BIT_COUNT(i & 15) % 2))) AS BIGINT) AS w15,
+            CAST(SUM(smp * (1 - 2 * (BIT_COUNT(i & 51) % 2))) AS BIGINT) AS w51,
+            CAST(SUM(smp * (1 - 2 * (BIT_COUNT(i & 85) % 2))) AS BIGINT) AS w85,
+            CAST(SUM(smp * (1 - 2 * (BIT_COUNT(i & 170) % 2))) AS BIGINT) AS w170,
+            CAST(SUM(smp * (1 - 2 * (BIT_COUNT(i & 255) % 2))) AS BIGINT) AS w255,
+            CAST(SUM(smp * smp) AS BIGINT) AS energy
+          FROM sm GROUP BY doc_id)
+        SELECT doc_id, w1, w3, w5, w15, w51, w85, w170, w255, energy,
+          w1*w1 + w3*w3 + w5*w5 + w15*w15 + w51*w51 + w85*w85
+            + w170*w170 + w255*w255 <= 256 * energy AS bessel_ok
+        FROM c ORDER BY doc_id"""))
   )
 }

@@ -650,6 +650,78 @@ object TimeSeriesQueries {
             AS DOUBLE), 6) AS total_drop,
           ROUND(CAST(CAST(SUM(CAST(rise AS DECIMAL(28,6))) AS VARCHAR)
             AS DOUBLE), 6) AS total_rise
-        FROM matches GROUP BY user_id ORDER BY user_id"""))
+        FROM matches GROUP BY user_id ORDER BY user_id""")),
+
+    // BROWN'S DOUBLE-EXPONENTIAL SMOOTHING — the forecasting member of
+    // the time-series family (q123 is the single-EWMA closed form; this
+    // adds the TREND-aware recursion, which has no windowed closed form
+    // and so exercises the per-key sequential-fold shape). The entire
+    // recursion runs in INTEGER CENTS with floor halving (alpha = 1/2):
+    // s_t = (x_t + s_{t-1}) // 2, s2_t = (s_t + s2_{t-1}) // 2 — every
+    // intermediate is an exact nonnegative BIGINT, so the two engines
+    // cannot drift (a double recursion would accumulate rounding in
+    // engine-specific order). Level a = 2s - s2 and trend b = s - s2
+    // (the alpha = 1/2 Brown identities), h-step forecast a + h*b.
+    // Spark shape: hourly cent-sums (one map-side-combined agg), then
+    // ONE fold per key via the `aggregate` higher-order function over
+    // the sorted per-key series — the batch analog of
+    // mapGroupsWithState, legitimate because a key's series is bounded
+    // (<= hours in the retention window; at 100 TB keys scale out, the
+    // per-key array does not). The oracle replays the identical
+    // recursion as a DuckDB RECURSIVE CTE stepping row_number — two
+    // independent sequential engines, bit-equal states.
+    Q("q271_brown_smoothing",
+      (s, d) => {
+        val hourly = t(s, d, "events")
+          .groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).as("hr"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("x"))
+        hourly
+          .groupBy("event_type")
+          .agg(sort_array(collect_list(struct(col("hr"), col("x"))))
+            .as("xs"))
+          .select(col("event_type"),
+            size(col("xs")).cast("long").as("n_hours"),
+            expr("""
+              aggregate(
+                slice(xs, 2, size(xs) - 1),
+                struct(xs[0].x AS s, xs[0].x AS s2),
+                (acc, e) -> struct(
+                  (e.x + acc.s) div 2 AS s,
+                  (((e.x + acc.s) div 2) + acc.s2) div 2 AS s2))
+            """).as("st"))
+          .select(col("event_type"), col("n_hours"),
+            col("st.s").as("s"), col("st.s2").as("s2"),
+            (col("st.s") * 2 - col("st.s2")).as("level_cents"),
+            (col("st.s") - col("st.s2")).as("trend_cents"),
+            (col("st.s") * 3 - col("st.s2") * 2).as("forecast1"),
+            (col("st.s") * 5 - col("st.s2") * 4).as("forecast3"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH RECURSIVE hourly AS (
+          SELECT event_type, DATE_TRUNC('hour', ts) AS hr,
+            CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2),
+        xr AS (
+          SELECT event_type, x, ROW_NUMBER() OVER (
+            PARTITION BY event_type ORDER BY hr) AS rn
+          FROM hourly),
+        rec AS (
+          SELECT event_type, rn, x AS s, x AS s2 FROM xr WHERE rn = 1
+          UNION ALL
+          SELECT x.event_type, x.rn,
+            (x.x + r.s) // 2 AS s,
+            (((x.x + r.s) // 2) + r.s2) // 2 AS s2
+          FROM rec r JOIN xr x
+            ON x.event_type = r.event_type AND x.rn = r.rn + 1),
+        fin AS (
+          SELECT r.event_type, r.rn, r.s, r.s2 FROM rec r
+          JOIN (SELECT event_type, MAX(rn) AS m FROM rec GROUP BY 1) q
+            ON r.event_type = q.event_type AND r.rn = q.m)
+        SELECT event_type, CAST(rn AS BIGINT) AS n_hours, s, s2,
+          s * 2 - s2 AS level_cents, s - s2 AS trend_cents,
+          s * 3 - s2 * 2 AS forecast1, s * 5 - s2 * 4 AS forecast3
+        FROM fin ORDER BY event_type"""))
   )
 }
