@@ -249,6 +249,81 @@ object GraphQueries {
           SELECT e.dst, b.lvl + 1 FROM bfs b
           JOIN edges e ON e.src = b.node WHERE b.lvl < 6)
         SELECT node, CAST(MIN(lvl) AS BIGINT) AS lvl
-        FROM bfs GROUP BY node ORDER BY node"""))
+        FROM bfs GROUP BY node ORDER BY node""")),
+
+    // K-CORE PEELING — the density member of the graph family (q120
+    // ranks, q266 traverses, q77/q173 cluster/count; this one answers
+    // "which nodes sit in a dense core"): repeatedly delete nodes of
+    // degree < K until the survivor set is stable, the standard
+    // prefilter before community detection and the fraud-analytics
+    // "dense subgraph" primitive. Rounds are FIXED at 6 (q266's
+    // discipline — production core decomposition caps peel rounds, and
+    // a fixed bound keeps the plan count deterministic): each round is
+    // ONE map-side-combined degree count plus TWO semi joins filtering
+    // the edge list to surviving endpoints, with edges and survivors
+    // localCheckpoint-ed per round so lineage stays O(1) instead of
+    // doubling. The oracle unrolls the identical 6 peels as chained
+    // CTEs — two independent peeling engines, compared row-for-row on
+    // the (survivor, residual-degree) frame.
+    Q("q274_kcore",
+      (s, d) => {
+        val K = 30
+        val pairs = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(concat(lit("c"), col("o_custkey")).as("c"),
+            concat(lit("s"), col("l_suppkey")).as("sp"))
+          .distinct()
+        var edges = pairs.select(col("c").as("src"), col("sp").as("dst"))
+          .unionByName(pairs.select(col("sp").as("src"), col("c").as("dst")))
+          .localCheckpoint()
+        for (_ <- 1 to 6) {
+          val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+            .filter(col("deg") >= K)
+            .select(col("src").as("node")).localCheckpoint()
+          edges = edges
+            .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
+            .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
+            .localCheckpoint()
+        }
+        edges.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("deg"))
+          .orderBy("node")
+      },
+      Some("""
+        WITH pairs AS (
+          SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        e0 AS (
+          SELECT 'c' || ck AS src, 's' || sk AS dst FROM pairs
+          UNION ALL
+          SELECT 's' || sk, 'c' || ck FROM pairs),
+        k1 AS (SELECT src FROM e0 GROUP BY src HAVING COUNT(*) >= 30),
+        e1 AS (SELECT e.src, e.dst FROM e0 e
+          WHERE e.src IN (SELECT src FROM k1)
+            AND e.dst IN (SELECT src FROM k1)),
+        k2 AS (SELECT src FROM e1 GROUP BY src HAVING COUNT(*) >= 30),
+        e2 AS (SELECT e.src, e.dst FROM e1 e
+          WHERE e.src IN (SELECT src FROM k2)
+            AND e.dst IN (SELECT src FROM k2)),
+        k3 AS (SELECT src FROM e2 GROUP BY src HAVING COUNT(*) >= 30),
+        e3 AS (SELECT e.src, e.dst FROM e2 e
+          WHERE e.src IN (SELECT src FROM k3)
+            AND e.dst IN (SELECT src FROM k3)),
+        k4 AS (SELECT src FROM e3 GROUP BY src HAVING COUNT(*) >= 30),
+        e4 AS (SELECT e.src, e.dst FROM e3 e
+          WHERE e.src IN (SELECT src FROM k4)
+            AND e.dst IN (SELECT src FROM k4)),
+        k5 AS (SELECT src FROM e4 GROUP BY src HAVING COUNT(*) >= 30),
+        e5 AS (SELECT e.src, e.dst FROM e4 e
+          WHERE e.src IN (SELECT src FROM k5)
+            AND e.dst IN (SELECT src FROM k5)),
+        k6 AS (SELECT src FROM e5 GROUP BY src HAVING COUNT(*) >= 30),
+        e6 AS (SELECT e.src, e.dst FROM e5 e
+          WHERE e.src IN (SELECT src FROM k6)
+            AND e.dst IN (SELECT src FROM k6))
+        SELECT src AS node, COUNT(*) AS deg
+        FROM e6 GROUP BY src ORDER BY node"""))
   )
 }

@@ -1128,6 +1128,89 @@ object StatsQueries {
         FROM r JOIN q USING (event_type)
         WHERE NOT r.is_cal
         GROUP BY r.event_type, q.n_cal, q.q_hat
-        ORDER BY r.event_type"""))
+        ORDER BY r.event_type""")),
+
+    // ISOTONIC (PAV) CALIBRATION — the monotone-regression upgrade of
+    // q217's fixed-bin calibration table: fit the best NON-DECREASING
+    // rate curve over score bins (pool-adjacent-violators), the
+    // standard post-hoc calibrator for ranking/quality models. PAV is
+    // sequential, but over BINS, not rows — and on a bounded bin frame
+    // the fit has an exact closed form, the minimax identity
+    //   iso(i) = max_{j<=i} min_{k>=i} rate(j..k)
+    // where rate(j..k) is the pooled positive rate of bins j..k off
+    // two cumulative sums. Every candidate rate is ONE IEEE division
+    // of two exact integers and the min/max lattice involves no
+    // accumulation, so both engines agree bit-for-bit. Scale shape:
+    // the full fact scan collapses to a <=20-row bin frame in one
+    // map-side-combined agg; the cubic minimax enumeration (<=8000
+    // tuples) runs on that bounded dictionary frame — the unpartitioned
+    // window and the non-equi self-joins below are bounded by
+    // construction (20 bins regardless of data size), the same
+    // bounded-frame license as q135/q202.
+    Q("q273_isotonic_calibration",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val bins = t(s, d, "events")
+          .select(least(lit(19), floor(col("value") / 25).cast("int")).as("bin"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+        // cumulative frame: <=20 rows, bounded — global window is safe
+        val cum = bins
+          .withColumn("cn", sum(col("n")).over(
+            Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("cpos", sum(col("pos")).over(
+            Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)))
+        val pref = cum.select(col("bin").as("j"),
+          (col("cn") - col("n")).as("pn"), (col("cpos") - col("pos")).as("pp"))
+        val ends = cum.select(col("bin").as("k"),
+          col("cn").as("kn"), col("cpos").as("kp"))
+        // bounded 20x20 pooled-rate lattice (non-equi join on a
+        // dictionary-sized frame)
+        val rates = pref.join(ends, col("j") <= col("k"))
+          .select(col("j"), col("k"),
+            ((col("kp") - col("pp")).cast("double") /
+              (col("kn") - col("pn")).cast("double")).as("r"))
+        val idx = bins.select(col("bin").as("i"))
+        val fit = rates.join(idx, col("j") <= col("i") && col("k") >= col("i"))
+          .groupBy("i", "j").agg(min(col("r")).as("mr"))
+          .groupBy("i").agg(max(col("mr")).as("iso_rate"))
+        bins.join(fit, bins("bin") === fit("i"))
+          .select(col("bin").cast("long").as("bin"), col("n"), col("pos"),
+            (col("pos").cast("double") / col("n").cast("double"))
+              .as("raw_rate"),
+            col("iso_rate"))
+          .orderBy("bin")
+      },
+      Some("""
+        WITH b AS (
+          SELECT LEAST(19, CAST(FLOOR(value / 25) AS INT)) AS bin,
+            CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+          FROM events),
+        bins AS (
+          SELECT bin, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS pos
+          FROM b GROUP BY bin),
+        cum AS (
+          SELECT bin, n, pos,
+            SUM(n) OVER (ORDER BY bin) AS cn,
+            SUM(pos) OVER (ORDER BY bin) AS cpos
+          FROM bins),
+        pref AS (SELECT bin AS j, cn - n AS pn, cpos - pos AS pp FROM cum),
+        ends AS (SELECT bin AS k, cn AS kn, cpos AS kp FROM cum),
+        rates AS (
+          SELECT j, k,
+            CAST(kp - pp AS DOUBLE) / CAST(kn - pn AS DOUBLE) AS r
+          FROM pref JOIN ends ON j <= k),
+        fit AS (
+          SELECT i, MAX(mr) AS iso_rate FROM (
+            SELECT c.bin AS i, r.j, MIN(r.r) AS mr
+            FROM rates r JOIN cum c ON r.j <= c.bin AND r.k >= c.bin
+            GROUP BY 1, 2)
+          GROUP BY i)
+        SELECT bins.bin, bins.n, bins.pos,
+          CAST(bins.pos AS DOUBLE) / CAST(bins.n AS DOUBLE) AS raw_rate,
+          fit.iso_rate
+        FROM bins JOIN fit ON bins.bin = fit.i
+        ORDER BY bins.bin"""))
   )
 }

@@ -981,6 +981,96 @@ object StreamingQueries {
             AS DOUBLE), 6) AS total_drop,
           ROUND(CAST(CAST(SUM(CAST(rise AS DECIMAL(28,6))) AS VARCHAR)
             AS DOUBLE), 6) AS total_rise
-        FROM matches GROUP BY user_id ORDER BY user_id"""))
+        FROM matches GROUP BY user_id ORDER BY user_id""")),
+
+    // Stream×stream LEFT SEMI — the third member of the q97/q104 join
+    // family, and the one whose OUTPUT contract differs: a matched left
+    // row is emitted exactly ONCE no matter how many right rows match
+    // (the state store tracks a per-row matched flag), so the operator
+    // is the streaming form of EXISTS — "clicks that converted", without
+    // paying for the match multiplicity that the inner join (q97)
+    // materializes. Same staging as q97: clicks replay in batches 1–2,
+    // purchases only in batch 3, so every emit is a cross-batch state
+    // hit and the matched-flag machinery provably engages; the MIN
+    // multi-watermark policy holds clicks in state until the purchase
+    // side advances. The oracle is the batch EXISTS — dedup semantics
+    // pinned row-for-row, not just match counts. State at 100 TB: the
+    // range condition bounds both sides to the 30-minute-plus-disorder
+    // horizon per key, and the semi form stores no right-side rows in
+    // the output buffer at all.
+    Q("q275_stream_semi_join",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val staged = stagedOnce("graft_q97_src_", d) {
+          val sd = Files.createTempDirectory("graft_q97_src_").toString
+          // staging scaffolding (not the operator): ntile's global sort is
+          // test-rig-only
+          graft.tables.Tables.events(s, d)
+            .withColumn("batch_",
+              when(col("event_type") === "purchase", 2)
+                .otherwise(
+                  ntile(2).over(Window.orderBy(col("ts"), col("event_id"))) - 1))
+            .repartition(3, col("batch_"))
+            .write.mode("overwrite").partitionBy("batch_").parquet(sd)
+          for (b <- 0 to 2) {
+            val dir = java.nio.file.Paths.get(sd, s"batch_=$b")
+            val t0 = java.nio.file.attribute.FileTime
+              .fromMillis(1700000000000L + b * 60000L)
+            val ls = Files.list(dir)
+            try ls.forEach(p => Files.setLastModifiedTime(p, t0))
+            finally ls.close()
+          }
+          sd
+        }
+        val schema = s.read.parquet(staged).schema
+        val reg = new Registry(s)
+        reg.source("clicks_feed", () =>
+          graft.tables.Tables.events(s, d)
+            .filter(col("event_type") === "click"))
+        reg.source("purchases_feed", () =>
+          graft.tables.Tables.events(s, d)
+            .filter(col("event_type") === "purchase"))
+        reg.register(TableDef("converted_clicks",
+          Seq("clicks_feed", "purchases_feed"), {
+            case Seq(c, p) =>
+              val cw = c.withWatermark("ts", "10 minutes")
+                .select(col("user_id"), col("event_id").as("click_id"),
+                  col("ts").as("click_ts"))
+              val pw = p.withWatermark("ts", "10 minutes")
+                .select(col("user_id").as("p_user_id"),
+                  col("ts").as("purchase_ts"))
+              cw.join(pw, col("user_id") === col("p_user_id") &&
+                  col("purchase_ts") >= col("click_ts") &&
+                  col("purchase_ts") <= col("click_ts") +
+                    expr("INTERVAL 30 MINUTES"),
+                "left_semi")
+          }, mode = Mode.Incremental))
+        def feed(tp: String) = () =>
+          s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staged)
+            .filter(col("event_type") === tp)
+            .drop("batch_")
+        val out = Files.createTempDirectory("graft_q275_").toString
+        withStatePartitions(s, 4) {
+          graft.graph.Runner.runStreamingThenFull(s, reg,
+            Map("clicks_feed" -> feed("click"),
+              "purchases_feed" -> feed("purchase")),
+            out)
+        }
+        s.read.parquet(s"$out/converted_clicks")
+          .orderBy("click_id")
+      },
+      Some("""
+        SELECT c.user_id, c.event_id AS click_id,
+          CAST(c.ts AS TIMESTAMP) AS click_ts
+        FROM events c
+        WHERE c.event_type = 'click' AND EXISTS (
+          SELECT 1 FROM events p
+          WHERE p.event_type = 'purchase'
+            AND p.user_id = c.user_id
+            AND p.ts >= c.ts
+            AND p.ts <= c.ts + INTERVAL 30 MINUTE)
+        ORDER BY click_id"""))
   )
 }
