@@ -324,6 +324,96 @@ object GraphQueries {
           WHERE e.src IN (SELECT src FROM k6)
             AND e.dst IN (SELECT src FROM k6))
         SELECT src AS node, COUNT(*) AS deg
-        FROM e6 GROUP BY src ORDER BY node"""))
+        FROM e6 GROUP BY src ORDER BY node""")),
+
+    // LABEL-PROPAGATION COMMUNITIES — the community-detection member of
+    // the graph family: every node starts as its own community and each
+    // round adopts the most frequent label among its neighbors, the
+    // near-linear-time LPA baseline. Plain LPA is notoriously
+    // nondeterministic (update order + tie coin flips); this is the
+    // SEMI-SYNCHRONOUS, totally-ordered form — all nodes update together
+    // from the previous round's labels, ties break (count desc, label
+    // asc) — so the fixed 4-round run is a pure function of the graph
+    // and the oracle can replay it as four unrolled rounds. Scale shape
+    // per round: ONE equi join labels×edges (both hash-partitioned on
+    // the node key) + ONE map-side-combined (node,label) count + ONE
+    // top-1-per-node window over the count frame, with the label frame
+    // checkpointed per round (q120/q266 lineage discipline). The output
+    // groups nodes into their 4-round community with its size — the
+    // frame a downstream dedup/curation job consumes.
+    Q("q277_label_propagation",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val pairs = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(concat(lit("c"), col("o_custkey")).as("c"),
+            concat(lit("s"), col("l_suppkey")).as("sp"))
+          .distinct()
+        val edges = pairs.select(col("c").as("src"), col("sp").as("dst"))
+          .unionByName(pairs.select(col("sp").as("src"), col("c").as("dst")))
+          .localCheckpoint()
+        var labels = edges.select(col("src").as("node")).distinct()
+          .select(col("node"), col("node").as("lab")).localCheckpoint()
+        for (_ <- 1 to 4) {
+          val w = Window.partitionBy("node")
+            .orderBy(desc("cnt"), col("lab"))
+          labels = edges
+            .join(labels.select(col("node").as("src"), col("lab")),
+              Seq("src"))
+            .groupBy(col("dst").as("node"), col("lab"))
+            .agg(count(lit(1)).as("cnt"))
+            .withColumn("rk", row_number().over(w))
+            .filter(col("rk") === 1)
+            .select(col("node"), col("lab"))
+            .localCheckpoint()
+        }
+        labels.groupBy("lab")
+          .agg(count(lit(1)).as("size"),
+            min(col("node")).as("first_node"),
+            max(col("node")).as("last_node"))
+          .orderBy(desc("size"), col("lab"))
+      },
+      Some("""
+        WITH pairs AS (
+          SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        edges AS (
+          SELECT 'c' || ck AS src, 's' || sk AS dst FROM pairs
+          UNION ALL
+          SELECT 's' || sk, 'c' || ck FROM pairs),
+        l0 AS (SELECT DISTINCT src AS node, src AS lab FROM edges),
+        l1 AS (
+          SELECT node, lab FROM (
+            SELECT e.dst AS node, l.lab, COUNT(*) AS cnt,
+              ROW_NUMBER() OVER (PARTITION BY e.dst
+                ORDER BY COUNT(*) DESC, l.lab) AS rk
+            FROM edges e JOIN l0 l ON e.src = l.node GROUP BY 1, 2)
+          WHERE rk = 1),
+        l2 AS (
+          SELECT node, lab FROM (
+            SELECT e.dst AS node, l.lab, COUNT(*) AS cnt,
+              ROW_NUMBER() OVER (PARTITION BY e.dst
+                ORDER BY COUNT(*) DESC, l.lab) AS rk
+            FROM edges e JOIN l1 l ON e.src = l.node GROUP BY 1, 2)
+          WHERE rk = 1),
+        l3 AS (
+          SELECT node, lab FROM (
+            SELECT e.dst AS node, l.lab, COUNT(*) AS cnt,
+              ROW_NUMBER() OVER (PARTITION BY e.dst
+                ORDER BY COUNT(*) DESC, l.lab) AS rk
+            FROM edges e JOIN l2 l ON e.src = l.node GROUP BY 1, 2)
+          WHERE rk = 1),
+        l4 AS (
+          SELECT node, lab FROM (
+            SELECT e.dst AS node, l.lab, COUNT(*) AS cnt,
+              ROW_NUMBER() OVER (PARTITION BY e.dst
+                ORDER BY COUNT(*) DESC, l.lab) AS rk
+            FROM edges e JOIN l3 l ON e.src = l.node GROUP BY 1, 2)
+          WHERE rk = 1)
+        SELECT lab, COUNT(*) AS size,
+          MIN(node) AS first_node, MAX(node) AS last_node
+        FROM l4 GROUP BY lab ORDER BY size DESC, lab"""))
   )
 }

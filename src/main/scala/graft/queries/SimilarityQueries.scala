@@ -946,6 +946,64 @@ object SimilarityQueries {
           COUNT(*) AS n_vectors,
           CAST(SUM(CASE WHEN max_sim >= 0.3 THEN 1 ELSE 0 END) AS BIGINT)
             AS n_flagged
-        FROM ms GROUP BY 1 ORDER BY bin"""))
+        FROM ms GROUP BY 1 ORDER BY bin""")),
+
+    // BLOCKED MUTUAL NEAREST NEIGHBORS — the alignment primitive for
+    // pairing items across (or within) corpora: a pair survives only if
+    // each side is the OTHER's top-1 neighbor, which kills the hub
+    // problem (one popular vector soaking up hundreds of asymmetric
+    // "nearest" claims) that plain top-1 matching suffers. Candidates
+    // are BLOCKED on the label column — the equi-join discipline every
+    // dedup query here follows: per-block all-pairs is bounded by the
+    // block, never the corpus, and at 100 TB blocks come from LSH/IVF
+    // exactly like q31/q73 (the label stands in for the bucket id).
+    // Mutuality is ONE self-join of the per-vector top-1 frame on the
+    // reversed pair — |vectors| rows, not |pairs|. Ties break (sim
+    // desc, id asc) as everywhere in the family; cosine is rounded at
+    // 6dp inside the top-1 ordering, same as q30, so both engines rank
+    // the identical keys.
+    Q("q276_mutual_nn",
+      (s, d) => {
+        val all = t(s, d, "embeddings")
+          .select(col("vec_id"), col("label"),
+            expr("transform(embedding, x -> cast(x AS double))").as("v"))
+        val pairs = all.select(col("label"), col("vec_id").as("a"),
+            col("v").as("qv"))
+          .join(all.select(col("label"), col("vec_id").as("b"), col("v")),
+            Seq("label"))
+          .filter(col("a") =!= col("b"))
+          .withColumn("sim", round(expr(dotExpr), 6))
+        val top1 = pairs
+          .withColumn("rk", row_number().over(Window.partitionBy("a")
+            .orderBy(col("sim").desc, col("b"))))
+          .filter(col("rk") === 1)
+          .select(col("label"), col("a"), col("b"), col("sim"))
+        top1.as("x").join(top1.as("y"),
+            col("x.a") === col("y.b") && col("x.b") === col("y.a"))
+          .filter(col("x.a") < col("x.b"))
+          .select(col("x.label").as("label"), col("x.a").as("a"),
+            col("x.b").as("b"), col("x.sim").as("sim"))
+          .orderBy("a")
+      },
+      Some("""
+        WITH n AS (
+          SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+            SQRT(LIST_SUM(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]),
+              x -> x*x))) AS nrm
+          FROM embeddings),
+        pairs AS (
+          SELECT q.label, q.vec_id AS a, e.vec_id AS b,
+            ROUND(LIST_DOT_PRODUCT(q.v, e.v) / (q.nrm * e.nrm), 6) AS sim
+          FROM n q JOIN n e
+            ON q.label = e.label AND q.vec_id != e.vec_id),
+        top1 AS (
+          SELECT label, a, b, sim FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY a
+              ORDER BY sim DESC, b) AS rk FROM pairs)
+          WHERE rk = 1)
+        SELECT x.label, x.a, x.b, x.sim
+        FROM top1 x JOIN top1 y ON x.a = y.b AND x.b = y.a
+        WHERE x.a < x.b
+        ORDER BY x.a"""))
   )
 }

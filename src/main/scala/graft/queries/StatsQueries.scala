@@ -1211,6 +1211,59 @@ object StatsQueries {
           CAST(bins.pos AS DOUBLE) / CAST(bins.n AS DOUBLE) AS raw_rate,
           fit.iso_rate
         FROM bins JOIN fit ON bins.bin = fit.i
-        ORDER BY bins.bin"""))
+        ORDER BY bins.bin""")),
+
+    // QUANTILE NORMALIZATION — the cross-batch distribution aligner
+    // (bioinformatics' workhorse, equally at home harmonizing quality
+    // scores across crawl snapshots): rank every document within its
+    // source, then replace its value with the ACROSS-SOURCE mean at that
+    // rank, so all sources end up with the identical marginal
+    // distribution. The classic method assumes equal-sized arrays;
+    // the unequal-group form here truncates to the smallest source's
+    // depth (ranks beyond it have no full across-source row and any
+    // interpolation rule would be engine-lore, not algebra — the
+    // dropped tail is the documented contract). Everything is exact:
+    // ranks are total-ordered (value, doc_id), the reference value is
+    // ONE IEEE division of an integer sum by the source count. Scale
+    // shape: one rank window per source partition, one |ranks|-row
+    // map-side-combined agg, one equi join back on rank — no
+    // all-pairs, no global sort (the per-source window IS partitioned).
+    Q("q278_quantile_normalize",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ranked = t(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .withColumn("rk", row_number().over(Window
+            .partitionBy("source").orderBy("n_chars", "doc_id")))
+        val depth = ranked.groupBy("source")
+          .agg(count(lit(1)).as("sz"))
+          .agg(min(col("sz")).as("k"), count(lit(1)).as("n_sources"))
+        val kept = ranked.crossJoin(broadcast(depth))
+          .filter(col("rk") <= col("k"))
+        val ref = kept.groupBy("rk")
+          .agg((sum(col("n_chars")).cast("double") /
+            first(col("n_sources")).cast("double")).as("norm_value"))
+        kept.join(ref, Seq("rk"))
+          .select(col("doc_id"), col("source"), col("rk").cast("long").as("rk"),
+            col("n_chars"), col("norm_value"))
+          .orderBy("source", "rk")
+      },
+      Some("""
+        WITH ranked AS (
+          SELECT doc_id, source, n_chars, ROW_NUMBER() OVER (
+            PARTITION BY source ORDER BY n_chars, doc_id) AS rk
+          FROM documents),
+        depth AS (
+          SELECT MIN(sz) AS k, COUNT(*) AS n_sources FROM (
+            SELECT source, COUNT(*) AS sz FROM ranked GROUP BY source)),
+        kept AS (
+          SELECT r.* FROM ranked r, depth WHERE r.rk <= depth.k),
+        ref AS (
+          SELECT rk, CAST(SUM(n_chars) AS DOUBLE) /
+            (SELECT CAST(n_sources AS DOUBLE) FROM depth) AS norm_value
+          FROM kept GROUP BY rk)
+        SELECT k.doc_id, k.source, k.rk, k.n_chars, ref.norm_value
+        FROM kept k JOIN ref USING (rk)
+        ORDER BY k.source, k.rk"""))
   )
 }
