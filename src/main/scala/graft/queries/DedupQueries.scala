@@ -499,7 +499,7 @@ object DedupQueries {
         JOIN sizes sb ON doc_hist = sb.doc_id
         WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.6
         ORDER BY doc_new, doc_hist"""))
-  ) :+ q29 :+ q92 :+ q196 :+ q213 :+ q235 :+ q262
+  ) :+ q29 :+ q92 :+ q196 :+ q213 :+ q235 :+ q262 :+ q279
 
   // PPJOIN-STYLE PREFIX-FILTERED EXACT SIMILARITY JOIN — the seventh
   // candidate-generation modality, and the one that is EXACT at scale:
@@ -1068,4 +1068,89 @@ object DedupQueries {
           ak = bk AS is_true
         FROM sc, n WHERE score >= LENGTH(printf('%b', n))
         ORDER BY a_key, b_key"""))
+
+  // DISTRIBUTED SUFFIX ARRAY (prefix doubling) — the data structure
+  // under exact-substring corpus dedup (the RefinedWeb/BigCode method:
+  // duplicate spans = runs of adjacent suffix-array entries with long
+  // common prefixes; q98/q143 approximate that with gram keys, this
+  // builds the exact structure). The construction is the textbook
+  // O(n log n) prefix-doubling as pure DataFrame algebra: start from
+  // per-character codes, then log2(n) rounds of
+  //   rank'(i) = globalKeyRank(rank(i), rank(i + 2^k))
+  // where the doubling pair comes from ONE self equi-join on position
+  // and the rank from [[graft.ops.Ranks.globalKeyRank]] — a
+  // range-partitioned sort + metadata-scale offset broadcast, never a
+  // single-partition window (the 1000-executor shape; every round is
+  // two shuffles of the n-row frame, lineage severed per round).
+  // The corpus is the doc_id-ordered concatenation of a 10% document
+  // sample with '\n' terminators; the doc-offset prefix-sum window runs
+  // on the BOUNDED doc-level frame (one row per document), never on
+  // characters. The oracle sorts the same suffixes directly
+  // (ORDER BY SUBSTRING) — an independent O(n^2)-comparison engine
+  // agreeing with the O(n log n) one on the first 500 array slots.
+  private lazy val q279 = Q("q279_suffix_array",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), concat(col("text"), lit("\n")).as("tx"))
+        .withColumn("len", length(col("tx")).cast("long"))
+      // bounded doc-level frame: offsets via one unpartitioned window
+      // over |sampled docs| rows (document-count scale, not characters)
+      val off = docs
+        .withColumn("off",
+          sum("len").over(Window.orderBy("doc_id")) - col("len"))
+      val chars = off
+        .select(col("off"), posexplode(split(col("tx"), "")))
+        .filter(col("col") =!= "")
+        .select((col("off") + col("pos")).as("pos"),
+          ascii(col("col")).cast("long").as("r"))
+      val n = chars.count()
+      var ranks = chars.localCheckpoint()
+      // QUADRUPLING variant of prefix doubling: each round keys on
+      // (r(i), r(i+h), r(i+2h), r(i+3h)) so one rank pass extends the
+      // distinguished prefix 4x — ceil(log4 n) rounds instead of
+      // ceil(log2 n); at toy scale rounds are scheduler-bound, at 100 TB
+      // they are full-frame shuffles, and halving their count wins in
+      // both regimes for one extra cheap equi join per round.
+      var h = 1L
+      while (h < n) {
+        val sh = (m: Long, nm: String) => ranks
+          .select((col("pos") - m).as("pos"), col("r").as(nm))
+        val paired = ranks
+          .join(sh(h, "r2"), Seq("pos"), "left")
+          .join(sh(2 * h, "r3"), Seq("pos"), "left")
+          .join(sh(3 * h, "r4"), Seq("pos"), "left")
+          .select(col("pos"), col("r"),
+            coalesce(col("r2"), lit(-1L)).as("r2"),
+            coalesce(col("r3"), lit(-1L)).as("r3"),
+            coalesce(col("r4"), lit(-1L)).as("r4"))
+        val ties = s.sparkContext.longAccumulator("sa_ties")
+        ranks = graft.ops.Ranks
+          .globalKeyRank(paired, Seq("r", "r2", "r3", "r4"), "nr",
+            Some(ties))
+          .select(col("pos"), col("nr").as("r"))
+          .localCheckpoint()
+        // converged — every suffix rank unique, further rounds are the
+        // identity (the localCheckpoint above completed the pass, so the
+        // tie count is final)
+        h = if (ties.value == 0L) n else h * 4
+      }
+      ranks.filter(col("r") < 500)
+        .select(col("r").as("rank"), col("pos"))
+        .orderBy("rank")
+    },
+    Some("""
+      WITH corpus AS (
+        SELECT STRING_AGG(text || CHR(10), '' ORDER BY doc_id) AS s
+        FROM documents WHERE doc_id % 10 = 0),
+      pos AS (
+        SELECT UNNEST(GENERATE_SERIES(0, LENGTH(s) - 1)) AS i
+        FROM corpus),
+      ranked AS (
+        SELECT i, ROW_NUMBER() OVER (ORDER BY
+          SUBSTRING(corpus.s, CAST(i + 1 AS INT))) - 1 AS rank
+        FROM pos, corpus)
+      SELECT rank, i AS pos FROM ranked
+      WHERE rank < 500 ORDER BY rank"""))
 }
