@@ -414,6 +414,93 @@ object GraphQueries {
           WHERE rk = 1)
         SELECT lab, COUNT(*) AS size,
           MIN(node) AS first_node, MAX(node) AS last_node
-        FROM l4 GROUP BY lab ORDER BY size DESC, lab"""))
+        FROM l4 GROUP BY lab ORDER BY size DESC, lab""")),
+
+    // RANDOM-WALK CORPUS GENERATION — the graph→training-data bridge
+    // (DeepWalk/node2vec's first stage): emit fixed-length walks whose
+    // token sequences feed a skip-gram trainer exactly like document
+    // text feeds an LM. The walk is DETERMINISTIC-SEEDED, the only form
+    // a hash-gated pipeline can ship: step t from node v picks neighbor
+    // index md5(walk_id|t) mod degree(v) — the q264 md5→integer device,
+    // bit-equal in both engines — over a PRECOMPUTED neighbor index
+    // (row_number per src, the one window, partitioned by node). Each
+    // of the 8 steps is then ONE broadcast-sized equi join of the walk
+    // frontier against the (src, idx)-keyed neighbor frame: at 100 TB
+    // the neighbor index is the big side, hash-partitioned on src, and
+    // the frontier stays |seeds| rows — walks never materialize paths
+    // quadratically. The oracle replays the identical walk as a
+    // recursive CTE. Walk determinism doubles as replayability — the
+    // property production samplers give up and this one keeps.
+    Q("q280_random_walks",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val pairs = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(concat(lit("c"), col("o_custkey")).as("c"),
+            concat(lit("s"), col("l_suppkey")).as("sp"),
+            col("o_custkey").as("ck"))
+          .distinct()
+        val edges = pairs.select(col("c").as("src"), col("sp").as("dst"))
+          .unionByName(pairs.select(col("sp").as("src"), col("c").as("dst")))
+          .distinct()
+        val nbr = edges
+          .withColumn("idx", row_number().over(Window.partitionBy("src")
+            .orderBy("dst")).cast("long") - 1)
+          .select(col("src").as("nsrc"), col("idx"), col("dst"))
+          .localCheckpoint()
+        val deg = nbr.groupBy(col("nsrc").as("dsrc"))
+          .agg(count(lit(1)).as("deg"))
+          .localCheckpoint()
+        val seeds = pairs.filter(col("ck") % 101 === 0)
+          .select(col("c").as("node")).distinct()
+        var cur = seeds.select(col("node").as("walk_id"),
+          lit(0L).as("step"), col("node"))
+        var out = cur
+        for (t <- 1 to 8) {
+          cur = cur
+            .join(deg, col("node") === col("dsrc"))
+            .withColumn("pick", expr(
+              s"cast(conv(substring(md5(concat(walk_id, '|', $t)), 1, 13), " +
+                "16, 10) as bigint) % deg"))
+            .join(nbr, col("node") === col("nsrc") && col("pick") === col("idx"))
+            .select(col("walk_id"), lit(t.toLong).as("step"),
+              col("dst").as("node"))
+          out = out.unionByName(cur)
+        }
+        out.orderBy("walk_id", "step")
+      },
+      Some("""
+        WITH RECURSIVE pairs AS (
+          SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        edges AS (
+          SELECT DISTINCT src, dst FROM (
+            SELECT 'c' || ck AS src, 's' || sk AS dst FROM pairs
+            UNION ALL
+            SELECT 's' || sk, 'c' || ck FROM pairs)),
+        nbr AS (
+          SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
+            ORDER BY dst) - 1 AS idx
+          FROM edges),
+        deg AS (SELECT src, COUNT(*) AS deg FROM nbr GROUP BY src),
+        seeds AS (
+          SELECT DISTINCT 'c' || ck AS node FROM pairs WHERE ck % 101 = 0),
+        walks AS (
+          SELECT node AS walk_id, 0 AS step, node FROM seeds
+          UNION ALL
+          SELECT w.walk_id, w.step + 1, n.dst
+          FROM walks w
+          JOIN deg d ON d.src = w.node
+          JOIN nbr n ON n.src = w.node AND n.idx =
+            CAST(LIST_REDUCE(LIST_TRANSFORM(
+              SPLIT(SUBSTRING(MD5(w.walk_id || '|' || (w.step + 1)), 1, 13),
+                ''),
+              x -> CAST(POSITION(x IN '0123456789abcdef') - 1 AS BIGINT)),
+              (a, x) -> a * 16 + x) AS BIGINT) % d.deg
+          WHERE w.step < 8)
+        SELECT walk_id, CAST(step AS BIGINT) AS step, node
+        FROM walks ORDER BY walk_id, step"""))
   )
 }
