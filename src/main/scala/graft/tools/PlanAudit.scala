@@ -88,7 +88,19 @@ object PlanAudit {
       "q264_dp_noisy_release", // one scan→agg, row-local integer noise (r13)
       "q265_physical_asof", // AsOfJoinExec: 1 exchange/side, merge-scan (r13)
       "q266_bfs_reachability", // 6 checkpointed frontier supersteps (r13)
-      "q267_dynamic_partition_pruning") // runtime partition-filter scan (r13)
+      "q267_dynamic_partition_pruning", // runtime partition-filter scan (r13)
+      "q268_l_diversity", // one (cell,seg) agg + bounded cell window (r13)
+      "q269_token_fertility", // one scan, two regex counts, |langs| agg (r13)
+      "q270_conformal_interval", // cal-side-only sort, qhat broadcast back (r13)
+      "q271_brown_smoothing", // hourly agg + one per-key HOF fold (r13)
+      "q272_walsh_spectrum", // declarative 256x explode, map-side 9 sums (r13)
+      "q273_isotonic_calibration", // 20-bin dictionary minimax lattice (r13)
+      "q274_kcore", // 6 checkpointed peel rounds, 2 semi joins each (r13)
+      "q276_mutual_nn", // label-blocked pairs, top-1 frame self-join (r13)
+      "q277_label_propagation", // per-round count + node-partitioned top-1 (r13)
+      "q278_quantile_normalize", // source-partitioned ranks, rank equi join (r13)
+      "q279_suffix_array", // prefix quadrupling, range-sort global ranks (r13)
+      "q280_random_walks") // 8 frontier joins vs (src,idx) neighbor index (r13)
     interesting.foreach { name =>
       val df = graft.queries.Catalog.byName(name).run(spark, d)
       // drive THIS df's own query execution to completion (count() would
