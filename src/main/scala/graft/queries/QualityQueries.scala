@@ -668,6 +668,74 @@ object QualityQueries {
             MAX(CASE WHEN rk = 1 THEN f END)
               < 2 * COALESCE(SUM(CASE WHEN rk >= 3 THEN f END), 0) AS rcl_ok
         FROM ranked GROUP BY nation, bal_band
-        ORDER BY nation, bal_band"""))
+        ORDER BY nation, bal_band""")),
+
+    // BENFORD FIRST-DIGIT AUDIT — the fraud/fabrication screen on any
+    // multiplicatively-spread amount column: naturally occurring
+    // magnitudes put digit d first with probability log10(1 + 1/d);
+    // synthetic or tampered figures do not. Engine-portability choices:
+    // the first digit comes from the CENTS INTEGER's string form (a
+    // double's string form is engine lore; a BIGINT's is not), the
+    // expected probabilities are HARDCODED literals (no runtime log10 —
+    // correctly-rounded transcendental math is not a cross-engine
+    // contract), and each chi-square contribution is one IEEE
+    // expression on exact integers rounded at 6dp. Scale shape: one
+    // scan, one 9-row map-side-combined agg; everything after is
+    // dictionary-sized.
+    Q("q281_benford_audit",
+      (s, d) => {
+        val probs = Seq(
+          1 -> 0.3010299956639812, 2 -> 0.17609125905568124,
+          3 -> 0.12493873660829992, 4 -> 0.09691001300805642,
+          5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
+          7 -> 0.05799194697768673, 8 -> 0.05115252244738129,
+          9 -> 0.04575749056067514)
+        val pCol = probs.tail.foldLeft(
+          when(col("digit") === 1, probs.head._2)) { case (acc, (dd, p)) =>
+          acc.when(col("digit") === dd, p)
+        }
+        val digits = t(s, d, "orders")
+          .select(substring(round(col("o_totalprice") * 100, 0)
+            .cast("long").cast("string"), 1, 1).cast("int").as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+        digits
+          .crossJoin(broadcast(digits.agg(sum(col("n_obs")).as("n"))))
+          .withColumn("expected_p", pCol)
+          .select(col("digit").cast("long").as("digit"), col("n_obs"),
+            col("expected_p"),
+            (col("n_obs").cast("double") / col("n").cast("double"))
+              .as("obs_p"),
+            round(
+              (col("n_obs").cast("double") -
+                col("n").cast("double") * col("expected_p")) *
+                (col("n_obs").cast("double") -
+                  col("n").cast("double") * col("expected_p")) /
+                (col("n").cast("double") * col("expected_p")), 6)
+              .as("chi2_contrib"))
+          .orderBy("digit")
+      },
+      Some("""
+        WITH digits AS (
+          SELECT CAST(SUBSTRING(CAST(CAST(ROUND(o_totalprice * 100, 0)
+              AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+            COUNT(*) AS n_obs
+          FROM orders GROUP BY 1),
+        tot AS (SELECT SUM(n_obs) AS n FROM digits),
+        ex AS (SELECT * FROM (VALUES
+          (1, 0.3010299956639812), (2, 0.17609125905568124),
+          (3, 0.12493873660829992), (4, 0.09691001300805642),
+          (5, 0.07918124604762482), (6, 0.06694678963061322),
+          (7, 0.05799194697768673), (8, 0.05115252244738129),
+          (9, 0.04575749056067514)) AS t(digit, expected_p))
+        SELECT CAST(d.digit AS BIGINT) AS digit, d.n_obs, ex.expected_p,
+          CAST(d.n_obs AS DOUBLE) / CAST(tot.n AS DOUBLE) AS obs_p,
+          ROUND((CAST(d.n_obs AS DOUBLE) - CAST(tot.n AS DOUBLE)
+              * ex.expected_p)
+            * (CAST(d.n_obs AS DOUBLE) - CAST(tot.n AS DOUBLE)
+              * ex.expected_p)
+            / (CAST(tot.n AS DOUBLE) * ex.expected_p), 6)
+            AS chi2_contrib
+        FROM digits d JOIN ex ON d.digit = ex.digit CROSS JOIN tot
+        ORDER BY digit"""))
   )
 }
