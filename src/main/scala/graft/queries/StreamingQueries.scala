@@ -1071,6 +1071,118 @@ object StreamingQueries {
             AND p.user_id = c.user_id
             AND p.ts >= c.ts
             AND p.ts <= c.ts + INTERVAL 30 MINUTE)
-        ORDER BY click_id"""))
+        ORDER BY click_id""")),
+
+    // Stream×stream FULL OUTER — the last member of the streaming join
+    // family (q97 inner, q104 left outer, q275 left semi): BOTH sides
+    // null-emit once the watermark proves their match window closed.
+    // The two eviction rules differ and the oracle pins each: a click
+    // can match purchases up to click_ts + 30 min, so it null-emits
+    // when wm passes click_ts + 30 min (q104's rule); a purchase can
+    // only match EARLIER clicks (purchase_ts >= click_ts), so its
+    // window closes the moment wm passes purchase_ts itself — the
+    // asymmetry is the range condition's direction, and getting it
+    // wrong double-emits or starves one side. Same q104 time-aligned
+    // staging; the MIN multi-watermark policy and ms-floored cutoffs
+    // are mirrored LEAST/DATE_TRUNC in the oracle.
+    Q("q282_stream_full_outer",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val staged = stagedOnce("graft_q104_src_", d) {
+          val sd = Files.createTempDirectory("graft_q104_src_").toString
+          graft.tables.Tables.events(s, d)
+            .withColumn("batch_",
+              ntile(3).over(Window.orderBy(col("ts"), col("event_id"))) - 1)
+            .repartition(3, col("batch_"))
+            .write.mode("overwrite").partitionBy("batch_").parquet(sd)
+          for (b <- 0 to 2) {
+            val dir = java.nio.file.Paths.get(sd, s"batch_=$b")
+            val t0 = java.nio.file.attribute.FileTime
+              .fromMillis(1700000000000L + b * 60000L)
+            val ls = Files.list(dir)
+            try ls.forEach(p => Files.setLastModifiedTime(p, t0))
+            finally ls.close()
+          }
+          sd
+        }
+        val schema = s.read.parquet(staged).schema
+        val reg = new Registry(s)
+        reg.source("clicks_feed", () =>
+          graft.tables.Tables.events(s, d)
+            .filter(col("event_type") === "click"))
+        reg.source("purchases_feed", () =>
+          graft.tables.Tables.events(s, d)
+            .filter(col("event_type") === "purchase"))
+        reg.register(TableDef("click_purchase_ledger",
+          Seq("clicks_feed", "purchases_feed"), {
+            case Seq(c, p) =>
+              val cw = c.withWatermark("ts", "10 minutes")
+                .select(col("user_id"), col("event_id").as("click_id"),
+                  col("ts").as("click_ts"))
+              val pw = p.withWatermark("ts", "10 minutes")
+                .select(col("user_id").as("p_user_id"),
+                  col("event_id").as("purchase_id"),
+                  col("ts").as("purchase_ts"),
+                  col("value").as("purchase_value"))
+              cw.join(pw, col("user_id") === col("p_user_id") &&
+                  col("purchase_ts") >= col("click_ts") &&
+                  col("purchase_ts") <= col("click_ts") +
+                    expr("INTERVAL 30 MINUTES"),
+                "full_outer")
+                .select(
+                  coalesce(col("user_id"), col("p_user_id")).as("uid"),
+                  col("click_id"), col("click_ts"),
+                  col("purchase_id"), col("purchase_ts"),
+                  col("purchase_value"))
+          }, mode = Mode.Incremental))
+        def feed(tp: String) = () =>
+          s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staged)
+            .filter(col("event_type") === tp)
+            .drop("batch_")
+        val out = Files.createTempDirectory("graft_q282_").toString
+        withStatePartitions(s, 4) {
+          graft.graph.Runner.runStreamingThenFull(s, reg,
+            Map("clicks_feed" -> feed("click"),
+              "purchases_feed" -> feed("purchase")),
+            out)
+        }
+        s.read.parquet(s"$out/click_purchase_ledger")
+          .orderBy("click_id", "purchase_id")
+      },
+      Some("""
+        WITH c AS (
+          SELECT user_id, event_id AS click_id,
+            CAST(ts AS TIMESTAMP) AS click_ts
+          FROM events WHERE event_type = 'click'),
+        p AS (
+          SELECT user_id, event_id AS purchase_id,
+            CAST(ts AS TIMESTAMP) AS purchase_ts, value AS purchase_value
+          FROM events WHERE event_type = 'purchase'),
+        wm AS (
+          SELECT LEAST(
+              DATE_TRUNC('milliseconds', (SELECT MAX(click_ts) FROM c)),
+              DATE_TRUNC('milliseconds', (SELECT MAX(purchase_ts) FROM p)))
+            - INTERVAL 10 MINUTE AS w),
+        matched AS (
+          SELECT c.user_id AS uid, c.click_id, c.click_ts,
+            p.purchase_id, p.purchase_ts, p.purchase_value
+          FROM c JOIN p ON c.user_id = p.user_id
+            AND p.purchase_ts >= c.click_ts
+            AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE)
+        SELECT * FROM matched
+        UNION ALL
+        SELECT c.user_id, c.click_id, c.click_ts, NULL, NULL, NULL
+        FROM c, wm
+        WHERE c.click_id NOT IN (SELECT click_id FROM matched)
+          AND c.click_ts + INTERVAL 30 MINUTE < wm.w
+        UNION ALL
+        SELECT p.user_id, NULL, NULL,
+          p.purchase_id, p.purchase_ts, p.purchase_value
+        FROM p, wm
+        WHERE p.purchase_id NOT IN (SELECT purchase_id FROM matched)
+          AND p.purchase_ts < wm.w
+        ORDER BY click_id, purchase_id"""))
   )
 }
