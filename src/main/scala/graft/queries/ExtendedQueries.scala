@@ -1105,6 +1105,37 @@ object ExtendedQueries {
           CAST(SUM(ver) AS BIGINT) AS sum_ver,
           CAST(CAST(SUM(CAST(amount AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)
             AS total_amount
-        FROM e GROUP BY os ORDER BY os"""))
+        FROM e GROUP BY os ORDER BY os""")),
+
+    // CORRELATED SCALAR SUBQUERY (the TPC-H Q17 shape) — the SQL-entry
+    // operator family q46 opens, pushed to the construct users actually
+    // migrate with: a per-group scalar subquery correlated on the outer
+    // row's key, which Catalyst DECORRELATES into an aggregate-then-join
+    // (never a per-row re-execution — that is the plan property that
+    // makes the construct survive 100 TB; the oracle runs the same
+    // correlated text natively). Numerics: l_quantity is integer-valued,
+    // so AVG is an exact integer sum over a count — one IEEE division,
+    // identical in both engines; the revenue sum goes through the
+    // decimal string round-trip as everywhere.
+    Q("q283_correlated_subquery",
+      (s, d) => {
+        t(s, d, "lineitem").createOrReplaceTempView("lineitem_q283")
+        s.sql("""
+          SELECT COUNT(*) AS n_small,
+            CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6)))
+              AS STRING) AS DOUBLE) AS small_lot_revenue
+          FROM lineitem_q283 l
+          WHERE l.l_quantity < 0.5 * (
+            SELECT AVG(l2.l_quantity) FROM lineitem_q283 l2
+            WHERE l2.l_partkey = l.l_partkey)""")
+      },
+      Some("""
+        SELECT COUNT(*) AS n_small,
+          CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6)))
+            AS VARCHAR) AS DOUBLE) AS small_lot_revenue
+        FROM lineitem l
+        WHERE l.l_quantity < 0.5 * (
+          SELECT AVG(l2.l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = l.l_partkey)"""))
   )
 }
