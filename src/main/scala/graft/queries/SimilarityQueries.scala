@@ -953,24 +953,28 @@ object SimilarityQueries {
     // each side is the OTHER's top-1 neighbor, which kills the hub
     // problem (one popular vector soaking up hundreds of asymmetric
     // "nearest" claims) that plain top-1 matching suffers. Candidates
-    // are BLOCKED on the label column — the equi-join discipline every
-    // dedup query here follows: per-block all-pairs is bounded by the
-    // block, never the corpus, and at 100 TB blocks come from LSH/IVF
-    // exactly like q31/q73 (the label stands in for the bucket id).
-    // Mutuality is ONE self-join of the per-vector top-1 frame on the
-    // reversed pair — |vectors| rows, not |pairs|. Ties break (sim
-    // desc, id asc) as everywhere in the family; cosine is rounded at
-    // 6dp inside the top-1 ordering, same as q30, so both engines rank
-    // the identical keys.
+    // are BLOCKED on (label, LSH bucket): the label is the coarse
+    // semantic block, the q31 hyperplane bucket the FINE one — and the
+    // fine key is what makes the shape scale, because label cardinality
+    // is fixed while the corpus grows (label-only blocking re-grows
+    // quadratic pair counts inside each block; the first sf1 sweep of
+    // this query measured exactly that, 60× at 10× data, and the
+    // bucket key brought it back to linear). Mutual-NN is therefore
+    // approximate in the q31 sense: top-1 AMONG CO-BUCKETED candidates,
+    // the trade every production ANN aligner makes. Mutuality is ONE
+    // self-join of the per-vector top-1 frame on the reversed pair —
+    // |vectors| rows, not |pairs|. Ties break (sim desc, id asc); cosine
+    // rounds at 6dp inside the ordering, same as q30.
     Q("q276_mutual_nn",
       (s, d) => {
         val all = t(s, d, "embeddings")
           .select(col("vec_id"), col("label"),
             expr("transform(embedding, x -> cast(x AS double))").as("v"))
-        val pairs = all.select(col("label"), col("vec_id").as("a"),
-            col("v").as("qv"))
-          .join(all.select(col("label"), col("vec_id").as("b"), col("v")),
-            Seq("label"))
+          .withColumn("bucket", expr(bucketExpr))
+        val pairs = all.select(col("label"), col("bucket"),
+            col("vec_id").as("a"), col("v").as("qv"))
+          .join(all.select(col("label"), col("bucket"),
+            col("vec_id").as("b"), col("v")), Seq("label", "bucket"))
           .filter(col("a") =!= col("b"))
           .withColumn("sim", round(expr(dotExpr), 6))
         val top1 = pairs
@@ -991,11 +995,20 @@ object SimilarityQueries {
             SQRT(LIST_SUM(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]),
               x -> x*x))) AS nrm
           FROM embeddings),
+        b AS (
+          SELECT vec_id, label, v, nrm, CAST(LIST_SUM(
+            [CASE WHEN LIST_DOT_PRODUCT(
+               [((1103515245::BIGINT * (p*64 + i) + 12345) % 2147483648)
+                  / 2147483648.0 - 0.5 for i in GENERATE_SERIES(0, 63)],
+               v) > 0 THEN (1 << p) ELSE 0 END
+             for p in GENERATE_SERIES(0, 7)]) AS INTEGER) AS bucket
+          FROM n),
         pairs AS (
           SELECT q.label, q.vec_id AS a, e.vec_id AS b,
             ROUND(LIST_DOT_PRODUCT(q.v, e.v) / (q.nrm * e.nrm), 6) AS sim
-          FROM n q JOIN n e
-            ON q.label = e.label AND q.vec_id != e.vec_id),
+          FROM b q JOIN b e
+            ON q.label = e.label AND q.bucket = e.bucket
+              AND q.vec_id != e.vec_id),
         top1 AS (
           SELECT label, a, b, sim FROM (
             SELECT *, ROW_NUMBER() OVER (PARTITION BY a
