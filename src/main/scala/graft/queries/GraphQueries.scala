@@ -256,18 +256,22 @@ object GraphQueries {
     // "which nodes sit in a dense core"): repeatedly delete nodes of
     // degree < K until the survivor set is stable, the standard
     // prefilter before community detection and the fraud-analytics
-    // "dense subgraph" primitive. Rounds are FIXED at 6 (q266's
-    // discipline — production core decomposition caps peel rounds, and
-    // a fixed bound keeps the plan count deterministic): each round is
-    // ONE map-side-combined degree count plus TWO semi joins filtering
-    // the edge list to surviving endpoints, with edges and survivors
-    // localCheckpoint-ed per round so lineage stays O(1) instead of
-    // doubling. The oracle unrolls the identical 6 peels as chained
-    // CTEs — two independent peeling engines, compared row-for-row on
-    // the (survivor, residual-degree) frame.
+    // "dense subgraph" primitive. K is DATA-ADAPTIVE: floor(E / 2N) =
+    // half the average degree, the largest threshold that is PROVABLY
+    // non-vacuous (every graph contains a subgraph of min degree
+    // >= half its average degree, so the K-core is nonempty at every
+    // scale factor — a fixed K empties the sparse smoke graph or
+    // trivializes the dense bench one). K arrives as a 1-row broadcast
+    // (the O5 pattern, no driver collect). Rounds are FIXED at 6
+    // (q266's discipline): each round is ONE map-side-combined degree
+    // count plus TWO semi joins filtering the edge list to surviving
+    // endpoints, with edges and survivors localCheckpoint-ed per round
+    // so lineage stays O(1) instead of doubling. The oracle unrolls the
+    // identical 6 peels as chained CTEs — two independent peeling
+    // engines, compared row-for-row on the (survivor, residual-degree)
+    // frame.
     Q("q274_kcore",
       (s, d) => {
-        val K = 30
         val pairs = t(s, d, "lineitem")
           .select(col("l_orderkey"), col("l_suppkey"))
           .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
@@ -278,9 +282,14 @@ object GraphQueries {
         var edges = pairs.select(col("c").as("src"), col("sp").as("dst"))
           .unionByName(pairs.select(col("sp").as("src"), col("c").as("dst")))
           .localCheckpoint()
+        val kf = edges
+          .agg((count(lit(1)) / (countDistinct(col("src")) * 2))
+            .cast("long").as("k"))
+          .localCheckpoint()
         for (_ <- 1 to 6) {
           val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-            .filter(col("deg") >= K)
+            .crossJoin(broadcast(kf))
+            .filter(col("deg") >= col("k"))
             .select(col("src").as("node")).localCheckpoint()
           edges = edges
             .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
@@ -299,27 +308,30 @@ object GraphQueries {
           SELECT 'c' || ck AS src, 's' || sk AS dst FROM pairs
           UNION ALL
           SELECT 's' || sk, 'c' || ck FROM pairs),
-        k1 AS (SELECT src FROM e0 GROUP BY src HAVING COUNT(*) >= 30),
+        kth AS (
+          SELECT COUNT(*) // (2 * COUNT(DISTINCT src)) AS k FROM e0),
+        k1 AS (SELECT src FROM e0 GROUP BY src
+          HAVING COUNT(*) >= (SELECT k FROM kth)),
         e1 AS (SELECT e.src, e.dst FROM e0 e
           WHERE e.src IN (SELECT src FROM k1)
             AND e.dst IN (SELECT src FROM k1)),
-        k2 AS (SELECT src FROM e1 GROUP BY src HAVING COUNT(*) >= 30),
+        k2 AS (SELECT src FROM e1 GROUP BY src HAVING COUNT(*) >= (SELECT k FROM kth)),
         e2 AS (SELECT e.src, e.dst FROM e1 e
           WHERE e.src IN (SELECT src FROM k2)
             AND e.dst IN (SELECT src FROM k2)),
-        k3 AS (SELECT src FROM e2 GROUP BY src HAVING COUNT(*) >= 30),
+        k3 AS (SELECT src FROM e2 GROUP BY src HAVING COUNT(*) >= (SELECT k FROM kth)),
         e3 AS (SELECT e.src, e.dst FROM e2 e
           WHERE e.src IN (SELECT src FROM k3)
             AND e.dst IN (SELECT src FROM k3)),
-        k4 AS (SELECT src FROM e3 GROUP BY src HAVING COUNT(*) >= 30),
+        k4 AS (SELECT src FROM e3 GROUP BY src HAVING COUNT(*) >= (SELECT k FROM kth)),
         e4 AS (SELECT e.src, e.dst FROM e3 e
           WHERE e.src IN (SELECT src FROM k4)
             AND e.dst IN (SELECT src FROM k4)),
-        k5 AS (SELECT src FROM e4 GROUP BY src HAVING COUNT(*) >= 30),
+        k5 AS (SELECT src FROM e4 GROUP BY src HAVING COUNT(*) >= (SELECT k FROM kth)),
         e5 AS (SELECT e.src, e.dst FROM e4 e
           WHERE e.src IN (SELECT src FROM k5)
             AND e.dst IN (SELECT src FROM k5)),
-        k6 AS (SELECT src FROM e5 GROUP BY src HAVING COUNT(*) >= 30),
+        k6 AS (SELECT src FROM e5 GROUP BY src HAVING COUNT(*) >= (SELECT k FROM kth)),
         e6 AS (SELECT e.src, e.dst FROM e5 e
           WHERE e.src IN (SELECT src FROM k6)
             AND e.dst IN (SELECT src FROM k6))

@@ -89,9 +89,11 @@ class SpectralSmoothingSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1)))
     var edges: Set[(String, String)] =
       pairs.flatMap(p => Seq(p, p.swap)).toSet
+    // adaptive K = floor(E / 2N), mirroring the query
+    val k = edges.size / (2 * edges.map(_._1).size)
     for (_ <- 1 to 6) {
       val deg = edges.groupBy(_._1).view.mapValues(_.size).toMap
-      val keep = deg.filter(_._2 >= 30).keySet
+      val keep = deg.filter(_._2 >= k).keySet
       edges = edges.filter(e => keep(e._1) && keep(e._2))
     }
     val expect = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
