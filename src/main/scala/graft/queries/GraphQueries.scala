@@ -457,28 +457,45 @@ object GraphQueries {
         val edges = pairs.select(col("c").as("src"), col("sp").as("dst"))
           .unionByName(pairs.select(col("sp").as("src"), col("c").as("dst")))
           .distinct()
+        // degree rides ON the neighbor index (one window pass computes
+        // both); the slim per-node degree frame the pick step joins is a
+        // shuffle-free filter of the SAME checkpointed index (idx = 0),
+        // so the md5 pick evaluates once per FRONTIER row, and the
+        // neighbor probe stays a two-key (node, idx) equi join touching
+        // exactly one neighbor per walk
         val nbr = edges
           .withColumn("idx", row_number().over(Window.partitionBy("src")
             .orderBy("dst")).cast("long") - 1)
-          .select(col("src").as("nsrc"), col("idx"), col("dst"))
+          .withColumn("deg", count(lit(1))
+            .over(Window.partitionBy("src")).cast("long"))
+          .select(col("src").as("nsrc"), col("idx"), col("deg"), col("dst"))
           .localCheckpoint()
-        val deg = nbr.groupBy(col("nsrc").as("dsrc"))
-          .agg(count(lit(1)).as("deg"))
-          .localCheckpoint()
+        val deg = nbr.filter(col("idx") === 0)
+          .select(col("nsrc").as("dsrc"), col("deg").as("ndeg"))
+          .localCheckpoint() // |nodes|-sized; avoids re-scanning the full
+          // index once per step just to read degrees
         val seeds = pairs.filter(col("ck") % 101 === 0)
           .select(col("c").as("node")).distinct()
         var cur = seeds.select(col("node").as("walk_id"),
           lit(0L).as("step"), col("node"))
         var out = cur
         for (t <- 1 to 8) {
-          cur = cur
+          // the frontier is |seeds|-sized — BROADCAST it on both hops so
+          // the 1M-row neighbor index is only ever STREAMED in place,
+          // never reshuffled per step (8 steps x full-index exchange was
+          // the first version's cost)
+          val picked = broadcast(cur)
             .join(deg, col("node") === col("dsrc"))
             .withColumn("pick", expr(
               s"cast(conv(substring(md5(concat(walk_id, '|', $t)), 1, 13), " +
-                "16, 10) as bigint) % deg"))
-            .join(nbr, col("node") === col("nsrc") && col("pick") === col("idx"))
+                "16, 10) as bigint) % ndeg"))
+            .select(col("walk_id"), col("node"), col("pick"))
+          cur = nbr.join(broadcast(picked),
+              col("node") === col("nsrc") && col("pick") === col("idx"))
             .select(col("walk_id"), lit(t.toLong).as("step"),
               col("dst").as("node"))
+            .localCheckpoint() // sever per-step lineage: without this the
+            // final union re-runs step k's join once per later branch
           out = out.unionByName(cur)
         }
         out.orderBy("walk_id", "step")
