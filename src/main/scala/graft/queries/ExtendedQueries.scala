@@ -1136,6 +1136,41 @@ object ExtendedQueries {
         FROM lineitem l
         WHERE l.l_quantity < 0.5 * (
           SELECT AVG(l2.l_quantity) FROM lineitem l2
-          WHERE l2.l_partkey = l.l_partkey)"""))
+          WHERE l2.l_partkey = l.l_partkey)""")),
+
+    // GROUPING SETS — the general form behind q08's ROLLUP and q119's
+    // CUBE: an explicit, non-hierarchical set list ((nation, segment),
+    // (segment), ()) — the shape marts use when the two totals they
+    // need are NOT a prefix chain. Spark 4's Dataset `groupingSets`
+    // API (not SQL text) drives it; `grouping_id()` disambiguates the
+    // all-NULL total row from a genuinely NULL key, surfaced as the
+    // same most-significant-first bitmask both engines emit. One
+    // expanded hash aggregate — each input row replicates once per
+    // set, map-side combined, no join.
+    Q("q286_grouping_sets",
+      (s, d) =>
+        t(s, d, "customer")
+          .groupingSets(
+            Seq(Seq(col("c_nationkey"), col("c_mktsegment")),
+              Seq(col("c_mktsegment")), Seq()),
+            col("c_nationkey"), col("c_mktsegment"))
+          .agg(grouping_id().cast("long").as("gid"),
+            count(lit(1)).as("n"),
+            QH.decSum(col("c_acctbal")).as("bal_sum"))
+          .select(col("c_nationkey").cast("long").as("nation"),
+            col("c_mktsegment").as("segment"), col("gid"), col("n"),
+            round(col("bal_sum"), 6).as("bal_sum"))
+          .orderBy("gid", "nation", "segment"),
+      Some("""
+        SELECT CAST(c_nationkey AS BIGINT) AS nation,
+          c_mktsegment AS segment,
+          CAST(GROUPING(c_nationkey, c_mktsegment) AS BIGINT) AS gid,
+          COUNT(*) AS n,
+          ROUND(CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6)))
+            AS VARCHAR) AS DOUBLE), 6) AS bal_sum
+        FROM customer
+        GROUP BY GROUPING SETS ((c_nationkey, c_mktsegment),
+          (c_mktsegment), ())
+        ORDER BY gid, nation, segment"""))
   )
 }

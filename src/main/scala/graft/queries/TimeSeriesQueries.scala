@@ -722,6 +722,158 @@ object TimeSeriesQueries {
         SELECT event_type, CAST(rn AS BIGINT) AS n_hours, s, s2,
           s * 2 - s2 AS level_cents, s - s2 AS trend_cents,
           s * 3 - s2 * 2 AS forecast1, s * 5 - s2 * 4 AS forecast3
-        FROM fin ORDER BY event_type"""))
+        FROM fin ORDER BY event_type""")),
+
+    // THEIL–SEN ROBUST TREND — the estimator you reach for when q163's
+    // per-group OLS is wrecked by outliers: slope = MEDIAN of all
+    // pairwise slopes, 29% breakdown point, no residual assumptions.
+    // Scale discipline: the pairwise frame is quadratic in the SERIES,
+    // not the data — the hourly resample bounds each key at the
+    // retention window's hour count regardless of corpus size, so the
+    // self-join is (hours choose 2) per key forever. Exactness: x is
+    // the integer hour index, y integer cents, each slope ONE IEEE
+    // division, and the median an ORDER STATISTIC (lower median by
+    // (slope, i, j) total order) — no interpolating percentile.
+    Q("q284_theil_sen",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val hourly = t(s, d, "events")
+          .groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).as("hr"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("y"))
+          .withColumn("x", row_number().over(Window
+            .partitionBy("event_type").orderBy("hr")).cast("long"))
+          .select(col("event_type"), col("x"), col("y"))
+        val a = hourly.select(col("event_type"), col("x").as("xi"),
+          col("y").as("yi"))
+        val b = hourly.select(col("event_type"), col("x").as("xj"),
+          col("y").as("yj"))
+        val slopes = a.join(b, Seq("event_type"))
+          .filter(col("xi") < col("xj"))
+          .select(col("event_type"), col("xi"), col("xj"),
+            ((col("yj") - col("yi")).cast("double") /
+              (col("xj") - col("xi")).cast("double")).as("slope"))
+        val n = slopes.groupBy("event_type")
+          .agg(count(lit(1)).as("m"))
+        slopes
+          .withColumn("rk", row_number().over(Window
+            .partitionBy("event_type").orderBy("slope", "xi", "xj")))
+          .join(n, Seq("event_type"))
+          .filter(col("rk") === ((col("m") + 1) / 2).cast("int"))
+          .select(col("event_type"), col("m"),
+            col("slope").as("sen_slope_cents_per_hour"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH hourly AS (
+          SELECT event_type, DATE_TRUNC('hour', ts) AS hr,
+            CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2),
+        pts AS (
+          SELECT event_type, y,
+            CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hr)
+              AS BIGINT) AS x
+          FROM hourly),
+        slopes AS (
+          SELECT a.event_type, a.x AS xi, b.x AS xj,
+            CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+          FROM pts a JOIN pts b
+            ON a.event_type = b.event_type AND a.x < b.x),
+        n AS (SELECT event_type, COUNT(*) AS m FROM slopes GROUP BY 1),
+        rk AS (
+          SELECT event_type, slope, ROW_NUMBER() OVER (
+            PARTITION BY event_type ORDER BY slope, xi, xj) AS rk
+          FROM slopes)
+        SELECT rk.event_type, n.m,
+          rk.slope AS sen_slope_cents_per_hour
+        FROM rk JOIN n USING (event_type)
+        WHERE rk.rk = CAST((n.m + 1) // 2 AS INT)
+        ORDER BY rk.event_type""")),
+
+    // MANN–KENDALL TREND TEST — the nonparametric companion: does the
+    // series trend at all, asked without distributional assumptions?
+    // S = sum of sign(y_j - y_i) over ordered pairs is PURE INTEGER
+    // algebra on the same bounded pairwise frame as q284; the variance
+    // carries the exact tie correction (grouped by tied value, all
+    // integers), and the z-score's one sqrt is IEEE-correctly-rounded
+    // in both engines (sqrt is exact-rounded by the standard — the one
+    // transcendental-adjacent function that IS a cross-engine
+    // contract). Continuity correction by sign of S, NULL z when S=0.
+    Q("q285_mann_kendall",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val hourly = t(s, d, "events")
+          .groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).as("hr"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("y"))
+          .withColumn("x", row_number().over(Window
+            .partitionBy("event_type").orderBy("hr")).cast("long"))
+          .select(col("event_type"), col("x"), col("y"))
+        val a = hourly.select(col("event_type"), col("x").as("xi"),
+          col("y").as("yi"))
+        val b = hourly.select(col("event_type"), col("x").as("xj"),
+          col("y").as("yj"))
+        val sAgg = a.join(b, Seq("event_type"))
+          .filter(col("xi") < col("xj"))
+          .groupBy("event_type")
+          .agg(sum(signum((col("yj") - col("yi")).cast("double"))
+            .cast("long")).as("s_stat"))
+        val nF = hourly.groupBy("event_type").agg(count(lit(1)).as("n"))
+        val ties = hourly.groupBy("event_type", "y")
+          .agg(count(lit(1)).as("tcnt"))
+          .filter(col("tcnt") > 1)
+          .groupBy("event_type")
+          .agg(sum(col("tcnt") * (col("tcnt") - 1) *
+            (lit(2) * col("tcnt") + 5)).as("tie_term"))
+        sAgg.join(nF, Seq("event_type"))
+          .join(ties, Seq("event_type"), "left")
+          .select(col("event_type"), col("s_stat"), col("n"),
+            ((col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) -
+              coalesce(col("tie_term"), lit(0L))) / 18.0).as("var_s"))
+          .withColumn("z",
+            when(col("s_stat") > 0,
+              (col("s_stat") - 1).cast("double") / sqrt(col("var_s")))
+              .when(col("s_stat") < 0,
+                (col("s_stat") + 1).cast("double") / sqrt(col("var_s")))
+              .otherwise(lit(null).cast("double")))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH hourly AS (
+          SELECT event_type, DATE_TRUNC('hour', ts) AS hr,
+            CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2),
+        pts AS (
+          SELECT event_type, y,
+            CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hr)
+              AS BIGINT) AS x
+          FROM hourly),
+        sagg AS (
+          SELECT a.event_type,
+            CAST(SUM(SIGN(b.y - a.y)) AS BIGINT) AS s_stat
+          FROM pts a JOIN pts b
+            ON a.event_type = b.event_type AND a.x < b.x
+          GROUP BY 1),
+        nf AS (SELECT event_type, COUNT(*) AS n FROM pts GROUP BY 1),
+        ties AS (
+          SELECT event_type,
+            CAST(SUM(tcnt * (tcnt - 1) * (2 * tcnt + 5)) AS BIGINT)
+              AS tie_term
+          FROM (SELECT event_type, y, COUNT(*) AS tcnt FROM pts
+                GROUP BY 1, 2 HAVING COUNT(*) > 1)
+          GROUP BY 1)
+        SELECT s.event_type, s.s_stat, n.n,
+          (n.n * (n.n - 1) * (2 * n.n + 5)
+            - COALESCE(t.tie_term, 0)) / 18.0 AS var_s,
+          CASE WHEN s.s_stat > 0 THEN
+              CAST(s.s_stat - 1 AS DOUBLE) / SQRT((n.n * (n.n - 1)
+                * (2 * n.n + 5) - COALESCE(t.tie_term, 0)) / 18.0)
+            WHEN s.s_stat < 0 THEN
+              CAST(s.s_stat + 1 AS DOUBLE) / SQRT((n.n * (n.n - 1)
+                * (2 * n.n + 5) - COALESCE(t.tie_term, 0)) / 18.0)
+            ELSE NULL END AS z
+        FROM sagg s JOIN nf n USING (event_type)
+        LEFT JOIN ties t USING (event_type)
+        ORDER BY s.event_type"""))
   )
 }
