@@ -124,6 +124,75 @@ object CdcQueries {
         FROM probes JOIN dim
           ON user_id = d_user AND valid_from <= ts
           AND (valid_to IS NULL OR ts < valid_to)
-        ORDER BY probe_id"""))
+        ORDER BY probe_id""")),
+
+    // BITEMPORAL AS-OF-AS-AT — the two-axis upgrade of the SCD2 as-of
+    // (q155): every version carries VALID time (when the fact was true)
+    // and TRANSACTION time (when the warehouse learned it), and the
+    // query "price valid at V, as known at T" must resolve both — the
+    // audit/backtest primitive (what did the book say on date T about
+    // date V?) that a single-axis history cannot answer. Versions are
+    // synthesized deterministically: every order a v1 at
+    // (valid=tx=orderdate); every 7th order a RETROACTIVE correction
+    // (+10% in integer cents via floor division — exact) recorded 20
+    // days later. Probes straddle the correction's tx time, so the gate
+    // pins that T < tx sees the uncorrected price (the defining
+    // bitemporal behavior). Resolution is the standard rule: among
+    // versions with valid_from <= V and tx_from <= T, max valid_from
+    // then max tx_from — ONE equi join on the key plus a per-probe
+    // top-1 window, the q155 shape with a second time filter.
+    Q("q287_bitemporal_asof",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val o = t(s, d, "orders")
+          .select(col("o_orderkey").as("okey"), col("o_orderdate").as("od"),
+            round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        val v1 = o.select(col("okey"), col("od").as("valid_from"),
+          col("od").as("tx_from"), col("cents").as("price_cents"))
+        val v2 = o.filter(col("okey") % 7 === 0)
+          .select(col("okey"), col("od").as("valid_from"),
+            (col("od") + expr("INTERVAL 20 DAYS")).as("tx_from"),
+            (col("cents") + expr("cents div 10")).as("price_cents"))
+        val versions = v1.unionByName(v2)
+        val probes = o.filter(col("okey") % 3 === 0)
+          .select(col("okey"),
+            (col("od") + expr("INTERVAL 15 DAYS")).as("v_at"))
+          .withColumn("t_at", explode(array(
+            col("v_at") - expr("INTERVAL 5 DAYS"),
+            col("v_at") + expr("INTERVAL 10 DAYS"))))
+        val w = Window.partitionBy("okey", "v_at", "t_at")
+          .orderBy(desc("valid_from"), desc("tx_from"))
+        probes.join(versions, Seq("okey"))
+          .filter(col("valid_from") <= col("v_at") &&
+            col("tx_from") <= col("t_at"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("okey"), col("v_at"), col("t_at"), col("price_cents"))
+          .orderBy("okey", "t_at")
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_orderkey AS okey, CAST(o_orderdate AS TIMESTAMP) AS od,
+            CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+          FROM orders),
+        versions AS (
+          SELECT okey, od AS valid_from, od AS tx_from,
+            cents AS price_cents FROM o
+          UNION ALL
+          SELECT okey, od, od + INTERVAL 20 DAY,
+            cents + cents // 10 FROM o WHERE okey % 7 = 0),
+        probes AS (
+          SELECT okey, od + INTERVAL 15 DAY AS v_at,
+            UNNEST([od + INTERVAL 10 DAY, od + INTERVAL 25 DAY]) AS t_at
+          FROM o WHERE okey % 3 = 0),
+        resolved AS (
+          SELECT p.okey, p.v_at, p.t_at, v.price_cents,
+            ROW_NUMBER() OVER (PARTITION BY p.okey, p.v_at, p.t_at
+              ORDER BY v.valid_from DESC, v.tx_from DESC) AS rk
+          FROM probes p JOIN versions v ON p.okey = v.okey
+          WHERE v.valid_from <= p.v_at AND v.tx_from <= p.t_at)
+        SELECT okey, v_at, t_at, price_cents
+        FROM resolved WHERE rk = 1
+        ORDER BY okey, t_at"""))
   )
 }
