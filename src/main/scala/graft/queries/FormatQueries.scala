@@ -173,6 +173,44 @@ object FormatQueries {
             AS DOUBLE) AS total_score,
           CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)
             AS total_value
-        FROM e GROUP BY event_type ORDER BY event_type"""))
+        FROM e GROUP BY event_type ORDER BY event_type""")),
+
+    // CUSTOM DataSourceV2 CONNECTOR (graft.sources.TicksProvider) under
+    // the hard gate: the tick_id range predicate must reach the
+    // connector (SupportsPushDownFilters narrows the GENERATED id range
+    // — rows outside it are never materialized, the source-side analog
+    // of row-group pruning; TicksSourceSpec pins the pushdown and the
+    // pruned read schema in the plan), while the symbol predicate is
+    // DECLINED by the connector and correctly re-applied by Spark — the
+    // split that makes pushdown safe. The oracle replays the
+    // connector's integer generator formula over GENERATE_SERIES: a
+    // wrong pushdown bound or a row materialized twice breaks the hash.
+    Q("q288_dsv2_ticks",
+      (s, d) =>
+        s.read.format("graft.sources.TicksProvider")
+          .option("rows", 200000L).option("parts", 8)
+          .load()
+          .filter(col("tick_id") >= 50000L && col("tick_id") < 150000L &&
+            col("symbol") =!= "S3")
+          .groupBy("symbol")
+          .agg(count(lit(1)).as("n"),
+            sum(col("px_cents") * col("qty")).as("notional_cents"),
+            min(col("ts_sec")).as("first_ts"),
+            max(col("ts_sec")).as("last_ts"))
+          .orderBy("symbol"),
+      Some("""
+        WITH ticks AS (
+          SELECT i AS tick_id, 'S' || (i % 8) AS symbol,
+            1700000000 + i AS ts_sec,
+            10000 + (i * 37) % 2000 - 1000 AS px_cents,
+            1 + (i * 7) % 100 AS qty
+          FROM (SELECT UNNEST(GENERATE_SERIES(0, 199999)) AS i))
+        SELECT symbol, COUNT(*) AS n,
+          CAST(SUM(px_cents * qty) AS BIGINT) AS notional_cents,
+          CAST(MIN(ts_sec) AS BIGINT) AS first_ts,
+          CAST(MAX(ts_sec) AS BIGINT) AS last_ts
+        FROM ticks
+        WHERE tick_id >= 50000 AND tick_id < 150000 AND symbol <> 'S3'
+        GROUP BY symbol ORDER BY symbol"""))
   )
 }

@@ -1,0 +1,146 @@
+package graft.sources
+
+import java.util
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A from-scratch DataSourceV2 BATCH connector — the "custom source"
+  * leg of the S-family, exercised end to end instead of through files:
+  * a deterministic synthetic tick feed whose generator formula is pure
+  * integer arithmetic (so a SQL oracle can replay it exactly), read via
+  *
+  *   spark.read.format("graft.sources.TicksProvider")
+  *     .option("rows", n).option("parts", p).load()
+  *
+  * The point is the V2 pushdown contract, implemented for real:
+  *
+  *  - [[SupportsPushDownFilters]]: range/equality predicates on
+  *    `tick_id` (the generation variable) are ACCEPTED and narrow the
+  *    generated id range — the connector never materializes filtered-out
+  *    rows, the source-side analog of parquet row-group pruning. All
+  *    other predicates are declined (returned as post-scan filters), so
+  *    Spark keeps them — the contract that makes pushdown safe.
+  *  - [[SupportsPushDownRequiredColumns]]: the reader emits exactly the
+  *    pruned schema; unprojected columns are never computed.
+  *  - Parallelism: the (possibly narrowed) id range splits into `parts`
+  *    contiguous [[InputPartition]]s — each a pure function of its
+  *    bounds, so the scan distributes with no driver state.
+  *
+  * Row formula (mirrored by q288's DuckDB oracle):
+  *   symbol   = 'S' || (tick_id % 8)
+  *   ts_sec   = 1700000000 + tick_id
+  *   px_cents = 10000 + (tick_id * 37) % 2000 - 1000
+  *   qty      = 1 + (tick_id * 7) % 100
+  */
+class TicksProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    TicksSource.SCHEMA
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new TicksTable(
+      Option(properties.get("rows")).map(_.toLong).getOrElse(100000L),
+      Option(properties.get("parts")).map(_.toInt).getOrElse(8))
+}
+
+object TicksSource {
+  val SCHEMA: StructType = StructType(Seq(
+    StructField("tick_id", LongType, nullable = false),
+    StructField("symbol", StringType, nullable = false),
+    StructField("ts_sec", LongType, nullable = false),
+    StructField("px_cents", LongType, nullable = false),
+    StructField("qty", LongType, nullable = false)))
+
+  def colValue(name: String, id: Long): Any = name match {
+    case "tick_id" => id
+    case "symbol" => UTF8String.fromString("S" + (id % 8))
+    case "ts_sec" => 1700000000L + id
+    case "px_cents" => 10000L + (id * 37) % 2000 - 1000
+    case "qty" => 1L + (id * 7) % 100
+  }
+}
+
+class TicksTable(rows: Long, parts: Int) extends Table with SupportsRead {
+  override def name(): String = s"graft_ticks($rows)"
+  override def schema(): StructType = TicksSource.SCHEMA
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = new TicksScanBuilder(rows, parts)
+}
+
+class TicksScanBuilder(rows: Long, parts: Int) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var lo = 0L
+  private var hi = rows // exclusive
+  private var accepted: Array[Filter] = Array.empty
+  private var required: StructType = TicksSource.SCHEMA
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, rest) = filters.partition {
+      case GreaterThan("tick_id", _: Long) => true
+      case GreaterThanOrEqual("tick_id", _: Long) => true
+      case LessThan("tick_id", _: Long) => true
+      case LessThanOrEqual("tick_id", _: Long) => true
+      case EqualTo("tick_id", _: Long) => true
+      case _ => false
+    }
+    ok.foreach {
+      case GreaterThan("tick_id", v: Long) => lo = math.max(lo, v + 1)
+      case GreaterThanOrEqual("tick_id", v: Long) => lo = math.max(lo, v)
+      case LessThan("tick_id", v: Long) => hi = math.min(hi, v)
+      case LessThanOrEqual("tick_id", v: Long) => hi = math.min(hi, v + 1)
+      case EqualTo("tick_id", v: Long) =>
+        lo = math.max(lo, v); hi = math.min(hi, v + 1)
+      case _ =>
+    }
+    accepted = ok
+    rest // Spark re-applies everything we did not accept
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan =
+    new TicksScan(required, math.min(lo, hi), hi, parts, accepted)
+}
+
+class TicksScan(schema: StructType, lo: Long, hi: Long, parts: Int,
+    pushed: Array[Filter]) extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_ticks range=[$lo,$hi) pushed=${pushed.mkString(",")} " +
+      s"cols=${schema.fieldNames.mkString(",")}"
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = math.max(0L, hi - lo)
+    val p = math.max(1, parts)
+    (0 until p).map { i =>
+      TicksRange(lo + n * i / p, lo + n * (i + 1) / p)
+    }.filter(r => r.until > r.from).toArray[InputPartition]
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TicksReaderFactory(schema)
+}
+
+case class TicksRange(from: Long, until: Long) extends InputPartition
+
+class TicksReaderFactory(schema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val r = partition.asInstanceOf[TicksRange]
+    val names = schema.fieldNames
+    new PartitionReader[InternalRow] {
+      private var id = r.from - 1
+      override def next(): Boolean = { id += 1; id < r.until }
+      override def get(): InternalRow =
+        InternalRow.fromSeq(names.toSeq.map(TicksSource.colValue(_, id)))
+      override def close(): Unit = ()
+    }
+  }
+}
