@@ -38,14 +38,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *   px_cents = 10000 + (tick_id * 37) % 2000 - 1000
   *   qty      = 1 + (tick_id * 7) % 100
   */
-class TicksProvider extends TableProvider {
+class TicksProvider extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-ticks"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     TicksSource.SCHEMA
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new TicksTable(
       Option(properties.get("rows")).map(_.toLong).getOrElse(100000L),
-      Option(properties.get("parts")).map(_.toInt).getOrElse(8))
+      Option(properties.get("parts")).map(_.toInt).getOrElse(8),
+      Option(properties.get("ratePerBatch")).map(_.toLong).getOrElse(1000L))
 }
 
 object TicksSource {
@@ -65,16 +68,19 @@ object TicksSource {
   }
 }
 
-class TicksTable(rows: Long, parts: Int) extends Table with SupportsRead {
+class TicksTable(rows: Long, parts: Int, ratePerBatch: Long)
+    extends Table with SupportsRead {
   override def name(): String = s"graft_ticks($rows)"
   override def schema(): StructType = TicksSource.SCHEMA
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder = new TicksScanBuilder(rows, parts)
+      : ScanBuilder = new TicksScanBuilder(rows, parts, ratePerBatch)
 }
 
-class TicksScanBuilder(rows: Long, parts: Int) extends ScanBuilder
+class TicksScanBuilder(rows: Long, parts: Int, ratePerBatch: Long = 1000L)
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var lo = 0L
   private var hi = rows // exclusive
@@ -106,25 +112,64 @@ class TicksScanBuilder(rows: Long, parts: Int) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def build(): Scan =
-    new TicksScan(required, math.min(lo, hi), hi, parts, accepted)
+    new TicksScan(required, math.min(lo, hi), hi, parts, accepted,
+      ratePerBatch)
+}
+
+/** Offset = "number of ticks emitted so far" serialized as a decimal
+  * string — replayable (the generator is a pure function of the id),
+  * so checkpoint-restart re-plans exactly the uncommitted range. */
+case class TicksOffset(pos: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = pos.toString
 }
 
 class TicksScan(schema: StructType, lo: Long, hi: Long, parts: Int,
-    pushed: Array[Filter]) extends Scan with Batch {
+    pushed: Array[Filter], ratePerBatch: Long) extends Scan with Batch
+    with org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
     s"graft_ticks range=[$lo,$hi) pushed=${pushed.mkString(",")} " +
       s"cols=${schema.fieldNames.mkString(",")}"
-  override def planInputPartitions(): Array[InputPartition] = {
-    val n = math.max(0L, hi - lo)
-    val p = math.max(1, parts)
-    (0 until p).map { i =>
-      TicksRange(lo + n * i / p, lo + n * (i + 1) / p)
-    }.filter(r => r.until > r.from).toArray[InputPartition]
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    split(lo, hi)
   override def createReaderFactory(): PartitionReaderFactory =
     new TicksReaderFactory(schema)
+
+  private def split(from: Long, until: Long): Array[InputPartition] = {
+    val n = math.max(0L, until - from)
+    val p = math.max(1, parts)
+    (0 until p).map { i =>
+      TicksRange(from + n * i / p, from + n * (i + 1) / p)
+    }.filter(r => r.until > r.from).toArray[InputPartition]
+  }
+
+  // ---- MicroBatchStream: the same generator as a rate-limited,
+  // replayable stream. The rate limit lives in ADMISSION CONTROL
+  // (latestOffset(start, limit) caps each batch's END offset) — never
+  // in planInputPartitions, where truncating [start, end) would
+  // silently drop the tail of a committed batch.
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, SupportsAdmissionControl}
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    this
+  override def initialOffset(): Offset = TicksOffset(lo)
+  override def latestOffset(): Offset = TicksOffset(hi)
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    TicksOffset(
+      math.min(hi, start.asInstanceOf[TicksOffset].pos + ratePerBatch))
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def reportLatestOffset(): Offset = TicksOffset(hi)
+  override def deserializeOffset(json: String): Offset =
+    TicksOffset(json.toLong)
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] =
+    split(start.asInstanceOf[TicksOffset].pos,
+      end.asInstanceOf[TicksOffset].pos)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 case class TicksRange(from: Long, until: Long) extends InputPartition

@@ -74,4 +74,49 @@ class TicksSourceSpec extends AnyFunSuite {
       .filter(col("tick_id") === 2000L) // beyond rows
     assert(df.count() === 0L)
   }
+
+  test("micro-batch stream drains the cap under admission control, " +
+      "exactly once") {
+    val sp = spark
+    val q = sp.readStream.format("graft-ticks")
+      .option("rows", 5000L).option("parts", 4)
+      .option("ratePerBatch", 1200L)
+      .load()
+      .writeStream.format("memory").queryName("ticks_sink")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = sp.sql("SELECT tick_id FROM ticks_sink").collect()
+        .map(_.getLong(0))
+      assert(got.length === 5000)
+      assert(got.toSet === (0L until 5000L).toSet)
+      // admission control: no batch exceeded the rate
+      val sizes = q.recentProgress.toSeq.map(_.numInputRows).filter(_ > 0)
+      assert(sizes.forall(_ <= 1200L), s"batch sizes: $sizes")
+      assert(sizes.length >= 5) // ceil(5000/1200)
+    } finally q.stop()
+  }
+
+  test("checkpoint restart resumes from the committed offset, no dup/loss") {
+    val sp = spark
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ticks_ckpt_").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_ticks_out_").toString
+    def run(): Unit = {
+      val q = sp.readStream.format("graft-ticks")
+        .option("rows", 3000L).option("ratePerBatch", 700L)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run() // drains fully
+    run() // restart against the same checkpoint: nothing new to emit
+    val rows = sp.read.parquet(out).select("tick_id").collect()
+      .map(_.getLong(0))
+    assert(rows.length === 3000)
+    assert(rows.toSet === (0L until 3000L).toSet)
+  }
 }
