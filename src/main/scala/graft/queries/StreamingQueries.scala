@@ -1183,6 +1183,62 @@ object StreamingQueries {
         FROM p, wm
         WHERE p.purchase_id NOT IN (SELECT purchase_id FROM matched)
           AND p.purchase_ts < wm.w
-        ORDER BY click_id, purchase_id"""))
+        ORDER BY click_id, purchase_id""")),
+
+    // STREAMING OVER THE CUSTOM DSv2 SOURCE — the q70 watermarked
+    // hourly aggregation fed by `graft-ticks`' MicroBatchStream instead
+    // of the file source: 200k generated ticks drain through REAL
+    // rate-limited micro-batches (ratePerBatch = 80k → 3 batches under
+    // SupportsAdmissionControl + SupportsTriggerAvailableNow, so
+    // cross-batch aggregation state genuinely engages), and the oracle
+    // replays the connector's integer generator with the identical
+    // watermark cutoff. This closes the loop on the connector: batch
+    // leg gated by q288, stream leg gated here — one source, two
+    // execution modes, one answer.
+    Q("q289_dsv2_stream_hourly",
+      (s, d) => {
+        val reg = new Registry(s)
+        reg.source("ticks_feed", () =>
+          s.read.format("graft-ticks").option("rows", 200000L).load())
+        reg.register(TableDef("ticks_hourly", Seq("ticks_feed"), {
+          case Seq(tk) =>
+            tk.withColumn("ts", timestamp_seconds(col("ts_sec")))
+              .withWatermark("ts", "10 minutes")
+              .groupBy(window(col("ts"), "1 hour"), col("symbol"))
+              .agg(count(lit(1)).as("n"),
+                sum(col("px_cents") * col("qty")).as("notional_cents"))
+              .select(col("window.start").cast("long").as("hour_sec"),
+                col("symbol"), col("n"), col("notional_cents"))
+        }, mode = Mode.Incremental))
+        val out = Files.createTempDirectory("graft_q289_").toString
+        withStatePartitions(s, 4) {
+          graft.graph.Runner.runStreamingThenFull(s, reg,
+            Map("ticks_feed" -> (() =>
+              s.readStream.format("graft-ticks")
+                .option("rows", 200000L)
+                .option("ratePerBatch", 80000L).load())),
+            out)
+        }
+        s.read.parquet(s"$out/ticks_hourly")
+          .orderBy("hour_sec", "symbol")
+      },
+      Some("""
+        WITH ticks AS (
+          SELECT i AS tick_id, 'S' || (i % 8) AS symbol,
+            1700000000 + i AS ts_sec,
+            10000 + (i * 37) % 2000 - 1000 AS px_cents,
+            1 + (i * 7) % 100 AS qty
+          FROM (SELECT UNNEST(GENERATE_SERIES(0, 199999)) AS i)),
+        hourly AS (
+          SELECT (ts_sec // 3600) * 3600 AS hour_sec, symbol,
+            COUNT(*) AS n,
+            CAST(SUM(px_cents * qty) AS BIGINT) AS notional_cents
+          FROM ticks GROUP BY 1, 2),
+        wm AS (SELECT MAX(ts_sec) - 600 AS w FROM ticks)
+        SELECT CAST(hour_sec AS BIGINT) AS hour_sec, symbol, n,
+          notional_cents
+        FROM hourly, wm
+        WHERE hour_sec + 3600 <= wm.w
+        ORDER BY hour_sec, symbol"""))
   )
 }

@@ -127,7 +127,8 @@ case class TicksOffset(pos: Long)
 class TicksScan(schema: StructType, lo: Long, hi: Long, parts: Int,
     pushed: Array[Filter], ratePerBatch: Long) extends Scan with Batch
     with org.apache.spark.sql.connector.read.streaming.MicroBatchStream
-    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
@@ -155,6 +156,12 @@ class TicksScan(schema: StructType, lo: Long, hi: Long, parts: Int,
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     this
+  // Trigger.AvailableNow: the drain target is the row cap, already
+  // fixed at scan build — prepare is a no-op and the rate-limited
+  // batches walk to `hi` and stop, which is exactly the availableNow
+  // contract (process everything that existed at start, in bounded
+  // batches, then terminate).
+  override def prepareForTriggerAvailableNow(): Unit = ()
   override def initialOffset(): Offset = TicksOffset(lo)
   override def latestOffset(): Offset = TicksOffset(hi)
   override def latestOffset(start: Offset, limit: ReadLimit): Offset =
