@@ -100,7 +100,14 @@ object PlanAudit {
       "q277_label_propagation", // per-round count + node-partitioned top-1 (r13)
       "q278_quantile_normalize", // source-partitioned ranks, rank equi join (r13)
       "q279_suffix_array", // prefix quadrupling, range-sort global ranks (r13)
-      "q280_random_walks") // 8 frontier joins vs (src,idx) neighbor index (r13)
+      "q280_random_walks", // 8 broadcast-frontier joins vs neighbor index (r13)
+      "q281_benford_audit", // one scan, 9-row agg, literal expectations (r13)
+      "q283_correlated_subquery", // decorrelated to aggregate+join (r13)
+      "q284_theil_sen", // bounded pairwise slopes off the hourly resample (r13)
+      "q285_mann_kendall", // integer S + tie-corrected variance, one sqrt (r13)
+      "q286_grouping_sets", // one expanded hash agg, no join (r13)
+      "q287_bitemporal_asof", // keyed version join + per-probe top-1 (r13)
+      "q288_dsv2_ticks") // custom DSv2 scan: pushed id range + pruned cols (r13)
     interesting.foreach { name =>
       val df = graft.queries.Catalog.byName(name).run(spark, d)
       // drive THIS df's own query execution to completion (count() would
