@@ -1171,6 +1171,42 @@ object ExtendedQueries {
         FROM customer
         GROUP BY GROUPING SETS ((c_nationkey, c_mktsegment),
           (c_mktsegment), ())
-        ORDER BY gid, nation, segment"""))
+        ORDER BY gid, nation, segment""")),
+
+    // NATIVE RECURSIVE CTE — Spark 4's WITH RECURSIVE (UnionLoop) under
+    // the hard gate: the hierarchy walk q266/q280 hand-roll as driver
+    // loops, written as the ANSI construct BOTH engines execute
+    // natively — the last SQL-surface family a migrating user would
+    // reach for. The hierarchy is synthetic but structural: parent(k) =
+    // k div 10 (a decimal-trie org chart over customer keys), and the
+    // query rolls each account balance up each node's ancestor chain —
+    // per-node recursion depth is log10(maxkey), so the loop is bounded
+    // by the KEY WIDTH, not the data. Ancestors that are not customers
+    // drop at the join identically in both engines; sums ride the
+    // decimal string round-trip.
+    Q("q290_recursive_cte",
+      (s, d) => {
+        t(s, d, "customer").createOrReplaceTempView("customer_q290")
+        s.sql("""
+          WITH RECURSIVE anc(ck, node) AS (
+            SELECT c_custkey, c_custkey FROM customer_q290
+            UNION ALL
+            SELECT ck, node DIV 10 FROM anc WHERE node >= 10)
+          SELECT a.ck AS c_custkey, COUNT(*) AS chain_len,
+            CAST(CAST(SUM(CAST(p.c_acctbal AS DECIMAL(28,6)))
+              AS STRING) AS DOUBLE) AS chain_bal
+          FROM anc a JOIN customer_q290 p ON a.node = p.c_custkey
+          GROUP BY a.ck ORDER BY c_custkey""")
+      },
+      Some("""
+        WITH RECURSIVE anc(ck, node) AS (
+          SELECT c_custkey, c_custkey FROM customer
+          UNION ALL
+          SELECT ck, node // 10 FROM anc WHERE node >= 10)
+        SELECT a.ck AS c_custkey, COUNT(*) AS chain_len,
+          CAST(CAST(SUM(CAST(p.c_acctbal AS DECIMAL(28,6)))
+            AS VARCHAR) AS DOUBLE) AS chain_bal
+        FROM anc a JOIN customer p ON a.node = p.c_custkey
+        GROUP BY a.ck ORDER BY c_custkey"""))
   )
 }
