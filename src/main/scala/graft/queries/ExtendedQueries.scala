@@ -1181,7 +1181,9 @@ object ExtendedQueries {
     // k div 10 (a decimal-trie org chart over customer keys), and the
     // query rolls each account balance up each node's ancestor chain —
     // per-node recursion depth is log10(maxkey), so the loop is bounded
-    // by the KEY WIDTH, not the data. Ancestors that are not customers
+    // by the KEY WIDTH, not the data; the anchor set is a deterministic
+    // 10% key slice so the recursion's total row count stays inside the
+    // engine's cteRecursionRowLimit at every scale factor. Ancestors that are not customers
     // drop at the join identically in both engines; sums ride the
     // decimal string round-trip.
     Q("q290_recursive_cte",
@@ -1190,6 +1192,7 @@ object ExtendedQueries {
         s.sql("""
           WITH RECURSIVE anc(ck, node) AS (
             SELECT c_custkey, c_custkey FROM customer_q290
+            WHERE c_custkey % 10 = 3
             UNION ALL
             SELECT ck, node DIV 10 FROM anc WHERE node >= 10)
           SELECT a.ck AS c_custkey, COUNT(*) AS chain_len,
@@ -1201,6 +1204,7 @@ object ExtendedQueries {
       Some("""
         WITH RECURSIVE anc(ck, node) AS (
           SELECT c_custkey, c_custkey FROM customer
+          WHERE c_custkey % 10 = 3
           UNION ALL
           SELECT ck, node // 10 FROM anc WHERE node >= 10)
         SELECT a.ck AS c_custkey, COUNT(*) AS chain_len,
