@@ -89,8 +89,10 @@ class SpectralSmoothingSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1)))
     var edges: Set[(String, String)] =
       pairs.flatMap(p => Seq(p, p.swap)).toSet
-    // adaptive K = floor(E / 2N), mirroring the query
-    val k = edges.size / (2 * edges.map(_._1).size)
+    // adaptive K = floor(E / 2N), mirroring the query (distinct srcs =
+    // node count: the edge set is symmetric)
+    val nNodes = edges.map(_._1).toSet.size
+    val k = edges.size / (2 * nNodes)
     for (_ <- 1 to 6) {
       val deg = edges.groupBy(_._1).view.mapValues(_.size).toMap
       val keep = deg.filter(_._2 >= k).keySet
