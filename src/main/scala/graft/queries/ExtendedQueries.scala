@@ -1211,6 +1211,42 @@ object ExtendedQueries {
           CAST(CAST(SUM(CAST(p.c_acctbal AS DECIMAL(28,6)))
             AS VARCHAR) AS DOUBLE) AS chain_bal
         FROM anc a JOIN customer p ON a.node = p.c_custkey
-        GROUP BY a.ck ORDER BY c_custkey"""))
+        GROUP BY a.ck ORDER BY c_custkey""")),
+
+    // NATIVE Dataset.unpivot — the A14 family's modern form (q48 builds
+    // the long frame with an explicit stack expression, the shape the
+    // reference's Python loop implies; this is the first-class API a
+    // Spark-4 user would actually write): wide per-priority aggregates
+    // melt into (priority, metric, value) rows through ONE generator —
+    // no union of selects, one pass. Values round to 6dp pre-melt so
+    // the gate hashes whole millionths (avg comes from the decimal
+    // ratio). Oracle = DuckDB's native UNPIVOT, so both engines run
+    // their own first-class melt operator.
+    Q("q291_native_unpivot",
+      (s, d) => {
+        val wide = t(s, d, "orders")
+          .groupBy("o_orderpriority")
+          .agg(
+            round(min(col("o_totalprice")), 6).as("min_price"),
+            round(max(col("o_totalprice")), 6).as("max_price"),
+            round(QH.decAvg(col("o_totalprice")), 6).as("avg_price"))
+        wide.unpivot(
+          Array(col("o_orderpriority")),
+          Array(col("min_price"), col("max_price"), col("avg_price")),
+          "metric", "value")
+          .orderBy("o_orderpriority", "metric")
+      },
+      Some("""
+        WITH wide AS (
+          SELECT o_orderpriority,
+            ROUND(MIN(o_totalprice), 6) AS min_price,
+            ROUND(MAX(o_totalprice), 6) AS max_price,
+            ROUND(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+              AS VARCHAR) AS DOUBLE) / COUNT(*), 6) AS avg_price
+          FROM orders GROUP BY o_orderpriority)
+        UNPIVOT wide
+        ON min_price, max_price, avg_price
+        INTO NAME metric VALUE value
+        ORDER BY o_orderpriority, metric"""))
   )
 }

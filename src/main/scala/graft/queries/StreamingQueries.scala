@@ -1239,6 +1239,58 @@ object StreamingQueries {
           notional_cents
         FROM hourly, wm
         WHERE hour_sec + 3600 <= wm.w
-        ORDER BY hour_sec, symbol"""))
+        ORDER BY hour_sec, symbol""")),
+
+    // DYNAMIC-GAP SESSION WINDOWS — session_window's second form: the
+    // gap is a PER-EVENT expression (purchases hold a session open 30
+    // minutes, everything else 10), the shape real engagement analytics
+    // needs (checkout flows idle longer than browse flows). Each event
+    // contributes the interval [ts, ts + gap(event)); overlapping
+    // intervals merge, so the session end is the MAX member end, not
+    // last_ts + constant. The oracle rebuilds exactly that: per-user
+    // cumulative max of prior interval ends, a new session only when
+    // the gap is STRICTLY exceeded (q87's pinned merge rule), session
+    // end = MAX(ts + gap) within the island. Batch form — the streaming
+    // leg is q87's machinery with this gap column swapped in.
+    Q("q292_dynamic_gap_sessions",
+      (s, d) =>
+        t(s, d, "events")
+          .groupBy(col("user_id"),
+            session_window(col("ts"),
+              when(col("event_type") === "purchase", "30 minutes")
+                .otherwise("10 minutes")))
+          .agg(count(lit(1)).as("n_events"),
+            decSum(col("value")).as("total_value"))
+          .select(col("user_id"),
+            col("session_window.start").as("session_start"),
+            col("session_window.end").as("session_end"),
+            col("n_events"), col("total_value"))
+          .orderBy("user_id", "session_start"),
+      Some("""
+        WITH ev AS (
+          SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+            CASE WHEN event_type = 'purchase' THEN 30 ELSE 10 END AS gap_min,
+            event_id
+          FROM events),
+        marked AS (
+          SELECT *,
+            CASE WHEN ts > MAX(ts + gap_min * INTERVAL 1 MINUTE) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              OR MAX(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+            THEN 1 ELSE 0 END AS new_session
+          FROM ev),
+        sess AS (
+          SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS sid
+          FROM marked)
+        SELECT user_id, MIN(ts) AS session_start,
+          MAX(ts + gap_min * INTERVAL 1 MINUTE) AS session_end,
+          COUNT(*) AS n_events,
+          CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS VARCHAR)
+            AS DOUBLE) AS total_value
+        FROM sess GROUP BY user_id, sid
+        ORDER BY user_id, session_start"""))
   )
 }
