@@ -1247,6 +1247,83 @@ object ExtendedQueries {
         UNPIVOT wide
         ON min_price, max_price, avg_price
         INTO NAME metric VALUE value
-        ORDER BY o_orderpriority, metric"""))
+        ORDER BY o_orderpriority, metric""")),
+
+    // LATERAL JOIN — the correlated-derived-table form of top-k per
+    // group (q12 is the window form, q52 the global form): for each
+    // nation, the 3 richest customers via JOIN LATERAL (... ORDER BY
+    // ... LIMIT 3). Catalyst decorrelates the per-row subquery into a
+    // rank-filter join (the same WindowGroupLimit lowering q12 pins) —
+    // the construct is ergonomics, the plan is the scalable one. Both
+    // engines execute their native LATERAL.
+    Q("q293_lateral_topk",
+      (s, d) => {
+        t(s, d, "customer").createOrReplaceTempView("customer_q293")
+        t(s, d, "nation").createOrReplaceTempView("nation_q293")
+        s.sql("""
+          SELECT n.n_name, t.c_custkey, t.c_acctbal
+          FROM nation_q293 n
+          JOIN LATERAL (
+            SELECT c_custkey, c_acctbal FROM customer_q293 c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t
+          ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""")
+      },
+      Some("""
+        SELECT n.n_name, t.c_custkey, t.c_acctbal
+        FROM nation n
+        JOIN LATERAL (
+          SELECT c_custkey, c_acctbal FROM customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t ON TRUE
+        ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""")),
+
+    // Dataset.transpose — Spark 4's first-class matrix flip (the
+    // inverse direction of q291's melt): the 5-priority × 3-metric
+    // aggregate frame flips so METRICS become rows and priorities
+    // become columns — the report orientation BI wants without a
+    // pivot's aggregate detour. Priorities are the closed TPC-H
+    // enumeration, so the transposed schema is fixed at every scale
+    // factor; the oracle states each output cell as a scalar subquery
+    // (DuckDB has no transpose — stating the result cell-by-cell IS the
+    // independent check).
+    Q("q294_transpose",
+      (s, d) =>
+        t(s, d, "orders")
+          .groupBy("o_orderpriority")
+          .agg(
+            round(min(col("o_totalprice")), 6).as("min_price"),
+            round(max(col("o_totalprice")), 6).as("max_price"),
+            round(QH.decAvg(col("o_totalprice")), 6).as("avg_price"))
+          .orderBy("o_orderpriority")
+          .transpose()
+          .orderBy("key"),
+      Some("""
+        WITH wide AS (
+          SELECT o_orderpriority AS p,
+            ROUND(MIN(o_totalprice), 6) AS mn,
+            ROUND(MAX(o_totalprice), 6) AS mx,
+            ROUND(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+              AS VARCHAR) AS DOUBLE) / COUNT(*), 6) AS av
+          FROM orders GROUP BY o_orderpriority),
+        m AS (SELECT * FROM (VALUES ('avg_price'), ('max_price'),
+          ('min_price')) AS t(key))
+        SELECT m.key,
+          (SELECT CASE m.key WHEN 'min_price' THEN mn
+             WHEN 'max_price' THEN mx ELSE av END FROM wide
+           WHERE p = '1-URGENT') AS "1-URGENT",
+          (SELECT CASE m.key WHEN 'min_price' THEN mn
+             WHEN 'max_price' THEN mx ELSE av END FROM wide
+           WHERE p = '2-HIGH') AS "2-HIGH",
+          (SELECT CASE m.key WHEN 'min_price' THEN mn
+             WHEN 'max_price' THEN mx ELSE av END FROM wide
+           WHERE p = '3-MEDIUM') AS "3-MEDIUM",
+          (SELECT CASE m.key WHEN 'min_price' THEN mn
+             WHEN 'max_price' THEN mx ELSE av END FROM wide
+           WHERE p = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
+          (SELECT CASE m.key WHEN 'min_price' THEN mn
+             WHEN 'max_price' THEN mx ELSE av END FROM wide
+           WHERE p = '5-LOW') AS "5-LOW"
+        FROM m ORDER BY m.key"""))
   )
 }
