@@ -1106,36 +1106,15 @@ object DedupQueries {
         .select((col("off") + col("pos")).as("pos"),
           ascii(col("col")).cast("long").as("r"))
       val n = chars.count()
-      var ranks = chars.localCheckpoint()
-      // QUADRUPLING variant of prefix doubling: each round keys on
+      // QUADRUPLING variant of prefix doubling, factored into
+      // ops/SuffixArray (SuffixArrayProperties pins it against
+      // brute-force suffix sort on random strings): each round keys on
       // (r(i), r(i+h), r(i+2h), r(i+3h)) so one rank pass extends the
       // distinguished prefix 4x — ceil(log4 n) rounds instead of
       // ceil(log2 n); at toy scale rounds are scheduler-bound, at 100 TB
       // they are full-frame shuffles, and halving their count wins in
       // both regimes for one extra cheap equi join per round.
-      var h = 1L
-      while (h < n) {
-        val sh = (m: Long, nm: String) => ranks
-          .select((col("pos") - m).as("pos"), col("r").as(nm))
-        val paired = ranks
-          .join(sh(h, "r2"), Seq("pos"), "left")
-          .join(sh(2 * h, "r3"), Seq("pos"), "left")
-          .join(sh(3 * h, "r4"), Seq("pos"), "left")
-          .select(col("pos"), col("r"),
-            coalesce(col("r2"), lit(-1L)).as("r2"),
-            coalesce(col("r3"), lit(-1L)).as("r3"),
-            coalesce(col("r4"), lit(-1L)).as("r4"))
-        val ties = s.sparkContext.longAccumulator("sa_ties")
-        ranks = graft.ops.Ranks
-          .globalKeyRank(paired, Seq("r", "r2", "r3", "r4"), "nr",
-            Some(ties))
-          .select(col("pos"), col("nr").as("r"))
-          .localCheckpoint()
-        // converged — every suffix rank unique, further rounds are the
-        // identity (the localCheckpoint above completed the pass, so the
-        // tie count is final)
-        h = if (ties.value == 0L) n else h * 4
-      }
+      val ranks = graft.ops.SuffixArray.ranks(chars, n)
       ranks.filter(col("r") < 500)
         .select(col("r").as("rank"), col("pos"))
         .orderBy("rank")
