@@ -1324,6 +1324,69 @@ object ExtendedQueries {
           (SELECT CASE m.key WHEN 'min_price' THEN mn
              WHEN 'max_price' THEN mx ELSE av END FROM wide
            WHERE p = '5-LOW') AS "5-LOW"
-        FROM m ORDER BY m.key"""))
+        FROM m ORDER BY m.key""")),
+
+    // FILTER-clause aggregates — the ANSI form of conditional
+    // aggregation (q05 is the CASE-WHEN form the reference's notebooks
+    // use; this is what a user migrating modern SQL writes): multiple
+    // differently-filtered aggregates in ONE hash-agg pass, no
+    // self-joins, no CASE scaffolding. Both engines run their native
+    // FILTER clause.
+    Q("q295_filter_clause_agg",
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("orders_q295")
+        s.sql("""
+          SELECT o_orderpriority,
+            COUNT(*) AS n,
+            COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+            COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_large,
+            CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+              FILTER (WHERE o_orderstatus = 'O') AS STRING) AS DOUBLE)
+              AS open_total
+          FROM orders_q295
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+      },
+      Some("""
+        SELECT o_orderpriority,
+          COUNT(*) AS n,
+          COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+          COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_large,
+          CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+            FILTER (WHERE o_orderstatus = 'O') AS VARCHAR) AS DOUBLE)
+            AS open_total
+        FROM orders
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // NULL-SAFE EQUALITY JOIN (<=> / IS NOT DISTINCT FROM) — the join
+    // operator nullable business keys force on every warehouse: a
+    // plain equi join silently DROPS null-keyed rows on both sides,
+    // while the null-safe form pairs them — and Spark still plans it
+    // as a hash join (EqualNullSafe is a join key, not a residual).
+    // Nulls are synthesized deterministically with NULLIF on a stable
+    // slice so the gate covers the null-bucket row explicitly.
+    Q("q296_nullsafe_join",
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .select(nullif(col("o_orderpriority"), lit("3-MEDIUM")).as("pk"),
+            col("o_totalprice"))
+        val dim = t(s, d, "orders")
+          .groupBy(nullif(col("o_orderpriority"), lit("3-MEDIUM")).as("dk"))
+          .agg(count(lit(1)).as("dim_n"))
+        o.join(dim, col("pk") <=> col("dk"))
+          .groupBy("pk")
+          .agg(count(lit(1)).as("n"), first(col("dim_n")).as("dim_n"))
+          .orderBy(col("pk").asc_nulls_first)
+      },
+      Some("""
+        WITH o AS (
+          SELECT NULLIF(o_orderpriority, '3-MEDIUM') AS pk, o_totalprice
+          FROM orders),
+        dim AS (
+          SELECT NULLIF(o_orderpriority, '3-MEDIUM') AS dk,
+            COUNT(*) AS dim_n
+          FROM orders GROUP BY 1)
+        SELECT o.pk, COUNT(*) AS n, MIN(dim.dim_n) AS dim_n
+        FROM o JOIN dim ON o.pk IS NOT DISTINCT FROM dim.dk
+        GROUP BY o.pk ORDER BY o.pk NULLS FIRST"""))
   )
 }
