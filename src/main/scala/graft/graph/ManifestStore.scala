@@ -21,7 +21,10 @@ import org.apache.spark.sql.types.StructType
   *
   * The manifest maps each partition tuple to the generation directory
   * that currently holds it — the same pointer indirection a Delta/
-  * Iceberg commit log provides, reduced to the single-writer case. A
+  * Iceberg commit log provides. Concurrency follows the same playbook:
+  * OCC commits (head re-check + exclusive rename), and a losing writer
+  * RETRIES-AND-REBASES when the interleaved commits touched disjoint
+  * partition sets, failing loudly only on true conflicts. A
   * write stages the new generation COMPLETELY (any number of partition
   * subdirectories — there is no per-partition commit), then publishes
   * by renaming the next manifest version into place: one atomic
@@ -932,7 +935,12 @@ object ManifestStore {
       val kn = node.putArray("deleteKeyCols")
       deleteKeyCols.foreach(kn.add)
     }
-    val tmp = new HPath(s"$root/$MDIR/.tmp-v$version.json")
+    // writer-unique temp name (same rationale as the generation-dir
+    // nonce): two racing writers both staging v$version must not share
+    // one temp file, or the loser's rename consumes/fails on the
+    // winner's bytes instead of losing cleanly at the exclusive rename
+    val tmp = new HPath(s"$root/$MDIR/.tmp-v$version-" +
+      s"${java.util.UUID.randomUUID().toString.take(8)}.json")
     val out = fs.create(tmp, true)
     try {
       out.write(mapper.writerWithDefaultPrettyPrinter()
@@ -961,10 +969,22 @@ object ManifestStore {
       prev.toSeq.flatMap(p => p.entries.values ++ p.deletes.values))
       .map(_.split('/').take(2).mkString("/")).toSet
     val genRoot = new HPath(s"$root/$GDIR")
-    if (fs.exists(genRoot))
-      fs.listStatus(genRoot).map(_.getPath)
-        .filterNot(p => keep.contains(s"$GDIR/${p.getName}"))
-        .foreach(fs.delete(_, true))
+    if (fs.exists(genRoot)) {
+      // ORPHAN GRACE (multi-writer safety): an unreferenced generation
+      // dir is either a crashed/lost writer's leftover (collectable) or
+      // a CONCURRENT writer's in-flight staging that no manifest
+      // references YET — deleting the latter would destroy a commit in
+      // progress, exactly the write the retry-and-rebase path is about
+      // to land. The two are indistinguishable by reference-counting
+      // alone, so GC only collects unreferenced dirs OLDER than the
+      // grace window (no healthy stage→publish spans it); true orphans
+      // age into collection at a later commit, same as before.
+      val now = System.currentTimeMillis()
+      fs.listStatus(genRoot)
+        .filterNot(st => keep.contains(s"$GDIR/${st.getPath.getName}"))
+        .filter(st => now - st.getModificationTime > orphanGraceMs)
+        .foreach(st => fs.delete(st.getPath, true))
+    }
     // manifests older than the grace version
     val graceFloor = prev.map(_.version).getOrElse(version)
     fs.listStatus(new HPath(s"$root/$MDIR")).map(_.getPath)
@@ -992,7 +1012,24 @@ object ManifestStore {
              checkEmpty: Boolean = true,
              statsCols: Seq[String] = Nil,
              bloomCols: Seq[String] = Nil,
-             layout: DataFrame => DataFrame = identity)(batch: DataFrame): Unit = {
+             layout: DataFrame => DataFrame = identity)(batch: DataFrame): Unit =
+    upsertHooked(root, keys, seqCol, tieBreak, partitionCols, checkEmpty,
+      statsCols, bloomCols, layout, () => ())(batch)
+
+  /** [[upsert]] with a deterministic interleave point for the OCC
+    * rebase spec: `beforePublish` runs after this write has staged its
+    * generation against the head it read, immediately before the
+    * publish loop — a competing commit issued from the hook lands
+    * FIRST, forcing this write through the lost-update path without
+    * thread-timing luck. */
+  private[graft] def upsertHooked(root: String, keys: Seq[String],
+             seqCol: String,
+             tieBreak: Seq[String], partitionCols: Seq[String],
+             checkEmpty: Boolean = true,
+             statsCols: Seq[String] = Nil,
+             bloomCols: Seq[String] = Nil,
+             layout: DataFrame => DataFrame = identity,
+             beforePublish: () => Unit = () => ())(batch: DataFrame): Unit = {
     require(partitionCols.nonEmpty,
       "ManifestStore.upsert needs partition columns; use Runner.upsertParquet for unpartitioned tables")
     if (checkEmpty && batch.isEmpty) return
@@ -1057,51 +1094,112 @@ object ManifestStore {
     // point-lookup skipping layer goes dark with no signal. Fail loudly.
     requireKeysSubset("bloom", newBlooms0.keySet, newEntries.keySet, root)
     val newBlooms = newBlooms0
-    // the recorded schema must stay a SUPERSET of every live
-    // generation's columns: a narrower batch that only touches NEW
-    // partitions would otherwise narrow the log, and the next pinned
-    // rewrite of an old partition would silently drop the missing
-    // columns — union with the previous record, batch types winning
-    // on name collisions (the evolution convention)
-    val recordedSchema = unionSchema(prev.flatMap(_.schema), merged.schema)
-    // touched partitions either get FRESH bounds or none at all — a
-    // stats-less rewrite must not carry the old bounds forward (the new
-    // rows could lie outside them, and stale-NARROW bounds would make
-    // skipping silently wrong; stale-WIDE, as after deletes, is safe).
-    // Blooms follow the same rule: a bloom-less rewrite DROPS the
-    // touched partitions' blooms — new rows could carry keys the old
-    // bloom doesn't claim, and a stale-NARROW bloom skips wrongly.
-    // SCHEMA EVOLUTION drops carried blooms per COLUMN: if this commit
-    // re-types a column (batch types win), old partitions' blooms hold
-    // positions hashed under the OLD type while lookups will hash the
-    // new one (Spark xxhash64 of Int ≠ of Long) — a stale-TYPED bloom
-    // is stale-narrow in disguise and would silently lose rows.
-    val retyped: Set[String] = prev.flatMap(_.schema) match {
-      case None => Set.empty
-      case Some(old) =>
-        val newTypes = recordedSchema.fields.map(f => f.name -> f.dataType).toMap
-        old.fields.collect {
-          case f if newTypes.get(f.name).exists(_ != f.dataType) => f.name
-        }.toSet
+    // Assemble-and-publish as a function of the base manifest: the
+    // retry-and-rebase loop below re-runs EXACTLY this with a newer
+    // head as the base (our staged generation and fresh stats/blooms
+    // stay valid — they only depend on our own merge inputs).
+    def publishAgainst(base: Option[Manifest], ver: Long): Unit = {
+      // the recorded schema must stay a SUPERSET of every live
+      // generation's columns: a narrower batch that only touches NEW
+      // partitions would otherwise narrow the log, and the next pinned
+      // rewrite of an old partition would silently drop the missing
+      // columns — union with the base record, batch types winning on
+      // name collisions (the evolution convention)
+      val recordedSchema = unionSchema(base.flatMap(_.schema), merged.schema)
+      // touched partitions either get FRESH stats/blooms or none at all
+      // (stale-NARROW bounds or blooms would skip wrongly); carried
+      // blooms additionally drop per RE-TYPED column — positions hashed
+      // under the old type are stale-narrow in disguise (Spark xxhash64
+      // of Int ≠ of Long) and would silently lose rows
+      val retyped: Set[String] = base.flatMap(_.schema) match {
+        case None => Set.empty
+        case Some(old) =>
+          val newTypes =
+            recordedSchema.fields.map(f => f.name -> f.dataType).toMap
+          old.fields.collect {
+            case f if newTypes.get(f.name).exists(_ != f.dataType) => f.name
+          }.toSet
+      }
+      val carriedBlooms = {
+        val b = base.map(_.blooms).getOrElse(Map.empty) -- touchedKeys
+        if (retyped.isEmpty) b
+        else b.view
+          .mapValues(_.view.filterKeys(c => !retyped(c)).toMap)
+          .filter(_._2.nonEmpty).toMap
+      }
+      publish(spark, root, ver,
+        base.map(_.entries).getOrElse(Map.empty) ++ newEntries, base,
+        (base.map(_.stats).getOrElse(Map.empty) -- touchedKeys) ++ newStats,
+        (base.map(_.fileStats).getOrElse(Map.empty) -- touchedKeys) ++ newFileStats,
+        Some(recordedSchema.json),
+        carriedBlooms ++ newBlooms,
+        // rewritten partitions materialized their vectors; untouched
+        // ones keep theirs
+        base.map(_.deletes).getOrElse(Map.empty) -- touchedKeys,
+        base.map(_.deleteKeyCols).getOrElse(Nil))
     }
-    val carriedBlooms = {
-      val base = prev.map(_.blooms).getOrElse(Map.empty) -- touchedKeys
-      if (retyped.isEmpty) base
-      else base.view
-        .mapValues(_.view.filterKeys(c => !retyped(c)).toMap)
-        .filter(_._2.nonEmpty).toMap
+
+    // RETRY-AND-REBASE (round-13 verdict item 6): production table
+    // formats don't fail a commit just because SOMEONE ELSE committed —
+    // they fail when the commits actually conflict. OCC detection stays
+    // exactly as round 12/13 built it (head re-read + exclusive
+    // rename); what changes is the RESPONSE to losing: re-read the new
+    // head, and if every interleaved commit touched a DISJOINT
+    // partition set, re-apply this write on top of it. Disjointness is
+    // decidable from manifests alone because every rewrite lands in a
+    // fresh nonce'd generation dir — an entry (or deletion-vector
+    // sidecar) path equal between our base and the new head means that
+    // partition was untouched in between; any difference means touched.
+    // Our staged generation needs no re-write: the merge only read the
+    // partitions in `touchedKeys`, which the disjointness check just
+    // proved nobody else modified. True conflicts (overlapping touched
+    // sets) still throw, as does exhausting the bounded retries.
+    beforePublish()
+    var base = prev
+    var ver = version
+    var committed = false
+    var attempts = 0
+    while (!committed) {
+      try {
+        publishAgainst(base, ver)
+        committed = true
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempts += 1
+          if (attempts > MaxCommitRetries) throw e
+          val head = readManifest(fs, root).getOrElse(throw e)
+          val baseEntries = base.map(_.entries).getOrElse(Map.empty)
+          val baseDeletes = base.map(_.deletes).getOrElse(Map.empty)
+          val theirTouched =
+            (baseEntries.keySet ++ head.entries.keySet ++
+              baseDeletes.keySet ++ head.deletes.keySet).filter(k =>
+              baseEntries.get(k) != head.entries.get(k) ||
+                baseDeletes.get(k) != head.deletes.get(k))
+          val overlap = theirTouched.intersect(touchedKeys)
+          if (overlap.nonEmpty)
+            throw new java.util.ConcurrentModificationException(
+              s"true write conflict at $root: a concurrent commit " +
+                s"(now v${head.version}) rewrote partitions " +
+                s"${overlap.toSeq.sorted.mkString(", ")} that this " +
+                "write also touches — rebase is impossible without " +
+                "losing one of the writes; serialize these pipelines")
+          base = Some(head)
+          ver = head.version + 1
+      }
     }
-    publish(spark, root, version,
-      prev.map(_.entries).getOrElse(Map.empty) ++ newEntries, prev,
-      (prev.map(_.stats).getOrElse(Map.empty) -- touchedKeys) ++ newStats,
-      (prev.map(_.fileStats).getOrElse(Map.empty) -- touchedKeys) ++ newFileStats,
-      Some(recordedSchema.json),
-      carriedBlooms ++ newBlooms,
-      // rewritten partitions materialized their vectors; untouched ones
-      // keep theirs
-      prev.map(_.deletes).getOrElse(Map.empty) -- touchedKeys,
-      prev.map(_.deleteKeyCols).getOrElse(Nil))
   }
+
+  /** Bounded rebase attempts for a losing OCC writer — enough to ride
+    * out a burst of disjoint committers, small enough that a genuinely
+    * contended table still fails fast toward serialization. */
+  private val MaxCommitRetries = 5
+
+  /** How long an UNREFERENCED generation dir survives commit-time GC —
+    * must exceed any healthy writer's stage→publish latency so a
+    * concurrent writer's in-flight staging is never collected from
+    * under it. Mutable only for specs that exercise orphan collection
+    * without waiting an hour. */
+  private[graft] var orphanGraceMs: Long = 60L * 60 * 1000
 
   /** Field-name union of the previously recorded schema and the new
     * write's schema; `next` wins on collisions. */

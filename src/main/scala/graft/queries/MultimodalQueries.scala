@@ -363,17 +363,36 @@ object MultimodalQueries {
           col("h1"), col("h2"), col("h3"),
           posexplode(array(col("h0"), col("h1"), col("h2"), col("h3"))))
           .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
+        // Candidate dedup WITHOUT a shuffle: a pair matching in k bands
+        // comes out of the band join k times, and the classic fix —
+        // dropDuplicates(da, db) — is a full exchange of the candidate
+        // pair set, the single most expensive shuffle in the query (at
+        // 10× data that set is tens of millions of rows; round-13 sweep
+        // put q224 at 11.9×, with this exchange the residual). The
+        // LOWEST-MATCHING-BAND rule replaces it with a map-side filter:
+        // keep a join hit only if no EARLIER band also matched — both
+        // sides carry all four band values, so "earlier band differs"
+        // is a row-local predicate, and each qualifying pair survives
+        // exactly once (at its first matching band). Same pair set as
+        // DISTINCT, zero extra exchanges; the only remaining shuffles
+        // are the band join's linear 4-rows-per-doc exchange and the
+        // metadata-sized group-count aggregation.
+        val firstMatch = col("a.band") === 0 ||
+          (col("a.band") === 1 && col("a.h0") =!= col("b.h0")) ||
+          (col("a.band") === 2 && col("a.h0") =!= col("b.h0") &&
+            col("a.h1") =!= col("b.h1")) ||
+          (col("a.band") === 3 && col("a.h0") =!= col("b.h0") &&
+            col("a.h1") =!= col("b.h1") && col("a.h2") =!= col("b.h2"))
         val cand = bands.alias("a").join(bands.alias("b"),
             col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
               && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-            col("a.g").as("ga"), col("b.g").as("gb"),
+          .filter(firstMatch)
+          .select(col("a.g").as("ga"), col("b.g").as("gb"),
             (bit_count(col("a.h0").bitwiseXOR(col("b.h0"))) +
               bit_count(col("a.h1").bitwiseXOR(col("b.h1"))) +
               bit_count(col("a.h2").bitwiseXOR(col("b.h2"))) +
               bit_count(col("a.h3").bitwiseXOR(col("b.h3"))))
               .cast("long").as("hamming"))
-          .dropDuplicates("da", "db")
         cand.filter(col("hamming") <= 3)
           .groupBy("ga", "gb", "hamming")
           .agg(count(lit(1)).as("n_pairs"))

@@ -658,9 +658,16 @@ object TimeSeriesQueries {
     // and so exercises the per-key sequential-fold shape). The entire
     // recursion runs in INTEGER CENTS with floor halving (alpha = 1/2):
     // s_t = (x_t + s_{t-1}) // 2, s2_t = (s_t + s2_{t-1}) // 2 — every
-    // intermediate is an exact nonnegative BIGINT, so the two engines
-    // cannot drift (a double recursion would accumulate rounding in
-    // engine-specific order). Level a = 2s - s2 and trend b = s - s2
+    // intermediate is an exact BIGINT, so the two engines cannot drift
+    // (a double recursion would accumulate rounding in engine-specific
+    // order). The halving is SHIFTRIGHT on the Spark side: Spark's
+    // `div` truncates toward zero while DuckDB's `//` floors, and the
+    // two disagree exactly when a running sum goes negative — an
+    // arithmetic right shift floors like `//` for every sign, so the
+    // recursion is engine-exact without assuming nonnegative inputs
+    // (round-13 advice: the old `div` silently leaned on event values
+    // keeping every hourly cent sum >= 0). Level a = 2s - s2, trend
+    // b = s - s2
     // (the alpha = 1/2 Brown identities), h-step forecast a + h*b.
     // Spark shape: hourly cent-sums (one map-side-combined agg), then
     // ONE fold per key via the `aggregate` higher-order function over
@@ -687,8 +694,8 @@ object TimeSeriesQueries {
                 slice(xs, 2, size(xs) - 1),
                 struct(xs[0].x AS s, xs[0].x AS s2),
                 (acc, e) -> struct(
-                  (e.x + acc.s) div 2 AS s,
-                  (((e.x + acc.s) div 2) + acc.s2) div 2 AS s2))
+                  shiftright(e.x + acc.s, 1) AS s,
+                  shiftright(shiftright(e.x + acc.s, 1) + acc.s2, 1) AS s2))
             """).as("st"))
           .select(col("event_type"), col("n_hours"),
             col("st.s").as("s"), col("st.s2").as("s2"),

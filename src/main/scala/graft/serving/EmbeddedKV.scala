@@ -158,6 +158,16 @@ final class EmbeddedKVStore private[serving] () {
       spec.rangeKey.map(r => toKeyVal(attr(r))))
   }
 
+  /** Key validation WITHOUT side effects — extracts the item's primary
+    * key exactly as a put would (missing attribute / null / non-scalar
+    * key all throw here). Lets a transactional loader front-load every
+    * data-dependent failure before its first put, so a driver-side
+    * commit is all-or-nothing rather than partially applied. */
+  def validateItem(table: String, item: Map[String, Any]): Unit = {
+    val t = state(table)
+    keyOf(t.spec, item); ()
+  }
+
   /** Data plane: one BatchWriteItem request — at most [[EmbeddedKVStore.MAX_BATCH]]
     * items, PutItem upsert semantics per item. `token`, when supplied,
     * makes the request-COUNTING idempotent: a Spark task retry or

@@ -64,8 +64,12 @@ class KVWriteTable(writeSchema: StructType, store: String, kvTable: String,
     }
 }
 
-/** One task's staged rows. Bounded by contract: a serving load is
-  * projection-sized (KVSink.servingProjection), not fact-sized. */
+/** One task's staged rows. Bounded by contract (a serving load is
+  * projection-sized — KVSink.servingProjection — not fact-sized) AND by
+  * enforcement: [[KVDataWriterFactory.MaxStagedRowsPerTask]], because
+  * staged rows travel through WriterCommitMessages to the driver and an
+  * unbounded load would fail opaquely on spark.driver.maxResultSize or
+  * OOM the driver instead of telling the user what they did wrong. */
 case class KVStagedRows(taskId: Long, rows: Seq[Map[String, Any]])
   extends WriterCommitMessage
 
@@ -77,13 +81,22 @@ class KVBatchWrite(schema: StructType, store: String, kvTable: String,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val kv = EmbeddedKVStore(store)
     kv.createTable(KVTableSpec(kvTable, hashKey, rangeKey), schema)
-    messages.foreach {
-      case KVStagedRows(taskId, rows) =>
-        rows.grouped(EmbeddedKVStore.MAX_BATCH).zipWithIndex.foreach {
-          case (batch, i) =>
-            kv.batchWrite(kvTable, batch, Some(s"t$taskId-b$i"))
-        }
+    val staged = messages.map {
+      case m: KVStagedRows => m
       case other => throw new IllegalStateException(s"unexpected $other")
+    }
+    // Validate EVERY staged item's primary key before the first put:
+    // key extraction is the only data-dependent failure in the store's
+    // write path, so front-loading it makes this driver-side commit
+    // all-or-nothing — a bad row in task 7 can no longer leave tasks
+    // 0-6 applied (the atomicity hole a task-stage failure never had,
+    // because abort() runs before anything touches the store).
+    staged.foreach(_.rows.foreach(kv.validateItem(kvTable, _)))
+    staged.foreach { case KVStagedRows(taskId, rows) =>
+      rows.grouped(EmbeddedKVStore.MAX_BATCH).zipWithIndex.foreach {
+        case (batch, i) =>
+          kv.batchWrite(kvTable, batch, Some(s"t$taskId-b$i"))
+      }
     }
   }
 
@@ -91,13 +104,31 @@ class KVBatchWrite(schema: StructType, store: String, kvTable: String,
   // nothing was applied — staged rows die with the messages
 }
 
+object KVDataWriterFactory {
+  /** Hard per-task staging cap. At 25-item batches this is 4,000 WCU
+    * requests per task — far beyond any serving projection, and small
+    * enough that rows-in-commit-messages stays well under driver
+    * memory and spark.driver.maxResultSize at any task count a serving
+    * load runs with. */
+  val MaxStagedRowsPerTask = 100000
+}
+
 class KVDataWriterFactory(schema: StructType) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] = new DataWriter[InternalRow] {
     private val buf = Seq.newBuilder[Map[String, Any]]
     private val fields = schema.fields
+    private var staged = 0
 
     override def write(record: InternalRow): Unit = {
+      if (staged >= KVDataWriterFactory.MaxStagedRowsPerTask)
+        throw new IllegalStateException(
+          s"graft-kv task $taskId staged more than " +
+            s"${KVDataWriterFactory.MaxStagedRowsPerTask} rows; a KV " +
+            "serving load must be projection-sized. Aggregate/filter " +
+            "to the serving projection first, or raise parallelism so " +
+            "each task stages fewer rows.")
+      staged += 1
       val m = Map.newBuilder[String, Any]
       var i = 0
       while (i < fields.length) {

@@ -6,6 +6,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -116,16 +117,35 @@ class TicksScanBuilder(rows: Long, parts: Int, ratePerBatch: Long = 1000L)
       ratePerBatch)
 }
 
-/** Offset = "number of ticks emitted so far" serialized as a decimal
-  * string — replayable (the generator is a pure function of the id),
-  * so checkpoint-restart re-plans exactly the uncommitted range. */
-case class TicksOffset(pos: Long)
+/** Offset = absolute tick id of the stream's position, PLUS the pushed
+  * predicate range the scan was built with. The range matters because
+  * this scan serves both the batch and micro-batch legs, and pushed
+  * tick_id filters narrow the generated id range — so the same `pos`
+  * means different data under different predicates. Persisting [lo,hi)
+  * into every checkpointed offset lets a restart VALIDATE that the
+  * query still narrows to the range the checkpoint was written under,
+  * and fail loudly instead of silently reinterpreting committed
+  * offsets (round-13 advice). The generator itself is a pure function
+  * of the id, so within a stable range the offset is fully replayable. */
+case class TicksOffset(pos: Long, lo: Long, hi: Long)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
-  override def json(): String = pos.toString
+  override def json(): String = s"""{"pos":$pos,"lo":$lo,"hi":$hi}"""
+}
+
+object TicksOffset {
+  private val Pat =
+    """\{"pos":(-?\d+),"lo":(-?\d+),"hi":(-?\d+)\}""".r
+  def parse(json: String): TicksOffset = json.trim match {
+    case Pat(p, l, h) => TicksOffset(p.toLong, l.toLong, h.toLong)
+    case other => throw new IllegalArgumentException(
+      s"not a graft-ticks offset: $other")
+  }
 }
 
 class TicksScan(schema: StructType, lo: Long, hi: Long, parts: Int,
     pushed: Array[Filter], ratePerBatch: Long) extends Scan with Batch
+    with SupportsReportStatistics
+    with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -135,7 +155,13 @@ class TicksScan(schema: StructType, lo: Long, hi: Long, parts: Int,
     s"graft_ticks range=[$lo,$hi) pushed=${pushed.mkString(",")} " +
       s"cols=${schema.fieldNames.mkString(",")}"
   override def planInputPartitions(): Array[InputPartition] =
-    split(lo, hi)
+    runtimeRuns match {
+      case Some(runs) => runs.iterator
+        .map { case (f, u) => (math.max(f, rtLo), math.min(u, rtHi)) }
+        .collect { case (f, u) if u > f => TicksRange(f, u) }
+        .toArray[InputPartition]
+      case None => split(rtLo, rtHi)
+    }
   override def createReaderFactory(): PartitionReaderFactory =
     new TicksReaderFactory(schema)
 
@@ -145,6 +171,73 @@ class TicksScan(schema: StructType, lo: Long, hi: Long, parts: Int,
     (0 until p).map { i =>
       TicksRange(from + n * i / p, from + n * (i + 1) / p)
     }.filter(r => r.until > r.from).toArray[InputPartition]
+  }
+
+  // ---- SupportsReportStatistics: size/row estimates AFTER pushdown,
+  // so Catalyst's broadcast-threshold decision sees the narrowed range
+  // (a predicate-pruned tick feed small enough to broadcast gets
+  // broadcast, exactly like a filtered parquet scan with footer stats).
+  // Width = fixed 8-byte numerics + the 2-char symbol, per PROJECTED
+  // column — column pruning shrinks the estimate too.
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val rows = math.max(0L, hi - lo)
+    private val width = schema.fields.map(_.dataType match {
+      case StringType => 10L // "S0".."S7" + array/offset overhead
+      case _ => 8L
+    }).sum.max(1L)
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows * width)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows)
+  }
+
+  // ---- SupportsRuntimeFiltering: dynamic pruning through the V2 scan.
+  // At execution time a selective build side hands this scan In/range
+  // predicates on tick_id; partitions re-plan to cover ONLY matching
+  // ids (In-sets coalesce into contiguous runs — the generator analog
+  // of pruning partitions/files). This is a pure partition-level
+  // optimization: the join that produced the runtime filter re-applies
+  // its own condition row-wise, so covering ranges are sufficient.
+  // BATCH-ONLY state: the streaming leg keeps the build-time [lo,hi) —
+  // runtime filters never shift checkpointed offsets.
+  private var rtLo = lo
+  private var rtHi = hi
+  private var runtimeRuns: Option[Seq[(Long, Long)]] = None
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column("tick_id"))
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case org.apache.spark.sql.sources.In("tick_id", vs) =>
+      val ids = vs.iterator.collect { case v: Long => v }
+        .filter(v => v >= rtLo && v < rtHi).toArray.sorted
+      // coalesce sorted ids into [from, until) runs
+      val runs = Seq.newBuilder[(Long, Long)]
+      var i = 0
+      while (i < ids.length) {
+        val from = ids(i)
+        var until = from + 1
+        while (i + 1 < ids.length && ids(i + 1) == until) {
+          until += 1; i += 1
+        }
+        runs += ((from, until))
+        i += 1
+      }
+      val next = runs.result()
+      // intersect with any earlier runtime In-set by clipping to runs
+      runtimeRuns = Some(runtimeRuns.fold(next)(prev =>
+        next.flatMap { case (f, u) =>
+          prev.collect { case (pf, pu) if pu > f && pf < u =>
+            (math.max(f, pf), math.min(u, pu))
+          }
+        }))
+    case GreaterThan("tick_id", v: Long) => rtLo = math.max(rtLo, v + 1)
+    case GreaterThanOrEqual("tick_id", v: Long) => rtLo = math.max(rtLo, v)
+    case LessThan("tick_id", v: Long) => rtHi = math.min(rtHi, v)
+    case LessThanOrEqual("tick_id", v: Long) => rtHi = math.min(rtHi, v + 1)
+    case EqualTo("tick_id", v: Long) =>
+      rtLo = math.max(rtLo, v); rtHi = math.min(rtHi, v + 1)
+    case _ => // unsupported runtime filter: ignore (join re-applies)
   }
 
   // ---- MicroBatchStream: the same generator as a rate-limited,
@@ -162,15 +255,28 @@ class TicksScan(schema: StructType, lo: Long, hi: Long, parts: Int,
   // contract (process everything that existed at start, in bounded
   // batches, then terminate).
   override def prepareForTriggerAvailableNow(): Unit = ()
-  override def initialOffset(): Offset = TicksOffset(lo)
-  override def latestOffset(): Offset = TicksOffset(hi)
+  override def initialOffset(): Offset = TicksOffset(lo, lo, hi)
+  override def latestOffset(): Offset = TicksOffset(hi, lo, hi)
   override def latestOffset(start: Offset, limit: ReadLimit): Offset =
     TicksOffset(
-      math.min(hi, start.asInstanceOf[TicksOffset].pos + ratePerBatch))
+      math.min(hi, start.asInstanceOf[TicksOffset].pos + ratePerBatch),
+      lo, hi)
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
-  override def reportLatestOffset(): Offset = TicksOffset(hi)
-  override def deserializeOffset(json: String): Offset =
-    TicksOffset(json.toLong)
+  override def reportLatestOffset(): Offset = TicksOffset(hi, lo, hi)
+  // The loud-fail point for predicate drift: every checkpointed offset
+  // carries the pushed range it was committed under, and a restart
+  // whose (possibly different) WHERE clause narrows the scan to a
+  // DIFFERENT range must not reinterpret those offsets as other data.
+  override def deserializeOffset(json: String): Offset = {
+    val off = TicksOffset.parse(json)
+    if (off.lo != lo || off.hi != hi)
+      throw new IllegalStateException(
+        s"graft-ticks checkpoint was written with pushed tick_id range " +
+          s"[${off.lo},${off.hi}) but this restart narrows the scan to " +
+          s"[$lo,$hi) — the stream's predicate changed. Keep the " +
+          "predicate stable across restarts, or start a new checkpoint.")
+    off
+  }
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[InputPartition] =
     split(start.asInstanceOf[TicksOffset].pos,

@@ -73,4 +73,47 @@ class KVWriteSourceSpec extends AnyFunSuite {
       }
     } finally EmbeddedKVStore.remove(sid)
   }
+
+  test("a bad row that only surfaces at DRIVER commit leaves the store " +
+      "untouched too — keys validate before the first put") {
+    // Null hash key passes every task stage (staging doesn't interpret
+    // keys) and historically failed MID-commit, leaving earlier tasks'
+    // rows applied. The commit now key-validates every staged item
+    // before its first put, so the failed job applies NOTHING.
+    import graft.sources.{KVBatchWrite, KVStagedRows}
+    import org.apache.spark.sql.types._
+    val sid = "kvw_commit_atomic"
+    try {
+      val schema = StructType(Seq(StructField("id", LongType),
+        StructField("v", StringType)))
+      val w = new KVBatchWrite(schema, sid, "t", "id", None)
+      val good = KVStagedRows(0L,
+        (0 until 30).map(i => Map[String, Any]("id" -> i.toLong, "v" -> "x")))
+      val bad = KVStagedRows(1L,
+        Seq(Map[String, Any]("v" -> "missing-hash-key")))
+      intercept[IllegalArgumentException] {
+        w.commit(Array(good, bad))
+      }
+      // all-or-nothing: task 0's 30 valid rows were NOT applied
+      assert(EmbeddedKVStore(sid).itemCount("t") === 0L)
+      assert(EmbeddedKVStore(sid).batchWriteCount("t") === 0L)
+    } finally EmbeddedKVStore.remove(sid)
+  }
+
+  test("a task staging beyond the per-task cap fails with a clear " +
+      "message, not a driver OOM") {
+    import graft.sources.KVDataWriterFactory
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType)))
+    val writer = new KVDataWriterFactory(schema).createWriter(0, 0L)
+    var i = 0L
+    while (i < KVDataWriterFactory.MaxStagedRowsPerTask) {
+      writer.write(InternalRow(i)); i += 1
+    }
+    val e = intercept[IllegalStateException] {
+      writer.write(InternalRow(i))
+    }
+    assert(e.getMessage.contains("projection-sized"))
+  }
 }

@@ -15,6 +15,16 @@ class ManifestStoreSpec extends AnyFunSuite {
     new HPath(root).getFileSystem(
       spark.sessionState.newHadoopConf())
 
+  /** Run `body` with commit-time GC collecting unreferenced generations
+    * IMMEDIATELY — production keeps young orphans for the grace window
+    * so a concurrent writer's in-flight staging survives, which is
+    * exactly what the orphan-collection tests must bypass. */
+  private def withZeroOrphanGrace[A](body: => A): A = {
+    val saved = ManifestStore.orphanGraceMs
+    ManifestStore.orphanGraceMs = -1L // strictly: now - mtime > -1 always
+    try body finally ManifestStore.orphanGraceMs = saved
+  }
+
   private def snapshot(root: String): Map[Long, (Long, String)] =
     ManifestStore.read(spark, root)
       .select("k", "seq", "v").collect()
@@ -376,15 +386,97 @@ class ManifestStoreSpec extends AnyFunSuite {
     assert(snapshot(root) === Map(1L -> (7L, "A"), 2L -> (7L, "A")),
       "the losing writer must not perturb the winner's committed state")
     assert(ManifestStore.readManifest(fs(root), root).get.version === 2L)
-    // B's orphaned generation is unreferenced; the NEXT commit's GC
-    // collects it (same path as a crashed writer's staging orphan)
-    ManifestStore.upsert(root, Seq("k"), "seq", Nil, Seq("bucket"))(
-      Seq((1L, 9L, "c", 0)).toDF("k", "seq", "v", "bucket"))
+    // B's orphaned generation is unreferenced; a NEXT commit's GC
+    // collects it once it ages past the orphan grace window (grace
+    // zeroed here — in production the window keeps a CONCURRENT
+    // writer's in-flight staging alive until it publishes)
+    withZeroOrphanGrace {
+      ManifestStore.upsert(root, Seq("k"), "seq", Nil, Seq("bucket"))(
+        Seq((1L, 9L, "c", 0)).toDF("k", "seq", "v", "bucket"))
+    }
     val live = fs(root).listStatus(new HPath(s"$root/_gen"))
       .map(_.getPath.getName).toSet
     assert(!live.exists(g => stagedB.values.exists(_.contains(g))),
       s"loser's staging dir must be GC'd at the next commit, got $live")
     assert(snapshot(root) === Map(1L -> (9L, "c"), 2L -> (7L, "A")))
+  }
+
+  test("retry-and-rebase: a writer losing OCC to a DISJOINT commit " +
+      "rebases and BOTH writes land") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("mstore_rebase").toString
+    ManifestStore.upsert(root, Seq("k"), "seq", Nil, Seq("bucket"))(
+      Seq((1L, 1L, "a", 0), (2L, 1L, "b", 1)).toDF("k", "seq", "v", "bucket"))
+    // writer A stages against head v1 touching ONLY bucket 0; the hook
+    // fires after A staged and lets writer B commit v2 touching ONLY
+    // bucket 1 — the deterministic interleave of the classic race
+    var bEntry: Option[String] = None
+    ManifestStore.upsertHooked(root, Seq("k"), "seq", Nil, Seq("bucket"),
+      beforePublish = () => {
+        ManifestStore.upsert(root, Seq("k"), "seq", Nil, Seq("bucket"))(
+          Seq((2L, 5L, "B", 1)).toDF("k", "seq", "v", "bucket"))
+        bEntry = Some(ManifestStore.readManifest(fs(root), root)
+          .get.entries("bucket=1"))
+      })(Seq((1L, 5L, "A", 0)).toDF("k", "seq", "v", "bucket"))
+    // disjoint touched sets: A must have REBASED onto B's v2 → v3,
+    // with both writes visible and neither partition lost
+    val m = ManifestStore.readManifest(fs(root), root).get
+    assert(m.version === 3L, "loser must rebase to head+1, not fail")
+    assert(snapshot(root) === Map(1L -> (5L, "A"), 2L -> (5L, "B")))
+    // A's rebased manifest must carry B's bucket-1 entry VERBATIM, not
+    // the stale v1 one it originally staged against. (Both writers
+    // staged against head v1, so both generation dirs carry the
+    // g00000002 version LABEL — only the nonce tells them apart.)
+    assert(m.entries("bucket=1") === bEntry.get,
+      s"rebase must keep the interleaved commit's entries, got ${m.entries}")
+    assert(m.entries("bucket=0") !== bEntry.get,
+      "A's own partition points at A's staged generation")
+  }
+
+  test("retry-and-rebase: an OVERLAPPING interleaved commit is a true " +
+      "conflict — fail loudly, keep the winner") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("mstore_conflict").toString
+    ManifestStore.upsert(root, Seq("k"), "seq", Nil, Seq("bucket"))(
+      Seq((1L, 1L, "a", 0), (2L, 1L, "b", 1)).toDF("k", "seq", "v", "bucket"))
+    val e = intercept[java.util.ConcurrentModificationException] {
+      ManifestStore.upsertHooked(root, Seq("k"), "seq", Nil, Seq("bucket"),
+        beforePublish = () => {
+          // the competing writer rewrites bucket 0 — the SAME partition
+          ManifestStore.upsert(root, Seq("k"), "seq", Nil, Seq("bucket"))(
+            Seq((1L, 9L, "B", 0)).toDF("k", "seq", "v", "bucket"))
+        })(Seq((1L, 5L, "A", 0)).toDF("k", "seq", "v", "bucket"))
+    }
+    assert(e.getMessage.contains("true write conflict"))
+    assert(e.getMessage.contains("bucket=0"))
+    // the winner's commit is intact; the loser changed nothing
+    assert(ManifestStore.readManifest(fs(root), root).get.version === 2L)
+    assert(snapshot(root) === Map(1L -> (9L, "B"), 2L -> (1L, "b")))
+  }
+
+  test("retry-and-rebase: two THREADED writers on disjoint partitions " +
+      "both commit") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("mstore_race2").toString
+    ManifestStore.upsert(root, Seq("k"), "seq", Nil, Seq("bucket"))(
+      Seq((1L, 1L, "a", 0), (2L, 1L, "b", 1)).toDF("k", "seq", "v", "bucket"))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    def writer(k: Long, bucket: Int, v: String) = new Thread(() => {
+      try {
+        gate.await()
+        ManifestStore.upsert(root, Seq("k"), "seq", Nil, Seq("bucket"))(
+          Seq((k, 7L, v, bucket)).toDF("k", "seq", "v", "bucket"))
+      } catch { case t: Throwable => errs.add(t) }
+    })
+    val ts = Seq(writer(1L, 0, "A"), writer(2L, 1, "B"))
+    ts.foreach(_.start()); gate.countDown(); ts.foreach(_.join(120000))
+    assert(errs.isEmpty, s"both disjoint writers must commit: ${errs}")
+    assert(ManifestStore.readManifest(fs(root), root).get.version === 3L)
+    assert(snapshot(root) === Map(1L -> (7L, "A"), 2L -> (7L, "B")))
   }
 
   test("commitRename is exclusive: an existing destination loses the " +
@@ -558,7 +650,7 @@ class ManifestStoreSpec extends AnyFunSuite {
     // dir names carry a writer nonce (r12) — compare the version prefix
     assert(gens().map(_.take(9)) === Set("g00000001", "g00000002"),
       "previous generation retained for concurrent readers")
-    batch(3)
+    withZeroOrphanGrace { batch(3) }
     assert(gens().map(_.take(9)) === Set("g00000002", "g00000003"),
       "two-generations-old data collected")
     assert(snapshot(root) === Map(1L -> (3L, "v3")))

@@ -119,4 +119,75 @@ class TicksSourceSpec extends AnyFunSuite {
     assert(rows.length === 3000)
     assert(rows.toSet === (0L until 3000L).toSet)
   }
+
+  test("offsets carry the pushed range; a restart under a DIFFERENT " +
+      "predicate fails loudly instead of reinterpreting them") {
+    import graft.sources.{TicksOffset, TicksScanBuilder}
+    import org.apache.spark.sql.sources.GreaterThanOrEqual
+    // json round-trip
+    val off = TicksOffset(42L, 10L, 900L)
+    assert(TicksOffset.parse(off.json()) === off)
+    // a scan narrowed to [100, 1000) rejects an offset checkpointed
+    // under the unfiltered [0, 1000) range
+    val b = new TicksScanBuilder(1000L, 4)
+    b.pushFilters(Array(GreaterThanOrEqual("tick_id", 100L)))
+    val stream = b.build()
+      .asInstanceOf[org.apache.spark.sql.connector.read.streaming.MicroBatchStream]
+    val e = intercept[IllegalStateException] {
+      stream.deserializeOffset(TicksOffset(500L, 0L, 1000L).json())
+    }
+    assert(e.getMessage.contains("predicate changed"))
+    // same predicate: accepted verbatim
+    assert(stream.deserializeOffset(TicksOffset(500L, 100L, 1000L).json())
+      === TicksOffset(500L, 100L, 1000L))
+  }
+
+  test("estimateStatistics reflects pushdown and pruning — the CBO " +
+      "sees a filtered V2 scan as broadcast-sized") {
+    import org.apache.spark.sql.connector.read.SupportsReportStatistics
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan}
+    def stats(narrow: Boolean, prune: Boolean) = {
+      val b = new graft.sources.TicksScanBuilder(1000000L, 4)
+      if (narrow) b.pushFilters(Array(
+        GreaterThanOrEqual("tick_id", 0L), LessThan("tick_id", 1000L)))
+      if (prune) b.pruneColumns(org.apache.spark.sql.types.StructType(
+        TicksSource_schemaFields.take(1)))
+      b.build().asInstanceOf[SupportsReportStatistics].estimateStatistics()
+    }
+    val full = stats(narrow = false, prune = false)
+    val narrowed = stats(narrow = true, prune = false)
+    val pruned = stats(narrow = true, prune = true)
+    assert(full.numRows.getAsLong === 1000000L)
+    assert(narrowed.numRows.getAsLong === 1000L)
+    assert(narrowed.sizeInBytes.getAsLong < full.sizeInBytes.getAsLong)
+    assert(pruned.sizeInBytes.getAsLong < narrowed.sizeInBytes.getAsLong)
+    // the narrowed+pruned scan is far under any broadcast threshold
+    assert(pruned.sizeInBytes.getAsLong < 10L * 1024 * 1024)
+  }
+  private def TicksSource_schemaFields =
+    graft.sources.TicksSource.SCHEMA.fields.toSeq
+
+  test("runtime In-filter re-plans partitions to cover only matching " +
+      "id runs; the streaming offsets stay put") {
+    import org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    import org.apache.spark.sql.sources.In
+    val b = new graft.sources.TicksScanBuilder(100000L, 8)
+    val scan = b.build()
+    val rf = scan.asInstanceOf[SupportsRuntimeFiltering]
+    assert(rf.filterAttributes().map(_.describe()).toSeq === Seq("tick_id"))
+    rf.filter(Array[org.apache.spark.sql.sources.Filter](In("tick_id",
+      Array[Any](5L, 6L, 7L, 100L, 202L, 203L, 99999L, 123456L))))
+    val parts = scan.toBatch.planInputPartitions()
+      .map(_.asInstanceOf[graft.sources.TicksRange])
+    // 4 contiguous runs, out-of-range 123456 dropped
+    assert(parts.toSeq === Seq(
+      graft.sources.TicksRange(5L, 8L), graft.sources.TicksRange(100L, 101L),
+      graft.sources.TicksRange(202L, 204L),
+      graft.sources.TicksRange(99999L, 100000L)))
+    // streaming leg is untouched by runtime filters
+    val stream = scan.asInstanceOf[
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream]
+    assert(stream.initialOffset() === graft.sources.TicksOffset(0L, 0L, 100000L))
+    assert(stream.latestOffset() === graft.sources.TicksOffset(100000L, 0L, 100000L))
+  }
 }
