@@ -211,6 +211,46 @@ object FormatQueries {
           CAST(MAX(ts_sec) AS BIGINT) AS last_ts
         FROM ticks
         WHERE tick_id >= 50000 AND tick_id < 150000 AND symbol <> 'S3'
-        GROUP BY symbol ORDER BY symbol"""))
+        GROUP BY symbol ORDER BY symbol""")),
+
+    // RUNTIME FILTERING THROUGH THE V2 CONNECTOR — q267's dynamic
+    // pruning, but with the FACT side behind the custom DataSourceV2
+    // scan instead of a hive layout: the dim's selective filter is only
+    // known at run time, Catalyst injects a DynamicPruningExpression on
+    // the join key, and BatchScanExec hands the materialized dim keys
+    // to the scan's SupportsRuntimeFiltering — which re-plans its input
+    // partitions to cover ONLY the matching tick-id runs (the generator
+    // analog of pruning partitions; at 100 TB this is the difference
+    // between scanning the feed and scanning ~5 rows). PlanSpec pins
+    // `dynamicpruning` inside the BatchScan's runtime filters;
+    // TicksSourceSpec pins the run-coalescing re-plan itself. The dim
+    // keys land in the tick-id space via an affine map so the oracle
+    // replays the generator closed-form per dim row.
+    Q("q297_dsv2_runtime_filter",
+      (s, d) => {
+        val fact = s.read.format("graft.sources.TicksProvider")
+          .option("rows", 200000L).option("parts", 8)
+          .load()
+        val dim = t(s, d, "nation")
+          .filter(col("n_regionkey") === 2)
+          .select((col("n_nationkey").cast("long") * 7919L + 1234L)
+            .as("tick_id"), col("n_name"))
+        fact.join(broadcast(dim), "tick_id")
+          .select(col("tick_id"), col("n_name"), col("symbol"),
+            col("px_cents"), col("qty"),
+            (col("px_cents") * col("qty")).as("notional_cents"))
+          .orderBy("tick_id")
+      },
+      Some("""
+        WITH dim AS (
+          SELECT CAST(n_nationkey AS BIGINT) * 7919 + 1234 AS tick_id,
+            n_name
+          FROM nation WHERE n_regionkey = 2)
+        SELECT tick_id, n_name, 'S' || (tick_id % 8) AS symbol,
+          CAST(10000 + (tick_id * 37) % 2000 - 1000 AS BIGINT) AS px_cents,
+          CAST(1 + (tick_id * 7) % 100 AS BIGINT) AS qty,
+          CAST((10000 + (tick_id * 37) % 2000 - 1000) *
+            (1 + (tick_id * 7) % 100) AS BIGINT) AS notional_cents
+        FROM dim ORDER BY tick_id"""))
   )
 }

@@ -37,6 +37,28 @@ object StreamingQueries {
     * cluster; a long-lived production stream over a large keyspace would
     * size it up, which changes no semantics (state is hash-partitioned
     * by group key either way). */
+  /** q298's two-stateful-operator plan, shared with StreamingSpec's
+    * progress pin: watermarked click/purchase feeds → stream×stream
+    * inner range join → hourly purchase-time window aggregation. One
+    * definition so the gated query and the two-operators-in-one-
+    * progress spec can never drift apart. */
+  private[graft] def chainedJoinAgg(c: org.apache.spark.sql.DataFrame,
+      p: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cw = c.withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts").as("click_ts"))
+    val pw = p.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+    cw.join(pw, col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .groupBy(window(col("purchase_ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_pairs"),
+        decSum(col("purchase_value")).as("total_value"))
+      .select(col("window.start").as("hour_ts"), col("n_pairs"),
+        col("total_value"))
+  }
+
   private def withStatePartitions[A](s: org.apache.spark.sql.SparkSession,
                                      n: Int)(body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
@@ -562,6 +584,100 @@ object StreamingQueries {
          AND p.ts <= c.ts + INTERVAL 30 MINUTE
         WHERE c.event_type = 'click' AND p.event_type = 'purchase'
         ORDER BY click_id, purchase_id""")),
+
+    // CHAINED MULTI-STATEFUL — q97's stream×stream join FEEDING q70's
+    // windowed aggregation in ONE streaming query (two stateful
+    // operators in one StreamingQueryProgress — StreamingSpec pins it):
+    // the attribution rollup a real-time pipeline actually serves,
+    // click→purchase pairs reduced to purchase-hour revenue without a
+    // bounce through storage. Spark supports stateful chaining since
+    // 3.5 (SPARK-42376); the correctness subtlety is the DOWNSTREAM
+    // WATERMARK: the join's output watermark is the MIN of its sides'
+    // state watermarks, and the click side retains state up to the
+    // 30-minute match horizon, so the aggregation's input watermark
+    // lags the global one by exactly that interval — an hourly window
+    // closes when global_wm − 30 min passes its end. The oracle
+    // composes the batch join with the batch rollup and applies that
+    // same cutoff (multi-watermark MIN over the two feeds, ms-floored,
+    // − 10 min delay − 30 min join horizon). Same staged three-slice
+    // replay as q97, so every emitted pair crosses the join state
+    // store, and the trailing AvailableNow no-data batch flushes the
+    // final closed windows through BOTH operators.
+    Q("q298_chained_stateful",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val staged = stagedOnce("graft_q97_src_", d) {
+          val sd = Files.createTempDirectory("graft_q97_src_").toString
+          graft.tables.Tables.events(s, d)
+            .withColumn("batch_",
+              when(col("event_type") === "purchase", 2)
+                .otherwise(
+                  ntile(2).over(Window.orderBy(col("ts"), col("event_id"))) - 1))
+            .repartition(3, col("batch_"))
+            .write.mode("overwrite").partitionBy("batch_").parquet(sd)
+          for (b <- 0 to 2) {
+            val dir = java.nio.file.Paths.get(sd, s"batch_=$b")
+            val t0 = java.nio.file.attribute.FileTime
+              .fromMillis(1700000000000L + b * 60000L)
+            val ls = Files.list(dir)
+            try ls.forEach(p => Files.setLastModifiedTime(p, t0))
+            finally ls.close()
+          }
+          sd
+        }
+        val schema = s.read.parquet(staged).schema
+        val reg = new Registry(s)
+        reg.source("clicks_feed", () =>
+          graft.tables.Tables.events(s, d)
+            .filter(col("event_type") === "click"))
+        reg.source("purchases_feed", () =>
+          graft.tables.Tables.events(s, d)
+            .filter(col("event_type") === "purchase"))
+        reg.register(TableDef("attributed_hourly",
+          Seq("clicks_feed", "purchases_feed"), {
+            case Seq(c, p) => chainedJoinAgg(c, p)
+          }, mode = Mode.Incremental))
+        def feed(tp: String) = () =>
+          s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staged)
+            .filter(col("event_type") === tp)
+            .drop("batch_")
+        val out = Files.createTempDirectory("graft_q298_").toString
+        withStatePartitions(s, 4) {
+          graft.graph.Runner.runStreamingThenFull(s, reg,
+            Map("clicks_feed" -> feed("click"),
+              "purchases_feed" -> feed("purchase")),
+            out)
+        }
+        s.read.parquet(s"$out/attributed_hourly")
+          .orderBy("hour_ts")
+      },
+      Some("""
+        WITH pairs AS (
+          SELECT p.ts AS pts, p.value AS pv
+          FROM events c JOIN events p
+            ON c.user_id = p.user_id
+           AND p.ts >= c.ts
+           AND p.ts <= c.ts + INTERVAL 30 MINUTE
+          WHERE c.event_type = 'click' AND p.event_type = 'purchase'),
+        hourly AS (
+          SELECT CAST(DATE_TRUNC('hour', CAST(pts AS TIMESTAMP)) AS TIMESTAMP)
+              AS hour_ts,
+            COUNT(*) AS n_pairs,
+            CAST(CAST(SUM(CAST(pv AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)
+              AS total_value
+          FROM pairs GROUP BY 1),
+        wm AS (
+          SELECT LEAST(
+            (SELECT DATE_TRUNC('milliseconds', MAX(CAST(ts AS TIMESTAMP)))
+               FROM events WHERE event_type = 'click'),
+            (SELECT DATE_TRUNC('milliseconds', MAX(CAST(ts AS TIMESTAMP)))
+               FROM events WHERE event_type = 'purchase'))
+            - INTERVAL 10 MINUTE - INTERVAL 30 MINUTE AS w)
+        SELECT hour_ts, n_pairs, total_value
+        FROM hourly, wm WHERE hour_ts + INTERVAL 1 HOUR <= w
+        ORDER BY hour_ts""")),
 
     // Stream×stream LEFT OUTER — q97's sibling where the semantics
     // under test are the NULL rows: an unmatched left row may only be

@@ -1057,6 +1057,45 @@ class PlanSpec extends AnyFunSuite {
       "the month dim must broadcast (it feeds the pruning subquery)")
   }
 
+  test("q297: runtime dim keys prune the V2 scan to matching id runs") {
+    val df = Catalog.byName("q297_dsv2_runtime_filter").run(spark, d)
+    df.collect() // execute: runtime filters only materialize at run time
+    val adaptive = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("dynamicpruning"),
+      "the join key must host a DynamicPruningExpression on the V2 scan")
+    assert(s.contains("BroadcastHashJoin"),
+      "the 5-nation dim must broadcast (it feeds the pruning subquery)")
+    // and the pruning must have ACTUALLY reached the connector: the
+    // scan's output is the 5 dim-matched ticks, not the 200k feed.
+    // (QueryStageExec nodes are AQE LEAVES — their materialized plan
+    // hangs off `plan`, not `children` — so flatten through them.)
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p.collect { case n => n }.flatMap {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          q +: nodes(q.plan)
+        case n => Seq(n)
+      }
+    val scan = nodes(adaptive).collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+        if b.toString.contains("graft_ticks") => b
+    }
+    assert(scan.nonEmpty, "BatchScanExec for graft_ticks not found")
+    // 5 dim-matched ticks, counted twice: the global sort's range
+    // partitioner SAMPLES the scan output to pick bounds, then the
+    // shuffle reads it again — both passes hit the pruned scan. What
+    // matters is the ceiling: an unpruned scan would show ~200k/400k.
+    val out = scan.head.metrics("numOutputRows").value
+    assert(out > 0L && out <= 10L,
+      s"SupportsRuntimeFiltering must re-plan partitions to the dim's " +
+        s"tick ids — got $out output rows (unpruned would be ~200k)")
+  }
+
   test("q263: the optimizer rewrites the declarative overlap join — " +
       "bin Generates appear, the nested loop is gone") {
     val p = plan("q263_auto_range_join")

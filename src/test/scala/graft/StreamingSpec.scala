@@ -8,6 +8,7 @@ import graft.streaming.StreamingOps
 
 case class Ev(k: String, seq: Long, v: String)
 case class TsEv(ts: Timestamp, user: String, value: Double)
+case class SEv(user_id: Long, ts: Timestamp, value: Double)
 
 class StreamingSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -184,6 +185,46 @@ class StreamingSpec extends AnyFunSuite {
         .collect().map(r => r.getLong(0) -> r.getTimestamp(1).toString).toSet
       assert(got === Set(1L -> "2024-01-01 10:30:00.0"),
         "end+gap == watermark must flush, matching session_window's <= rule")
+    } finally q.stop()
+  }
+
+  test("chained multi-stateful: join feeding windowed agg runs as ONE " +
+      "query with two state operators in one progress (q298's plan)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val clicks = MemoryStream[SEv]
+    val purchases = MemoryStream[SEv]
+    val out = graft.queries.StreamingQueries.chainedJoinAgg(
+      clicks.toDF(), purchases.toDF())
+    val q = out.writeStream.format("memory").queryName("chained298")
+      .outputMode("append").start()
+    try {
+      // a click→purchase pair in the 10:00 window...
+      clicks.addData(SEv(1L, ts("2024-01-01 10:00:00"), 0.0))
+      purchases.addData(SEv(1L, ts("2024-01-01 10:05:00"), 7.25))
+      q.processAllAvailable()
+      // ...then both feeds advance to 13:00: global wm = 12:50, join
+      // output wm = 12:20 (the 30-min click horizon) ≥ 11:00 → the
+      // 10:00 window closes and flushes through BOTH operators; the
+      // 13:00 pair's own window stays open
+      clicks.addData(SEv(2L, ts("2024-01-01 13:00:00"), 0.0))
+      purchases.addData(SEv(2L, ts("2024-01-01 13:00:00"), 9.5))
+      q.processAllAvailable()
+      val rows = sp.sql("SELECT * FROM chained298").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.toSeq === Seq((ts("2024-01-01 10:00:00"), 1L, 7.25)),
+        "exactly the closed 10:00 window, with its joined pair")
+      // the chaining pin: ONE StreamingQueryProgress carrying BOTH
+      // stateful operators — the stream-stream join AND the window agg
+      val withState = q.recentProgress.filter(_.stateOperators.length >= 2)
+      assert(withState.nonEmpty,
+        s"expected a progress with 2 state operators, got " +
+          s"${q.recentProgress.map(_.stateOperators.map(_.operatorName).mkString("+")).toSeq}")
+      val names = withState.last.stateOperators.map(_.operatorName).toSet
+      assert(names.exists(_.contains("symmetricHashJoin")) &&
+        names.exists(_.contains("stateStoreSave")),
+        s"operators in one progress must be join + agg, got $names")
     } finally q.stop()
   }
 
