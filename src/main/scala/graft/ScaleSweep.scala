@@ -28,8 +28,9 @@ object ScaleSweep {
     "q80_corpus_curation", "q131_bucketed_join", "q213_ppjoin",
     "q77_neardup_clusters", "q87_streaming_sessions")
 
-  /** Derive sf1 from sf0.1 as 10 key-shifted shards (shard 0 = the
-    * original rows). Key spaces scale like TPC-H's: fact and dimension
+  /** Derive a larger scale from sf0.1 as `shards` key-shifted shards
+    * (shard 0 = the original rows; 10 shards = sf1, 100 = sf10). Key
+    * spaces scale like TPC-H's: fact and dimension
     * keys shift per shard so join fan-outs grow linearly; nation/region
     * stay fixed (they are fixed in TPC-H too). CONTENT perturbation
     * matters for the similarity/dedup queries: a naive 10× clone of
@@ -39,9 +40,11 @@ object ScaleSweep {
     * (cross-shard docs stop being near-dups; within-shard structure is
     * preserved exactly), and each embedding is cyclically rotated
     * (norms and pairwise-distance DISTRIBUTION preserved, neighbor
-    * sets changed). */
-  def deriveSf1(spark: SparkSession, srcDir: String, dstDir: String): Unit = {
-    val shards = 10
+    * sets changed). Every per-shard device is a function of the shard
+    * NUMBER, so the construction extends to any shard count — the
+    * sf10 probe (round-13 verdict item 2) reuses it verbatim at 100. */
+  def deriveSf1(spark: SparkSession, srcDir: String, dstDir: String,
+                shards: Int = 10): Unit = {
     def src(t: String) = spark.read.parquet(s"$srcDir/$t.parquet")
     // single-FILE layout, exactly like the driver's testdata: several
     // queries stage/stream `<dir>/<t>.parquet` with file-glob options
@@ -178,11 +181,27 @@ object ScaleSweep {
     val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
   }
 
+  /** The pair-generating query families the sf10 probe adds to TOP15
+    * (round-13 verdict item 2): the ones whose intermediate candidate
+    * sets could hide a quadratic term the 10× gate's 1.2 residual is
+    * too coarse to see. */
+  val PairFamilies: Seq[String] = Seq(
+    "q67_embedding_neardup", "q77_neardup_clusters",
+    "q105_incremental_neardup", "q128_sparse_cosine", "q183_assoc_rules",
+    "q224_phash_neardup", "q238_video_dedup", "q276_incremental_video_dedup")
+
   def main(args: Array[String]): Unit = {
     val sf01 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val sf1 = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
+    // SPARK_GRAFT_SWEEP_SCALE=10 probes one decade further: base sf1,
+    // target a 100-shard derivation (sf10), gate 15× (the 12× gate's
+    // log-and-noise allowance, wider because sf1's fixed costs are
+    // already amortized and a genuine quadratic shows as ~100×)
+    val scale10 = sys.env.get("SPARK_GRAFT_SWEEP_SCALE").contains("10")
+    val sf10 = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "/tmp/graft_sf10")
     val out = sys.env.getOrElse("SPARK_GRAFT_SWEEP_OUT",
-      "/root/repo/BENCH_sf1_subset.json")
+      if (scale10) "/root/repo/BENCH_sf10_subset.json"
+      else "/root/repo/BENCH_sf1_subset.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.core.GraftSession.local(cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
@@ -190,11 +209,18 @@ object ScaleSweep {
     // the rebuild sentinel is the LAST table deriveSf1 writes — a
     // derivation killed mid-run must rebuild, not silently reuse the
     // half-built dataset (lineitem lands early; embeddings last)
-    if (!java.nio.file.Files.exists(
-        java.nio.file.Path.of(s"$sf1/embeddings.parquet"))) {
-      System.err.println(s"[sweep] deriving sf1 into $sf1 ...")
-      deriveSf1(spark, sf01, sf1)
-    }
+    def ensureDerived(dst: String, shards: Int): Unit =
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Path.of(s"$dst/embeddings.parquet"))) {
+        System.err.println(s"[sweep] deriving ${shards}x sf0.1 into $dst ...")
+        deriveSf1(spark, sf01, dst, shards)
+      }
+    ensureDerived(sf1, 10)
+    if (scale10) ensureDerived(sf10, 100)
+    // the decade under test: (base, target) dirs and the gate
+    val (baseDir, targetDir, gate, metric) =
+      if (scale10) (sf1, sf10, 15.0, "sf10_subset")
+      else (sf01, sf1, 12.0, "sf1_subset")
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
 
     // SPARK_GRAFT_SWEEP_NAMES overrides the watched set — the
@@ -205,7 +231,7 @@ object ScaleSweep {
     // merges the shard records into BENCH_sf1_full.json.
     val names = sys.env.get("SPARK_GRAFT_SWEEP_NAMES")
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
-      .getOrElse(TOP15)
+      .getOrElse(if (scale10) (TOP15 ++ PairFamilies).distinct else TOP15)
 
     val results = names.flatMap { name =>
       def sweepCaches(): Unit = {
@@ -235,6 +261,7 @@ object ScaleSweep {
         val fn = SparkEntry.queries(name)
         val outRows = scala.collection.mutable.Map.empty[String, Long]
         def run(dir: String): Unit = { outRows(dir) = fn(spark, dir).count() }
+        val (sf01, sf1) = (baseDir, targetDir)
         // SYMMETRIC protocol at both scales: untimed warm run (JIT,
         // codegen, parquet footers — a cold single sf1 run would fold
         // first-read noise into exactly the ratio this sweep gates on),
@@ -286,18 +313,29 @@ object ScaleSweep {
           s""","layout_sf01_sec":${num(x, 3)},"layout_sf1_sec":${num(y, 3)},"join_sf01_sec":${num(a, 3)},"join_sf1_sec":${num(b, 3)}"""
         case _ => ""
       }
-      s""""$n":{"sf01_sec":${num(a, 3)},"sf1_sec":${num(b, 3)},"ratio":${num(r, 2)},"rows_sf01":$r01,"rows_sf1":$r1$layout}"""
+      // MACHINE-DERIVED verdict (round-13 verdict item 8): the "output
+      // grew faster than runtime" exoneration must be computed, not
+      // hand-written into BASELINE.md after the fact. over-gate + row
+      // growth ≥ runtime growth = the query did more WORK per the
+      // result's own row counts ("output_bound": runtime per output row
+      // is sublinear); over-gate without that cover = "cliff", the
+      // thing the sweep exists to catch.
+      val verdict =
+        if (r <= gate) "ok"
+        else if (r01 > 0 && r1 > 0 && r1.toDouble / r01 >= r) "output_bound"
+        else "cliff"
+      s""""$n":{"sf01_sec":${num(a, 3)},"sf1_sec":${num(b, 3)},"ratio":${num(r, 2)},"rows_sf01":$r01,"rows_sf1":$r1,"verdict":"$verdict"$layout}"""
     }.mkString("{", ",", "}")
     // an all-failed sweep must still write its (loudly empty) record —
     // maxBy on an empty seq would lose even the failure list
     val worst = if (results.nonEmpty) Some(results.maxBy(_._4)) else None
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"sf1_subset","n_queries":${results.size},""" +
+      s"""{"metric":"$metric","n_queries":${results.size},""" +
         s""""sf01_total":${results.map(_._2).sum},"sf1_total":${results.map(_._3).sum},""" +
         s""""worst_ratio":${worst.fold("null")(w => num(w._4, 2))},""" +
         s""""worst_query":${worst.fold("null")(w => "\"" + w._1 + "\"")},""" +
-        s""""gate_max_ratio":12.0,"failed":$failedJson,"queries":$qJson}"""
+        s""""gate_max_ratio":$gate,"failed":$failedJson,"queries":$qJson}"""
     println(line)
     java.nio.file.Files.writeString(java.nio.file.Path.of(out), line + "\n")
     spark.stop()

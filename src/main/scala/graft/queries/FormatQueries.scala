@@ -251,6 +251,65 @@ object FormatQueries {
           CAST(1 + (tick_id * 7) % 100 AS BIGINT) AS qty,
           CAST((10000 + (tick_id * 37) % 2000 - 1000) *
             (1 + (tick_id * 7) % 100) AS BIGINT) AS notional_cents
-        FROM dim ORDER BY tick_id"""))
+        FROM dim ORDER BY tick_id""")),
+
+    // AGGREGATE PUSHDOWN INTO THE V2 CONNECTOR — the connector analog
+    // of Spark answering COUNT/MIN/MAX from parquet footer statistics
+    // (spark.sql.parquet.aggregatePushdown): tick_id and ts_sec are
+    // affine in the generation variable, so over the filter-narrowed
+    // range every one of these aggregates is an O(1) closed form of the
+    // bounds — the scan emits ONE row and never generates a tick. At
+    // 100 TB this is the difference between a metadata lookup and a
+    // full-feed scan for the monitoring queries every pipeline runs
+    // ("how many rows landed, what's the watermark"). PlanSpec pins
+    // AGGPUSHED in the scan and the ABSENCE of any aggregate operator;
+    // the 5M-row cap makes an unpushed plan visibly expensive, not just
+    // wrong-shaped. The oracle recomputes over GENERATE_SERIES.
+    Q("q299_dsv2_agg_pushdown",
+      (s, d) =>
+        s.read.format("graft.sources.TicksProvider")
+          .option("rows", 5000000L).option("parts", 8)
+          .load()
+          .filter(col("tick_id") >= 1000000L && col("tick_id") < 4500000L)
+          .agg(count(lit(1)).as("n"),
+            min(col("tick_id")).as("min_id"),
+            max(col("tick_id")).as("max_id"),
+            min(col("ts_sec")).as("first_ts"),
+            max(col("ts_sec")).as("last_ts")),
+      Some("""
+        WITH t AS (
+          SELECT UNNEST(GENERATE_SERIES(1000000, 4499999)) AS i)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(MIN(i) AS BIGINT) AS min_id,
+          CAST(MAX(i) AS BIGINT) AS max_id,
+          CAST(MIN(1700000000 + i) AS BIGINT) AS first_ts,
+          CAST(MAX(1700000000 + i) AS BIGINT) AS last_ts
+        FROM t""")),
+
+    // TOP-N PUSHDOWN INTO THE V2 CONNECTOR — ORDER BY tick_id LIMIT n
+    // is a RANGE TRUNCATION for this source (generation order IS
+    // tick_id order), so the sort+limit collapses into the scan: the
+    // connector emits exactly the first n ids of the filtered range and
+    // Spark drops its own TakeOrdered machinery (PlanSpec pins the
+    // truncated range and limit marker in the scan description). The
+    // declension rules matter as much as the acceptance: any other sort
+    // column or direction is refused, because a wrong "fully pushed"
+    // claim is silent row corruption, not a slow plan.
+    Q("q300_dsv2_topn_pushdown",
+      (s, d) =>
+        s.read.format("graft.sources.TicksProvider")
+          .option("rows", 5000000L).option("parts", 8)
+          .load()
+          .filter(col("tick_id") >= 2000000L)
+          .orderBy("tick_id")
+          .limit(50),
+      Some("""
+        WITH t AS (
+          SELECT UNNEST(GENERATE_SERIES(2000000, 2000049)) AS i)
+        SELECT i AS tick_id, 'S' || (i % 8) AS symbol,
+          CAST(1700000000 + i AS BIGINT) AS ts_sec,
+          CAST(10000 + (i * 37) % 2000 - 1000 AS BIGINT) AS px_cents,
+          CAST(1 + (i * 7) % 100 AS BIGINT) AS qty
+        FROM t ORDER BY tick_id"""))
   )
 }

@@ -82,11 +82,86 @@ class TicksTable(rows: Long, parts: Int, ratePerBatch: Long)
 
 class TicksScanBuilder(rows: Long, parts: Int, ratePerBatch: Long = 1000L)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit with SupportsPushDownTopN {
   private var lo = 0L
   private var hi = rows // exclusive
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = TicksSource.SCHEMA
+  private var aggPushed: Option[Seq[
+    org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc]] = None
+  private var limitPushed: Option[Int] = None
+
+  // ---- Aggregate pushdown: the connector analog of answering
+  // COUNT/MIN/MAX from parquet footer statistics. tick_id and ts_sec
+  // are AFFINE in the generation variable, so over the (filter-
+  // narrowed) range [lo, hi) these aggregates are O(1) CLOSED FORMS —
+  // no row is ever generated. Complete pushdown only (no grouping, no
+  // partial rows): a declined shape falls back to the normal scan with
+  // Spark aggregating, which is always correct.
+  private def isAffineCol(
+      e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference =>
+        nr.fieldNames.toSeq == Seq("tick_id") ||
+          nr.fieldNames.toSeq == Seq("ts_sec")
+      case _ => false
+    }
+  private def supportedAgg(
+      a: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    a.groupByExpressions.isEmpty && a.aggregateExpressions.nonEmpty &&
+      a.aggregateExpressions.forall {
+        case _: CountStar => true
+        case m: Min => isAffineCol(m.column)
+        case m: Max => isAffineCol(m.column)
+        case _ => false
+      }
+  }
+  override def supportCompletePushDown(
+      a: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = supportedAgg(a)
+  override def pushAggregation(
+      a: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean =
+    supportedAgg(a) && {
+      aggPushed = Some(a.aggregateExpressions.toSeq); true
+    }
+
+  // ---- Limit/TopN pushdown: LIMIT n truncates the generated range to
+  // its first n ids (deterministic, and any n rows satisfy an
+  // unordered LIMIT); ORDER BY tick_id ASC LIMIT n is the SAME
+  // truncation because generation order IS tick_id order — both fully
+  // pushed, so Spark drops its own limit machinery. Any other sort
+  // order is declined (the scan would have to materialize everything
+  // anyway, and a wrong "fully pushed" answer here is silent data
+  // corruption).
+  override def pushLimit(n: Int): Boolean =
+    aggPushed.isEmpty && {
+      hi = math.min(hi, math.max(lo, 0L) + n)
+      limitPushed = Some(n); true
+    }
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int): Boolean =
+    aggPushed.isEmpty && orders.length == 1 && {
+      val o = orders(0)
+      isAffineCol(o.expression()) && (o.expression() match {
+        case nr: org.apache.spark.sql.connector.expressions.NamedReference =>
+          nr.fieldNames.toSeq == Seq("tick_id")
+        case _ => false
+      }) &&
+        o.direction() ==
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING
+    } && {
+      hi = math.min(hi, math.max(lo, 0L) + n)
+      limitPushed = Some(n); true
+    }
+  // both Limit and TopN are pushed EXACTLY (range truncation), never
+  // partially — Scala requires the diamond default be disambiguated
+  override def isPartiallyPushed(): Boolean = false
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ok, rest) = filters.partition {
@@ -112,9 +187,75 @@ class TicksScanBuilder(rows: Long, parts: Int, ratePerBatch: Long = 1000L)
   override def pushedFilters(): Array[Filter] = accepted
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan =
-    new TicksScan(required, math.min(lo, hi), hi, parts, accepted,
-      ratePerBatch)
+  override def build(): Scan = aggPushed match {
+    case Some(funcs) =>
+      new TicksAggScan(math.min(lo, hi), hi, funcs)
+    case None =>
+      new TicksScan(required, math.min(lo, hi), hi, parts, accepted,
+        ratePerBatch, limitPushed)
+  }
+}
+
+/** The one-row result of a completely-pushed-down aggregation: every
+  * supported aggregate over the (filter-narrowed) id range [lo, hi) is
+  * a closed form of the range bounds — COUNT(*) = hi−lo, MIN/MAX of
+  * the affine columns land on the endpoints. Empty range → SQL
+  * semantics: COUNT 0, MIN/MAX null. */
+class TicksAggScan(lo: Long, hi: Long,
+    funcs: Seq[org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc])
+    extends Scan with Batch {
+  import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+  private val n = math.max(0L, hi - lo)
+  private def colName(e: org.apache.spark.sql.connector.expressions.Expression)
+      : String =
+    e.asInstanceOf[org.apache.spark.sql.connector.expressions.NamedReference]
+      .fieldNames.head
+  override def readSchema(): StructType = StructType(funcs.map {
+    case _: CountStar => StructField("count(*)", LongType, nullable = false)
+    case m: Min =>
+      StructField(s"min(${colName(m.column)})", LongType, nullable = true)
+    case m: Max =>
+      StructField(s"max(${colName(m.column)})", LongType, nullable = true)
+    case f => throw new IllegalStateException(s"unsupported pushed agg $f")
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_ticks AGGPUSHED range=[$lo,$hi) " +
+      s"aggs=${funcs.mkString(",")}"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(TicksAggPartition(lo, hi))
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // the closed forms evaluate on the DRIVER — the task ships only the
+    // finished primitive values (AggregateFunc instances are connector
+    // expressions, not serializable task state)
+    def endpoint(e: org.apache.spark.sql.connector.expressions.Expression,
+                 id: Long): Any =
+      if (n == 0L) null
+      else colName(e) match {
+        case "tick_id" => id
+        case "ts_sec" => 1700000000L + id
+      }
+    val values: Array[Any] = funcs.map {
+      case _: CountStar => n
+      case m: Min => endpoint(m.column, lo)
+      case m: Max => endpoint(m.column, hi - 1)
+      case f => throw new IllegalStateException(s"unsupported $f")
+    }.toArray
+    new TicksAggReaderFactory(values)
+  }
+}
+
+case class TicksAggPartition(lo: Long, hi: Long) extends InputPartition
+
+class TicksAggReaderFactory(values: Array[Any])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = new PartitionReader[InternalRow] {
+    private var emitted = false
+    override def next(): Boolean = !emitted && { emitted = true; true }
+    override def get(): InternalRow = InternalRow.fromSeq(values.toSeq)
+    override def close(): Unit = ()
+  }
 }
 
 /** Offset = absolute tick id of the stream's position, PLUS the pushed
@@ -143,7 +284,8 @@ object TicksOffset {
 }
 
 class TicksScan(schema: StructType, lo: Long, hi: Long, parts: Int,
-    pushed: Array[Filter], ratePerBatch: Long) extends Scan with Batch
+    pushed: Array[Filter], ratePerBatch: Long,
+    limitPushed: Option[Int] = None) extends Scan with Batch
     with SupportsReportStatistics
     with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.streaming.MicroBatchStream
@@ -153,6 +295,7 @@ class TicksScan(schema: StructType, lo: Long, hi: Long, parts: Int,
   override def toBatch: Batch = this
   override def description(): String =
     s"graft_ticks range=[$lo,$hi) pushed=${pushed.mkString(",")} " +
+      limitPushed.fold("")(n => s"limit=$n ") +
       s"cols=${schema.fieldNames.mkString(",")}"
   override def planInputPartitions(): Array[InputPartition] =
     runtimeRuns match {

@@ -1096,6 +1096,18 @@ class PlanSpec extends AnyFunSuite {
         s"tick ids — got $out output rows (unpruned would be ~200k)")
   }
 
+  test("q299/q300: aggregate and top-N collapse into the V2 scan") {
+    val p299 = plan("q299_dsv2_agg_pushdown")
+    assert(p299.contains("AGGPUSHED"),
+      "COUNT/MIN/MAX must answer from the connector's closed forms")
+    assert(!p299.contains("HashAggregate") && !p299.contains("SortAggregate"),
+      "complete pushdown leaves NO aggregate operator in the plan")
+    val p300 = plan("q300_dsv2_topn_pushdown")
+    assert(p300.contains("range=[2000000,2000050)") &&
+      p300.contains("limit=50"),
+      s"ORDER BY tick_id LIMIT 50 must truncate the generated range:\n$p300")
+  }
+
   test("q263: the optimizer rewrites the declarative overlap join — " +
       "bin Generates appear, the nested loop is gone") {
     val p = plan("q263_auto_range_join")

@@ -167,6 +167,31 @@ class TicksSourceSpec extends AnyFunSuite {
   private def TicksSource_schemaFields =
     graft.sources.TicksSource.SCHEMA.fields.toSeq
 
+  test("aggregate pushdown declension rules: group-by, non-affine " +
+      "columns, and unsupported functions all fall back to a real scan") {
+    import org.apache.spark.sql.functions.{count => cnt}
+    // GROUP BY symbol: declined (grouping) → plan keeps an aggregate
+    val grouped = ticks(10000L).groupBy("symbol").agg(cnt(lit(1)).as("n"))
+    assert(executedPlan(grouped).contains("HashAggregate"))
+    assert(grouped.collect().map(_.getLong(1)).sum === 10000L)
+    // MIN over the PERIODIC column: declined (not affine — endpoints
+    // would be wrong) → Spark aggregates real rows, value is exact
+    val per = ticks(10000L).agg(min("px_cents").as("m"))
+    assert(executedPlan(per).contains("Aggregate"))
+    assert(per.head.getLong(0) ===
+      (0L until 10000L).map(i => 10000L + (i * 37) % 2000 - 1000).min)
+    // DESCENDING top-N: declined → TakeOrdered stays and the result is
+    // the true tail of the range
+    val desc = ticks(10000L).orderBy(col("tick_id").desc).limit(3)
+    assert(executedPlan(desc).contains("TakeOrdered"))
+    assert(desc.collect().map(_.getLong(0)).toSeq === Seq(9999L, 9998L, 9997L))
+    // empty pushed range under aggregation: COUNT 0, MIN/MAX null
+    val empty = ticks(1000L).filter(col("tick_id") >= 5000L)
+      .agg(cnt(lit(1)).as("n"), min("tick_id").as("mn"), max("ts_sec").as("mx"))
+    val r = empty.head
+    assert(r.getLong(0) === 0L && r.isNullAt(1) && r.isNullAt(2))
+  }
+
   test("runtime In-filter re-plans partitions to cover only matching " +
       "id runs; the streaming offsets stay put") {
     import org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
