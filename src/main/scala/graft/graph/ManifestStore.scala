@@ -566,7 +566,14 @@ object ManifestStore {
     * idempotent). Note the grace window: the PREVIOUS generation still
     * holds the deleted bytes until the next commit's GC — a compliance
     * pipeline runs one follow-up commit (or [[compact]]) to physically
-    * drop them, then verifies with the q152 audit. */
+    * drop them, then verifies with the q152 audit.
+    *
+    * Concurrency: deletes (and [[compact]]) publish FAIL-FAST — only
+    * [[upsert]] retries-and-rebases. A compact rewrites every
+    * partition, so any interleaved commit is a true conflict by
+    * definition; a delete racing a writer is an ordering question the
+    * caller must resolve (delete-then-write and write-then-delete are
+    * different tables), not one a rebase should answer silently. */
   def deleteKeys(root: String, keyCols: Seq[String],
                  partitionCols: Seq[String])(keys: DataFrame): Unit = {
     require(partitionCols.nonEmpty, "deleteKeys needs partition columns")

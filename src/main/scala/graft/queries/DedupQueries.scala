@@ -663,11 +663,23 @@ object DedupQueries {
         s"transform(sequence(0, ${groups - 1}), g -> struct(g AS g, " +
           s"shiftright(simhash, g * $width) & $widthMask AS v))")).as("ch"))
       .select(col("doc_id"), col("simhash"), col("ch.g"), col("ch.v"))
+    // Multi-group dedup WITHOUT a shuffle (the q224 lowest-band device,
+    // SimHash edition): within one group a qualifying pair matches
+    // exactly ONE probe mask (the mask IS the in-group difference), so
+    // duplicate candidates arise only across groups — and "an earlier
+    // group also matched" is row-local on the two signatures (in-group
+    // Hamming ≤ depth), so a filter replaces the DISTINCT exchange over
+    // the candidate pair set.
+    def gham(j: Int) =
+      bit_count(shiftright(col("x.simhash").bitwiseXOR(col("y.simhash")),
+        j * width).bitwiseAND(lit(widthMask)))
+    val firstMatch = (0 until groups).map(g =>
+      (0 until g).foldLeft(col("g") === g)((c, j) => c && gham(j) > depth))
+      .reduce(_ || _)
     probes.as("x").join(exact.as("y"), Seq("g", "v"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
+      .filter(col("x.doc_id") < col("y.doc_id") && firstMatch)
       .select(col("x.doc_id").as("doc_a"), col("x.simhash").as("ha"),
         col("y.doc_id").as("doc_b"), col("y.simhash").as("hb"))
-      .distinct()
       .withColumn("hamming", expr("bit_count(ha ^ hb)"))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
@@ -762,16 +774,28 @@ object DedupQueries {
         def mh(p: Int) =
           min(expr(s"cast(conv(substring(md5(concat(shingle, '#', '$p')), " +
             "1, 13), 16, 10) as bigint)")).as(s"m$p")
+        // bands carry the FULL signature alongside the banded key so
+        // the lowest-matching-band rule (the q224 device) can dedup
+        // multi-band collisions with a row-local filter instead of a
+        // DISTINCT exchange over the candidate pair set — cand feeds
+        // two consumers (the count and the truth semi join), so the
+        // removed shuffle is paid twice over
         val bands = sh.groupBy("doc_id")
           .agg(mh(0), (1 until 8).map(mh): _*)
-          .selectExpr("doc_id",
+          .selectExpr("doc_id", "m0", "m1", "m2", "m3", "m4", "m5", "m6", "m7",
             "stack(4, 0, m0, m1, 1, m2, m3, 2, m4, m5, 3, m6, m7)" +
               " as (band, v1, v2)")
+        def bandMatch(j: Int) =
+          col(s"a.m${2 * j}") === col(s"b.m${2 * j}") &&
+            col(s"a.m${2 * j + 1}") === col(s"b.m${2 * j + 1}")
+        val firstMatch = col("band") === 0 ||
+          (col("band") === 1 && !bandMatch(0)) ||
+          (col("band") === 2 && !bandMatch(0) && !bandMatch(1)) ||
+          (col("band") === 3 && !bandMatch(0) && !bandMatch(1) && !bandMatch(2))
         val cand = bands.as("a")
           .join(bands.as("b"), Seq("band", "v1", "v2"))
-          .filter(col("a.doc_id") < col("b.doc_id"))
+          .filter(col("a.doc_id") < col("b.doc_id") && firstMatch)
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct()
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val truth = sh.select(col("doc_id").as("doc_a"), col("shingle"))
           .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
