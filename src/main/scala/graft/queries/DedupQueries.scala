@@ -25,19 +25,43 @@ object DedupQueries {
           "i -> concat_ws(' ', words[i-1], words[i], words[i+1]))")))
         .as("shingle"))
 
-  /** Exact Jaccard over candidate pairs (a self-join on shared shingles).
-    * `cand` must have columns (doc_a, doc_b); pass None for all co-shingled
-    * pairs. */
+  /** Exact Jaccard over candidate pairs. `cand` must have columns
+    * (doc_a, doc_b); pass None for all co-shingled pairs.
+    *
+    * Two verify shapes, one semantics: with NO candidate set (q27, the
+    * ground-truth demonstration) intersections come from the co-shingle
+    * self-join — exact and deliberately quadratic in hot-shingle
+    * frequency. WITH a candidate set (q213's prefix filtering) the
+    * intersections come from per-PAIR set intersection over each doc's
+    * collected shingle array: O(|candidates| × doc size), never
+    * touching the co-shingle explosion that candidate generation exists
+    * to avoid — a semi join AFTER the co join would still pay it (the
+    * round-14 sf10 probe caught exactly that shape in q196, 23× at 10×
+    * data). */
   private def jaccardPairs(s: SparkSession, d: String,
                            cand: Option[DataFrame]): DataFrame = {
     val sh = shingles(s, d).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
-    val co = a.join(b, "shingle").filter(col("doc_a") < col("doc_b"))
-    val pairs = cand.fold(co)(c => co.join(c, Seq("doc_a", "doc_b"), "left_semi"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("inter"))
+    val pairs = cand match {
+      case None =>
+        sh.select(col("doc_id").as("doc_a"), col("shingle"))
+          .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
+            "shingle")
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b")
+          .agg(count(lit(1)).as("inter"))
+      case Some(c) =>
+        val sets = sh.groupBy("doc_id")
+          .agg(collect_set(col("shingle")).as("ss"))
+        c.join(sets.select(col("doc_id").as("doc_a"), col("ss").as("ssa")),
+            "doc_a")
+          .join(sets.select(col("doc_id").as("doc_b"), col("ss").as("ssb")),
+            "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            size(array_intersect(col("ssa"), col("ssb"))).cast("long")
+              .as("inter"))
+          .filter(col("inter") > 0)
+    }
     pairs
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
@@ -762,7 +786,8 @@ object DedupQueries {
     * candidate set, not just similar statistics. Scale shape: signature
     * build is one aggregation over the exploded-shingle frame (8 min
     * columns), candidates come from the band equi self-join, and the
-    * truth side reuses the q27 gram-key join — nothing doc×doc. */
+    * truth side is prefix-filtered + set-verified (q213's device) —
+    * nothing doc×doc, and no hot-shingle co-join either. */
   private val q196: Q =
     Q("q196_minhash_eval",
       (s, d) => {
@@ -797,11 +822,23 @@ object DedupQueries {
           .filter(col("a.doc_id") < col("b.doc_id") && firstMatch)
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val truth = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-          .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
-            "shingle")
-          .filter(col("doc_a") < col("doc_b"))
-          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+        // truth = exact Jaccard ≥ 0.6, generated SCALABLY: prefix-
+        // filtered candidates (provably a superset at t = 3/5 —
+        // PPJoinSpec) verified by per-pair set intersection. The naive
+        // co-shingle self-join here was the round-14 sf10 probe's one
+        // genuine cliff (23× at 10× data): hot shingles make it
+        // quadratic, while the prefix join only ever collides docs on
+        // their RAREST shingles.
+        val sets = sh.groupBy("doc_id")
+          .agg(collect_set(col("shingle")).as("ss"))
+        val truth = prefixFilterCandidates(sh, 3, 5)
+          .join(sets.select(col("doc_id").as("doc_a"), col("ss").as("ssa")),
+            "doc_a")
+          .join(sets.select(col("doc_id").as("doc_b"), col("ss").as("ssb")),
+            "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            size(array_intersect(col("ssa"), col("ssb"))).cast("long")
+              .as("inter"))
           .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
             "doc_a")
           .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
