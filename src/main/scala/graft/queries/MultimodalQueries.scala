@@ -741,17 +741,21 @@ object MultimodalQueries {
     // sharing identical scenes pair up. Output is the shared-scene
     // histogram (n_pairs per shared-scene count), which stays
     // metadata-sized at any corpus scale while the intermediate pair
-    // frame scales with true duplication. Videos are synthesized at the
-    // 18×16 hash geometry with scene seeds drawn mod 400, so the oracle
-    // re-derives pairs purely from seed arithmetic: same seed ⟺
-    // byte-identical frame (content(s) is injective in s mod 256 at
-    // pixel 0 via 7s mod 256... seeds are mod 400 — distinct seeds s1
-    // ≠ s2 with s1 ≡ s2 (mod 256) DO collide in content, which the
-    // oracle mirrors by keying scenes on seed%256, the true content
-    // class).
+    // frame scales with true duplication. Scene content comes from
+    // MjpegAvi.blockContent's 16-BIT vocabulary with q238's bounded
+    // duplicate TRIPLES (g = id/3 shares scenes): the round-14 sf10
+    // probe measured the old fixed 400-seed space (256 effective
+    // classes through ImageCodec.content's mod-256 pixel formula)
+    // re-quadratizing candidate pairs one decade past the sf1 fix —
+    // same-scene cluster size must stay BOUNDED while the scene space
+    // grows with the corpus, or the band join is all-pairs in
+    // disguise. Seeds are injective into frame bytes (MjpegAviSpec
+    // pins blockContent's band mapping; distinct seeds differ in every
+    // band), so same MD5 digest ⟺ same seed and the oracle re-derives
+    // the pair histogram purely from seed arithmetic.
     Q("q236_video_scene_dedup",
       (s, d) => {
-        val W = 18; val H = 16
+        val W = 36; val H = 32
         val docs = spread(s, col("doc_id"))(
           t(s, d, "documents").select(col("doc_id").cast("long").as("doc_id")))
         val payloads = docs.mapPartitions { rows =>
@@ -759,11 +763,13 @@ object MultimodalQueries {
             val id = r.getLong(0)
             val f = (4 + id % 4).toInt
             val f0 = (1 + id % (f - 1)).toInt
-            val sA = id % 400
-            val sB = (id * 7 + 3) % 400
+            val g = id / 3
+            val sA = ((g * 40503L) % 65536L).toInt
+            val sB = ((g * 40503L + 32768L) % 65536L).toInt
             val single = id % 3 == 0
-            val sceneA = ImageCodec.content(sA, W, H)
-            val sceneB = if (single) sceneA else ImageCodec.content(sB, W, H)
+            val sceneA = MjpegAvi.blockContent(W, H, sA)
+            val sceneB =
+              if (single) sceneA else MjpegAvi.blockContent(W, H, sB)
             val frames = (0 until f).map(i => if (i < f0) sceneA else sceneB)
             Row(id, VideoCodec.encode(W, H, 24, frames))
           }
@@ -786,8 +792,9 @@ object MultimodalQueries {
             VideoCodec.keyframes(v, minDiff = 1L).map { f =>
               val frame = java.util.Arrays.copyOfRange(
                 v.data, f * v.frameLen, (f + 1) * v.frameLen)
-              val dec = ImageCodec.Decoded("raw", v.width, v.height, frame)
-              val bands = ImageCodec.dHashBands(dec)
+              val small = ImageCodec.resizeNearest(
+                ImageCodec.Decoded("raw", v.width, v.height, frame), 18, 16)
+              val bands = ImageCodec.dHashBands(small)
               Row(id, bands(0), bands(1), bands(2), bands(3),
                 md.digest(frame).map("%02x".format(_)).mkString)
             }
@@ -796,13 +803,17 @@ object MultimodalQueries {
         val bands = kf.select(col("doc_id"), col("digest"),
           posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
           .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
+        // exact verify + band-0 dedup: a digest-equal pair has ALL four
+        // bands equal, so it surfaces from the band join exactly four
+        // times and keeping only the band-0 hit is a complete, shuffle-
+        // free dedup (the q224 lowest-band device degenerated to its
+        // exact-match case); one keyframe per scene per doc makes the
+        // per-pair row count the shared-scene count directly
         val shared = bands.alias("a").join(bands.alias("b"),
             col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
               && col("a.doc_id") < col("b.doc_id"))
-          .filter(col("a.digest") === col("b.digest")) // exact verify
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            col("a.digest").as("digest"))
-          .distinct()
+          .filter(col("a.digest") === col("b.digest") && col("a.band") === 0)
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .groupBy("doc_a", "doc_b")
           .agg(count(lit(1)).as("n_shared"))
         shared.groupBy("n_shared")
@@ -811,21 +822,22 @@ object MultimodalQueries {
       },
       Some("""
         WITH d AS (
-          SELECT doc_id, 4 + doc_id % 4 AS f,
-            doc_id % 400 AS sa, (doc_id * 7 + 3) % 400 AS sb,
+          SELECT doc_id,
+            ((doc_id // 3) * 40503) % 65536 AS sa,
+            ((doc_id // 3) * 40503 + 32768) % 65536 AS sb,
             doc_id % 3 = 0 AS single_scene
           FROM documents),
         scenes AS (
-          SELECT DISTINCT doc_id, seed % 256 AS content_class
+          SELECT DISTINCT doc_id, seed
           FROM (
             SELECT doc_id, sa AS seed FROM d
             UNION ALL
             SELECT doc_id, sb AS seed FROM d WHERE NOT single_scene)),
         pairs AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-            COUNT(DISTINCT a.content_class) AS n_shared
+            COUNT(DISTINCT a.seed) AS n_shared
           FROM scenes a JOIN scenes b
-            ON a.content_class = b.content_class AND a.doc_id < b.doc_id
+            ON a.seed = b.seed AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
         SELECT CAST(n_shared AS BIGINT) AS n_shared,
           COUNT(*) AS n_pairs
