@@ -41,30 +41,40 @@ object DedupQueries {
   private def jaccardPairs(s: SparkSession, d: String,
                            cand: Option[DataFrame]): DataFrame = {
     val sh = shingles(s, d).cache()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = cand match {
+    val withSizes = cand match {
       case None =>
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
         sh.select(col("doc_id").as("doc_a"), col("shingle"))
           .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
             "shingle")
           .filter(col("doc_a") < col("doc_b"))
           .groupBy("doc_a", "doc_b")
           .agg(count(lit(1)).as("inter"))
+          .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
+            "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+            "doc_b")
       case Some(c) =>
+        // sets carry HASHED shingles (the q28 device: xxhash64 is
+        // collision-free over these corpora, and only the intersection
+        // COUNT is consumed) — 8-byte elements keep the candidate-
+        // attach shuffle ~4× narrower than trigram strings, and the
+        // set also yields both sizes for free (distinct shingles per
+        // doc = set length), saving the separate sizes joins
         val sets = sh.groupBy("doc_id")
-          .agg(collect_set(col("shingle")).as("ss"))
+          .agg(collect_set(xxhash64(col("shingle"))).as("ss"))
         c.join(sets.select(col("doc_id").as("doc_a"), col("ss").as("ssa")),
             "doc_a")
           .join(sets.select(col("doc_id").as("doc_b"), col("ss").as("ssb")),
             "doc_b")
           .select(col("doc_a"), col("doc_b"),
             size(array_intersect(col("ssa"), col("ssb"))).cast("long")
-              .as("inter"))
+              .as("inter"),
+            size(col("ssa")).cast("long").as("na"),
+            size(col("ssb")).cast("long").as("nb"))
           .filter(col("inter") > 0)
     }
-    pairs
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+    withSizes
       .withColumn("jaccard", round(col("inter").cast("double")
         / (col("na") + col("nb") - col("inter")), 6))
       .filter(col("inter").cast("double")
@@ -821,16 +831,16 @@ object DedupQueries {
           .join(bands.as("b"), Seq("band", "v1", "v2"))
           .filter(col("a.doc_id") < col("b.doc_id") && firstMatch)
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
         // truth = exact Jaccard ≥ 0.6, generated SCALABLY: prefix-
         // filtered candidates (provably a superset at t = 3/5 —
-        // PPJoinSpec) verified by per-pair set intersection. The naive
-        // co-shingle self-join here was the round-14 sf10 probe's one
-        // genuine cliff (23× at 10× data): hot shingles make it
-        // quadratic, while the prefix join only ever collides docs on
-        // their RAREST shingles.
+        // PPJoinSpec) verified by per-pair intersection of HASHED
+        // shingle sets (the q28 device; sizes come off the sets for
+        // free). The naive co-shingle self-join here was the round-14
+        // sf10 probe's one genuine cliff (23× at 10× data): hot
+        // shingles make it quadratic, while the prefix join only ever
+        // collides docs on their RAREST shingles.
         val sets = sh.groupBy("doc_id")
-          .agg(collect_set(col("shingle")).as("ss"))
+          .agg(collect_set(xxhash64(col("shingle"))).as("ss"))
         val truth = prefixFilterCandidates(sh, 3, 5)
           .join(sets.select(col("doc_id").as("doc_a"), col("ss").as("ssa")),
             "doc_a")
@@ -838,11 +848,9 @@ object DedupQueries {
             "doc_b")
           .select(col("doc_a"), col("doc_b"),
             size(array_intersect(col("ssa"), col("ssb"))).cast("long")
-              .as("inter"))
-          .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
-            "doc_a")
-          .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
-            "doc_b")
+              .as("inter"),
+            size(col("ssa")).cast("long").as("na"),
+            size(col("ssb")).cast("long").as("nb"))
           .filter(col("inter").cast("double")
             / (col("na") + col("nb") - col("inter")) >= 0.6)
           .select("doc_a", "doc_b")
