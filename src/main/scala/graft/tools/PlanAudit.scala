@@ -107,7 +107,13 @@ object PlanAudit {
       "q285_mann_kendall", // integer S + tie-corrected variance, one sqrt (r13)
       "q286_grouping_sets", // one expanded hash agg, no join (r13)
       "q287_bitemporal_asof", // keyed version join + per-probe top-1 (r13)
-      "q288_dsv2_ticks") // custom DSv2 scan: pushed id range + pruned cols (r13)
+      "q288_dsv2_ticks", // custom DSv2 scan: pushed id range + pruned cols (r13)
+      "q297_dsv2_runtime_filter", // dynamicpruning INTO the V2 scan (r14)
+      "q298_chained_stateful", // join→agg, two state ops one query (r14)
+      "q299_dsv2_agg_pushdown", // closed-form agg, NO aggregate operator (r14)
+      "q300_dsv2_topn_pushdown", // ORDER BY+LIMIT collapsed to range (r14)
+      "q196_minhash_eval", // prefix-filtered truth, hashed-set verify (r14)
+      "q224_phash_neardup") // lowest-band dedup, no DISTINCT exchange (r14)
     interesting.foreach { name =>
       val df = graft.queries.Catalog.byName(name).run(spark, d)
       // drive THIS df's own query execution to completion (count() would
