@@ -28,7 +28,15 @@ object DedupQueries {
   /** Exact Jaccard over candidate pairs. `cand` must have columns
     * (doc_a, doc_b); pass None for all co-shingled pairs.
     *
-    * Two verify shapes, one semantics: with NO candidate set (q27, the
+    * Two verify shapes, one semantics — STRUCTURALLY, not by corpus
+    * luck: [[shingles]] explodes `array_distinct`, so each (doc,
+    * shingle) row is unique by construction and the co-shingle row
+    * COUNT below equals the distinct-set intersection size that the
+    * candidate branch computes. A shingle frame without that per-doc
+    * dedup would break the equivalence (bag vs set multiplicity);
+    * this helper only ever receives [[shingles]] output.
+    *
+    * With NO candidate set (q27, the
     * ground-truth demonstration) intersections come from the co-shingle
     * self-join — exact and deliberately quadratic in hot-shingle
     * frequency. WITH a candidate set (q213's prefix filtering) the
@@ -570,11 +578,18 @@ object DedupQueries {
                                             tNum: Int, tDen: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(tNum > 0 && tDen >= tNum, s"threshold $tNum/$tDen not in (0,1]")
-    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    // document frequency as a WINDOW over the shingle partition — one
+    // exchange on shingle, versus the aggregate-then-join-back shape
+    // (two exchanges of the full frame on the same key). Same skew
+    // profile as the aggregate: a hot shingle is one big partition
+    // either way, and the prefix filter exists precisely so hot
+    // shingles never reach the candidate join.
+    val withDf = sh.withColumn("df",
+      count(lit(1)).over(Window.partitionBy("shingle")))
     // minimum overlap for a doc of size sz: ceil(tNum·sz/tDen); prefix
     // keeps sz − that + 1 rarest shingles
     val minOv = (col("sz") * tNum + lit(tDen - 1)).cast("long") // numer
-    val prefix = sh.join(dfreq, "shingle")
+    val prefix = withDf
       .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))))
@@ -790,10 +805,11 @@ object DedupQueries {
     * recall. Under-provisioning is the point: it surfaces a measurable
     * precision gap (the band collisions exact-verify would prune) so the
     * metric actually moves when the band geometry changes. The whole
-    * evaluation is cross-engine EXACT because every permutation is the
-    * portable-md5 integer (q66/q158 device) over the same string
-    * trigrams as the oracle — both engines derive the identical
-    * candidate set, not just similar statistics. Scale shape: signature
+    * evaluation is cross-engine EXACT because every permutation derives
+    * from ONE portable-md5 base integer per shingle (q66/q158 device)
+    * through overflow-safe affine mixing mod 2^31−1 — both engines
+    * derive the identical candidate set, not just similar statistics.
+    * Scale shape: signature
     * build is one aggregation over the exploded-shingle frame (8 min
     * columns), candidates come from the band equi self-join, and the
     * truth side is prefix-filtered + set-verified (q213's device) —
@@ -801,14 +817,32 @@ object DedupQueries {
   private val q196: Q =
     Q("q196_minhash_eval",
       (s, d) => {
-        // the shared string-trigram shingle frame (same encoding as the
-        // oracle; q28's xxhash64 shingles are injective but not
-        // cross-engine, so the portable signature hashes the strings)
+        // The string trigram is consumed EXACTLY TWICE per row, both
+        // here in one projection: (1) the portable-md5 base integer
+        // that seeds the signature (one md5 per shingle — round-14
+        // paid 8 md5+conv per shingle row), and (2) an xxhash64 handle
+        // that REPLACES the string for the whole truth side, so every
+        // downstream shuffle (document-frequency agg, prefix windows,
+        // prefix self-join, set intersection) moves 8-byte longs
+        // instead of ~24-byte trigrams — the q28 injective-hash
+        // device. The cached frame is three longs per row.
         val sh = shingles(s, d)
+          .select(col("doc_id"),
+            expr("cast(conv(substring(md5(shingle), 1, 13), 16, 10) " +
+              "as bigint) % 2147483647").as("base"),
+            xxhash64(col("shingle")).as("shingle"))
           .cache() // feeds signatures, sizes, and both truth-join sides
-        def mh(p: Int) =
-          min(expr(s"cast(conv(substring(md5(concat(shingle, '#', '$p')), " +
-            "1, 13), 16, 10) as bigint)")).as(s"m$p")
+        // The 8 permutations are affine maps of the 52-bit base mod the
+        // Mersenne prime 2^31−1 with distinct odd multipliers — a
+        // universal hash family, so min-over-shingles still behaves as
+        // 8 independent permutations. Every operand stays < 2^31 so
+        // the product stays < 2^62: DuckDB BIGINT (which ERRORS on
+        // overflow) and Spark BIGINT evaluate the identical arithmetic
+        // — same portable-integer device as q66/q158.
+        def mh(p: Int) = {
+          val a = ((2L * p + 1) * 2654435761L) % 2147483647L
+          min(expr(s"(base * ${a}L + $p) % 2147483647")).as(s"m$p")
+        }
         // bands carry the FULL signature alongside the banded key so
         // the lowest-matching-band rule (the q224 device) can dedup
         // multi-band collisions with a row-local filter instead of a
@@ -839,9 +873,14 @@ object DedupQueries {
         // sf10 probe's one genuine cliff (23× at 10× data): hot
         // shingles make it quadratic, while the prefix join only ever
         // collides docs on their RAREST shingles.
+        // cached: the sets frame is joined TWICE (ssa and ssb) — without
+        // the cache each join input re-runs the collect_set aggregation
+        // from the shingle frame (round-14 verdict item 1); elements
+        // are the 8-byte shingle hashes from the projection above
         val sets = sh.groupBy("doc_id")
-          .agg(collect_set(xxhash64(col("shingle"))).as("ss"))
-        val truth = prefixFilterCandidates(sh, 3, 5)
+          .agg(collect_set(col("shingle")).as("ss"))
+          .cache()
+        val truth = prefixFilterCandidates(sh.select("doc_id", "shingle"), 3, 5)
           .join(sets.select(col("doc_id").as("doc_a"), col("ss").as("ssa")),
             "doc_a")
           .join(sets.select(col("doc_id").as("doc_b"), col("ss").as("ssb")),
@@ -854,11 +893,19 @@ object DedupQueries {
           .filter(col("inter").cast("double")
             / (col("na") + col("nb") - col("inter")) >= 0.6)
           .select("doc_a", "doc_b")
-        val nCand = cand.agg(count(lit(1)).as("n_cand"))
-        val nTruth = truth.agg(count(lit(1)).as("n_truth"))
-        val nHit = cand.join(truth, Seq("doc_a", "doc_b"))
-          .agg(count(lit(1)).as("n_hit"))
-        nCand.crossJoin(nTruth).crossJoin(nHit)
+        // ONE pass over both pair sets: the separate n_cand/n_truth/
+        // n_hit aggregates each re-evaluated their (expensive) input —
+        // cand fed the count AND the hit join, truth likewise, so the
+        // band self-join and the verify join both ran TWICE. A single
+        // full-outer join tags every pair with membership flags and one
+        // aggregate reads off all three counts.
+        cand.withColumn("is_c", lit(1))
+          .join(truth.withColumn("is_t", lit(1)),
+            Seq("doc_a", "doc_b"), "full_outer")
+          .agg(count(col("is_c")).as("n_cand"),
+            count(col("is_t")).as("n_truth"),
+            count(when(col("is_c").isNotNull && col("is_t").isNotNull, 1))
+              .as("n_hit"))
           .select(col("n_cand"), col("n_truth"), col("n_hit"),
             round(col("n_hit").cast("double") / col("n_cand"), 6)
               .as("precision_"),
@@ -875,14 +922,18 @@ object DedupQueries {
              FOR i IN RANGE(1, LEN(words) - 1)])) AS shingle
           FROM docs),
         hashed AS (
-          SELECT doc_id, shingle, p.p AS p,
+          SELECT doc_id, shingle,
             CAST(LIST_REDUCE(
-              LIST_TRANSFORM(SPLIT(SUBSTRING(MD5(shingle || '#' ||
-                CAST(p.p AS VARCHAR)), 1, 13), ''),
+              LIST_TRANSFORM(SPLIT(SUBSTRING(MD5(shingle), 1, 13), ''),
                 c -> CAST(POSITION(c IN '0123456789abcdef') - 1 AS BIGINT)),
-              (a, x) -> a * 16 + x) AS BIGINT) AS h
-          FROM sh CROSS JOIN (SELECT UNNEST(RANGE(0, 8)) AS p) p),
-        sig AS (SELECT doc_id, p, MIN(h) AS m FROM hashed GROUP BY 1, 2),
+              (a, x) -> a * 16 + x) % 2147483647 AS BIGINT) AS base
+          FROM sh),
+        sig AS (
+          SELECT doc_id, p.p AS p,
+            MIN((base * (((2 * p.p + 1) * 2654435761) % 2147483647) + p.p)
+              % 2147483647) AS m
+          FROM hashed CROSS JOIN (SELECT UNNEST(RANGE(0, 8)) AS p) p
+          GROUP BY 1, 2),
         bands AS (
           SELECT doc_id, CAST(p // 2 AS INT) AS band,
             MIN(CASE WHEN p % 2 = 0 THEN m END) AS v1,
