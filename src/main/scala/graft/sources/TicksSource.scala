@@ -278,6 +278,17 @@ object TicksOffset {
     """\{"pos":(-?\d+),"lo":(-?\d+),"hi":(-?\d+)\}""".r
   def parse(json: String): TicksOffset = json.trim match {
     case Pat(p, l, h) => TicksOffset(p.toLong, l.toLong, h.toLong)
+    // the pre-range offset format was the bare decimal position; a
+    // checkpoint written under it must fail with a message that NAMES
+    // the migration, not a misleading "not an offset" (the bytes are a
+    // perfectly valid offset of the old shape)
+    case legacy if legacy.matches("-?\\d+") =>
+      throw new IllegalArgumentException(
+        s"graft-ticks offset format changed: checkpoint holds a legacy " +
+          s"bare-position offset ($legacy), current offsets also record " +
+          "the pushed tick_id range as {\"pos\":..,\"lo\":..,\"hi\":..}. " +
+          "Restart the query from a new checkpoint location (the " +
+          "generator is deterministic, so reprocessing is idempotent).")
     case other => throw new IllegalArgumentException(
       s"not a graft-ticks offset: $other")
   }
@@ -297,14 +308,16 @@ class TicksScan(schema: StructType, lo: Long, hi: Long, parts: Int,
     s"graft_ticks range=[$lo,$hi) pushed=${pushed.mkString(",")} " +
       limitPushed.fold("")(n => s"limit=$n ") +
       s"cols=${schema.fieldNames.mkString(",")}"
-  override def planInputPartitions(): Array[InputPartition] =
-    runtimeRuns match {
+  override def planInputPartitions(): Array[InputPartition] = {
+    val st = rt
+    st.runs match {
       case Some(runs) => runs.iterator
-        .map { case (f, u) => (math.max(f, rtLo), math.min(u, rtHi)) }
+        .map { case (f, u) => (math.max(f, st.lo), math.min(u, st.hi)) }
         .collect { case (f, u) if u > f => TicksRange(f, u) }
         .toArray[InputPartition]
-      case None => split(rtLo, rtHi)
+      case None => split(st.lo, st.hi)
     }
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new TicksReaderFactory(schema)
 
@@ -343,17 +356,33 @@ class TicksScan(schema: StructType, lo: Long, hi: Long, parts: Int,
   // its own condition row-wise, so covering ranges are sufficient.
   // BATCH-ONLY state: the streaming leg keeps the build-time [lo,hi) —
   // runtime filters never shift checkpointed offsets.
-  private var rtLo = lo
-  private var rtHi = hi
-  private var runtimeRuns: Option[Seq[(Long, Long)]] = None
+  //
+  // The narrowed state is ONE immutable value, replaced atomically by
+  // `filter` through a pure fold (round-14 verdict item 6): the
+  // previous three independently-mutated vars were safe under Spark's
+  // per-query ScanBuilder→Scan lifecycle, but an exchange-reuse or
+  // cached-scan change sharing a Scan across plan fragments would have
+  // observed a half-applied narrowing. A torn read is now impossible —
+  // planInputPartitions snapshots the single reference once.
+  private case class RtState(lo: Long, hi: Long,
+                             runs: Option[Seq[(Long, Long)]])
+  @volatile private var rt = RtState(lo, hi, None)
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     Array(org.apache.spark.sql.connector.expressions.Expressions
       .column("tick_id"))
-  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+  override def filter(filters: Array[Filter]): Unit =
+    rt = filters.foldLeft(rt)(applyRuntimeFilter)
+
+  private def applyRuntimeFilter(st: RtState, f: Filter): RtState = f match {
     case org.apache.spark.sql.sources.In("tick_id", vs) =>
+      // `.distinct` before coalescing: SupportsRuntimeFiltering does
+      // not contract a duplicate-free id set (Spark's DPP path happens
+      // to supply one), and a duplicated id — [5,5,6] — would break
+      // the advance loop below into overlapping runs that silently
+      // DUPLICATE rows
       val ids = vs.iterator.collect { case v: Long => v }
-        .filter(v => v >= rtLo && v < rtHi).toArray.sorted
+        .filter(v => v >= st.lo && v < st.hi).toArray.distinct.sorted
       // coalesce sorted ids into [from, until) runs
       val runs = Seq.newBuilder[(Long, Long)]
       var i = 0
@@ -368,19 +397,22 @@ class TicksScan(schema: StructType, lo: Long, hi: Long, parts: Int,
       }
       val next = runs.result()
       // intersect with any earlier runtime In-set by clipping to runs
-      runtimeRuns = Some(runtimeRuns.fold(next)(prev =>
+      st.copy(runs = Some(st.runs.fold(next)(prev =>
         next.flatMap { case (f, u) =>
           prev.collect { case (pf, pu) if pu > f && pf < u =>
             (math.max(f, pf), math.min(u, pu))
           }
-        }))
-    case GreaterThan("tick_id", v: Long) => rtLo = math.max(rtLo, v + 1)
-    case GreaterThanOrEqual("tick_id", v: Long) => rtLo = math.max(rtLo, v)
-    case LessThan("tick_id", v: Long) => rtHi = math.min(rtHi, v)
-    case LessThanOrEqual("tick_id", v: Long) => rtHi = math.min(rtHi, v + 1)
+        })))
+    case GreaterThan("tick_id", v: Long) =>
+      st.copy(lo = math.max(st.lo, v + 1))
+    case GreaterThanOrEqual("tick_id", v: Long) =>
+      st.copy(lo = math.max(st.lo, v))
+    case LessThan("tick_id", v: Long) => st.copy(hi = math.min(st.hi, v))
+    case LessThanOrEqual("tick_id", v: Long) =>
+      st.copy(hi = math.min(st.hi, v + 1))
     case EqualTo("tick_id", v: Long) =>
-      rtLo = math.max(rtLo, v); rtHi = math.min(rtHi, v + 1)
-    case _ => // unsupported runtime filter: ignore (join re-applies)
+      st.copy(lo = math.max(st.lo, v), hi = math.min(st.hi, v + 1))
+    case _ => st // unsupported runtime filter: ignore (join re-applies)
   }
 
   // ---- MicroBatchStream: the same generator as a rate-limited,

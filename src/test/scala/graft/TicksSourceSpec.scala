@@ -215,4 +215,30 @@ class TicksSourceSpec extends AnyFunSuite {
     assert(stream.initialOffset() === graft.sources.TicksOffset(0L, 0L, 100000L))
     assert(stream.latestOffset() === graft.sources.TicksOffset(100000L, 0L, 100000L))
   }
+
+  test("runtime In-filter with DUPLICATE ids coalesces without " +
+      "overlapping runs — the interface does not contract distinctness") {
+    import org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    import org.apache.spark.sql.sources.In
+    val b = new graft.sources.TicksScanBuilder(1000L, 4)
+    val scan = b.build()
+    scan.asInstanceOf[SupportsRuntimeFiltering].filter(
+      Array[org.apache.spark.sql.sources.Filter](In("tick_id",
+        Array[Any](5L, 5L, 6L, 6L, 6L, 9L, 9L))))
+    val parts = scan.toBatch.planInputPartitions()
+      .map(_.asInstanceOf[graft.sources.TicksRange])
+    // [5,5,6] under the old advance loop emitted overlapping runs →
+    // silently duplicated rows; distinct-first coalescing must not
+    assert(parts.toSeq === Seq(
+      graft.sources.TicksRange(5L, 7L), graft.sources.TicksRange(9L, 10L)))
+  }
+
+  test("legacy bare-decimal checkpoint offset fails with a " +
+      "format-migration message, not 'not an offset'") {
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.TicksOffset.parse("12345")
+    }
+    assert(e.getMessage.contains("format changed"))
+    assert(e.getMessage.contains("new checkpoint"))
+  }
 }
