@@ -104,6 +104,20 @@ object EmbeddedKVStore {
 
   final case class ItemKey(hash: KeyVal, range: Option[KeyVal])
 
+  /** An item's primary key under a SPEC alone — no table state, so a
+    * transactional loader can validate every staged item BEFORE
+    * createTable: a commit that fails key validation then has ZERO
+    * observable side effects, not even a newly created empty table.
+    * Missing attribute / null / non-scalar key all throw here, exactly
+    * as the put path would. */
+  def keyOf(spec: KVTableSpec, item: Map[String, Any]): ItemKey = {
+    def attr(name: String): Any = item.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"item missing key attribute '$name'"))
+    ItemKey(toKeyVal(attr(spec.hashKey)),
+      spec.rangeKey.map(r => toKeyVal(attr(r))))
+  }
+
   private val itemKeyOrdering: java.util.Comparator[ItemKey] =
     (a: ItemKey, b: ItemKey) => {
       val h = a.hash.compareTo(b.hash)
@@ -150,13 +164,8 @@ final class EmbeddedKVStore private[serving] () {
     t
   }
 
-  private def keyOf(spec: KVTableSpec, item: Map[String, Any]): ItemKey = {
-    def attr(name: String): Any = item.getOrElse(name,
-      throw new IllegalArgumentException(
-        s"item missing key attribute '$name'"))
-    ItemKey(toKeyVal(attr(spec.hashKey)),
-      spec.rangeKey.map(r => toKeyVal(attr(r))))
-  }
+  private def keyOf(spec: KVTableSpec, item: Map[String, Any]): ItemKey =
+    EmbeddedKVStore.keyOf(spec, item)
 
   /** Key validation WITHOUT side effects — extracts the item's primary
     * key exactly as a put would (missing attribute / null / non-scalar

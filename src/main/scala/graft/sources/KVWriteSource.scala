@@ -79,19 +79,23 @@ class KVBatchWrite(schema: StructType, store: String, kvTable: String,
       : DataWriterFactory = new KVDataWriterFactory(schema)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val kv = EmbeddedKVStore(store)
-    kv.createTable(KVTableSpec(kvTable, hashKey, rangeKey), schema)
+    val spec = KVTableSpec(kvTable, hashKey, rangeKey)
     val staged = messages.map {
       case m: KVStagedRows => m
       case other => throw new IllegalStateException(s"unexpected $other")
     }
-    // Validate EVERY staged item's primary key before the first put:
-    // key extraction is the only data-dependent failure in the store's
-    // write path, so front-loading it makes this driver-side commit
-    // all-or-nothing — a bad row in task 7 can no longer leave tasks
-    // 0-6 applied (the atomicity hole a task-stage failure never had,
-    // because abort() runs before anything touches the store).
-    staged.foreach(_.rows.foreach(kv.validateItem(kvTable, _)))
+    // Validate EVERYTHING before the first store mutation — the spec
+    // against the written schema AND every staged item's primary key
+    // (key extraction is the only data-dependent failure in the
+    // store's write path). Validation runs against the SPEC, not the
+    // table, so createTable happens only after it all passes: a failed
+    // commit has zero observable side effects — no partial puts from
+    // tasks 0..k, and no newly created empty table either (abort()
+    // runs before anything touches the store).
+    spec.validate(schema)
+    staged.foreach(_.rows.foreach(EmbeddedKVStore.keyOf(spec, _)))
+    val kv = EmbeddedKVStore(store)
+    kv.createTable(spec, schema)
     staged.foreach { case KVStagedRows(taskId, rows) =>
       rows.grouped(EmbeddedKVStore.MAX_BATCH).zipWithIndex.foreach {
         case (batch, i) =>

@@ -94,9 +94,14 @@ class KVWriteSourceSpec extends AnyFunSuite {
       intercept[IllegalArgumentException] {
         w.commit(Array(good, bad))
       }
-      // all-or-nothing: task 0's 30 valid rows were NOT applied
-      assert(EmbeddedKVStore(sid).itemCount("t") === 0L)
-      assert(EmbeddedKVStore(sid).batchWriteCount("t") === 0L)
+      // all-or-nothing INCLUDING the control plane: validation runs
+      // before createTable, so the failed commit did not apply task
+      // 0's 30 valid rows AND did not leave a newly created empty
+      // table behind either
+      val e = intercept[IllegalStateException] {
+        EmbeddedKVStore(sid).itemCount("t")
+      }
+      assert(e.getMessage.contains("does not exist"))
     } finally EmbeddedKVStore.remove(sid)
   }
 
