@@ -568,14 +568,28 @@ object ManifestStore {
     * pipeline runs one follow-up commit (or [[compact]]) to physically
     * drop them, then verifies with the q152 audit.
     *
-    * Concurrency: deletes (and [[compact]]) publish FAIL-FAST — only
-    * [[upsert]] retries-and-rebases. A compact rewrites every
-    * partition, so any interleaved commit is a true conflict by
-    * definition; a delete racing a writer is an ordering question the
-    * caller must resolve (delete-then-write and write-then-delete are
-    * different tables), not one a rebase should answer silently. */
+    * Concurrency: deletes RETRY-AND-REBASE exactly like [[upsert]]
+    * (round-14 verdict item 3) — a delete racing an upsert on DISJOINT
+    * partitions commits both effects; overlapping touched sets still
+    * throw. Rebase keeps snapshot semantics: the delete removes the
+    * keys from the partitions it READ at its snapshot — rows for the
+    * same keys that a concurrent disjoint-partition writer lands are
+    * NOT swept up (delete-then-write and write-then-delete remain
+    * different tables; ordering against CONFLICTING writes is still
+    * the caller's to serialize). [[compact]] stays FAIL-FAST: it
+    * rewrites every partition, so any interleaved commit is a true
+    * conflict by definition. */
   def deleteKeys(root: String, keyCols: Seq[String],
-                 partitionCols: Seq[String])(keys: DataFrame): Unit = {
+                 partitionCols: Seq[String])(keys: DataFrame): Unit =
+    deleteKeysHooked(root, keyCols, partitionCols)(keys)
+
+  /** [[deleteKeys]] with the same deterministic interleave point as
+    * [[upsertHooked]]: `beforePublish` runs after the delete has staged
+    * its rewritten partitions, immediately before the publish loop. */
+  private[graft] def deleteKeysHooked(root: String, keyCols: Seq[String],
+                 partitionCols: Seq[String],
+                 beforePublish: () => Unit = () => ())
+                (keys: DataFrame): Unit = {
     require(partitionCols.nonEmpty, "deleteKeys needs partition columns")
     val spark = keys.sparkSession
     val fs = fsOf(spark, root)
@@ -608,10 +622,22 @@ object ManifestStore {
     // partitions are dropped — their file lists changed. Blooms carry
     // forward stale-WIDE (deletion only removes keys; false positives
     // are within the bloom contract).
-    publish(spark, root, version,
-      (prev.entries -- touchedKeys) ++ staged, Some(prev), prev.stats,
-      prev.fileStats -- touchedKeys, prev.schemaJson, prev.blooms,
-      prev.deletes -- touchedKeys, prev.deleteKeyCols)
+    //
+    // Published as a function of the BASE manifest so the shared
+    // rebase loop can re-apply it on a newer head: the staged rewrite
+    // only read `touchedKeys`, which the loop's disjointness check
+    // proves no interleaved commit modified, so carrying the head's
+    // entries/stats for everything else is exactly a rebase.
+    def publishAgainst(baseOpt: Option[Manifest], ver: Long): Unit = {
+      val base = baseOpt.getOrElse(prev)
+      publish(spark, root, ver,
+        (base.entries -- touchedKeys) ++ staged, baseOpt, base.stats,
+        base.fileStats -- touchedKeys, base.schemaJson, base.blooms,
+        base.deletes -- touchedKeys, base.deleteKeyCols)
+    }
+    beforePublish()
+    publishWithRebase(fs, root, Some(prev), version, touchedKeys,
+      publishAgainst)
   }
 
   /** CHANGE DATA FEED — row-level diff between two retained versions
@@ -987,9 +1013,10 @@ object ManifestStore {
       // grace window (no healthy stage→publish spans it); true orphans
       // age into collection at a later commit, same as before.
       val now = System.currentTimeMillis()
+      val grace = orphanGraceMs(spark)
       fs.listStatus(genRoot)
         .filterNot(st => keep.contains(s"$GDIR/${st.getPath.getName}"))
-        .filter(st => now - st.getModificationTime > orphanGraceMs)
+        .filter(st => now - st.getModificationTime > grace)
         .foreach(st => fs.delete(st.getPath, true))
     }
     // manifests older than the grace version
@@ -1146,22 +1173,29 @@ object ManifestStore {
         base.map(_.deleteKeyCols).getOrElse(Nil))
     }
 
-    // RETRY-AND-REBASE (round-13 verdict item 6): production table
-    // formats don't fail a commit just because SOMEONE ELSE committed —
-    // they fail when the commits actually conflict. OCC detection stays
-    // exactly as round 12/13 built it (head re-read + exclusive
-    // rename); what changes is the RESPONSE to losing: re-read the new
-    // head, and if every interleaved commit touched a DISJOINT
-    // partition set, re-apply this write on top of it. Disjointness is
-    // decidable from manifests alone because every rewrite lands in a
-    // fresh nonce'd generation dir — an entry (or deletion-vector
-    // sidecar) path equal between our base and the new head means that
-    // partition was untouched in between; any difference means touched.
-    // Our staged generation needs no re-write: the merge only read the
-    // partitions in `touchedKeys`, which the disjointness check just
-    // proved nobody else modified. True conflicts (overlapping touched
-    // sets) still throw, as does exhausting the bounded retries.
     beforePublish()
+    publishWithRebase(fs, root, prev, version, touchedKeys, publishAgainst)
+  }
+
+  /** RETRY-AND-REBASE (round-13 verdict item 6, shared by [[upsert]]
+    * and [[deleteKeys]] since round 15): production table formats don't
+    * fail a commit just because SOMEONE ELSE committed — they fail when
+    * the commits actually conflict. OCC detection stays exactly as
+    * round 12/13 built it (head re-read + exclusive rename); what
+    * changes is the RESPONSE to losing: re-read the new head, and if
+    * every interleaved commit touched a DISJOINT partition set,
+    * re-apply this write on top of it. Disjointness is decidable from
+    * manifests alone because every rewrite lands in a fresh nonce'd
+    * generation dir — an entry (or deletion-vector sidecar) path equal
+    * between our base and the new head means that partition was
+    * untouched in between; any difference means touched. The caller's
+    * staged generation needs no re-write: it only read the partitions
+    * in `touchedKeys`, which the disjointness check just proved nobody
+    * else modified. True conflicts (overlapping touched sets) still
+    * throw, as does exhausting the bounded retries. */
+  private def publishWithRebase(fs: FileSystem, root: String,
+      prev: Option[Manifest], version: Long, touchedKeys: Set[String],
+      publishAgainst: (Option[Manifest], Long) => Unit): Unit = {
     var base = prev
     var ver = version
     var committed = false
@@ -1201,12 +1235,18 @@ object ManifestStore {
     * contended table still fails fast toward serialization. */
   private val MaxCommitRetries = 5
 
-  /** How long an UNREFERENCED generation dir survives commit-time GC —
-    * must exceed any healthy writer's stage→publish latency so a
-    * concurrent writer's in-flight staging is never collected from
-    * under it. Mutable only for specs that exercise orphan collection
-    * without waiting an hour. */
-  private[graft] var orphanGraceMs: Long = 60L * 60 * 1000
+  /** Session config: how long (ms) an UNREFERENCED generation dir
+    * survives commit-time GC — must exceed any healthy writer's
+    * stage→publish latency so a concurrent writer's in-flight staging
+    * is never collected from under it. A CONFIG key rather than a
+    * mutable hook (round-14 advice: the old `var` had no memory-
+    * visibility guarantee under threaded writers); specs that exercise
+    * orphan collection set it to -1 on their session. */
+  private[graft] val OrphanGraceKey = "spark.graft.manifest.orphanGraceMs"
+  private val DefaultOrphanGraceMs: Long = 60L * 60 * 1000
+  private def orphanGraceMs(spark: SparkSession): Long =
+    spark.conf.getOption(OrphanGraceKey).map(_.toLong)
+      .getOrElse(DefaultOrphanGraceMs)
 
   /** Field-name union of the previously recorded schema and the new
     * write's schema; `next` wins on collisions. */

@@ -20,9 +20,12 @@ class ManifestStoreSpec extends AnyFunSuite {
     * so a concurrent writer's in-flight staging survives, which is
     * exactly what the orphan-collection tests must bypass. */
   private def withZeroOrphanGrace[A](body: => A): A = {
-    val saved = ManifestStore.orphanGraceMs
-    ManifestStore.orphanGraceMs = -1L // strictly: now - mtime > -1 always
-    try body finally ManifestStore.orphanGraceMs = saved
+    val saved = spark.conf.getOption(ManifestStore.OrphanGraceKey)
+    spark.conf.set(ManifestStore.OrphanGraceKey, "-1") // now - mtime > -1
+    try body finally saved match {
+      case Some(v) => spark.conf.set(ManifestStore.OrphanGraceKey, v)
+      case None => spark.conf.unset(ManifestStore.OrphanGraceKey)
+    }
   }
 
   private def snapshot(root: String): Map[Long, (Long, String)] =
@@ -477,6 +480,55 @@ class ManifestStoreSpec extends AnyFunSuite {
     assert(errs.isEmpty, s"both disjoint writers must commit: ${errs}")
     assert(ManifestStore.readManifest(fs(root), root).get.version === 3L)
     assert(snapshot(root) === Map(1L -> (7L, "A"), 2L -> (7L, "B")))
+  }
+
+  test("retry-and-rebase: a DELETE losing OCC to a disjoint upsert " +
+      "rebases and BOTH effects land") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("mstore_delrebase").toString
+    ManifestStore.upsert(root, Seq("k"), "seq", Nil, Seq("bucket"))(
+      Seq((1L, 1L, "a", 0), (2L, 1L, "b", 0), (3L, 1L, "c", 1))
+        .toDF("k", "seq", "v", "bucket"))
+    // the delete touches ONLY bucket 0; the hook fires after it staged
+    // its rewrite and lets a writer commit v2 touching ONLY bucket 1
+    var writerEntry: Option[String] = None
+    ManifestStore.deleteKeysHooked(root, Seq("k"), Seq("bucket"),
+      beforePublish = () => {
+        ManifestStore.upsert(root, Seq("k"), "seq", Nil, Seq("bucket"))(
+          Seq((3L, 5L, "C", 1)).toDF("k", "seq", "v", "bucket"))
+        writerEntry = Some(ManifestStore.readManifest(fs(root), root)
+          .get.entries("bucket=1"))
+      })(Seq((1L, 0)).toDF("k", "bucket"))
+    val m = ManifestStore.readManifest(fs(root), root).get
+    assert(m.version === 3L, "losing delete must rebase to head+1")
+    // both effects: k=1 deleted AND the concurrent upsert's k=3 update
+    assert(snapshot(root) === Map(2L -> (1L, "b"), 3L -> (5L, "C")))
+    assert(m.entries("bucket=1") === writerEntry.get,
+      "rebased delete must carry the interleaved commit's entry verbatim")
+  }
+
+  test("retry-and-rebase: a DELETE racing an OVERLAPPING upsert is a " +
+      "true conflict — fail loudly, keep the winner") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("mstore_delconf").toString
+    ManifestStore.upsert(root, Seq("k"), "seq", Nil, Seq("bucket"))(
+      Seq((1L, 1L, "a", 0), (2L, 1L, "b", 1)).toDF("k", "seq", "v", "bucket"))
+    val e = intercept[java.util.ConcurrentModificationException] {
+      ManifestStore.deleteKeysHooked(root, Seq("k"), Seq("bucket"),
+        beforePublish = () => {
+          // the competing writer rewrites bucket 0 — the partition the
+          // delete is about to rewrite from its now-stale snapshot
+          ManifestStore.upsert(root, Seq("k"), "seq", Nil, Seq("bucket"))(
+            Seq((1L, 9L, "B", 0)).toDF("k", "seq", "v", "bucket"))
+        })(Seq((1L, 0)).toDF("k", "bucket"))
+    }
+    assert(e.getMessage.contains("true write conflict"))
+    assert(e.getMessage.contains("bucket=0"))
+    // the winner's commit is intact; the failed delete changed nothing
+    assert(ManifestStore.readManifest(fs(root), root).get.version === 2L)
+    assert(snapshot(root) === Map(1L -> (9L, "B"), 2L -> (1L, "b")))
   }
 
   test("commitRename is exclusive: an existing destination loses the " +
