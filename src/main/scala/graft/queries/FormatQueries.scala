@@ -286,6 +286,43 @@ object FormatQueries {
           CAST(MAX(1700000000 + i) AS BIGINT) AS last_ts
         FROM t""")),
 
+    // PARTIAL (GROUPED) AGGREGATE PUSHDOWN — the other half of the V2
+    // contract that q299 leaves untested: with GROUP BY symbol the
+    // connector cannot answer completely (each partition only sees its
+    // id slice), so supportCompletePushDown = false and every partition
+    // returns per-group PARTIAL rows computed in closed form (symbol is
+    // tick_id % 8 — count/min/max per residue class over a contiguous
+    // range are integer formulas). Spark keeps a FINAL aggregate that
+    // SUMs the pushed counts and re-min/maxes the endpoints — the exact
+    // plan a columnar source produces from per-row-group footer stats.
+    // PlanSpec pins the GROUPED PARTIAL scan description, the surviving
+    // final aggregate, and the executed scan's output rows (≤ 8 per
+    // partition vs 3.5M ticks). The oracle recomputes over
+    // GENERATE_SERIES.
+    Q("q301_dsv2_grouped_agg_pushdown",
+      (s, d) =>
+        s.read.format("graft.sources.TicksProvider")
+          .option("rows", 5000000L).option("parts", 8)
+          .load()
+          .filter(col("tick_id") >= 1000000L && col("tick_id") < 4500000L)
+          .groupBy("symbol")
+          .agg(count(lit(1)).as("n"),
+            min(col("tick_id")).as("min_id"),
+            max(col("tick_id")).as("max_id"),
+            min(col("ts_sec")).as("first_ts"),
+            max(col("ts_sec")).as("last_ts"))
+          .orderBy("symbol"),
+      Some("""
+        WITH t AS (
+          SELECT UNNEST(GENERATE_SERIES(1000000, 4499999)) AS i)
+        SELECT 'S' || (i % 8) AS symbol,
+          CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(MIN(i) AS BIGINT) AS min_id,
+          CAST(MAX(i) AS BIGINT) AS max_id,
+          CAST(MIN(1700000000 + i) AS BIGINT) AS first_ts,
+          CAST(MAX(1700000000 + i) AS BIGINT) AS last_ts
+        FROM t GROUP BY 1 ORDER BY symbol""")),
+
     // TOP-N PUSHDOWN INTO THE V2 CONNECTOR — ORDER BY tick_id LIMIT n
     // is a RANGE TRUNCATION for this source (generation order IS
     // tick_id order), so the sort+limit collapses into the scan: the

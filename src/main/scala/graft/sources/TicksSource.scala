@@ -91,14 +91,24 @@ class TicksScanBuilder(rows: Long, parts: Int, ratePerBatch: Long = 1000L)
   private var required: StructType = TicksSource.SCHEMA
   private var aggPushed: Option[Seq[
     org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc]] = None
+  private var aggGrouped = false
   private var limitPushed: Option[Int] = None
 
   // ---- Aggregate pushdown: the connector analog of answering
   // COUNT/MIN/MAX from parquet footer statistics. tick_id and ts_sec
   // are AFFINE in the generation variable, so over the (filter-
   // narrowed) range [lo, hi) these aggregates are O(1) CLOSED FORMS —
-  // no row is ever generated. Complete pushdown only (no grouping, no
-  // partial rows): a declined shape falls back to the normal scan with
+  // no row is ever generated. Two shapes, exercising BOTH halves of
+  // the V2 contract:
+  //  - ungrouped → COMPLETE pushdown (supportCompletePushDown = true):
+  //    one closed-form row, Spark plans no aggregate at all (q299);
+  //  - GROUP BY symbol → PARTIAL pushdown (supportCompletePushDown =
+  //    false): each partition returns per-group partial rows — symbol
+  //    is tick_id % 8, so per-residue count/min/max over a contiguous
+  //    range are closed forms too — and Spark's final aggregate
+  //    combines them (COUNT partials are SUMmed). This is what a real
+  //    columnar source does with per-row-group footer stats (q301).
+  // Any other shape is declined and falls back to the normal scan with
   // Spark aggregating, which is always correct.
   private def isAffineCol(
       e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
@@ -108,11 +118,11 @@ class TicksScanBuilder(rows: Long, parts: Int, ratePerBatch: Long = 1000L)
           nr.fieldNames.toSeq == Seq("ts_sec")
       case _ => false
     }
-  private def supportedAgg(
+  private def supportedFuncs(
       a: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean = {
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
-    a.groupByExpressions.isEmpty && a.aggregateExpressions.nonEmpty &&
+    a.aggregateExpressions.nonEmpty &&
       a.aggregateExpressions.forall {
         case _: CountStar => true
         case m: Min => isAffineCol(m.column)
@@ -120,15 +130,29 @@ class TicksScanBuilder(rows: Long, parts: Int, ratePerBatch: Long = 1000L)
         case _ => false
       }
   }
+  private def supportedAgg(
+      a: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = a.groupByExpressions.isEmpty && supportedFuncs(a)
+  private def supportedGroupedAgg(
+      a: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean =
+    a.groupByExpressions.toSeq.map {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference =>
+        nr.fieldNames.toSeq
+      case _ => Nil
+    } == Seq(Seq("symbol")) && supportedFuncs(a)
   override def supportCompletePushDown(
       a: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Boolean = supportedAgg(a)
+      : Boolean = supportedAgg(a) // grouped is PARTIAL, never complete
   override def pushAggregation(
       a: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean =
-    supportedAgg(a) && {
+    if (supportedAgg(a)) {
       aggPushed = Some(a.aggregateExpressions.toSeq); true
-    }
+    } else if (supportedGroupedAgg(a)) {
+      aggPushed = Some(a.aggregateExpressions.toSeq)
+      aggGrouped = true; true
+    } else false
 
   // ---- Limit/TopN pushdown: LIMIT n truncates the generated range to
   // its first n ids (deterministic, and any n rows satisfy an
@@ -188,6 +212,8 @@ class TicksScanBuilder(rows: Long, parts: Int, ratePerBatch: Long = 1000L)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def build(): Scan = aggPushed match {
+    case Some(funcs) if aggGrouped =>
+      new TicksGroupedAggScan(math.min(lo, hi), hi, parts, funcs)
     case Some(funcs) =>
       new TicksAggScan(math.min(lo, hi), hi, funcs)
     case None =>
@@ -254,6 +280,96 @@ class TicksAggReaderFactory(values: Array[Any])
     private var emitted = false
     override def next(): Boolean = !emitted && { emitted = true; true }
     override def get(): InternalRow = InternalRow.fromSeq(values.toSeq)
+    override def close(): Unit = ()
+  }
+}
+
+/** PARTIAL grouped pushdown — the other half of the V2 aggregate
+  * contract (`supportCompletePushDown = false`): each partition returns
+  * per-group PARTIAL rows `(symbol, aggs…)` and Spark's final aggregate
+  * combines them (COUNT partials are SUMmed, MIN/MAX are re-min/maxed).
+  * Still zero generated ticks: symbol is `tick_id % 8`, so a group's
+  * count and min/max of the affine columns over a contiguous id range
+  * are closed forms per residue class. This is exactly how a columnar
+  * source answers a grouped aggregate from per-row-group footer
+  * statistics — each split contributes metadata-derived partials, the
+  * engine merges. The ≤ 8-row partials are computed ON THE DRIVER at
+  * partition-planning time (pure integer arithmetic, metadata scale)
+  * and shipped inside the InputPartition, so the reader carries no
+  * connector expressions across serialization. */
+class TicksGroupedAggScan(lo: Long, hi: Long, parts: Int,
+    funcs: Seq[org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc])
+    extends Scan with Batch {
+  import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+  private def colName(e: org.apache.spark.sql.connector.expressions.Expression)
+      : String =
+    e.asInstanceOf[org.apache.spark.sql.connector.expressions.NamedReference]
+      .fieldNames.head
+  // group-by columns FIRST, then the aggregates — the column order the
+  // V2 pushdown rule zips its rewritten Aggregate against
+  override def readSchema(): StructType = StructType(
+    StructField("symbol", StringType, nullable = false) +: funcs.map {
+      case _: CountStar => StructField("count(*)", LongType, nullable = false)
+      case m: Min =>
+        StructField(s"min(${colName(m.column)})", LongType, nullable = true)
+      case m: Max =>
+        StructField(s"max(${colName(m.column)})", LongType, nullable = true)
+      case f => throw new IllegalStateException(s"unsupported pushed agg $f")
+    })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_ticks AGGPUSHED GROUPED(symbol) PARTIAL range=[$lo,$hi) " +
+      s"parts=$parts aggs=${funcs.mkString(",")}"
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = math.max(0L, hi - lo)
+    val p = math.max(1, parts)
+    (0 until p).iterator
+      .map(i => (lo + n * i / p, lo + n * (i + 1) / p))
+      .filter { case (f, u) => u > f }
+      .map { case (f, u) =>
+        val rows = (0 until 8).iterator.flatMap { s =>
+          // ids ≡ s (mod 8) inside [f, u): count via the prefix form
+          // |{i ∈ [0, x) : i ≡ s}|, endpoints by rounding f up / u−1
+          // down to the residue class
+          def upTo(x: Long): Long = if (x <= s) 0L else (x - s + 7) / 8
+          val cnt = upTo(u) - upTo(f)
+          if (cnt == 0L) Iterator.empty
+          else {
+            val minId = f + java.lang.Math.floorMod(s - f, 8L)
+            val maxId = (u - 1) - java.lang.Math.floorMod(u - 1 - s, 8L)
+            def endpoint(name: String, id: Long): Long = name match {
+              case "tick_id" => id
+              case "ts_sec" => 1700000000L + id
+            }
+            Iterator.single(("S" + s) +: funcs.map {
+              case _: CountStar => cnt
+              case m: Min => endpoint(colName(m.column), minId)
+              case m: Max => endpoint(colName(m.column), maxId)
+              case f => throw new IllegalStateException(s"unsupported $f")
+            })
+          }
+        }.toArray
+        TicksGroupedAggPartition(rows): InputPartition
+      }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TicksGroupedAggReaderFactory
+}
+
+/** One partition's precomputed partial rows: (symbol, agg values…). */
+case class TicksGroupedAggPartition(rows: Array[Seq[Any]])
+    extends InputPartition
+
+class TicksGroupedAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = new PartitionReader[InternalRow] {
+    private val rows = partition.asInstanceOf[TicksGroupedAggPartition].rows
+    private var i = -1
+    override def next(): Boolean = { i += 1; i < rows.length }
+    override def get(): InternalRow = InternalRow.fromSeq(rows(i).map {
+      case s: String => UTF8String.fromString(s)
+      case v => v
+    })
     override def close(): Unit = ()
   }
 }

@@ -1108,6 +1108,45 @@ class PlanSpec extends AnyFunSuite {
       s"ORDER BY tick_id LIMIT 50 must truncate the generated range:\n$p300")
   }
 
+  test("q301: grouped aggregate pushes PARTIALLY — the scan returns " +
+      "per-partition group partials, a FINAL aggregate survives") {
+    val df = Catalog.byName("q301_dsv2_grouped_agg_pushdown").run(spark, d)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("AGGPUSHED GROUPED(symbol) PARTIAL"),
+      "the grouped aggregate must reach the connector as a partial push")
+    // the OTHER half of the contract vs q299: Spark must KEEP a final
+    // aggregate over the pushed partials, and the pushed COUNT column
+    // must be combined by SUM (count-of-counts is wrong; sum-of-counts
+    // is the decomposition)
+    assert(s.contains("HashAggregate"),
+      "partial pushdown must leave Spark's final aggregate in the plan")
+    assert(s.contains("sum(agg_func_0"),
+      s"the final aggregate must SUM the pushed count partials:\n$s")
+    // and the scan must have emitted metadata-scale partials, not ticks
+    val adaptive = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p.collect { case n => n }.flatMap {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          q +: nodes(q.plan)
+        case n => Seq(n)
+      }
+    val scan = nodes(adaptive).collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+        if b.toString.contains("graft_ticks") => b
+    }
+    assert(scan.nonEmpty, "BatchScanExec for graft_ticks not found")
+    val out = scan.head.metrics("numOutputRows").value
+    assert(out > 0L && out <= 64L, // ≤ 8 groups × 8 partitions
+      s"grouped pushdown must emit per-partition partials, got $out " +
+        "rows (an unpushed scan would generate 3.5M ticks)")
+  }
+
   test("q263: the optimizer rewrites the declarative overlap join — " +
       "bin Generates appear, the nested loop is gone") {
     val p = plan("q263_auto_range_join")
