@@ -189,7 +189,7 @@ object ScaleSweep {
     "q67_embedding_neardup", "q77_neardup_clusters",
     "q105_incremental_neardup", "q128_sparse_cosine", "q183_assoc_rules",
     "q224_phash_neardup", "q236_video_scene_dedup",
-    "q240_incremental_video_dedup")
+    "q240_incremental_video_dedup", "q302_budgeted_neardup")
 
   def main(args: Array[String]): Unit = {
     val sf01 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -74,6 +74,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("graft_lcg_banks"),
+      new ExpressionInfo(classOf[LcgLshBanks].getName, "graft_lcg_banks"),
+      (children: Seq[Expression]) => children match {
+        case Seq(v) => LcgLshBanks(v)
+        case Seq(v, Literal(b: Int, _)) => LcgLshBanks(v, b)
+        case Seq(v, Literal(b: Int, _), Literal(p: Int, _), Literal(d: Int, _)) =>
+          LcgLshBanks(v, b, p, d)
+        case _ => throw new IllegalArgumentException(
+          "graft_lcg_banks(vec[, banks[, planes, dim]]) — int literals")
+      }))
+
+    ext.injectFunction((
       FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[BoundedTopK].getName, "graft_topk"),
       (children: Seq[Expression]) => children match {

@@ -327,6 +327,104 @@ object SimilarityQueries {
         WHERE ROUND(LIST_DOT_PRODUCT(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4
         ORDER BY vec_a, vec_b""")),
 
+    // BUDGETED near-dup verify — q67's DECLARED scale path for the
+    // regime where exact banded verification cannot complete (q67 is
+    // this corpus's known single-box ceiling at sf10: its pair density
+    // is scale-invariant by construction, so the verify join is
+    // honestly quadratic). A production corpus runs the bounded
+    // variant: every (bank, bucket) verifies AT MOST the 4 lowest
+    // vec_ids it holds — a row-local, deterministic budget, so
+    // candidate pairs per bucket are ≤ C(4,2) and TOTAL candidates are
+    // O(banks × buckets) REGARDLESS of corpus size. The cap is not
+    // silent (the "no silent caps" rule): the result row carries the
+    // drop ledger — how many (vector, bank) slots were cut and how many
+    // buckets hit the cap — next to what was found, so a reader sees
+    // exactly how much recall was traded for boundedness. Banks come
+    // from graft_lcg_banks (portable LCG + index-mix planes) because
+    // this oracle must REPLAY the candidate set, not just the verified
+    // truth — q67 keeps splitmix64 banks (better-conditioned, full
+    // recall) against its all-pairs oracle.
+    Q("q302_budgeted_neardup",
+      (s, d) => {
+        val all = QH.spread(s, col("vec_id"))(vecs(s, d))
+        val banks = all.select(col("vec_id"),
+          posexplode(expr("graft_lcg_banks(v, 16)")).as(Seq("bank", "bucket")))
+        val w = Window.partitionBy("bank", "bucket").orderBy("vec_id")
+        val ranked = banks.withColumn("rn", row_number().over(w))
+        val kept = ranked.filter(col("rn") <= 4)
+          .select("vec_id", "bank", "bucket")
+        val ledger = ranked.filter(col("rn") > 4)
+          .agg(count(lit(1)).as("n_members_dropped"),
+            countDistinct(col("bank") * 256 + col("bucket"))
+              .as("n_buckets_capped"))
+        val cand = kept.as("x").join(kept.as("y"), Seq("bank", "bucket"))
+          .filter(col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+          .distinct()
+        // one pass: candidate count, verified count, and an integrity
+        // checksum of the found pairs read off the same verify join
+        // (the q196 lesson — separate aggregates re-run the input)
+        val stats = cand
+          .join(all.select(col("vec_id").as("vec_a"), col("v").as("qv")),
+            "vec_a")
+          .join(all.select(col("vec_id").as("vec_b"), col("v")), "vec_b")
+          .withColumn("sim", round(expr(dotExpr), 6))
+          .agg(count(lit(1)).as("n_cand"),
+            count(when(col("sim") >= 0.4, 1)).as("n_pairs"),
+            coalesce(sum(when(col("sim") >= 0.4,
+              col("vec_a").cast("long") * 131071 + col("vec_b"))), lit(0L))
+              .as("pair_checksum"))
+        stats.crossJoin(ledger) // two 1-row frames
+      },
+      Some("""
+        WITH n AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+            SQRT(LIST_SUM(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]), x -> x*x))) AS nrm
+          FROM embeddings),
+        bk AS (
+          SELECT vec_id, b.b AS bank,
+            CAST(LIST_SUM([CASE WHEN LIST_DOT_PRODUCT(
+                [((1103515245::BIGINT *
+                    ((((b.b*8 + p)*64 + i) * 2654435761::BIGINT
+                      + 1013904223) % 2147483648)
+                   + 12345) % 2147483648) / 2147483648.0 - 0.5
+                 for i in GENERATE_SERIES(0, 63)],
+                v) > 0 THEN (1 << p) ELSE 0 END
+              for p in GENERATE_SERIES(0, 7)]) AS INTEGER) AS bucket
+          FROM n CROSS JOIN (SELECT UNNEST(RANGE(0, 16)) AS b) b),
+        rk AS (
+          SELECT vec_id, bank, bucket,
+            ROW_NUMBER() OVER (PARTITION BY bank, bucket
+              ORDER BY vec_id) AS rn
+          FROM bk),
+        ledger AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_members_dropped,
+            CAST(COUNT(DISTINCT bank * 256 + bucket) AS BIGINT)
+              AS n_buckets_capped
+          FROM rk WHERE rn > 4),
+        kept AS (SELECT vec_id, bank, bucket FROM rk WHERE rn <= 4),
+        cand AS (
+          SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+          FROM kept x JOIN kept y
+            ON x.bank = y.bank AND x.bucket = y.bucket
+              AND x.vec_id < y.vec_id),
+        ver AS (
+          SELECT c.vec_a, c.vec_b,
+            ROUND(LIST_DOT_PRODUCT(a.v, b.v) / (a.nrm * b.nrm), 6) AS sim
+          FROM cand c JOIN n a ON a.vec_id = c.vec_a
+            JOIN n b ON b.vec_id = c.vec_b),
+        stats AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_cand,
+            CAST(COUNT(CASE WHEN sim >= 0.4 THEN 1 END) AS BIGINT)
+              AS n_pairs,
+            COALESCE(CAST(SUM(CASE WHEN sim >= 0.4 THEN
+              CAST(vec_a AS BIGINT) * 131071 + vec_b END) AS BIGINT), 0)
+              AS pair_checksum
+          FROM ver)
+        SELECT n_cand, n_pairs, pair_checksum, n_buckets_capped,
+          n_members_dropped
+        FROM stats CROSS JOIN ledger""")),
+
     // PRODUCT QUANTIZATION + ADC scan — the missing fourth ANN path
     // (after brute q30 / LSH q31 / IVF q73) and the one that changes the
     // MEMORY story at 100 TB: a 64-dim float vector compresses to 4
