@@ -112,8 +112,10 @@ object PlanAudit {
       "q298_chained_stateful", // join→agg, two state ops one query (r14)
       "q299_dsv2_agg_pushdown", // closed-form agg, NO aggregate operator (r14)
       "q300_dsv2_topn_pushdown", // ORDER BY+LIMIT collapsed to range (r14)
-      "q196_minhash_eval", // prefix-filtered truth, hashed-set verify (r14)
-      "q224_phash_neardup") // lowest-band dedup, no DISTINCT exchange (r14)
+      "q196_minhash_eval", // one-md5 signature, long-keyed truth side, one-pass eval (r15)
+      "q224_phash_neardup", // lowest-band dedup, no DISTINCT exchange (r14)
+      "q301_dsv2_grouped_agg_pushdown", // PARTIAL push: final agg over pushed partials (r15)
+      "q302_budgeted_neardup") // per-bucket verify budget, drop ledger in result (r15)
     interesting.foreach { name =>
       val df = graft.queries.Catalog.byName(name).run(spark, d)
       // drive THIS df's own query execution to completion (count() would
