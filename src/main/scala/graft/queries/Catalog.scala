@@ -25,7 +25,8 @@ object Catalog {
       NestedQueries.qs ++ AggPnlQueries.qs ++ StreamingQueries.qs ++
       ReferralQueries.qs ++ FunnelQueries.qs ++ TimeSeriesQueries.qs ++
       GraphQueries.qs ++ CurationQueries.qs ++ StatsQueries.qs ++
-      QualityQueries.qs ++ ScaleOpsQueries.qs ++ FormatQueries.qs
+      QualityQueries.qs ++ ScaleOpsQueries.qs ++ FormatQueries.qs ++
+      CatalogQueries.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

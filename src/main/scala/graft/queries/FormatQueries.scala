@@ -347,6 +347,36 @@ object FormatQueries {
           CAST(1700000000 + i AS BIGINT) AS ts_sec,
           CAST(10000 + (i * 37) % 2000 - 1000 AS BIGINT) AS px_cents,
           CAST(1 + (i * 7) % 100 AS BIGINT) AS qty
+        FROM t ORDER BY tick_id""")),
+
+    // OFFSET PUSHDOWN — the front-truncation dual of q300's top-N
+    // pushdown, completing the limit/offset declension matrix on the V2
+    // connector: ORDER BY tick_id LIMIT 50 OFFSET 100 collapses
+    // entirely into the scan. Spark's pushdown rule fixes the
+    // composition order (TopN with n + m rows first, then OFFSET m), so
+    // the scan's final range is [filter_lo + 100, filter_lo + 150) and
+    // the executed plan keeps no sort, limit, or offset operator —
+    // pagination answered by range arithmetic, the page-k query a
+    // 100 TB feed cannot afford to answer by scanning pages 1..k-1.
+    // PlanSpec pins the offset marker and truncated range in the scan
+    // description. The oracle replays the page window over
+    // GENERATE_SERIES.
+    Q("q303_dsv2_offset_pushdown",
+      (s, d) =>
+        s.read.format("graft.sources.TicksProvider")
+          .option("rows", 5000000L).option("parts", 8)
+          .load()
+          .filter(col("tick_id") >= 2000000L)
+          .orderBy("tick_id")
+          .offset(100)
+          .limit(50),
+      Some("""
+        WITH t AS (
+          SELECT UNNEST(GENERATE_SERIES(2000100, 2000149)) AS i)
+        SELECT i AS tick_id, 'S' || (i % 8) AS symbol,
+          CAST(1700000000 + i AS BIGINT) AS ts_sec,
+          CAST(10000 + (i * 37) % 2000 - 1000 AS BIGINT) AS px_cents,
+          CAST(1 + (i * 7) % 100 AS BIGINT) AS qty
         FROM t ORDER BY tick_id"""))
   )
 }

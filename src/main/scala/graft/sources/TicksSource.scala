@@ -84,7 +84,8 @@ class TicksScanBuilder(rows: Long, parts: Int, ratePerBatch: Long = 1000L)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
-    with SupportsPushDownLimit with SupportsPushDownTopN {
+    with SupportsPushDownLimit with SupportsPushDownTopN
+    with SupportsPushDownOffset {
   private var lo = 0L
   private var hi = rows // exclusive
   private var accepted: Array[Filter] = Array.empty
@@ -93,6 +94,7 @@ class TicksScanBuilder(rows: Long, parts: Int, ratePerBatch: Long = 1000L)
     org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc]] = None
   private var aggGrouped = false
   private var limitPushed: Option[Int] = None
+  private var offsetPushed: Option[Int] = None
 
   // ---- Aggregate pushdown: the connector analog of answering
   // COUNT/MIN/MAX from parquet footer statistics. tick_id and ts_sec
@@ -187,6 +189,24 @@ class TicksScanBuilder(rows: Long, parts: Int, ratePerBatch: Long = 1000L)
   // partially — Scala requires the diamond default be disambiguated
   override def isPartiallyPushed(): Boolean = false
 
+  // ---- Offset pushdown: OFFSET m advances the range START by m rows,
+  // the front-truncation dual of pushLimit's tail truncation. Spark's
+  // pushdown rule establishes the composition order: for `LIMIT n
+  // OFFSET m` it first pushes limit (n + m) and then offset m, so the
+  // connector contract is "skip the first m rows of the already
+  // limit-truncated stream" — for this source, lo += m after hi was
+  // clamped. OFFSET without ORDER BY is nondeterministic by SQL
+  // semantics (any m rows may be skipped), so range truncation is a
+  // valid answer in every declension; with ORDER BY tick_id the TopN
+  // path has already pinned generation order = result order and the
+  // truncation is exact. Declined under aggregate pushdown (offset of
+  // an aggregated stream is Spark's job, not the scan's).
+  override def pushOffset(n: Int): Boolean =
+    aggPushed.isEmpty && {
+      lo = math.min(hi, math.max(lo, 0L) + n)
+      offsetPushed = Some(n); true
+    }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ok, rest) = filters.partition {
       case GreaterThan("tick_id", _: Long) => true
@@ -218,7 +238,7 @@ class TicksScanBuilder(rows: Long, parts: Int, ratePerBatch: Long = 1000L)
       new TicksAggScan(math.min(lo, hi), hi, funcs)
     case None =>
       new TicksScan(required, math.min(lo, hi), hi, parts, accepted,
-        ratePerBatch, limitPushed)
+        ratePerBatch, limitPushed, offsetPushed)
   }
 }
 
@@ -412,7 +432,8 @@ object TicksOffset {
 
 class TicksScan(schema: StructType, lo: Long, hi: Long, parts: Int,
     pushed: Array[Filter], ratePerBatch: Long,
-    limitPushed: Option[Int] = None) extends Scan with Batch
+    limitPushed: Option[Int] = None,
+    offsetPushed: Option[Int] = None) extends Scan with Batch
     with SupportsReportStatistics
     with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.streaming.MicroBatchStream
@@ -423,6 +444,7 @@ class TicksScan(schema: StructType, lo: Long, hi: Long, parts: Int,
   override def description(): String =
     s"graft_ticks range=[$lo,$hi) pushed=${pushed.mkString(",")} " +
       limitPushed.fold("")(n => s"limit=$n ") +
+      offsetPushed.fold("")(n => s"offset=$n ") +
       s"cols=${schema.fieldNames.mkString(",")}"
   override def planInputPartitions(): Array[InputPartition] = {
     val st = rt

@@ -115,7 +115,14 @@ object PlanAudit {
       "q196_minhash_eval", // one-md5 signature, long-keyed truth side, one-pass eval (r15)
       "q224_phash_neardup", // lowest-band dedup, no DISTINCT exchange (r14)
       "q301_dsv2_grouped_agg_pushdown", // PARTIAL push: final agg over pushed partials (r15)
-      "q302_budgeted_neardup") // per-bucket verify budget, drop ledger in result (r15)
+      "q302_budgeted_neardup", // per-bucket verify budget, drop ledger in result (r15)
+      "q303_dsv2_offset_pushdown", // LIMIT+OFFSET collapsed to page-window range (r15)
+      "q304_catalog_sql_table", // catalog V2 scan: zone-map file pruning (r15)
+      "q305_catalog_sql_delete", // COW delete: runtime group filter narrows rewrite (r15)
+      "q306_catalog_sql_update", // COW update: affected groups only (r15)
+      "q307_catalog_sql_merge", // MERGE: one join, replaced groups + inserts (r15)
+      "q308_catalog_sql_functions", // magic-invoke scalar + mergeable XOR agg (r15)
+      "q309_catalog_time_travel") // VERSION AS OF: manifest-pointer read (r15)
     interesting.foreach { name =>
       val df = graft.queries.Catalog.byName(name).run(spark, d)
       // drive THIS df's own query execution to completion (count() would

@@ -1108,6 +1108,22 @@ class PlanSpec extends AnyFunSuite {
       s"ORDER BY tick_id LIMIT 50 must truncate the generated range:\n$p300")
   }
 
+  test("q303: LIMIT 50 OFFSET 100 collapses into the V2 scan as " +
+      "front + tail range truncation") {
+    val p = plan("q303_dsv2_offset_pushdown")
+    // Spark's composition order: TopN(limit + offset) first, then
+    // OFFSET m — so the scan records limit=150 offset=100 and its final
+    // range is the 50-row page window
+    assert(p.contains("range=[2000100,2000150)"),
+      s"the scan range must be the page window, not the filtered feed:\n$p")
+    assert(p.contains("limit=150") && p.contains("offset=100"),
+      s"both truncations must reach the connector:\n$p")
+    // fully pushed ⇒ Spark keeps no sort machinery; the page is never
+    // materialized-then-skipped
+    assert(!p.contains("TakeOrderedAndProject"),
+      s"a fully pushed top-N + offset must drop TakeOrdered:\n$p")
+  }
+
   test("q301: grouped aggregate pushes PARTIALLY — the scan returns " +
       "per-partition group partials, a FINAL aggregate survives") {
     val df = Catalog.byName("q301_dsv2_grouped_agg_pushdown").run(spark, d)
