@@ -38,7 +38,8 @@ object Bench {
     * dropped, so a bad round is visible instead of quietly wrong. */
   private[graft] val STREAMING_FLOOR_SEC = 0.25
   private[graft] def streamingNames: Set[String] =
-    graft.queries.StreamingQueries.qs.map(_.name).toSet + "q105_incremental_neardup"
+    graft.queries.StreamingQueries.qs.map(_.name).toSet +
+      "q105_incremental_neardup" + "q310_catalog_streaming_write"
 
   /** Streaming queries whose measured time is physically impossible for
     * a real checkpointed run — named, not dropped, so a broken round is

@@ -100,6 +100,14 @@ object ManifestStore {
     * COW delete, compact) applies its vector first and then clears it:
     * the rewrite materializes the deletes. `deleteKeyCols` names the
     * key tuple (one key set per table — the upsert key discipline). */
+  /** `props`: free-form table properties carried commit-to-commit — the
+    * extension point a commit log needs for writer protocols (the
+    * Delta `txn` device): the streaming catalog sink records its
+    * last-committed epoch per query id here, which is what makes a
+    * replayed micro-batch commit a detectable no-op instead of a
+    * duplicate append. Every publisher carries the base manifest's
+    * props forward; manifests written before the field existed parse
+    * as empty. */
   final case class Manifest(version: Long, entries: Map[String, String],
                             stats: Map[String, Map[String, (String, String)]]
                               = Map.empty,
@@ -109,7 +117,8 @@ object ManifestStore {
                             blooms: Map[String, Map[String, String]]
                               = Map.empty,
                             deletes: Map[String, String] = Map.empty,
-                            deleteKeyCols: Seq[String] = Nil) {
+                            deleteKeyCols: Seq[String] = Nil,
+                            props: Map[String, String] = Map.empty) {
     def schema: Option[StructType] = schemaJson.map(j =>
       org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[StructType])
@@ -204,9 +213,14 @@ object ManifestStore {
         n.elements().forEachRemaining(e => b += e.asText())
         b.result()
       }.getOrElse(Nil)
+      val props = scala.collection.mutable.Map.empty[String, String]
+      val propsNode = tree.get("props")
+      if (propsNode != null) propsNode.fields().forEachRemaining { p =>
+        props += p.getKey -> p.getValue.asText()
+      }
       Some(Manifest(tree.get("version").asLong(), entries.toMap, stats.toMap,
         fileStats.toMap, schemaJson, blooms.toMap, deletes.toMap,
-        deleteKeyCols))
+        deleteKeyCols, props.toMap))
     }
   }
 
@@ -633,7 +647,7 @@ object ManifestStore {
       publish(spark, root, ver,
         (base.entries -- touchedKeys) ++ staged, baseOpt, base.stats,
         base.fileStats -- touchedKeys, base.schemaJson, base.blooms,
-        base.deletes -- touchedKeys, base.deleteKeyCols)
+        base.deletes -- touchedKeys, base.deleteKeyCols, base.props)
     }
     beforePublish()
     publishWithRebase(fs, root, Some(prev), version, touchedKeys,
@@ -766,7 +780,7 @@ object ManifestStore {
     // remain supersets, bloom false-keeps are the bloom contract)
     publish(spark, root, version, prev.entries, Some(prev), prev.stats,
       prev.fileStats, prev.schemaJson, prev.blooms,
-      prev.deletes ++ stagedLive, keyCols)
+      prev.deletes ++ stagedLive, keyCols, prev.props)
   }
 
   /** Maintenance compaction — the OPTIMIZE of this mini table format:
@@ -803,7 +817,8 @@ object ManifestStore {
     // exact when no vectors applied (stale-wide, still safe, when they
     // did); file stats drop (every file was rewritten)
     publish(spark, root, version, entries, Some(prev), prev.stats,
-      schemaJson = prev.schemaJson, blooms = prev.blooms)
+      schemaJson = prev.schemaJson, blooms = prev.blooms,
+      props = prev.props)
   }
 
   /** Stage generation `version`: write `merged` (which must contain
@@ -917,7 +932,8 @@ object ManifestStore {
                              blooms: Map[String, Map[String, String]]
                                = Map.empty,
                              deletes: Map[String, String] = Map.empty,
-                             deleteKeyCols: Seq[String] = Nil): Unit = {
+                             deleteKeyCols: Seq[String] = Nil,
+                             props: Map[String, String] = Map.empty): Unit = {
     val fs = fsOf(spark, root)
     val node = mapper.createObjectNode()
     node.put("version", version)
@@ -967,6 +983,10 @@ object ManifestStore {
       liveDeletes.toSeq.sortBy(_._1).foreach { case (k, p) => dn.put(k, p) }
       val kn = node.putArray("deleteKeyCols")
       deleteKeyCols.foreach(kn.add)
+    }
+    if (props.nonEmpty) {
+      val pn = node.putObject("props")
+      props.toSeq.sortBy(_._1).foreach { case (k, v) => pn.put(k, v) }
     }
     // writer-unique temp name (same rationale as the generation-dir
     // nonce): two racing writers both staging v$version must not share
@@ -1170,7 +1190,8 @@ object ManifestStore {
         // rewritten partitions materialized their vectors; untouched
         // ones keep theirs
         base.map(_.deletes).getOrElse(Map.empty) -- touchedKeys,
-        base.map(_.deleteKeyCols).getOrElse(Nil))
+        base.map(_.deleteKeyCols).getOrElse(Nil),
+        base.map(_.props).getOrElse(Map.empty))
     }
 
     beforePublish()

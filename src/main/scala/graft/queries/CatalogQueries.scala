@@ -260,6 +260,47 @@ object CatalogQueries {
         SELECT 'v2' AS snap, CAST(COUNT(*) AS BIGINT) AS n,
           CAST(SUM(n_nationkey) AS BIGINT) AS sum_k
         FROM nation
-        ORDER BY snap"""))
+        ORDER BY snap""")),
+
+    // STREAMING APPEND INTO A CATALOG TABLE — `writeStream.toTable`
+    // through the V2 STREAMING_WRITE contract: each epoch's tasks stage
+    // files under an epoch-suffixed generation dir and the epoch commit
+    // publishes them WITH the `graft.lastEpoch.<queryId>` marker in the
+    // manifest props, so a replayed micro-batch (driver restart inside
+    // the sink-commit/checkpoint-commit window) is a detected no-op —
+    // the transactional-sink exactly-once device, as one manifest
+    // commit. The streamed files carry the same write-time zone maps as
+    // batch inserts (GraftCatalogSpec pins both the epoch dedup and the
+    // stats). The oracle recomputes the projection aggregate straight
+    // from the events table.
+    Q("q310_catalog_streaming_write",
+      (s, d) => {
+        val cat = freshCatalog(s, "sw")
+        s.sql(s"CREATE TABLE $cat.lab.ev (event_id BIGINT, " +
+          "event_type STRING, d DATE, value DOUBLE)")
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val ck = java.nio.file.Files
+          .createTempDirectory("graft_q310_ck_").toString
+        val q = graft.tables.Tables.normalize("events",
+            s.readStream.schema(schema)
+              .option("pathGlobFilter", "events.parquet").parquet(d))
+          .select(col("event_id"), col("event_type"),
+            to_date(col("ts")).as("d"), col("value"))
+          .writeStream
+          .option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable(s"$cat.lab.ev")
+        q.awaitTermination()
+        s.sql(s"""
+          SELECT event_type, COUNT(*) AS n,
+            ${SUMP.format("value")} AS total,
+            MIN(d) AS first_d, MAX(d) AS last_d
+          FROM $cat.lab.ev GROUP BY event_type ORDER BY event_type""")
+      },
+      Some("""
+        SELECT event_type, COUNT(*) AS n,
+          CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS total,
+          MIN(CAST(ts AS DATE)) AS first_d, MAX(CAST(ts AS DATE)) AS last_d
+        FROM events GROUP BY event_type ORDER BY event_type"""))
   )
 }

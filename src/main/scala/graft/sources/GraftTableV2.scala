@@ -76,7 +76,7 @@ class GraftTable(tableName: String, root: String, tableSchema: StructType,
     // filter is supported and anything finer fails the capability
     // check up front instead of at build time
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
 
   override def metadataColumns(): Array[MetadataColumn] =
     Array(GraftTableOps.FileColumn)
@@ -87,7 +87,8 @@ class GraftTable(tableName: String, root: String, tableSchema: StructType,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     requireWritable("write")
-    new GraftWriteBuilder(root, tableSchema, info.schema(), rowLevel = None)
+    new GraftWriteBuilder(root, tableSchema, info.schema(), rowLevel = None,
+      queryId = info.queryId())
   }
 
   // ---- SQL TRUNCATE TABLE: drop every entry, keep the schema ---------
@@ -95,7 +96,7 @@ class GraftTable(tableName: String, root: String, tableSchema: StructType,
     requireWritable("TRUNCATE")
     val m = fsm
     ManifestStore.publish(spark, root, m.version + 1, Map.empty, Some(m),
-      schemaJson = m.schemaJson)
+      schemaJson = m.schemaJson, props = m.props)
     true
   }
 
@@ -121,7 +122,8 @@ class GraftTable(tableName: String, root: String, tableSchema: StructType,
       }
     }
     ManifestStore.publish(spark, root, m.version + 1, m.entries -- drop,
-      Some(m), fileStats = m.fileStats -- drop, schemaJson = m.schemaJson)
+      Some(m), fileStats = m.fileStats -- drop, schemaJson = m.schemaJson,
+      props = m.props)
   }
 
   // ---- row-level operations (copy-on-write DELETE/UPDATE/MERGE) ------
@@ -171,6 +173,27 @@ object GraftTableOps {
     m.fileStats.get(key)
       .flatMap(files => m.entries.get(key).flatMap(files.get))
       .getOrElse(Map.empty)
+
+  /** Shared commit assembly for the batch, row-level, and streaming
+    * writes: staged task files become `file=<name>` entries carrying
+    * their write-time stats, `replaced` entries drop (COW group swap /
+    * overwrite), `extraProps` merge into the carried table props (the
+    * streaming epoch marker). One publish, OCC-checked against `m`. */
+  def publishStaged(spark: SparkSession, root: String,
+                    m: ManifestStore.Manifest, genRel: String,
+                    staged: Seq[GraftFileCommit], replaced: Set[String],
+                    extraProps: Map[String, String]): Unit = {
+    require(m.deletes.isEmpty,
+      s"catalog write to $root: table carries partition deletion vectors")
+    val newEntries = staged.map(f => s"file=${f.name}" -> s"$genRel/${f.name}")
+    val newFileStats = staged.map(f =>
+      s"file=${f.name}" -> Map(s"$genRel/${f.name}" -> f.stats)).toMap
+    ManifestStore.publish(spark, root, m.version + 1,
+      (m.entries -- replaced) ++ newEntries, Some(m),
+      fileStats = (m.fileStats -- replaced) ++ newFileStats,
+      schemaJson = m.schemaJson,
+      props = m.props ++ extraProps)
+  }
 
   /** Best-effort removal of an uncommitted staging dir (abort path /
     * empty append). Losing the race to delete is fine — an orphaned
@@ -333,13 +356,20 @@ class GraftReaderFactory(conf: SerializableHadoopConf)
 
 class GraftWriteBuilder(root: String, tableSchema: StructType,
                         writeSchema: StructType,
-                        rowLevel: Option[GraftRowLevelOperation])
+                        rowLevel: Option[GraftRowLevelOperation],
+                        queryId: String = "")
     extends WriteBuilder with SupportsTruncate {
   private var overwrite = false
   override def truncate(): WriteBuilder = { overwrite = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new GraftBatchWrite(root, tableSchema, writeSchema, overwrite, rowLevel)
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      require(rowLevel.isEmpty && !overwrite,
+        "streaming writes to graft catalog tables are APPEND-mode")
+      new GraftStreamingWrite(root, tableSchema, writeSchema, queryId)
+    }
   }
 }
 
@@ -385,8 +415,6 @@ class GraftBatchWrite(root: String, tableSchema: StructType,
       case f: GraftFileCommit if f.rows > 0 => f
     }
     val m = GraftTableOps.manifestOf(spark, root)
-    require(m.deletes.isEmpty,
-      s"catalog write to $root: table carries partition deletion vectors")
     val replaced: Set[String] = rowLevel match {
       case Some(op) => Option(op.scanned).getOrElse(Set.empty)
       case None => if (overwrite) m.entries.keySet else Set.empty
@@ -396,17 +424,79 @@ class GraftBatchWrite(root: String, tableSchema: StructType,
       GraftTableOps.cleanupStage(spark, root, genRel)
       return
     }
-    val newEntries = staged.map(f => s"file=${f.name}" -> s"$genRel/${f.name}")
-    val newFileStats = staged.map(f =>
-      s"file=${f.name}" -> Map(s"$genRel/${f.name}" -> f.stats)).toMap
-    ManifestStore.publish(spark, root, m.version + 1,
-      (m.entries -- replaced) ++ newEntries, Some(m),
-      fileStats = (m.fileStats -- replaced) ++ newFileStats,
-      schemaJson = m.schemaJson)
+    GraftTableOps.publishStaged(spark, root, m, genRel, staged, replaced,
+      extraProps = Map.empty)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     GraftTableOps.cleanupStage(spark, root, genRel)
+}
+
+/** Streaming append into a catalog table (`writeStream.toTable`):
+  * each epoch's tasks stage files under an epoch-suffixed generation
+  * dir, and the epoch commit publishes them recording
+  * `graft.lastEpoch.<queryId>` in the manifest's props — so a REPLAYED
+  * micro-batch (driver restart between sink commit and checkpoint
+  * commit, the classic duplicate window) detects its epoch as already
+  * committed and becomes a no-op that just cleans its re-staged bytes:
+  * the transactional-sink exactly-once device (Delta's `txn`), here as
+  * a property of the same manifest commit the data rides. */
+class GraftStreamingWrite(root: String, tableSchema: StructType,
+                          writeSchema: StructType, queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+  private def spark: SparkSession = SparkSession.active
+  private val genBase = {
+    val guess = ManifestStore.currentVersion(
+      new HPath(root).getFileSystem(spark.sessionState.newHadoopConf()),
+      root).getOrElse(0L) + 1
+    f"_gen/g$guess%08d-${java.util.UUID.randomUUID().toString.take(8)}"
+  }
+  private def genRel(epochId: Long) = s"$genBase-e$epochId"
+  private val epochKey = s"graft.lastEpoch.$queryId"
+
+  private val dataIdx: Array[Int] = writeSchema.fields.zipWithIndex
+    .filter { case (f, _) => tableSchema.fieldNames.contains(f.name) }
+    .map(_._2)
+  require(dataIdx.length == tableSchema.length,
+    s"stream schema ${writeSchema.fieldNames.mkString(",")} does not " +
+      s"cover table columns ${tableSchema.fieldNames.mkString(",")}")
+  private val dataSchema = StructType(dataIdx.map(writeSchema.fields(_)))
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : StreamingDataWriterFactory = {
+    val conf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+    val proj =
+      if (dataIdx.length == writeSchema.length) None else Some(dataIdx)
+    val rootC = root; val baseC = genBase; val schemaC = dataSchema
+    new StreamingDataWriterFactory {
+      override def createWriter(partitionId: Int, taskId: Long,
+                                epochId: Long): DataWriter[InternalRow] =
+        new GraftDataWriterFactory(s"$rootC/$baseC-e$epochId", schemaC,
+          proj, conf).createWriter(partitionId, taskId)
+    }
+  }
+
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit = {
+    val m = GraftTableOps.manifestOf(spark, root)
+    if (m.props.get(epochKey).exists(_.toLong >= epochId)) {
+      // replayed epoch: its effect is already in the table — drop the
+      // re-staged bytes and succeed (idempotent sink commit)
+      GraftTableOps.cleanupStage(spark, root, genRel(epochId))
+      return
+    }
+    val staged = messages.collect {
+      case f: GraftFileCommit if f.rows > 0 => f
+    }
+    GraftTableOps.publishStaged(spark, root, m, genRel(epochId),
+      staged.toSeq, replaced = Set.empty,
+      extraProps = Map(epochKey -> epochId.toString))
+  }
+
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit =
+    GraftTableOps.cleanupStage(spark, root, genRel(epochId))
 }
 
 class GraftDataWriterFactory(genDirAbs: String, dataSchema: StructType,
@@ -443,7 +533,17 @@ class GraftDataWriterFactory(genDirAbs: String, dataSchema: StructType,
     override def commit(): WriterCommitMessage =
       if (writer == null) GraftFileCommit(name, 0L, Map.empty)
       else GraftFileCommit(name, rows, writer.close())
-    override def abort(): Unit = if (writer != null) writer.close()
+    // a failed/superseded ATTEMPT deletes its own bytes: the staging
+    // dir may become a LIVE generation at job commit, and an orphan
+    // file inside a referenced generation is never GC'd (generation GC
+    // is per-dir) — losing attempts must not leave dark bytes there
+    override def abort(): Unit = if (writer != null) {
+      writer.close()
+      try {
+        val p = new org.apache.hadoop.fs.Path(s"$genDirAbs/$name")
+        p.getFileSystem(conf.value).delete(p, false)
+      } catch { case _: Exception => () }
+    }
     override def close(): Unit = ()
   }
 }

@@ -261,6 +261,47 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming toTable appends with zone-mapped files, records the " +
+      "epoch marker, and a REPLAYED epoch commit is a no-op") {
+    val (cat, root) = fresh("sw")
+    spark.sql(s"CREATE TABLE $cat.ns.s (k BIGINT, v DOUBLE)")
+    val src = java.nio.file.Files
+      .createTempDirectory("graft_catspec_swsrc").toString
+    spark.range(1, 101).select(col("id").as("k"), (col("id") * 2.0).as("v"))
+      .coalesce(1).write.mode("overwrite").parquet(src)
+    val ck = java.nio.file.Files
+      .createTempDirectory("graft_catspec_swck").toString
+    val q = spark.readStream
+      .schema("k BIGINT, v DOUBLE").parquet(src)
+      .writeStream.option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable(s"$cat.ns.s")
+    q.awaitTermination()
+    assert(spark.table(s"$cat.ns.s").count() == 100)
+    val m = manifest(root, "s")
+    val epochKeys = m.props.keys.filter(_.startsWith("graft.lastEpoch."))
+    assert(epochKeys.size == 1, s"expected one epoch marker, got ${m.props}")
+    val lastEpoch = m.props(epochKeys.head).toLong
+    // streamed files carry the same write-time zone maps as batch ones
+    val st = graft.sources.GraftTableOps.statsOf(m, m.entries.head._1)
+    assert(st.get("k").map(_._1.toLong).contains(1L) &&
+      st.get("k").map(_._2.toLong).contains(100L), s"stats: $st")
+    // REPLAY the committed epoch directly against the sink: the commit
+    // must detect lastEpoch >= epochId and change NOTHING
+    val sw = new graft.sources.GraftStreamingWrite(s"$root/ns/s",
+      org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, v DOUBLE"),
+      org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, v DOUBLE"),
+      epochKeys.head.stripPrefix("graft.lastEpoch."))
+    sw.commit(lastEpoch, Array.empty)
+    val m2 = manifest(root, "s")
+    assert(m2.version == m.version && spark.table(s"$cat.ns.s").count() == 100,
+      "a replayed epoch commit must publish nothing")
+    // other writers PRESERVE the epoch marker (props carry forward)
+    spark.sql(s"DELETE FROM $cat.ns.s WHERE k <= 10")
+    assert(manifest(root, "s").props(epochKeys.head).toLong == lastEpoch,
+      "a later DELETE must carry the streaming epoch marker forward")
+  }
+
   test("GraftPrune tri-state classification is sound on every filter " +
       "shape it accepts") {
     val schema = StructType(Seq(
