@@ -301,6 +301,43 @@ object CatalogQueries {
         SELECT event_type, COUNT(*) AS n,
           CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS total,
           MIN(CAST(ts AS DATE)) AS first_d, MAX(CAST(ts AS DATE)) AS last_d
-        FROM events GROUP BY event_type ORDER BY event_type"""))
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // SQL CALL PROCEDURES — the ProcedureCatalog leg of the V2 surface
+    // (the OPTIMIZE verb every table format grows): two single-file
+    // appends land two live files, `CALL cat.sys.compact('lab','li')`
+    // rewrites them into ONE zone-mapped file through the normal
+    // catalog write path (read via the plain store scan, so the
+    // self-overwrite analyzes; one atomic manifest swap; the
+    // pre-compact version stays time-travel-readable in the grace
+    // window), and the procedure's RESULT SET reports
+    // files_before/files_after/rows. The query returns that result row
+    // crossed with a data-intact aggregate; the oracle knows all of it
+    // from lineitem alone.
+    Q("q311_catalog_compact_procedure",
+      (s, d) => {
+        val cat = freshCatalog(s, "cp")
+        s.sql(s"CREATE TABLE $cat.lab.li (l_orderkey BIGINT, " +
+          "l_extendedprice DOUBLE)")
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice"))
+        li.filter(col("l_orderkey") % 2 === 0).coalesce(1)
+          .writeTo(s"$cat.lab.li").append()
+        li.filter(col("l_orderkey") % 2 =!= 0).coalesce(1)
+          .writeTo(s"$cat.lab.li").append()
+        val call = s.sql(s"CALL $cat.sys.compact('lab', 'li')")
+          .toDF("files_before", "files_after", "n_rows")
+        val intact = s.sql(s"""
+          SELECT COUNT(*) AS n, ${SUMP.format("l_extendedprice")} AS total
+          FROM $cat.lab.li""")
+        call.crossJoin(intact)
+      },
+      Some("""
+        SELECT CAST(2 AS BIGINT) AS files_before,
+          CAST(1 AS BIGINT) AS files_after,
+          CAST(COUNT(*) AS BIGINT) AS n_rows,
+          CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS total
+        FROM lineitem"""))
   )
 }

@@ -48,7 +48,7 @@ import graft.graph.ManifestStore
   * `ConcurrentModificationException`, never silently.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with FunctionCatalog {
+    with FunctionCatalog with ProcedureCatalog {
   private var catName: String = _
   private var root: String = _
 
@@ -172,6 +172,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         .NoSuchFunctionException(ident))
   override def functionExists(ident: Identifier): Boolean =
     GraftFunctions.load(ident.name()).isDefined
+
+  // ---- procedures (ProcedureCatalog): CALL <cat>.sys.<proc>(...) -----
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.toSeq == Seq("sys"))
+      GraftProcedures.names.map(Identifier.of(namespace, _)).toArray
+    else Array.empty
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    if (ident.namespace().toSeq != Seq("sys"))
+      throw new IllegalArgumentException(
+        s"graft procedures live under $catName.sys; got $ident")
+    GraftProcedures.load(catName, root, ident.name()).getOrElse(
+      throw new IllegalArgumentException(s"no such procedure $ident — " +
+        s"have: ${GraftProcedures.names.mkString(", ")}"))
+  }
 
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],

@@ -122,7 +122,9 @@ object PlanAudit {
       "q306_catalog_sql_update", // COW update: affected groups only (r15)
       "q307_catalog_sql_merge", // MERGE: one join, replaced groups + inserts (r15)
       "q308_catalog_sql_functions", // magic-invoke scalar + mergeable XOR agg (r15)
-      "q309_catalog_time_travel") // VERSION AS OF: manifest-pointer read (r15)
+      "q309_catalog_time_travel", // VERSION AS OF: manifest-pointer read (r15)
+      "q310_catalog_streaming_write", // epoch-dedup'd streaming append (r15)
+      "q311_catalog_compact_procedure") // CALL compact: one-file rewrite (r15)
     interesting.foreach { name =>
       val df = graft.queries.Catalog.byName(name).run(spark, d)
       // drive THIS df's own query execution to completion (count() would

@@ -302,6 +302,37 @@ class GraftCatalogSpec extends AnyFunSuite {
       "a later DELETE must carry the streaming epoch marker forward")
   }
 
+  test("CALL procedures: compact → one zone-mapped file (old snapshot " +
+      "retained), snapshots lists the window, vacuum GCs aged orphans") {
+    val (cat, root) = fresh("proc")
+    seedTwoFiles(cat) // v1 create, v2 + v3 single-file inserts
+    val res = spark.sql(s"CALL $cat.sys.compact('ns', 't')").collect().head
+    assert((res.getLong(0), res.getLong(1), res.getLong(2)) == ((2L, 1L, 200L)))
+    assert(spark.table(s"$cat.ns.t").count() == 200)
+    val m = manifest(root, "t")
+    assert(m.entries.size == 1)
+    // compacted file carries FRESH write-time zone maps
+    val st = graft.sources.GraftTableOps.statsOf(m, m.entries.head._1)
+    assert(st("k") == (("1", "200")), s"stats: $st")
+    // pre-compact snapshot still readable (grace window)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.ns.t VERSION AS OF 3")
+      .collect().head.getLong(0) == 200)
+    val snaps = spark.sql(s"CALL $cat.sys.snapshots('ns', 't')").collect()
+    assert(snaps.map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L),
+      "retained window = current + previous")
+    // vacuum with a zero grace: the first no-data commit moves the
+    // window (keep = v4+v5 = the compacted gen only), the second's GC
+    // pass then collects the two insert generations
+    spark.conf.set("spark.graft.manifest.orphanGraceMs", "0")
+    try {
+      spark.sql(s"CALL $cat.sys.vacuum('ns', 't')").collect()
+      val v2 = spark.sql(s"CALL $cat.sys.vacuum('ns', 't')").collect().head
+      assert(v2.getLong(1) == 1L,
+        s"after double vacuum only the live generation remains: $v2")
+    } finally spark.conf.unset("spark.graft.manifest.orphanGraceMs")
+    assert(spark.table(s"$cat.ns.t").count() == 200)
+  }
+
   test("GraftPrune tri-state classification is sound on every filter " +
       "shape it accepts") {
     val schema = StructType(Seq(
