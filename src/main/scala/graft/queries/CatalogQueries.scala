@@ -317,19 +317,19 @@ object CatalogQueries {
     Q("q311_catalog_compact_procedure",
       (s, d) => {
         val cat = freshCatalog(s, "cp")
-        s.sql(s"CREATE TABLE $cat.lab.li (l_orderkey BIGINT, " +
-          "l_extendedprice DOUBLE)")
-        val li = t(s, d, "lineitem")
-          .select(col("l_orderkey"), col("l_extendedprice"))
-        li.filter(col("l_orderkey") % 2 === 0).coalesce(1)
-          .writeTo(s"$cat.lab.li").append()
-        li.filter(col("l_orderkey") % 2 =!= 0).coalesce(1)
-          .writeTo(s"$cat.lab.li").append()
-        val call = s.sql(s"CALL $cat.sys.compact('lab', 'li')")
+        s.sql(s"CREATE TABLE $cat.lab.ord (o_orderkey BIGINT, " +
+          "o_totalprice DOUBLE)")
+        val ord = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        ord.filter(col("o_orderkey") % 2 === 0).coalesce(1)
+          .writeTo(s"$cat.lab.ord").append()
+        ord.filter(col("o_orderkey") % 2 =!= 0).coalesce(1)
+          .writeTo(s"$cat.lab.ord").append()
+        val call = s.sql(s"CALL $cat.sys.compact('lab', 'ord')")
           .toDF("files_before", "files_after", "n_rows")
         val intact = s.sql(s"""
-          SELECT COUNT(*) AS n, ${SUMP.format("l_extendedprice")} AS total
-          FROM $cat.lab.li""")
+          SELECT COUNT(*) AS n, ${SUMP.format("o_totalprice")} AS total
+          FROM $cat.lab.ord""")
         call.crossJoin(intact)
       },
       Some("""
@@ -337,7 +337,7 @@ object CatalogQueries {
           CAST(1 AS BIGINT) AS files_after,
           CAST(COUNT(*) AS BIGINT) AS n_rows,
           CAST(COUNT(*) AS BIGINT) AS n,
-          CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS total
-        FROM lineitem"""))
+          CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS total
+        FROM orders"""))
   )
 }
