@@ -110,6 +110,24 @@ object Bench {
     * SPARK_GRAFT_BENCH_REPS for dev iteration. */
   private[graft] val DEFAULT_REPS = 3
 
+  /** Adaptive rep policy (round-16, VERDICT r15 Next #1): min-of-N only
+    * protects SUB-SECOND queries from contention spikes (a 50 ms spike
+    * on a 0.3 s query is a 17% distortion; on a 4 s query it is noise),
+    * while repeating multi-second queries is where the suite's wall
+    * cost lives — the r15 top-20 queries were 80.9 s of min-sum but
+    * ~325 s of bench wall under warm+3. So: queries whose WARM-UP run
+    * took >= this threshold get ONE timed rep; everything below keeps
+    * min-of-`reps`. The warm-up duration (not the timed one) makes the
+    * decision, so the policy is known before the first timed rep and a
+    * query cannot straddle policies mid-measurement. r15 evidence that
+    * one rep suffices up there: per-query min across THREE full r15
+    * runs matched single-run values within noise for every query over
+    * 2 s (bench_full_r15.json conditions block). */
+  private[graft] val ADAPTIVE_REP_FLOOR_SEC = 2.0
+
+  private[graft] def repsFor(warmSec: Double, reps: Int): Int =
+    if (warmSec >= ADAPTIVE_REP_FLOOR_SEC) 1 else reps
+
   /** min-of-N with contention accounting: returns the per-query min plus
     * suite-level straggler stats (how much time the min discarded), so a
     * run on a loaded host shows HOW loaded in the record itself. */
@@ -133,8 +151,11 @@ object Bench {
     * discarded (`sum(rep) - sum(min)`), a direct contention gauge. */
   private def runSuite(spark: SparkSession, sfDir: String,
                        selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
-                       reps: Int): (Seq[(String, Double)], Double) = {
+                       reps: Int,
+                       onProgress: Seq[(String, Double)] => Unit = _ => ())
+      : (Seq[(String, Double)], Double) = {
     var discarded = 0.0
+    var done = List.empty[(String, Double)]
     val results = selected.map { case (name, fn) =>
       def sweep(): Unit = {
         spark.catalog.clearCache() // don't let cached barriers leak memory
@@ -147,8 +168,16 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
       }
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      // the warm-up run is untimed in the record but its duration drives
+      // the adaptive rep policy (see repsFor); a FAILED warm-up keeps the
+      // full rep count (its fast failure says nothing about plan cost)
+      val w0 = System.nanoTime()
+      val warmOk =
+        try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+      val warmSec = (System.nanoTime() - w0) / 1e9
       sweep()
+      val nReps = if (warmOk) repsFor(warmSec, reps) else reps
       // a FAILED rep must not enter the min: an exception that fires
       // fast (transient OOM, temp-dir churn) would otherwise record its
       // 50 ms as the query's "steady-state plan cost" and silently
@@ -157,7 +186,7 @@ object Bench {
       // failed, fall back to the min of the failures (the pre-r12
       // behavior: a broken query still shows a duration, and its
       // brokenness shows up in the correctness gate, not here).
-      val timed = (1 to math.max(1, reps)).map { _ =>
+      val timed = (1 to math.max(1, nReps)).map { _ =>
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
@@ -171,6 +200,11 @@ object Bench {
         if (succeeded.nonEmpty) minOfReps(succeeded)
         else minOfReps(timed.map(_._1))
       discarded += repDiscard(succeeded, best)
+      done = (name -> best) :: done
+      // incremental record: a killed run (driver timeout) leaves every
+      // completed query's number on disk instead of nothing (r15's
+      // BENCH record was rc=124 + parsed:null for want of exactly this)
+      onProgress(done.reverse)
       name -> best
     }
     (results, discarded)
@@ -198,7 +232,8 @@ object Bench {
       s""""load_avg_start":$loadStart,"load_avg_end":$loadEnd,""" +
       // Locale.ROOT: a comma-decimal default locale (fr_FR) would
       // render f"%.1f" as "12,3" and corrupt the JSON record
-      s""""reps":$reps,"discarded_sec":${String.format(java.util.Locale.ROOT, "%.1f", Double.box(discardedSec))},""" +
+      s""""reps":$reps,"rep_policy":"min-of-reps<${ADAPTIVE_REP_FLOOR_SEC}s-warm;1-above",""" +
+      s""""discarded_sec":${String.format(java.util.Locale.ROOT, "%.1f", Double.box(discardedSec))},""" +
       s""""heap_max_mb":${Runtime.getRuntime.maxMemory / (1024 * 1024)},""" +
       s""""gc_total_sec":$gcSec,""" +
       s""""shards":$shards,""" +
@@ -232,7 +267,12 @@ object Bench {
     val loadStart = loadAvg()
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex
       .collect { case ((name, fn), idx) if shardOf(idx, n) == i => (name, fn) }
-    val (results, discarded) = runSuite(spark, sfDir, selected, reps)
+    def partial(rs: Seq[(String, Double)]): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Path.of(out),
+        s"""{"metric":"shard","shard":$i,"partial":true,""" +
+          s""""value":${rs.map(_._2).sum},"unit":"sec",""" +
+          s""""n_queries":${rs.size},"queries":${qJson(rs)},"sf":"$sfDir"}\n""")
+    val (results, discarded) = runSuite(spark, sfDir, selected, reps, partial)
     val (ccPeak, ccMax) = codeCacheMb()
     val suspect = streamingSuspects(results, streamingNames, STREAMING_FLOOR_SEC)
     val env = envJson(cpus, gcSec(), loadStart, loadAvg(), suspect, 1,
@@ -258,7 +298,8 @@ object Bench {
     * shards would contend for the same 32 cores and time each other's
     * stragglers). VM options (add-opens, Xmx, code cache) and classpath
     * are inherited from this JVM so the child measures the same world. */
-  private def runSharded(nShards: Int, sfDir: String, cpus: String): Seq[(Int, com.fasterxml.jackson.databind.JsonNode)] = {
+  private def runSharded(nShards: Int, sfDir: String, cpus: String,
+                         finalOut: String): Seq[(Int, com.fasterxml.jackson.databind.JsonNode)] = {
     import java.lang.management.ManagementFactory
     import scala.jdk.CollectionConverters._
     val javaBin = java.nio.file.Path.of(
@@ -268,6 +309,7 @@ object Bench {
       .toSeq
     val cp = System.getProperty("java.class.path")
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    var complete = List.empty[(Int, com.fasterxml.jackson.databind.JsonNode)]
     (0 until nShards).map { i =>
       val out = java.nio.file.Files.createTempFile(s"bench_shard_$i", ".json")
       val log = java.nio.file.Files.createTempFile(s"bench_shard_$i", ".log")
@@ -290,7 +332,25 @@ object Bench {
       if (rc != 0 || !java.nio.file.Files.exists(out))
         throw new IllegalStateException(
           s"bench shard $i/$nShards failed (rc=$rc) — log: $log")
-      i -> mapper.readTree(java.nio.file.Files.readString(out))
+      val rec = mapper.readTree(java.nio.file.Files.readString(out))
+      if (rec.has("partial"))
+        throw new IllegalStateException(
+          s"bench shard $i/$nShards exited 0 with a partial record — log: $log")
+      complete = (i -> rec) :: complete
+      // incremental merged record (r16): a driver-timeout kill mid-suite
+      // leaves the completed shards' full per-query numbers in the
+      // record file, loudly marked partial, instead of r15's `{}` —
+      // stdout stays silent until the real one-line record at the end
+      val soFar = complete.reverse.flatMap { case (_, r) =>
+        import scala.jdk.CollectionConverters._
+        r.get("queries").fields().asScala
+          .map(e => e.getKey -> e.getValue.asDouble()).toSeq
+      }.sortBy(_._1)
+      java.nio.file.Files.writeString(java.nio.file.Path.of(finalOut),
+        s"""{"metric":"total","partial":true,"shards_done":${complete.size},""" +
+          s""""shards":$nShards,"value":${soFar.map(_._2).sum},"unit":"sec",""" +
+          s""""n_queries":${soFar.size},"queries":${qJson(soFar)},"sf":"$sfDir"}\n""")
+      i -> rec
     }
   }
 
@@ -321,7 +381,12 @@ object Bench {
       val loadStart = loadAvg()
       val selected = SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
-      val (results, discarded) = runSuite(spark, sfDir, selected, reps)
+      def partial(rs: Seq[(String, Double)]): Unit =
+        java.nio.file.Files.writeString(java.nio.file.Path.of(out),
+          s"""{"metric":"total","partial":true,"value":${rs.map(_._2).sum},""" +
+            s""""unit":"sec","n_queries":${rs.size},""" +
+            s""""queries":${qJson(rs)},"sf":"$sfDir"}\n""")
+      val (results, discarded) = runSuite(spark, sfDir, selected, reps, partial)
       val (ccPeak, ccMax) = codeCacheMb()
       val suspect = streamingSuspects(results, streamingNames, STREAMING_FLOOR_SEC)
       val env = envJson(cpus, gcSec(), loadStart, loadAvg(), suspect, 1,
@@ -337,7 +402,7 @@ object Bench {
       return
     }
 
-    val shardRecords = runSharded(nShards, sfDir, cpus)
+    val shardRecords = runSharded(nShards, sfDir, cpus, out)
     import scala.jdk.CollectionConverters._
     val results: Seq[(String, Double)] = shardRecords.flatMap { case (_, rec) =>
       val q = rec.get("queries")

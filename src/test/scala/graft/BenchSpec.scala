@@ -76,6 +76,16 @@ class BenchSpec extends AnyFunSuite {
       "verdict-r11 mandated N=2–3 timed reps per query")
   }
 
+  test("adaptive rep policy: sub-floor queries keep min-of-N, heavy get 1") {
+    // round-16: min-of-N protects sub-second queries from contention
+    // spikes; repeating multi-second queries is where the suite's wall
+    // cost lives (r15 top-20 = 80.9s min-sum but ~325s of bench wall)
+    assert(Bench.repsFor(0.3, Bench.DEFAULT_REPS) === Bench.DEFAULT_REPS)
+    assert(Bench.repsFor(1.99, 3) === 3)
+    assert(Bench.repsFor(Bench.ADAPTIVE_REP_FLOOR_SEC, 3) === 1)
+    assert(Bench.repsFor(5.6, 3) === 1)
+  }
+
   test("repDiscard: succeeded-only, never negative") {
     // normal: two reps at 1.0 over a 0.5 best discard 1.0s of contention
     assert(Bench.repDiscard(Seq(0.5, 1.0, 1.0), 0.5) === 1.0)
