@@ -90,6 +90,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     else throw new NoSuchNamespaceException(namespace)
   override def createNamespace(namespace: Array[String],
                                metadata: util.Map[String, String]): Unit = {
+    // consistent with alterNamespace: namespaces carry NO mutable
+    // metadata, so user properties are rejected loudly instead of
+    // silently dropped. Spark itself injects the reserved `owner`
+    // property on every CREATE NAMESPACE — that one is ignored.
+    val userProps = metadata.asScala.keys
+      .filterNot(_ == SupportsNamespaces.PROP_OWNER)
+    if (userProps.nonEmpty)
+      throw new UnsupportedOperationException(
+        "graft catalog namespaces carry no mutable metadata; " +
+          s"got properties ${userProps.mkString(", ")}")
     if (namespaceExists(namespace))
       throw new org.apache.spark.sql.catalyst.analysis
         .NamespaceAlreadyExistsException(namespace)
@@ -219,11 +229,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
-    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
-    if (!fs.rename(new HPath(tablePath(oldIdent)),
-        new HPath(tablePath(newIdent))))
-      throw new IllegalStateException(
-        s"rename ${oldIdent} -> ${newIdent} failed")
+    // FileContext.rename with Rename.NONE is the commitRename device:
+    // unlike exists-check + FileSystem.rename (which on overwriting
+    // filesystems can clobber a table CREATEd between the check and the
+    // rename), it fails atomically when the destination exists — the
+    // same primitive ManifestStore.publish relies on for manifests.
+    val conf = spark.sessionState.newHadoopConf()
+    val uri = new HPath(root).toUri
+    val fc =
+      if (uri.getScheme == null)
+        org.apache.hadoop.fs.FileContext.getFileContext(conf)
+      else org.apache.hadoop.fs.FileContext.getFileContext(uri, conf)
+    try fc.rename(new HPath(tablePath(oldIdent)),
+      new HPath(tablePath(newIdent)),
+      org.apache.hadoop.fs.Options.Rename.NONE)
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+           _: java.nio.file.FileAlreadyExistsException =>
+        throw new TableAlreadyExistsException(newIdent)
+      case e: java.io.IOException
+          if e.getMessage != null && e.getMessage.contains("already exists") =>
+        throw new TableAlreadyExistsException(newIdent)
+    }
   }
 }
 

@@ -90,7 +90,15 @@ object GraftParquetIO {
           schema.fields(i).dataType match {
             case LongType => obs(i, row.getLong(i))(_ < _)
             case IntegerType => obs(i, row.getInt(i))(_ < _)
-            case DoubleType => obs(i, row.getDouble(i))(_ < _)
+            // total order (java.lang.Double.compare), NOT IEEE `<`:
+            // NaN compares false both ways under `<` (a NaN row would
+            // either poison or silently escape the bounds) and
+            // -0.0 < 0.0 is false — while GraftPrune classifies with
+            // Ordering.Double.TotalOrdering and Spark treats NaN as
+            // the largest double, so bounds accumulated under IEEE `<`
+            // could prune a file that holds matching rows
+            case DoubleType =>
+              obs(i, row.getDouble(i))(java.lang.Double.compare(_, _) < 0)
             case BooleanType => obs(i, row.getBoolean(i))(_ < _)
             case StringType =>
               // copy: Spark reuses UnsafeRow-backed UTF8String buffers

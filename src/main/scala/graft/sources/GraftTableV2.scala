@@ -185,9 +185,16 @@ object GraftTableOps {
                     extraProps: Map[String, String]): Unit = {
     require(m.deletes.isEmpty,
       s"catalog write to $root: table carries partition deletion vectors")
-    val newEntries = staged.map(f => s"file=${f.name}" -> s"$genRel/${f.name}")
+    // entry keys are the GENERATION-RELATIVE path, not the bare file
+    // name: Spark taskIds restart from 0 per application, so a write
+    // from a fresh JVM against an existing table can re-mint a file
+    // name already live in the manifest — a bare-name key would then
+    // silently evict the unrelated old entry in the `--/++` below.
+    // The genRel carries the commit's UUID nonce, so keys can never
+    // collide across commits.
+    val newEntries = staged.map(f => s"file=$genRel/${f.name}" -> s"$genRel/${f.name}")
     val newFileStats = staged.map(f =>
-      s"file=${f.name}" -> Map(s"$genRel/${f.name}" -> f.stats)).toMap
+      s"file=$genRel/${f.name}" -> Map(s"$genRel/${f.name}" -> f.stats)).toMap
     ManifestStore.publish(spark, root, m.version + 1,
       (m.entries -- replaced) ++ newEntries, Some(m),
       fileStats = (m.fileStats -- replaced) ++ newFileStats,
@@ -254,6 +261,8 @@ class GraftScan(root: String, tableSchema: StructType,
   private def spark: SparkSession = SparkSession.active
   // ONE manifest per scan: snapshot semantics for the whole query
   private val m = GraftTableOps.manifestOf(spark, root, asOf)
+  // the COW write commits against THIS snapshot or not at all
+  rowLevel.foreach(_.recordScanVersion(m.version))
   require(m.deletes.isEmpty,
     s"catalog scan of $root: partition deletion vectors are the " +
       "partitioned Scala API's layer; catalog tables materialize " +
@@ -296,8 +305,19 @@ class GraftScan(root: String, tableSchema: StructType,
   override def filter(filters: Array[Filter]): Unit = {
     val keep: Option[Set[String]] = filters.collectFirst {
       case In("_file", values) => values.map(String.valueOf(_)).toSet
+      // a single-file rewrite arrives as EqualTo, not a 1-element In
+      case EqualTo("_file", v) => Set(String.valueOf(v))
     }
     keep.foreach(k => live = live.filter { case (_, rel) => k(rel) })
+    // an unparsed runtime predicate leaves the scan UNfiltered — always
+    // correct (whole-table rewrite, never wrong rows) but it silently
+    // loses the O(affected-files) bound; say so where an operator can
+    // find it
+    if (keep.isEmpty && filters.nonEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).debug(
+        s"graft scan of $root: runtime group filters " +
+          s"${filters.mkString(",")} have no recognized _file shape; " +
+          "scan stays unnarrowed (correct but O(table) rewrite)")
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -415,6 +435,19 @@ class GraftBatchWrite(root: String, tableSchema: StructType,
       case f: GraftFileCommit if f.rows > 0 => f
     }
     val m = GraftTableOps.manifestOf(spark, root)
+    // scan-to-commit OCC for row-level rewrites: publish's head-check
+    // only guards the publish call itself, but a COW rewrite was
+    // computed from the SCAN's snapshot — if the head moved in between
+    // (another DELETE/UPDATE committed), publishing would rewrite from
+    // stale data: the loser must lose loudly, never silently. Plain
+    // appends and INSERT OVERWRITE keep rebase-on-current (they carry
+    // no scan-derived rows).
+    rowLevel.flatMap(_.scanVersion).foreach { v =>
+      if (m.version != v)
+        throw new java.util.ConcurrentModificationException(
+          s"row-level write to $root: manifest moved v$v -> " +
+            s"v${m.version} between scan and commit; retry the command")
+    }
     val replaced: Set[String] = rowLevel match {
       case Some(op) => Option(op.scanned).getOrElse(Set.empty)
       case None => if (overwrite) m.entries.keySet else Set.empty
@@ -563,6 +596,15 @@ class GraftRowLevelOperation(root: String, tableSchema: StructType,
   private[sources] def recordScanned(keys: Set[String]): Unit =
     scanned = keys
 
+  /** Manifest version the operation's scan resolved — the snapshot the
+    * rewrite is computed FROM. The write's commit fails loudly when the
+    * head has moved past it (scan-to-commit OCC): publishing against a
+    * newer head would rewrite from a stale snapshot, resurrecting a
+    * concurrent writer's deletes and duplicating its survivors. */
+  @volatile private[sources] var scanVersion: Option[Long] = None
+  private[sources] def recordScanVersion(v: Long): Unit =
+    scanVersion = Some(v)
+
   override def command(): RowLevelOperation.Command = cmd
   override def newScanBuilder(
       options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
@@ -639,8 +681,17 @@ object GraftPrune {
         case _ => Mixed
       }
     case Not(c) => one(c, schema, stats) match {
+      // AllMatch -> NoneMatch is always sound: value-predicate AllMatch
+      // already requires zero nulls, and the null-aware shapes
+      // (IsNull/IsNotNull) negate exactly.
       case AllMatch => NoneMatch
-      case NoneMatch => AllMatch
+      // NoneMatch -> AllMatch is NOT sound under SQL three-valued
+      // logic for value predicates over a column with nulls: a NULL
+      // row satisfies neither `c = 5` nor `NOT (c = 5)`, so a file
+      // whose non-null values all avoid the literal but which carries
+      // NULLs must classify Mixed — AllMatch here would let
+      // deleteWhere drop NULL rows that survive the DELETE.
+      case NoneMatch => if (negationNullSafe(c, stats)) AllMatch else Mixed
       case Mixed => Mixed
     }
     case IsNull(c) => nullness(c, stats) match {
@@ -702,6 +753,32 @@ object GraftPrune {
         else Mixed
       }
     case _ => Mixed
+  }
+
+  /** Is `NOT f` exactly the row-complement of `f` on this file? True
+    * when the shape is null-aware (IsNull/IsNotNull negate exactly;
+    * `<=>` matches nulls to neither side of a non-null literal) or
+    * when every column a value predicate references provably has zero
+    * nulls in the file — otherwise NULL rows satisfy neither side and
+    * NoneMatch(f) must NOT invert to AllMatch(NOT f). */
+  private def negationNullSafe(f: Filter,
+                               stats: Map[String, (String, String)])
+      : Boolean = {
+    def noNulls(c: String): Boolean = nullness(c, stats).exists(_._1 == 0L)
+    f match {
+      case IsNull(_) | IsNotNull(_) => true
+      case EqualNullSafe(_, _) => true
+      case And(l, r) => negationNullSafe(l, stats) && negationNullSafe(r, stats)
+      case Or(l, r) => negationNullSafe(l, stats) && negationNullSafe(r, stats)
+      case Not(c) => negationNullSafe(c, stats)
+      case EqualTo(c, _) => noNulls(c)
+      case GreaterThan(c, _) => noNulls(c)
+      case GreaterThanOrEqual(c, _) => noNulls(c)
+      case LessThan(c, _) => noNulls(c)
+      case LessThanOrEqual(c, _) => noNulls(c)
+      case In(c, _) => noNulls(c)
+      case _ => false
+    }
   }
 
   private def nullness(c: String, stats: Map[String, (String, String)])

@@ -379,6 +379,147 @@ class GraftCatalogSpec extends AnyFunSuite {
                    st: Map[String, (String, String)]): GraftPrune.Cls =
     GraftPrune.classify(Seq(f), schema, st)
 
+  test("Not inversion respects three-valued logic: NoneMatch only " +
+      "inverts to AllMatch when the negation is null-safe") {
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("s", StringType)))
+    def st(lo: Long, hi: Long, nulls: Long, rows: Long) = Map(
+      "k" -> (lo.toString, hi.toString),
+      GraftParquetIO.nullsKey("k") -> (nulls.toString, nulls.toString),
+      GraftParquetIO.ROWS_KEY -> (rows.toString, rows.toString))
+    import GraftPrune._
+    // the ADVICE case: `NOT (k = 5)` over a file whose non-null values
+    // all avoid 5 but which holds NULLs — a NULL row satisfies NEITHER
+    // side, so "all rows match NOT(k=5)" is false: must be Mixed, or a
+    // metadata DELETE would drop NULL rows that survive
+    assert(one_(Not(EqualTo("k", 5L)), schema, st(10, 20, 3, 10)) == Mixed)
+    assert(one_(Not(In("k", Array(5L, 6L))), schema, st(10, 20, 3, 10))
+      == Mixed)
+    // zero nulls → the inversion is exact again
+    assert(one_(Not(EqualTo("k", 5L)), schema, st(10, 20, 0, 10))
+      == AllMatch)
+    // null-aware shapes negate exactly even with nulls present
+    assert(one_(Not(IsNull("k")), schema, st(10, 20, 3, 10)) == Mixed)
+    assert(one_(Not(IsNull("k")), schema,
+      Map(GraftParquetIO.nullsKey("k") -> ("0", "0"),
+        GraftParquetIO.ROWS_KEY -> ("10", "10"),
+        "k" -> ("1", "2"))) == AllMatch)
+    // <=> matches nulls to neither side of a non-null literal, so
+    // NOT(k <=> 5) IS satisfied by NULL rows: AllMatch stands
+    assert(one_(Not(EqualNullSafe("k", 5L)), schema, st(10, 20, 3, 10))
+      == AllMatch)
+    // AllMatch -> NoneMatch stays exact (AllMatch already needs 0 nulls)
+    assert(one_(Not(GreaterThan("k", 5L)), schema, st(10, 20, 0, 10))
+      == NoneMatch)
+  }
+
+  test("double zone-map bounds use the total order: NaN is the largest " +
+      "value and -0.0 sorts below 0.0 (IEEE `<` would mis-prune)") {
+    val schema = StructType(Seq(StructField("d", DoubleType)))
+    val stats = new GraftParquetIO.FileStats(schema)
+    val row = new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(1)
+    for (v <- Seq(1.0, Double.NaN, -0.0, 0.0, 2.5)) {
+      row.update(0, v); stats.observe(row)
+    }
+    val r = stats.result()
+    // NaN must land in the max (Spark/TotalOrdering treats it as the
+    // largest double); under IEEE `<` it would vanish from the bounds
+    // and `d > 1e9` would classify the file NoneMatch despite a
+    // matching NaN row
+    assert(r("d")._2 == "NaN")
+    assert(r("d")._1 == "-0.0")
+    import GraftPrune._
+    assert(GraftPrune.classify(Seq(GreaterThan("d", 1e9)), schema,
+      r) != NoneMatch)
+    // and a file really containing only finite values still prunes
+    val fin = new GraftParquetIO.FileStats(schema)
+    for (v <- Seq(1.0, 2.5)) { row.update(0, v); fin.observe(row) }
+    assert(GraftPrune.classify(Seq(GreaterThan("d", 1e9)), schema,
+      fin.result()) == NoneMatch)
+  }
+
+  test("manifest entry keys are generation-scoped: a re-minted task " +
+      "file name from a fresh JVM can never evict an older entry") {
+    val (cat, root) = fresh("keys")
+    spark.sql(s"CREATE TABLE $cat.ns.t (k BIGINT)")
+    val path = s"$root/ns/t"
+    // two commits staging the IDENTICAL task file name (what two
+    // different applications both writing part-00000-0.parquet produce)
+    def stage(gen: String): Unit = {
+      val m = manifest(root, "t")
+      graft.sources.GraftTableOps.publishStaged(spark, path, m, gen,
+        Seq(graft.sources.GraftFileCommit("part-00000-0.parquet", 1L,
+          Map(GraftParquetIO.ROWS_KEY -> ("1", "1")))),
+        replaced = Set.empty, extraProps = Map.empty)
+    }
+    stage("_gen/g00000002-aaaaaaaa")
+    stage("_gen/g00000003-bbbbbbbb")
+    val m = manifest(root, "t")
+    assert(m.entries.size == 2, s"second commit evicted the first: ${m.entries}")
+    assert(m.entries.keys.toSet.size == 2)
+  }
+
+  test("row-level scan-to-commit OCC: a COW write computed from a " +
+      "stale snapshot fails loudly instead of resurrecting rows") {
+    val (cat, root) = fresh("occ")
+    spark.sql(s"CREATE TABLE $cat.ns.t (k BIGINT)")
+    spark.sql(s"INSERT INTO $cat.ns.t VALUES (1), (2)")
+    val path = s"$root/ns/t"
+    val schema = StructType(Seq(StructField("k", LongType)))
+    val op = new graft.sources.GraftRowLevelOperation(path, schema,
+      org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE)
+    val scan = op.newScanBuilder(
+      org.apache.spark.sql.util.CaseInsensitiveStringMap.empty()).build()
+    scan.toBatch.planInputPartitions() // snapshot resolved, version recorded
+    // the head moves between scan and commit
+    spark.sql(s"INSERT INTO $cat.ns.t VALUES (3)")
+    val write = new graft.sources.GraftBatchWrite(path, schema, schema,
+      overwrite = false, rowLevel = Some(op))
+    intercept[java.util.ConcurrentModificationException] {
+      write.commit(Array.empty)
+    }
+  }
+
+  test("runtime group filter parses the single-file EqualTo shape and " +
+      "narrows the scan to exactly that file") {
+    val (cat, root) = fresh("rtf")
+    seedTwoFiles(cat)
+    val m = manifest(root, "t")
+    val oneRel = m.entries.values.toSeq.sorted.head
+    val schema = spark.table(s"$cat.ns.t").schema
+    val scan = new graft.sources.GraftScan(s"$root/ns/t", schema,
+      schema, Array.empty, rowLevel = None)
+    scan.filter(Array[Filter](EqualTo("_file", oneRel)))
+    assert(scan.toBatch.planInputPartitions().length == 1)
+  }
+
+  test("renameTable is exclusive (destination exists → loud failure) " +
+      "and a clean rename carries the table") {
+    val (cat, _) = fresh("ren")
+    spark.sql(s"CREATE TABLE $cat.ns.a (k BIGINT)")
+    spark.sql(s"INSERT INTO $cat.ns.a VALUES (7)")
+    spark.sql(s"CREATE TABLE $cat.ns.b (k BIGINT)")
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.ns.a RENAME TO ns.b")
+    }
+    spark.sql(s"ALTER TABLE $cat.ns.a RENAME TO ns.c")
+    assert(spark.table(s"$cat.ns.c").collect().map(_.getLong(0)).toSeq
+      == Seq(7L))
+  }
+
+  test("namespace properties are rejected loudly, not silently dropped " +
+      "(Spark's reserved owner property excepted)") {
+    val (cat, _) = fresh("nsprops")
+    intercept[Exception] {
+      spark.sql(s"CREATE NAMESPACE $cat.ns2 WITH PROPERTIES ('x'='1')")
+    }
+    // plain CREATE NAMESPACE (Spark injects only the reserved owner)
+    spark.sql(s"CREATE NAMESPACE $cat.ns3")
+    assert(spark.sql(s"SHOW NAMESPACES IN $cat").collect()
+      .map(_.getString(0)).contains("ns3"))
+  }
+
   /** Every data file currently on disk under the table root. */
   private def dataFiles(root: String): Set[String] = {
     def walk(f: java.io.File): Seq[java.io.File] =
