@@ -266,6 +266,12 @@ object Runner {
             .start()
       }
       q.awaitTermination()
+      // opt-in measurement probe (guide §1: attribute before optimizing):
+      // per-micro-batch duration breakdown on stderr, never in query paths
+      if (sys.env.contains("SPARK_GRAFT_STREAM_PROBE"))
+        q.recentProgress.foreach(p => System.err.println(
+          s"[stream-probe] $name batch=${p.batchId} rows=${p.numInputRows} " +
+            s"durations=${p.durationMs}"))
       // the boundary's PLAN schema, for the same reason as runBatch:
       // consumers must not see directory-inference re-typing
       name -> (path, resolved.schema)
