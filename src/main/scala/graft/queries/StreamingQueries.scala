@@ -424,12 +424,16 @@ object StreamingQueries {
         val cols = Seq("user_id", "event_type", "event_id", "ts", "value")
         val staged = stagedOnce("graft_q88_src_", d) {
           val dir = Files.createTempDirectory("graft_q88_src_").toString
-          // exactly 3 staged files (hash on event_id, so every upsert key
+          // exactly 2 staged files (hash on event_id, so every upsert key
           // spans batches) — micro-batch count is bounded and deterministic,
-          // not a function of the corpus's date range
+          // not a function of the corpus's date range. Two batches are the
+          // MINIMUM that makes the upserts genuinely cross a batch
+          // boundary, and each extra batch costs a full O(table)
+          // foreachBatch MERGE rewrite (r16 fixed-cost diet; the merge
+          // result is batch-count-invariant — max-(ts,event_id) per key).
           graft.tables.Tables.events(s, d)
-            .withColumn("batch_", pmod(col("event_id"), lit(3)).cast("int"))
-            .repartition(3, col("batch_"))
+            .withColumn("batch_", pmod(col("event_id"), lit(2)).cast("int"))
+            .repartition(2, col("batch_"))
             .write.mode("overwrite").partitionBy("batch_").parquet(dir)
           dir
         }
@@ -605,17 +609,20 @@ object StreamingQueries {
     // final closed windows through BOTH operators.
     Q("q298_chained_stateful",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val staged = stagedOnce("graft_q97_src_", d) {
-          val sd = Files.createTempDirectory("graft_q97_src_").toString
+        // same two-slice rig as q275 (clicks batch 1, purchases batch 2;
+        // r16 fixed-cost diet): every pair still crosses the join state
+        // store, the trailing no-data batch still flushes the closed
+        // windows through BOTH stateful operators, and the oracle's
+        // global-watermark cutoff is slice-count-invariant. Three-slice
+        // multi-batch click accumulation remains q97's gate.
+        val staged = stagedOnce("graft_q275_src_", d) {
+          val sd = Files.createTempDirectory("graft_q275_src_").toString
           graft.tables.Tables.events(s, d)
             .withColumn("batch_",
-              when(col("event_type") === "purchase", 2)
-                .otherwise(
-                  ntile(2).over(Window.orderBy(col("ts"), col("event_id"))) - 1))
-            .repartition(3, col("batch_"))
+              when(col("event_type") === "purchase", 1).otherwise(0))
+            .repartition(2, col("batch_"))
             .write.mode("overwrite").partitionBy("batch_").parquet(sd)
-          for (b <- 0 to 2) {
+          for (b <- 0 to 1) {
             val dir = java.nio.file.Paths.get(sd, s"batch_=$b")
             val t0 = java.nio.file.attribute.FileTime
               .fromMillis(1700000000000L + b * 60000L)
@@ -697,14 +704,21 @@ object StreamingQueries {
     Q("q104_stream_outer_join",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
+        // TWO aligned slices (r16 fixed-cost diet): this gate pins the
+        // watermark expiry/emission rule, which needs a mid-stream
+        // watermark advance (one slice boundary) plus the trailing
+        // no-data flush — the third slice added a second identical
+        // advance for a full micro-batch of fixed cost. Cross-batch
+        // handoff coverage is q97's; the oracle cutoff is global and
+        // slice-count-invariant.
         val staged = stagedOnce("graft_q104_src_", d) {
           val sd = Files.createTempDirectory("graft_q104_src_").toString
           graft.tables.Tables.events(s, d)
             .withColumn("batch_",
-              ntile(3).over(Window.orderBy(col("ts"), col("event_id"))) - 1)
-            .repartition(3, col("batch_"))
+              ntile(2).over(Window.orderBy(col("ts"), col("event_id"))) - 1)
+            .repartition(2, col("batch_"))
             .write.mode("overwrite").partitionBy("batch_").parquet(sd)
-          for (b <- 0 to 2) {
+          for (b <- 0 to 1) {
             val dir = java.nio.file.Paths.get(sd, s"batch_=$b")
             val t0 = java.nio.file.attribute.FileTime
               .fromMillis(1700000000000L + b * 60000L)
@@ -1116,19 +1130,25 @@ object StreamingQueries {
     // the output buffer at all.
     Q("q275_stream_semi_join",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val staged = stagedOnce("graft_q97_src_", d) {
-          val sd = Files.createTempDirectory("graft_q97_src_").toString
-          // staging scaffolding (not the operator): ntile's global sort is
-          // test-rig-only
+        // TWO slices (r16 streaming fixed-cost diet, VERDICT Next #1c):
+        // all clicks in batch 1, all purchases in batch 2. Every emit is
+        // STILL a cross-batch state-store hit (a purchase can only match
+        // a click already held in state from the earlier batch), which is
+        // the property this gate needs engaged; the multi-click-batch
+        // state ACCUMULATION declension stays q97's (which keeps its
+        // three-slice rig). The dropped third slice bought no coverage
+        // here and cost one full micro-batch of per-batch fixed cost
+        // (~0.6–1 s measured: planning + state commits + sink commit).
+        // Result is slice-count-invariant: the semi join emits exactly
+        // the batch EXISTS rows, which is what the oracle replays.
+        val staged = stagedOnce("graft_q275_src_", d) {
+          val sd = Files.createTempDirectory("graft_q275_src_").toString
           graft.tables.Tables.events(s, d)
             .withColumn("batch_",
-              when(col("event_type") === "purchase", 2)
-                .otherwise(
-                  ntile(2).over(Window.orderBy(col("ts"), col("event_id"))) - 1))
-            .repartition(3, col("batch_"))
+              when(col("event_type") === "purchase", 1).otherwise(0))
+            .repartition(2, col("batch_"))
             .write.mode("overwrite").partitionBy("batch_").parquet(sd)
-          for (b <- 0 to 2) {
+          for (b <- 0 to 1) {
             val dir = java.nio.file.Paths.get(sd, s"batch_=$b")
             val t0 = java.nio.file.attribute.FileTime
               .fromMillis(1700000000000L + b * 60000L)
@@ -1204,14 +1224,17 @@ object StreamingQueries {
     Q("q282_stream_full_outer",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
+        // two aligned slices — identical rig to q104 (shared staging
+        // tag, bodies must stay byte-equivalent); see q104 for the
+        // slice-count rationale
         val staged = stagedOnce("graft_q104_src_", d) {
           val sd = Files.createTempDirectory("graft_q104_src_").toString
           graft.tables.Tables.events(s, d)
             .withColumn("batch_",
-              ntile(3).over(Window.orderBy(col("ts"), col("event_id"))) - 1)
-            .repartition(3, col("batch_"))
+              ntile(2).over(Window.orderBy(col("ts"), col("event_id"))) - 1)
+            .repartition(2, col("batch_"))
             .write.mode("overwrite").partitionBy("batch_").parquet(sd)
-          for (b <- 0 to 2) {
+          for (b <- 0 to 1) {
             val dir = java.nio.file.Paths.get(sd, s"batch_=$b")
             val t0 = java.nio.file.attribute.FileTime
               .fromMillis(1700000000000L + b * 60000L)
