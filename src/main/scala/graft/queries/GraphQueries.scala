@@ -38,6 +38,15 @@ object GraphQueries {
   val qs: Seq[Q] = Seq(
     Q("q120_pagerank",
       (s, d) => {
+        // long node ids inside the iteration (even = customer 2k, odd =
+        // supplier 2k+1; q274's device — guide §2.3 narrower types):
+        // each of the 5 iterations joins ranks×edges and re-aggregates
+        // on the node key, so the key's width and hash cost are paid
+        // ~10× per run. Weights, probabilities and the decimal inflow
+        // sums are unchanged (the id mapping is injective, decimal
+        // accumulation is order-free), so every rank is bit-identical;
+        // the 'c<k>'/'s<k>' strings are reconstructed only at the
+        // output boundary, BEFORE the final (rank, node) sort.
         val pairs = t(s, d, "lineitem")
           .select(col("l_orderkey"), col("l_suppkey"))
           .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
@@ -45,11 +54,11 @@ object GraphQueries {
           .groupBy(col("o_custkey"), col("l_suppkey"))
           .agg(count(lit(1)).as("w"))
         val cs = pairs.select(
-          concat(lit("c"), col("o_custkey")).as("src"),
-          concat(lit("s"), col("l_suppkey")).as("dst"), col("w"))
+          (col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"), col("w"))
         val sc = pairs.select(
-          concat(lit("s"), col("l_suppkey")).as("src"),
-          concat(lit("c"), col("o_custkey")).as("dst"), col("w"))
+          (col("l_suppkey") * 2 + 1).as("src"),
+          (col("o_custkey") * 2).as("dst"), col("w"))
         val edges0 = cs.union(sc)
         val outw = edges0.groupBy("src").agg(sum(col("w")).as("w_out"))
         // the edge frame is STATIC across iterations — materialize it
@@ -59,7 +68,7 @@ object GraphQueries {
         val edges = edges0.join(outw, Seq("src"))
           .select(col("src"), col("dst"),
             (col("w").cast("double") / col("w_out").cast("double")).as("p"))
-          .localCheckpoint()
+          .localCheckpoint(false)
         // every node appears as a src (the walk is bidirectional), so
         // the node set comes from the CHECKPOINTED edges — deriving it
         // from edges0 would re-run the raw scan+join chain a second time.
@@ -74,6 +83,8 @@ object GraphQueries {
         val nodes = edges.select(col("src").as("node")).distinct()
         val base = nodes.crossJoin(nodes.agg(count(lit(1)).as("n_nodes")))
           .localCheckpoint()
+        // (base stays EAGER: both the loop's left join and the node
+        // count read it, and its one materialization is |nodes|-sized)
         var ranks = base
           .select(col("node"),
             (lit(1.0) / col("n_nodes").cast("double")).as("r"))
@@ -88,7 +99,10 @@ object GraphQueries {
               (lit(0.15) / col("n_nodes").cast("double") +
                 lit(0.85) * coalesce(col("inflow"), lit(0.0))).as("r"))
         }
-        ranks.select(col("node"), round(col("r"), 9).as("rank"))
+        ranks
+          .select(concat(when(col("node") % 2 === 0, "c").otherwise("s"),
+            shiftright(col("node"), 1)).as("node"),
+            round(col("r"), 9).as("rank"))
           .orderBy(desc("rank"), col("node"))
       },
       Some("""
@@ -206,20 +220,28 @@ object GraphQueries {
     // per node: two independent BFS engines compared row-for-row.
     Q("q266_bfs_reachability",
       (s, d) => {
+        // long node ids inside the frontier loop (even = customer 2k,
+        // odd = supplier 2k+1; q274's device — guide §2.3 narrower
+        // types): every round joins and dedups the frontier against the
+        // full edge frame, and 16-byte rows shuffle/hash far cheaper
+        // than UTF8 keys. The id mapping is injective, so frontier
+        // sets and levels are identical; strings are reconstructed only
+        // at the output boundary. Checkpoints are LAZY (lineage still
+        // severed, but no per-round materialization barrier).
         val pairs = t(s, d, "lineitem")
           .select(col("l_orderkey"), col("l_suppkey"))
           .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
             col("l_orderkey") === col("o_orderkey"))
-          .select(concat(lit("c"), col("o_custkey")).as("c"),
-            concat(lit("s"), col("l_suppkey")).as("sp"),
+          .select((col("o_custkey") * 2).as("c"),
+            (col("l_suppkey") * 2 + 1).as("sp"),
             col("o_custkey").as("ck"))
           .distinct()
         val edges = pairs.select(col("c").as("src"), col("sp").as("dst"))
           .unionByName(pairs.select(col("sp").as("src"), col("c").as("dst")))
-          .distinct().localCheckpoint()
+          .distinct().localCheckpoint(false)
         var reached = pairs.filter(col("ck") % 97 === 0)
           .select(col("c").as("node")).distinct()
-          .select(col("node"), lit(0L).as("lvl")).localCheckpoint()
+          .select(col("node"), lit(0L).as("lvl")).localCheckpoint(false)
         var frontier = reached
         for (i <- 1 to 6) {
           val next = frontier.join(edges,
@@ -227,11 +249,14 @@ object GraphQueries {
             .select(col("dst").as("node")).distinct()
             .join(reached.select("node"), Seq("node"), "left_anti")
             .select(col("node"), lit(i.toLong).as("lvl"))
-            .localCheckpoint()
-          reached = reached.unionByName(next).localCheckpoint()
+            .localCheckpoint(false)
+          reached = reached.unionByName(next).localCheckpoint(false)
           frontier = next
         }
-        reached.orderBy("node")
+        reached
+          .select(concat(when(col("node") % 2 === 0, "c").otherwise("s"),
+            shiftright(col("node"), 1)).as("node"), col("lvl"))
+          .orderBy("node")
       },
       Some("""
         WITH RECURSIVE
@@ -272,32 +297,49 @@ object GraphQueries {
     // frame.
     Q("q274_kcore",
       (s, d) => {
+        // node ids are LONGS inside the loop (even = customer 2k, odd =
+        // supplier 2k+1) and become the 'c<k>'/'s<k>' strings only at
+        // the output boundary — guide §2.3 "narrower types": every one
+        // of the 6 peel rounds exchanges the full edge frame, and a
+        // 16-byte (long,long) row shuffles, hashes and compares several
+        // times cheaper than two UTF8 strings. distinct() on the id
+        // pair is distinct() on the string pair (the mapping is
+        // injective), so the survivor set — and the emitted rows — are
+        // byte-identical to the string form the oracle replays.
         val pairs = t(s, d, "lineitem")
           .select(col("l_orderkey"), col("l_suppkey"))
           .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
             col("l_orderkey") === col("o_orderkey"))
-          .select(concat(lit("c"), col("o_custkey")).as("c"),
-            concat(lit("s"), col("l_suppkey")).as("sp"))
+          .select((col("o_custkey") * 2).as("c"),
+            (col("l_suppkey") * 2 + 1).as("sp"))
           .distinct()
         var edges = pairs.select(col("c").as("src"), col("sp").as("dst"))
           .unionByName(pairs.select(col("sp").as("src"), col("c").as("dst")))
-          .localCheckpoint()
+          .localCheckpoint(false)
         val kf = edges
           .agg((count(lit(1)) / (countDistinct(col("src")) * 2))
             .cast("long").as("k"))
-          .localCheckpoint()
+          .localCheckpoint(false)
         for (_ <- 1 to 6) {
           val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
             .crossJoin(broadcast(kf))
             .filter(col("deg") >= col("k"))
-            .select(col("src").as("node")).localCheckpoint()
+            .select(col("src").as("node")).localCheckpoint(false)
+          // dst-semi FIRST, src-semi LAST: the semi joins commute, and
+          // ending the round partitioned by src lets the next round's
+          // groupBy(src) (and the next src-semi probe) reuse the
+          // checkpointed partitioning instead of paying a fresh
+          // full-edge exchange (guide §2.4: two operations keyed the
+          // same way share one exchange)
           edges = edges
-            .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
             .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
-            .localCheckpoint()
+            .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
+            .localCheckpoint(false)
         }
-        edges.groupBy(col("src").as("node"))
+        edges.groupBy(col("src").as("id"))
           .agg(count(lit(1)).as("deg"))
+          .select(concat(when(col("id") % 2 === 0, "c").otherwise("s"),
+            shiftright(col("id"), 1)).as("node"), col("deg"))
           .orderBy("node")
       },
       Some("""
@@ -365,9 +407,9 @@ object GraphQueries {
           .distinct()
         val edges = pairs.select(col("c").as("src"), col("sp").as("dst"))
           .unionByName(pairs.select(col("sp").as("src"), col("c").as("dst")))
-          .localCheckpoint()
+          .localCheckpoint(false)
         var labels = edges.select(col("src").as("node")).distinct()
-          .select(col("node"), col("node").as("lab")).localCheckpoint()
+          .select(col("node"), col("node").as("lab")).localCheckpoint(false)
         for (_ <- 1 to 4) {
           val w = Window.partitionBy("node")
             .orderBy(desc("cnt"), col("lab"))
@@ -379,7 +421,7 @@ object GraphQueries {
             .withColumn("rk", row_number().over(w))
             .filter(col("rk") === 1)
             .select(col("node"), col("lab"))
-            .localCheckpoint()
+            .localCheckpoint(false)
         }
         labels.groupBy("lab")
           .agg(count(lit(1)).as("size"),
@@ -469,10 +511,10 @@ object GraphQueries {
           .withColumn("deg", count(lit(1))
             .over(Window.partitionBy("src")).cast("long"))
           .select(col("src").as("nsrc"), col("idx"), col("deg"), col("dst"))
-          .localCheckpoint()
+          .localCheckpoint(false)
         val deg = nbr.filter(col("idx") === 0)
           .select(col("nsrc").as("dsrc"), col("deg").as("ndeg"))
-          .localCheckpoint() // |nodes|-sized; avoids re-scanning the full
+          .localCheckpoint(false) // |nodes|-sized; avoids re-scanning the full
           // index once per step just to read degrees
         val seeds = pairs.filter(col("ck") % 101 === 0)
           .select(col("c").as("node")).distinct()
@@ -494,7 +536,7 @@ object GraphQueries {
               col("node") === col("nsrc") && col("pick") === col("idx"))
             .select(col("walk_id"), lit(t.toLong).as("step"),
               col("dst").as("node"))
-            .localCheckpoint() // sever per-step lineage: without this the
+            .localCheckpoint(false) // sever per-step lineage: without this the
             // final union re-runs step k's join once per later branch
           out = out.unionByName(cur)
         }
