@@ -148,6 +148,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("graft_minhash_row"),
+      new ExpressionInfo(classOf[MinHashRowSignature].getName,
+        "graft_minhash_row"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a) => MinHashRowSignature(a)
+        case Seq(a, Literal(n: Int, _)) => MinHashRowSignature(a, n)
+        case _ => throw new IllegalArgumentException(
+          "graft_minhash_row(hashes[, numPerms]) — numPerms must be an " +
+            "int literal")
+      }))
+
+    ext.injectFunction((
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
       (children: Seq[Expression]) => children match {

@@ -1350,8 +1350,17 @@ object ScaleOpsQueries {
             .as("bnds"))
         li.select(col("l_extendedprice").as("v"), col("l_partkey"))
           .crossJoin(broadcast(bnds))
+          // bucket = #bounds strictly below v. Written as a SUM of 7
+          // comparisons, not size(filter(bnds, b -> b < v)): the
+          // higher-order filter() is a non-codegen expression and broke
+          // whole-stage codegen exactly at the per-row hot path (the
+          // plan's bucket Project carried no codegen star — guide §"
+          // expressions and codegen"); the unrolled form is identical
+          // on a sorted bounds array (null v: both yield bucket 0).
           .select(col("v"), col("l_partkey"),
-            size(expr("filter(bnds, b -> b < v)")).as("bucket"))
+            (0 until 7).map(k =>
+              when(col("bnds").getItem(k) < col("v"), 1).otherwise(0))
+              .reduce(_ + _).as("bucket"))
           .groupBy("bucket")
           .agg(count(lit(1)).as("cnt"),
             countDistinct(col("l_partkey")).as("ndv"),

@@ -751,11 +751,19 @@ object TimeSeriesQueries {
           .withColumn("x", row_number().over(Window
             .partitionBy("event_type").orderBy("hr")).cast("long"))
           .select(col("event_type"), col("x"), col("y"))
-        val a = hourly.select(col("event_type"), col("x").as("xi"),
-          col("y").as("yi"))
+        // pair generation parallelism: the row_number window above
+        // leaves `hourly` in |event_type| partitions, so the O(hours²)
+        // pair explosion would run on a handful of tasks. The series
+        // side is BOUNDED by design (retention-window hours × types —
+        // the doc-comment's scale contract), so broadcast it and
+        // round-robin the probe side across the cluster: the quadratic
+        // work fans out over all cores and the join needs no exchange
+        // (guide §2.5 — skew from too few distinct partitioning keys).
+        val a = hourly.repartition(col("event_type"), col("x"))
+          .select(col("event_type"), col("x").as("xi"), col("y").as("yi"))
         val b = hourly.select(col("event_type"), col("x").as("xj"),
           col("y").as("yj"))
-        val slopes = a.join(b, Seq("event_type"))
+        val slopes = a.join(broadcast(b), Seq("event_type"))
           .filter(col("xi") < col("xj"))
           .select(col("event_type"), col("xi"), col("xj"),
             ((col("yj") - col("yi")).cast("double") /
@@ -816,11 +824,14 @@ object TimeSeriesQueries {
           .withColumn("x", row_number().over(Window
             .partitionBy("event_type").orderBy("hr")).cast("long"))
           .select(col("event_type"), col("x"), col("y"))
-        val a = hourly.select(col("event_type"), col("x").as("xi"),
-          col("y").as("yi"))
+        // same pair-explosion spread as q284: fan the bounded series
+        // out of the window's |event_type| partitions and broadcast
+        // the other side, so the O(hours²) sign sum uses every core
+        val a = hourly.repartition(col("event_type"), col("x"))
+          .select(col("event_type"), col("x").as("xi"), col("y").as("yi"))
         val b = hourly.select(col("event_type"), col("x").as("xj"),
           col("y").as("yj"))
-        val sAgg = a.join(b, Seq("event_type"))
+        val sAgg = a.join(broadcast(b), Seq("event_type"))
           .filter(col("xi") < col("xj"))
           .groupBy("event_type")
           .agg(sum(signum((col("yj") - col("yi")).cast("double"))

@@ -12,37 +12,26 @@ object Scratch {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     spark.sparkContext.setLogLevel("WARN")
     def t(n: String) = spark.read.parquet(s"$dir/$n.parquet")
-
-    // q274 round-1 shape: what does one peel round's plan look like?
-    val pairs = t("lineitem")
-      .select(col("l_orderkey"), col("l_suppkey"))
-      .join(t("orders").select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("c"),
-        concat(lit("s"), col("l_suppkey")).as("sp"))
-      .distinct()
-    var edges = pairs.select(col("c").as("src"), col("sp").as("dst"))
-      .unionByName(pairs.select(col("sp").as("src"), col("c").as("dst")))
-      .localCheckpoint()
-    println(s"edges=${edges.count()} nodes=${edges.select("src").distinct().count()}")
-    val kf = edges
-      .agg((count(lit(1)) / (countDistinct(col("src")) * 2))
-        .cast("long").as("k"))
-      .localCheckpoint()
-    val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      .crossJoin(broadcast(kf))
-      .filter(col("deg") >= col("k"))
-      .select(col("src").as("node")).localCheckpoint(false)
-    val e2 = edges
-      .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
-      .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
-    e2.collect()
-    val plan = e2.queryExecution.executedPlan match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        a.executedPlan.toString
-      case p => p.toString
+    def time(tag: String)(f: => Unit): Unit = {
+      f // warm
+      val t0 = System.nanoTime(); f
+      println(f"$tag%-30s ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
-    println(plan)
+    val li = t("lineitem")
+    time("percentile agg alone") {
+      li.agg(expr("percentile(l_extendedprice, " +
+        "array(0.125D, 0.25D, 0.375D, 0.5D, 0.625D, 0.75D, 0.875D))")).count()
+    }
+    time("bucket+agg alone (fake bnds)") {
+      val bnds = spark.sql("SELECT array(2000D,3000D,4000D,5000D,6000D,7000D,8000D) AS bnds")
+      li.select(col("l_extendedprice").as("v"), col("l_partkey"))
+        .crossJoin(broadcast(bnds))
+        .select(col("v"), col("l_partkey"),
+          size(expr("filter(bnds, b -> b < v)")).as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)), countDistinct(col("l_partkey")),
+          round(min(col("v")), 2), round(max(col("v")), 2)).count()
+    }
     spark.stop()
   }
 }

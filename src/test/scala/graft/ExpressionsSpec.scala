@@ -150,6 +150,19 @@ class ExpressionsSpec extends AnyFunSuite {
       .select("doc_id", "mh").collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(perRow === agg)
+    // and the tight-loop row expression q105 now actually uses (r16:
+    // the nested-lambda form above was the stream side's dominant
+    // interpreter cost) walks the same chain bit-for-bit
+    val rowExpr = docs
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("shs", expr(
+        "transform(sequence(1, size(words) - 2), i -> " +
+          "xxhash64(element_at(words, i), element_at(words, i + 1), " +
+          "element_at(words, i + 2)))"))
+      .withColumn("mh", expr("graft_minhash_row(shs, 128)"))
+      .select("doc_id", "mh").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(rowExpr === agg)
   }
 
   test("rangeJoinBinned equals the naive theta join") {
