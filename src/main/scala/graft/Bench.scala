@@ -116,17 +116,25 @@ object Bench {
     * while repeating multi-second queries is where the suite's wall
     * cost lives — the r15 top-20 queries were 80.9 s of min-sum but
     * ~325 s of bench wall under warm+3. So: queries whose WARM-UP run
-    * took >= this threshold get ONE timed rep; everything below keeps
-    * min-of-`reps`. The warm-up duration (not the timed one) makes the
-    * decision, so the policy is known before the first timed rep and a
-    * query cannot straddle policies mid-measurement. r15 evidence that
-    * one rep suffices up there: per-query min across THREE full r15
-    * runs matched single-run values within noise for every query over
-    * 2 s (bench_full_r15.json conditions block). */
+    * took >= this threshold get MIN-OF-TWO timed reps; everything below
+    * keeps min-of-`reps`. The warm-up duration (not the timed one)
+    * makes the decision, so the policy is known before the first timed
+    * rep and a query cannot straddle policies mid-measurement.
+    *
+    * Why 2 and not 1 above the floor (r16 in-round evidence): a
+    * single-rep protocol run recorded q305 at 3.13 s where min-of-3
+    * standalone gives 1.51 s — one polluted rep DOUBLED the recorded
+    * value with nothing to reject it. min-of-2 rejects the common
+    * one-spike case for ~70 s of extra wall across the whole suite
+    * (the >2 s queries sum ~70 s), keeping the bench inside the
+    * r14-proven driver budget while never leaving a multi-second query
+    * unprotected. */
   private[graft] val ADAPTIVE_REP_FLOOR_SEC = 2.0
+  private[graft] val HEAVY_REPS = 2
 
   private[graft] def repsFor(warmSec: Double, reps: Int): Int =
-    if (warmSec >= ADAPTIVE_REP_FLOOR_SEC) 1 else reps
+    if (warmSec >= ADAPTIVE_REP_FLOOR_SEC) math.min(HEAVY_REPS, reps)
+    else reps
 
   /** min-of-N with contention accounting: returns the per-query min plus
     * suite-level straggler stats (how much time the min discarded), so a
@@ -232,7 +240,7 @@ object Bench {
       s""""load_avg_start":$loadStart,"load_avg_end":$loadEnd,""" +
       // Locale.ROOT: a comma-decimal default locale (fr_FR) would
       // render f"%.1f" as "12,3" and corrupt the JSON record
-      s""""reps":$reps,"rep_policy":"min-of-reps<${ADAPTIVE_REP_FLOOR_SEC}s-warm;1-above",""" +
+      s""""reps":$reps,"rep_policy":"min-of-reps<${ADAPTIVE_REP_FLOOR_SEC}s-warm;min-of-$HEAVY_REPS-above",""" +
       s""""discarded_sec":${String.format(java.util.Locale.ROOT, "%.1f", Double.box(discardedSec))},""" +
       s""""heap_max_mb":${Runtime.getRuntime.maxMemory / (1024 * 1024)},""" +
       s""""gc_total_sec":$gcSec,""" +
